@@ -1,0 +1,91 @@
+"""Pixel masks as boolean predicate expressions (trx/mask.py re-design).
+
+The reference materializes 2-D boolean bitmaps (mask.py:54-155) built from
+components (rectangles, circles, polygons, threshold strings) combined in
+order with add/subtract last-writer-wins semantics (mask.py:128-135). In
+Spark a mask is just a boolean *expression* over the pixel table's (x, y)
+columns — Catalyst folds it into the scan filter, so masking costs nothing
+at 100 TB (no bitmap join, no materialization).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# mask.py:287-326 DSL: "x>10", "y<500" …
+_DSL_RE = re.compile(r"^\s*([xy])\s*(<|>|<=|>=)\s*(-?\d+\.?\d*)\s*$")
+
+
+def mask_from_string(expr: str) -> Column:
+    """Parse the reference's mini-DSL (trx/mask.py:287-326) into a
+    predicate; True = masked out."""
+    m = _DSL_RE.match(expr)
+    if not m:
+        raise ValueError(f"cannot parse mask string {expr!r}")
+    axis, op, val = m.groups()
+    c = F.col(axis)
+    v = float(val)
+    return {"<": c < v, ">": c > v, "<=": c <= v, ">=": c >= v}[op]
+
+
+def mask_rectangle(x0: float, x1: float, y0: float, y1: float) -> Column:
+    """Rectangle component (trx/mask.py:36-41)."""
+    return (F.col("x") >= x0) & (F.col("x") <= x1) & (F.col("y") >= y0) & (F.col("y") <= y1)
+
+
+def mask_circle(cx: float, cy: float, r: float) -> Column:
+    """Circle component (trx/mask.py:43-48)."""
+    return (F.pow(F.col("x") - cx, 2) + F.pow(F.col("y") - cy, 2)) <= r * r
+
+
+def mask_border(shape: tuple[int, int], width: int) -> Column:
+    """Border of the detector (trx/mask.py:240-262 ``maskBorder``)."""
+    ny, nx = shape
+    return (
+        (F.col("x") < width)
+        | (F.col("x") >= nx - width)
+        | (F.col("y") < width)
+        | (F.col("y") >= ny - width)
+    )
+
+
+def mask_center_lines(shape: tuple[int, int], width: int) -> Column:
+    """Central cross (trx/mask.py:264-285 ``maskCenterLines``)."""
+    ny, nx = shape
+    cx, cy = nx // 2, ny // 2
+    return ((F.col("x") >= cx - width) & (F.col("x") < cx + width)) | (
+        (F.col("y") >= cy - width) & (F.col("y") < cy + width)
+    )
+
+
+def combine_masks(components: list[tuple[str, Column]]) -> Column:
+    """Ordered add/subtract composition with last-writer-wins
+    (trx/mask.py:128-135): later components override earlier ones where
+    they apply. ``components`` is [(op, predicate)] with op in
+    {"add", "subtract"}; returns the final masked predicate.
+
+    Implemented as a reversed CASE chain — the last component whose
+    predicate covers a pixel decides its fate.
+    """
+    masked: Column = F.lit(False)
+    for op, pred in components:
+        if op == "add":
+            masked = F.when(pred, F.lit(True)).otherwise(masked)
+        elif op == "subtract":
+            masked = F.when(pred, F.lit(False)).otherwise(masked)
+        else:
+            raise ValueError(f"unknown mask op {op!r}")
+    return masked
+
+
+def interpret_mask(elements: list[str | Column]) -> Column:
+    """Union ("logical or", trx/mask.py:289-368 ``interpretMask``) of mask
+    elements: DSL strings or prebuilt predicates."""
+    preds = [mask_from_string(e) if isinstance(e, str) else e for e in elements]
+    out: Column = F.lit(False)
+    for p in preds:
+        out = out | p
+    return out

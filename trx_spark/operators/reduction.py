@@ -1,0 +1,286 @@
+"""Time-resolved data reduction: reference interpolation (as-of join) and
+scan-point averaging with chi-square statistics.
+
+Semantics mirror the reference implementation exactly
+(``trx/dataReduction.py:15-205`` in /root/reference), including its quirks:
+
+- ``interp_references`` (dataReduction.py:15-85): each shot's reference is
+  the linear interpolation (by *acquisition index*, not time) between the
+  previous and next reference shots. Shots before the first reference clamp
+  to the first reference; shots at/after the last reference clamp to the
+  last. Reference shots themselves use their *neighbouring* references —
+  first ref uses the second, last ref uses the second-last, and (a quirk of
+  the reference's loop bounds, dataReduction.py:70-71: the third zip arm is
+  ``idx_ref[2:-1]``) the **second-to-last reference keeps its own value**.
+  With a single reference, every shot uses it as-is.
+- ``averageScanPoints`` (dataReduction.py:88-205): per scan point, noise is
+  the population std-dev (numpy ``nanstd`` ddof=0) of the diffs computed
+  **before** the every-second-reference subsampling (dataReduction.py:175
+  runs before :179); the mean is over the subsampled rows; chi2_0 per repeat
+  is ``((diff - mean)/noise)^2 / nQ`` over the subsampled rows; the error of
+  the mean divides by sqrt of the **full** per-scan-point row count
+  (dataReduction.py:196).
+
+Spark-first design: everything is window functions + one broadcast join of
+tiny per-group reference summaries — no UDFs, fully codegen-able, and the
+only shuffles are the window partitioning on the group key (at 100 TB:
+partition by run; each run's shots are one window partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interp_references(
+    df: DataFrame,
+    *,
+    group: list[str] | None = None,
+    idx: str = "idx",
+    is_ref: str = "is_ref",
+    value: str = "i",
+    out: str = "iref",
+) -> DataFrame:
+    """Attach the interpolated reference value for every row.
+
+    ``df`` must have one row per (group, idx) with a boolean ``is_ref``
+    column; ``idx`` orders acquisition within each group. Adds ``out``.
+
+    cf. trx/dataReduction.py:15-85 (numpy loop → two window frames + a
+    broadcast join of per-group reference edge summaries).
+    """
+    group = group or []
+    w = Window.partitionBy(*group).orderBy(idx) if group else Window.orderBy(idx)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+
+    ref_idx = F.when(F.col(is_ref), F.col(idx))
+    ref_val = F.when(F.col(is_ref), F.col(value))
+
+    # Self-excluding frames give, for ref rows, the *neighbouring* refs —
+    # and for non-ref rows the same prev/next refs a (-inf, 0] frame would.
+    with_neighbors = (
+        df.withColumn("_prev_ref_idx", F.last(ref_idx, ignorenulls=True).over(w_prev))
+        .withColumn("_prev_ref_val", F.last(ref_val, ignorenulls=True).over(w_prev))
+        .withColumn("_next_ref_idx", F.first(ref_idx, ignorenulls=True).over(w_next))
+        .withColumn("_next_ref_val", F.first(ref_val, ignorenulls=True).over(w_next))
+        .withColumn(
+            "_ref_rank",
+            F.sum(F.when(F.col(is_ref), F.lit(1)).otherwise(F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+
+    # Tiny per-group summary of the reference ladder's edges (≤1 row/group,
+    # broadcast back — no extra shuffle of the big side).
+    refs = df.filter(F.col(is_ref))
+    rw = Window.partitionBy(*group).orderBy(idx) if group else Window.orderBy(idx)
+    ref_edges = (
+        refs.withColumn("_rn", F.row_number().over(rw))
+        .withColumn("_n", F.count(F.lit(1)).over(rw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy(*group)
+        .agg(
+            F.max("_n").alias("_n_refs"),
+            F.max(F.when(F.col("_rn") == 1, F.col(value))).alias("_first_ref_val"),
+            F.max(F.when(F.col("_rn") == 2, F.col(value))).alias("_second_ref_val"),
+            F.max(F.when(F.col("_rn") == F.col("_n"), F.col(value))).alias("_last_ref_val"),
+            F.max(F.when(F.col("_rn") == F.col("_n") - 1, F.col(value))).alias("_secondlast_ref_val"),
+        )
+    )
+
+    joined = (
+        with_neighbors.join(F.broadcast(ref_edges), on=group, how="left")
+        if group
+        else with_neighbors.crossJoin(F.broadcast(ref_edges))
+    )
+
+    # slope-first form matches the reference's fp evaluation order
+    # (dataReduction.py:58-59: slope = Δref/Δidx; ref_before + slope·Δ).
+    slope = (F.col("_next_ref_val") - F.col("_prev_ref_val")) / (
+        F.col("_next_ref_idx") - F.col("_prev_ref_idx")
+    )
+    interp = F.col("_prev_ref_val") + slope * (F.col(idx) - F.col("_prev_ref_idx"))
+
+    iref = (
+        F.when(F.col("_n_refs") == 1, F.col("_first_ref_val"))
+        .when(
+            F.col(is_ref),
+            # _ref_rank counts refs up to and including self → self's rank.
+            F.when(F.col("_ref_rank") == 1, F.col("_second_ref_val"))
+            .when(F.col("_ref_rank") == F.col("_n_refs"), F.col("_secondlast_ref_val"))
+            .when(F.col("_ref_rank") == F.col("_n_refs") - 1, F.col(value))
+            .otherwise(interp),
+        )
+        .when(F.col("_prev_ref_idx").isNull(), F.col("_first_ref_val"))
+        .when(F.col("_next_ref_idx").isNull(), F.col("_last_ref_val"))
+        .otherwise(interp)
+    )
+
+    drop = [
+        "_prev_ref_idx",
+        "_prev_ref_val",
+        "_next_ref_idx",
+        "_next_ref_val",
+        "_ref_rank",
+        "_n_refs",
+        "_first_ref_val",
+        "_second_ref_val",
+        "_last_ref_val",
+        "_secondlast_ref_val",
+    ]
+    return joined.withColumn(out, iref).drop(*drop)
+
+
+def time_resolved_diff(
+    df: DataFrame,
+    *,
+    group: list[str] | None = None,
+    idx: str = "idx",
+    is_ref: str = "is_ref",
+    value: str = "i",
+    use_ratio: bool = False,
+    lpower: str | None = None,
+    out: str = "diff",
+) -> DataFrame:
+    """diff = value − interp_ref (or ratio; optional laser-power norm).
+
+    cf. trx/dataReduction.py:144-157 (useRatio / lpower branches).
+    """
+    res = interp_references(df, group=group, idx=idx, is_ref=is_ref, value=value, out="_iref")
+    diff: Column = (F.col(value) / F.col("_iref")) if use_ratio else (F.col(value) - F.col("_iref"))
+    if lpower is not None:
+        diff = ((diff - 1) / F.col(lpower) + 1) if use_ratio else (diff / F.col(lpower))
+    return res.withColumn(out, diff).withColumnRenamed("_iref", "iref")
+
+
+def average_scan_points(
+    df: DataFrame,
+    *,
+    scan: str = "scan",
+    group: list[str] | None = None,
+    idx: str = "idx",
+    is_ref: str = "is_ref",
+    diff: str = "diff",
+    n_q: int = 1,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-scan-point aggregation with the reference's exact semantics.
+
+    Input: one row per shot with a precomputed ``diff`` (scalar data,
+    n_q=1; for curve data run on the exploded layout and add q to group).
+    Output per (group, scan): n_shots, mean_diff, noise (population σ),
+    err_of_mean = noise/sqrt(n_shots_full), mean/max chi2_0.
+
+    cf. trx/dataReduction.py:159-196. Two window passes + one groupBy —
+    the shuffles are on (group, scan), whose cardinality is tiny (number
+    of distinct delays), so the final agg is cheap at any scale.
+    """
+    from trx_spark.exact import davg, dstddev_pop, dsum
+
+    group = group or []
+    keys = [*group, scan]
+    w_scan = Window.partitionBy(*keys).orderBy(idx)
+    w_full = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    # Subsample decision needs per-scan-point row numbers (acquisition
+    # order) and the "is the whole scan point the reference set" test.
+    enriched = (
+        df.withColumn("_rn", F.row_number().over(w_scan))
+        .withColumn("_all_ref", F.min(F.col(is_ref).cast("int")).over(w_full).cast("boolean"))
+        # every-second-reference rule (dataReduction.py:177-179): when the
+        # scan point IS the reference set, average rows 1,3,5,… only.
+        .withColumn("_use", (~F.col("_all_ref")) | (F.col("_rn") % 2 == 1))
+    )
+
+    used = F.when(F.col("_use"), F.col(diff))
+    mean_fn = davg if exact else F.avg
+    std_fn = dstddev_pop if exact else F.stddev_pop
+    # noise over the FULL scan point (dataReduction.py:175 runs before the
+    # [::2] subsampling at :179); mean over the subsampled rows.
+    means = (
+        enriched.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_shots"),
+            F.sum(F.col("_use").cast("int")).alias("n_used"),
+            mean_fn(used).alias("mean_diff"),
+            std_fn(F.col(diff)).alias("noise"),
+        )
+        .withColumn("err_of_mean", F.col("noise") / F.sqrt(F.col("n_shots")))
+    )
+    # chi2_0 needs the group mean joined back → second pass. The means
+    # table has one row per scan point → broadcast, no reshuffle of df.
+    chi2 = (
+        enriched.join(F.broadcast(means), on=keys)
+        .filter(F.col("_use"))
+        .withColumn("_z", (F.col(diff) - F.col("mean_diff")) / F.col("noise"))
+        .withColumn("_chi2_0", F.col("_z") * F.col("_z") / n_q)
+        .groupBy(*keys)
+        .agg(
+            ((dsum(F.col("_chi2_0")) if exact else F.sum("_chi2_0")) / F.count("_chi2_0")).alias(
+                "mean_chi2_0"
+            ),
+            F.max("_chi2_0").alias("max_chi2_0"),
+        )
+    )
+    return means.join(chi2, on=keys, how="left")
+
+
+def chi2_0_per_shot(
+    df: DataFrame,
+    *,
+    scan: str = "scan",
+    group: list[str] | None = None,
+    idx: str = "idx",
+    is_ref: str = "is_ref",
+    diff: str = "diff",
+    n_q: int = 1,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-shot chi2_0 (trx/dataReduction.py:187-193) as analytic windows —
+    keeps every row, adding ``chi2_0`` (NULL for rows dropped by the
+    every-second-reference rule, which the reference never scores),
+    plus ``noise`` and ``mean_diff`` context columns."""
+    from trx_spark.exact import SCALE
+
+    group = group or []
+    keys = [*group, scan]
+    w_scan = Window.partitionBy(*keys).orderBy(idx)
+    w_full = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def wsum(col):
+        if exact:
+            return F.sum(F.floor(col * F.lit(SCALE)).cast("long")).over(w_full).cast(
+                "double"
+            ) / F.lit(SCALE)
+        return F.sum(col).over(w_full)
+
+    d = F.col(diff)
+    enriched = (
+        df.withColumn("_rn", F.row_number().over(w_scan))
+        .withColumn("_all_ref", F.min(F.col(is_ref).cast("int")).over(w_full).cast("boolean"))
+        .withColumn("_use", (~F.col("_all_ref")) | (F.col("_rn") % 2 == 1))
+    )
+    n = F.count(d).over(w_full)
+    s1 = wsum(d)
+    s2 = wsum(d * d)
+    noise = F.sqrt(F.greatest((s2 - s1 * s1 / n) / n, F.lit(0.0)))
+    used = F.when(F.col("_use"), d)
+    mean_used = wsum(used) / F.count(used).over(w_full)
+    enriched = enriched.withColumn("_noise", noise).withColumn("_mean_used", mean_used)
+    z = (d - F.col("_mean_used")) / F.col("_noise")
+    # z·z, not pow(z,2): pow is not guaranteed correctly rounded across
+    # engines; multiplication is.
+    chi2 = F.when(F.col("_use"), z * z / n_q)
+    return (
+        enriched.withColumn("chi2_0", chi2)
+        .withColumn("noise", F.col("_noise"))
+        .withColumn("mean_diff", F.col("_mean_used"))
+        .withColumnRenamed("_use", "used_in_avg")
+        .drop("_rn", "_noise", "_all_ref", "_mean_used")
+    )

@@ -1,0 +1,262 @@
+"""Generic relational spine (SURVEY §2.2-2.7) with DuckDB oracles:
+aggregation, joins, windows, sorts/limits/slices — the operations the
+trx pipeline composes, exercised TPC-H-style on the driver tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.exact import sql_davg, sql_dsum
+from trx_spark.exact import davg, dsum
+from trx_spark.tables import load_table
+
+# ---------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (A4-A6 analog: groupBy + mean
+# /sums + counts per scan point)
+# ---------------------------------------------------------------------
+
+_CUTOFF = datetime.datetime(1998, 9, 2, tzinfo=datetime.timezone.utc)
+_CUTOFF_NS = int(_CUTOFF.timestamp()) * 1_000_000_000
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation query (per-scan-point style reduction over the
+    lineitem table; SURVEY A4-A6 analog). Filter pushes down to parquet;
+    one hash-agg shuffle on the two group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate_ns") <= F.lit(_CUTOFF_NS))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------
+# J1: multi-way equi-join with broadcast dims (files ⋈ log analog)
+# ---------------------------------------------------------------------
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join chain lineitem⋈orders⋈customer⋈nation⋈region with
+    broadcast dimension tables (SURVEY J1: the log join is exactly a
+    broadcast hash join on a small side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_REVENUE_SQL = f"""
+SELECT r_name, n_name,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+# ---------------------------------------------------------------------
+# P4/P5: semi/anti joins (log⋈files consistency, incremental new-files)
+# ---------------------------------------------------------------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (SURVEY P5: process-only-new-files is a left_anti against
+    the processed set)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def parts_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (SURVEY P4: keep files present in the log)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+_SEMI_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+# ---------------------------------------------------------------------
+# O1-O3/P6/P10: ordering, top-k per group, positional slices
+# ---------------------------------------------------------------------
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window (SURVEY O2/P10 analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+"""
+
+
+def slice_skip_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional slice [skip_first:last] of the ordered shot list
+    (SURVEY P6/O3; trx/azav.py:358): skip the first 10 and last 10."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts_ns", "event_id")
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.withColumn("idx", F.row_number().over(w).cast("long"))
+        .withColumn("_n", n)
+        .filter((F.col("idx") > 10) & (F.col("idx") <= F.col("_n") - 10))
+        .select("event_id", "idx", "event_type", "value")
+    )
+
+
+_SLICE_SQL = """
+SELECT event_id, idx, event_type, value
+FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (ORDER BY ts, event_id) AS idx,
+         count(*) OVER () AS n
+  FROM events) t
+WHERE idx > 10 AND idx <= n - 10
+"""
+
+# ---------------------------------------------------------------------
+# W3: derivative along the acquisition axis (lead/lag windows)
+# ---------------------------------------------------------------------
+
+
+def value_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.gradient along the shot axis (SURVEY W3; trx/filters.py:61-62):
+    central difference (lead−lag)/2, one-sided at the edges."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("value").over(w)
+    nxt = F.lead("value").over(w)
+    grad = (
+        F.when(prev.isNull() & nxt.isNull(), F.lit(None).cast("double"))
+        .when(prev.isNull(), nxt - F.col("value"))
+        .when(nxt.isNull(), F.col("value") - prev)
+        .otherwise((nxt - prev) / 2)
+    )
+    return ev.withColumn("grad", grad).select("event_id", "user_id", "value", "grad")
+
+
+_GRADIENT_SQL = """
+SELECT event_id, user_id, value,
+  CASE
+    WHEN prev IS NULL AND nxt IS NULL THEN NULL
+    WHEN prev IS NULL THEN nxt - value
+    WHEN nxt IS NULL THEN value - prev
+    ELSE (nxt - prev) / 2
+  END AS grad
+FROM (
+  SELECT event_id, user_id, value,
+         lag(value) OVER w AS prev,
+         lead(value) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+"""
+
+# ---------------------------------------------------------------------
+# O5: union + distinct scan points (A11)
+# ---------------------------------------------------------------------
+
+
+def distinct_scan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct sorted scan axis (SURVEY A11; np.unique at
+    dataReduction.py:159)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "customers_without_orders": customers_without_orders,
+    "parts_with_orders": parts_with_orders,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "slice_skip_first_last": slice_skip_first_last,
+    "value_gradient": value_gradient,
+    "distinct_scan_points": distinct_scan_points,
+}
+
+ORACLES = {
+    "pricing_summary": _PRICING_SQL,
+    "revenue_by_nation": _REVENUE_SQL,
+    "customers_without_orders": _ANTI_SQL,
+    "parts_with_orders": _SEMI_SQL,
+    "topk_orders_per_customer": _TOPK_SQL,
+    "slice_skip_first_last": _SLICE_SQL,
+    "value_gradient": _GRADIENT_SQL,
+    "distinct_scan_points": _DISTINCT_SQL,
+}

@@ -1,0 +1,475 @@
+"""Large-scale training-data operators over documents/embeddings:
+dedup (exact, MinHash-LSH, n-gram Jaccard), text analysis (token stats,
+quality scoring, language-ID), similarity search (brute-force cosine
+top-k). Every hash is defined arithmetically over a corpus-derived token
+dictionary so the DuckDB oracle reproduces it exactly (no engine hash
+functions except MD5, which both engines implement identically).
+
+Scale design: tokenization/shingling is per-row (map-side, no shuffle);
+the vocab dictionary is a broadcast; MinHash-LSH turns the quadratic
+pair search into an equi-join on band keys; brute-force cosine is the
+top-k baseline with the query vector broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.tables import load_table
+
+_TOKEN_RE = "[a-z]+"
+_P = 2147483647  # 2^31 − 1, Mersenne prime for the affine hash family
+_MINHASH_COEF = [
+    (1664525, 1013904223),
+    (22695477, 1),
+    (69069, 12345),
+    (1103515245, 54321),
+    (134775813, 1),
+    (214013, 2531011),
+    (75, 74),
+    (1366, 150889),
+]
+
+# ---------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: MD5-group, keep the smallest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------------
+# Token statistics + quality scoring (SURVEY extension: text analysis)
+# ---------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def _tokens_col():
+    return F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring: token/type counts, total token
+    chars, stopword ratio, and a rational quality score (no
+    transcendentals → oracle-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("long")
+    stop_ratio = n_stop / n_tokens
+    diversity = n_types / n_tokens
+    quality = (2.0 * stop_ratio + diversity) * n_tokens / (n_tokens + 20.0)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        total_chars.alias("total_token_chars"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+_STOP_SQL_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+_TOKEN_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_actual,
+         regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars_actual,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_token_chars,
+    CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL_LIST}))) AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+  n_tokens, n_types, total_token_chars, n_stopwords,
+  n_stopwords / n_tokens AS stopword_ratio,
+  (2.0 * (n_stopwords / n_tokens) + (n_types / n_tokens)) * n_tokens / (n_tokens + 20.0)
+    AS quality_score
+FROM m
+"""
+
+# ---------------------------------------------------------------------
+# Language-ID by marker-token counting (n-gram heuristic)
+# ---------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: count per-language marker tokens, argmax
+    with a fixed precedence (en > de > es > fr; 'und' = undetermined when
+    all scores are zero)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+        for lang, words in _LANG_MARKERS.items()
+    }
+    df = docs.select("doc_id", "lang", *[scores[k].alias(f"score_{k}") for k in _LANG_MARKERS])
+    s = {k: F.col(f"score_{k}") for k in _LANG_MARKERS}
+    pred = (
+        F.when(s["en"] + s["de"] + s["es"] + s["fr"] == 0, F.lit("und"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn("predicted_lang", pred)
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    {_marker_sql('en')} AS score_en,
+    {_marker_sql('de')} AS score_de,
+    {_marker_sql('es')} AS score_es,
+    {_marker_sql('fr')} AS score_fr
+  FROM t
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+  CASE
+    WHEN score_en + score_de + score_es + score_fr = 0 THEN 'und'
+    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+    WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+    WHEN score_es >= score_fr THEN 'es'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM s
+"""
+
+# ---------------------------------------------------------------------
+# Corpus token dictionary (shared by MinHash / fingerprint):
+# token_id = rank of the token in the sorted distinct-token list.
+# ---------------------------------------------------------------------
+
+
+def _doc_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("token")
+    )
+
+
+def _vocab(doc_tokens: DataFrame) -> DataFrame:
+    return (
+        doc_tokens.select("token")
+        .distinct()
+        .withColumn("token_id", F.row_number().over(Window.orderBy("token")).cast("long"))
+    )
+
+
+_VOCAB_CTE = f"""
+dt AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}'))) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS token_id
+  FROM (SELECT DISTINCT token FROM dt) v
+),
+ids AS (SELECT dt.doc_id, v.token_id FROM dt JOIN vocab v USING (token))"""
+
+# ---------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs (near-dup detection)
+# ---------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash over the distinct-token set of each doc,
+    using the affine family h_j(x) = (a_j·x + b_j) mod (2³¹−1) on
+    corpus-dictionary token ids (arithmetic → oracle-exact)."""
+    dt = _doc_tokens_distinct(spark, sf_dir)
+    ids = dt.join(F.broadcast(_vocab(dt)), "token").select("doc_id", "token_id")
+    aggs = [
+        F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % _P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MINHASH_COEF)
+    ]
+    return ids.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SELECT = ",\n    ".join(
+    f"MIN(({a} * token_id + {b}) % {_P}) AS mh{j}"
+    for j, (a, b) in enumerate(_MINHASH_COEF)
+)
+
+_MINHASH_SQL = f"""
+WITH {_VOCAB_CTE}
+SELECT doc_id,
+    {_MINHASH_SELECT}
+FROM ids GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows) over the MinHash signatures:
+    candidate near-dup pairs = docs sharing any band. The quadratic pair
+    search becomes an equi-join on (band, h_even, h_odd)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7) AS (band, hx, hy)",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.hx") == F.col("b.hx"))
+            & (F.col("a.hy") == F.col("b.hy"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+_LSH_PAIRS_SQL = f"""
+WITH {_VOCAB_CTE},
+sig AS (
+  SELECT doc_id,
+    {_MINHASH_SELECT}
+  FROM ids GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS hx, mh1 AS hy FROM sig
+  UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------
+# n-gram (word 3-shingle) Jaccard similarity pairs
+# ---------------------------------------------------------------------
+
+_JACCARD_MIN = 0.2
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs: shingle sets per doc, pair
+    candidates = docs sharing a shingle (the shingle join IS the
+    blocking), J = |∩| / |∪| ≥ 0.2."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("t1", F.lead("t", 1).over(w))
+        .withColumn("t2", F.lead("t", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_a")), inter.doc_a == F.col("doc_id"))
+        .drop("doc_id")
+        .join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_b")), F.col("doc_b") == F.col("doc_id"))
+        .drop("doc_id")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS l FROM documents) x
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle,
+      lead(t, 2) OVER w AS t2
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) y
+  WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_MIN!r}
+"""
+
+# ---------------------------------------------------------------------
+# Document fingerprint (rolling polynomial hash over the token stream)
+# ---------------------------------------------------------------------
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: fold
+    h ← (h·31 + token_id) mod (2³¹−1) over the token sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "token"))
+    dt = _doc_tokens_distinct(spark, sf_dir)
+    vocab = _vocab(dt)
+    seq = toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "token_id")
+    ordered = seq.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "token_id"))), lambda s: s.token_id
+        ).alias("ids")
+    )
+    fp = F.aggregate(
+        F.col("ids"), F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _P
+    )
+    return ordered.select("doc_id", fp.alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = f"""
+WITH {_VOCAB_CTE},
+toks AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS l FROM documents) x
+),
+seq AS (
+  SELECT doc_id, list(v.token_id ORDER BY pos) AS ids
+  FROM toks JOIN vocab v ON v.token = toks.t
+  GROUP BY doc_id
+)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), ids), (a, b) -> (a * 31 + b) % {_P}) AS fingerprint
+FROM seq
+"""
+
+# ---------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k against a query vector
+# ---------------------------------------------------------------------
+
+_TOP_K = 10
+_EMB_SCALE = 1e12
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query = embedding of vec_id 0. Dot
+    products via positional explode + fixed-point sums (oracle-exact);
+    at scale the query side is a broadcast and the scan is columnar."""
+    from trx_spark.exact import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    q0 = ex.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("y"))
+    per = (
+        ex.join(F.broadcast(q0), "pos")
+        .groupBy("vec_id")
+        .agg(
+            dsum(F.col("x") * F.col("y"), _EMB_SCALE).alias("dot"),
+            dsum(F.col("x") * F.col("x"), _EMB_SCALE).alias("n1"),
+        )
+    )
+    nq = per.filter(F.col("vec_id") == 0).select(F.col("n1").alias("nq"))
+    scored = per.crossJoin(F.broadcast(nq)).withColumn(
+        "cos_sim", F.col("dot") / F.sqrt(F.col("n1") * F.col("nq"))
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("vec_id", "cos_sim", "rank")
+    )
+
+
+_ANN_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, pos FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) t
+),
+q0 AS (SELECT pos, x AS y FROM ex WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    (CAST(CAST(SUM(CAST(FLOOR((e.x * q.y) * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {_EMB_SCALE!r}) AS dot,
+    (CAST(CAST(SUM(CAST(FLOOR((e.x * e.x) * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {_EMB_SCALE!r}) AS n1
+  FROM ex e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= {_TOP_K}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "token_stats": token_stats,
+    "lang_id": lang_id,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "doc_fingerprints": doc_fingerprints,
+    "ann_cosine_topk": ann_cosine_topk,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "token_stats": _TOKEN_STATS_SQL,
+    "lang_id": _LANG_ID_SQL,
+    "minhash_signatures": _MINHASH_SQL,
+    "minhash_lsh_pairs": _LSH_PAIRS_SQL,
+    "ngram_jaccard_pairs": _JACCARD_SQL,
+    "doc_fingerprints": _FINGERPRINT_SQL,
+    "ann_cosine_topk": _ANN_SQL,
+}

@@ -1,0 +1,70 @@
+"""Loaders for the driver-generated testdata tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# columns written as parquet TIMESTAMP(NANOS); with nanosAsLong they read
+# as BIGINT nanoseconds — we keep a ``<col>_ns`` long (total-ordering key,
+# exactly what DuckDB's TIMESTAMP_NS compares by) and derive a proper
+# TimestampType column by integer-dividing to microseconds.
+_NANOS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → Catalyst gets pushdown
+    and column pruning for free on every downstream query."""
+    # settable at runtime; defensive for sessions we didn't build
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_COLS.get(name, []):
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
+            # integer DIV — double division would lose precision at 1e18 ns
+            df = df.withColumnRenamed(col, f"{col}_ns").withColumn(
+                col, F.timestamp_micros(F.expr(f"{col}_ns DIV 1000"))
+            )
+        elif dtype in ("timestamp", "timestamp_ntz"):
+            # micros-precision file: synthesize the ns ordering key so
+            # downstream code sees a uniform schema either way (NTZ values
+            # are naive UTC — the session timezone is pinned to UTC, so the
+            # cast is value-preserving)
+            ts = F.col(col).cast("timestamp") if dtype == "timestamp_ntz" else F.col(col)
+            df = df.withColumn(f"{col}_ns", F.unix_micros(ts) * F.lit(1000))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so queries can use spark.sql."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
