@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver collect). Timings include Catalyst planning but not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trx_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# representative slice of SURVEY §2: relational spine, the trx pipeline,
+# and the training-data operators
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_orders_per_customer",
+    "azint_1d",
+    "azint_2d",
+    "dezinger_flags",
+    "monitor_norm",
+    "asof_interp_refs",
+    "scanpoint_stats",
+    "chi2_filter_auto",
+    "mad_outliers",
+    "dedup_exact",
+    "token_stats",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "doc_fingerprints",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    spark = get_spark("trx_spark_bench")
+    from trx_spark.queries import QUERIES
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
