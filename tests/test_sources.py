@@ -1,0 +1,99 @@
+"""Sources/sinks: id9-style log reader, diagnostics, chi curves, golden
+text writer, config-hash store (SURVEY S4-S14)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from trx_spark.sources import chi as chimod
+from trx_spark.sources import logfile, sinks
+
+LOG = """\
+# run started
+# pd1 dark/sec : 2.0
+# pd2 dark/sec : 1.0
+# comment line
+# file delay time currentmA pd1ic pd2ic timeic
+img_0000 off 10:00:00 190.0 100.0 50.0 1.0
+img_0001 100ps 10:00:05 189.5 110.0 55.0 1.0
+img_0002 -5us 10:00:10 5.0 120.0 60.0 1.0
+img_0003 1ns 10:00:15 188.0 130.0 65.0 1.0
+img_0004 off 10:00:20 187.5 140.0 70.0 1.0
+"""
+
+DIAG = """\
+# comment
+x y img_0000.edf off
+x y img_0001.edf 1e-10
+x y img_0002.edf nan
+x y img_0003.edf 1e-9
+"""
+
+
+def test_read_id9_log(spark, tmp_path):
+    p = tmp_path / "waxs.log"
+    p.write_text(LOG)
+    df = logfile.read_id9_log(spark, str(p), srcur_min=30.0, subtract_dark=True)
+    rows = {r["file"]: r.asDict() for r in df.collect()}
+    # srcur filter dropped img_0002 (currentmA 5.0 < 30)
+    assert set(rows) == {"img_0000", "img_0001", "img_0003", "img_0004"}
+    assert rows["img_0000"]["delay"] == -10.0  # 'off'
+    np.testing.assert_allclose(rows["img_0001"]["delay"], 1e-10)  # 100ps
+    np.testing.assert_allclose(rows["img_0003"]["delay"], 1e-9)  # 1ns
+    # dark subtraction: pd1ic − 2.0·timeic
+    np.testing.assert_allclose(rows["img_0000"]["pd1ic"], 98.0)
+    np.testing.assert_allclose(rows["img_0000"]["pd2ic"], 49.0)
+
+
+def test_log_slice(spark, tmp_path):
+    p = tmp_path / "waxs.log"
+    p.write_text(LOG)
+    df = logfile.read_log_file(spark, str(p), skip_first=1, last=4)
+    files = sorted(r["file"] for r in df.collect())
+    assert files == ["img_0001", "img_0002", "img_0003"]
+
+
+def test_read_diagnostic(spark, tmp_path):
+    p = tmp_path / "diagnostics.log"
+    p.write_text(DIAG)
+    df = logfile.read_diagnostic(spark, str(p))
+    rows = {r["file"]: r["scan"] for r in df.collect()}
+    # non-numeric delays ('off', 'nan') → NaN → dropped, matching the
+    # reference's _conv + isfinite (id9.py:20-25,51-54); basename strips .edf
+    assert rows == {"img_0001": 1e-10, "img_0003": 1e-9}
+
+
+def test_chi_read_and_average(spark, tmp_path):
+    qs = np.linspace(0.1, 1.0, 5)
+    for k in range(3):
+        lines = [f"{q:.6f} {q * (k + 1):.6f}" for q in qs]
+        (tmp_path / f"c{k}.chi").write_text("# hdr\n" + "\n".join(lines) + "\n")
+    avg = chimod.chi_average(spark, str(tmp_path / "*.chi")).collect()
+    assert len(avg) == 5
+    for r in avg:
+        assert r["n_curves"] == 3
+        np.testing.assert_allclose(r["i"], r["q"] * 2.0, rtol=1e-9)  # mean of 1,2,3×q
+
+
+def test_save_txt_golden(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0.1, 1.0, 0.01), (0.2, -2.0, 0.02)], "q double, diff double, err double"
+    )
+    out = tmp_path / "diff_av.txt"
+    sinks.save_txt(df, str(out), x="q", columns=["diff", "err"], info={"delay": "100ps"})
+    text = out.read_text().splitlines()
+    assert text[0] == "# delay : 100ps"
+    assert text[1] == "# q diff err"
+    assert text[2].split() == ["+1.00000e-01", "+1.00000e+00", "+1.00000e-02"]
+    assert text[3].split() == ["+2.00000e-01", "-2.00000e+00", "+2.00000e-02"]
+
+
+def test_config_hash_store(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0)], "a int, b double")
+    out = str(tmp_path / "store")
+    cfg = {"n_bins": 32, "mask": "x>10", "dark": 0.0}
+    sinks.save_with_config(df, out, cfg)
+    assert sinks.is_result_current(out, cfg)
+    # any arg change invalidates (SURVEY F7 — azav.py:300-343)
+    assert not sinks.is_result_current(out, {**cfg, "n_bins": 64})
+    assert sinks.load_result(spark, out).count() == 1

@@ -1,0 +1,82 @@
+"""ST1/ST2 incremental semantics (FIXTURES.md B8): dropping waves of
+files and running availableNow catch-ups must equal a batch run over
+all waves — the streaming checkpoint replaces the reference's
+processed-files list (trx/azav.py:300-362)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trx_spark.streaming.incremental import run_catchup
+
+SCHEMA = "file string, delay double, q double, i double"
+
+
+def _wave(tmp_path, wave_id, n_files=3):
+    rng = np.random.default_rng(wave_id)
+    frames = []
+    for k in range(n_files):
+        q = np.linspace(0.1, 1.0, 8)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "file": f"w{wave_id}_f{k}",
+                    "delay": float(rng.choice([-10.0, 1e-10, 1e-9])),
+                    "q": q,
+                    "i": np.round(rng.uniform(1, 10, 8), 3),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _reduce(df):
+    return df.groupBy("delay", "q").agg(
+        F.avg("i").alias("i_mean"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    reduced = str(tmp_path / "reduced")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_waves = []
+    for wave_id in range(3):
+        pdf = _wave(tmp_path, wave_id)
+        all_waves.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(landing / f"wave{wave_id}")
+        )
+        run_catchup(
+            spark,
+            landing_dir=str(landing) + "/*",
+            schema=SCHEMA,
+            store_dir=store,
+            checkpoint_dir=ckpt,
+            reduce_fn=_reduce,
+            reduced_dir=reduced,
+        )
+        # incremental result after wave N == batch over waves 0..N
+        batch = _reduce(spark.createDataFrame(pd.concat(all_waves)))
+        inc = spark.read.parquet(reduced)
+        b = {(r["delay"], round(r["q"], 9)): (r["n"], round(r["i_mean"], 9)) for r in batch.collect()}
+        i = {(r["delay"], round(r["q"], 9)): (r["n"], round(r["i_mean"], 9)) for r in inc.collect()}
+        assert b == i, f"wave {wave_id}: incremental != batch"
+
+    # re-running with no new files must be a no-op (P5 anti-join semantics)
+    before = spark.read.parquet(store).count()
+    run_catchup(
+        spark,
+        landing_dir=str(landing) + "/*",
+        schema=SCHEMA,
+        store_dir=store,
+        checkpoint_dir=ckpt,
+        reduce_fn=_reduce,
+        reduced_dir=reduced,
+    )
+    assert spark.read.parquet(store).count() == before

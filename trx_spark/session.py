@@ -43,6 +43,9 @@ def get_spark(app_name: str = "trx_spark", shuffle_partitions: int | None = None
         # the driver's testdata parquet carries TIMESTAMP(NANOS), which the
         # Spark 4 reader rejects; read as raw nanos and derive timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # non-ANSI: divide-by-zero → NULL, matching the DuckDB oracle and
+        # the reference's np.seterr(all='ignore') philosophy
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

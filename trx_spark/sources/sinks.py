@@ -1,0 +1,81 @@
+"""Sinks (SURVEY S10-S14): golden text writer, per-delay partitioned
+output, parquet result store with config-hash invalidation (F7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_txt(
+    df: DataFrame,
+    path: str,
+    *,
+    x: str = "q",
+    columns: list[str],
+    info: dict | None = None,
+    fmt: str = "%+10.5e",
+) -> None:
+    """Golden text sink (SURVEY S10; trx/utils/misc.py:36-65 ``saveTxt``):
+    '# key : value' metadata header, column-name row, fixed '%+10.5e'
+    formatting. The driver-side assembly is one ordered collect of the
+    (already reduced, tiny) result — never of raw data."""
+    rows = df.orderBy(x).select(x, *columns).collect()
+    lines = []
+    for k, v in (info or {}).items():
+        lines.append(f"# {k} : {v}")
+    lines.append("# " + " ".join([x, *columns]))
+    for r in rows:
+        lines.append(" ".join(fmt % (r[c] if r[c] is not None else float("nan")) for c in [x, *columns]))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def save_per_delay(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    delay: str = "delay",
+) -> None:
+    """Per-delay partitioned sink (SURVEY S11/S12;
+    trx/dataReduction.py:245-291): one directory per scan point via
+    ``partitionBy`` — the distributed-native version of one-file-per-
+    delay."""
+    df.write.mode("overwrite").partitionBy(delay).parquet(out_dir)
+
+
+def _config_hash(config: dict) -> str:
+    return hashlib.sha256(json.dumps(config, sort_keys=True, default=str).encode()).hexdigest()
+
+
+def save_with_config(df: DataFrame, out_dir: str, config: dict) -> str:
+    """Result store with config hash (SURVEY F7/S13; replaces the
+    reference's HDF5 cache + argument-comparison invalidation,
+    trx/azav.py:292-343): results land in parquet, the config hash in a
+    sidecar. ``is_result_current`` decides recompute."""
+    h = _config_hash(config)
+    df.write.mode("overwrite").parquet(out_dir)
+    with open(os.path.join(out_dir, "_trx_config.json"), "w") as f:
+        json.dump({"hash": h, "config": {k: str(v) for k, v in config.items()}}, f, indent=2)
+    return h
+
+
+def is_result_current(out_dir: str, config: dict) -> bool:
+    """True when a stored result exists and was produced by an identical
+    config (the recompute-on-mismatch driver logic of azav.py:300-343)."""
+    meta = os.path.join(out_dir, "_trx_config.json")
+    if not os.path.exists(meta):
+        return False
+    with open(meta) as f:
+        stored = json.load(f)
+    return stored.get("hash") == _config_hash(config)
+
+
+def load_result(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,74 @@
+"""Incremental (online-mode) processing via Structured Streaming.
+
+The reference's online loop (SURVEY ST1/ST2; trx/id9.py:305-335
+``doFolder`` and the skip-processed-files logic of azav.py:300-362)
+re-scans a folder every 30 s, processes only new files, appends to the
+saved result and re-runs the reduction. In Spark this is exactly the
+file-source streaming contract: ``readStream`` tracks processed files
+in the checkpoint (replacing the HDF5 'files' list), ``foreachBatch``
+appends new curves and re-runs the batch reduction query, and the
+trigger choice maps the 30 s poll (processingTime) or one-shot catch-up
+(availableNow — the batch-equivalence semantics FIXTURES.md B8 asks
+for: results after wave N equal a batch run over waves 1..N).
+
+State stays trivially small at any scale: the checkpoint holds file
+names only; the aggregation is re-run as a batch query over the
+accumulated store (the reference recomputes equally —
+dataReduction is cheap relative to integration).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def incremental_pipeline(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    schema: StructType | str,
+    store_dir: str,
+    checkpoint_dir: str,
+    reduce_fn: Callable[[DataFrame], DataFrame] | None = None,
+    reduced_dir: str | None = None,
+    poll_seconds: float | None = None,
+):
+    """Watch ``landing_dir`` for new curve files; append them to the
+    parquet ``store_dir``; if ``reduce_fn`` is given, re-run the
+    reduction over the FULL accumulated store each micro-batch and
+    overwrite ``reduced_dir`` (ST1+E2 composition).
+
+    Returns the started StreamingQuery. ``poll_seconds=None`` uses
+    availableNow (process the backlog, then stop — deterministic for
+    tests); otherwise a processingTime trigger mirrors the reference's
+    30 s cadence (id9.py:330).
+    """
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").parquet(store_dir)
+        if reduce_fn is not None and reduced_dir is not None:
+            full = batch.sparkSession.read.parquet(store_dir)
+            reduce_fn(full).write.mode("overwrite").parquet(reduced_dir)
+
+    writer = stream.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if poll_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{int(poll_seconds)} seconds")
+    return writer.start()
+
+
+def run_catchup(
+    spark: SparkSession,
+    **kwargs,
+) -> None:
+    """One availableNow pass: process everything currently in the
+    landing dir, then return (the ST1 'new files only' batch re-run)."""
+    q = incremental_pipeline(spark, poll_seconds=None, **kwargs)
+    q.awaitTermination()

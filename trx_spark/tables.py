@@ -42,6 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and column pruning for free on every downstream query."""
     # settable at runtime; defensive for sessions we didn't build
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Spark 4 defaults to ANSI (divide-by-zero throws); the DuckDB oracle
+    # and the reference's numpy (seterr ignore, azav.py:8) both yield
+    # NULL/NaN — pin non-ANSI so edge groups (zero tokens, zero noise)
+    # degrade identically instead of failing the whole query
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_COLS.get(name, []):
         dtype = dict(df.dtypes).get(col)
