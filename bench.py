@@ -43,6 +43,11 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "doc_fingerprints",
     "ann_cosine_topk",
+    "asof_interp_per_user",
+    "sessionize_events",
+    "simhash16",
+    "ann_lsh_buckets",
+    "reflections_triclinic",
 ]
 
 

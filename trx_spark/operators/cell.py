@@ -57,7 +57,12 @@ def reflection_list_cubic(
 
 
 def reflection_list(
-    spark: SparkSession, cell: Triclinic, *, max_q: float = 3.0, lim: int = 10
+    spark: SparkSession,
+    cell: Triclinic,
+    *,
+    max_q: float = 3.0,
+    lim: int = 10,
+    round_q: bool = True,
 ) -> DataFrame:
     """Enumerate Miller indices in [-lim, lim]³, compute q = 2π/d via the
     triclinic metric, keep q < max_q, and aggregate multiplicities per
@@ -73,20 +78,29 @@ def reflection_list(
         .crossJoin(r.toDF("k"))
         .crossJoin(r.toDF("l"))
     )
+    # coefficient · (integer product) with pre-doubled cross terms: the
+    # exact association is mirrored in the oracle SQL so q is bit-equal
     temp = (
-        F.lit(cell.s11) * F.col("h") ** 2
-        + F.lit(cell.s22) * F.col("k") ** 2
-        + F.lit(cell.s33) * F.col("l") ** 2
-        + 2 * F.lit(cell.s12) * F.col("h") * F.col("k")
-        + 2 * F.lit(cell.s23) * F.col("k") * F.col("l")
-        + 2 * F.lit(cell.s13) * F.col("h") * F.col("l")
+        F.lit(cell.s11) * (F.col("h") * F.col("h"))
+        + F.lit(cell.s22) * (F.col("k") * F.col("k"))
+        + F.lit(cell.s33) * (F.col("l") * F.col("l"))
+        + F.lit(2 * cell.s12) * (F.col("h") * F.col("k"))
+        + F.lit(2 * cell.s23) * (F.col("k") * F.col("l"))
+        + F.lit(2 * cell.s13) * (F.col("h") * F.col("l"))
     )
     # q = 2π/d with d = V/sqrt(temp); fold to q = 2π·sqrt(temp)/V so the
     # (0,0,0) reflection yields q = 0 without an IEEE ∞ intermediate
     # (numpy reaches the same value via V/sqrt(0) → inf → q = 0).
     q = F.lit(2 * math.pi) * F.sqrt(temp) / F.lit(cell.V)
+    # round-to-12dp makes q a groupable key like the reference
+    # (cell.py:55); round_q=False groups by the raw double instead —
+    # equivalent classes whenever symmetry-equal reflections produce
+    # bit-equal q (true for identical expression trees), and exactly
+    # reproducible on the DuckDB oracle (decimal rounding of doubles is
+    # engine-dependent; raw doubles are not).
+    qcol = F.round(q, 12) if round_q else q
     return (
-        hkl.withColumn("q", F.round(q, 12))
+        hkl.withColumn("q", qcol)
         .filter(F.col("q") < max_q)
         .groupBy("q")
         .agg(F.count(F.lit(1)).alias("multiplicity"))

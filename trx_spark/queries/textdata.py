@@ -452,6 +452,130 @@ WHERE rank <= {_TOP_K}
 """
 
 
+
+# ---------------------------------------------------------------------
+# SimHash (16-bit) near-dup fingerprint
+# ---------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_SIMHASH_A, _SIMHASH_B = 40503, 30089  # affine hash into 16-bit space
+
+
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, sum +-1 votes of
+    each token's hash bit; the sign vector packs into the fingerprint.
+    Arithmetic hashing over the corpus dictionary -> oracle-exact."""
+    dt = _doc_tokens_distinct(spark, sf_dir)
+    ids = dt.join(F.broadcast(_vocab(dt)), "token").select("doc_id", "token_id")
+    h = (F.lit(_SIMHASH_A) * F.col("token_id") + F.lit(_SIMHASH_B)) % (1 << _SIMHASH_BITS)
+    bits = spark.range(_SIMHASH_BITS).toDF("bit")
+    votes = (
+        ids.withColumn("h", h)
+        .crossJoin(F.broadcast(bits))
+        .withColumn("vote", (F.expr("shiftright(h, CAST(bit AS INT))") % 2) * 2 - 1)
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    fp = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return fp
+
+
+_SIMHASH_SQL = f"""
+WITH {_VOCAB_CTE},
+hashed AS (
+  SELECT doc_id, ({_SIMHASH_A} * token_id + {_SIMHASH_B}) % {1 << _SIMHASH_BITS} AS h
+  FROM ids
+),
+votes AS (
+  SELECT doc_id, bit, SUM(((h >> CAST(bit AS INTEGER)) % 2) * 2 - 1) AS s
+  FROM hashed, (SELECT i AS bit FROM range(0, {_SIMHASH_BITS}) t(i)) b
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------
+# Embedding LSH bucketing (the ANN scale path)
+# ---------------------------------------------------------------------
+
+_N_PLANES = 8
+_PLANE_COEF = [(2654435761, 40503), (2246822519, 30089), (3266489917, 20021),
+               (668265263, 10007), (374761393, 50821), (2654435789, 60013),
+               (2166136261, 16183), (1540483477, 26699)]
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding: 8 deterministic
+    integer hyperplanes (components derived arithmetically from the
+    position index -> oracle-exact); bucket = sign-bit vector of the dot
+    products. The scale path for similarity search: candidate pairs are
+    an equi-join on bucket instead of a cross join."""
+    from trx_spark.exact import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        # posexplode's pos is INT — a 32-bit a·pos product would silently
+        # overflow for the coefficients that fit in int32
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    planes = []
+    for j, (a, b) in enumerate(_PLANE_COEF):
+        comp = ((F.lit(a) * (F.col("pos") + 1) + F.lit(b)) % 97 - 48).cast("double")
+        planes.append(
+            ex.withColumn("plane", F.lit(j)).withColumn("v", comp)
+        )
+    allp = planes[0]
+    for p in planes[1:]:
+        allp = allp.unionByName(p)
+    dots = allp.groupBy("vec_id", "plane").agg(dsum(F.col("x") * F.col("v"), 1e9).alias("dot"))
+    bucket = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+    return bucket
+
+
+def _plane_sql(j: int, a: int, b: int) -> str:
+    # generate_subscripts is 1-based = Spark's posexplode pos + 1
+    return (
+        f"SELECT vec_id, pos, x, {j} AS plane, "
+        f"CAST(({a} * pos + {b}) % 97 - 48 AS DOUBLE) AS v FROM ex"
+    )
+
+
+_ANN_LSH_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, pos FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) t
+),
+allp AS (
+  {' UNION ALL '.join(_plane_sql(j, a, b) for j, (a, b) in enumerate(_PLANE_COEF))}
+),
+dots AS (
+  SELECT vec_id, plane,
+    (CAST(CAST(SUM(CAST(FLOOR((x * v) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS dot
+  FROM allp GROUP BY vec_id, plane
+)
+SELECT vec_id,
+  CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -461,6 +585,8 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_fingerprints": doc_fingerprints,
     "ann_cosine_topk": ann_cosine_topk,
+    "simhash16": simhash16,
+    "ann_lsh_buckets": ann_lsh_buckets,
 }
 
 ORACLES = {
@@ -472,4 +598,6 @@ ORACLES = {
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "ann_cosine_topk": _ANN_SQL,
+    "simhash16": _SIMHASH_SQL,
+    "ann_lsh_buckets": _ANN_LSH_SQL,
 }
