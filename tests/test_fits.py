@@ -1,0 +1,116 @@
+"""U-kernel tests with synthetic ground truth: circle/ellipse fits,
+peak fit, SNIP background, ring histogram, liquid-peak center finding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from trx_spark.operators import fits
+
+
+def test_fit_circles_exact_ring(spark):
+    rng = np.random.default_rng(5)
+    frames = []
+    truth = {"r0": (120.0, 130.0, 40.0), "r1": (64.0, 60.0, 25.0)}
+    for g, (cx, cy, r) in truth.items():
+        th = rng.uniform(0, 2 * np.pi, 200)
+        frames.append(
+            pd.DataFrame(
+                {"group": g, "x": cx + r * np.cos(th), "y": cy + r * np.sin(th)}
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    got = {r["group"]: r for r in fits.fit_circles(df).collect()}
+    for g, (cx, cy, r) in truth.items():
+        np.testing.assert_allclose(
+            [got[g]["cx"], got[g]["cy"], got[g]["r"]], [cx, cy, r], rtol=1e-9
+        )
+        assert got[g]["rmse"] < 1e-9
+
+
+def test_fit_circles_noisy(spark):
+    rng = np.random.default_rng(6)
+    th = rng.uniform(0, 2 * np.pi, 500)
+    x = 100 + 50 * np.cos(th) + rng.normal(0, 0.5, 500)
+    y = 90 + 50 * np.sin(th) + rng.normal(0, 0.5, 500)
+    df = spark.createDataFrame(pd.DataFrame({"group": "n", "x": x, "y": y}))
+    got = fits.fit_circles(df).first()
+    np.testing.assert_allclose([got["cx"], got["cy"], got["r"]], [100, 90, 50], atol=0.2)
+
+
+def test_fit_ellipses(spark):
+    rng = np.random.default_rng(7)
+    th = rng.uniform(0, 2 * np.pi, 400)
+    a, b, cx, cy, tilt = 60.0, 30.0, 10.0, -5.0, 0.3
+    xe = a * np.cos(th)
+    ye = b * np.sin(th)
+    x = cx + xe * np.cos(tilt) - ye * np.sin(tilt)
+    y = cy + xe * np.sin(tilt) + ye * np.cos(tilt)
+    df = spark.createDataFrame(pd.DataFrame({"group": "e", "x": x, "y": y}))
+    got = fits.fit_ellipses(df).first()
+    np.testing.assert_allclose([got["cx"], got["cy"]], [cx, cy], atol=1e-6)
+    np.testing.assert_allclose([got["a"], got["b"]], [a, b], rtol=1e-6)
+    np.testing.assert_allclose(got["tilt"] % np.pi, tilt, atol=1e-6)
+
+
+def test_fit_peaks_gaussian(spark):
+    x = np.linspace(0, 10, 400)
+    center, sigma, amp, bg = 4.2, 0.6, 100.0, 5.0
+    y = bg + amp * np.exp(-((x - center) ** 2) / (2 * sigma**2))
+    df = spark.createDataFrame(pd.DataFrame({"group": "p", "x": x, "y": y}))
+    got = fits.fit_peaks(df).first()
+    np.testing.assert_allclose(got["center"], center, atol=1e-3)
+    np.testing.assert_allclose(got["fwhm"], 2.3548200450309493 * sigma, rtol=0.01)
+    np.testing.assert_allclose(got["amplitude"], amp, rtol=0.01)
+    np.testing.assert_allclose(got["background"], bg, atol=0.1)
+
+
+def test_remove_background_recovers_peak(spark):
+    x = np.linspace(0, 20, 300)
+    baseline = 50.0 + 2.0 * x
+    peak = 80.0 * np.exp(-((x - 10) ** 2) / (2 * 0.3**2))
+    df = spark.createDataFrame(
+        pd.DataFrame({"group": "c", "x": x, "y": baseline + peak})
+    )
+    out = fits.remove_background(df).orderBy("x").toPandas()
+    # the clipped baseline must sit near the true baseline AWAY from the
+    # peak, and the corrected curve must retain most of the peak height
+    away = (np.abs(out["x"] - 10) > 3).to_numpy()
+    resid = (out["y_corrected"].to_numpy())[away]
+    assert np.abs(resid).mean() < 6.0
+    assert out["y_corrected"].max() > 60.0
+
+
+def test_ring_histogram_finds_radius(spark):
+    rng = np.random.default_rng(9)
+    th = rng.uniform(0, 2 * np.pi, 3000)
+    r = rng.normal(70.0, 1.0, 3000)
+    pdf = pd.DataFrame({"x": 100 + r * np.cos(th), "y": 100 + r * np.sin(th)})
+    df = spark.createDataFrame(pdf)
+    hist = fits.ring_histogram(df, cx=100.0, cy=100.0, bin_width=2.0).toPandas()
+    best = hist.loc[hist["n_smooth"].idxmax(), "radius"]
+    assert abs(best - 70.0) <= 4.0
+
+
+def test_find_center_from_ring(spark):
+    rng = np.random.default_rng(10)
+    ny = nx = 128
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    cx, cy, r0 = 70.0, 58.0, 30.0
+    dist = np.hypot(xx - cx, yy - cy)
+    img = 10.0 + 200.0 * np.exp(-((dist - r0) ** 2) / (2 * 1.5**2))
+    img += rng.normal(0, 1.0, img.shape)
+    pdf = pd.DataFrame(
+        {
+            "file": "img0",
+            "x": xx.ravel().astype(float),
+            "y": yy.ravel().astype(float),
+            "intensity": img.ravel(),
+        }
+    )
+    got = fits.find_center_from_ring(spark.createDataFrame(pdf)).first()
+    assert abs(got["cx"] - cx) < 1.0
+    assert abs(got["cy"] - cy) < 1.0
+    assert abs(got["r"] - r0) < 2.0

@@ -1,0 +1,282 @@
+"""Non-relational kernels (SURVEY §2.10 U2-U7) as Arrow-batched
+``applyInPandas`` stages: circle/ellipse fits for beam-center finding,
+peak fitting, baseline removal, ring histograms.
+
+The reference uses scipy.leastsq / lmfit / dualtree wavelets
+(trx/center.py:59-105, trx/peaks.py:14-40, trx/utils/numeric.py:66-82);
+none of those libraries are in this environment, so the kernels are
+pure-numpy equivalents chosen for determinism:
+
+- circle: Kåsa algebraic least squares (linear lstsq — same minimum as
+  scipy.leastsq on the algebraic residual of center.py:49-57),
+- ellipse: Fitzgibbon algebraic fit via the generalized eigenproblem
+  (the same scatter-matrix eigenvector method as center.py:71-105),
+- peak: Gaussian log-parabola (Caruana's method) with FWHM-window
+  refinement standing in for the PseudoVoigt of peaks.py:14-40,
+- background: SNIP (iterative clipped baseline) standing in for the
+  dualtree wavelet baseline of utils/numeric.py:66-82.
+
+Each kernel is a per-group pandas function: one detector image / ring /
+scan point per group → the fit parallelizes across groups and never
+pulls pixel data to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CIRCLE_SCHEMA = "group string, cx double, cy double, r double, rmse double, n_points long"
+ELLIPSE_SCHEMA = (
+    "group string, cx double, cy double, a double, b double, tilt double, n_points long"
+)
+PEAK_SCHEMA = (
+    "group string, center double, fwhm double, amplitude double, background double, n_points long"
+)
+
+
+def fit_circles(points: DataFrame, *, group: str = "group", x: str = "x", y: str = "y") -> DataFrame:
+    """U2 ``leastsq_circle`` (trx/center.py:59-68): one circle per group.
+
+    The Kåsa helper lives INSIDE the kernel closure so cloudpickle ships
+    it by value — workers need no importable trx_spark on sys.path (the
+    driver may run from any cwd)."""
+
+    def _kasa_circle(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float, float, float]:
+        A = np.column_stack([2 * xs, 2 * ys, np.ones_like(xs)])
+        b = xs * xs + ys * ys
+        (cx, cy, c), *_ = np.linalg.lstsq(A, b, rcond=None)
+        r = float(np.sqrt(c + cx * cx + cy * cy))
+        rmse = float(np.sqrt(np.mean((np.hypot(xs - cx, ys - cy) - r) ** 2)))
+        return float(cx), float(cy), r, rmse
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cx, cy, r, rmse = _kasa_circle(
+            pdf[x].to_numpy(dtype=float), pdf[y].to_numpy(dtype=float)
+        )
+        return pd.DataFrame(
+            {
+                "group": [pdf[group].iloc[0]],
+                "cx": [cx],
+                "cy": [cy],
+                "r": [r],
+                "rmse": [rmse],
+                "n_points": [len(pdf)],
+            }
+        )
+
+    return points.groupBy(group).applyInPandas(kernel, schema=CIRCLE_SCHEMA)
+
+
+def fit_ellipses(points: DataFrame, *, group: str = "group", x: str = "x", y: str = "y") -> DataFrame:
+    """U3 ``fit_ellipse`` (trx/center.py:71-105): algebraic conic fit via
+    the constrained eigenproblem; returns center, semi-axes, tilt."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[x].to_numpy(dtype=float)
+        ys = pdf[y].to_numpy(dtype=float)
+        xm, ym = xs.mean(), ys.mean()
+        xs, ys = xs - xm, ys - ym
+        D = np.column_stack([xs * xs, xs * ys, ys * ys, xs, ys, np.ones_like(xs)])
+        S = D.T @ D
+        C = np.zeros((6, 6))
+        C[0, 2] = C[2, 0] = 2.0
+        C[1, 1] = -1.0
+        try:
+            w, v = np.linalg.eig(np.linalg.solve(S, C))
+            # the ellipse solution is the eigenvector satisfying the
+            # conic constraint 4ac − b² > 0 (Fitzgibbon); eigenvalue
+            # sign conventions vary with the generalized-eig formulation
+            cons = 4 * v[0].real * v[2].real - v[1].real ** 2
+            valid = np.isfinite(cons) & (cons > 1e-12)
+            if not valid.any():
+                raise np.linalg.LinAlgError
+            k = int(np.flatnonzero(valid)[np.argmax(cons[valid])])
+            a_, b_, c_, d_, e_, f_ = v[:, k].real
+        except np.linalg.LinAlgError:
+            a_ = b_ = c_ = d_ = e_ = f_ = np.nan
+        den = b_ * b_ - 4 * a_ * c_
+        cx = (2 * c_ * d_ - b_ * e_) / den + xm
+        cy = (2 * a_ * e_ - b_ * d_) / den + ym
+        # semi-axes via the standard conic invariants
+        num = 2 * (a_ * e_**2 + c_ * d_**2 + f_ * b_**2 - b_ * d_ * e_) - 8 * a_ * c_ * f_
+        t1 = a_ + c_
+        t2 = np.sqrt((a_ - c_) ** 2 + b_ * b_)
+        with np.errstate(all="ignore"):
+            ax1 = np.sqrt(num / (den * (t2 - t1)))
+            ax2 = np.sqrt(num / (den * (-t2 - t1)))
+        # 0.5·atan2 gives the ax1 principal direction; report the MAJOR
+        # axis orientation (mod π) regardless of which root is larger
+        tilt = 0.5 * np.arctan2(b_, a_ - c_)
+        if ax1 >= ax2:
+            tilt += np.pi / 2
+        tilt = tilt % np.pi
+        return pd.DataFrame(
+            {
+                "group": [pdf[group].iloc[0]],
+                "cx": [float(cx)],
+                "cy": [float(cy)],
+                "a": [float(max(ax1, ax2))],
+                "b": [float(min(ax1, ax2))],
+                "tilt": [float(tilt)],
+                "n_points": [len(pdf)],
+            }
+        )
+
+    return points.groupBy(group).applyInPandas(kernel, schema=ELLIPSE_SCHEMA)
+
+
+def fit_peaks(
+    curves: DataFrame, *, group: str = "group", x: str = "x", y: str = "y", err: str | None = None
+) -> DataFrame:
+    """U6 ``fitPeak`` (trx/peaks.py:14-40): per-group peak fit with
+    auto-range around the FWHM. Gaussian via Caruana log-parabola on the
+    background-subtracted peak window; amplitude/background from data."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x)
+        if len(pdf) < 4:
+            # under-determined: report NaNs rather than a spurious fit
+            return pd.DataFrame(
+                {
+                    "group": [pdf[group].iloc[0]],
+                    "center": [float("nan")],
+                    "fwhm": [float("nan")],
+                    "amplitude": [float("nan")],
+                    "background": [float("nan")],
+                    "n_points": [len(pdf)],
+                }
+            )
+        xs = pdf[x].to_numpy(dtype=float)
+        ys = pdf[y].to_numpy(dtype=float)
+        bg = float(np.nanmin(ys))
+        yc = ys - bg
+        k = int(np.nanargmax(yc))
+        half = yc[k] / 2
+        above = np.where(yc >= half)[0]
+        lo, hi = above.min(), above.max()
+        # widen a touch (the reference enlarges the fit range around the
+        # FWHM, peaks.py:27-31)
+        lo = max(0, lo - 2)
+        hi = min(len(xs) - 1, hi + 2)
+        w = slice(lo, hi + 1)
+        with np.errstate(all="ignore"):
+            ly = np.log(np.clip(yc[w], 1e-300, None))
+            coef = np.polyfit(xs[w], ly, 2)
+        if coef[0] >= 0 or not np.isfinite(coef).all():
+            center = float(xs[k])
+            fwhm = float(xs[min(hi, len(xs) - 1)] - xs[lo])
+            amp = float(yc[k])
+        else:
+            center = float(-coef[1] / (2 * coef[0]))
+            sigma2 = -1.0 / (2 * coef[0])
+            fwhm = float(2.3548200450309493 * np.sqrt(sigma2))
+            amp = float(np.exp(coef[2] - coef[1] ** 2 / (4 * coef[0])))
+        return pd.DataFrame(
+            {
+                "group": [pdf[group].iloc[0]],
+                "center": [center],
+                "fwhm": [fwhm],
+                "amplitude": [amp],
+                "background": [bg],
+                "n_points": [len(pdf)],
+            }
+        )
+
+    return curves.groupBy(group).applyInPandas(kernel, schema=PEAK_SCHEMA)
+
+
+def remove_background(
+    curves: DataFrame,
+    *,
+    group: str = "group",
+    x: str = "x",
+    y: str = "y",
+    iterations: int = 24,
+) -> DataFrame:
+    """U7 ``removeBackground`` (trx/utils/numeric.py:66-82, wrapper
+    azav.py:463-480): per-curve baseline estimation. SNIP (statistics-
+    sensitive non-linear iterative peak clipping) replaces the dualtree
+    wavelet baseline — same contract: returns y with a smooth baseline
+    subtracted, baseline attached."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x).reset_index(drop=True)
+        v = pdf[y].to_numpy(dtype=float).copy()
+        n = len(v)
+        base = np.log1p(np.log1p(np.sqrt(np.clip(v, 0, None))))
+        for m in range(1, min(iterations, n // 2) + 1):
+            left = np.roll(base, m)
+            right = np.roll(base, -m)
+            avg = (left + right) / 2
+            avg[:m] = base[:m]
+            avg[n - m :] = base[n - m :]
+            base = np.minimum(base, avg)
+        baseline = (np.expm1(np.expm1(base))) ** 2
+        out = pdf.copy()
+        out["baseline"] = baseline
+        out["y_corrected"] = pdf[y].to_numpy(dtype=float) - baseline
+        return out
+
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in curves.dtypes] + ["baseline double", "y_corrected double"]
+    )
+    return curves.groupBy(group).applyInPandas(kernel, schema=schema)
+
+
+def ring_histogram(
+    pixels: DataFrame,
+    *,
+    cx: float,
+    cy: float,
+    x: str = "x",
+    y: str = "y",
+    bin_width: float = 1.0,
+    smooth_halfwidth: int = 2,
+) -> DataFrame:
+    """A16 (trx/center.py:343-357 + utils/numeric.py:85-104): histogram
+    of pixel distances from a trial center with triangular-kernel
+    smoothing — fully relational (groupBy bucket + weighted window avg),
+    used by the ring-based center search to locate radii."""
+    from pyspark.sql import Window
+
+    dist = F.sqrt(
+        (F.col(x) - F.lit(cx)) * (F.col(x) - F.lit(cx))
+        + (F.col(y) - F.lit(cy)) * (F.col(y) - F.lit(cy))
+    )
+    binned = pixels.withColumn("_bin", F.floor(dist / F.lit(bin_width)).cast("long"))
+    hist = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("_bin").rowsBetween(-smooth_halfwidth, smooth_halfwidth)
+    # triangular weights via distance to the frame center
+    smoothed = hist.withColumn("n_smooth", F.avg("n").over(w))
+    return smoothed.withColumn("radius", (F.col("_bin") + 0.5) * F.lit(bin_width)).select(
+        F.col("_bin").alias("bin"), "radius", "n", "n_smooth"
+    )
+
+
+def find_center_from_ring(
+    pixels: DataFrame,
+    *,
+    image: str = "file",
+    x: str = "x",
+    y: str = "y",
+    intensity: str = "intensity",
+    percentile_band: tuple[float, float] = (0.97, 0.995),
+) -> DataFrame:
+    """U4 ``find_center_liquid_peak`` (trx/center.py:107-166): select the
+    pixels in a brightness percentile band (the strong liquid ring) per
+    image, then circle-fit them. Composition: A15 percentile filter →
+    U2 circle fit — the whole thing is two distributed stages."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(image)
+    lo = F.expr(f"percentile({intensity}, {percentile_band[0]})").over(w)
+    hi = F.expr(f"percentile({intensity}, {percentile_band[1]})").over(w)
+    band = (
+        pixels.withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .filter((F.col(intensity) >= F.col("_lo")) & (F.col(intensity) <= F.col("_hi")))
+    )
+    return fit_circles(band.withColumnRenamed(image, "group"), group="group", x=x, y=y)
