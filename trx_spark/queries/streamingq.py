@@ -1,0 +1,53 @@
+"""Streaming correctness-gate entry (SURVEY ST1/ST2): run the
+incremental pipeline over the events parquet with an availableNow
+trigger and return the reduced result. Non-SQL-expressible (stateful
+file-source semantics) → no oracle; the driver records a rows-only
+check. The batch-equivalence property (incremental == batch over the
+same files) is asserted separately in tests/test_streaming.py."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.streaming.incremental import run_catchup
+
+
+def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow micro-batch ingestion of the events parquet →
+    append store → per-type reduction, returned as a DataFrame."""
+    # normalize session parquet handling like load_table does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_stream_")
+    store = os.path.join(work, "store")
+    reduced = os.path.join(work, "reduced")
+    ckpt = os.path.join(work, "ckpt")
+
+    def reduce_fn(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("value_fp"),
+        )
+
+    run_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="events.parquet",
+        schema=schema,
+        store_dir=store,
+        checkpoint_dir=ckpt,
+        reduce_fn=reduce_fn,
+        reduced_dir=reduced,
+    )
+    out = spark.read.parquet(reduced)
+    return out.withColumn("sum_value", F.col("value_fp").cast("double") / 1e6).drop("value_fp")
+
+
+QUERIES = {"streaming_incremental_stats": streaming_incremental_stats}
+ORACLES: dict[str, str] = {}

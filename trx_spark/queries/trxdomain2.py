@@ -400,6 +400,112 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+
+# ---------------------------------------------------------------------
+# P1: q-limits projection of the integrated curves
+# ---------------------------------------------------------------------
+
+_QLIM = (20000.0, 80000.0)
+
+
+def azint_qlims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-range slice of the curve bank (SURVEY P1; trx/azav.py:415-429):
+    the filter composes onto the integration aggregation lazily."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = azav.integrate_1d(
+        li,
+        image=["l_suppkey"],
+        q="l_extendedprice",
+        intensity="l_quantity",
+        q_min=900.0,
+        q_max=105000.0,
+        n_bins=32,
+        exact=True,
+    )
+    return out.filter((F.col("q") >= _QLIM[0]) & (F.col("q") <= _QLIM[1])).select(
+        "l_suppkey", "q_bin", "i", "err", "n_pix", "q"
+    )
+
+
+_AZINT_QLIMS_SQL = f"""
+WITH px AS (
+  SELECT l_suppkey,
+    CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 3253.125), 0), 31) AS INTEGER) AS q_bin,
+    l_quantity - 0.0 AS sig,
+    1.0 AS w
+  FROM lineitem),
+curves AS (
+  SELECT l_suppkey, q_bin,
+    {sql_dsum('sig * w')} / {sql_dsum('w')} AS i,
+    SQRT({sql_dsum('sig')}) / COUNT(*) AS err,
+    CAST(COUNT(*) AS BIGINT) AS n_pix,
+    CAST(900.0 AS DOUBLE) + (q_bin + CAST(0.5 AS DOUBLE)) * CAST(3253.125 AS DOUBLE) AS q
+  FROM px GROUP BY l_suppkey, q_bin)
+SELECT * FROM curves WHERE q >= {_QLIM[0]!r} AND q <= {_QLIM[1]!r}
+"""
+
+# ---------------------------------------------------------------------
+# F-str6: wall-clock duration info (timesToInfo)
+# ---------------------------------------------------------------------
+
+
+def times_to_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration between first/last HH:MM:SS wall-clock strings per user
+    (SURVEY F-str6; trx/id9.py:69-85): hour/minute string math with
+    midnight wrap-around, exactly as the reference computes it."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.date_format(F.col("ts"), "HH:mm:ss")
+    per = ev.withColumn("_t", t).groupBy("user_id").agg(
+        F.min(F.struct("ts_ns", "_t")).alias("_first"),
+        F.max(F.struct("ts_ns", "_t")).alias("_last"),
+    )
+    first_t = F.col("_first._t")
+    last_t = F.col("_last._t")
+    fh = F.split(first_t, ":").getItem(0).cast("int")
+    fm = F.split(first_t, ":").getItem(1).cast("int")
+    lh = F.split(last_t, ":").getItem(0).cast("int")
+    lm = F.split(last_t, ":").getItem(1).cast("int")
+    dh0 = lh - fh
+    dm0 = lm - fm
+    dm = F.when(dm0 < 0, dm0 + 60).otherwise(dm0)
+    dh1 = F.when(dm0 < 0, dh0 - 1).otherwise(dh0)
+    dh = F.when(dh1 < 0, dh1 + 24).otherwise(dh1)
+    return per.select(
+        "user_id",
+        first_t.alias("first_time"),
+        last_t.alias("last_time"),
+        (dh * 60 + dm).cast("int").alias("dt_mins"),
+    )
+
+
+_TIMES_INFO_SQL = """
+WITH t AS (
+  SELECT user_id, strftime(ts, '%H:%M:%S') AS hms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn_d
+  FROM events
+),
+fl AS (
+  SELECT user_id,
+    MAX(CASE WHEN rn_a = 1 THEN hms END) AS first_time,
+    MAX(CASE WHEN rn_d = 1 THEN hms END) AS last_time
+  FROM t GROUP BY user_id
+),
+d AS (
+  SELECT *,
+    CAST(string_split(last_time, ':')[1] AS INTEGER) - CAST(string_split(first_time, ':')[1] AS INTEGER) AS dh0,
+    CAST(string_split(last_time, ':')[2] AS INTEGER) - CAST(string_split(first_time, ':')[2] AS INTEGER) AS dm0
+  FROM fl
+)
+SELECT user_id, first_time, last_time,
+  CAST(((CASE WHEN (CASE WHEN dm0 < 0 THEN dh0 - 1 ELSE dh0 END) < 0
+              THEN (CASE WHEN dm0 < 0 THEN dh0 - 1 ELSE dh0 END) + 24
+              ELSE (CASE WHEN dm0 < 0 THEN dh0 - 1 ELSE dh0 END) END) * 60
+        + (CASE WHEN dm0 < 0 THEN dm0 + 60 ELSE dm0 END)) AS INTEGER) AS dt_mins
+FROM d
+"""
+
+
 QUERIES = {
     "asof_interp_per_user": asof_interp_per_user,
     "monitor_qwindow_median": monitor_qwindow_median,
@@ -411,6 +517,8 @@ QUERIES = {
     "running_order_totals": running_order_totals,
     "events_pivot_counts": events_pivot_counts,
     "sessionize_events": sessionize_events,
+    "azint_qlims": azint_qlims,
+    "times_to_info": times_to_info,
 }
 
 ORACLES = {
@@ -424,4 +532,6 @@ ORACLES = {
     "running_order_totals": _RUNNING_SQL,
     "events_pivot_counts": _PIVOT_SQL,
     "sessionize_events": _SESSION_SQL,
+    "azint_qlims": _AZINT_QLIMS_SQL,
+    "times_to_info": _TIMES_INFO_SQL,
 }

@@ -35,6 +35,7 @@ def incremental_pipeline(
     reduce_fn: Callable[[DataFrame], DataFrame] | None = None,
     reduced_dir: str | None = None,
     poll_seconds: float | None = None,
+    path_glob_filter: str | None = None,
 ):
     """Watch ``landing_dir`` for new curve files; append them to the
     parquet ``store_dir``; if ``reduce_fn`` is given, re-run the
@@ -46,7 +47,12 @@ def incremental_pipeline(
     tests); otherwise a processingTime trigger mirrors the reference's
     30 s cadence (id9.py:330).
     """
-    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    reader = spark.readStream.schema(schema)
+    if path_glob_filter is not None:
+        # the file source wants a directory basePath; a glob filter
+        # selects specific files inside it
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    stream = reader.parquet(landing_dir)
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         batch.write.mode("append").parquet(store_dir)
