@@ -195,3 +195,55 @@ def test_no_refs_group_yields_null(spark):
         spark.createDataFrame(pdf), group=["run"], idx="idx", is_ref="is_ref", value="i"
     ).toPandas()
     assert out["iref"].isna().all()
+
+
+def test_chi2_per_shot_curves_matches_numpy(spark):
+    """Two-axis chi2 (the q-sum at dataReduction.py:190): rectangular
+    data[n, nQ] against a direct numpy computation."""
+    from trx_spark.operators.reduction import chi2_0_per_shot_curves
+
+    rng = np.random.default_rng(21)
+    n, nq = 24, 5
+    scans = np.array(["off", "a", "b"])[rng.integers(0, 3, n)]
+    is_ref = scans == "off"
+    data = np.round(rng.normal(0, 3, (n, nq)), 3)
+
+    rows = []
+    for shot in range(n):
+        for q in range(nq):
+            rows.append(
+                dict(
+                    file=f"f{shot:03d}",
+                    scan=scans[shot],
+                    q_idx=q,
+                    idx=shot,
+                    is_ref=bool(is_ref[shot]),
+                    diff=float(data[shot, q]),
+                )
+            )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r["file"], r["scan"]): (r["chi2_0"], r["n_q"])
+        for r in chi2_0_per_shot_curves(
+            df, shot="file", scan="scan", q="q_idx", idx="idx", is_ref="is_ref", diff="diff"
+        ).collect()
+    }
+
+    # numpy: per scan point — noise per q over ALL shots, mean per q over
+    # used shots, chi2 per used shot = sum_q z^2 / nQ
+    expected = {}
+    for t in np.unique(scans):
+        sel = scans == t
+        d = data[sel]
+        noise = np.nanstd(d, axis=0)
+        d_used = d[::2] if np.array_equal(sel, is_ref) else d
+        mean = np.nanmean(d_used, axis=0)
+        chi2 = np.nansum(((d_used - mean) / noise) ** 2, axis=-1) / nq
+        used_shots = np.flatnonzero(sel)[:: 2 if np.array_equal(sel, is_ref) else 1]
+        for k, shot in enumerate(used_shots):
+            expected[(f"f{shot:03d}", t)] = chi2[k]
+
+    assert set(got) == set(expected)
+    for key, exp in expected.items():
+        np.testing.assert_allclose(got[key][0], exp, rtol=1e-9, err_msg=str(key))
+        assert got[key][1] == nq

@@ -294,3 +294,62 @@ def chi2_0_per_shot(
         .withColumnRenamed("_use", "used_in_avg")
         .drop("_rn", "_noise", "_all_ref", "_mean_used")
     )
+
+
+def chi2_0_per_shot_curves(
+    df: DataFrame,
+    *,
+    shot: str = "file",
+    scan: str = "scan",
+    q: str = "q_idx",
+    idx: str = "idx",
+    is_ref: str = "is_ref",
+    diff: str = "diff",
+    exact: bool = False,
+) -> DataFrame:
+    """Per-shot chi2_0 for CURVE data (the reference's true shape):
+    chi2_0 = Σ_q ((diff − mean_diff_q)/noise_q)² / nQ per shot
+    (trx/dataReduction.py:187-193 with the sum over the q axis at :190).
+
+    Input is the exploded narrow layout — one row per (shot, q). Stats
+    are per (scan, q); the q-sum is a groupBy(shot). Subsampling (W2)
+    applies per shot, which on rectangular curves equals the per-(scan,q)
+    row-number rule used here."""
+    from trx_spark.exact import SCALE, fint
+
+    keys = [scan, q]
+    w_scan = Window.partitionBy(*keys).orderBy(idx)
+    w_full = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def wsum(col):
+        if exact:
+            return F.sum(fint(col)).over(w_full).cast("double") / F.lit(SCALE)
+        return F.sum(col).over(w_full)
+
+    d = F.col(diff)
+    enriched = (
+        df.withColumn("_rn", F.row_number().over(w_scan))
+        .withColumn("_all_ref", F.min(F.col(is_ref).cast("int")).over(w_full).cast("boolean"))
+        .withColumn("_use", (~F.col("_all_ref")) | (F.col("_rn") % 2 == 1))
+    )
+    n = F.count(d).over(w_full)
+    s1 = wsum(d)
+    s2 = wsum(d * d)
+    noise = F.sqrt(F.greatest((s2 - s1 * s1 / n) / n, F.lit(0.0)))
+    used = F.when(F.col("_use"), d)
+    mean_used = wsum(used) / F.count(used).over(w_full)
+    z = (d - mean_used) / noise
+    per_row = enriched.withColumn("_z2", z * z)
+    chi2_sum = (
+        (F.sum(fint(F.col("_z2"))).cast("double") / F.lit(SCALE)) if exact else F.sum("_z2")
+    )
+    return (
+        per_row.filter(F.col("_use"))
+        .groupBy(shot, scan)
+        .agg(
+            (chi2_sum / F.count(F.lit(1))).alias("chi2_0"),
+            F.count(F.lit(1)).alias("n_q"),
+        )
+    )
