@@ -164,3 +164,16 @@ def test_interpret_mask_union(pixel_grid):
     df, ny, nx = pixel_grid
     pred = masks.interpret_mask(["x>13", masks.mask_from_string("y<2")])
     assert df.filter(pred).count() == ny * 2 + 2 * nx - 4
+
+
+def test_saxs_math(spark):
+    from trx_spark.functions.scattering import molecular_mass_from_i0, volume_fraction
+
+    got = spark.range(1).select(
+        volume_fraction(1.0, mol_weight_kda=17.0, density=1.347).alias("vf"),
+        molecular_mass_from_i0(F.lit(0.02), 0.005, density=1.347).alias("mm"),
+    ).first()
+    np.testing.assert_allclose(got["vf"], 1.0 * 17.0 / 1.347 / 1e3, rtol=1e-12)
+    np.testing.assert_allclose(
+        got["mm"], 0.02 * 6e23 / (0.005 * (2.67e10 / 1.347) ** 2), rtol=1e-12
+    )

@@ -97,3 +97,20 @@ def test_config_hash_store(spark, tmp_path):
     # any arg change invalidates (SURVEY F7 — azav.py:300-343)
     assert not sinks.is_result_current(out, {**cfg, "n_bins": 64})
     assert sinks.load_result(spark, out).count() == 1
+
+
+MOTOR_DUMP = """\
+name user dial
+mono 12.5 12.4
+name user dial
+dety -3.25 -3.30
+gonio 0.0 0.1
+"""
+
+
+def test_read_motor_dump(spark, tmp_path):
+    p = tmp_path / "motors.dat"
+    p.write_text(MOTOR_DUMP)
+    rows = {r["name"]: (r["user"], r["dial"]) for r in logfile.read_motor_dump(spark, str(p)).collect()}
+    # repeated headers dropped (id9.py:349-353)
+    assert rows == {"mono": (12.5, 12.4), "dety": (-3.25, -3.3), "gonio": (0.0, 0.1)}

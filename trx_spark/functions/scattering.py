@@ -48,3 +48,32 @@ def xray_energy(wavelength: Column | str) -> Column:
     """Å → keV (trx/utils/scattering.py:80-82)."""
     w = F.col(wavelength) if isinstance(wavelength, str) else wavelength
     return F.lit(_HC_KEV_ANG) / w
+
+
+def volume_fraction(
+    concentration_mm: Column | str | float, *, mol_weight_kda: float = 17.0, density: float = 1.347
+) -> Column:
+    """SAXS volume fraction from concentration (mM), molecular weight
+    (kDa) and density (g/ml) — trx/utils/scattering.py:12-19."""
+    c = (
+        F.lit(float(concentration_mm))
+        if isinstance(concentration_mm, (int, float))
+        else (F.col(concentration_mm) if isinstance(concentration_mm, str) else concentration_mm)
+    )
+    return c * F.lit(mol_weight_kda) / F.lit(density) / F.lit(1e3)
+
+
+def molecular_mass_from_i0(
+    i0: Column | str, c_g_ml: Column | str | float, *, density: float = 1.347
+) -> Column:
+    """Molecular mass (Da) from the extrapolated I(0) — Orthaber et al.
+    (2000), trx/utils/scattering.py:21-42."""
+    i = F.col(i0) if isinstance(i0, str) else i0
+    c = (
+        F.lit(float(c_g_ml))
+        if isinstance(c_g_ml, (int, float))
+        else (F.col(c_g_ml) if isinstance(c_g_ml, str) else c_g_ml)
+    )
+    delta_rho_m = 2.67e10 / density
+    navo = 6e23
+    return i * F.lit(navo) / (c * F.lit(delta_rho_m**2))

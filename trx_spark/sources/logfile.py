@@ -143,3 +143,22 @@ def read_diagnostic(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.col("scan").isNotNull() & ~F.isnan("scan"))
         .select(basename("fname").alias("file"), "scan")
     )
+
+
+def read_motor_dump(spark: SparkSession, path: str) -> DataFrame:
+    """Motor-position dump (SURVEY S7; trx/id9.py:338-362
+    ``readMotorDump``): whitespace columns (name, user, dial) with
+    interleaved repeated header lines — dropped by filtering rows whose
+    name column equals the literal header token."""
+    text = spark.read.text(path)
+    rows = text.filter(F.trim("value") != "")
+    parts = F.split(F.regexp_replace(F.trim("value"), r"\s+", " "), " ")
+    df = rows.select(
+        parts.getItem(0).alias("name"),
+        parts.getItem(1).alias("user"),
+        parts.getItem(2).alias("dial"),
+    )
+    df = df.filter(F.col("name") != "name")
+    return df.withColumn("user", F.col("user").try_cast("double")).withColumn(
+        "dial", F.col("dial").try_cast("double")
+    ).filter(F.col("user").isNotNull())
