@@ -118,7 +118,9 @@ SELECT event_id, idx, is_ref, i, iref, diff FROM diffs
 def scanpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-scan-point reduction (SURVEY A4-A7, W2;
     trx/dataReduction.py:159-196)."""
-    d = _diffs(spark, sf_dir)
+    # the reduction consumes diffs in several branches (stats + chi2 +
+    # join-back) — checkpoint the single-pass interpolation result
+    d = _diffs(spark, sf_dir).localCheckpoint()
     return reduction.average_scan_points(
         d, scan="event_type", idx="idx", is_ref="is_ref", diff="diff", exact=True
     ).select(
@@ -172,7 +174,7 @@ FROM stats s LEFT JOIN chi c USING (event_type)
 def chi2_filter_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shot chi2_0 + auto-threshold filter (SURVEY A7+F1;
     trx/filters.py:103-120)."""
-    d = _diffs(spark, sf_dir)
+    d = _diffs(spark, sf_dir).localCheckpoint()
     per_shot = reduction.chi2_0_per_shot(
         d, scan="event_type", idx="idx", is_ref="is_ref", diff="diff", exact=True
     )

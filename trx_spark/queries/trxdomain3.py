@@ -138,9 +138,10 @@ diffs AS (SELECT *, i - iref AS diff FROM interp)"""
 
 
 def _diffs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # consumed in several aggregation branches — materialize once
     return reduction.time_resolved_diff(
         _curves(spark, sf_dir), group=["q_idx"], idx="idx", is_ref="is_ref", value="i"
-    )
+    ).localCheckpoint()
 
 
 def curves_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
