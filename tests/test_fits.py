@@ -114,3 +114,26 @@ def test_find_center_from_ring(spark):
     assert abs(got["cx"] - cx) < 1.0
     assert abs(got["cy"] - cy) < 1.0
     assert abs(got["r"] - r0) < 2.0
+
+
+def test_find_center_using_rings_converges(spark):
+    """Deliberately offset starting center must converge to truth within
+    a few iterations (the reference iterates with sanity checks,
+    center.py:213-469)."""
+    rng = np.random.default_rng(12)
+    ny = nx = 128
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    cx, cy, r0 = 66.0, 61.0, 34.0
+    dist = np.hypot(xx - cx, yy - cy)
+    img = 8.0 + 180.0 * np.exp(-((dist - r0) ** 2) / (2 * 1.5**2))
+    img += rng.normal(0, 1.0, img.shape)
+    pdf = pd.DataFrame(
+        {"x": xx.ravel().astype(float), "y": yy.ravel().astype(float),
+         "intensity": img.ravel()}
+    )
+    res = fits.find_center_using_rings(
+        spark.createDataFrame(pdf), cx0=58.0, cy0=70.0, n_iter=3
+    )
+    assert abs(res["cx"] - cx) < 1.0 and abs(res["cy"] - cy) < 1.0
+    assert len(res["trace"]) >= 1
+    assert abs(res["trace"][-1]["r"] - r0) < 2.0

@@ -280,3 +280,74 @@ def find_center_from_ring(
         .filter((F.col(intensity) >= F.col("_lo")) & (F.col(intensity) <= F.col("_hi")))
     )
     return fit_circles(band.withColumnRenamed(image, "group"), group="group", x=x, y=y)
+
+
+def find_center_using_rings(
+    pixels: DataFrame,
+    *,
+    cx0: float,
+    cy0: float,
+    x: str = "x",
+    y: str = "y",
+    intensity: str = "intensity",
+    n_iter: int = 3,
+    bin_width: float = 2.0,
+    ring_halfwidth: float = 4.0,
+    intensity_percentile: float = 0.9,
+) -> dict:
+    """U5 ``find_center_using_rings`` (trx/center.py:213-469, the
+    reference's largest function) as a driver-orchestrated loop of
+    distributed stages — no pixel data ever reaches the driver, only the
+    per-iteration (cx, cy, r) scalars:
+
+      repeat n_iter times:
+        1. distance histogram from the current trial center with
+           triangular smoothing (A16) → dominant ring radius,
+        2. select bright pixels (above a per-image intensity percentile)
+           within ±ring_halfwidth of that radius,
+        3. Kåsa circle fit (U2) → updated center.
+
+    The reference's canny edge detection (center.py:305-307, skimage not
+    in this env) is replaced by the percentile brightness gate — same
+    role: keep ring pixels, drop background. Returns the final fit plus
+    the per-iteration trace (for the sanity checks the reference does by
+    eye)."""
+    from pyspark.sql import Window
+
+    cx, cy = float(cx0), float(cy0)
+    # brightness gate FIRST (the canny-edge stand-in): histogramming all
+    # pixels would be dominated by background geometry (pixel count at
+    # distance d grows like 2πd); the reference histograms edge pixels
+    # only (center.py:305-343)
+    w = Window.partitionBy(F.lit(1))
+    thr = F.expr(f"percentile({intensity}, {intensity_percentile})").over(w)
+    bright = (
+        pixels.withColumn("_thr", thr)
+        .filter(F.col(intensity) >= F.col("_thr"))
+        .localCheckpoint()
+    )
+    trace = []
+    for _ in range(n_iter):
+        hist = ring_histogram(bright, cx=cx, cy=cy, x=x, y=y, bin_width=bin_width)
+        best = hist.orderBy(F.desc("n_smooth"), F.asc("bin")).select("radius").first()
+        if best is None:
+            break
+        r_est = float(best["radius"])
+        dist = F.sqrt(
+            (F.col(x) - F.lit(cx)) * (F.col(x) - F.lit(cx))
+            + (F.col(y) - F.lit(cy)) * (F.col(y) - F.lit(cy))
+        )
+        ring = (
+            bright.withColumn("_dist", dist)
+            .filter(F.abs(F.col("_dist") - F.lit(r_est)) <= F.lit(ring_halfwidth))
+            .withColumn("group", F.lit("ring"))
+        )
+        fit = fit_circles(ring, group="group", x=x, y=y).first()
+        if fit is None or fit["n_points"] < 8:
+            break
+        cx, cy = float(fit["cx"]), float(fit["cy"])
+        trace.append(
+            dict(cx=cx, cy=cy, r=float(fit["r"]), rmse=float(fit["rmse"]),
+                 n_points=int(fit["n_points"]), r_histogram=r_est)
+        )
+    return dict(cx=cx, cy=cy, trace=trace)
