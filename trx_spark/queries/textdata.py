@@ -581,6 +581,104 @@ FROM dots GROUP BY vec_id
 """
 
 
+
+# ---------------------------------------------------------------------
+# LSH-filtered top-k: the composed ANN scale path (bucket -> exact rank)
+# ---------------------------------------------------------------------
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine ranking to vectors
+    sharing the query's LSH bucket (the production shape: the bucket
+    equi-join replaces the all-pairs scan). Query = vec_id 0; k = 10
+    within its bucket.
+
+    Recall note (measured): on THIS corpus — isotropic random
+    embeddings whose 'nearest' neighbors sit at ~0.3 cosine — single-
+    probe 8-plane LSH recall vs brute force is near zero, as theory
+    predicts (projection signs are nearly independent at low
+    similarity). On clustered real embeddings recall is tuned via
+    fewer planes or multi-probe; the gate checks the composition, not
+    the recall."""
+    from trx_spark.exact import dsum
+
+    buckets = ann_lsh_buckets(spark, sf_dir).localCheckpoint()
+    q_bucket = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb")
+    )
+    cand = buckets.crossJoin(F.broadcast(q_bucket)).filter(
+        F.col("bucket") == F.col("qb")
+    ).select("vec_id")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.join(cand, "vec_id", "left_semi")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+    )
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.posexplode("embedding").alias("pos", "y"))
+        .withColumn("y", F.col("y").cast("double"))
+    )
+    per = (
+        ex.join(F.broadcast(q0), "pos")
+        .groupBy("vec_id")
+        .agg(
+            dsum(F.col("x") * F.col("y"), _EMB_SCALE).alias("dot"),
+            dsum(F.col("x") * F.col("x"), _EMB_SCALE).alias("n1"),
+        )
+    )
+    nq = per.filter(F.col("vec_id") == 0).select(F.col("n1").alias("nq"))
+    scored = per.crossJoin(F.broadcast(nq)).withColumn(
+        "cos_sim", F.col("dot") / F.sqrt(F.col("n1") * F.col("nq"))
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("vec_id", "cos_sim", "rank")
+    )
+
+
+_ANN_TOPK_LSH_SQL = f"""
+WITH ex0 AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, pos FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) t
+),
+allp AS (
+  {' UNION ALL '.join(_plane_sql(j, a, b).replace('FROM ex', 'FROM ex0') for j, (a, b) in enumerate(_PLANE_COEF))}
+),
+dots0 AS (
+  SELECT vec_id, plane,
+    (CAST(CAST(SUM(CAST(FLOOR((x * v) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS dot
+  FROM allp GROUP BY vec_id, plane
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM dots0 GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+cand AS (SELECT vec_id FROM buckets, qb WHERE bucket = qbucket),
+ex AS (SELECT e.* FROM ex0 e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+q0 AS (SELECT pos, x AS y FROM ex0 WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    (CAST(CAST(SUM(CAST(FLOOR((e.x * q.y) * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {_EMB_SCALE!r}) AS dot,
+    (CAST(CAST(SUM(CAST(FLOOR((e.x * e.x) * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {_EMB_SCALE!r}) AS n1
+  FROM ex e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -592,6 +690,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "simhash16": simhash16,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_topk_lsh": ann_topk_lsh,
 }
 
 ORACLES = {
@@ -605,4 +704,5 @@ ORACLES = {
     "ann_cosine_topk": _ANN_SQL,
     "simhash16": _SIMHASH_SQL,
     "ann_lsh_buckets": _ANN_LSH_SQL,
+    "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
 }
