@@ -302,6 +302,7 @@ def chi2_0_per_shot_curves(
     shot: str = "file",
     scan: str = "scan",
     q: str = "q_idx",
+    group: list[str] | None = None,
     idx: str = "idx",
     is_ref: str = "is_ref",
     diff: str = "diff",
@@ -312,12 +313,15 @@ def chi2_0_per_shot_curves(
     (trx/dataReduction.py:187-193 with the sum over the q axis at :190).
 
     Input is the exploded narrow layout — one row per (shot, q). Stats
-    are per (scan, q); the q-sum is a groupBy(shot). Subsampling (W2)
-    applies per shot, which on rectangular curves equals the per-(scan,q)
-    row-number rule used here."""
+    are per (group, scan, q) — ``group`` is the run key, so each run's
+    statistics window is an independent partition; the q-sum is a
+    groupBy(shot). Subsampling (W2) applies per shot, which on
+    rectangular curves equals the per-(scan,q) row-number rule used
+    here."""
     from trx_spark.exact import SCALE, fint
 
-    keys = [scan, q]
+    group = group or []
+    keys = [*group, scan, q]
     w_scan = Window.partitionBy(*keys).orderBy(idx)
     w_full = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

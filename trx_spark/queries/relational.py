@@ -167,7 +167,12 @@ WHERE rk <= 3
 
 def slice_skip_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional slice [skip_first:last] of the ordered shot list
-    (SURVEY P6/O3; trx/azav.py:358): skip the first 10 and last 10."""
+    (SURVEY P6/O3; trx/azav.py:358): skip the first 10 and last 10.
+
+    Deliberately the ONE global-window query kept for coverage: slicing
+    an ordered file list is inherently global, and a run's file list is
+    small by construction (10³-10⁶ names, never the 100 TB pixel data).
+    All headline windows partition by a run key (see trxdomain.py)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.orderBy("ts_ns", "event_id")
     n = F.count(F.lit(1)).over(

@@ -19,25 +19,42 @@ from trx_spark.tables import load_table
 
 # ---------------------------------------------------------------------
 # Shared events→shots base (Spark side) and its oracle CTE (DuckDB side)
+#
+# Scale design: a "run" is a hash-bucketed shard of the event stream
+# (run = event_id % 16) — the synthetic stand-in for the reference's
+# one-folder-per-run layout (trx/id9.py doFolder processes one run at a
+# time). Every window below partitions by run, so at 100 TB each run is
+# an independent window partition and nothing funnels through a single
+# task. (The natural-key variant — run = user_id — is exercised by
+# asof_interp_per_user in trxdomain2.py; a deliberately-global small
+# window survives in relational.slice_skip_first_last for coverage.)
 # ---------------------------------------------------------------------
+
+_N_RUNS = 16
 
 
 def _events_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts_ns", "event_id")
-    return ev.withColumn("idx", F.row_number().over(w).cast("long")).select(
-        "event_id",
-        F.col("value").alias("i"),
-        (F.col("event_type") == "view").alias("is_ref"),
-        "event_type",
-        "idx",
+    w = Window.partitionBy("run").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("run", (F.col("event_id") % _N_RUNS).cast("long"))
+        .withColumn("idx", F.row_number().over(w).cast("long"))
+        .select(
+            "event_id",
+            "run",
+            F.col("value").alias("i"),
+            (F.col("event_type") == "view").alias("is_ref"),
+            "event_type",
+            "idx",
+        )
     )
 
 
-_SHOTS_CTE = """
+_SHOTS_CTE = f"""
 base AS (
-  SELECT event_id, value AS i, (event_type = 'view') AS is_ref, event_type,
-         row_number() OVER (ORDER BY ts, event_id) AS idx
+  SELECT event_id, CAST(event_id % {_N_RUNS} AS BIGINT) AS run,
+         value AS i, (event_type = 'view') AS is_ref, event_type,
+         row_number() OVER (PARTITION BY event_id % {_N_RUNS} ORDER BY ts, event_id) AS idx
   FROM events
 )"""
 
@@ -51,20 +68,25 @@ nb AS (
     first_value(CASE WHEN is_ref THEN idx END IGNORE NULLS) OVER w_next AS next_ref_idx,
     first_value(CASE WHEN is_ref THEN i END IGNORE NULLS) OVER w_next AS next_ref_val,
     SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
-      OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_rank
+      OVER (PARTITION BY run ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_rank
   FROM base
   WINDOW
-    w_prev AS (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-    w_next AS (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    w_prev AS (PARTITION BY run ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (PARTITION BY run ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 ),
 edges AS (
-  SELECT count(*) AS n_refs,
+  SELECT run, count(*) AS n_refs,
          max(CASE WHEN rn = 1 THEN i END) AS first_ref_val,
          max(CASE WHEN rn = 2 THEN i END) AS second_ref_val,
          max(CASE WHEN rn = nr THEN i END) AS last_ref_val,
          max(CASE WHEN rn = nr - 1 THEN i END) AS secondlast_ref_val
-  FROM (SELECT i, row_number() OVER (ORDER BY idx) AS rn, count(*) OVER () AS nr
+  FROM (SELECT run, i, row_number() OVER (PARTITION BY run ORDER BY idx) AS rn,
+               count(*) OVER (PARTITION BY run) AS nr
         FROM base WHERE is_ref) t
+  GROUP BY run
 ),
 interp AS (
   SELECT nb.*,
@@ -83,7 +105,7 @@ interp AS (
            + (nb.next_ref_val - nb.prev_ref_val) / (nb.next_ref_idx - nb.prev_ref_idx)
              * (nb.idx - nb.prev_ref_idx)
     END AS iref
-  FROM nb, edges e
+  FROM nb LEFT JOIN edges e USING (run)
 ),
 diffs AS (SELECT *, i - iref AS diff FROM interp)"""
 )
@@ -91,7 +113,7 @@ diffs AS (SELECT *, i - iref AS diff FROM interp)"""
 
 def _diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduction.time_resolved_diff(
-        _events_shots(spark, sf_dir), group=[], idx="idx", is_ref="is_ref", value="i"
+        _events_shots(spark, sf_dir), group=["run"], idx="idx", is_ref="is_ref", value="i"
     )
 
 
@@ -101,13 +123,16 @@ def _diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def asof_interp_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of interpolation join (SURVEY J2; trx/dataReduction.py:15-85)."""
-    return _diffs(spark, sf_dir).select("event_id", "idx", "is_ref", "i", "iref", "diff")
+    """As-of interpolation join (SURVEY J2; trx/dataReduction.py:15-85),
+    partitioned by the hash-shard run key (one window partition per run)."""
+    return _diffs(spark, sf_dir).select(
+        "event_id", "run", "idx", "is_ref", "i", "iref", "diff"
+    )
 
 
 _ASOF_SQL = f"""
 WITH {_INTERP_CTE}
-SELECT event_id, idx, is_ref, i, iref, diff FROM diffs
+SELECT event_id, run, idx, is_ref, i, iref, diff FROM diffs
 """
 
 # ---------------------------------------------------------------------
@@ -122,8 +147,10 @@ def scanpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-back) — checkpoint the single-pass interpolation result
     d = _diffs(spark, sf_dir).localCheckpoint()
     return reduction.average_scan_points(
-        d, scan="event_type", idx="idx", is_ref="is_ref", diff="diff", exact=True
+        d, scan="event_type", group=["run"], idx="idx", is_ref="is_ref", diff="diff",
+        exact=True,
     ).select(
+        "run",
         "event_type",
         "n_shots",
         "n_used",
@@ -139,31 +166,31 @@ _SCAN_SQL = f"""
 WITH {_INTERP_CTE},
 marked AS (
   SELECT *,
-    row_number() OVER (PARTITION BY event_type ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY event_type) AS all_ref
+    row_number() OVER (PARTITION BY run, event_type ORDER BY idx) AS rn,
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS all_ref
   FROM diffs
 ),
 used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked),
 stats AS (
-  SELECT event_type,
+  SELECT run, event_type,
     CAST(count(*) AS BIGINT) AS n_shots,
     CAST(SUM(CASE WHEN use_row THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
     {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_diff,
     {sql_dstddev_pop('diff')} AS noise
-  FROM used GROUP BY event_type
+  FROM used GROUP BY run, event_type
 ),
 chi AS (
-  SELECT u.event_type,
+  SELECT u.run, u.event_type,
     {sql_dsum('((u.diff - s.mean_diff)/s.noise) * ((u.diff - s.mean_diff)/s.noise) / 1')}
       / COUNT(((u.diff - s.mean_diff)/s.noise) * ((u.diff - s.mean_diff)/s.noise) / 1) AS mean_chi2_0,
     MAX(((u.diff - s.mean_diff)/s.noise) * ((u.diff - s.mean_diff)/s.noise) / 1) AS max_chi2_0
-  FROM used u JOIN stats s USING (event_type)
-  WHERE u.use_row GROUP BY u.event_type
+  FROM used u JOIN stats s USING (run, event_type)
+  WHERE u.use_row GROUP BY u.run, u.event_type
 )
-SELECT s.event_type, s.n_shots, s.n_used, s.mean_diff, s.noise,
+SELECT s.run, s.event_type, s.n_shots, s.n_used, s.mean_diff, s.noise,
        s.noise / SQRT(s.n_shots) AS err_of_mean,
        c.mean_chi2_0, c.max_chi2_0
-FROM stats s LEFT JOIN chi c USING (event_type)
+FROM stats s LEFT JOIN chi c USING (run, event_type)
 """
 
 # ---------------------------------------------------------------------
@@ -176,7 +203,8 @@ def chi2_filter_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     trx/filters.py:103-120)."""
     d = _diffs(spark, sf_dir).localCheckpoint()
     per_shot = reduction.chi2_0_per_shot(
-        d, scan="event_type", idx="idx", is_ref="is_ref", diff="diff", exact=True
+        d, scan="event_type", group=["run"], idx="idx", is_ref="is_ref", diff="diff",
+        exact=True,
     )
     flagged = filters.chi2_filter(per_shot, chi2="chi2_0", threshold=None)
     return flagged.select("event_id", "chi2_0", "chi2_threshold", "chi2_excluded")
@@ -186,23 +214,23 @@ _CHI2_FILTER_SQL = f"""
 WITH {_INTERP_CTE},
 marked AS (
   SELECT *,
-    row_number() OVER (PARTITION BY event_type ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY event_type) AS all_ref
+    row_number() OVER (PARTITION BY run, event_type ORDER BY idx) AS rn,
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS all_ref
   FROM diffs
 ),
 used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked),
 stats AS (
-  SELECT event_type,
+  SELECT run, event_type,
     {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_used,
     {sql_dstddev_pop('diff')} AS noise
-  FROM used GROUP BY event_type
+  FROM used GROUP BY run, event_type
 ),
 scored AS (
   SELECT u.event_id,
     CASE WHEN u.use_row
          THEN ((u.diff - s.mean_used)/s.noise) * ((u.diff - s.mean_used)/s.noise) / 1
     END AS chi2_0
-  FROM used u JOIN stats s USING (event_type)
+  FROM used u JOIN stats s USING (run, event_type)
 ),
 thr AS (SELECT quantile_cont(chi2_0, 0.95)::DOUBLE AS chi2_threshold FROM scored)
 SELECT sc.event_id, sc.chi2_0, t.chi2_threshold,

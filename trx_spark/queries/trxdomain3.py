@@ -22,9 +22,13 @@ from trx_spark.tables import load_table
 
 _NQ = 4
 _REF_PRIORITY = "1-URGENT"
+_N_RUNS = 8
 
 
 def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve bank sharded into runs (run = o_orderkey % 8): acquisition
+    order is per-run, so every window downstream partitions by run and
+    no global sort survives at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     w_line = Window.partitionBy("l_orderkey").orderBy(
@@ -36,13 +40,18 @@ def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = lines.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_c"))
     full = counts.filter(F.col("_c") == _NQ).select("l_orderkey")
     lines = lines.join(full, "l_orderkey", "left_semi")
-    w_idx = Window.orderBy("o_orderkey")
-    keys = orders.join(
-        full.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
-    ).select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("scan"),
-        F.dense_rank().over(w_idx).alias("idx"),
+    w_idx = Window.partitionBy("run").orderBy("o_orderkey")
+    keys = (
+        orders.join(
+            full.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+        )
+        .withColumn("run", (F.col("o_orderkey") % _N_RUNS).cast("long"))
+        .select(
+            "o_orderkey",
+            "run",
+            F.col("o_orderpriority").alias("scan"),
+            F.row_number().over(w_idx).alias("idx"),
+        )
     )
     return (
         lines.join(
@@ -50,6 +59,7 @@ def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("l_orderkey").alias("file"),
+            "run",
             "q_idx",
             F.col("l_extendedprice").alias("i"),
             "scan",
@@ -71,12 +81,13 @@ full_orders AS (
   SELECT l_orderkey FROM capped GROUP BY l_orderkey HAVING COUNT(*) = {_NQ}
 ),
 keys AS (
-  SELECT o_orderkey, o_orderpriority AS scan,
-         dense_rank() OVER (ORDER BY o_orderkey) AS idx
+  SELECT o_orderkey, CAST(o_orderkey % {_N_RUNS} AS BIGINT) AS run,
+         o_orderpriority AS scan,
+         row_number() OVER (PARTITION BY o_orderkey % {_N_RUNS} ORDER BY o_orderkey) AS idx
   FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM full_orders)
 ),
 curves AS (
-  SELECT c.l_orderkey AS file, c.q_idx, c.i, k.scan, CAST(k.idx AS BIGINT) AS idx,
+  SELECT c.l_orderkey AS file, k.run, c.q_idx, c.i, k.scan, CAST(k.idx AS BIGINT) AS idx,
          (k.scan = '{_REF_PRIORITY}') AS is_ref
   FROM capped c
   JOIN full_orders f ON c.l_orderkey = f.l_orderkey
@@ -93,26 +104,26 @@ nb AS (
     first_value(CASE WHEN is_ref THEN idx END IGNORE NULLS) OVER w_next AS next_ref_idx,
     first_value(CASE WHEN is_ref THEN i END IGNORE NULLS) OVER w_next AS next_ref_val,
     SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
-      OVER (PARTITION BY q_idx ORDER BY idx
+      OVER (PARTITION BY run, q_idx ORDER BY idx
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_rank
   FROM curves
   WINDOW
-    w_prev AS (PARTITION BY q_idx ORDER BY idx
+    w_prev AS (PARTITION BY run, q_idx ORDER BY idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-    w_next AS (PARTITION BY q_idx ORDER BY idx
+    w_next AS (PARTITION BY run, q_idx ORDER BY idx
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 ),
 edges AS (
-  SELECT q_idx, count(*) AS n_refs,
+  SELECT run, q_idx, count(*) AS n_refs,
          max(CASE WHEN rn = 1 THEN i END) AS first_ref_val,
          max(CASE WHEN rn = 2 THEN i END) AS second_ref_val,
          max(CASE WHEN rn = nr THEN i END) AS last_ref_val,
          max(CASE WHEN rn = nr - 1 THEN i END) AS secondlast_ref_val
-  FROM (SELECT q_idx, i,
-               row_number() OVER (PARTITION BY q_idx ORDER BY idx) AS rn,
-               count(*) OVER (PARTITION BY q_idx) AS nr
+  FROM (SELECT run, q_idx, i,
+               row_number() OVER (PARTITION BY run, q_idx ORDER BY idx) AS rn,
+               count(*) OVER (PARTITION BY run, q_idx) AS nr
         FROM curves WHERE is_ref) t
-  GROUP BY q_idx
+  GROUP BY run, q_idx
 ),
 interp AS (
   SELECT nb.*,
@@ -131,7 +142,7 @@ interp AS (
            + (nb.next_ref_val - nb.prev_ref_val) / (nb.next_ref_idx - nb.prev_ref_idx)
              * (nb.idx - nb.prev_ref_idx)
     END AS iref
-  FROM nb LEFT JOIN edges e USING (q_idx)
+  FROM nb LEFT JOIN edges e USING (run, q_idx)
 ),
 diffs AS (SELECT *, i - iref AS diff FROM interp)"""
 )
@@ -140,7 +151,7 @@ diffs AS (SELECT *, i - iref AS diff FROM interp)"""
 def _diffs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed in several aggregation branches — materialize once
     return reduction.time_resolved_diff(
-        _curves(spark, sf_dir), group=["q_idx"], idx="idx", is_ref="is_ref", value="i"
+        _curves(spark, sf_dir), group=["run", "q_idx"], idx="idx", is_ref="is_ref", value="i"
     ).localCheckpoint()
 
 
@@ -149,8 +160,10 @@ def curves_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-axis layout — q is just another group key)."""
     d = _diffs_2d(spark, sf_dir)
     return reduction.average_scan_points(
-        d, scan="scan", group=["q_idx"], idx="idx", is_ref="is_ref", diff="diff", exact=True
+        d, scan="scan", group=["run", "q_idx"], idx="idx", is_ref="is_ref", diff="diff",
+        exact=True,
     ).select(
+        "run",
         "scan",
         F.col("q_idx").cast("long").alias("q_idx"),
         "n_shots",
@@ -165,18 +178,18 @@ _CURVES_STATS_SQL = f"""
 WITH {_INTERP_2D_CTE},
 marked AS (
   SELECT *,
-    row_number() OVER (PARTITION BY scan, q_idx ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY scan, q_idx) AS all_ref
+    row_number() OVER (PARTITION BY run, scan, q_idx ORDER BY idx) AS rn,
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS all_ref
   FROM diffs
 ),
 used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked)
-SELECT scan, q_idx,
+SELECT run, scan, q_idx,
   CAST(count(*) AS BIGINT) AS n_shots,
   CAST(SUM(CASE WHEN use_row THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
   {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_diff,
   {sql_dstddev_pop('diff')} AS noise,
   {sql_dstddev_pop('diff')} / SQRT(count(*)) AS err_of_mean
-FROM used GROUP BY scan, q_idx
+FROM used GROUP BY run, scan, q_idx
 """
 
 
@@ -185,8 +198,8 @@ def curves_chi2_per_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_q z² / nQ per shot)."""
     d = _diffs_2d(spark, sf_dir)
     return reduction.chi2_0_per_shot_curves(
-        d, shot="file", scan="scan", q="q_idx", idx="idx", is_ref="is_ref", diff="diff",
-        exact=True,
+        d, shot="file", scan="scan", q="q_idx", group=["run"], idx="idx",
+        is_ref="is_ref", diff="diff", exact=True,
     )
 
 
@@ -194,21 +207,21 @@ _CURVES_CHI2_SQL = f"""
 WITH {_INTERP_2D_CTE},
 marked AS (
   SELECT *,
-    row_number() OVER (PARTITION BY scan, q_idx ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY scan, q_idx) AS all_ref
+    row_number() OVER (PARTITION BY run, scan, q_idx ORDER BY idx) AS rn,
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS all_ref
   FROM diffs
 ),
 used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked),
 stats AS (
-  SELECT scan, q_idx,
+  SELECT run, scan, q_idx,
     {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_used,
     {sql_dstddev_pop('diff')} AS noise
-  FROM used GROUP BY scan, q_idx
+  FROM used GROUP BY run, scan, q_idx
 ),
 z AS (
   SELECT u.file, u.scan, u.use_row,
     ((u.diff - s.mean_used)/s.noise) * ((u.diff - s.mean_used)/s.noise) AS z2
-  FROM used u JOIN stats s ON u.scan = s.scan AND u.q_idx = s.q_idx
+  FROM used u JOIN stats s ON u.run = s.run AND u.scan = s.scan AND u.q_idx = s.q_idx
 )
 SELECT file, scan,
   {sql_dsum('z2')} / COUNT(*) AS chi2_0,
