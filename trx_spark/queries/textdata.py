@@ -178,36 +178,43 @@ FROM s
 """
 
 # ---------------------------------------------------------------------
-# Corpus token dictionary (shared by MinHash / fingerprint):
-# token_id = rank of the token in the sorted distinct-token list.
+# Token ids (shared by MinHash / fingerprint / SimHash):
+# token_id = polynomial char fold (h·31 + ascii) mod (2³¹−1), computed
+# MAP-SIDE from the token string itself. Round 1 used a corpus rank
+# dictionary (row_number over a GLOBAL token sort) — the documented
+# 100 TB bottleneck: every distinct token of the corpus funnels through
+# one window task. The fold needs no dictionary, no join and no
+# shuffle, and DuckDB reproduces it bit-exactly (same construction as
+# the rolling doc fingerprint).
 # ---------------------------------------------------------------------
 
 
-def _doc_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("token")
+def _tok_hash(t):
+    """Token string → id: fold (acc·31 + ascii(char)) mod (2³¹−1).
+    Pure column math (nested higher-order functions) — stays JVM-side."""
+    return F.aggregate(
+        F.transform(F.split(t, ""), F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(_P),
     )
 
 
-def _vocab(doc_tokens: DataFrame) -> DataFrame:
+def _tok_hash_sql(t: str) -> str:
     return (
-        doc_tokens.select("token")
-        .distinct()
-        .withColumn("token_id", F.row_number().over(Window.orderBy("token")).cast("long"))
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({t}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {_P})"
     )
 
 
-_VOCAB_CTE = f"""
-dt AS (
-  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}'))) AS token
+_TIDS_CTE = f"""
+tids AS (
+  SELECT doc_id,
+         list_transform(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}')),
+                        t -> {_tok_hash_sql('t')}) AS ids
   FROM documents
-),
-vocab AS (
-  SELECT token, row_number() OVER (ORDER BY token) AS token_id
-  FROM (SELECT DISTINCT token FROM dt) v
-),
-ids AS (SELECT dt.doc_id, v.token_id FROM dt JOIN vocab v USING (token))"""
+  WHERE len(regexp_extract_all(text, '{_TOKEN_RE}')) > 0
+)"""
 
 # ---------------------------------------------------------------------
 # MinHash signatures + LSH candidate pairs (near-dup detection)
@@ -217,43 +224,64 @@ ids AS (SELECT dt.doc_id, v.token_id FROM dt JOIN vocab v USING (token))"""
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash over the distinct-token set of each doc,
     using the affine family h_j(x) = (a_j·x + b_j) mod (2³¹−1) on
-    corpus-dictionary token ids (arithmetic → oracle-exact)."""
-    dt = _doc_tokens_distinct(spark, sf_dir)
-    ids = dt.join(F.broadcast(_vocab(dt)), "token").select("doc_id", "token_id")
+    char-fold token ids. ZERO-shuffle: each signature row is an array
+    fold over the doc's own tokens — a pure projection of the documents
+    scan (docs with no tokens are excluded, as before)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tids = F.transform(F.array_distinct(_tokens_col()), _tok_hash)
+    d = docs.filter(F.size(_tokens_col()) > 0).withColumn("ids", tids)
+
+    def affine(a, b):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % _P
+
     aggs = [
-        F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % _P).alias(f"mh{j}")
+        F.array_min(F.transform(F.col("ids"), affine(a, b))).alias(f"mh{j}")
         for j, (a, b) in enumerate(_MINHASH_COEF)
     ]
-    return ids.groupBy("doc_id").agg(*aggs)
+    return d.select("doc_id", *aggs)
 
 
 _MINHASH_SELECT = ",\n    ".join(
-    f"MIN(({a} * token_id + {b}) % {_P}) AS mh{j}"
+    f"list_min(list_transform(ids, x -> ({a} * x + {b}) % {_P})) AS mh{j}"
     for j, (a, b) in enumerate(_MINHASH_COEF)
 )
 
 _MINHASH_SQL = f"""
-WITH {_VOCAB_CTE}
+WITH {_TIDS_CTE}
 SELECT doc_id,
     {_MINHASH_SELECT}
-FROM ids GROUP BY doc_id
+FROM tids
 """
+
+# Degenerate LSH buckets (e.g. a mega-cluster of near-identical docs)
+# produce quadratic candidate pairs inside the bucket; exact dedup
+# already handles identical texts, so buckets above this size are
+# dropped before the self-join — standard LSH practice, and the
+# difference between a linear and a quadratic pair join at 100 TB.
+_LSH_BUCKET_CAP = 64
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows) over the MinHash signatures:
     candidate near-dup pairs = docs sharing any band. The quadratic pair
-    search becomes an equi-join on (band, h_even, h_odd)."""
-    # the self-join would recompute the whole signature lineage on both
-    # sides (measured: 8 parquet scans, zero exchange reuse) — a local
-    # checkpoint materializes the tiny signature table once
+    search becomes an equi-join on (band, h_even, h_odd), and buckets
+    with more than _LSH_BUCKET_CAP members are dropped pre-join (see
+    cap note above)."""
+    # the self-join would recompute the signature lineage on both sides
+    # — a local checkpoint materializes the tiny signature table once
     sig = minhash_signatures(spark, sf_dir).localCheckpoint()
     bands = sig.selectExpr(
         "doc_id",
         "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7) AS (band, hx, hy)",
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    w_bucket = Window.partitionBy("band", "hx", "hy")
+    capped = (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_bsz") <= _LSH_BUCKET_CAP)
+        .drop("_bsz")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(
             b,
@@ -269,20 +297,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSH_PAIRS_SQL = f"""
-WITH {_VOCAB_CTE},
+WITH {_TIDS_CTE},
 sig AS (
   SELECT doc_id,
     {_MINHASH_SELECT}
-  FROM ids GROUP BY doc_id
+  FROM tids
 ),
 bands AS (
   SELECT doc_id, 0 AS band, mh0 AS hx, mh1 AS hy FROM sig
   UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
   UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
   UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+),
+capped AS (
+  SELECT doc_id, band, hx, hy FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, hx, hy) AS bsz FROM bands) t
+  WHERE bsz <= {_LSH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy AND a.doc_id < b.doc_id
 """
 
@@ -363,37 +396,26 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_MIN!r}
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: fold
-    h ← (h·31 + token_id) mod (2³¹−1) over the token sequence."""
+    h ← (h·31 + token_id) mod (2³¹−1) over the token sequence, with
+    char-fold token ids. ZERO-shuffle: the whole fingerprint is one
+    nested array fold per document row (round 1 exploded + joined a
+    rank dictionary + re-collected — three shuffles for a projection)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "token"))
-    dt = _doc_tokens_distinct(spark, sf_dir)
-    vocab = _vocab(dt)
-    seq = toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "token_id")
-    ordered = seq.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "token_id"))), lambda s: s.token_id
-        ).alias("ids")
-    )
     fp = F.aggregate(
-        F.col("ids"), F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _P
+        F.transform(_tokens_col(), _tok_hash),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(_P),
     )
-    return ordered.select("doc_id", fp.alias("fingerprint"))
+    return docs.filter(F.size(_tokens_col()) > 0).select("doc_id", fp.alias("fingerprint"))
 
 
 _FINGERPRINT_SQL = f"""
-WITH {_VOCAB_CTE},
-toks AS (
-  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
-  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS l FROM documents) x
-),
-seq AS (
-  SELECT doc_id, list(v.token_id ORDER BY pos) AS ids
-  FROM toks JOIN vocab v ON v.token = toks.t
-  GROUP BY doc_id
-)
 SELECT doc_id,
-  list_reduce(list_prepend(CAST(0 AS BIGINT), ids), (a, b) -> (a * 31 + b) % {_P}) AS fingerprint
-FROM seq
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(regexp_extract_all(text, '{_TOKEN_RE}'), t -> {_tok_hash_sql('t')})),
+    (a, b) -> (a * 31 + b) % {_P}) AS fingerprint
+FROM documents
+WHERE len(regexp_extract_all(text, '{_TOKEN_RE}')) > 0
 """
 
 # ---------------------------------------------------------------------
@@ -467,44 +489,44 @@ _SIMHASH_A, _SIMHASH_B = 40503, 30089  # affine hash into 16-bit space
 
 
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over distinct tokens: per bit, sum +-1 votes of
+    """16-bit SimHash over distinct tokens: per bit, sum ±1 votes of
     each token's hash bit; the sign vector packs into the fingerprint.
-    Arithmetic hashing over the corpus dictionary -> oracle-exact."""
-    dt = _doc_tokens_distinct(spark, sf_dir)
-    ids = dt.join(F.broadcast(_vocab(dt)), "token").select("doc_id", "token_id")
-    h = (F.lit(_SIMHASH_A) * F.col("token_id") + F.lit(_SIMHASH_B)) % (1 << _SIMHASH_BITS)
-    bits = spark.range(_SIMHASH_BITS).toDF("bit")
-    votes = (
-        ids.withColumn("h", h)
-        .crossJoin(F.broadcast(bits))
-        .withColumn("vote", (F.expr("shiftright(h, CAST(bit AS INT))") % 2) * 2 - 1)
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
+    ZERO-shuffle: with char-fold token ids the 16 bit-votes are array
+    folds per document row (round 1 cross-joined a bits table and ran
+    two groupBy shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.transform(
+        F.transform(F.array_distinct(_tokens_col()), _tok_hash),
+        lambda x: (F.lit(_SIMHASH_A) * x + F.lit(_SIMHASH_B)) % (1 << _SIMHASH_BITS),
     )
-    fp = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
-    return fp
+    d = docs.filter(F.size(_tokens_col()) > 0).withColumn("hs", hs)
 
+    def bit_vote(j):
+        return lambda acc, h: acc + ((F.shiftright(h, j) % 2) * 2 - 1)
+
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        vote = F.aggregate(F.col("hs"), F.lit(0).cast("long"), bit_vote(j))
+        term = F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return d.select("doc_id", simhash.alias("simhash"))
+
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) % 2) * 2 - 1)) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(_SIMHASH_BITS)
+)
 
 _SIMHASH_SQL = f"""
-WITH {_VOCAB_CTE},
-hashed AS (
-  SELECT doc_id, ({_SIMHASH_A} * token_id + {_SIMHASH_B}) % {1 << _SIMHASH_BITS} AS h
-  FROM ids
-),
-votes AS (
-  SELECT doc_id, bit, SUM(((h >> CAST(bit AS INTEGER)) % 2) * 2 - 1) AS s
-  FROM hashed, (SELECT i AS bit FROM range(0, {_SIMHASH_BITS}) t(i)) b
-  GROUP BY doc_id, bit
+WITH {_TIDS_CTE},
+hs AS (
+  SELECT doc_id,
+         list_transform(ids, x -> ({_SIMHASH_A} * x + {_SIMHASH_B}) % {1 << _SIMHASH_BITS}) AS hs
+  FROM tids
 )
-SELECT doc_id,
-  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+FROM hs
 """
 
 # ---------------------------------------------------------------------
