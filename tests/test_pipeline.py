@@ -130,3 +130,11 @@ def test_data_reduction_chi2_filter_view(spark, domain):
     assert {"chi2_0", "chi2_threshold", "chi2_excluded"} <= set(shots.columns)
     filt = res["scan_filtered"].toPandas()
     assert len(filt) > 0
+    # curve data: chi2_0 is per SHOT (q-summed, trx/dataReduction.py:190),
+    # so it must be constant across a shot's q bins, and exclusion must be
+    # whole-shot — never individual (shot, q) points
+    per_file = shots.groupby("file").agg(
+        n_chi2=("chi2_0", "nunique"), n_excl=("chi2_excluded", "nunique")
+    )
+    assert (per_file["n_chi2"] <= 1).all()
+    assert (per_file["n_excl"] == 1).all()

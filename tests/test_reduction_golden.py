@@ -148,6 +148,32 @@ def test_average_scan_points_matches_numpy(spark):
             np.testing.assert_allclose(g[k], exp[k], rtol=1e-9, err_msg=f"{t}.{k}")
 
 
+def test_average_scan_points_refs_span_two_scan_values(spark):
+    """W2 trigger edge: references spread over TWO scan values (e.g.
+    unrounded reference delays). Neither all-ref scan point equals the
+    ENTIRE reference set (np.all(shot_idx == isRef) is False for both,
+    trx/dataReduction.py:177), so the reference subsamples NEITHER —
+    n_used must equal n_shots everywhere."""
+    rng = np.random.default_rng(5)
+    n = 40
+    scans = np.array(["off_a", "off_b", "100ps", "1ns"])[rng.integers(0, 4, n)]
+    is_ref = np.isin(scans, ["off_a", "off_b"])
+    diff = np.round(rng.normal(0, 5, n), 3)
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n), "scan": scans, "is_ref": is_ref, "diff": diff}
+    )
+    got = {
+        r["scan"]: r.asDict()
+        for r in average_scan_points(
+            spark.createDataFrame(pdf), scan="scan", idx="idx", is_ref="is_ref", diff="diff"
+        ).collect()
+    }
+    expected = average_scan_numpy(scans, diff, is_ref)
+    for t, exp in expected.items():
+        assert got[t]["n_used"] == got[t]["n_shots"] == exp["n_shots"], t
+        np.testing.assert_allclose(got[t]["mean_diff"], exp["mean_diff"], rtol=1e-9)
+
+
 def test_time_resolved_diff_ratio_and_lpower(spark):
     """useRatio and lpower branches (dataReduction.py:144-157)."""
     pdf = pd.DataFrame(

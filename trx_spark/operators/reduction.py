@@ -165,6 +165,53 @@ def time_resolved_diff(
     return res.withColumn(out, diff).withColumnRenamed("_iref", "iref")
 
 
+def _mark_subsample(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ref_keys: list[str],
+    idx: str,
+    is_ref: str,
+) -> DataFrame:
+    """Row numbers + the every-second-reference use flag (W2).
+
+    The reference subsamples a scan point only when its shot set IS the
+    entire reference set — ``np.all(shot_idx == isRef)``
+    (trx/dataReduction.py:177): every row of the scan point is a ref AND
+    the scan point holds every ref of the ref-set grain (``ref_keys`` —
+    the run key, plus the q axis for curve layouts). "All rows are refs"
+    alone is not enough: if references ever spanned two scan values,
+    neither scan point would equal the full reference set and the
+    reference subsamples neither. The second condition needs the
+    per-grain total ref count — a tiny agg broadcast back, not a global
+    window."""
+    w_scan = Window.partitionBy(*keys).orderBy(idx)
+    w_full = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ref_int = F.col(is_ref).cast("int")
+    totals = (
+        df.groupBy(*ref_keys).agg(F.sum(ref_int).alias("_grp_refs"))
+        if ref_keys
+        else df.agg(F.sum(ref_int).alias("_grp_refs"))
+    )
+    joined = (
+        df.join(F.broadcast(totals), on=ref_keys)
+        if ref_keys
+        else df.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w_scan))
+        .withColumn(
+            "_all_ref",
+            F.min(ref_int).over(w_full).cast("boolean")
+            & (F.sum(ref_int).over(w_full) == F.col("_grp_refs")),
+        )
+        .withColumn("_use", (~F.col("_all_ref")) | (F.col("_rn") % 2 == 1))
+        .drop("_grp_refs")
+    )
+
+
 def average_scan_points(
     df: DataFrame,
     *,
@@ -191,20 +238,11 @@ def average_scan_points(
 
     group = group or []
     keys = [*group, scan]
-    w_scan = Window.partitionBy(*keys).orderBy(idx)
-    w_full = Window.partitionBy(*keys).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
 
-    # Subsample decision needs per-scan-point row numbers (acquisition
-    # order) and the "is the whole scan point the reference set" test.
-    enriched = (
-        df.withColumn("_rn", F.row_number().over(w_scan))
-        .withColumn("_all_ref", F.min(F.col(is_ref).cast("int")).over(w_full).cast("boolean"))
-        # every-second-reference rule (dataReduction.py:177-179): when the
-        # scan point IS the reference set, average rows 1,3,5,… only.
-        .withColumn("_use", (~F.col("_all_ref")) | (F.col("_rn") % 2 == 1))
-    )
+    # Subsample decision: per-scan-point row numbers (acquisition order)
+    # + the "scan point == entire reference set" test (W2, see
+    # _mark_subsample). When it holds, average rows 1,3,5,… only.
+    enriched = _mark_subsample(df, keys=keys, ref_keys=group, idx=idx, is_ref=is_ref)
 
     used = F.when(F.col("_use"), F.col(diff))
     mean_fn = davg if exact else F.avg
@@ -258,7 +296,6 @@ def chi2_0_per_shot(
 
     group = group or []
     keys = [*group, scan]
-    w_scan = Window.partitionBy(*keys).orderBy(idx)
     w_full = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -271,11 +308,7 @@ def chi2_0_per_shot(
         return F.sum(col).over(w_full)
 
     d = F.col(diff)
-    enriched = (
-        df.withColumn("_rn", F.row_number().over(w_scan))
-        .withColumn("_all_ref", F.min(F.col(is_ref).cast("int")).over(w_full).cast("boolean"))
-        .withColumn("_use", (~F.col("_all_ref")) | (F.col("_rn") % 2 == 1))
-    )
+    enriched = _mark_subsample(df, keys=keys, ref_keys=group, idx=idx, is_ref=is_ref)
     n = F.count(d).over(w_full)
     s1 = wsum(d)
     s2 = wsum(d * d)
@@ -322,7 +355,6 @@ def chi2_0_per_shot_curves(
 
     group = group or []
     keys = [*group, scan, q]
-    w_scan = Window.partitionBy(*keys).orderBy(idx)
     w_full = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -333,11 +365,7 @@ def chi2_0_per_shot_curves(
         return F.sum(col).over(w_full)
 
     d = F.col(diff)
-    enriched = (
-        df.withColumn("_rn", F.row_number().over(w_scan))
-        .withColumn("_all_ref", F.min(F.col(is_ref).cast("int")).over(w_full).cast("boolean"))
-        .withColumn("_use", (~F.col("_all_ref")) | (F.col("_rn") % 2 == 1))
-    )
+    enriched = _mark_subsample(df, keys=keys, ref_keys=[*group, q], idx=idx, is_ref=is_ref)
     n = F.count(d).over(w_full)
     s1 = wsum(d)
     s2 = wsum(d * d)

@@ -163,23 +163,49 @@ def data_reduction(
         lpower=cfg.lpower,
     )
     n_q = 1
-    per_shot = reduction.chi2_0_per_shot(
-        shots, scan=delay, group=q_group, idx="_idx", is_ref="is_ref", diff="diff", n_q=n_q
-    )
     thr = None if cfg.chi2_threshold in ("auto", None) else float(cfg.chi2_threshold)
-    if cfg.chi2_threshold is not None:
-        per_shot = filters.chi2_filter(per_shot, chi2="chi2_0", threshold=thr)
+    is_curve = "q_bin" in shots.columns
+    if is_curve:
+        # Curve data: ONE chi2_0 per shot, summed over the q axis
+        # (trx/dataReduction.py:187-193 — the sum at :190 runs over q), and
+        # chi2Filter excludes WHOLE shots (trx/filters.py:103-120), never
+        # individual (shot, q) points.
+        shot_scores = reduction.chi2_0_per_shot_curves(
+            shots, shot=file, scan=delay, q="q_bin", group=group,
+            idx="_idx", is_ref="is_ref", diff="diff",
+        )
+        if cfg.chi2_threshold is not None:
+            shot_scores = filters.chi2_filter(shot_scores, chi2="chi2_0", threshold=thr)
+        else:
+            shot_scores = shot_scores.withColumn(
+                "chi2_threshold", F.lit(None).cast("double")
+            ).withColumn("chi2_excluded", F.lit(False))
+        # one row per shot → broadcast back onto the exploded (shot, q) rows;
+        # shots subsampled away by the every-second-ref rule are never scored
+        # (NaN in the reference) and therefore survive the filter.
+        per_shot = shots.join(
+            F.broadcast(shot_scores), on=[file, delay], how="left"
+        ).withColumn("chi2_excluded", F.coalesce(F.col("chi2_excluded"), F.lit(False)))
+        surviving = per_shot.filter(~F.col("chi2_excluded")).drop(
+            "chi2_0", "n_q", "chi2_threshold", "chi2_excluded"
+        )
     else:
-        per_shot = per_shot.withColumn("chi2_excluded", F.lit(False))
+        per_shot = reduction.chi2_0_per_shot(
+            shots, scan=delay, group=q_group, idx="_idx", is_ref="is_ref", diff="diff", n_q=n_q
+        )
+        if cfg.chi2_threshold is not None:
+            per_shot = filters.chi2_filter(per_shot, chi2="chi2_0", threshold=thr)
+        else:
+            per_shot = per_shot.withColumn("chi2_excluded", F.lit(False))
+        surviving = per_shot.filter(
+            ~F.coalesce(F.col("chi2_excluded"), F.lit(False))
+        ).drop("chi2_0", "noise", "mean_diff", "used_in_avg", "chi2_threshold", "chi2_excluded")
 
     scan = reduction.average_scan_points(
         shots, scan=delay, group=q_group, idx="_idx", is_ref="is_ref", diff="diff", n_q=n_q
     )
     # F6 applyFilters: re-run the aggregation over surviving shots only —
     # in relational form just a WHERE over the provenance column
-    surviving = per_shot.filter(
-        ~F.coalesce(F.col("chi2_excluded"), F.lit(False))
-    ).drop("chi2_0", "noise", "mean_diff", "used_in_avg", "chi2_threshold", "chi2_excluded")
     scan_filtered = reduction.average_scan_points(
         surviving, scan=delay, group=q_group, idx="_idx", is_ref="is_ref", diff="diff", n_q=n_q
     )

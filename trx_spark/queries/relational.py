@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from trx_spark.exact import sql_davg, sql_dsum
 from trx_spark.exact import davg, dsum
-from trx_spark.tables import load_table
+from trx_spark.tables import load_table, raw_dtype
 
 # ---------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (A4-A6 analog: groupBy + mean
@@ -30,12 +30,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    # predicate on the RAW parquet column (not the derived _ns) so it
-    # pushes down to the scan (.explain: PushedFilters shows the bound);
-    # same instant as _CUTOFF_NS
-    cutoff = F.lit("1998-09-02 00:00:00").cast(dict(li.dtypes)["l_shipdate"])
+    # predicate on the PHYSICAL parquet column so it pushes down to the
+    # scan (.explain: PushedFilters shows the bound) in BOTH storage
+    # layouts: a TIMESTAMP(NANOS) file reads as raw bigint l_shipdate_ns
+    # (compare at ns — bit-exact vs DuckDB's TIMESTAMP_NS), a micros file
+    # reads as raw timestamp l_shipdate.
+    if raw_dtype(spark, sf_dir, "lineitem", "l_shipdate") == "bigint":
+        shipped = F.col("l_shipdate_ns") <= F.lit(_CUTOFF_NS)
+    else:
+        cutoff = F.lit("1998-09-02 00:00:00").cast(dict(li.dtypes)["l_shipdate"])
+        shipped = F.col("l_shipdate") <= cutoff
     return (
-        li.filter(F.col("l_shipdate") <= cutoff)
+        li.filter(shipped)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -167,10 +167,12 @@ WITH {_INTERP_CTE},
 marked AS (
   SELECT *,
     row_number() OVER (PARTITION BY run, event_type ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS all_ref
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS all_ref,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS sp_refs,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run) AS grp_refs
   FROM diffs
 ),
-used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked),
+used AS (SELECT *, (all_ref = 0 OR sp_refs <> grp_refs OR rn % 2 = 1) AS use_row FROM marked),
 stats AS (
   SELECT run, event_type,
     CAST(count(*) AS BIGINT) AS n_shots,
@@ -215,10 +217,12 @@ WITH {_INTERP_CTE},
 marked AS (
   SELECT *,
     row_number() OVER (PARTITION BY run, event_type ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS all_ref
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS all_ref,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS sp_refs,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run) AS grp_refs
   FROM diffs
 ),
-used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked),
+used AS (SELECT *, (all_ref = 0 OR sp_refs <> grp_refs OR rn % 2 = 1) AS use_row FROM marked),
 stats AS (
   SELECT run, event_type,
     {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_used,

@@ -179,10 +179,12 @@ WITH {_INTERP_2D_CTE},
 marked AS (
   SELECT *,
     row_number() OVER (PARTITION BY run, scan, q_idx ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS all_ref
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS all_ref,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS sp_refs,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, q_idx) AS grp_refs
   FROM diffs
 ),
-used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked)
+used AS (SELECT *, (all_ref = 0 OR sp_refs <> grp_refs OR rn % 2 = 1) AS use_row FROM marked)
 SELECT run, scan, q_idx,
   CAST(count(*) AS BIGINT) AS n_shots,
   CAST(SUM(CASE WHEN use_row THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
@@ -208,10 +210,12 @@ WITH {_INTERP_2D_CTE},
 marked AS (
   SELECT *,
     row_number() OVER (PARTITION BY run, scan, q_idx ORDER BY idx) AS rn,
-    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS all_ref
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS all_ref,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, scan, q_idx) AS sp_refs,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, q_idx) AS grp_refs
   FROM diffs
 ),
-used AS (SELECT *, (all_ref = 0 OR rn % 2 = 1) AS use_row FROM marked),
+used AS (SELECT *, (all_ref = 0 OR sp_refs <> grp_refs OR rn % 2 = 1) AS use_row FROM marked),
 stats AS (
   SELECT run, scan, q_idx,
     {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_used,

@@ -65,6 +65,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def raw_dtype(spark: SparkSession, sf_dir: str, name: str, col: str) -> str | None:
+    """dtype of ``col`` as stored in the parquet file itself (footer-only
+    peek, no data read) — BEFORE load_table's ns/timestamp normalization.
+    Lets queries put predicates on the physical column so they push down
+    to the scan regardless of which precision the file was written at."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return dict(df.dtypes).get(col)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
