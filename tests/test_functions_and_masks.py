@@ -160,6 +160,59 @@ def test_combine_masks_last_writer_wins(pixel_grid):
     assert got == expected
 
 
+def _ray_cast_numpy(vertices, px, py):
+    """Independent even-odd ray cast (the rule Path.contains_points
+    implements for a closed polygon, radius=0)."""
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        if y1 == y2:
+            continue
+        crosses = ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+        inside ^= crosses
+    return inside
+
+
+@pytest.mark.parametrize(
+    "vertices",
+    [
+        pytest.param([(3, 3), (12, 3), (12, 12), (3, 12)], id="square"),
+        pytest.param([(2, 2), (13, 2), (13, 13), (8, 13), (8, 7), (2, 7)], id="L_concave"),
+        pytest.param([(8, 1), (14, 14), (8, 9), (2, 14)], id="star_concave"),
+        pytest.param([(1.5, 2.5), (14.5, 5.5), (6.5, 14.5)], id="triangle_frac"),
+    ],
+)
+def test_mask_polygon_matches_ray_cast(pixel_grid, vertices):
+    df, ny, nx = pixel_grid
+    got = {(r["x"], r["y"]) for r in df.filter(masks.mask_polygon(vertices)).collect()}
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    inside = _ray_cast_numpy(
+        vertices, xx.ravel().astype(float), yy.ravel().astype(float)
+    )
+    expected = {(int(x), int(y)) for x, y, m in zip(xx.ravel(), yy.ravel(), inside) if m}
+    assert got == expected
+    # sanity-pin a few semantic points on the square case
+    if vertices[0] == (3, 3):
+        assert (8, 8) in got and (0, 0) not in got and (13, 8) not in got
+
+
+def test_mask_polygon_in_combine(pixel_grid):
+    """Polygon components compose through the ordered add/subtract chain
+    like every other geometry (trx/mask.py:104-105, :128-135)."""
+    df, ny, nx = pixel_grid
+    outer = [(1, 1), (14, 1), (14, 14), (1, 14)]
+    hole = [(5, 5), (10, 5), (10, 10), (5, 10)]
+    combined = masks.combine_masks(
+        [("add", masks.mask_polygon(outer)), ("subtract", masks.mask_polygon(hole))]
+    )
+    got = {(r["x"], r["y"]) for r in df.filter(combined).collect()}
+    assert (3, 3) in got and (7, 7) not in got and (0, 0) not in got
+
+
 def test_interpret_mask_union(pixel_grid):
     df, ny, nx = pixel_grid
     pred = masks.interpret_mask(["x>13", masks.mask_from_string("y<2")])

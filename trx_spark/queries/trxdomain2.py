@@ -506,8 +506,61 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------
+# P13: polygon mask components (even-odd ray cast, trx/mask.py:48-52)
+# with ordered add/subtract composition (trx/mask.py:128-135)
+# ---------------------------------------------------------------------
+
+# concave pentagon + a subtracted triangular hole, in the synthetic
+# detector plane px ∈ [0, 317), py ∈ [0, 211)
+_POLY_ADD = [(30, 20), (280, 40), (250, 190), (160, 90), (60, 180)]
+_POLY_SUB = [(100, 40), (220, 60), (180, 160)]
+
+
+def polygon_mask_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon masking (SURVEY P13; trx/mask.py:48-52, :104-105,
+    :128-135): each event is a synthetic detector pixel; ``masked`` is
+    the ordered add-polygon / subtract-polygon composition. The whole
+    mask is one scan-level predicate — no bitmap, no join, no UDF."""
+    from trx_spark.operators import masks
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (F.col("event_id") % 317).cast("double").alias("px"),
+        (F.col("event_id") % 211).cast("double").alias("py"),
+    )
+    add = masks.mask_polygon(_POLY_ADD, x="px", y="py")
+    sub = masks.mask_polygon(_POLY_SUB, x="px", y="py")
+    return d.withColumn("in_poly", add).withColumn(
+        "masked", masks.combine_masks([("add", add), ("subtract", sub)])
+    )
+
+
+def _polygon_sql() -> str:
+    from trx_spark.operators import masks
+
+    add = masks.mask_polygon_sql(_POLY_ADD, x="px", y="py")
+    sub = masks.mask_polygon_sql(_POLY_SUB, x="px", y="py")
+    return f"""
+WITH d AS (
+  SELECT event_id,
+         CAST(event_id % 317 AS DOUBLE) AS px,
+         CAST(event_id % 211 AS DOUBLE) AS py
+  FROM events
+)
+SELECT event_id, px, py, {add} AS in_poly,
+  CASE WHEN {sub} THEN FALSE WHEN {add} THEN TRUE ELSE FALSE END AS masked
+FROM d
+"""
+
+
+_POLYGON_SQL = _polygon_sql()
+
+
 QUERIES = {
     "asof_interp_per_user": asof_interp_per_user,
+    "polygon_mask_flags": polygon_mask_flags,
     "monitor_qwindow_median": monitor_qwindow_median,
     "global_curve_stats": global_curve_stats,
     "rebin_nearest": rebin_nearest,
@@ -523,6 +576,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_interp_per_user": _ASOF_USER_SQL,
+    "polygon_mask_flags": _POLYGON_SQL,
     "monitor_qwindow_median": _MONITOR_MED_SQL,
     "global_curve_stats": _GLOBAL_STATS_SQL,
     "rebin_nearest": _REBIN_SQL,
