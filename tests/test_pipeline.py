@@ -118,6 +118,36 @@ def test_data_reduction_end_to_end(spark, domain):
     # n_shots: 6 refs and 2 shots per ladder point per q_bin
     counts = scan.groupby("delay")["n_shots"].first()
     assert counts[-10.0] == 6 and all(counts[d] == 2 for d in counts.index if d != -10.0)
+    # F-arr5 diffs_plus_ref = diffs + ref_average (dataReduction.py:199):
+    # refs are flat at 50 → ref_avg = 50 per q_bin, add-back is exact
+    np.testing.assert_allclose(scan["ref_avg"], 50.0, rtol=1e-12)
+    np.testing.assert_allclose(
+        scan["diff_plus_ref"], scan["mean_diff"] + 50.0, rtol=1e-12
+    )
+
+
+def test_per_delay_sink_with_diff_plus_ref(spark, domain, tmp_path):
+    """S11: the per-delay sink persists the diff, err AND diff_plus_ref
+    matrices the reference always writes (trx/dataReduction.py:256-257
+    diff_plus_ref_av_matrix)."""
+    from trx_spark.sources import sinks
+
+    pixels, geom, log = domain
+    curves = integrate_folder(
+        pixels, geom, IntegrationConfig(q_min=0.0, q_max=Q_MAX, n_bins=4)
+    )
+    res = data_reduction(curves, log, ReductionConfig(reference="min", chi2_threshold=None))
+    out = str(tmp_path / "per_delay")
+    sinks.save_per_delay(res["scan"], out)
+    back = spark.read.parquet(out)
+    assert {"mean_diff", "err_of_mean", "ref_avg", "diff_plus_ref"} <= set(back.columns)
+    pdf = back.toPandas()
+    np.testing.assert_allclose(pdf["diff_plus_ref"], pdf["mean_diff"] + 50.0, rtol=1e-12)
+    # one directory per scan point (delay=... partitions)
+    import os
+
+    parts = [d for d in os.listdir(out) if d.startswith("delay=")]
+    assert len(parts) == 4  # -10.0 + 3 ladder points
 
 
 def test_data_reduction_chi2_filter_view(spark, domain):

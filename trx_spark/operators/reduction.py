@@ -277,6 +277,59 @@ def average_scan_points(
     return means.join(chi2, on=keys, how="left")
 
 
+def ref_average(
+    shots: DataFrame,
+    *,
+    group: list[str] | None = None,
+    is_ref: str = "is_ref",
+    value: str = "i",
+    out: str = "ref_avg",
+    exact: bool = False,
+) -> DataFrame:
+    """A9: the average of the REFERENCE shots per group (per q for curve
+    layouts) — ``ref_average = nanmean(data[isRef], axis=0)``
+    (trx/dataReduction.py:137). A tiny agg: one row per (run, q)."""
+    from trx_spark.exact import davg
+
+    group = group or []
+    mean_fn = davg if exact else F.avg
+    agg = mean_fn(F.col(value)).alias(out)
+    filtered = shots.filter(F.col(is_ref))
+    return filtered.groupBy(*group).agg(agg) if group else filtered.agg(agg)
+
+
+def diffs_plus_ref(
+    scan_points: DataFrame,
+    shots: DataFrame,
+    *,
+    group: list[str] | None = None,
+    is_ref: str = "is_ref",
+    value: str = "i",
+    diff: str = "mean_diff",
+    out: str = "diff_plus_ref",
+    exact: bool = False,
+) -> DataFrame:
+    """F-arr5: add the reference average back onto the averaged diffs —
+    ``diffs_plus_ref = diffs + ref_average`` (trx/dataReduction.py:199,
+    re-used after filtering at trx/filters.py:47 and written by the S11
+    sink as diff_plus_ref_av_matrix, trx/dataReduction.py:256-257).
+
+    ``scan_points`` is the per-(group, scan) output of
+    :func:`average_scan_points`; ``shots`` is the per-shot table the
+    reference average is computed from. The ref average is ≤1 row per
+    group → broadcast join, no reshuffle of either side."""
+    group = group or []
+    ref = ref_average(
+        shots, group=group, is_ref=is_ref, value=value, out="ref_avg", exact=exact
+    )
+    joined = (
+        scan_points.join(F.broadcast(ref), on=group)
+        if group
+        else scan_points.crossJoin(F.broadcast(ref))
+    )
+    return joined.withColumn(out, F.col(diff) + F.col("ref_avg"))
+
+
 def chi2_0_per_shot(
     df: DataFrame,
     *,

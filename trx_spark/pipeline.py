@@ -209,4 +209,14 @@ def data_reduction(
     scan_filtered = reduction.average_scan_points(
         surviving, scan=delay, group=q_group, idx="_idx", is_ref="is_ref", diff="diff", n_q=n_q
     )
+    # F-arr5: diff + ref_average add-back (dataReduction.py:199). The
+    # filtered view adds back the SAME unfiltered ref_average — the
+    # reference's applyFilters (filters.py:47) reuses data.ref_average
+    # computed before filtering. ≤1 ref row per (group, q) → broadcast.
+    scan = reduction.diffs_plus_ref(
+        scan, shots, group=q_group, is_ref="is_ref", value="i", diff="mean_diff"
+    )
+    scan_filtered = reduction.diffs_plus_ref(
+        scan_filtered, shots, group=q_group, is_ref="is_ref", value="i", diff="mean_diff"
+    )
     return {"shots": per_shot, "scan": scan, "scan_filtered": scan_filtered}

@@ -196,6 +196,52 @@ FROM stats s LEFT JOIN chi c USING (run, event_type)
 """
 
 # ---------------------------------------------------------------------
+# A9 + F-arr5: reference average added back onto the averaged diffs
+# ---------------------------------------------------------------------
+
+
+def diffs_plus_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff + ref_average add-back (SURVEY F-arr5;
+    trx/dataReduction.py:199 ``diffs_plus_ref = diffs + ref_average``,
+    re-used after filtering at trx/filters.py:47 and written by the S11
+    sink as diff_plus_ref_av_matrix, trx/dataReduction.py:256-257).
+    The ref average is one row per run → broadcast join onto the
+    per-scan-point means, no reshuffle."""
+    d = _diffs(spark, sf_dir).localCheckpoint()
+    sp = reduction.average_scan_points(
+        d, scan="event_type", group=["run"], idx="idx", is_ref="is_ref", diff="diff",
+        exact=True,
+    ).select("run", "event_type", "mean_diff")
+    return reduction.diffs_plus_ref(
+        sp, d, group=["run"], is_ref="is_ref", value="i", diff="mean_diff", exact=True
+    ).select("run", "event_type", "mean_diff", "ref_avg", "diff_plus_ref")
+
+
+_DPR_SQL = f"""
+WITH {_INTERP_CTE},
+marked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY run, event_type ORDER BY idx) AS rn,
+    min(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS all_ref,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run, event_type) AS sp_refs,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (PARTITION BY run) AS grp_refs
+  FROM diffs
+),
+used AS (SELECT *, (all_ref = 0 OR sp_refs <> grp_refs OR rn % 2 = 1) AS use_row FROM marked),
+stats AS (
+  SELECT run, event_type,
+    {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_diff
+  FROM used GROUP BY run, event_type
+),
+ref AS (
+  SELECT run, {sql_davg('i')} AS ref_avg FROM base WHERE is_ref GROUP BY run
+)
+SELECT s.run, s.event_type, s.mean_diff, r.ref_avg,
+       s.mean_diff + r.ref_avg AS diff_plus_ref
+FROM stats s JOIN ref r USING (run)
+"""
+
+# ---------------------------------------------------------------------
 # F1: chi2 filter with auto (95th-percentile) threshold
 # ---------------------------------------------------------------------
 
@@ -496,6 +542,7 @@ FROM d
 QUERIES = {
     "asof_interp_refs": asof_interp_refs,
     "scanpoint_stats": scanpoint_stats,
+    "diffs_plus_ref": diffs_plus_ref,
     "chi2_filter_auto": chi2_filter_auto,
     "azint_1d": azint_1d,
     "azint_2d": azint_2d,
@@ -509,6 +556,7 @@ QUERIES = {
 ORACLES = {
     "asof_interp_refs": _ASOF_SQL,
     "scanpoint_stats": _SCAN_SQL,
+    "diffs_plus_ref": _DPR_SQL,
     "chi2_filter_auto": _CHI2_FILTER_SQL,
     "azint_1d": _AZINT1D_SQL,
     "azint_2d": _AZINT2D_SQL,
