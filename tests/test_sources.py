@@ -53,6 +53,43 @@ def test_log_slice(spark, tmp_path):
     assert files == ["img_0001", "img_0002", "img_0003"]
 
 
+def test_log_slice_multisplit(spark, tmp_path):
+    """The slice must count the FILE's first N lines even when the scan
+    splits the file across many partitions (the round-1 bare
+    monotonically_increasing_id ordering did not guarantee this)."""
+    p = tmp_path / "big.log"
+    lines = ["# file delay"] + [f"img_{i:05d} {i}ps" for i in range(2000)]
+    p.write_text("\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        raw = spark.read.option("comment", "#").option("sep", " ").csv(str(p))
+        assert raw.rdd.getNumPartitions() > 1, "test needs a multi-split scan"
+        df = logfile.read_log_file(spark, str(p), skip_first=5, last=1500)
+        got = [r["file"] for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == [f"img_{i:05d}" for i in range(5, 1500)]
+
+
+def test_log_converters(spark, tmp_path):
+    """S4 converters= map (trx/utils/files.py:31-82): cast-type strings
+    and Column-callable converters, applied JVM-side."""
+    from trx_spark.functions.strings import delay_to_num
+
+    p = tmp_path / "waxs.log"
+    p.write_text(LOG)
+    df = logfile.read_log_file(
+        spark,
+        str(p),
+        converters={"currentmA": "double", "delay": delay_to_num},
+    )
+    rows = {r["file"]: r.asDict() for r in df.collect()}
+    assert rows["img_0002"]["currentmA"] == 5.0
+    np.testing.assert_allclose(rows["img_0001"]["delay"], 1e-10)
+    assert rows["img_0000"]["delay"] == -10.0
+
+
 def test_read_diagnostic(spark, tmp_path):
     p = tmp_path / "diagnostics.log"
     p.write_text(DIAG)

@@ -57,9 +57,15 @@ def read_log_file(
     *,
     skip_first: int = 0,
     last: int | None = None,
+    converters: dict | None = None,
 ) -> DataFrame:
     """Generic whitespace log → DataFrame (SURVEY S4). All columns come
-    back as strings; caller casts (converters are Column exprs).
+    back as strings unless ``converters`` maps a column name to either a
+    cast-type string (``{"delay": "double"}``) or a Column-returning
+    callable (``{"delay": delay_to_num}``) — the reference's
+    ``converters=`` dict of per-column functions
+    (trx/utils/files.py:31-82 ``readLogFile``), as Column expressions so
+    the conversion runs JVM-side in the scan projection.
     ``skip_first``/``last`` slice the ordered data block via a
     row_number window (trx/utils/files.py:59 ``data[skip_first:last]``).
     """
@@ -80,12 +86,30 @@ def read_log_file(
         df = rows.select(*[parts.getItem(i).alias(n) for i, n in enumerate(names)])
     else:
         df = df.toDF(*names)
-    w = Window.orderBy(F.monotonically_increasing_id())
+    # Deterministic file-line order even when the scan splits the file:
+    # order splits by their byte offset (`_metadata.file_block_start`),
+    # then rows within a split by monotonically_increasing_id (which IS
+    # monotonic in read order inside one split — it is only across
+    # partitions that it says nothing about position). A bare
+    # mid-ordering would renumber lines arbitrarily on a multi-split
+    # read.
+    w = Window.orderBy(
+        F.col("_metadata.file_path"),
+        F.col("_metadata.file_block_start"),
+        F.monotonically_increasing_id(),
+    )
     df = df.withColumn("_rn", F.row_number().over(w))
     df = df.filter(F.col("_rn") > skip_first)
     if last is not None:
         df = df.filter(F.col("_rn") <= last)
-    return df.drop("_rn")
+    df = df.drop("_rn")
+    for name, conv in (converters or {}).items():
+        if name not in df.columns:
+            raise ValueError(f"converter for unknown column {name!r}")
+        df = df.withColumn(
+            name, conv(F.col(name)) if callable(conv) else F.col(name).cast(conv)
+        )
+    return df
 
 
 def read_id9_log(
