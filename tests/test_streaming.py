@@ -80,3 +80,26 @@ def test_incremental_equals_batch(spark, tmp_path):
         reduced_dir=reduced,
     )
     assert spark.read.parquet(store).count() == before
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME epoch (the
+    crash-replay case) must overwrite its partition, not append."""
+    from trx_spark.streaming.incremental import make_batch_handler
+
+    store = str(tmp_path / "store")
+    reduced = str(tmp_path / "reduced")
+    handler = make_batch_handler(store, reduce_fn=_reduce, reduced_dir=reduced)
+
+    w0 = spark.createDataFrame(_wave(tmp_path, 0))
+    w1 = spark.createDataFrame(_wave(tmp_path, 1))
+    handler(w0, 0)
+    handler(w1, 1)
+    before = spark.read.parquet(store).count()
+    handler(w1, 1)  # replay of epoch 1 after a simulated crash
+    assert spark.read.parquet(store).count() == before
+    inc = spark.read.parquet(reduced)
+    batch = _reduce(w0.unionByName(w1))
+    b = {(r["delay"], round(r["q"], 9)): (r["n"], round(r["i_mean"], 9)) for r in batch.collect()}
+    i = {(r["delay"], round(r["q"], 9)): (r["n"], round(r["i_mean"], 9)) for r in inc.collect()}
+    assert b == i, "replayed store must reduce to the batch result"

@@ -25,6 +25,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def make_batch_handler(
+    store_dir: str,
+    *,
+    reduce_fn: Callable[[DataFrame], DataFrame] | None = None,
+    reduced_dir: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch handler, IDEMPOTENT under replay: foreachBatch
+    is at-least-once, so a batch replayed after a crash must not
+    duplicate rows in the store. Each epoch lands in its own partition
+    directory with DYNAMIC partition overwrite — a replay of epoch N
+    rewrites ``_epoch=N`` in place instead of appending a second copy,
+    with no read-side dedupe."""
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        (
+            batch.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(store_dir)
+        )
+        if reduce_fn is not None and reduced_dir is not None:
+            full = batch.sparkSession.read.parquet(store_dir).drop("_epoch")
+            reduce_fn(full).write.mode("overwrite").parquet(reduced_dir)
+
+    return handle_batch
+
+
 def incremental_pipeline(
     spark: SparkSession,
     *,
@@ -54,11 +84,9 @@ def incremental_pipeline(
         reader = reader.option("pathGlobFilter", path_glob_filter)
     stream = reader.parquet(landing_dir)
 
-    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch.write.mode("append").parquet(store_dir)
-        if reduce_fn is not None and reduced_dir is not None:
-            full = batch.sparkSession.read.parquet(store_dir)
-            reduce_fn(full).write.mode("overwrite").parquet(reduced_dir)
+    handle_batch = make_batch_handler(
+        store_dir, reduce_fn=reduce_fn, reduced_dir=reduced_dir
+    )
 
     writer = stream.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
