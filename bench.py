@@ -58,6 +58,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
 
+    # Untimed warm-up: absorb JVM/codegen/session start-up so the first
+    # timed query is comparable to the rest (round-over-round honesty).
+    QUERIES["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

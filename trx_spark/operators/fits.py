@@ -294,6 +294,7 @@ def find_center_using_rings(
     bin_width: float = 2.0,
     ring_halfwidth: float = 4.0,
     intensity_percentile: float = 0.9,
+    exact_percentile: bool = False,
 ) -> dict:
     """U5 ``find_center_using_rings`` (trx/center.py:213-469, the
     reference's largest function) as a driver-orchestrated loop of
@@ -311,21 +312,28 @@ def find_center_using_rings(
     in this env) is replaced by the percentile brightness gate — same
     role: keep ring pixels, drop background. Returns the final fit plus
     the per-iteration trace (for the sanity checks the reference does by
-    eye)."""
-    from pyspark.sql import Window
+    eye).
 
+    The brightness threshold is a distributed ``percentile_approx``
+    AGGREGATE by default (map-side partial sketch — no single-partition
+    window over a 4 Mpixel image); the loop already moves scalars to the
+    driver, so the threshold crosses as one more scalar.
+    ``exact_percentile=True`` keeps the exact sort-based percentile for
+    reproducibility studies."""
     cx, cy = float(cx0), float(cy0)
     # brightness gate FIRST (the canny-edge stand-in): histogramming all
     # pixels would be dominated by background geometry (pixel count at
     # distance d grows like 2πd); the reference histograms edge pixels
     # only (center.py:305-343)
-    w = Window.partitionBy(F.lit(1))
-    thr = F.expr(f"percentile({intensity}, {intensity_percentile})").over(w)
-    bright = (
-        pixels.withColumn("_thr", thr)
-        .filter(F.col(intensity) >= F.col("_thr"))
-        .localCheckpoint()
-    )
+    pct = "percentile" if exact_percentile else "percentile_approx"
+    thr_row = pixels.agg(
+        F.expr(f"{pct}({intensity}, {intensity_percentile})").alias("_thr")
+    ).first()
+    if thr_row is None or thr_row["_thr"] is None:
+        return dict(cx=cx, cy=cy, trace=[])
+    bright = pixels.filter(
+        F.col(intensity) >= F.lit(float(thr_row["_thr"]))
+    ).localCheckpoint()
     trace = []
     for _ in range(n_iter):
         hist = ring_histogram(bright, cx=cx, cy=cy, x=x, y=y, bin_width=bin_width)
