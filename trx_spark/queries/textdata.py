@@ -429,32 +429,10 @@ _EMB_SCALE = 1e12
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: query = embedding of vec_id 0. Dot
     products via positional explode + fixed-point sums (oracle-exact);
-    at scale the query side is a broadcast and the scan is columnar."""
-    from trx_spark.exact import dsum
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    q0 = ex.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("y"))
-    per = (
-        ex.join(F.broadcast(q0), "pos")
-        .groupBy("vec_id")
-        .agg(
-            dsum(F.col("x") * F.col("y"), _EMB_SCALE).alias("dot"),
-            dsum(F.col("x") * F.col("x"), _EMB_SCALE).alias("n1"),
-        )
-    )
-    nq = per.filter(F.col("vec_id") == 0).select(F.col("n1").alias("nq"))
-    scored = per.crossJoin(F.broadcast(nq)).withColumn(
-        "cos_sim", F.col("dot") / F.sqrt(F.col("n1") * F.col("nq"))
-    )
-    w = Window.orderBy(F.desc("cos_sim"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("vec_id", "cos_sim", "rank")
-    )
+    at scale the query side is a broadcast and the scan is columnar.
+    Ranking is TakeOrderedAndProject (see :func:`_exact_topk_within`),
+    never a global-sort window."""
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), None)
 
 
 _ANN_SQL = f"""
@@ -631,36 +609,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = buckets.crossJoin(F.broadcast(q_bucket)).filter(
         F.col("bucket") == F.col("qb")
     ).select("vec_id")
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = (
-        emb.join(cand, "vec_id", "left_semi")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-        .withColumn("x", F.col("x").cast("double"))
-    )
-    q0 = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(F.posexplode("embedding").alias("pos", "y"))
-        .withColumn("y", F.col("y").cast("double"))
-    )
-    per = (
-        ex.join(F.broadcast(q0), "pos")
-        .groupBy("vec_id")
-        .agg(
-            dsum(F.col("x") * F.col("y"), _EMB_SCALE).alias("dot"),
-            dsum(F.col("x") * F.col("x"), _EMB_SCALE).alias("n1"),
-        )
-    )
-    nq = per.filter(F.col("vec_id") == 0).select(F.col("n1").alias("nq"))
-    scored = per.crossJoin(F.broadcast(nq)).withColumn(
-        "cos_sim", F.col("dot") / F.sqrt(F.col("n1") * F.col("nq"))
-    )
-    w = Window.orderBy(F.desc("cos_sim"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("vec_id", "cos_sim", "rank")
-    )
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
 
 
 _ANN_TOPK_LSH_SQL = f"""
@@ -701,6 +650,133 @@ WHERE rank <= {_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------
+# Multi-probe LSH top-k: the recall fix for the composed ANN path
+# ---------------------------------------------------------------------
+
+# probe the query bucket plus every bucket within Hamming distance ≤ 2
+# of it: 1 + 8 + C(8,2) = 37 probes over the 8-bit bucket space
+_PROBE_MASKS = (
+    [0]
+    + [1 << j for j in range(_N_PLANES)]
+    + [(1 << i) | (1 << j) for i in range(_N_PLANES) for j in range(i + 1, _N_PLANES)]
+)
+
+
+def _exact_topk_within(emb: DataFrame, cand: DataFrame | None) -> DataFrame:
+    """Exact cosine top-k of query vec_id 0, restricted to ``cand`` (one
+    vec_id column) when given — the re-rank stage shared by the brute
+    baseline and the LSH probe paths.
+
+    Scale shape: the top-k is ``orderBy().limit(k)`` — Spark compiles
+    that to TakeOrderedAndProject (per-partition top-k, merged on the
+    driver), NOT a global sort; the rank window then runs over only the
+    k surviving rows."""
+    from trx_spark.exact import dsum
+
+    if cand is not None:
+        emb = emb.join(cand, "vec_id", "left_semi")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.posexplode("embedding").alias("pos", "y"))
+        .withColumn("y", F.col("y").cast("double"))
+    )
+    per = (
+        ex.join(F.broadcast(q0), "pos")
+        .groupBy("vec_id")
+        .agg(
+            dsum(F.col("x") * F.col("y"), _EMB_SCALE).alias("dot"),
+            dsum(F.col("x") * F.col("x"), _EMB_SCALE).alias("n1"),
+        )
+    )
+    nq = per.filter(F.col("vec_id") == 0).select(F.col("n1").alias("nq"))
+    scored = per.crossJoin(F.broadcast(nq)).withColumn(
+        "cos_sim", F.col("dot") / F.sqrt(F.col("n1") * F.col("nq"))
+    )
+    topk = scored.orderBy(F.desc("cos_sim"), F.col("vec_id")).limit(_TOP_K)
+    # rank among the k survivors = 1 + #rows strictly better in the
+    # total order (cos_sim DESC, vec_id ASC) — a broadcast self-join of
+    # ≤ k rows, so no WindowExec appears anywhere in the top-k plan
+    other = topk.select(F.col("vec_id").alias("v2"), F.col("cos_sim").alias("c2"))
+    better = (F.col("c2") > F.col("cos_sim")) | (
+        (F.col("c2") == F.col("cos_sim")) & (F.col("v2") < F.col("vec_id"))
+    )
+    return (
+        topk.join(F.broadcast(other), better, "left")
+        .groupBy("vec_id", "cos_sim")
+        .agg((F.count("v2") + 1).cast("int").alias("rank"))
+    )
+
+
+def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (the recall fix for single-probe
+    ann_topk_lsh, measured near-zero on this low-similarity corpus):
+    candidates = vectors in any bucket within Hamming distance ≤ 2 of
+    the query's bucket, then exact cosine re-rank. The probe list stays
+    O(planes²) and TINY (37 rows, broadcast); candidate volume stays
+    bucket-bounded — same equi-join scale shape as single-probe, with
+    recall traded by probe radius instead of by plane count."""
+    buckets = ann_lsh_buckets(spark, sf_dir).localCheckpoint()
+    qb = buckets.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qb"))
+    probes = (
+        qb.select(
+            F.explode(
+                F.array(
+                    *[F.expr(f"qb ^ CAST({m} AS BIGINT)") for m in _PROBE_MASKS]
+                )
+            ).alias("bucket")
+        )
+        .distinct()
+    )
+    cand = buckets.join(F.broadcast(probes), "bucket", "left_semi").select("vec_id")
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+
+
+_ANN_TOPK_MULTIPROBE_SQL = f"""
+WITH ex0 AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, pos FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) t
+),
+allp AS (
+  {' UNION ALL '.join(_plane_sql(j, a, b).replace('FROM ex', 'FROM ex0') for j, (a, b) in enumerate(_PLANE_COEF))}
+),
+dots0 AS (
+  SELECT vec_id, plane,
+    (CAST(CAST(SUM(CAST(FLOOR((x * v) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS dot
+  FROM allp GROUP BY vec_id, plane
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM dots0 GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+probes AS (
+  SELECT DISTINCT xor(qbucket, CAST(m AS BIGINT)) AS bucket
+  FROM qb, (SELECT unnest([{', '.join(str(m) for m in _PROBE_MASKS)}]) AS m) t
+),
+cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN probes p USING (bucket)),
+ex AS (SELECT e.* FROM ex0 e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+q0 AS (SELECT pos, x AS y FROM ex0 WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    (CAST(CAST(SUM(CAST(FLOOR((e.x * q.y) * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {_EMB_SCALE!r}) AS dot,
+    (CAST(CAST(SUM(CAST(FLOOR((e.x * e.x) * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {_EMB_SCALE!r}) AS n1
+  FROM ex e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -713,6 +789,7 @@ QUERIES = {
     "simhash16": simhash16,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_multiprobe": ann_topk_multiprobe,
 }
 
 ORACLES = {
@@ -727,4 +804,5 @@ ORACLES = {
     "simhash16": _SIMHASH_SQL,
     "ann_lsh_buckets": _ANN_LSH_SQL,
     "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
+    "ann_topk_multiprobe": _ANN_TOPK_MULTIPROBE_SQL,
 }
