@@ -49,5 +49,46 @@ def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_value", F.col("value_fp").cast("double") / 1e6).drop("value_fp")
 
 
-QUERIES = {"streaming_incremental_stats": streaming_incremental_stats}
-ORACLES: dict[str, str] = {}
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-day event-time counts per event_type over
+    the streamed events parquet (availableNow). Over static input this
+    EQUALS the batch GROUP BY — so unlike the incremental entry, this
+    streaming query carries a full DuckDB oracle."""
+    from trx_spark.streaming.windowed import run_windowed_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def prepare(df: DataFrame) -> DataFrame:
+        # TIMESTAMP(NANOS) parquet reads as long nanos under
+        # nanosAsLong; day windows only need microsecond precision
+        return df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+
+    return run_windowed_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="events.parquet",
+        schema=schema,
+        ts="ts_t",
+        keys=["event_type"],
+        window="1 day",
+        watermark="1 hour",
+        prepare=prepare,
+    )
+
+
+_WINDOWED_SQL = """
+SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "streaming_incremental_stats": streaming_incremental_stats,
+    "streaming_windowed_counts": streaming_windowed_counts,
+}
+ORACLES: dict[str, str] = {"streaming_windowed_counts": _WINDOWED_SQL}
