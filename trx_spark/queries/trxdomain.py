@@ -178,21 +178,22 @@ stats AS (
     CAST(count(*) AS BIGINT) AS n_shots,
     CAST(SUM(CASE WHEN use_row THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
     {sql_davg('CASE WHEN use_row THEN diff END')} AS mean_diff,
-    {sql_dstddev_pop('diff')} AS noise
+    {sql_dstddev_pop('diff')} AS noise,
+    {sql_dsum('CASE WHEN use_row THEN diff END')} AS s1,
+    {sql_dsum('CASE WHEN use_row THEN diff * diff END')} AS s2,
+    MAX(CASE WHEN use_row THEN diff END) AS dmax,
+    MIN(CASE WHEN use_row THEN diff END) AS dmin
   FROM used GROUP BY run, event_type
-),
-chi AS (
-  SELECT u.run, u.event_type,
-    {sql_dsum('((u.diff - s.mean_diff)/s.noise) * ((u.diff - s.mean_diff)/s.noise) / 1')}
-      / COUNT(((u.diff - s.mean_diff)/s.noise) * ((u.diff - s.mean_diff)/s.noise) / 1) AS mean_chi2_0,
-    MAX(((u.diff - s.mean_diff)/s.noise) * ((u.diff - s.mean_diff)/s.noise) / 1) AS max_chi2_0
-  FROM used u JOIN stats s USING (run, event_type)
-  WHERE u.use_row GROUP BY u.run, u.event_type
 )
-SELECT s.run, s.event_type, s.n_shots, s.n_used, s.mean_diff, s.noise,
-       s.noise / SQRT(s.n_shots) AS err_of_mean,
-       c.mean_chi2_0, c.max_chi2_0
-FROM stats s LEFT JOIN chi c USING (run, event_type)
+SELECT run, event_type, n_shots, n_used, mean_diff, noise,
+  noise / SQRT(n_shots) AS err_of_mean,
+  ((((s2 - ((CAST(2.0 AS DOUBLE) * mean_diff) * s1))
+     + (CAST(n_used AS DOUBLE) * (mean_diff * mean_diff)))
+    / (noise * noise)) / CAST(1.0 AS DOUBLE)) / CAST(n_used AS DOUBLE) AS mean_chi2_0,
+  GREATEST(((dmax - mean_diff) / noise) * ((dmax - mean_diff) / noise),
+           ((dmin - mean_diff) / noise) * ((dmin - mean_diff) / noise))
+    / CAST(1.0 AS DOUBLE) AS max_chi2_0
+FROM stats
 """
 
 # ---------------------------------------------------------------------
