@@ -13,13 +13,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from trx_spark.queries import relational, streamingq, textdata, trxdomain, trxdomain2, trxdomain3
+from trx_spark.queries import (
+    relational,
+    similarity,
+    streamingq,
+    textdata,
+    trxdomain,
+    trxdomain2,
+    trxdomain3,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, trxdomain, trxdomain2, trxdomain3, textdata, streamingq):
+for mod in (relational, trxdomain, trxdomain2, trxdomain3, textdata, similarity, streamingq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

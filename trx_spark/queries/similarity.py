@@ -1,0 +1,256 @@
+"""Embedding similarity at pair and cell grain (training-data brief:
+"embedding-cosine near-dup" and "an IVF or LSH-bucketed variant as the
+scale path").
+
+Both queries keep every dot product JVM-side: cosine terms are
+``zip_with`` + ``aggregate`` folds over the embedding arrays producing
+fixed-point INTEGER terms, so the sums are order-independent and
+bit-identical to the oracle's unnest-join-SUM formulation (same integer
+multiset → same sum), with no UDF and no per-element shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.queries.textdata import (
+    _EMB_SCALE,
+    _LSH_BUCKET_CAP,
+    _PLANE_COEF,
+    _exact_topk_within,
+    _plane_sql,
+    ann_lsh_buckets,
+)
+from trx_spark.tables import load_table
+
+_NEARDUP_COS = 0.25  # isotropic test corpus tops out near 0.44
+
+
+def _fp_terms(x, y):
+    """One fixed-point integer dot-product term: floor(x·y·scale)."""
+    return F.floor((x.cast("double") * y.cast("double")) * F.lit(_EMB_SCALE)).cast(
+        "long"
+    )
+
+
+def _fold_sum(arr) -> F.Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v).cast(
+        "double"
+    ) / F.lit(_EMB_SCALE)
+
+
+def _dot(a, b) -> F.Column:
+    return _fold_sum(F.zip_with(a, b, _fp_terms))
+
+
+def _norm(a) -> F.Column:
+    return _fold_sum(F.transform(a, lambda x: _fp_terms(x, x)))
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket-blocked: candidates
+    share the 8-plane hyperplane bucket (equi-join — never all-pairs),
+    oversized buckets are dropped pre-join like the MinHash banding cap,
+    and the exact cosine then gates at ``_NEARDUP_COS``. Per-vector
+    norms are computed BEFORE the self-join so each side carries a
+    scalar, and the pair dot product is a single array fold per
+    candidate row."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = (
+        ann_lsh_buckets(spark, sf_dir)
+        .join(emb, "vec_id")
+        .withColumn("n1", _norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("bucket")
+    capped = (
+        b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= _LSH_BUCKET_CAP)
+        .drop("_bsz")
+    )
+    a = capped.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("bucket"),
+        F.col("embedding").alias("ea"),
+        F.col("n1").alias("na"),
+    )
+    c = capped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket"),
+        F.col("embedding").alias("eb"),
+        F.col("n1").alias("nb"),
+    )
+    pairs = a.join(c, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(float(_NEARDUP_COS)))
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+_EX_CTE = """
+ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, pos FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) t
+)"""
+
+_BUCKETS_CTE = f"""
+allp AS (
+  {' UNION ALL '.join(_plane_sql(j, a, b) for j, (a, b) in enumerate(_PLANE_COEF))}
+),
+dots0 AS (
+  SELECT vec_id, plane,
+    (CAST(CAST(SUM(CAST(FLOOR((x * v) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS dot
+  FROM allp GROUP BY vec_id, plane
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM dots0 GROUP BY vec_id
+)"""
+
+
+def _fpsum_sql(expr: str) -> str:
+    return (
+        f"(CAST(CAST(SUM(CAST(FLOOR(({expr}) * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT) "
+        f"AS DOUBLE) / {_EMB_SCALE!r})"
+    )
+
+
+_NEARDUP_SQL = f"""
+WITH {_EX_CTE},
+{_BUCKETS_CTE},
+norms AS (
+  SELECT vec_id, {_fpsum_sql('x * x')} AS n1 FROM ex GROUP BY vec_id
+),
+bsz AS (SELECT bucket, count(*) AS c FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.vec_id, b.bucket FROM buckets b JOIN bsz USING (bucket)
+  WHERE bsz.c <= {_LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pd AS (
+  SELECT p.vec_a, p.vec_b, {_fpsum_sql('xa.x * xb.x')} AS dot
+  FROM pairs p
+  JOIN ex xa ON xa.vec_id = p.vec_a
+  JOIN ex xb ON xb.vec_id = p.vec_b AND xb.pos = xa.pos
+  GROUP BY p.vec_a, p.vec_b
+)
+SELECT pd.vec_a, pd.vec_b, pd.dot / SQRT(na.n1 * nb.n1) AS cos_sim
+FROM pd JOIN norms na ON na.vec_id = pd.vec_a
+        JOIN norms nb ON nb.vec_id = pd.vec_b
+WHERE pd.dot / SQRT(na.n1 * nb.n1) >= CAST({_NEARDUP_COS!r} AS DOUBLE)
+"""
+
+# ---------------------------------------------------------------------
+# IVF-flat top-k: coarse quantizer cells + probed exact re-rank
+# ---------------------------------------------------------------------
+
+_N_CELLS = 16
+_N_PROBE = 2
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse quantizer assignment: centroids are the first _N_CELLS
+    vectors (a deterministic stand-in for a trained k-means codebook —
+    the assignment/probe PLUMBING is the operator under test), each
+    vector lands in the cell of its max-dot-product centroid. The
+    centroid table is 16 rows → broadcast; the argmax is a window
+    partitioned BY VECTOR, so assignment is embarrassingly parallel."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dot", _dot(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (the brief's "IVF variant as the scale
+    path"): assign every vector to its nearest of 16 coarse cells, probe
+    the query's _N_PROBE nearest cells, exact cosine re-rank within the
+    probed cells. At scale the inverted file is a partition-pruned read
+    (cell = partition key) and only ~n_probe/n_cells of the corpus is
+    scored."""
+    cells = _cells(spark, sf_dir)
+    probe_cids = _query_cell_ranks(spark, sf_dir)
+    cand = cells.join(F.broadcast(probe_cids), "cid", "left_semi").select("vec_id")
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+
+
+def _query_cell_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query's _N_PROBE nearest cells by centroid dot product."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = cents.crossJoin(F.broadcast(q)).withColumn(
+        "dot", _dot(F.col("qe"), F.col("cent"))
+    )
+    return (
+        scored.orderBy(F.desc("dot"), F.col("cid"))
+        .limit(_N_PROBE)
+        .select("cid")
+    )
+
+
+_IVF_SQL = f"""
+WITH {_EX_CTE},
+cents AS (SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < {_N_CELLS}),
+celldots AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents c USING (pos) GROUP BY e.vec_id, c.cid
+),
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM celldots) t
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dot DESC, cid) AS rn
+    FROM celldots WHERE vec_id = 0) t
+  WHERE rn <= {_N_PROBE}
+),
+cand AS (SELECT vec_id FROM cells WHERE cid IN (SELECT cid FROM qprobe)),
+exc AS (SELECT e.* FROM ex e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+q0 AS (SELECT pos, x AS y FROM ex WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    {_fpsum_sql('e.x * q.y')} AS dot,
+    {_fpsum_sql('e.x * e.x')} AS n1
+  FROM exc e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= 10
+"""
+
+
+QUERIES = {
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLES = {
+    "embedding_neardup_pairs": _NEARDUP_SQL,
+    "ann_ivf_topk": _IVF_SQL,
+}
