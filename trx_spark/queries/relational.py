@@ -254,8 +254,59 @@ def distinct_scan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISTINCT_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
 
 
+# ---------------------------------------------------------------------
+# Skew mitigation: salted join + salted two-stage aggregation
+# ---------------------------------------------------------------------
+
+_N_SALT = 16
+
+
+def salted_skewjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting demo on the most skew-hostile join in the testdata: the
+    events fact (only 5 distinct event_type keys — every key is a hot
+    key) against a per-type weight dim. ``salted_join`` spreads each hot
+    key over 16 (key, salt) reducers; ``salted_agg`` combines ≤16
+    partials per key in stage 2. The salt provably cannot change the
+    result (fixed-point sums are associative), so the oracle is the
+    plain join + GROUP BY — the gate checks the salted plan computes
+    exactly the unsalted answer."""
+    from trx_spark.exact import SCALE, fint
+    from trx_spark.operators.skew import salted_agg, salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type").cast("double"))
+    )
+    j = salted_join(ev, dim, on="event_type", salt_src="event_id", n_salt=_N_SALT)
+    return salted_agg(
+        j,
+        keys=["event_type"],
+        salt_src="event_id",
+        n_salt=_N_SALT,
+        aggs=[
+            F.sum(fint(F.col("value") * F.col("w"))).alias("_p"),
+            F.count(F.lit(1)).alias("_c"),
+        ],
+        finals=[
+            (F.sum("_p").cast("double") / F.lit(SCALE)).alias("wsum"),
+            F.sum("_c").alias("n"),
+        ],
+    )
+
+
+_SALTED_SQL = f"""
+SELECT event_type,
+  {sql_dsum('value * CAST(length(event_type) AS DOUBLE)')} AS wsum,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "salted_skewjoin_stats": salted_skewjoin_stats,
     "revenue_by_nation": revenue_by_nation,
     "customers_without_orders": customers_without_orders,
     "parts_with_orders": parts_with_orders,
@@ -267,6 +318,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": _PRICING_SQL,
+    "salted_skewjoin_stats": _SALTED_SQL,
     "revenue_by_nation": _REVENUE_SQL,
     "customers_without_orders": _ANTI_SQL,
     "parts_with_orders": _SEMI_SQL,
