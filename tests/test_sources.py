@@ -136,6 +136,49 @@ def test_config_hash_store(spark, tmp_path):
     assert sinks.load_result(spark, out).count() == 1
 
 
+def test_bucketed_store_elides_join_shuffle(spark, tmp_path):
+    """Co-located bucketed store: a self-grain join of two tables
+    bucketed the same way on the join key must plan WITHOUT an Exchange
+    on either side (the whole point of paying the shuffle at write
+    time)."""
+    import pandas as pd
+
+    curves = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file": [f"img_{i % 40:04d}" for i in range(400)],
+                "q_bin": [i % 10 for i in range(400)],
+                "i": [float(i) for i in range(400)],
+            }
+        )
+    )
+    log = spark.createDataFrame(
+        pd.DataFrame(
+            {"file": [f"img_{k:04d}" for k in range(40)], "delay": [0.1 * k for k in range(40)]}
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS b_curves")
+    spark.sql("DROP TABLE IF EXISTS b_log")
+    sinks.save_bucketed(
+        curves, "b_curves", path=str(tmp_path / "c"), bucket_by=["file"], n_buckets=8,
+        sort_by=["file"],
+    )
+    sinks.save_bucketed(
+        log, "b_log", path=str(tmp_path / "l"), bucket_by=["file"], n_buckets=8,
+        sort_by=["file"],
+    )
+    try:
+        j = sinks.load_bucketed(spark, "b_curves").join(
+            sinks.load_bucketed(spark, "b_log").hint("merge"), "file"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 400
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_curves")
+        spark.sql("DROP TABLE IF EXISTS b_log")
+
+
 MOTOR_DUMP = """\
 name user dial
 mono 12.5 12.4

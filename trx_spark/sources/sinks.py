@@ -50,6 +50,43 @@ def save_per_delay(
     df.write.mode("overwrite").partitionBy(delay).parquet(out_dir)
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    path: str,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Bucketed curve store (scale extension of S13): pre-shuffles the
+    data ONCE at write time into ``n_buckets`` hash buckets of
+    ``bucket_by``, so every later join or aggregation on the bucket key
+    reads co-located data and plans WITHOUT an Exchange — the write
+    amortizes the shuffle across all downstream reads. This is the
+    bucketing story for the repeated curves⋈log / curves⋈scan joins of
+    the reduction pipeline (the reference re-reads its HDF5 store
+    per-run similarly; trx/azav.py:300-343).
+
+    Spark bucketing metadata lives in the catalog → ``saveAsTable``
+    with an explicit external ``path``; read back with
+    :func:`load_bucketed` (``spark.table``), not ``read.parquet`` (a
+    plain parquet read has no bucket metadata and re-shuffles).
+    """
+    writer = df.write.format("parquet").option("path", path).bucketBy(
+        n_buckets, *bucket_by
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.mode("overwrite").saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read of a :func:`save_bucketed` table (keeps the bucket
+    metadata the planner needs to elide the shuffle)."""
+    return spark.table(table)
+
+
 def _config_hash(config: dict) -> str:
     return hashlib.sha256(json.dumps(config, sort_keys=True, default=str).encode()).hexdigest()
 
