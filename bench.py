@@ -48,6 +48,16 @@ HEADLINE = [
     "simhash16",
     "ann_lsh_buckets",
     "reflections_triclinic",
+    # round-2 additions (documented in BASELINE.md; the original 22
+    # above keep their round-1 per-query comparability)
+    "polygon_mask_flags",
+    "diffs_plus_ref",
+    "curves_scan_stats",
+    "curves_chi2_per_shot",
+    "ann_topk_multiprobe",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "salted_skewjoin_stats",
 ]
 
 

@@ -34,12 +34,18 @@ def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_line = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    lines = li.withColumn("q_idx", F.row_number().over(w_line)).filter(
-        F.col("q_idx") <= _NQ
+    # completeness via a count window over the SAME partition as the
+    # rank window — rides the one l_orderkey shuffle instead of a
+    # separate groupBy + semi-join (n ≥ NQ ⇔ the capped order has
+    # exactly NQ points)
+    w_cnt = Window.partitionBy("l_orderkey")
+    lines = (
+        li.withColumn("q_idx", F.row_number().over(w_line))
+        .withColumn("_n", F.count(F.lit(1)).over(w_cnt))
+        .filter((F.col("q_idx") <= _NQ) & (F.col("_n") >= _NQ))
+        .drop("_n")
     )
-    counts = lines.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_c"))
-    full = counts.filter(F.col("_c") == _NQ).select("l_orderkey")
-    lines = lines.join(full, "l_orderkey", "left_semi")
+    full = lines.filter(F.col("q_idx") == 1).select("l_orderkey")
     w_idx = Window.partitionBy("run").orderBy("o_orderkey")
     keys = (
         orders.join(
