@@ -599,9 +599,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicts (projection signs are nearly independent at low
     similarity). On clustered real embeddings recall is tuned via
     fewer planes or multi-probe; the gate checks the composition, not
-    the recall."""
-    from trx_spark.exact import dsum
-
+    the recall — :func:`ann_topk_multiprobe` is the recall fix."""
     buckets = ann_lsh_buckets(spark, sf_dir).localCheckpoint()
     q_bucket = buckets.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qb")
