@@ -38,9 +38,50 @@ def test_decode_fake_is_deterministic(assets):
     assert all(n == 64 for n, _ in rows1.values())  # 1 file → H·W rows
 
 
-def test_decode_real_codec_raises(assets):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        decode_image(assets, shape=(4, 4), real_codec=True).collect()
+def test_edf_roundtrip_kernel():
+    """decode_edf(encode_edf(img)) == img for every supported dtype and
+    both byte orders (pure-numpy EDF codec, public ESRF spec)."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_edf, encode_edf
+
+    rng = np.random.default_rng(7)
+    for dt in ("u2", "i4", "f4", "f8"):
+        for order in ("LowByteFirst", "HighByteFirst"):
+            img = (rng.uniform(0, 1000, (5, 7))).astype(dt)
+            blob = encode_edf(img, byte_order=order)
+            assert len(blob) % 512 == img.nbytes % 512  # padded header
+            back, hdr = decode_edf(blob)
+            np.testing.assert_array_equal(back, img)
+            assert hdr["Dim_1"] == "7" and hdr["Dim_2"] == "5"
+
+
+def test_decode_edf_distributed(spark, tmp_path):
+    """The REAL codec path (S1/U1): EDF blobs through binaryFile →
+    mapInPandas → exact pixel values, 1 file → H·W rows."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_edf
+
+    rng = np.random.default_rng(11)
+    truth = {}
+    for k in range(3):
+        img = rng.poisson(100, (6, 4)).astype("u2")
+        truth[f"edf_{k}.edf"] = img
+        (tmp_path / f"edf_{k}.edf").write_bytes(encode_edf(img))
+    assets = read_binary_assets(spark, str(tmp_path / "*.edf"), "image")
+    px = decode_image(assets, codec="edf").toPandas()
+    assert len(px) == 3 * 6 * 4
+    for fname, img in truth.items():
+        sub = px[px.file.str.endswith(fname)].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(6, 4), img.astype(float)
+        )
+
+
+def test_decode_unknown_codec_raises(assets):
+    with pytest.raises(Exception, match="codec"):
+        decode_image(assets, shape=(4, 4), codec="tiff").collect()
 
 
 def test_frame_sample_schedule(assets):

@@ -2,13 +2,13 @@
 
 Binary payloads travel as opaque ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The actual codecs (fabio for the
-reference's EDF detector images, trx/azav.py:29-47; PIL/ffmpeg for
-web-scale corpora) are NOT in this container, so the decode kernel is
-stubbed: ``decode_image(real_codec=False)`` produces a deterministic
-fake (seeded by content hash) with the REAL schema, partitioning and
-batch shape, and ``real_codec=True`` raises NotImplementedError where
-the fabio call would go.
+Arrow-batched ``mapInPandas`` stages. The reference's detector format
+(EDF, read there via fabio, trx/azav.py:29-47) is decoded for REAL by a
+pure-numpy codec (:func:`decode_edf` — the public ESRF format is an
+ASCII header + raw pixel block, no library needed). Formats whose codec
+libraries are genuinely absent here (PIL/ffmpeg for web corpora) use
+the deterministic fake (``codec="fake"``, seeded by content hash) with
+the real schema, partitioning and batch shape.
 
 Scale design: ``spark.read.format("binaryFile")`` gives (path, content)
 with pushdown on path globs; one input row fans out to H·W pixel rows
@@ -31,6 +31,81 @@ IMAGE_META_SCHEMA = (
     "path string, modality string, n_bytes long, content_sha256 string"
 )
 
+# ---------------------------------------------------------------------
+# EDF codec (ESRF Data Format — the reference's detector-image format,
+# read there via fabio, trx/azav.py:29-34). The format is public and
+# simple: an ASCII '{ key = value ; ... }' header padded with spaces to
+# a 512-byte multiple, then the raw pixel block — decodable with pure
+# numpy, no external codec library.
+# ---------------------------------------------------------------------
+
+_EDF_DTYPES = {
+    "UnsignedByte": "u1",
+    "SignedByte": "i1",
+    "UnsignedShort": "u2",
+    "SignedShort": "i2",
+    "UnsignedInteger": "u4",
+    "SignedInteger": "i4",
+    "UnsignedLong": "u4",
+    "SignedLong": "i4",
+    "Float": "f4",
+    "FloatValue": "f4",
+    "DoubleValue": "f8",
+}
+
+
+def decode_edf(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode one EDF blob → (2-D array, header dict).
+
+    Header fields honored: Dim_1 (fast axis / columns), Dim_2 (rows),
+    DataType, ByteOrder (LowByteFirst | HighByteFirst). The pixel block
+    starts right after the ``}\\n`` terminator of the (space-padded)
+    header."""
+    end = buf.index(b"}")
+    header = buf[: end + 1].decode("ascii", "replace")
+    fields: dict[str, str] = {}
+    for line in header.strip("{} \r\n").split(";"):
+        if "=" in line:
+            k, v = line.split("=", 1)
+            fields[k.strip()] = v.strip()
+    nx, ny = int(fields["Dim_1"]), int(fields["Dim_2"])
+    dt = np.dtype(_EDF_DTYPES[fields.get("DataType", "UnsignedShort")])
+    order = "<" if fields.get("ByteOrder", "LowByteFirst") == "LowByteFirst" else ">"
+    dt = dt.newbyteorder(order)
+    start = buf.index(b"}\n") + 2
+    img = np.frombuffer(buf, dtype=dt, count=nx * ny, offset=start)
+    return img.reshape(ny, nx), fields
+
+
+def encode_edf(
+    img: np.ndarray, *, byte_order: str = "LowByteFirst", extra: dict | None = None
+) -> bytes:
+    """Encode a 2-D array as a spec-compliant EDF blob (512-byte-padded
+    header). Used by tests and as the write side of the S1 seam."""
+    inv = {v: k for k, v in _EDF_DTYPES.items()}
+    kind = img.dtype.newbyteorder("=").str[1:]
+    if kind not in inv:
+        raise ValueError(f"unsupported dtype {img.dtype}")
+    order = "<" if byte_order == "LowByteFirst" else ">"
+    payload = img.astype(img.dtype.newbyteorder(order), copy=False).tobytes()
+    fields = {
+        "HeaderID": "EH:000001:000000:000000",
+        "Image": "1",
+        "ByteOrder": byte_order,
+        "DataType": inv[kind],
+        "Dim_1": str(img.shape[1]),
+        "Dim_2": str(img.shape[0]),
+        "Size": str(len(payload)),
+        **(extra or {}),
+    }
+    body = "{\n" + "".join(f"{k} = {v} ;\n" for k, v in fields.items())
+    # pad with spaces so the header (incl. the closing '}\n') is a
+    # multiple of 512 bytes, per the EDF spec
+    total = len(body) + 2
+    pad = (-total) % 512
+    header = body + " " * pad + "}\n"
+    return header.encode("ascii") + payload
+
 
 def read_binary_assets(spark: SparkSession, path_glob: str, modality: str) -> DataFrame:
     """Binary source (SURVEY S1/U1 shape): opaque payload + typed
@@ -50,45 +125,74 @@ def decode_image(
     assets: DataFrame,
     *,
     shape: tuple[int, int] = (32, 32),
+    codec: str | None = None,
     real_codec: bool = False,
 ) -> DataFrame:
     """binary image → pixel rows via mapInPandas (U1: 1 file → H·W rows).
 
-    ``real_codec=True`` is where fabio.open / PIL.Image.open would run
-    (not installed here → NotImplementedError). The fake path emits a
-    deterministic intensity pattern seeded by the content hash so
-    downstream operators (masks, integration, center-finding) are
-    exercised with stable golden values.
+    ``codec``:
+      - ``"edf"`` — REAL decode of the reference's detector format
+        (pure-numpy :func:`decode_edf`; the reference goes through
+        fabio, trx/azav.py:29-34, whose default beamline output is EDF).
+      - ``"fake"`` (default) — deterministic intensity pattern seeded by
+        the content hash: same schema/partitioning/batch shape, stable
+        golden values, for formats whose codec libraries (PIL/ffmpeg)
+        are not in this environment.
+    ``real_codec=True`` is the former spelling of ``codec="edf"``.
     """
     ny, nx = shape
+    codec = codec or ("edf" if real_codec else "fake")
+    if codec not in ("edf", "fake"):
+        raise ValueError(f"unknown codec {codec!r}")
+    edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
+
+    def _parse_edf(buf, _np):
+        # nested (pickled by value) twin of decode_edf: worker kernels
+        # must not reference trx_spark module symbols — executors may
+        # not have the repo on their import path
+        end = buf.index(b"}")
+        fields = {}
+        for line in buf[: end + 1].decode("ascii", "replace").strip("{} \r\n").split(";"):
+            if "=" in line:
+                k, v = line.split("=", 1)
+                fields[k.strip()] = v.strip()
+        nx_, ny_ = int(fields["Dim_1"]), int(fields["Dim_2"])
+        dt = _np.dtype(edf_dtypes[fields.get("DataType", "UnsignedShort")])
+        order = "<" if fields.get("ByteOrder", "LowByteFirst") == "LowByteFirst" else ">"
+        start = buf.index(b"}\n") + 2
+        img = _np.frombuffer(buf, dtype=dt.newbyteorder(order), count=nx_ * ny_, offset=start)
+        return img.reshape(ny_, nx_)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure-self-contained (workers may not have trx_spark on path)
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                if real_codec:
-                    raise NotImplementedError(
-                        "image codec (fabio/PIL) not available in this "
-                        "environment; plumbing is exercised via the "
-                        "deterministic fake (real_codec=False)"
+                if codec == "edf":
+                    img = _parse_edf(bytes(row["content"]), _np).astype(float)
+                else:
+                    seed = int.from_bytes(
+                        _hl.sha256(bytes(row["content"])).digest()[:4], "big"
                     )
-                seed = int.from_bytes(
-                    hashlib.sha256(bytes(row["content"])).digest()[:4], "big"
-                )
-                rng = np.random.default_rng(seed)
-                img = rng.poisson(100.0, size=(ny, nx)).astype(float)
-                yy, xx = np.mgrid[0:ny, 0:nx]
+                    rng = _np.random.default_rng(seed)
+                    img = rng.poisson(100.0, size=(ny, nx)).astype(float)
+                iy, ix = _np.mgrid[0 : img.shape[0], 0 : img.shape[1]]
                 out.append(
-                    pd.DataFrame(
+                    _pd.DataFrame(
                         {
                             "file": row["file"],
-                            "y": yy.ravel().astype("int32"),
-                            "x": xx.ravel().astype("int32"),
+                            "y": iy.ravel().astype("int32"),
+                            "x": ix.ravel().astype("int32"),
                             "intensity": img.ravel(),
                         }
                     )
                 )
-            yield pd.concat(out) if out else pd.DataFrame(
+            yield _pd.concat(out) if out else _pd.DataFrame(
                 {"file": [], "y": [], "x": [], "intensity": []}
             )
 
