@@ -84,6 +84,48 @@ def test_decode_unknown_codec_raises(assets):
         decode_image(assets, shape=(4, 4), codec="tiff").collect()
 
 
+def test_edf_through_e1_pipeline(spark, tmp_path):
+    """The full S1→E1 journey with the REAL codec: EDF files on disk →
+    binaryFile scan → mapInPandas decode → geometry join → azimuthal
+    integration. Flat images of known value ⇒ every curve bin equals
+    that value exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from trx_spark.operators.multimodal import encode_edf
+    from trx_spark.pipeline import IntegrationConfig, integrate_folder
+
+    ny = nx = 12
+    for k, base in enumerate([50, 75]):
+        img = np.full((ny, nx), base, dtype="u2")
+        (tmp_path / f"run_{k}.edf").write_bytes(encode_edf(img))
+    assets = read_binary_assets(spark, str(tmp_path / "*.edf"), "image")
+    pixels = decode_image(assets, codec="edf")
+
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    r = np.hypot(xx - nx / 2, yy - ny / 2)
+    geom = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "y": yy.ravel(),
+                "x": xx.ravel(),
+                "q": (r / r.max() * 2.0).ravel(),
+                "chi": np.zeros(ny * nx),
+                "solid_angle": np.ones(ny * nx),
+                "pol_corr": np.ones(ny * nx),
+            }
+        )
+    )
+    curves = integrate_folder(
+        pixels, geom, IntegrationConfig(q_min=0.0, q_max=2.0, n_bins=5)
+    )
+    pdf = curves.toPandas()
+    assert pdf["n_pix"].sum() == 2 * ny * nx
+    for fname, base in [("run_0.edf", 50.0), ("run_1.edf", 75.0)]:
+        sub = pdf[pdf.file.str.endswith(fname)]
+        np.testing.assert_allclose(sub["i"], base, rtol=1e-12)
+
+
 def test_frame_sample_schedule(assets):
     rows = frame_sample(assets, every_n=5, max_frames=4).collect()
     per_file = {}

@@ -254,6 +254,43 @@ def distinct_scan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISTINCT_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
 
 
+def supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier with name/nation context (J1 shape on the
+    supplier dim — the last driver table not yet exercised). Fact
+    aggregates FIRST (map-side partials, one shuffle on s_suppkey),
+    then the two dims broadcast onto the tiny aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return (
+        rev.join(
+            F.broadcast(sup.select("s_suppkey", "s_name", "s_nationkey")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"),
+                "revenue", "n_items")
+    )
+
+
+_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+    CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.revenue, r.n_items
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
 # ---------------------------------------------------------------------
 # Skew mitigation: salted join + salted two-stage aggregation
 # ---------------------------------------------------------------------
@@ -306,6 +343,7 @@ FROM events GROUP BY event_type
 
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "supplier_revenue": supplier_revenue,
     "salted_skewjoin_stats": salted_skewjoin_stats,
     "revenue_by_nation": revenue_by_nation,
     "customers_without_orders": customers_without_orders,
@@ -318,6 +356,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": _PRICING_SQL,
+    "supplier_revenue": _SUPPLIER_SQL,
     "salted_skewjoin_stats": _SALTED_SQL,
     "revenue_by_nation": _REVENUE_SQL,
     "customers_without_orders": _ANTI_SQL,
