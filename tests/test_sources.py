@@ -136,6 +136,25 @@ def test_config_hash_store(spark, tmp_path):
     assert sinks.load_result(spark, out).count() == 1
 
 
+def test_compact_store(spark, tmp_path):
+    """Many small epoch files → one compaction pass → few files, same
+    rows (the small-files maintenance op for the incremental store)."""
+    import os
+
+    store = str(tmp_path / "store")
+    for k in range(12):
+        df = spark.createDataFrame([(k, float(k))], "epoch int, v double")
+        df.coalesce(1).write.mode("append").parquet(store)
+    before = [f for f in os.listdir(store) if f.endswith(".parquet")]
+    assert len(before) >= 12
+    n = sinks.compact_store(spark, store, target_file_mb=128)
+    after = [f for f in os.listdir(store) if f.endswith(".parquet")]
+    assert n == 1 and len(after) == 1
+    back = spark.read.parquet(store)
+    assert back.count() == 12
+    assert sorted(r["epoch"] for r in back.collect()) == list(range(12))
+
+
 def test_bucketed_store_elides_join_shuffle(spark, tmp_path):
     """Co-located bucketed store: a self-grain join of two tables
     bucketed the same way on the join key must plan WITHOUT an Exchange

@@ -87,6 +87,43 @@ def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    target_file_mb: int = 128,
+    partition_by: str | None = None,
+) -> int:
+    """Compact a small-files parquet store (the incremental sink appends
+    one file per micro-batch epoch — after thousands of polls the
+    store's file count, not its byte size, is what kills scan planning
+    at scale). Rewrites to ⌈bytes / target⌉ files via an atomic
+    write-to-temp + swap; returns the new file count.
+
+    Uses the actual on-disk byte size (not row estimates) so the result
+    matches the parquet-side target regardless of schema."""
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(store_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(store_dir)
+    tmp = store_dir.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    old = store_dir.rstrip("/") + "._compact_old"
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old)
+    return int(n_files)
+
+
 def _config_hash(config: dict) -> str:
     return hashlib.sha256(json.dumps(config, sort_keys=True, default=str).encode()).hexdigest()
 
