@@ -155,6 +155,35 @@ def test_compact_store(spark, tmp_path):
     assert sorted(r["epoch"] for r in back.collect()) == list(range(12))
 
 
+def test_compact_epoch_store_preserves_replay_layout(spark, tmp_path):
+    """Regression: compacting the incremental sink's _epoch store must
+    keep the partitioned layout (folded into _epoch=-1) so subsequent
+    epochs still land — and replay-overwrite — their own partitions."""
+    import os
+
+    from trx_spark.streaming.incremental import make_batch_handler
+
+    store = str(tmp_path / "store")
+    handler = make_batch_handler(store)
+    import pandas as pd
+
+    for e in range(6):
+        handler(spark.createDataFrame(pd.DataFrame({"v": [float(e)] * 3})), e)
+    assert len([d for d in os.listdir(store) if d.startswith("_epoch=")]) == 6
+    sinks.compact_store(spark, store, target_file_mb=128)
+    assert [d for d in os.listdir(store) if d.startswith("_epoch=")] == ["_epoch=-1"]
+    assert spark.read.parquet(store).count() == 18
+    # a new epoch appends its own partition; replaying it stays idempotent
+    handler(spark.createDataFrame(pd.DataFrame({"v": [99.0]})), 6)
+    handler(spark.createDataFrame(pd.DataFrame({"v": [99.0]})), 6)
+    back = spark.read.parquet(store)
+    assert back.count() == 19
+    assert sorted(d for d in os.listdir(store) if d.startswith("_epoch=")) == [
+        "_epoch=-1",
+        "_epoch=6",
+    ]
+
+
 def test_bucketed_store_elides_join_shuffle(spark, tmp_path):
     """Co-located bucketed store: a self-grain join of two tables
     bucketed the same way on the join key must plan WITHOUT an Exchange

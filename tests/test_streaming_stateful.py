@@ -39,6 +39,39 @@ def _run_wave(spark, landing, ckpt, out_dir, batches_seen):
     }
 
 
+def test_stateful_custom_key_name(spark, tmp_path):
+    """Regression: the output column must carry the CONFIGURED key name
+    (round-2 review: it was hardcoded to 'k')."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf = pd.DataFrame({"event_type": ["x", "x", "y"], "v": [1.0, 2.0, 3.0]})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+        str(landing / "w1")
+    )
+    stream = spark.readStream.schema("event_type string, v double").parquet(
+        str(landing) + "/*"
+    )
+    out = tmp_path / "updates"
+
+    def sink(batch, epoch_id):
+        batch.write.mode("append").parquet(str(out))
+
+    q = (
+        running_key_stats(stream, key="event_type", value="v")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: (int(r["n"]), float(r["total"]))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {"x": (2, 3.0), "y": (1, 3.0)}
+
+
 def test_state_accumulates_across_batches(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()

@@ -29,6 +29,8 @@ partition by run; each run's shots are one window partition).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -195,11 +197,21 @@ def _mark_subsample(
         if ref_keys
         else df.agg(F.sum(ref_int).alias("_grp_refs"))
     )
-    joined = (
-        df.join(F.broadcast(totals), on=ref_keys)
-        if ref_keys
-        else df.crossJoin(F.broadcast(totals))
-    )
+    if ref_keys:
+        # NULL-SAFE equi-join: groupBy above places NULL-keyed rows in
+        # their own group, so the join back must match them too (a
+        # plain equi-join silently drops every shot whose group key is
+        # NULL — e.g. a log row with a missing extra_group value)
+        t = totals
+        for k in ref_keys:
+            t = t.withColumnRenamed(k, f"_t_{k}")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"_t_{k}")) for k in ref_keys],
+        )
+        joined = df.join(F.broadcast(t), cond).drop(*[f"_t_{k}" for k in ref_keys])
+    else:
+        joined = df.crossJoin(F.broadcast(totals))
     return (
         joined.withColumn("_rn", F.row_number().over(w_scan))
         .withColumn(
@@ -334,8 +346,11 @@ def diffs_plus_ref(
     ref = ref_average(
         shots, group=group, is_ref=is_ref, value=value, out="ref_avg", exact=exact
     )
+    # LEFT join: a group with no reference shots keeps its scan points
+    # with a null add-back (the reference propagates NaN there,
+    # dataReduction.py:199) — an inner join would silently drop them
     joined = (
-        scan_points.join(F.broadcast(ref), on=group)
+        scan_points.join(F.broadcast(ref), on=group, how="left")
         if group
         else scan_points.crossJoin(F.broadcast(ref))
     )
@@ -442,9 +457,12 @@ def chi2_0_per_shot_curves(
     chi2_sum = (
         (F.sum(fint(F.col("_z2"))).cast("double") / F.lit(SCALE)) if exact else F.sum("_z2")
     )
+    # the q-sum groups by (group, shot, scan) — shot identifiers are
+    # only unique WITHIN a run (per-run folders reuse img_0001 etc.),
+    # so omitting the run key would blend colliding shots across runs
     return (
         per_row.filter(F.col("_use"))
-        .groupBy(shot, scan)
+        .groupBy(*group, shot, scan)
         .agg(
             (chi2_sum / F.count(F.lit(1))).alias("chi2_0"),
             F.count(F.lit(1)).alias("n_q"),

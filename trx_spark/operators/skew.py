@@ -30,12 +30,24 @@ def salted_join(
 
     ``salt_src`` is any big-side expression with per-row spread (a row
     id, a hash of other columns) — the salt is ``pmod(salt_src,
-    n_salt)``, deterministic so plans replay stably. The small side is
+    n_salt)``, deterministic so plans replay stably (NULL salt sources
+    coalesce to salt 0 rather than dropping the row). The small side is
     replicated once per salt value (rows × n_salt — keep it small) via
     an ``explode(sequence(...))``, then the join runs on ``(on, salt)``:
     a hot key now lands on n_salt reducers instead of one.
+
+    Identity with the plain join holds for ``inner`` and ``left``;
+    right/full outer would surface each unmatched SMALL-side row once
+    per salt replica, so those modes are rejected.
     """
-    salt = F.pmod(F.col(salt_src) if isinstance(salt_src, str) else salt_src, F.lit(n_salt))
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left, not {how!r}: an outer "
+            "small side is replicated per salt and would duplicate "
+            "unmatched rows"
+        )
+    raw = F.col(salt_src) if isinstance(salt_src, str) else salt_src
+    salt = F.coalesce(F.pmod(raw, F.lit(n_salt)), F.lit(0))
     b = big.withColumn("_salt", salt.cast("int"))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -180,11 +180,12 @@ def data_reduction(
             shot_scores = shot_scores.withColumn(
                 "chi2_threshold", F.lit(None).cast("double")
             ).withColumn("chi2_excluded", F.lit(False))
-        # one row per shot → broadcast back onto the exploded (shot, q) rows;
-        # shots subsampled away by the every-second-ref rule are never scored
-        # (NaN in the reference) and therefore survive the filter.
+        # one row per shot → broadcast back onto the exploded (shot, q) rows
+        # (keyed by the full [group, shot, scan] grain — shot ids are only
+        # unique within a run); shots subsampled away by the every-second-ref
+        # rule are never scored (NaN in the reference) and survive the filter.
         per_shot = shots.join(
-            F.broadcast(shot_scores), on=[file, delay], how="left"
+            F.broadcast(shot_scores), on=[*group, file, delay], how="left"
         ).withColumn("chi2_excluded", F.coalesce(F.col("chi2_excluded"), F.lit(False)))
         surviving = per_shot.filter(~F.col("chi2_excluded")).drop(
             "chi2_0", "n_q", "chi2_threshold", "chi2_excluded"

@@ -237,7 +237,8 @@ per AS (
   FROM exc e JOIN q0 q USING (pos) GROUP BY e.vec_id
 ),
 nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
-scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
 SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored) z

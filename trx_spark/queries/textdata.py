@@ -449,7 +449,8 @@ per AS (
   FROM ex e JOIN q0 q USING (pos) GROUP BY e.vec_id
 ),
 nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
-scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
 SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored) z
@@ -640,7 +641,8 @@ per AS (
   FROM ex e JOIN q0 q USING (pos) GROUP BY e.vec_id
 ),
 nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
-scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
 SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored) z
@@ -691,10 +693,22 @@ def _exact_topk_within(emb: DataFrame, cand: DataFrame | None) -> DataFrame:
         )
     )
     nq = per.filter(F.col("vec_id") == 0).select(F.col("n1").alias("nq"))
-    scored = per.crossJoin(F.broadcast(nq)).withColumn(
-        "cos_sim", F.col("dot") / F.sqrt(F.col("n1") * F.col("nq"))
+    scored = (
+        per.crossJoin(F.broadcast(nq))
+        .withColumn("cos_sim", F.col("dot") / F.sqrt(F.col("n1") * F.col("nq")))
+        # zero-norm vectors score NULL under non-ANSI division; they
+        # have no defined similarity and would break the count-of-better
+        # rank (every NULL row would tie at rank 1)
+        .filter(F.col("cos_sim").isNotNull())
     )
-    topk = scored.orderBy(F.desc("cos_sim"), F.col("vec_id")).limit(_TOP_K)
+    # localCheckpoint: `topk` feeds both sides of the rank self-join —
+    # without it the whole scored lineage (scan, explode, fixed-point
+    # aggs) executes twice
+    topk = (
+        scored.orderBy(F.desc("cos_sim"), F.col("vec_id"))
+        .limit(_TOP_K)
+        .localCheckpoint()
+    )
     # rank among the k survivors = 1 + #rows strictly better in the
     # total order (cos_sim DESC, vec_id ASC) — a broadcast self-join of
     # ≤ k rows, so no WindowExec appears anywhere in the top-k plan
@@ -767,7 +781,8 @@ per AS (
   FROM ex e JOIN q0 q USING (pos) GROUP BY e.vec_id
 ),
 nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
-scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq)
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
 SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored) z

@@ -229,14 +229,14 @@ stats AS (
   FROM used GROUP BY run, scan, q_idx
 ),
 z AS (
-  SELECT u.file, u.scan, u.use_row,
+  SELECT u.run, u.file, u.scan, u.use_row,
     ((u.diff - s.mean_used)/s.noise) * ((u.diff - s.mean_used)/s.noise) AS z2
   FROM used u JOIN stats s ON u.run = s.run AND u.scan = s.scan AND u.q_idx = s.q_idx
 )
-SELECT file, scan,
+SELECT run, file, scan,
   {sql_dsum('z2')} / COUNT(*) AS chi2_0,
   CAST(COUNT(*) AS BIGINT) AS n_q
-FROM z WHERE use_row GROUP BY file, scan
+FROM z WHERE use_row GROUP BY run, file, scan
 """
 
 

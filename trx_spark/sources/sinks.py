@@ -101,8 +101,30 @@ def compact_store(
     write-to-temp + swap; returns the new file count.
 
     Uses the actual on-disk byte size (not row estimates) so the result
-    matches the parquet-side target regardless of schema."""
+    matches the parquet-side target regardless of schema.
+
+    A Hive-partitioned store keeps its layout (partition column
+    auto-detected from the top-level directory names when
+    ``partition_by`` is not given) — flattening it would leave an
+    unreadable mixed flat/partitioned layout after the next append.
+    The incremental sink's ``_epoch=N`` layout is special-cased: all
+    existing epochs FOLD into the single compacted generation
+    ``_epoch=-1`` (an epoch whose batch is committed in the streaming
+    checkpoint can never be replayed, so per-epoch overwrite
+    idempotency is only needed for FUTURE epochs — which keep landing
+    in their own partitions next to the compacted one)."""
     import shutil
+
+    if partition_by is None:
+        part_dirs = {
+            e.split("=", 1)[0]
+            for e in os.listdir(store_dir)
+            if "=" in e and os.path.isdir(os.path.join(store_dir, e))
+        }
+        if len(part_dirs) > 1:
+            raise ValueError(f"multiple partition columns detected: {part_dirs}")
+        if part_dirs:
+            partition_by = part_dirs.pop()
 
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
@@ -112,6 +134,8 @@ def compact_store(
     )
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(store_dir)
+    if partition_by == "_epoch":
+        df = df.withColumn("_epoch", F.lit(-1))
     tmp = store_dir.rstrip("/") + "._compact_tmp"
     writer = df.repartition(int(n_files)).write.mode("overwrite")
     if partition_by:

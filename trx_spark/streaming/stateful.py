@@ -59,7 +59,7 @@ def running_key_stats(
         state.update((n, total, vmin, vmax))
         yield pd.DataFrame(
             {
-                "k": [group_key[0]],
+                key: [group_key[0]],
                 "n": [n],
                 "total": [total],
                 "vmin": [vmin],
