@@ -123,6 +123,12 @@ def data_reduction(
     Returns {'shots', 'scan', 'scan_filtered'} lazy DataFrames
     (trx/id9.py:226-303 doFolder_dataRed + filters.applyFilters).
     ``log`` is broadcast (it is one row per image).
+
+    Scale note: with no ``extra_group`` the acquisition-order window is
+    global — the reference's "one folder = one run" call shape, fine at
+    per-run size. For a multi-run batch ALWAYS pass the run key in
+    ``cfg.extra_group``; every window then partitions by it (the gate
+    queries exercise exactly that shape with a 16-shard run key).
     """
     joined = curves.join(F.broadcast(log), on=file, how="inner")
     # per-image acquisition index from the file ordering (O1: the sorted
