@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from trx_spark.queries import (
+    corpus,
     relational,
     similarity,
     streamingq,
@@ -28,6 +29,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, trxdomain, trxdomain2, trxdomain3, textdata, similarity, streamingq):
+for mod in (relational, trxdomain, trxdomain2, trxdomain3, textdata, similarity, corpus, streamingq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,261 @@
+"""Corpus-level dedup composition: near-dup CLUSTERS (connected
+components over the MinHash-LSH candidate pairs), span-level exact
+dedup (C4-style: drop repeated word-spans corpus-wide, keep the first
+occurrence, reassemble the document), and intra-document repetition
+quality signals (Gopher-style duplicate-word / top-n-gram fractions).
+
+These close the loop the pair queries leave open: a real training-data
+pipeline doesn't stop at "these two docs are similar" — it groups the
+similarity graph into clusters and keeps one canonical doc per cluster.
+
+Scale design:
+- Clustering is iterative min-label propagation + pointer jumping over
+  the (symmetric) pair edge list — every step is an equi-join/groupBy
+  keyed on doc id, no global structure; the driver loop only moves a
+  convergence scalar (same contract as the U5 center search). Rounds
+  are O(log diameter) thanks to the pointer-jump shortcut; near-dup
+  components are near-cliques, so 2-4 rounds in practice.
+- Span dedup shuffles on the span string (hash partition); the
+  first-occurrence keeper is min() of an encoded (doc, pos) key, which
+  is partial-aggregatable (map-side combine) — no window, no skew
+  beyond genuinely hot spans.
+- Repetition stats are a pure projection (higher-order array functions
+  inside one codegen span): zero shuffles, scales with scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.operators import graph
+from trx_spark.queries import textdata
+from trx_spark.tables import load_table
+
+# ---------------------------------------------------------------------
+# Near-dup clusters: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group the MinHash-LSH near-dup pairs into connected components
+    and assign every document a cluster id (= the smallest doc_id in
+    its component; singletons cluster with themselves). ``is_canonical``
+    marks the one doc per cluster a dedup pipeline would keep.
+
+    The component search is :func:`trx_spark.operators.graph.
+    connected_components` (min-label propagation + pointer jumping);
+    docs that appear in no pair are joined back as singletons here.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = textdata.minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    labels = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id"))
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+# Oracle: transitive closure via a recursive CTE (UNION dedups per
+# round, so it terminates), then min reachable id per vertex. Reuses
+# the exact pair CTE chain from the minhash_lsh_pairs oracle.
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {textdata._PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+# ---------------------------------------------------------------------
+# Span-level exact dedup (C4-style): drop repeated word-spans
+# ---------------------------------------------------------------------
+
+_SPAN_W = 8  # words per non-overlapping span
+_POS_ENC = 1_000_000  # keeper key = doc_id * enc + pos (pos << enc)
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span dedup: split each document into consecutive
+    8-word spans, keep only the FIRST occurrence of each distinct span
+    (ordered by (doc_id, position)), and reassemble the surviving text.
+    The C4 recipe at span granularity — removes boilerplate repeated
+    across documents, not just whole-doc duplicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(_SPAN_W)).cast("long")
+    chunks = F.when(F.size(words) > 0, F.transform(
+        F.sequence(F.lit(0).cast("long"), n_spans - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(words, i * _SPAN_W + 1, _SPAN_W), " "
+            ).alias("span"),
+        ),
+    )).otherwise(F.array().cast("array<struct<pos:long,span:string>>"))
+    spans = docs.select("doc_id", n_spans.alias("n_spans"), F.inline(chunks))
+    kk = F.col("doc_id") * _POS_ENC + F.col("pos")
+    # min() of the encoded key is partial-aggregatable — unlike a
+    # row_number window this combines map-side before the shuffle
+    keep = spans.groupBy("span").agg(F.min(kk).alias("kk"))
+    kept = spans.join(keep, "span").filter(kk == F.col("kk"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        docs.select("doc_id", n_spans.alias("n_spans"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_spans") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+                "n_dropped"
+            ),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+_SPAN_DEDUP_SQL = f"""
+WITH spans AS (
+  SELECT doc_id, gs.i AS pos,
+         array_to_string(list_slice(d.w, gs.i*{_SPAN_W}+1, gs.i*{_SPAN_W}+{_SPAN_W}), ' ') AS span
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(len(d.w)/{_SPAN_W}.0) AS BIGINT) - 1)) AS i) gs
+  WHERE len(d.w) > 0
+),
+keep AS (SELECT span, MIN(doc_id*{_POS_ENC} + pos) AS kk FROM spans GROUP BY span),
+kept AS (
+  SELECT s.doc_id, s.pos, s.span
+  FROM spans s JOIN keep k ON s.span = k.span AND s.doc_id*{_POS_ENC} + s.pos = k.kk
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(ceil(len(string_split(d.text, ' '))/{_SPAN_W}.0) AS BIGINT) AS n_spans,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(ceil(len(string_split(d.text, ' '))/{_SPAN_W}.0) AS BIGINT)
+         - COALESCE(r.n_kept, 0) AS n_dropped,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------
+# Intra-document repetition signals (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals: duplicate-word fraction
+    and the share of the most frequent word bigram. Everything is
+    higher-order array math over the document's own words — a pure
+    projection of the scan (zero shuffles; at 100 TB this runs at scan
+    bandwidth). For pathological multi-MB documents the explode +
+    groupBy(doc, gram) formulation bounds per-row work; typical web
+    documents are fine in the O(words · distinct) codegen form used
+    here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w).cast("long")
+    nd = F.size(F.array_distinct(w)).cast("long")
+    bgs = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bg = F.size(bgs).cast("long")
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bgs),
+            lambda b: F.size(F.filter(bgs, lambda x: x == b)).cast("long"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        nd.alias("n_distinct_words"),
+        F.when(n > 0, (n - nd).cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        n_bg.alias("n_bigrams"),
+        F.coalesce(top_bg, F.lit(0).cast("long")).alias("top_bigram_count"),
+        F.when(n_bg > 0, F.coalesce(top_bg, F.lit(0).cast("long")).cast("double") / n_bg.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, n,
+         CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+         list_transform(
+           generate_series(1, n - 1),
+           i -> w[i] || ' ' || w[i+1]
+         ) AS bgs
+  FROM base
+),
+agg AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_words, nd AS n_distinct_words,
+         CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         COALESCE(list_max(list_transform(list_distinct(bgs),
+                     b -> CAST(len(list_filter(bgs, x -> x = b)) AS BIGINT))),
+                  0) AS top_bigram_count
+  FROM bg
+)
+SELECT doc_id, n_words, n_distinct_words,
+       CASE WHEN n_words > 0
+            THEN CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS dup_word_frac,
+       n_bigrams, top_bigram_count,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac
+FROM agg
+"""
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "span_dedup": span_dedup,
+    "repetition_stats": repetition_stats,
+}
+
+ORACLES = {
+    "dedup_clusters": _CLUSTERS_SQL,
+    "span_dedup": _SPAN_DEDUP_SQL,
+    "repetition_stats": _REPETITION_SQL,
+}

@@ -296,8 +296,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-_LSH_PAIRS_SQL = f"""
-WITH {_TIDS_CTE},
+# The CTE chain ending in ``pairs`` is shared with the connected-
+# components clustering oracle (queries/corpus.py), which extends it
+# with a recursive reachability CTE.
+_PAIRS_CTES = f"""{_TIDS_CTE},
 sig AS (
   SELECT doc_id,
     {_MINHASH_SELECT}
@@ -313,10 +315,16 @@ capped AS (
   SELECT doc_id, band, hx, hy FROM (
     SELECT *, count(*) OVER (PARTITION BY band, hx, hy) AS bsz FROM bands) t
   WHERE bsz <= {_LSH_BUCKET_CAP}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy AND a.doc_id < b.doc_id
+)"""
+
+_LSH_PAIRS_SQL = f"""
+WITH {_PAIRS_CTES}
+SELECT doc_a, doc_b FROM pairs
 """
 
 # ---------------------------------------------------------------------
