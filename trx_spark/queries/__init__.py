@@ -18,6 +18,7 @@ from trx_spark.queries import (
     relational,
     similarity,
     streamingq,
+    temporal,
     textdata,
     trxdomain,
     trxdomain2,
@@ -29,6 +30,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, trxdomain, trxdomain2, trxdomain3, textdata, similarity, corpus, streamingq):
+for mod in (
+    relational,
+    trxdomain,
+    trxdomain2,
+    trxdomain3,
+    textdata,
+    similarity,
+    corpus,
+    temporal,
+    streamingq,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
