@@ -58,6 +58,11 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "salted_skewjoin_stats",
+    # round-3 additions: corpus dedup composition + interval join
+    "dedup_clusters",
+    "span_dedup",
+    "repetition_stats",
+    "events_range_join",
 ]
 
 

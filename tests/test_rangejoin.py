@@ -53,3 +53,26 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_left_join_count_semantics(spark):
+    # count-per-interval via how="left": null rows from matchless probe
+    # buckets must not inflate the count, and matchless intervals must
+    # survive with count 0
+    iv, pt = _frames(spark)
+    got = (
+        interval_point_join(iv, pt, on=["k"], start="s", end="e", point="p",
+                            bucket_width=100, how="left")
+        .groupBy("k", "s", "e")
+        .agg(F.count("p").alias("n"))
+    )
+    naive = (
+        iv.join(pt, "k", "left")
+        .withColumn(
+            "hit",
+            F.when((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")), 1),
+        )
+        .groupBy("k", "s", "e")
+        .agg(F.count("hit").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))

@@ -37,6 +37,8 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.expr("ts_ns DIV 1000").alias("p_us")
     )
+    # how="left": zero-match clicks keep one null row per probe bucket;
+    # the groupBy collapses them — ONE join, ONE agg, no join-back
     matched = interval_point_join(
         clicks,
         purchases,
@@ -45,17 +47,10 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         end="w_end",
         point="p_us",
         bucket_width=_WIN_US,
+        how="left",
     )
-    counts = matched.groupBy("event_id").agg(
-        F.count(F.lit(1)).alias("n_purchases_15m")
-    )
-    # zero-match clicks survive via the left join back onto the full
-    # click list (the bucketed join itself is inner)
-    return clicks.join(counts, "event_id", "left").select(
-        "event_id",
-        "user_id",
-        "t_us",
-        F.coalesce("n_purchases_15m", F.lit(0).cast("long")).alias("n_purchases_15m"),
+    return matched.groupBy("event_id", "user_id", "t_us").agg(
+        F.count("p_us").alias("n_purchases_15m")
     )
 
 
