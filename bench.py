@@ -58,11 +58,13 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "salted_skewjoin_stats",
-    # round-3 additions: corpus dedup composition + interval join
+    # round-3 additions: corpus dedup composition + interval join +
+    # trained quantizer
     "dedup_clusters",
     "span_dedup",
     "repetition_stats",
     "events_range_join",
+    "kmeans_cells",
 ]
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from trx_spark.operators.kmeans import lloyd_assign
 from trx_spark.queries.textdata import (
     _EMB_SCALE,
     _LSH_BUCKET_CAP,
@@ -246,12 +247,68 @@ WHERE rank <= 10
 """
 
 
+# ---------------------------------------------------------------------
+# Trained coarse quantizer: distributed Lloyd iterations (k-means)
+# ---------------------------------------------------------------------
+
+_KM_ROUNDS = 2
+
+
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF codebook assignment: 2 Lloyd rounds (init = first 16
+    vectors, one centroid update between the two assignment steps) via
+    :func:`trx_spark.operators.kmeans.lloyd_assign`. Output: every
+    vector's final cell and its dot product with that cell's trained
+    centroid — the codebook the IVF scale path would partition the
+    corpus by. Fixed-point sums keep the trained centroids bit-exact
+    against the oracle despite float input."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return lloyd_assign(emb, k=_N_CELLS, rounds=_KM_ROUNDS).select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), "dot"
+    )
+
+
+_KMEANS_SQL = f"""
+WITH {_EX_CTE},
+cents0 AS (SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < {_N_CELLS}),
+cd0 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents0 c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd0) t
+  WHERE rn = 1
+),
+cents1 AS (
+  SELECT a.cid, e.pos,
+         (CAST(SUM(CAST(FLOOR(e.x * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+            / {_EMB_SCALE!r}) / COUNT(*) AS c
+  FROM ex e JOIN a0 a USING (vec_id)
+  GROUP BY a.cid, e.pos
+),
+cd1 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents1 c USING (pos) GROUP BY e.vec_id, c.cid
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, dot FROM (
+  SELECT vec_id, cid, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+  FROM cd1) t
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    "kmeans_cells": kmeans_cells,
 }
 
 ORACLES = {
     "embedding_neardup_pairs": _NEARDUP_SQL,
     "ann_ivf_topk": _IVF_SQL,
+    "kmeans_cells": _KMEANS_SQL,
 }
