@@ -65,6 +65,7 @@ HEADLINE = [
     "repetition_stats",
     "events_range_join",
     "kmeans_cells",
+    "ann_ivf_trained_topk",
 ]
 
 

@@ -7,8 +7,8 @@ Spark-first shape (the classic scalable k-means layout):
   against all k centroids is map-side (broadcast join + one zip_with
   fold per centroid, no per-element shuffle);
 - the argmax is ``max(struct(dot, -cid))`` — partial-aggregatable, so
-  the 16x score rows combine map-side before the one shuffle on
-  vec_id (no window);
+  the k score rows per vector combine map-side before the one shuffle
+  on vec_id (no window);
 - the centroid update explodes assigned vectors to (cid, pos, x) and
   sums fixed-point integers per (cid, pos) — also partial-
   aggregatable, so the shuffle carries ~k*dim rows per input
@@ -40,6 +40,69 @@ def _dot(a, b):
     ).cast("double") / F.lit(_SCALE)
 
 
+def score_cells(
+    emb: DataFrame, cents: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, cid, dot) for every vector x centroid — broadcast join,
+    map-side folds, no shuffle until the consumer aggregates."""
+    return emb.crossJoin(F.broadcast(cents)).select(
+        id_col, "cid", _dot(F.col(vec_col), F.col("cent")).alias("dot")
+    )
+
+
+def argmax_cell(scored: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Best cell per vector (ties -> smallest cid), as a partial-
+    aggregatable groupBy max — no window."""
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("dot"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select(id_col, (-F.col("m.ncid")).alias("cid"), F.col("m.dot").alias("dot"))
+    )
+
+
+def _update_centroids(
+    emb: DataFrame, assign: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    ex = emb.join(assign.select(id_col, "cid"), id_col).select(
+        "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    cent_val = (F.col("s").cast("double") / F.lit(_SCALE)) / F.col("n")
+    return (
+        ex.groupBy("cid", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(_SCALE)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("c", cent_val)
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cent")
+        )
+    )
+
+
+def lloyd_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    updates: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook after ``updates`` Lloyd updates (init = the first ``k``
+    vectors by id). Returns (cid, cent)."""
+    cents = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
+    )
+    for _ in range(updates):
+        assign = argmax_cell(score_cells(emb, cents, id_col, vec_col), id_col)
+        cents = _update_centroids(emb, assign, id_col, vec_col)
+    return cents
+
+
 def lloyd_assign(
     emb: DataFrame,
     k: int = 16,
@@ -47,50 +110,7 @@ def lloyd_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Run ``rounds`` assignment steps with ``rounds - 1`` centroid
-    updates between them (init codebook = the first ``k`` vectors by
-    id), returning the final ``(id, cid, dot)`` assignment: each vector
-    labeled with its argmax-dot-product centroid and that dot.
-    Ties break toward the smallest cid.
-    """
-    cents = emb.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
-    )
-    for r in range(rounds):
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            vec_col,
-            "cid",
-            _dot(F.col(vec_col), F.col("cent")).alias("dot"),
-        )
-        assign = (
-            scored.groupBy(id_col)
-            .agg(
-                F.max(F.struct(F.col("dot"), (-F.col("cid")).alias("ncid"))).alias("m")
-            )
-            .select(id_col, (-F.col("m.ncid")).alias("cid"), F.col("m.dot").alias("dot"))
-        )
-        if r == rounds - 1:
-            return assign
-        ex = emb.join(assign.select(id_col, "cid"), id_col).select(
-            "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
-        )
-        cent_val = (F.col("s").cast("double") / F.lit(_SCALE)) / F.col("n")
-        cents = (
-            ex.groupBy("cid", "pos")
-            .agg(
-                F.sum(
-                    F.floor(F.col("x").cast("double") * F.lit(_SCALE)).cast("long")
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .withColumn("c", cent_val)
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("cent")
-            )
-        )
-    raise AssertionError("rounds must be >= 1")
+    """Final (id, cid, dot) assignment after ``rounds`` assignment
+    steps with ``rounds - 1`` centroid updates between them."""
+    cents = lloyd_centroids(emb, k, rounds - 1, id_col, vec_col)
+    return argmax_cell(score_cells(emb, cents, id_col, vec_col), id_col)

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trx_spark.operators.kmeans import lloyd_assign
+from trx_spark.operators.kmeans import (
+    argmax_cell,
+    lloyd_assign,
+    lloyd_centroids,
+    score_cells,
+)
 from trx_spark.queries.textdata import (
     _EMB_SCALE,
     _LSH_BUCKET_CAP,
@@ -301,14 +306,96 @@ WHERE rn = 1
 """
 
 
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k over the TRAINED codebook: Lloyd-trained cells,
+    probe the query's _N_PROBE best cells by trained-centroid dot,
+    exact cosine re-rank within the probed cells. The full trained
+    scale path: train -> partition-by-cell -> probe -> re-rank, with
+    every stage a broadcast join or keyed agg. The trained codebook is
+    localCheckpoint'ed so training executes once, then both the corpus
+    assignment and the query's probe ranking read the same scored
+    table."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = lloyd_centroids(emb, k=_N_CELLS, updates=_KM_ROUNDS - 1).localCheckpoint()
+    scored = score_cells(emb, cents).localCheckpoint()
+    assign = argmax_cell(scored)
+    probe = (
+        scored.filter(F.col("vec_id") == 0)
+        .orderBy(F.desc("dot"), F.col("cid"))
+        .limit(_N_PROBE)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid", "left_semi").select("vec_id")
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+
+
+_IVF_TRAINED_SQL = f"""
+WITH {_EX_CTE},
+cents0 AS (SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < {_N_CELLS}),
+cd0 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents0 c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd0) t
+  WHERE rn = 1
+),
+cents1 AS (
+  SELECT a.cid, e.pos,
+         (CAST(SUM(CAST(FLOOR(e.x * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+            / {_EMB_SCALE!r}) / COUNT(*) AS c
+  FROM ex e JOIN a0 a USING (vec_id)
+  GROUP BY a.cid, e.pos
+),
+cd1 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents1 c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd1) t
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dot DESC, cid) AS rn
+    FROM cd1 WHERE vec_id = 0) t
+  WHERE rn <= {_N_PROBE}
+),
+cand AS (SELECT vec_id FROM a1 WHERE cid IN (SELECT cid FROM qprobe)),
+exc AS (SELECT e.* FROM ex e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+q0 AS (SELECT pos, x AS y FROM ex WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    {_fpsum_sql('e.x * q.y')} AS dot,
+    {_fpsum_sql('e.x * e.x')} AS n1
+  FROM exc e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT {_fpsum_sql('x * x')} AS nq FROM ex WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_cells": kmeans_cells,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
 
 ORACLES = {
     "embedding_neardup_pairs": _NEARDUP_SQL,
     "ann_ivf_topk": _IVF_SQL,
     "kmeans_cells": _KMEANS_SQL,
+    "ann_ivf_trained_topk": _IVF_TRAINED_SQL,
 }
