@@ -87,8 +87,43 @@ GROUP BY 1, 2
 """
 
 
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark) of the events
+    stream on user_id, availableNow replay. WHICH duplicate row
+    survives is engine-internal, so the gate projects to the surviving
+    KEY SET — deterministic, and over a single replay it equals batch
+    SELECT DISTINCT (full oracle)."""
+    from trx_spark.streaming.dedup import run_dedup_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def prepare(df: DataFrame) -> DataFrame:
+        return df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = run_dedup_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="events.parquet",
+        schema=schema,
+        keys=["user_id"],
+        ts="ts_t",
+        watermark="1 hour",
+        prepare=prepare,
+    )
+    return out.select("user_id")
+
+
+_DEDUP_KEYS_SQL = "SELECT DISTINCT user_id FROM events"
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_dedup_keys": streaming_dedup_keys,
 }
-ORACLES: dict[str, str] = {"streaming_windowed_counts": _WINDOWED_SQL}
+ORACLES: dict[str, str] = {
+    "streaming_windowed_counts": _WINDOWED_SQL,
+    "streaming_dedup_keys": _DEDUP_KEYS_SQL,
+}
