@@ -66,6 +66,7 @@ HEADLINE = [
     "events_range_join",
     "kmeans_cells",
     "ann_ivf_trained_topk",
+    "quality_filter",
 ]
 
 

@@ -248,14 +248,159 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------
+# Composed document quality filter (C4/Gopher-style keep decision)
+# ---------------------------------------------------------------------
+
+_MIN_TOKENS = 25
+_MAX_DUP_WORD = 0.6
+_MAX_TOP_BIGRAM = 0.10
+_WL_LO, _WL_HI = 3.0, 10.0
+_TOKEN_RE = "[a-z]+"
+_LANG_MARKERS = {
+    # same marker sets as textdata.lang_id (en > de > es > fr precedence)
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/reject decision a C4/Gopher-style cleaning
+    pipeline applies per document, built from the engine's signal
+    family: token count, duplicate-word fraction, top-bigram fraction,
+    mean word length, and the marker-based language guess. Emits a
+    reject-reason bitmask (1 short, 2 low-diversity, 4 repetitive,
+    8 word-length, 16 non-English) and ``keep = (reasons == 0)``.
+    Entirely higher-order array math over each document's own tokens —
+    zero shuffles, scales with scan bandwidth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    tc = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bg = F.size(bgs).cast("long")
+    tb = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bgs),
+                lambda b: F.size(F.filter(bgs, lambda x: x == b)).cast("long"),
+            )
+        ),
+        F.lit(0).cast("long"),
+    )
+    s = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+        for lang, words in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(s["en"] + s["de"] + s["es"] + s["fr"] == 0, F.lit("und"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    dup_frac = (n - nd).cast("double") / n.cast("double")
+    wl = tc.cast("double") / n.cast("double")
+    bg_frac = F.when(n_bg > 0, tb.cast("double") / n_bg.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    reasons = (
+        F.when(n < _MIN_TOKENS, 1).otherwise(0)
+        + F.when(dup_frac > _MAX_DUP_WORD, 2).otherwise(0)
+        + F.when(bg_frac > _MAX_TOP_BIGRAM, 4).otherwise(0)
+        + F.when((wl < _WL_LO) | (wl > _WL_HI), 8).otherwise(0)
+        + F.when(pred != "en", 16).otherwise(0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        bg_frac.alias("top_bigram_frac"),
+        wl.alias("mean_word_len"),
+        pred.alias("predicted_lang"),
+        reasons.alias("reject_reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
+def _qf_marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, toks,
+    CAST(len(toks) AS BIGINT) AS n,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tc,
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+    {_qf_marker_sql('en')} AS s_en,
+    {_qf_marker_sql('de')} AS s_de,
+    {_qf_marker_sql('es')} AS s_es,
+    {_qf_marker_sql('fr')} AS s_fr
+  FROM t
+),
+sig AS (
+  SELECT doc_id, n,
+    CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) AS dup_word_frac,
+    CASE WHEN len(bgs) > 0
+         THEN CAST(COALESCE(list_max(list_transform(list_distinct(bgs),
+                b -> CAST(len(list_filter(bgs, x -> x = b)) AS BIGINT))), 0)
+              AS DOUBLE) / CAST(len(bgs) AS DOUBLE)
+         ELSE 0.0 END AS top_bigram_frac,
+    CAST(tc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_word_len,
+    CASE
+      WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      WHEN s_es >= s_fr THEN 'es'
+      ELSE 'fr'
+    END AS predicted_lang
+  FROM m
+),
+r AS (
+  SELECT *,
+    CAST(
+      (CASE WHEN n < {_MIN_TOKENS} THEN 1 ELSE 0 END)
+      + (CASE WHEN dup_word_frac > CAST({_MAX_DUP_WORD!r} AS DOUBLE) THEN 2 ELSE 0 END)
+      + (CASE WHEN top_bigram_frac > CAST({_MAX_TOP_BIGRAM!r} AS DOUBLE) THEN 4 ELSE 0 END)
+      + (CASE WHEN mean_word_len < CAST({_WL_LO!r} AS DOUBLE)
+               OR mean_word_len > CAST({_WL_HI!r} AS DOUBLE) THEN 8 ELSE 0 END)
+      + (CASE WHEN predicted_lang <> 'en' THEN 16 ELSE 0 END)
+    AS BIGINT) AS reject_reasons
+  FROM sig
+)
+SELECT doc_id, n AS n_tokens, dup_word_frac, top_bigram_frac, mean_word_len,
+       predicted_lang, reject_reasons, (reject_reasons = 0) AS keep
+FROM r
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "span_dedup": span_dedup,
     "repetition_stats": repetition_stats,
+    "quality_filter": quality_filter,
 }
 
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "repetition_stats": _REPETITION_SQL,
+    "quality_filter": _QUALITY_SQL,
 }
