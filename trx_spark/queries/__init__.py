@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from trx_spark.queries import (
     corpus,
+    curation,
     relational,
     similarity,
     streamingq,
@@ -38,6 +39,7 @@ for mod in (
     textdata,
     similarity,
     corpus,
+    curation,
     temporal,
     streamingq,
 ):

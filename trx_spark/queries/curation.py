@@ -1,0 +1,247 @@
+"""Corpus-curation operators a 100 TB training-data pipeline needs
+beyond dedup: benchmark-contamination detection, deterministic
+stratified sampling, global n-gram frequency, and per-key reservoir
+sampling.
+
+Scale design notes (local[32] tests correctness; the plans target a
+1000-executor cluster):
+
+- ``contamination_check``: the benchmark set is tiny relative to the
+  corpus, so its exploded shingles are **broadcast**; the corpus side is
+  map-side shingled (no shuffle) and the only shuffle is the final
+  groupBy on doc_id. A naive corpus×benchmark cross join would be
+  quadratic; the shingle equi-join is linear in total shingle count.
+- ``stratified_sample`` / ``per_source_sample``: sampling decisions are
+  pure per-row arithmetic on doc_id (deterministic affine hash), so the
+  sample is reproducible across engines, retries, and partitionings —
+  the property a resumable 100 TB job needs. ``stratified_sample`` has
+  zero shuffles; ``per_source_sample`` shuffles once on the stratum key
+  (a properly partitioned window, never a global sort).
+- ``topk_ngrams``: partial hash-agg (map-side combine) on the exploded
+  bigrams, then ``TakeOrderedAndProject`` for the limit — per-partition
+  top-k on the map side, only k rows per partition reach the driver-side
+  merge; no global sort of the full n-gram table.
+
+All hashes are arithmetic (affine mod Mersenne-31) so the DuckDB oracle
+reproduces them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.tables import load_table
+
+_TOKEN_RE = "[a-z]+"
+_P = 2147483647  # 2^31 − 1
+
+# ---------------------------------------------------------------------
+# Benchmark-contamination detection
+# ---------------------------------------------------------------------
+#
+# The held-out "benchmark" is a deterministic 1-in-20 slice of the
+# corpus (doc_id % 20 == 0) standing in for an eval set. A corpus
+# document is contaminated when it shares at least one _SHINGLE_N-token
+# shingle with any benchmark document — the n-gram-overlap decontam
+# rule used by public LLM data pipelines (e.g. 13-gram overlap in the
+# GPT-3 / The Pile writeups; smaller n here because the synthetic docs
+# draw from a ~30-word vocabulary).
+
+_SHINGLE_N = 8
+_BENCH_MOD = 20
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing ≥1 8-token shingle with the benchmark slice.
+
+    Returns (doc_id, n_shared_shingles, n_benchmark_docs): how many
+    distinct shingles of the doc appear anywhere in the benchmark, and
+    how many distinct benchmark docs it collides with.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (_SHINGLE_N - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, _SHINGLE_N), " "),
+        )
+    )
+    shingled = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = shingled.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    corpus = shingled.where(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0)),
+      i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))) AS s(shingle)
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_benchmark_docs
+FROM sh c JOIN sh b USING (shingle)
+WHERE c.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+GROUP BY c.doc_id
+"""
+
+# ---------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------
+#
+# Per-language keep rates out of 100, decided by an affine hash of
+# doc_id — reproducible under retries and any partitioning (no RNG, no
+# sample() nondeterminism). This is how a production pipeline builds
+# fixed eval slices from a 100 TB corpus: one scan, zero shuffles.
+
+_STRATA_RATES = {"en": 50, "de": 25, "es": 25, "fr": 25}  # others: 10
+_DEFAULT_RATE = 10
+_SAMPLE_A, _SAMPLE_B = 1103515245, 12345
+
+
+def _sample_hash_col():
+    # doc_id is reduced mod P before the multiply so the product stays
+    # inside int64 for ANY id (Spark would wrap silently on overflow,
+    # DuckDB would error — reducing first keeps both engines exact)
+    return (F.col("doc_id") % _P * _SAMPLE_A + _SAMPLE_B) % _P % 100
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample of the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.where(_sample_hash_col() < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_RATE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 100 < {_RATE_CASE}
+"""
+
+# ---------------------------------------------------------------------
+# Global top-k n-grams
+# ---------------------------------------------------------------------
+
+_NGRAM_K = 20
+
+
+def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's top-20 bigrams by total occurrence count.
+
+    Plan: explode bigrams map-side → partial hash-agg (map-side
+    combine shrinks each partition to its distinct bigrams) → final
+    agg → ``TakeOrderedAndProject`` (per-partition top-k, only k rows
+    per partition cross to the driver merge; the full bigram table is
+    never globally sorted). Deterministic tie-break on the bigram text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(_NGRAM_K)
+    )
+
+
+_TOPK_NGRAMS_SQL = f"""
+WITH t AS (
+  SELECT regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+bg AS (
+  SELECT b.ngram
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i+1])) AS b(ngram)
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bg GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT {_NGRAM_K}
+"""
+
+# ---------------------------------------------------------------------
+# Per-key reservoir sampling
+# ---------------------------------------------------------------------
+
+_RESERVOIR_K = 3
+
+
+def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample (reservoir equivalent).
+
+    The "random" order is the affine hash of doc_id, so the window is
+    partitioned by source (never global) and the pick is reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % _P * _SAMPLE_A + _SAMPLE_B) % _P
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= _RESERVOIR_K)
+        .select("source", "pick_rank", "doc_id", "lang")
+    )
+
+
+_PER_SOURCE_SQL = f"""
+SELECT source, pick_rank, doc_id, lang
+FROM (
+  SELECT source, doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} ASC,
+                    doc_id ASC) AS INT) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= {_RESERVOIR_K}
+"""
+
+
+QUERIES = {
+    "contamination_check": contamination_check,
+    "stratified_sample": stratified_sample,
+    "topk_ngrams": topk_ngrams,
+    "per_source_sample": per_source_sample,
+}
+
+ORACLES = {
+    "contamination_check": _CONTAMINATION_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
+    "topk_ngrams": _TOPK_NGRAMS_SQL,
+    "per_source_sample": _PER_SOURCE_SQL,
+}
