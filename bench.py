@@ -67,6 +67,9 @@ HEADLINE = [
     "kmeans_cells",
     "ann_ivf_trained_topk",
     "quality_filter",
+    "contamination_check",
+    "stratified_sample",
+    "topk_ngrams",
 ]
 
 
