@@ -113,4 +113,6 @@ def filter_outlier(
     z2 = F.pow(F.abs(F.col(value) - F.col("_med")) / F.col("_mad"), 2)
     per_curve = withstats.groupBy(*curve).agg(F.avg(z2).alias("curve_chi2"))
     keep = per_curve.filter(F.col("curve_chi2") < threshold).select(*curve)
-    return df.join(F.broadcast(keep), on=curve, how="left_semi")
+    # keep is one row per surviving curve — it scales with the data, so
+    # no broadcast hint: AQE broadcasts it when small, shuffles at scale
+    return df.join(keep, on=curve, how="left_semi")

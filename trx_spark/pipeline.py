@@ -122,7 +122,9 @@ def data_reduction(
 
     Returns {'shots', 'scan', 'scan_filtered'} lazy DataFrames
     (trx/id9.py:226-303 doFolder_dataRed + filters.applyFilters).
-    ``log`` is broadcast (it is one row per image).
+    ``log`` is one row per image — small per run but proportional to
+    the data volume across runs, so the join carries no broadcast hint
+    (AQE broadcasts a single run's log, shuffles a 100 TB batch).
 
     Scale note: with no ``extra_group`` the acquisition-order window is
     global — the reference's "one folder = one run" call shape, fine at
@@ -130,7 +132,7 @@ def data_reduction(
     ``cfg.extra_group``; every window then partitions by it (the gate
     queries exercise exactly that shape with a 16-shard run key).
     """
-    joined = curves.join(F.broadcast(log), on=file, how="inner")
+    joined = curves.join(log, on=file, how="inner")
     # per-image acquisition index from the file ordering (O1: the sorted
     # file list defines acquisition order, trx/utils/files.py:16)
     from pyspark.sql import Window
@@ -186,12 +188,14 @@ def data_reduction(
             shot_scores = shot_scores.withColumn(
                 "chi2_threshold", F.lit(None).cast("double")
             ).withColumn("chi2_excluded", F.lit(False))
-        # one row per shot → broadcast back onto the exploded (shot, q) rows
+        # one row per shot, joined back onto the exploded (shot, q) rows
         # (keyed by the full [group, shot, scan] grain — shot ids are only
         # unique within a run); shots subsampled away by the every-second-ref
         # rule are never scored (NaN in the reference) and survive the filter.
+        # No broadcast hint: shot_scores scales with the shot count, AQE
+        # broadcasts per-run sizes and shuffles a multi-run batch.
         per_shot = shots.join(
-            F.broadcast(shot_scores), on=[*group, file, delay], how="left"
+            shot_scores, on=[*group, file, delay], how="left"
         ).withColumn("chi2_excluded", F.coalesce(F.col("chi2_excluded"), F.lit(False)))
         surviving = per_shot.filter(~F.col("chi2_excluded")).drop(
             "chi2_0", "n_q", "chi2_threshold", "chi2_excluded"

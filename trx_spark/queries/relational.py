@@ -77,9 +77,13 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-join chain lineitem⋈orders⋈customer⋈nation⋈region with
-    broadcast dimension tables (SURVEY J1: the log join is exactly a
-    broadcast hash join on a small side)."""
+    """Equi-join chain lineitem⋈orders⋈customer⋈nation⋈region (SURVEY
+    J1: the log join is a broadcast hash join on a small side).
+
+    Broadcast hints only on the FIXED-size dims (nation 25 rows, region
+    5). customer scales with the data volume, so it carries no hint:
+    AQE broadcasts it at test scale from its runtime size and shuffles
+    it on a 100 TB cluster — hard-hinting it would pin a scale bug."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -88,7 +92,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -268,7 +272,8 @@ def supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rev.join(
-            F.broadcast(sup.select("s_suppkey", "s_name", "s_nationkey")),
+            # supplier scales with SF — no hint; AQE picks the strategy
+            sup.select("s_suppkey", "s_name", "s_nationkey"),
             rev.l_suppkey == F.col("s_suppkey"),
         )
         .join(F.broadcast(nat.select("n_nationkey", "n_name")),

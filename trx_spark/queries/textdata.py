@@ -359,9 +359,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_a")), inter.doc_a == F.col("doc_id"))
+        # sizes is one row per doc (scales with the corpus) — no hint,
+        # AQE broadcasts at test scale and shuffles at corpus scale
+        inter.join(sizes.withColumnRenamed("n_sh", "n_a"), inter.doc_a == F.col("doc_id"))
         .drop("doc_id")
-        .join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_b")), F.col("doc_b") == F.col("doc_id"))
+        .join(sizes.withColumnRenamed("n_sh", "n_b"), F.col("doc_b") == F.col("doc_id"))
         .drop("doc_id")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= _JACCARD_MIN)

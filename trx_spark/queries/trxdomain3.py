@@ -60,8 +60,11 @@ def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
+        # keys is one row per curve — proportional to data volume, so no
+        # broadcast hint (AQE broadcasts at sf0.1, shuffles at 100 TB;
+        # both sides already hash on the same orderkey)
         lines.join(
-            F.broadcast(keys), lines.l_orderkey == keys.o_orderkey
+            keys, lines.l_orderkey == keys.o_orderkey
         )
         .select(
             F.col("l_orderkey").alias("file"),

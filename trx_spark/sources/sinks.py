@@ -177,3 +177,76 @@ def is_result_current(out_dir: str, config: dict) -> bool:
 
 def load_result(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_key: list[str],
+    target_file_mb: int = 512,
+    n_shards: int | None = None,
+    sample_rows: int = 10_000,
+) -> dict:
+    """Balanced, deterministic shard export — the training-data output
+    sink. Writes ``path/_shard=N/`` parquet shards plus a
+    ``_MANIFEST.json`` with per-shard row counts for validation.
+
+    Shard assignment is ``xxhash64(shard_key) mod n`` — a pure function
+    of the row, NOT round-robin ``repartition(n)`` (whose row→shard
+    mapping depends on the incoming partitioning and is therefore not
+    reproducible across retries or re-runs). A resumable 100 TB export
+    needs the same row to land in the same shard every time.
+
+    ``n_shards`` defaults to ⌈estimated bytes / target⌉ where the
+    estimate is rows × bytes-per-row measured from a ``sample_rows``
+    parquet write — two cheap extra jobs (a limit-write and a count),
+    both metadata-light next to the export itself. The manifest row
+    counts are read back from the WRITTEN parquet footers (a
+    metadata-only scan), so they certify what landed on disk, not what
+    was intended.
+    """
+    import shutil
+    import tempfile
+
+    if n_shards is None:
+        total_rows = df.count()
+        tmp = tempfile.mkdtemp(prefix="trx_export_probe_")
+        try:
+            probe = os.path.join(tmp, "probe")
+            df.limit(sample_rows).write.mode("overwrite").parquet(probe)
+            probe_df = df.sparkSession.read.parquet(probe)
+            probe_rows = max(1, probe_df.count())
+            probe_bytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(probe)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        est_bytes = total_rows * (probe_bytes / probe_rows)
+        n_shards = max(1, int(-(-est_bytes // (target_file_mb * 1024 * 1024))))
+
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in shard_key]), F.lit(n_shards))
+    out = df.withColumn("_shard", shard.cast("int"))
+    (
+        out.repartition(int(n_shards), "_shard")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(path)
+    )
+    written = df.sparkSession.read.parquet(path)
+    counts = {
+        int(r["_shard"]): int(r["n"])
+        for r in written.groupBy("_shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "n_shards": int(n_shards),
+        "shard_key": list(shard_key),
+        "total_rows": int(sum(counts.values())),
+        "rows_per_shard": {str(k): v for k, v in sorted(counts.items())},
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
