@@ -103,6 +103,60 @@ WHERE c.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
 GROUP BY c.doc_id
 """
 
+def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean corpus: non-benchmark docs with ZERO shingle overlap
+    with the benchmark slice — the anti-join composition of
+    :func:`contamination_check` (this is the step a training pipeline
+    actually runs; the check is its audit view). Same broadcast shingle
+    join shape, flipped to ``left_anti``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (_SHINGLE_N - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, _SHINGLE_N), " "),
+        )
+    )
+    shingled = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_shingles = shingled.where(is_bench).select("shingle").distinct()
+    dirty = (
+        shingled.where(~is_bench)
+        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.where(~is_bench)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0)),
+      i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))) AS s(shingle)
+),
+dirty AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN sh b USING (shingle)
+  WHERE c.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % {_BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
 # ---------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------
@@ -234,6 +288,7 @@ WHERE pick_rank <= {_RESERVOIR_K}
 
 QUERIES = {
     "contamination_check": contamination_check,
+    "decontaminated_docs": decontaminated_docs,
     "stratified_sample": stratified_sample,
     "topk_ngrams": topk_ngrams,
     "per_source_sample": per_source_sample,
@@ -241,6 +296,7 @@ QUERIES = {
 
 ORACLES = {
     "contamination_check": _CONTAMINATION_SQL,
+    "decontaminated_docs": _DECONTAM_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "per_source_sample": _PER_SOURCE_SQL,
