@@ -1,0 +1,90 @@
+"""Capstone: the complete training-data-curation journey on this
+engine — documents arriving in waves → streaming incremental ingest
+(file-source checkpoint) → composed quality filter → exact dedup →
+balanced shard export with manifest. Planted truth at every stage: a
+too-short doc, a repetitive doc, a non-English doc, and a cross-wave
+exact duplicate."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trx_spark.queries.corpus import quality_signals
+from trx_spark.sources.sinks import export_shards
+from trx_spark.streaming.incremental import run_catchup
+
+_GOOD = (
+    "the fast key order sort table scan merge part window small hash "
+    "scan join order batch group stream spark window merge the value "
+    "data query plan index column vector batch probe build side left "
+) * 2  # ~150 tokens, english markers, diverse
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _write_wave(spark, path, rows):
+    spark.createDataFrame(pd.DataFrame(rows), _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_waves_to_sharded_clean_corpus(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "export")
+
+    wave1 = [
+        {"doc_id": 1, "text": _GOOD + "alpha beta gamma delta"},
+        {"doc_id": 2, "text": _GOOD + "epsilon zeta eta theta"},
+        {"doc_id": 3, "text": "too short"},  # reject: bit 1
+        {"doc_id": 4, "text": "spam " * 60},  # reject: repetitive/diversity
+        {"doc_id": 5, "text": "der die und das " * 40},  # reject: non-english
+    ]
+    _write_wave(spark, landing, wave1)
+    run_catchup(
+        spark, landing_dir=landing, schema=_SCHEMA, store_dir=store,
+        checkpoint_dir=ckpt,
+    )
+
+    wave2 = [
+        {"doc_id": 6, "text": _GOOD + "iota kappa lambda mu"},
+        {"doc_id": 7, "text": _GOOD + "alpha beta gamma delta"},  # dup of 1
+    ]
+    _write_wave(spark, landing, wave2)
+    run_catchup(
+        spark, landing_dir=landing, schema=_SCHEMA, store_dir=store,
+        checkpoint_dir=ckpt,
+    )
+
+    # the checkpoint processed each wave exactly once
+    docs = spark.read.parquet(store).select("doc_id", "text")
+    assert docs.count() == 7
+
+    # --- quality filter ---
+    sig = quality_signals(docs)
+    verdicts = {r["doc_id"]: r for r in sig.collect()}
+    assert verdicts[1]["keep"] and verdicts[2]["keep"] and verdicts[6]["keep"]
+    assert verdicts[3]["reject_reasons"] & 1  # too short
+    assert not verdicts[4]["keep"]  # repetitive spam
+    assert verdicts[5]["reject_reasons"] & 16  # non-english
+    kept = docs.join(
+        sig.where("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # --- exact dedup: keep the smallest doc_id per content hash ---
+    keeper = (
+        kept.withColumn("h", F.md5(F.col("text").cast("binary")))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    clean = kept.join(keeper.select("doc_id"), "doc_id", "left_semi")
+    clean_ids = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert clean_ids == [1, 2, 6]  # 7 deduped away as a copy of 1
+
+    # --- balanced deterministic export ---
+    manifest = export_shards(clean, out, shard_key=["doc_id"], n_shards=2)
+    assert manifest["total_rows"] == 3
+    back = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 6]

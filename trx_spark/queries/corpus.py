@@ -287,7 +287,7 @@ _LANG_MARKERS = {
 }
 
 
-def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_signals(docs: DataFrame) -> DataFrame:
     """The composed keep/reject decision a C4/Gopher-style cleaning
     pipeline applies per document, built from the engine's signal
     family: token count, duplicate-word fraction, top-bigram fraction,
@@ -295,9 +295,9 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject-reason bitmask (1 short, 2 low-diversity, 4 repetitive,
     8 word-length, 16 non-English) and ``keep = (reasons == 0)``.
     Entirely higher-order array math over each document's own tokens —
-    zero shuffles, scales with scan bandwidth.
+    zero shuffles, scales with scan bandwidth. Operates on any
+    DataFrame with (doc_id, text) columns.
     """
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
     n = F.size(toks).cast("long")
     nd = F.size(F.array_distinct(toks)).cast("long")
@@ -344,6 +344,11 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reject_reasons"),
         (reasons == 0).alias("keep"),
     )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: :func:`quality_signals` over the documents table."""
+    return quality_signals(load_table(spark, sf_dir, "documents"))
 
 
 def _qf_marker_sql(lang: str) -> str:
