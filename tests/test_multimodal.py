@@ -3,13 +3,17 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from trx_spark.operators.multimodal import (
     decode_image,
     frame_sample,
+    image_features,
     read_binary_assets,
+    resize_pixels,
 )
 
 
@@ -132,3 +136,42 @@ def test_frame_sample_schedule(assets):
     for r in rows:
         per_file.setdefault(r["file"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 5, 10, 15] for v in per_file.values())
+
+
+def test_resize_pixels_block_mean(spark):
+    # 4x4 gradient image; factor-2 mean resize has closed-form blocks
+    img = np.arange(16, dtype="f8").reshape(4, 4)
+    iy, ix = np.mgrid[0:4, 0:4]
+    pixels = spark.createDataFrame(
+        pd.DataFrame(
+            {"file": "a", "y": iy.ravel(), "x": ix.ravel(), "intensity": img.ravel()}
+        )
+    )
+    got = {
+        (r["y"], r["x"]): r["intensity"]
+        for r in resize_pixels(pixels, factor=2).collect()
+    }
+    # block (0,0) = mean(0,1,4,5) = 2.5 etc.
+    assert got == {(0, 0): 2.5, (0, 1): 4.5, (1, 0): 10.5, (1, 1): 12.5}
+    got_max = {
+        (r["y"], r["x"]): r["intensity"]
+        for r in resize_pixels(pixels, factor=2, agg="max").collect()
+    }
+    assert got_max == {(0, 0): 5.0, (0, 1): 7.0, (1, 0): 13.0, (1, 1): 15.0}
+
+
+def test_image_features_centroid(spark):
+    # all intensity concentrated at (x=3, y=1) → centroid is exactly there
+    rows = [
+        {"file": "a", "y": y, "x": x, "intensity": 0.0}
+        for y in range(4)
+        for x in range(4)
+    ]
+    for r in rows:
+        if r["x"] == 3 and r["y"] == 1:
+            r["intensity"] = 10.0
+    feats = image_features(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    f = feats[0]
+    assert f["n_px"] == 16
+    assert f["centroid_x"] == 3.0 and f["centroid_y"] == 1.0
+    assert f["max_i"] == 10.0 and f["min_i"] == 0.0

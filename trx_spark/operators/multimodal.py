@@ -214,3 +214,50 @@ def frame_sample(
     return assets.select(
         F.col("path").alias("file"), F.explode(idx).alias("frame_idx")
     )
+
+
+def resize_pixels(
+    pixels: DataFrame,
+    *,
+    factor: int,
+    agg: str = "mean",
+) -> DataFrame:
+    """Block downsample of decoded pixel rows — the image-resize stage
+    of a multimodal pipeline, expressed RELATIONALLY: output pixel
+    (y//f, x//f) aggregates its f×f source block. No UDF, one keyed
+    shuffle on (file, y, x); at 100 TB this is a map-side partial agg
+    exactly like azimuthal integration (the engine's centerpiece plan).
+
+    ``agg``: 'mean' (area-average, the usual anti-aliased downsample),
+    'max' (max-pool) or 'sum'.
+    """
+    if agg not in ("mean", "max", "sum"):
+        raise ValueError(f"unknown agg {agg!r}")
+    fn = {"mean": F.avg, "max": F.max, "sum": F.sum}[agg]
+    return (
+        pixels.groupBy(
+            "file",
+            (F.col("y") / factor).cast("int").alias("y"),
+            (F.col("x") / factor).cast("int").alias("x"),
+        )
+        .agg(fn("intensity").alias("intensity"))
+    )
+
+
+def image_features(pixels: DataFrame) -> DataFrame:
+    """Per-image feature extraction from decoded pixel rows: pixel
+    count, intensity mean/min/max, population std, and the
+    intensity-weighted centroid (the beam-center proxy). One
+    groupBy(file) — map-side partials, a tiny shuffle, no UDF; the
+    feature vector for downstream similarity/clustering stages.
+    """
+    w = F.col("intensity")
+    return pixels.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.avg(w).alias("mean_i"),
+        F.min(w).alias("min_i"),
+        F.max(w).alias("max_i"),
+        F.stddev_pop(w).alias("std_i"),
+        (F.sum(F.col("x") * w) / F.sum(w)).alias("centroid_x"),
+        (F.sum(F.col("y") * w) / F.sum(w)).alias("centroid_y"),
+    )
