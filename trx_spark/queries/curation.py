@@ -250,6 +250,48 @@ LIMIT {_NGRAM_K}
 """
 
 # ---------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex
+# ---------------------------------------------------------------------
+#
+# The token-budget estimator of a training pipeline. The BPE-ish
+# pattern mirrors the GPT-2 pre-tokenizer's class structure restricted
+# to classes both engines' regex dialects (Java util.regex / RE2)
+# treat identically: letter runs, digit runs, single
+# non-letter-digit-space marks. Whitespace tokens are the naive
+# upper-word-count; bytes/BPE-token is the compression-rate proxy used
+# to budget tokens from byte counts at 100 TB without tokenizing.
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc whitespace vs BPE-ish token counts — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.when(bpe > 0, F.col("n_chars").cast("double") / bpe.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("bytes_per_token"),
+    )
+
+
+_TOKEN_BPE_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN len(regexp_extract_all(text, '{_BPE_RE}')) > 0
+       THEN CAST(n_chars AS DOUBLE)
+            / CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+       ELSE 0.0 END AS bytes_per_token
+FROM documents
+"""
+
+# ---------------------------------------------------------------------
 # Per-key reservoir sampling
 # ---------------------------------------------------------------------
 
@@ -292,6 +334,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "topk_ngrams": topk_ngrams,
     "per_source_sample": per_source_sample,
+    "token_count_bpe": token_count_bpe,
 }
 
 ORACLES = {
@@ -300,4 +343,5 @@ ORACLES = {
     "stratified_sample": _STRATIFIED_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "per_source_sample": _PER_SOURCE_SQL,
+    "token_count_bpe": _TOKEN_BPE_SQL,
 }
