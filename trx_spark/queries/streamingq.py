@@ -118,12 +118,71 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_KEYS_SQL = "SELECT DISTINCT user_id FROM events"
 
 
+_SESSION_GAP_MIN = 30
+
+
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization of the streamed events
+    parquet (availableNow), per user. Over static input this equals
+    the gaps-and-islands batch formulation with the closed boundary
+    (new session only when diff > gap; two events EXACTLY gap apart
+    merge — pinned by test_streaming_sessions) — a full DuckDB oracle,
+    and a
+    cross-check of ``sessionize_events``' relational sessionization
+    against Spark's built-in session merging."""
+    from trx_spark.streaming.sessions import run_session_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def prepare(df: DataFrame) -> DataFrame:
+        return df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+
+    return run_session_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="events.parquet",
+        schema=schema,
+        ts="ts_t",
+        keys=["user_id"],
+        gap=f"{_SESSION_GAP_MIN} minutes",
+        watermark="1 hour",
+        prepare=prepare,
+    )
+
+
+_SESSION_STATS_SQL = f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                 > {_SESSION_GAP_MIN * 60 * 1_000_000}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+  MIN(t_us) AS session_start_us,
+  MAX(t_us) + {_SESSION_GAP_MIN * 60 * 1_000_000} AS session_end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup_keys": streaming_dedup_keys,
+    "streaming_session_stats": streaming_session_stats,
 }
 ORACLES: dict[str, str] = {
     "streaming_windowed_counts": _WINDOWED_SQL,
     "streaming_dedup_keys": _DEDUP_KEYS_SQL,
+    "streaming_session_stats": _SESSION_STATS_SQL,
 }
