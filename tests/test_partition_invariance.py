@@ -1,0 +1,39 @@
+"""Results must not depend on the physical partitioning. Every
+oracle-gated query already uses partition-order-independent arithmetic
+(fixed-point sums, exact percentiles, keyed windows) — this test pins
+that property directly by running representative queries under
+different shuffle-partition counts and demanding bit-identical rows.
+On a real cluster the partition count is whatever AQE picks; a query
+whose answer moves with it is broken even if it matches the oracle at
+one setting.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from trx_spark.queries import QUERIES
+
+_REPRESENTATIVE = [
+    "scanpoint_stats",      # windows + fixed-point aggs
+    "minhash_lsh_pairs",    # multi-join + bucket cap
+    "sessionize_events",    # partitioned window + cumsum
+    "topk_ngrams",          # TakeOrderedAndProject with tie-break
+    "quality_filter",       # pure projection (control)
+]
+
+
+def _rows(spark, name, sf_dir, n_shuffle):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVE)
+def test_partition_count_invariance(spark, sf_dir, name):
+    assert _rows(spark, name, sf_dir, 3) == _rows(spark, name, sf_dir, 17)
