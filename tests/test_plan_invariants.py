@@ -1,0 +1,56 @@
+"""Static-plan invariants over the WHOLE bench headline set (the
+PLANS.md contract, enforced): no Cartesian product anywhere, and
+BroadcastNestedLoopJoin only in the documented 1-row-build-side cases
+(the ANN rankers' scalar query-norm join and the global-threshold
+cross joins). A regression that degrades a keyed equi-join into a
+nested loop fails here before it ever reaches a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import bench
+from trx_spark.queries import QUERIES
+
+# queries where a BroadcastNestedLoopJoin is by-design: the build side
+# is ONE row (scalar threshold / query vector / group total)
+_ONE_ROW_BUILD_OK = {
+    "ann_cosine_topk",
+    "ann_topk_lsh",
+    "ann_topk_multiprobe",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "embedding_neardup_pairs",
+    "kmeans_cells",
+    "chi2_filter_auto",
+    "mad_outliers",
+    "filter_outlier_curves",
+    "global_curve_stats",
+    "curves_chi2_per_shot",
+    "curves_scan_stats",
+    "scanpoint_stats",
+    "asof_interp_refs",
+    "diffs_plus_ref",
+}
+
+# deliberate tiny cross products: the HKL Miller-index enumeration is
+# spark.range(-lim,lim+1)³ — a (2·lim+1)³-row GENERATOR (the reference's
+# itertools.product, trx/cell.py:43-61), not a join of data tables
+_CARTESIAN_OK = {"reflections_cubic_si", "reflections_triclinic"}
+
+_SKIP = {"streaming_incremental_stats"}  # executes a stream, not a plan
+
+
+@pytest.mark.parametrize("name", sorted(set(bench.HEADLINE) - _SKIP))
+def test_no_cartesian_no_stray_nested_loop(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in _CARTESIAN_OK:
+        return  # generator enumeration: cross product is the point
+    assert "CartesianProduct" not in plan, f"{name} plans a Cartesian product"
+    if name not in _ONE_ROW_BUILD_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join outside the documented "
+            "1-row-build-side set"
+        )
