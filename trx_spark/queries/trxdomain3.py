@@ -40,7 +40,15 @@ def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly NQ points)
     w_cnt = Window.partitionBy("l_orderkey")
     lines = (
-        li.withColumn("q_idx", F.row_number().over(w_line))
+        # explicit projection BEFORE the windows: Catalyst does not
+        # prune columns past the dual window frames, so without this
+        # the exchange shuffles all 16 lineitem columns to rank 6
+        # (measured 2.2 s vs 0.7 s at sf0.1)
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_quantity",
+        )
+        .withColumn("q_idx", F.row_number().over(w_line))
         .withColumn("_n", F.count(F.lit(1)).over(w_cnt))
         .filter((F.col("q_idx") <= _NQ) & (F.col("_n") >= _NQ))
         .drop("_n")
