@@ -328,6 +328,60 @@ WHERE pick_rank <= {_RESERVOIR_K}
 """
 
 
+# ---------------------------------------------------------------------
+# Per-source curation dashboard
+# ---------------------------------------------------------------------
+
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc counts, keep rate, and
+    fixed-point mean quality signals — the monitoring view a pipeline
+    operator watches per crawl source. Composes the quality signals
+    (zero-shuffle projection) with ONE groupBy on the source key;
+    map-side partials make the shuffle tiny (one row per source).
+    """
+    from trx_spark.exact import dsum
+    from trx_spark.queries.corpus import quality_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = quality_signals(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("n_tokens").alias("total_tokens"),
+        dsum(F.col("dup_word_frac")).alias("sum_dup_frac"),
+        dsum(F.col("mean_word_len")).alias("sum_word_len"),
+    )
+
+
+def _quality_base_sql() -> str:
+    # reuse the quality oracle as a subquery joined back to source
+    from trx_spark.queries.corpus import ORACLES as _CORPUS_ORACLES
+
+    return _CORPUS_ORACLES["quality_filter"].strip().rstrip(";")
+
+
+_ROLLUP_SQL = f"""
+WITH q AS ({{q}}),
+j AS (SELECT q.*, d.source FROM q JOIN documents d USING (doc_id))
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(CAST(FLOOR(dup_word_frac * 1000000.0) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS sum_dup_frac,
+  CAST(SUM(CAST(FLOOR(mean_word_len * 1000000.0) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS sum_word_len
+FROM j GROUP BY source
+"""
+
+
+def _rollup_sql() -> str:
+    return _ROLLUP_SQL.format(q=_quality_base_sql())
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "decontaminated_docs": decontaminated_docs,
@@ -335,6 +389,7 @@ QUERIES = {
     "topk_ngrams": topk_ngrams,
     "per_source_sample": per_source_sample,
     "token_count_bpe": token_count_bpe,
+    "source_quality_rollup": source_quality_rollup,
 }
 
 ORACLES = {
@@ -344,4 +399,5 @@ ORACLES = {
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "per_source_sample": _PER_SOURCE_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
+    "source_quality_rollup": _rollup_sql(),
 }
