@@ -1,0 +1,49 @@
+"""Watermarked stream-stream interval join (streaming extension per
+the build brief): join two UNBOUNDED streams on a key within an
+event-time window — e.g. click attribution onto impressions — with
+both sides watermarked so the join state expires: each side buffers
+only rows younger than (watermark − window), giving O(window · rate)
+state instead of O(history). The batch twin of this shape is
+``operators/rangejoin.interval_point_join``; in streaming the state
+store plays the role of the bucketed hash side.
+
+Semantics pinned by tests: half-open window (r_ts in [l_ts, l_ts +
+window)), inner join; over a single availableNow replay of static
+input the result EQUALS the batch join (watermarks drop nothing when
+everything arrives in order); across checkpointed replays a row older
+than the advanced watermark is dropped — the bounded-state contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    l_ts: str,
+    r_ts: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Inner-join ``right`` rows onto ``left`` rows with the same
+    ``on`` key and ``r_ts`` in ``[l_ts, l_ts + window)``. Works on
+    streaming or batch frames (withWatermark is a batch no-op).
+    ``l_ts``/``r_ts`` must be distinct timestamp column names."""
+    lw = left.withWatermark(l_ts, watermark)
+    rw = right.withWatermark(r_ts, watermark)
+    key_l, key_r = f"l.{on}", f"r.{on}"
+    cond = (
+        (F.col(key_l) == F.col(key_r))
+        & (F.col(r_ts) >= F.col(l_ts))
+        & (F.col(r_ts) < F.col(l_ts) + F.expr(f"INTERVAL {window}"))
+    )
+    return (
+        lw.alias("l")
+        .join(rw.alias("r"), cond, "inner")
+        .drop(F.col(key_r))
+    )
