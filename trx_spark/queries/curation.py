@@ -329,6 +329,75 @@ WHERE pick_rank <= {_RESERVOIR_K}
 
 
 # ---------------------------------------------------------------------
+# Temperature-based mixture sampling (data-mixing step)
+# ---------------------------------------------------------------------
+#
+# The multilingual/source-rebalancing step of LLM data pipelines:
+# sample source s with probability ∝ n_s^α (α < 1 upweights small
+# sources — the "temperature" sampling of the multilingual-pretraining
+# literature). α = 0.5 so the weight is sqrt(n_s): IEEE sqrt is
+# correctly rounded on both engines, and the weight sum is carried as
+# a fixed-point BIGINT so no float accumulation order leaks in. The
+# per-row decision is the same deterministic affine hash as
+# stratified_sample — one count aggregation (tiny: one row per
+# source), a broadcast-size join back, zero extra shuffles of the
+# corpus.
+
+_MIX_TARGET = 200  # target sample size across the corpus
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature (α=0.5) mixture sample by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # fixed-point weight: floor(sqrt(n)·1e6) — exact on both engines
+    w = F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1e6)).cast("long")
+    weights = counts.withColumn("w_s", w)
+    total = weights.agg(F.sum("w_s").alias("w_tot"))  # exact BIGINT sum
+    rates = weights.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_s",
+        # keep-threshold out of 1e6, via an IEEE tree both engines share
+        F.floor(
+            F.lit(float(_MIX_TARGET))
+            * F.col("w_s").cast("double")
+            / F.col("w_tot").cast("double")
+            / F.col("n_s").cast("double")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where((F.col("doc_id") % _P * _SAMPLE_A + _SAMPLE_B) % _P % 1_000_000 < F.col("thr"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, n_s,
+         CAST(FLOOR(sqrt(CAST(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_s
+  FROM counts
+),
+total AS (SELECT SUM(w_s) AS w_tot FROM weights),
+rates AS (
+  SELECT source, n_s,
+         CAST(FLOOR(CAST({_MIX_TARGET} AS DOUBLE) * CAST(w_s AS DOUBLE)
+                    / CAST(w_tot AS DOUBLE) / CAST(n_s AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS thr
+  FROM weights, total
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE (d.doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 1000000 < r.thr
+"""
+
+# ---------------------------------------------------------------------
 # Per-source curation dashboard
 # ---------------------------------------------------------------------
 
@@ -390,6 +459,7 @@ QUERIES = {
     "per_source_sample": per_source_sample,
     "token_count_bpe": token_count_bpe,
     "source_quality_rollup": source_quality_rollup,
+    "mixture_sample": mixture_sample,
 }
 
 ORACLES = {
@@ -400,4 +470,5 @@ ORACLES = {
     "per_source_sample": _PER_SOURCE_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
     "source_quality_rollup": _rollup_sql(),
+    "mixture_sample": _MIXTURE_SQL,
 }
