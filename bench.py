@@ -70,6 +70,10 @@ HEADLINE = [
     "contamination_check",
     "stratified_sample",
     "topk_ngrams",
+    "decontaminated_docs",
+    "source_quality_rollup",
+    "token_count_bpe",
+    "mixture_sample",
 ]
 
 

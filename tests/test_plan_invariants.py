@@ -23,6 +23,7 @@ _ONE_ROW_BUILD_OK = {
     "ann_ivf_trained_topk",
     "embedding_neardup_pairs",
     "kmeans_cells",
+    "mixture_sample",
     "chi2_filter_auto",
     "mad_outliers",
     "filter_outlier_curves",
