@@ -88,3 +88,24 @@ def test_waves_to_sharded_clean_corpus(spark, tmp_path):
     assert manifest["total_rows"] == 3
     back = spark.read.parquet(out)
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 6]
+
+
+def test_normalize_text_canonicalizes(spark):
+    from trx_spark.queries.curation import normalize_text_col
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["  Hello\t\tWorld\n\nfoo\x00bar  ", "hello world foobar"],
+        }
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_text_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    # control char stripped, whitespace collapsed, case folded:
+    # both documents reach the same canonical form → dedup hashes equal
+    assert out[1] == out[2] == "hello world foobar"

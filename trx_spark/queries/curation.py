@@ -329,6 +329,50 @@ WHERE pick_rank <= {_RESERVOIR_K}
 
 
 # ---------------------------------------------------------------------
+# Text normalization (the cleanup transform preceding dedup)
+# ---------------------------------------------------------------------
+#
+# Exact dedup is only as good as its canonical form: two documents
+# differing in whitespace runs or stray control characters should hash
+# equal. The transform chain (strip non-printables → collapse
+# whitespace → trim → lowercase) is pure regexp column math — ASCII
+# character classes so Java regex and RE2 agree byte-for-byte.
+
+
+def normalize_text_col(col):
+    c = F.regexp_replace(col, "[^\\x20-\\x7e\\t\\n]", "")
+    c = F.regexp_replace(c, "[ \\t\\n]+", " ")
+    return F.lower(F.trim(c))
+
+
+def normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text per doc + the content hash exact dedup keys on."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+    )
+
+
+_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+    lower(trim(regexp_replace(
+      regexp_replace(text, '[^\x20-\x7e\t\n]', '', 'g'),
+      '[ \t\n]+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS raw_len,
+  CAST(length(norm) AS BIGINT) AS norm_len,
+  md5(norm) AS norm_hash
+FROM n
+"""
+
+# ---------------------------------------------------------------------
 # Temperature-based mixture sampling (data-mixing step)
 # ---------------------------------------------------------------------
 #
@@ -460,6 +504,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "source_quality_rollup": source_quality_rollup,
     "mixture_sample": mixture_sample,
+    "normalized_docs": normalized_docs,
 }
 
 ORACLES = {
@@ -471,4 +516,5 @@ ORACLES = {
     "token_count_bpe": _TOKEN_BPE_SQL,
     "source_quality_rollup": _rollup_sql(),
     "mixture_sample": _MIXTURE_SQL,
+    "normalized_docs": _NORMALIZE_SQL,
 }
