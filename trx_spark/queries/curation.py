@@ -7,10 +7,12 @@ Scale design notes (local[32] tests correctness; the plans target a
 1000-executor cluster):
 
 - ``contamination_check``: the benchmark set is tiny relative to the
-  corpus, so its exploded shingles are **broadcast**; the corpus side is
-  map-side shingled (no shuffle) and the only shuffle is the final
-  groupBy on doc_id. A naive corpus×benchmark cross join would be
-  quadratic; the shingle equi-join is linear in total shingle count.
+  corpus, so AQE broadcasts its exploded shingles from their runtime
+  size (no explicit hint — the gate's doc_id%20 benchmark PROXY grows
+  with the corpus, unlike a real fixed eval set); the corpus side is
+  map-side shingled and the only full shuffle is the final groupBy on
+  doc_id. A naive corpus×benchmark cross join would be quadratic; the
+  shingle equi-join is linear in total shingle count.
 - ``stratified_sample`` / ``per_source_sample``: sampling decisions are
   pure per-row arithmetic on doc_id (deterministic affine hash), so the
   sample is reproducible across engines, retries, and partitionings —
@@ -74,8 +76,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )
     corpus = shingled.where(~is_bench)
+    # no broadcast hint: a REAL benchmark is fixed-size (AQE will
+    # broadcast it), but this gate's doc_id%20 proxy grows with the
+    # corpus — hinting it would pin a driver-OOM at scale
     return (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(bench, "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_shared_shingles"),
@@ -124,7 +129,7 @@ def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_shingles = shingled.where(is_bench).select("shingle").distinct()
     dirty = (
         shingled.where(~is_bench)
-        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .join(bench_shingles, "shingle", "left_semi")  # AQE decides (see above)
         .select("doc_id")
         .distinct()
     )
@@ -412,8 +417,10 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("thr"),
     )
+    # rates is one row per source — bounded here, but source cardinality
+    # is data-dependent at web scale (millions of domains), so no hint
     return (
-        docs.join(F.broadcast(rates), "source")
+        docs.join(rates, "source")
         .where((F.col("doc_id") % _P * _SAMPLE_A + _SAMPLE_B) % _P % 1_000_000 < F.col("thr"))
         .select("doc_id", "source", "lang")
     )
