@@ -74,6 +74,8 @@ HEADLINE = [
     "source_quality_rollup",
     "token_count_bpe",
     "mixture_sample",
+    "pq_codes",
+    "ann_pq_topk",
 ]
 
 

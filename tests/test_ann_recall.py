@@ -20,6 +20,7 @@ _FLOORS = {
     "ann_topk_multiprobe": 0.4,
     "ann_ivf_topk": 0.6,
     "ann_ivf_trained_topk": 0.7,
+    "ann_pq_topk": 0.4,  # ADC shortlist (10% scan) + exact re-rank
 }
 
 

@@ -21,6 +21,8 @@ _ONE_ROW_BUILD_OK = {
     "ann_topk_multiprobe",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
+    "ann_pq_topk",
+    "pq_codes",
     "embedding_neardup_pairs",
     "kmeans_cells",
     "mixture_sample",

@@ -386,11 +386,201 @@ WHERE rank <= 10
 """
 
 
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance top-k
+# ---------------------------------------------------------------------
+#
+# The memory-efficient ANN tier (the FAISS PQ/ADC design, public
+# literature: Jegou et al., "Product Quantization for Nearest Neighbor
+# Search"): split the 64-dim embedding into _PQ_M subspaces, train a
+# tiny per-subspace codebook with the SAME distributed Lloyd machinery
+# as the IVF quantizer, and store each vector as _PQ_M small codes. At
+# query time the query's dot product with every (subspace, code)
+# centroid forms a lookup table of _PQ_M x _PQ_K scalars; a vector's
+# approximate score is the SUM of its codes' table entries — no
+# original vectors touched during ranking (at 100 TB the codes table is
+# ~1/32 the bytes of the raw embeddings). Dot-product PQ (not L2) to
+# stay consistent with the IVF path; table entries are re-floored to
+# fixed point so the _PQ_M-way sum is order-independent.
+
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 16
+_PQ_TSCALE = 1e6  # fixed-point scale for the ADC table sum
+
+
+def _pq_sub(emb: DataFrame, m: int) -> DataFrame:
+    return emb.select(
+        "vec_id", F.slice("embedding", m * _PQ_DIM + 1, _PQ_DIM).alias("embedding")
+    )
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Per-subspace (codes, centroids): one Lloyd update per subspace,
+    codebooks localCheckpoint'ed so training runs once."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = []
+    for m in range(_PQ_M):
+        sub = _pq_sub(emb, m)
+        cents = lloyd_centroids(sub, k=_PQ_K, updates=1).localCheckpoint()
+        codes = argmax_cell(score_cells(sub, cents))
+        out.append((m, sub, cents, codes))
+    return out
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: every vector's code per subspace (vec_id, m, code,
+    dot-with-trained-centroid)."""
+    import functools
+
+    parts = [
+        codes.select(
+            "vec_id",
+            F.lit(m).cast("long").alias("m"),
+            F.col("cid").cast("long").alias("code"),
+            "dot",
+        )
+        for m, _sub, _cents, codes in _pq_parts(spark, sf_dir)
+    ]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ two-stage rank (the production shape): ADC shortlist of
+    _PQ_SHORTLIST candidates scored purely from the codes table (the
+    scan never touches raw vectors), then exact cosine re-rank of the
+    shortlist. Pure-ADC recall@10 on this isotropic corpus is 0.2;
+    the re-rank stage recovers the survivors exactly — same
+    honest-recall treatment as the LSH path."""
+    import functools
+
+    parts = _pq_parts(spark, sf_dir)
+    tables, codes_all = [], []
+    for m, sub, cents, codes in parts:
+        q = sub.filter(F.col("vec_id") == 0)
+        tables.append(
+            score_cells(q, cents).select(
+                F.lit(m).cast("long").alias("m"),
+                F.col("cid").alias("code"),
+                F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
+            )
+        )
+        codes_all.append(
+            codes.select("vec_id", F.lit(m).cast("long").alias("m"), F.col("cid").alias("code"))
+        )
+    table = functools.reduce(DataFrame.unionByName, tables)
+    codes = functools.reduce(DataFrame.unionByName, codes_all)
+    scored = (
+        codes.join(F.broadcast(table), ["m", "code"])  # M*K rows: tiny by construction
+        .groupBy("vec_id")
+        .agg((F.sum("t_fp").cast("double") / F.lit(_PQ_TSCALE)).alias("adc_score"))
+    )
+    cand = scored.orderBy(F.desc("adc_score"), F.asc("vec_id")).limit(
+        _PQ_SHORTLIST
+    ).select("vec_id")
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+
+
+_TOP_K_PQ = 10
+_PQ_SHORTLIST = 50
+
+
+def _pq_sql_parts() -> str:
+    ctes = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DIM, (m + 1) * _PQ_DIM
+        ctes.append(f"""
+ex_{m} AS (
+  SELECT vec_id, x, pos - {lo} AS pos FROM ex WHERE pos > {lo} AND pos <= {hi}
+),
+cents0_{m} AS (SELECT vec_id AS cid, pos, x AS c FROM ex_{m} WHERE vec_id < {_PQ_K}),
+cd0_{m} AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex_{m} e JOIN cents0_{m} c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a0_{m} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd0_{m}) t
+  WHERE rn = 1
+),
+cents1_{m} AS (
+  SELECT a.cid, e.pos,
+         (CAST(SUM(CAST(FLOOR(e.x * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+            / {_EMB_SCALE!r}) / COUNT(*) AS c
+  FROM ex_{m} e JOIN a0_{m} a USING (vec_id)
+  GROUP BY a.cid, e.pos
+),
+cd1_{m} AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex_{m} e JOIN cents1_{m} c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a1_{m} AS (
+  SELECT vec_id, cid, dot FROM (
+    SELECT vec_id, cid, dot,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd1_{m}) t
+  WHERE rn = 1
+)""")
+    return ",".join(ctes)
+
+
+_PQ_CODES_SQL = f"""
+WITH {_EX_CTE},
+{_pq_sql_parts()}
+{' UNION ALL '.join(
+    f"SELECT vec_id, CAST({m} AS BIGINT) AS m, CAST(cid AS BIGINT) AS code, dot FROM a1_{m}"
+    for m in range(_PQ_M))}
+"""
+
+_PQ_TOPK_SQL = f"""
+WITH {_EX_CTE},
+{_pq_sql_parts()},
+tbl AS ({' UNION ALL '.join(
+    f"SELECT CAST({m} AS BIGINT) AS m, cid AS code, "
+    f"CAST(FLOOR(dot * {_PQ_TSCALE!r}) AS BIGINT) AS t_fp FROM cd1_{m} WHERE vec_id = 0"
+    for m in range(_PQ_M))}),
+codes AS ({' UNION ALL '.join(
+    f"SELECT vec_id, CAST({m} AS BIGINT) AS m, cid AS code FROM a1_{m}"
+    for m in range(_PQ_M))}),
+adc AS (
+  SELECT c.vec_id,
+         CAST(SUM(t.t_fp) AS DOUBLE) / {_PQ_TSCALE!r} AS adc_score
+  FROM codes c JOIN tbl t USING (m, code)
+  GROUP BY c.vec_id
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_score DESC, vec_id) AS rn
+    FROM adc) t
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+exc AS (SELECT e.* FROM ex e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+q0 AS (SELECT pos, x AS y FROM ex WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    {_fpsum_sql('e.x * q.y')} AS dot,
+    {_fpsum_sql('e.x * e.x')} AS n1
+  FROM exc e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= {_TOP_K_PQ}
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_cells": kmeans_cells,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "pq_codes": pq_codes,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLES = {
@@ -398,4 +588,6 @@ ORACLES = {
     "ann_ivf_topk": _IVF_SQL,
     "kmeans_cells": _KMEANS_SQL,
     "ann_ivf_trained_topk": _IVF_TRAINED_SQL,
+    "pq_codes": _PQ_CODES_SQL,
+    "ann_pq_topk": _PQ_TOPK_SQL,
 }
