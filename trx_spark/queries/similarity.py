@@ -16,9 +16,12 @@ from pyspark.sql import functions as F
 
 from trx_spark.operators.kmeans import (
     argmax_cell,
+    argmax_cell_grouped,
     lloyd_assign,
     lloyd_centroids,
+    lloyd_centroids_grouped,
     score_cells,
+    score_cells_grouped,
 )
 from trx_spark.queries.textdata import (
     _EMB_SCALE,
@@ -409,40 +412,41 @@ _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 16
 _PQ_TSCALE = 1e6  # fixed-point scale for the ADC table sum
 
 
-def _pq_sub(emb: DataFrame, m: int) -> DataFrame:
-    return emb.select(
-        "vec_id", F.slice("embedding", m * _PQ_DIM + 1, _PQ_DIM).alias("embedding")
+def _pq_subspaces(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, embedding): all _PQ_M sub-vectors in ONE projection."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice("embedding", m * _PQ_DIM + 1, _PQ_DIM).alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.explode(pairs).alias("p")).select(
+        "vec_id", F.col("p.m").alias("m"), F.col("p.sub").alias("embedding")
     )
 
 
-def _pq_parts(spark: SparkSession, sf_dir: str):
-    """Per-subspace (codes, centroids): one Lloyd update per subspace,
-    codebooks localCheckpoint'ed so training runs once."""
+def _pq_train_encode(spark: SparkSession, sf_dir: str):
+    """All subspace codebooks trained in ONE grouped-Lloyd pass
+    (O(rounds) jobs, not O(M x rounds) — `operators/kmeans` grouped
+    stages), codebooks localCheckpoint'ed so training runs once.
+    Returns (sub, cents, codes) with every frame keyed by m."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = []
-    for m in range(_PQ_M):
-        sub = _pq_sub(emb, m)
-        cents = lloyd_centroids(sub, k=_PQ_K, updates=1).localCheckpoint()
-        codes = argmax_cell(score_cells(sub, cents))
-        out.append((m, sub, cents, codes))
-    return out
+    sub = _pq_subspaces(emb)
+    cents = lloyd_centroids_grouped(sub, k=_PQ_K, updates=1, group=["m"]).localCheckpoint()
+    codes = argmax_cell_grouped(score_cells_grouped(sub, cents, ["m"]), ["m"])
+    return sub, cents, codes
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: every vector's code per subspace (vec_id, m, code,
     dot-with-trained-centroid)."""
-    import functools
-
-    parts = [
-        codes.select(
-            "vec_id",
-            F.lit(m).cast("long").alias("m"),
-            F.col("cid").cast("long").alias("code"),
-            "dot",
-        )
-        for m, _sub, _cents, codes in _pq_parts(spark, sf_dir)
-    ]
-    return functools.reduce(DataFrame.unionByName, parts)
+    _sub, _cents, codes = _pq_train_encode(spark, sf_dir)
+    return codes.select(
+        "vec_id", "m", F.col("cid").cast("long").alias("code"), "dot"
+    )
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,24 +456,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist. Pure-ADC recall@10 on this isotropic corpus is 0.2;
     the re-rank stage recovers the survivors exactly — same
     honest-recall treatment as the LSH path."""
-    import functools
-
-    parts = _pq_parts(spark, sf_dir)
-    tables, codes_all = [], []
-    for m, sub, cents, codes in parts:
-        q = sub.filter(F.col("vec_id") == 0)
-        tables.append(
-            score_cells(q, cents).select(
-                F.lit(m).cast("long").alias("m"),
-                F.col("cid").alias("code"),
-                F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
-            )
-        )
-        codes_all.append(
-            codes.select("vec_id", F.lit(m).cast("long").alias("m"), F.col("cid").alias("code"))
-        )
-    table = functools.reduce(DataFrame.unionByName, tables)
-    codes = functools.reduce(DataFrame.unionByName, codes_all)
+    sub, cents, codes_df = _pq_train_encode(spark, sf_dir)
+    table = score_cells_grouped(
+        sub.filter(F.col("vec_id") == 0), cents, ["m"]
+    ).select(
+        "m",
+        F.col("cid").alias("code"),
+        F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
+    )
+    codes = codes_df.select("vec_id", "m", F.col("cid").alias("code"))
     scored = (
         codes.join(F.broadcast(table), ["m", "code"])  # M*K rows: tiny by construction
         .groupBy("vec_id")
