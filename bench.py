@@ -76,6 +76,11 @@ HEADLINE = [
     "mixture_sample",
     "pq_codes",
     "ann_pq_topk",
+    # training-set assembly + semantic dedup
+    "pii_scrub",
+    "pack_sequences",
+    "epoch_shuffle",
+    "semantic_dedup",
 ]
 
 

@@ -25,6 +25,7 @@ _ONE_ROW_BUILD_OK = {
     "pq_codes",
     "embedding_neardup_pairs",
     "kmeans_cells",
+    "semantic_dedup",
     "mixture_sample",
     "chi2_filter_auto",
     "mad_outliers",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from trx_spark.queries import (
     corpus,
     curation,
+    packing,
     relational,
     similarity,
     streamingq,
@@ -40,6 +41,7 @@ for mod in (
     similarity,
     corpus,
     curation,
+    packing,
     temporal,
     streamingq,
 ):

@@ -1,0 +1,252 @@
+"""Training-set assembly operators: PII scrubbing, fixed-budget
+sequence packing, and the deterministic epoch shuffle — the last mile
+between a curated corpus and a training run.
+
+Scale design notes (local[32] tests correctness; the plans target a
+1000-executor cluster):
+
+- ``pii_scrub``: pure per-row regexp column math (JVM-side, whole-stage
+  codegen) — zero shuffles; the scrub of a 100 TB corpus is one scan.
+  The PII spans are synthesized deterministically from doc_id (the
+  testdata has none — same pattern as ``delay_codec``'s synthetic delay
+  strings), so the redaction counts are oracle-checkable.
+- ``pack_sequences``: the concat-and-chunk step packs documents into
+  fixed-token-budget training sequences. The cumulative token count is
+  a window PARTITIONED BY the pack shard (doc_id mod _N_PACK_SHARDS) —
+  production packing is per-shard/per-worker by design (a global pack
+  order would serialize the corpus through one task AND create a
+  cross-file dependency chain no resumable writer wants), so the plan
+  holds at any scale: one shuffle on the shard key, O(shard) windows.
+- ``epoch_shuffle``: training-order permutation as pure arithmetic — an
+  affine hash of (doc_id, epoch) picks the shard and the rank within
+  the shard. Reproducible across engines, retries, and partitionings
+  (no RNG state), which is exactly what makes a 100 TB shuffle
+  resumable: any executor can recompute its shard's order from doc_ids
+  alone. One shuffle on (epoch, shard); windows never global.
+
+All arithmetic is integer / fixed-point, so the DuckDB oracle matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.queries.curation import _BPE_RE, _P, _SAMPLE_A, _SAMPLE_B
+from trx_spark.tables import load_table
+
+# ---------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------
+#
+# Redaction categories follow the public pipeline playbooks (e.g. the
+# BigCode/StarCoder PII pass): emails and phone numbers replaced with
+# typed placeholder tokens. Patterns are ASCII-class-only so Java
+# util.regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+_PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub synthesized PII from documents; report per-doc counts.
+
+    doc_id % 3 email spans and doc_id % 2 phone spans are appended to
+    the text (deterministic, so the oracle reproduces them), then both
+    regexes redact to ``<EMAIL>`` / ``<PHONE>``. Zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    email_span = F.concat(
+        F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    phone_span = F.concat(
+        F.lit(" +01-555-"), (F.col("doc_id") % 9000 + 1000).cast("string")
+    )
+    n_e = F.col("doc_id") % 3
+    n_p = F.col("doc_id") % 2
+    aug = F.concat(
+        F.col("text"),
+        F.when(n_e >= 1, email_span).otherwise(F.lit("")),
+        F.when(n_e >= 2, email_span).otherwise(F.lit("")),
+        F.when(n_p >= 1, phone_span).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("clean_len"),
+        F.md5(scrubbed.cast("binary")).alias("clean_hash"),
+    )
+
+
+_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 >= 1
+            THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 >= 2
+            THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 >= 1
+            THEN ' +01-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+    AS aug
+  FROM documents
+),
+s AS (
+  SELECT doc_id, aug,
+    regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(length(scrubbed) AS BIGINT) AS clean_len,
+  md5(scrubbed) AS clean_hash
+FROM s
+"""
+
+# ---------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------
+
+_N_PACK_SHARDS = 8
+_SEQ_BUDGET = 256  # tokens per training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its training-sequence span under
+    concat-and-chunk packing: docs are concatenated in doc_id order
+    within their pack shard and cut into ``_SEQ_BUDGET``-token
+    sequences; a doc starts in ``seq_id`` at ``seq_offset`` and spans
+    ``n_seqs_spanned`` sequences (boundary-crossing docs span > 1 —
+    real packers either split them there or pad; the span count is the
+    decision input). Window is per-shard, never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast("long")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_PACK_SHARDS).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    b = F.lit(float(_SEQ_BUDGET))
+    seq_id = F.floor(start.cast("double") / b)
+    end_seq = F.when(
+        F.col("n_tokens") > 0, F.floor((cum - 1).cast("double") / b)
+    ).otherwise(seq_id)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        seq_id.alias("seq_id"),
+        (start % _SEQ_BUDGET).alias("seq_offset"),
+        (end_seq - seq_id + 1).alias("n_seqs_spanned"),
+    )
+
+
+_PACK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {_N_PACK_SHARDS} AS shard,
+    CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM base
+),
+spans AS (
+  SELECT *, cum_tokens - n_tokens AS start_tok,
+    CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / {_SEQ_BUDGET}.0) AS BIGINT)
+      AS seq_id,
+    CASE WHEN n_tokens > 0
+         THEN CAST(FLOOR(CAST(cum_tokens - 1 AS DOUBLE) / {_SEQ_BUDGET}.0) AS BIGINT)
+         ELSE CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / {_SEQ_BUDGET}.0) AS BIGINT)
+    END AS end_seq
+  FROM c
+)
+SELECT doc_id, shard, n_tokens, cum_tokens, seq_id,
+  start_tok % {_SEQ_BUDGET} AS seq_offset,
+  end_seq - seq_id + 1 AS n_seqs_spanned
+FROM spans
+"""
+
+# ---------------------------------------------------------------------
+# Deterministic epoch shuffle
+# ---------------------------------------------------------------------
+
+_N_SHUF_SHARDS = 16
+_N_EPOCHS = 2
+_EPOCH_C = 7919  # epoch stride in the affine hash (prime)
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training order: affine hash of (doc_id, epoch) →
+    shard + rank within shard. Different epochs permute differently;
+    the same epoch always replays the same order."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("epoch")
+    ).withColumn(
+        "h",
+        (
+            F.col("doc_id") % _P * _SAMPLE_A
+            + F.col("epoch").cast("long") * _EPOCH_C
+            + _SAMPLE_B
+        )
+        % _P,
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        e.withColumn("shard", F.col("h") % _N_SHUF_SHARDS)
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "shard",
+            F.row_number().over(w).alias("pos"),
+            "doc_id",
+        )
+    )
+
+
+_SHUFFLE_SQL = f"""
+WITH e AS (
+  SELECT d.doc_id, ep.epoch,
+    (d.doc_id % {_P} * {_SAMPLE_A} + ep.epoch * {_EPOCH_C} + {_SAMPLE_B}) % {_P} AS h
+  FROM documents d CROSS JOIN (SELECT i AS epoch FROM range(0, {_N_EPOCHS}) t(i)) ep
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, h % {_N_SHUF_SHARDS} AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, h % {_N_SHUF_SHARDS}
+                          ORDER BY h ASC, doc_id ASC) AS INT) AS pos,
+  doc_id
+FROM e
+"""
+
+
+QUERIES = {
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences,
+    "epoch_shuffle": epoch_shuffle,
+}
+
+ORACLES = {
+    "pii_scrub": _PII_SQL,
+    "pack_sequences": _PACK_SQL,
+    "epoch_shuffle": _SHUFFLE_SQL,
+}

@@ -392,6 +392,116 @@ WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------
+# SemDeDup: semantic dedup via within-cluster cosine pruning
+# ---------------------------------------------------------------------
+#
+# The embedding-space dedup step of public LLM data pipelines
+# (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+# corpus embeddings, compute pairwise cosine ONLY within each cluster,
+# and keep one representative per near-dup group. Deterministic variant
+# of the paper's keep rule: a vector is dropped when a smaller-vec_id
+# cluster-mate sits above the threshold (greedy keep-min-id — the paper
+# keeps low-centroid-similarity/random, which isn't reproducible
+# across engines).
+#
+# Scale shape: clustering bounds the quadratic term to cluster size —
+# at corpus scale k grows with N (the paper runs k=50k on LAION) so
+# per-cluster membership stays bounded; clusters are independent, so
+# the pair join is one shuffle on cid and embarrassingly parallel
+# after it. Norms are computed per-vector BEFORE the self-join.
+
+_SEMDEDUP_COS = 0.30
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup verdict: trained cell + keep/drop flag."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = lloyd_centroids(emb, k=_N_CELLS, updates=_KM_ROUNDS - 1).localCheckpoint()
+    assign = argmax_cell(score_cells(emb, cents)).select("vec_id", "cid")
+    m = assign.join(emb, "vec_id").withColumn("n1", _norm(F.col("embedding")))
+    a = m.select(
+        F.col("vec_id").alias("vec_a"),
+        "cid",
+        F.col("embedding").alias("ea"),
+        F.col("n1").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vec_b"),
+        "cid",
+        F.col("embedding").alias("eb"),
+        F.col("n1").alias("nb"),
+    )
+    pairs = a.join(b, ["cid"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    dropped = (
+        pairs.filter(cos >= F.lit(float(_SEMDEDUP_COS)))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.col("_dup").isNull().alias("keep"),
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH {_EX_CTE},
+cents0 AS (SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < {_N_CELLS}),
+cd0 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents0 c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd0) t
+  WHERE rn = 1
+),
+cents1 AS (
+  SELECT a.cid, e.pos,
+         (CAST(SUM(CAST(FLOOR(e.x * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+            / {_EMB_SCALE!r}) / COUNT(*) AS c
+  FROM ex e JOIN a0 a USING (vec_id)
+  GROUP BY a.cid, e.pos
+),
+cd1 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents1 c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd1) t
+  WHERE rn = 1
+),
+norms AS (SELECT vec_id, {_fpsum_sql('x * x')} AS n1 FROM ex GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+pd AS (
+  SELECT p.vec_a, p.vec_b, {_fpsum_sql('xa.x * xb.x')} AS dot
+  FROM pairs p
+  JOIN ex xa ON xa.vec_id = p.vec_a
+  JOIN ex xb ON xb.vec_id = p.vec_b AND xb.pos = xa.pos
+  GROUP BY p.vec_a, p.vec_b
+),
+dropped AS (
+  SELECT DISTINCT pd.vec_b AS vec_id
+  FROM pd JOIN norms na ON na.vec_id = pd.vec_a
+          JOIN norms nb ON nb.vec_id = pd.vec_b
+  WHERE pd.dot / SQRT(na.n1 * nb.n1) >= CAST({_SEMDEDUP_COS!r} AS DOUBLE)
+)
+SELECT a1.vec_id, CAST(a1.cid AS BIGINT) AS cid,
+       (a1.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+FROM a1
+"""
+
+# ---------------------------------------------------------------------
 # Product quantization (PQ) + asymmetric-distance top-k
 # ---------------------------------------------------------------------
 #
@@ -574,6 +684,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_cells": kmeans_cells,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "semantic_dedup": semantic_dedup,
     "pq_codes": pq_codes,
     "ann_pq_topk": ann_pq_topk,
 }
@@ -583,6 +694,7 @@ ORACLES = {
     "ann_ivf_topk": _IVF_SQL,
     "kmeans_cells": _KMEANS_SQL,
     "ann_ivf_trained_topk": _IVF_TRAINED_SQL,
+    "semantic_dedup": _SEMDEDUP_SQL,
     "pq_codes": _PQ_CODES_SQL,
     "ann_pq_topk": _PQ_TOPK_SQL,
 }
