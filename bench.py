@@ -79,8 +79,10 @@ HEADLINE = [
     # training-set assembly + semantic dedup
     "pii_scrub",
     "pack_sequences",
+    "doc_chunks",
     "epoch_shuffle",
     "semantic_dedup",
+    "bigram_rarity",
 ]
 
 

@@ -255,6 +255,81 @@ LIMIT {_NGRAM_K}
 """
 
 # ---------------------------------------------------------------------
+# Bigram-rarity scoring (perplexity proxy)
+# ---------------------------------------------------------------------
+#
+# The cheap stand-in for LM-perplexity quality scoring: score each
+# document by the mean INVERSE corpus frequency of its bigrams —
+# common-phrase documents score low, rare-phrase documents high.
+# (Real pipelines use an n-gram LM log-prob; log() isn't cross-engine
+# bit-stable, so the score is mean 1/freq with the per-bigram term
+# floored to fixed-point — same ranking signal, oracle-exact.)
+#
+# Plan: one partial hash-agg for the global bigram counts, one
+# equi-join of the per-doc bigrams back onto them (no broadcast hint —
+# the distinct-bigram table grows with the corpus), one groupBy doc_id.
+
+_RARITY_SCALE = 1_000_000_000  # 1e9 fixed-point for the 1/freq terms
+
+
+def bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean inverse bigram frequency (higher = rarer text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    # the exploded bigram table feeds BOTH the count agg and the
+    # join-back — checkpoint so the regex+explode runs once
+    db = docs.select("doc_id", F.explode(bigrams).alias("ngram")).localCheckpoint()
+    counts = db.groupBy("ngram").agg(F.count(F.lit(1)).alias("freq"))
+    inv = F.floor(F.lit(float(_RARITY_SCALE)) / F.col("freq").cast("double")).cast(
+        "long"
+    )
+    return (
+        db.join(counts, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(inv).alias("rarity_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("rarity_fp").cast("double")
+                / F.lit(float(_RARITY_SCALE))
+                / F.col("n_bigrams").cast("double")
+            ).alias("rarity_score"),
+        )
+    )
+
+
+_RARITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+db AS (
+  SELECT doc_id, b.ngram
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i+1])) AS b(ngram)
+),
+counts AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq FROM db GROUP BY ngram
+)
+SELECT db.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CAST(FLOOR(CAST({_RARITY_SCALE} AS DOUBLE) / CAST(freq AS DOUBLE))
+                AS BIGINT)) AS DOUBLE)
+    / CAST({_RARITY_SCALE} AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rarity_score
+FROM db JOIN counts USING (ngram)
+GROUP BY db.doc_id
+"""
+
+# ---------------------------------------------------------------------
 # Token counting: whitespace + BPE-ish regex
 # ---------------------------------------------------------------------
 #
@@ -507,6 +582,7 @@ QUERIES = {
     "decontaminated_docs": decontaminated_docs,
     "stratified_sample": stratified_sample,
     "topk_ngrams": topk_ngrams,
+    "bigram_rarity": bigram_rarity,
     "per_source_sample": per_source_sample,
     "token_count_bpe": token_count_bpe,
     "source_quality_rollup": source_quality_rollup,
@@ -519,6 +595,7 @@ ORACLES = {
     "decontaminated_docs": _DECONTAM_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
+    "bigram_rarity": _RARITY_SQL,
     "per_source_sample": _PER_SOURCE_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
     "source_quality_rollup": _rollup_sql(),

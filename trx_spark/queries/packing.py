@@ -189,6 +189,62 @@ FROM spans
 """
 
 # ---------------------------------------------------------------------
+# Sliding-window document chunking
+# ---------------------------------------------------------------------
+#
+# The chunking step of retrieval / long-context training preprocessing:
+# cut each document into overlapping fixed-size token windows (stride <
+# window ⇒ consecutive chunks share window−stride tokens of context).
+# Pure explode projection — zero shuffles, scales with scan bandwidth.
+
+_CHUNK_WINDOW = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document (empty docs emit
+    no chunks). chunk_hash identifies the chunk content for downstream
+    chunk-level dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tok")).where(
+        F.col("n_tok") > 0
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(_CHUNK_STRIDE))
+    e = base.select("doc_id", "toks", "n_tok", F.explode(starts).alias("start_tok"))
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, _CHUNK_WINDOW)
+    return e.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(_CHUNK_WINDOW), F.col("n_tok") - F.col("start_tok"))
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_RE}') AS toks,
+         len(regexp_extract_all(text, '{_BPE_RE}')) AS n_tok
+  FROM documents
+),
+e AS (
+  SELECT doc_id, toks, n_tok, s.start_tok
+  FROM t, UNNEST(generate_series(0, n_tok - 1, {_CHUNK_STRIDE})) AS s(start_tok)
+  WHERE n_tok > 0
+)
+SELECT doc_id,
+  CAST(start_tok / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(LEAST({_CHUNK_WINDOW}, n_tok - start_tok) AS BIGINT) AS chunk_len,
+  md5(array_to_string(toks[start_tok + 1 : start_tok + {_CHUNK_WINDOW}], ' '))
+    AS chunk_hash
+FROM e
+"""
+
+# ---------------------------------------------------------------------
 # Deterministic epoch shuffle
 # ---------------------------------------------------------------------
 
@@ -242,11 +298,13 @@ FROM e
 QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
+    "doc_chunks": doc_chunks,
     "epoch_shuffle": epoch_shuffle,
 }
 
 ORACLES = {
     "pii_scrub": _PII_SQL,
     "pack_sequences": _PACK_SQL,
+    "doc_chunks": _CHUNKS_SQL,
     "epoch_shuffle": _SHUFFLE_SQL,
 }
