@@ -83,6 +83,7 @@ HEADLINE = [
     "epoch_shuffle",
     "semantic_dedup",
     "bigram_rarity",
+    "vocab_coverage",
 ]
 
 

@@ -26,6 +26,7 @@ _ONE_ROW_BUILD_OK = {
     "embedding_neardup_pairs",
     "kmeans_cells",
     "semantic_dedup",
+    "vocab_coverage",
     "mixture_sample",
     "chi2_filter_auto",
     "mad_outliers",

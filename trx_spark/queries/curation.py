@@ -372,6 +372,72 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------
+#
+# The tokenizer-fit diagnostic: build the top-K corpus vocabulary and
+# report each document's out-of-vocabulary token rate. Unlike the
+# corpus-growing join sides above, the vocab is K rows BY CONSTRUCTION
+# (a fixed tokenizer budget), so the explicit broadcast() is correct at
+# any corpus size — the one curation join where a hint is justified.
+# Plan: one explode → partial hash-agg → TakeOrderedAndProject (K) →
+# collapse the K vocab rows to ONE array row → broadcast → the
+# coverage itself is per-doc array math (no second explode, no keyed
+# shuffle of the corpus — the 1-row build side is the documented
+# nested-loop-join exception).
+
+_VOCAB_K = 16
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the corpus top-_VOCAB_K vocabulary
+    (docs with zero tokens emit no row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(_VOCAB_K)
+        .agg(F.sort_array(F.collect_list("token")).alias("va"))
+    )
+    base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    j = base.crossJoin(F.broadcast(vocab))
+    n_tok = F.size("toks").cast("long")
+    n_oov = F.size(
+        F.filter(F.col("toks"), lambda t: ~F.array_contains(F.col("va"), t))
+    ).cast("long")
+    return j.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / n_tok.cast("double")).alias("oov_rate"),
+    )
+
+
+_VOCAB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+dt AS (
+  SELECT doc_id, s.token FROM t, UNNEST(toks) AS s(token)
+),
+vocab AS (
+  SELECT list_sort(list(token)) AS va FROM (
+    SELECT token, COUNT(*) AS c FROM dt GROUP BY token
+    ORDER BY c DESC, token ASC LIMIT {_VOCAB_K})
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, x -> NOT list_contains(va, x))) AS BIGINT) AS n_oov,
+  CAST(len(list_filter(toks, x -> NOT list_contains(va, x))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS oov_rate
+FROM t CROSS JOIN vocab
+WHERE len(toks) > 0
+"""
+
+# ---------------------------------------------------------------------
 # Per-key reservoir sampling
 # ---------------------------------------------------------------------
 
@@ -583,6 +649,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "topk_ngrams": topk_ngrams,
     "bigram_rarity": bigram_rarity,
+    "vocab_coverage": vocab_coverage,
     "per_source_sample": per_source_sample,
     "token_count_bpe": token_count_bpe,
     "source_quality_rollup": source_quality_rollup,
@@ -596,6 +663,7 @@ ORACLES = {
     "stratified_sample": _STRATIFIED_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "bigram_rarity": _RARITY_SQL,
+    "vocab_coverage": _VOCAB_SQL,
     "per_source_sample": _PER_SOURCE_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
     "source_quality_rollup": _rollup_sql(),
