@@ -90,6 +90,74 @@ def test_waves_to_sharded_clean_corpus(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 6]
 
 
+def test_assembly_tail_planted_truths(spark, tmp_path):
+    """The training-set assembly tail (scrub → pack → chunk → shuffle)
+    driven through the REAL query entry points on a planted mini
+    corpus: token counts are engineered so every sequence span, chunk
+    schedule, and redaction count is known in closed form."""
+    from trx_spark.queries.packing import (
+        _CHUNK_STRIDE,
+        _N_EPOCHS,
+        _SEQ_BUDGET,
+        QUERIES as PQ,
+    )
+
+    sfdir = str(tmp_path / "sf")
+    # doc_ids 0, 8, 16 share pack shard 0 (mod 8); doc 9 lands alone.
+    # Token counts 100/200/300/50 give a closed-form packing schedule.
+    rows = [
+        {"doc_id": 0, "text": " ".join(["tok"] * 100)},
+        {"doc_id": 8, "text": " ".join(["tok"] * 200)},
+        {"doc_id": 16, "text": " ".join(["tok"] * 300)},
+        {"doc_id": 9, "text": " ".join(["tok"] * 50)},
+    ]
+    spark.createDataFrame(pd.DataFrame(rows), _SCHEMA).write.parquet(
+        sfdir + "/documents.parquet"
+    )
+
+    # --- PII scrub: counts follow the doc_id synthesis arithmetic ---
+    scrub = {r["doc_id"]: r for r in PQ["pii_scrub"](spark, sfdir).collect()}
+    assert scrub[0]["n_emails"] == 0 and scrub[0]["n_phones"] == 0
+    assert scrub[8]["n_emails"] == 2 and scrub[8]["n_phones"] == 0
+    assert scrub[16]["n_emails"] == 1 and scrub[16]["n_phones"] == 0
+    assert scrub[9]["n_emails"] == 0 and scrub[9]["n_phones"] == 1
+    # redaction happened: the scrubbed text carries no raw address
+    assert all(r["clean_len"] > 0 for r in scrub.values())
+
+    # --- packing: cumsum within shard 0 is 100, 300, 600 ---
+    assert _SEQ_BUDGET == 256  # the closed-form schedule below assumes it
+    pack = {r["doc_id"]: r for r in PQ["pack_sequences"](spark, sfdir).collect()}
+    assert (pack[0]["seq_id"], pack[0]["n_seqs_spanned"]) == (0, 1)
+    assert (pack[8]["seq_id"], pack[8]["n_seqs_spanned"]) == (0, 2)  # 100→299
+    assert (pack[16]["seq_id"], pack[16]["n_seqs_spanned"]) == (1, 2)  # 300→599
+    assert pack[16]["seq_offset"] == 300 - 256
+    assert (pack[9]["seq_id"], pack[9]["seq_offset"]) == (0, 0)  # own shard
+
+    # --- chunking: stride schedule over the 100-token doc ---
+    chunks = sorted(
+        (r["start_tok"], r["chunk_len"])
+        for r in PQ["doc_chunks"](spark, sfdir).where("doc_id = 0").collect()
+    )
+    starts = list(range(0, 100, _CHUNK_STRIDE))
+    assert [s for s, _ in chunks] == starts
+    assert chunks[-1][1] == 100 - starts[-1]  # tail chunk is the remainder
+
+    # --- epoch shuffle: per-epoch permutation of the full corpus ---
+    shuf = PQ["epoch_shuffle"](spark, sfdir).collect()
+    assert len(shuf) == 4 * _N_EPOCHS
+    for ep in range(_N_EPOCHS):
+        ids = sorted(r["doc_id"] for r in shuf if r["epoch"] == ep)
+        assert ids == [0, 8, 9, 16]  # a permutation: every doc exactly once
+    # ranks are contiguous from 1 within every (epoch, shard)
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for r in shuf:
+        by_part[(r["epoch"], r["shard"])].append(r["pos"])
+    for poss in by_part.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
 def test_normalize_text_canonicalizes(spark):
     from trx_spark.queries.curation import normalize_text_col
 
