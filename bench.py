@@ -84,6 +84,7 @@ HEADLINE = [
     "semantic_dedup",
     "bigram_rarity",
     "vocab_coverage",
+    "cms_heavy_hitters",
 ]
 
 

@@ -158,6 +158,17 @@ def test_assembly_tail_planted_truths(spark, tmp_path):
         assert sorted(poss) == list(range(1, len(poss) + 1))
 
 
+def test_cms_one_sided_error(spark, sf_dir):
+    """Count-min guarantee: the sketch never underestimates (every
+    cell count includes all of the token's own occurrences)."""
+    from trx_spark.queries.curation import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_estimate"] >= r["true_count"] for r in rows)
+
+
 def test_normalize_text_canonicalizes(spark):
     from trx_spark.queries.curation import normalize_text_col
 

@@ -372,6 +372,116 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------
+# Count-min-sketch heavy hitters
+# ---------------------------------------------------------------------
+#
+# The bounded-memory frequency sketch (Cormode & Muthukrishnan 2005):
+# d=4 hash rows × w=64 counters summarize the corpus token stream in
+# 256 cells REGARDLESS of corpus size — the structure a 100 TB pipeline
+# uses for global heavy-hitter stats when an exact token count table
+# would not fit. CMS is deterministic given its hash family, so unlike
+# HLL/t-digest it is oracle-checkable bit-for-bit. The query reports
+# the sketch estimate next to the exact count for the true top tokens;
+# estimate ≥ truth always (one-sided CMS error — asserted in tests).
+#
+# Plan: one explode feeds both the 256-cell sketch (partial agg — the
+# shuffle carries ≤256 rows per partition) and the exact top-K
+# (TakeOrderedAndProject). The estimate join is candidates(K·d rows) ⋈
+# broadcast(sketch): the sketch is 256 rows BY CONSTRUCTION, so the
+# hint is as justified as vocab_coverage's.
+
+_CMS_COEF = [(31, 7), (131, 13), (523, 101), (1031, 257)]
+_CMS_W = 64
+_CMS_TOPK = 20
+
+
+def _cms_cells(tid):
+    """The d flattened cell ids (row j owns cells [j·w, (j+1)·w)) for
+    one token id."""
+    return F.array(
+        *[
+            ((F.lit(a) * tid + F.lit(b)) % _P % _CMS_W + F.lit(j * _CMS_W)).cast(
+                "long"
+            )
+            for j, (a, b) in enumerate(_CMS_COEF)
+        ]
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs count-min-sketch counts for the corpus top tokens."""
+    from trx_spark.queries.textdata import _tok_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    tok = docs.select(F.explode(toks).alias("token")).localCheckpoint()
+    sk = (
+        tok.select(F.explode(_cms_cells(_tok_hash(F.col("token")))).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(_CMS_TOPK)
+    )
+    cand = truth.select(
+        "token",
+        "true_count",
+        F.explode(_cms_cells(_tok_hash(F.col("token")))).alias("cell"),
+    )
+    return (
+        cand.join(F.broadcast(sk), "cell")
+        .groupBy("token", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "token",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+    )
+
+
+def _cms_cells_sql(tid_expr: str, select: str, source: str) -> str:
+    return "\n  UNION ALL ".join(
+        f"SELECT {select}, (({a} * {tid_expr} + {b}) % {_P}) % {_CMS_W} + {j * _CMS_W} AS cell"
+        f" FROM {source}"
+        for j, (a, b) in enumerate(_CMS_COEF)
+    )
+
+
+def _cms_sql() -> str:
+    from trx_spark.queries.textdata import _tok_hash_sql
+
+    tid = _tok_hash_sql("token")
+    return f"""
+WITH tok AS (
+  SELECT s.token
+  FROM (SELECT regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+cellrows AS (
+  {_cms_cells_sql(tid, "token", "tok")}
+),
+sk AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM cellrows GROUP BY cell),
+truth AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count FROM tok GROUP BY token
+  ORDER BY true_count DESC, token ASC LIMIT {_CMS_TOPK}
+),
+cand AS (
+  {_cms_cells_sql(tid, "token, true_count", "truth")}
+)
+SELECT cand.token, cand.true_count,
+       MIN(sk.c) AS cms_estimate,
+       MIN(sk.c) - cand.true_count AS overestimate
+FROM cand JOIN sk USING (cell)
+GROUP BY cand.token, cand.true_count
+"""
+
+
+# ---------------------------------------------------------------------
 # Vocabulary coverage / OOV rate
 # ---------------------------------------------------------------------
 #
@@ -650,6 +760,7 @@ QUERIES = {
     "topk_ngrams": topk_ngrams,
     "bigram_rarity": bigram_rarity,
     "vocab_coverage": vocab_coverage,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "per_source_sample": per_source_sample,
     "token_count_bpe": token_count_bpe,
     "source_quality_rollup": source_quality_rollup,
@@ -664,6 +775,7 @@ ORACLES = {
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "bigram_rarity": _RARITY_SQL,
     "vocab_coverage": _VOCAB_SQL,
+    "cms_heavy_hitters": _cms_sql(),
     "per_source_sample": _PER_SOURCE_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
     "source_quality_rollup": _rollup_sql(),
