@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 from trx_spark.streaming.incremental import run_catchup
 
 
+def _make_ts_prepare(schema):
+    """Layout shim (same branch as tables.py load_table): the events
+    parquet is TIMESTAMP(NANOS) in the driver's generator (reads as
+    BIGINT nanos under nanosAsLong) but TIMESTAMP_NTZ micros in other
+    layouts — derive a proper TimestampType ``ts_t`` either way.
+    Session timezone is pinned UTC so the NTZ cast is value-preserving."""
+    dtype = {f.name: f.dataType.simpleString() for f in schema.fields}.get("ts")
+    if dtype == "bigint":
+        return lambda df: df.withColumn(
+            "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return lambda df: df.withColumn("ts_t", F.col("ts").cast("timestamp"))
+
+
 def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow micro-batch ingestion of the events parquet →
     append store → per-type reduction, returned as a DataFrame."""
@@ -60,10 +74,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
-    def prepare(df: DataFrame) -> DataFrame:
-        # TIMESTAMP(NANOS) parquet reads as long nanos under
-        # nanosAsLong; day windows only need microsecond precision
-        return df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    prepare = _make_ts_prepare(schema)
 
     return run_windowed_catchup(
         spark,
@@ -99,8 +110,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
-    def prepare(df: DataFrame) -> DataFrame:
-        return df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    prepare = _make_ts_prepare(schema)
 
     out = run_dedup_catchup(
         spark,
@@ -136,8 +146,7 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
-    def prepare(df: DataFrame) -> DataFrame:
-        return df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    prepare = _make_ts_prepare(schema)
 
     return run_session_catchup(
         spark,
