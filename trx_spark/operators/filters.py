@@ -12,6 +12,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_mad_scalars(
+    df: DataFrame,
+    *,
+    value: str,
+    median_out: str = "median",
+    mad_out: str = "mad",
+    scaled: bool = True,
+) -> DataFrame:
+    """Global median + MAD as a two-pass AGGREGATE (1-row DataFrame).
+
+    The analytic-window formulation (``percentile(...).over(partitionBy
+    (lit(1)))``) funnels every row through one task; as aggregates the
+    exact ``percentile`` does map-side partial aggregation (per-partition
+    value→count maps merged on one reducer of scalars), so the row data
+    never converges on a single task. Same arithmetic as ``mad_columns``
+    → bit-identical results. Cross-join (broadcast) the result back.
+    """
+    scale = F.lit(0.6744897501960817) if scaled else F.lit(1.0)
+    med = df.agg(F.expr(f"percentile({value}, 0.5)").alias(median_out))
+    withmed = df.select(F.col(value)).crossJoin(F.broadcast(med))
+    return withmed.agg(
+        F.first(median_out).alias(median_out),
+        (F.expr(f"percentile(abs({value} - {median_out}), 0.5)") / scale).alias(mad_out),
+    )
+
+
 def mad_columns(
     df: DataFrame,
     *,
@@ -26,9 +52,17 @@ def mad_columns(
     statsmodels.robust.mad (trx/filters.py:70,93) is
     ``median(|x − median(x)|) / 0.6745`` (normal-consistency scaling).
     Exact medians via ``percentile`` (not approx) for oracle parity.
+    With no partition keys the global scalars are computed as two-pass
+    aggregates (``global_mad_scalars``) and broadcast back — never a
+    single-partition window.
     """
     partition = partition or []
-    w = Window.partitionBy(*partition) if partition else Window.partitionBy(F.lit(1))
+    if not partition:
+        stats = global_mad_scalars(
+            df, value=value, median_out=median_out, mad_out=mad_out, scaled=scaled
+        )
+        return df.crossJoin(F.broadcast(stats))
+    w = Window.partitionBy(*partition)
     med = F.expr(f"percentile({value}, 0.5)").over(w)
     out = df.withColumn(median_out, med)
     dev = F.abs(F.col(value) - F.col(median_out))

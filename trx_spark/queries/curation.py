@@ -554,17 +554,56 @@ WHERE len(toks) > 0
 _RESERVOIR_K = 3
 
 
+# Stage-1 survivor target for the two-stage sample: the per-source
+# hash threshold is sized so ~this many rows of EACH source reach the
+# rank window, independent of source size — a dominant source no
+# longer funnels through one task.
+_RESERVOIR_OVERSAMPLE = 10
+
+
 def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-source sample (reservoir equivalent).
 
-    The "random" order is the affine hash of doc_id, so the window is
-    partitioned by source (never global) and the pick is reproducible.
+    The "random" order is the affine hash of doc_id, so the pick is
+    reproducible. Two-stage for scale: a per-source hash threshold
+    (sized from the source's row count to pass ~10·k rows) prefilters,
+    and the per-source rank window runs on that ~constant-size survivor
+    set. The k smallest hashes of a source are all below its threshold
+    whenever ≥k of its rows are, so the picks are IDENTICAL to ranking
+    the full source; sources with fewer than k survivors (tiny, or an
+    unlucky hash draw) fall back to an exact rank over their full row
+    set. Oracle unchanged: the two-stage plan is a pure execution
+    strategy for the same ranking.
     """
     docs = load_table(spark, sf_dir, "documents")
     h = (F.col("doc_id") % _P * _SAMPLE_A + _SAMPLE_B) % _P
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    base = docs.select("source", "doc_id", "lang").withColumn("_h", h)
+    # per-source counts: one row per source, small BY CONSTRUCTION
+    target = float(_RESERVOIR_OVERSAMPLE * _RESERVOIR_K)
+    thresholds = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n_s"))
+        .withColumn(
+            "_thr",
+            F.least(F.lit(float(_P)), F.lit(float(_P)) * F.lit(target) / F.col("_n_s")),
+        )
+        .select("source", "_thr")
+    )
+    survivors = base.join(F.broadcast(thresholds), "source").filter(
+        F.col("_h") < F.col("_thr")
+    )
+    enough = (
+        survivors.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n_surv"))
+        .filter(F.col("_n_surv") >= _RESERVOIR_K)
+        .select("source")
+    )
+    fast = survivors.drop("_thr").join(F.broadcast(enough), "source", "left_semi")
+    slow = base.join(F.broadcast(enough), "source", "left_anti")
+    w = Window.partitionBy("source").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
     return (
-        docs.withColumn("pick_rank", F.row_number().over(w))
+        fast.unionByName(slow)
+        .withColumn("pick_rank", F.row_number().over(w))
         .where(F.col("pick_rank") <= _RESERVOIR_K)
         .select("source", "pick_rank", "doc_id", "lang")
     )

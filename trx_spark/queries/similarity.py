@@ -412,13 +412,28 @@ WHERE rank <= 10
 
 _SEMDEDUP_COS = 0.30
 
+# Degenerate cells (a near-duplicate-heavy corpus — precisely when you
+# run SemDeDup — can collapse into one cluster) make the within-cell
+# self-join quadratic. Cells above this size skip pairing (members all
+# kept), same policy as the LSH bucket cap (textdata.py): at corpus
+# scale k grows with N so honest cells stay ≪ cap; a pathological cell
+# degrades to a no-op instead of a quadratic join. Mirrored in the
+# oracle SQL, so the gate checks the capped semantics bit-exactly.
+_SEMDEDUP_CELL_CAP = 256
+
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector SemDeDup verdict: trained cell + keep/drop flag."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = lloyd_centroids(emb, k=_N_CELLS, updates=_KM_ROUNDS - 1).localCheckpoint()
     assign = argmax_cell(score_cells(emb, cents)).select("vec_id", "cid")
-    m = assign.join(emb, "vec_id").withColumn("n1", _norm(F.col("embedding")))
+    w_cell = Window.partitionBy("cid")
+    pairable = (
+        assign.withColumn("_csz", F.count(F.lit(1)).over(w_cell))
+        .filter(F.col("_csz") <= _SEMDEDUP_CELL_CAP)
+        .drop("_csz")
+    )
+    m = pairable.join(emb, "vec_id").withColumn("n1", _norm(F.col("embedding")))
     a = m.select(
         F.col("vec_id").alias("vec_a"),
         "cid",
@@ -479,9 +494,14 @@ a1 AS (
   WHERE rn = 1
 ),
 norms AS (SELECT vec_id, {_fpsum_sql('x * x')} AS n1 FROM ex GROUP BY vec_id),
+pairable AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS csz FROM a1) t
+  WHERE csz <= {_SEMDEDUP_CELL_CAP}
+),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM pairable a JOIN pairable b ON a.cid = b.cid AND a.vec_id < b.vec_id
 ),
 pd AS (
   SELECT p.vec_a, p.vec_b, {_fpsum_sql('xa.x * xb.x')} AS dot

@@ -210,13 +210,17 @@ GROUP BY nearest, rebin_center
 
 def filter_outlier_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-curve robust chi2 (SURVEY F3; trx/filters.py:83-101): each
-    user is a curve; global median/MAD; flag curves with mean z² ≥ 2."""
+    user is a curve; global median/MAD; flag curves with mean z² ≥ 2.
+
+    Global scalars are two-pass exact-percentile AGGREGATES broadcast
+    back (operators/filters.py:global_mad_scalars) — no
+    single-partition window; the event rows never funnel through one
+    task. Same expression tree → bit-identical to the window form."""
+    from trx_spark.operators.filters import global_mad_scalars
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy(F.lit(1))
-    med = F.expr("percentile(value, 0.5)").over(w)
-    df = ev.withColumn("_med", med)
-    mad = F.expr("percentile(abs(value - _med), 0.5)").over(w) / F.lit(0.6744897501960817)
-    df = df.withColumn("_mad", mad)
+    stats = global_mad_scalars(ev, value="value", median_out="_med", mad_out="_mad")
+    df = ev.select("user_id", "value").crossJoin(F.broadcast(stats))
     z = (F.col("value") - F.col("_med")) / F.col("_mad")
     df = df.withColumn("_z2", z * z)
     per_curve = df.groupBy("user_id").agg(
