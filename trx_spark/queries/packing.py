@@ -122,19 +122,25 @@ _N_PACK_SHARDS = 8
 _SEQ_BUDGET = 256  # tokens per training sequence
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, *, n_shards: int = _N_PACK_SHARDS
+) -> DataFrame:
     """Assign every document its training-sequence span under
     concat-and-chunk packing: docs are concatenated in doc_id order
     within their pack shard and cut into ``_SEQ_BUDGET``-token
     sequences; a doc starts in ``seq_id`` at ``seq_offset`` and spans
     ``n_seqs_spanned`` sequences (boundary-crossing docs span > 1 —
     real packers either split them there or pad; the span count is the
-    decision input). Window is per-shard, never global."""
+    decision input). Window is per-shard, never global.
+
+    ``n_shards`` bounds the cumsum-window partition size — the gate
+    default matches the oracle SQL; a real deployment sets it ∝ corpus
+    size (tokens per shard ≈ what one task should sort)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast("long")
     base = docs.select(
         "doc_id",
-        (F.col("doc_id") % _N_PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % n_shards).alias("shard"),
         n_tok.alias("n_tokens"),
     )
     w = (
@@ -253,13 +259,22 @@ _N_EPOCHS = 2
 _EPOCH_C = 7919  # epoch stride in the affine hash (prime)
 
 
-def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def epoch_shuffle(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_epochs: int = _N_EPOCHS,
+    n_shards: int = _N_SHUF_SHARDS,
+) -> DataFrame:
     """Per-epoch training order: affine hash of (doc_id, epoch) →
     shard + rank within shard. Different epochs permute differently;
-    the same epoch always replays the same order."""
+    the same epoch always replays the same order.
+
+    Gate defaults match the oracle SQL; a deployment sets ``n_shards``
+    ∝ corpus size (docs per shard ≈ one task's sort budget)."""
     docs = load_table(spark, sf_dir, "documents")
     e = docs.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("epoch")
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
     ).withColumn(
         "h",
         (
@@ -271,7 +286,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("epoch", "shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
-        e.withColumn("shard", F.col("h") % _N_SHUF_SHARDS)
+        e.withColumn("shard", F.col("h") % n_shards)
         .select(
             F.col("epoch").cast("long").alias("epoch"),
             "shard",

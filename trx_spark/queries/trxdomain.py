@@ -33,11 +33,15 @@ from trx_spark.tables import load_table
 _N_RUNS = 16
 
 
-def _events_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_shots(
+    spark: SparkSession, sf_dir: str, *, n_runs: int = _N_RUNS
+) -> DataFrame:
+    # gate default matches the oracle CTE; a deployment sets n_runs ∝
+    # stream volume (events per run ≈ one task's window-sort budget)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("run").orderBy("ts_ns", "event_id")
     return (
-        ev.withColumn("run", (F.col("event_id") % _N_RUNS).cast("long"))
+        ev.withColumn("run", (F.col("event_id") % n_runs).cast("long"))
         .withColumn("idx", F.row_number().over(w).cast("long"))
         .select(
             "event_id",

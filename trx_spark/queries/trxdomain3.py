@@ -25,10 +25,12 @@ _REF_PRIORITY = "1-URGENT"
 _N_RUNS = 8
 
 
-def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curves(spark: SparkSession, sf_dir: str, *, n_runs: int = _N_RUNS) -> DataFrame:
     """Curve bank sharded into runs (run = o_orderkey % 8): acquisition
     order is per-run, so every window downstream partitions by run and
-    no global sort survives at scale."""
+    no global sort survives at scale. Gate default matches the oracle
+    CTE; a deployment sets ``n_runs`` ∝ corpus (curves per run ≈ one
+    task's window-sort budget)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     w_line = Window.partitionBy("l_orderkey").orderBy(
@@ -59,7 +61,7 @@ def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(
             full.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
         )
-        .withColumn("run", (F.col("o_orderkey") % _N_RUNS).cast("long"))
+        .withColumn("run", (F.col("o_orderkey") % n_runs).cast("long"))
         .select(
             "o_orderkey",
             "run",
@@ -165,11 +167,22 @@ diffs AS (SELECT *, i - iref AS diff FROM interp)"""
 )
 
 
+# Both curve-bank queries consume the SAME interpolated-diff bank; the
+# localCheckpoint is memoized per (session, sf_dir) so the second query
+# reuses the materialized blocks instead of rebuilding the 600 k-row
+# bank (the dominant cost of each query). Keyed on the live session —
+# a fresh session misses and rebuilds, so stale checkpoints never leak.
+_DIFFS_CACHE: dict = {}
+
+
 def _diffs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # consumed in several aggregation branches — materialize once
-    return reduction.time_resolved_diff(
-        _curves(spark, sf_dir), group=["run", "q_idx"], idx="idx", is_ref="is_ref", value="i"
-    ).localCheckpoint()
+    key = (spark, sf_dir)
+    if key not in _DIFFS_CACHE:
+        _DIFFS_CACHE[key] = reduction.time_resolved_diff(
+            _curves(spark, sf_dir), group=["run", "q_idx"], idx="idx",
+            is_ref="is_ref", value="i",
+        ).localCheckpoint()
+    return _DIFFS_CACHE[key]
 
 
 def curves_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
