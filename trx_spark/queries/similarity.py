@@ -427,12 +427,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = lloyd_centroids(emb, k=_N_CELLS, updates=_KM_ROUNDS - 1).localCheckpoint()
     assign = argmax_cell(score_cells(emb, cents)).select("vec_id", "cid")
-    w_cell = Window.partitionBy("cid")
-    pairable = (
-        assign.withColumn("_csz", F.count(F.lit(1)).over(w_cell))
+    # cell sizes: ≤ k rows BY CONSTRUCTION → aggregate + broadcast join
+    # (a count window would sort the whole assignment table instead)
+    small_cells = (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("_csz"))
         .filter(F.col("_csz") <= _SEMDEDUP_CELL_CAP)
-        .drop("_csz")
+        .select("cid")
     )
+    pairable = assign.join(F.broadcast(small_cells), "cid", "left_semi")
     m = pairable.join(emb, "vec_id").withColumn("n1", _norm(F.col("embedding")))
     a = m.select(
         F.col("vec_id").alias("vec_a"),
