@@ -175,3 +175,70 @@ def test_image_features_centroid(spark):
     assert f["n_px"] == 16
     assert f["centroid_x"] == 3.0 and f["centroid_y"] == 1.0
     assert f["max_i"] == 10.0 and f["min_i"] == 0.0
+
+
+def test_cbf_roundtrip_kernel():
+    """decode_cbf(encode_cbf(img)) == img, exercising every escape
+    width of the byte_offset stream (1-byte run, int16, int32, int64)."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_cbf, encode_cbf
+
+    rng = np.random.default_rng(13)
+    # photon-count-like image: small deltas with occasional huge jumps
+    img = rng.poisson(100, (7, 5)).astype("i4")
+    img[2, 3] = 2_000_000  # forces an int32 escape both in and out
+    img[4, 1] = -40_000  # int16 escape
+    blob = encode_cbf(img)
+    back, hdr = decode_cbf(blob)
+    np.testing.assert_array_equal(back, img)
+    assert back.dtype == np.dtype("i4")
+    assert hdr["X-Binary-Size-Fastest-Dimension"] == "5"
+
+    big = np.array([[0, 3_000_000_000], [-3_000_000_000, 7]], dtype="i8")
+    back2, _ = decode_cbf(encode_cbf(big))
+    np.testing.assert_array_equal(back2, big)
+    assert back2.dtype == np.dtype("i8")
+
+    # escape payload bytes that themselves contain 0x80 must not be
+    # re-interpreted as escape markers
+    tricky = np.array([[0, 0x80, 0x80 + 0x8000, 0x80 + 0x8000 + 128]], dtype="i4")
+    back3, _ = decode_cbf(encode_cbf(tricky))
+    np.testing.assert_array_equal(back3, tricky)
+
+
+def test_cbf_rejects_other_conversions():
+    import numpy as np
+    import pytest
+
+    from trx_spark.operators.multimodal import decode_cbf, encode_cbf
+
+    blob = encode_cbf(np.ones((2, 2), dtype="i4"))
+    with pytest.raises(ValueError, match="conversions"):
+        decode_cbf(blob.replace(b"x-CBF_BYTE_OFFSET", b"x-CBF_CANONICAL"))
+    with pytest.raises(ValueError, match="integer"):
+        encode_cbf(np.ones((2, 2), dtype="f8"))
+
+
+def test_decode_cbf_distributed(spark, tmp_path):
+    """The REAL CBF codec path (S1/U1 breadth): CBF blobs through
+    binaryFile → mapInPandas → exact pixel values."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_cbf
+
+    rng = np.random.default_rng(17)
+    truth = {}
+    for k in range(3):
+        img = rng.poisson(100, (6, 4)).astype("i4")
+        img[k, k] = 1_000_000 * (k + 1)  # escape in every file
+        truth[f"img_{k}.cbf"] = img
+        (tmp_path / f"img_{k}.cbf").write_bytes(encode_cbf(img))
+    assets = read_binary_assets(spark, str(tmp_path / "*.cbf"), "image")
+    px = decode_image(assets, codec="cbf").toPandas()
+    assert len(px) == 3 * 6 * 4
+    for fname, img in truth.items():
+        sub = px[px.file.str.endswith(fname)].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(6, 4), img.astype(float)
+        )

@@ -107,6 +107,139 @@ def encode_edf(
     return header.encode("ascii") + payload
 
 
+# ---------------------------------------------------------------------
+# CBF codec (imgCIF / Crystallographic Binary File — the reference's
+# fabio path reads CBF alongside EDF, trx/azav.py:29-47). The format is
+# public (imgCIF/CBFlib spec, Bernstein & Hammersley): a CIF text
+# preamble, a MIME-style binary-section header, the 4-byte marker
+# 0x0C 0x1A 0x04 0xD5, then the "byte_offset" stream — 1-byte signed
+# deltas with widening escapes (0x80 → int16 payload; int16 sentinel
+# -32768 → int32; int32 sentinel -2^31 → int64) cumulatively summed to
+# pixel values. Decode is numpy-vectorized per escape segment: the
+# common case (photon-count images, tiny deltas) is one int8 view +
+# cumsum; cost is O(#escapes) python steps.
+# ---------------------------------------------------------------------
+
+_CBF_MAGIC = b"\x0c\x1a\x04\xd5"
+_CBF_SECTION = b"--CIF-BINARY-FORMAT-SECTION--"
+
+_CBF_ELEM_TYPES = {
+    '"signed 32-bit integer"': "i4",
+    '"signed 64-bit integer"': "i8",
+}
+
+
+def _byte_offset_unpack(raw: bytes, n: int, _np=np) -> np.ndarray:
+    """byte_offset stream → int64 pixel vector of length ``n``."""
+    buf = _np.frombuffer(raw, dtype=_np.uint8)
+    deltas = _np.empty(n, dtype=_np.int64)
+    i = 0  # byte cursor
+    k = 0  # pixel cursor
+    while k < n:
+        rest = buf[i:]
+        esc = _np.flatnonzero(rest == 0x80)
+        j = min(int(esc[0]) if esc.size else rest.size, n - k)
+        if j:
+            # run of plain 1-byte deltas up to the next escape marker
+            deltas[k : k + j] = rest[:j].view(_np.int8)
+            i += j
+            k += j
+            if k >= n:
+                break
+        # widening escape at buf[i]
+        v = int(_np.frombuffer(raw, dtype="<i2", count=1, offset=i + 1)[0])
+        i += 3
+        if v == -32768:
+            v = int(_np.frombuffer(raw, dtype="<i4", count=1, offset=i)[0])
+            i += 4
+            if v == -2147483648:
+                v = int(_np.frombuffer(raw, dtype="<i8", count=1, offset=i)[0])
+                i += 8
+        deltas[k] = v
+        k += 1
+    return _np.cumsum(deltas)
+
+
+def _byte_offset_pack(values: np.ndarray, _np=np) -> bytes:
+    """int pixel vector → byte_offset stream (inverse of unpack)."""
+    d = _np.diff(values.astype(_np.int64), prepend=_np.int64(0))
+    small = (d >= -127) & (d <= 127)
+    parts = []
+    prev = 0
+    for j in _np.flatnonzero(~small):
+        j = int(j)
+        parts.append(d[prev:j].astype(_np.int8).tobytes())
+        v = int(d[j])
+        if -32767 <= v <= 32767:
+            parts.append(b"\x80" + v.to_bytes(2, "little", signed=True))
+        elif -2147483647 <= v <= 2147483647:
+            parts.append(b"\x80\x00\x80" + v.to_bytes(4, "little", signed=True))
+        else:
+            parts.append(
+                b"\x80\x00\x80\x00\x00\x00\x80" + v.to_bytes(8, "little", signed=True)
+            )
+        prev = j + 1
+    parts.append(d[prev:].astype(_np.int8).tobytes())
+    return b"".join(parts)
+
+
+def decode_cbf(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode one CBF blob → (2-D int array, binary-section header dict).
+
+    Honors: X-Binary-Size-Fastest-Dimension (columns), -Second-Dimension
+    (rows), X-Binary-Element-Type, conversions="x-CBF_BYTE_OFFSET"
+    (the only compression the codec implements — the beamline default)."""
+    sec = buf.index(_CBF_SECTION)
+    mark = buf.index(_CBF_MAGIC, sec)
+    fields: dict[str, str] = {}
+    for line in buf[sec:mark].decode("ascii", "replace").splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            fields[k.strip()] = v.strip()
+    # conversions may sit on a MIME continuation line, so test the raw
+    # section text rather than the parsed key/value pairs
+    if b"x-CBF_BYTE_OFFSET" not in buf[sec:mark]:
+        raise ValueError("unsupported CBF conversions (codec implements byte_offset)")
+    nx = int(fields["X-Binary-Size-Fastest-Dimension"])
+    ny = int(fields["X-Binary-Size-Second-Dimension"])
+    dt = _CBF_ELEM_TYPES.get(
+        fields.get("X-Binary-Element-Type", '"signed 32-bit integer"'), "i4"
+    )
+    flat = _byte_offset_unpack(buf[mark + len(_CBF_MAGIC) :], nx * ny)
+    return flat.astype(np.dtype(dt)).reshape(ny, nx), fields
+
+
+def encode_cbf(img: np.ndarray, *, extra: dict | None = None) -> bytes:
+    """Encode a 2-D int array as a byte_offset-compressed CBF blob
+    (pure-numpy writer for the public imgCIF structure; write side of
+    the S1 seam and the tests' golden producer)."""
+    if img.dtype.kind not in "iu":
+        raise ValueError(f"CBF byte_offset stores integer counts, got {img.dtype}")
+    elem = '"signed 64-bit integer"' if img.dtype.itemsize > 4 else '"signed 32-bit integer"'
+    payload = _byte_offset_pack(img.ravel())
+    head = (
+        b"###CBF: VERSION 1.5\n"
+        b"# pure-numpy byte_offset writer (public imgCIF spec)\n\n"
+        b"data_image_1\n\n_array_data.data\n;\n"
+        + _CBF_SECTION
+        + b"\n"
+        b"Content-Type: application/octet-stream;\n"
+        b'     conversions="x-CBF_BYTE_OFFSET"\n'
+        b"Content-Transfer-Encoding: BINARY\n"
+        + f"X-Binary-Size: {len(payload)}\n".encode()
+        + b"X-Binary-ID: 1\n"
+        + f"X-Binary-Element-Type: {elem}\n".encode()
+        + b"X-Binary-Element-Byte-Order: LITTLE_ENDIAN\n"
+        + f"X-Binary-Number-of-Elements: {img.size}\n".encode()
+        + f"X-Binary-Size-Fastest-Dimension: {img.shape[1]}\n".encode()
+        + f"X-Binary-Size-Second-Dimension: {img.shape[0]}\n".encode()
+        + "".join(f"{k}: {v}\n" for k, v in (extra or {}).items()).encode()
+        + b"\n"
+    )
+    tail = b"\n" + _CBF_SECTION + b"--\n;\n"
+    return head + _CBF_MAGIC + payload + tail
+
+
 def read_binary_assets(spark: SparkSession, path_glob: str, modality: str) -> DataFrame:
     """Binary source (SURVEY S1/U1 shape): opaque payload + typed
     metadata. At 100 TB this is the columnar manifest scan; payloads
@@ -134,6 +267,9 @@ def decode_image(
       - ``"edf"`` — REAL decode of the reference's detector format
         (pure-numpy :func:`decode_edf`; the reference goes through
         fabio, trx/azav.py:29-34, whose default beamline output is EDF).
+      - ``"cbf"`` — REAL decode of the imgCIF byte_offset format
+        (pure-numpy :func:`decode_cbf`; fabio's other beamline format,
+        trx/azav.py:29-47).
       - ``"fake"`` (default) — deterministic intensity pattern seeded by
         the content hash: same schema/partitioning/batch shape, stable
         golden values, for formats whose codec libraries (PIL/ffmpeg)
@@ -142,9 +278,12 @@ def decode_image(
     """
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
-    if codec not in ("edf", "fake"):
+    if codec not in ("edf", "cbf", "fake"):
         raise ValueError(f"unknown codec {codec!r}")
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
+    cbf_elem_types = dict(_CBF_ELEM_TYPES)
+    cbf_magic = bytes(_CBF_MAGIC)
+    cbf_section = bytes(_CBF_SECTION)
 
     def _parse_edf(buf, _np):
         # nested (pickled by value) twin of decode_edf: worker kernels
@@ -163,6 +302,49 @@ def decode_image(
         img = _np.frombuffer(buf, dtype=dt.newbyteorder(order), count=nx_ * ny_, offset=start)
         return img.reshape(ny_, nx_)
 
+    def _parse_cbf(buf, _np):
+        # nested (pickled by value) twin of decode_cbf — see _parse_edf
+        sec = buf.index(cbf_section)
+        mark = buf.index(cbf_magic, sec)
+        if b"x-CBF_BYTE_OFFSET" not in buf[sec:mark]:
+            raise ValueError("unsupported CBF conversions")
+        fields = {}
+        for line in buf[sec:mark].decode("ascii", "replace").splitlines():
+            if ":" in line:
+                k, v = line.split(":", 1)
+                fields[k.strip()] = v.strip()
+        nx_ = int(fields["X-Binary-Size-Fastest-Dimension"])
+        ny_ = int(fields["X-Binary-Size-Second-Dimension"])
+        n = nx_ * ny_
+        raw = buf[mark + len(cbf_magic) :]
+        u8 = _np.frombuffer(raw, dtype=_np.uint8)
+        deltas = _np.empty(n, dtype=_np.int64)
+        i = k = 0
+        while k < n:
+            rest = u8[i:]
+            esc = _np.flatnonzero(rest == 0x80)
+            j = min(int(esc[0]) if esc.size else rest.size, n - k)
+            if j:
+                deltas[k : k + j] = rest[:j].view(_np.int8)
+                i += j
+                k += j
+                if k >= n:
+                    break
+            v = int(_np.frombuffer(raw, dtype="<i2", count=1, offset=i + 1)[0])
+            i += 3
+            if v == -32768:
+                v = int(_np.frombuffer(raw, dtype="<i4", count=1, offset=i)[0])
+                i += 4
+                if v == -2147483648:
+                    v = int(_np.frombuffer(raw, dtype="<i8", count=1, offset=i)[0])
+                    i += 8
+            deltas[k] = v
+            k += 1
+        dt = cbf_elem_types.get(
+            fields.get("X-Binary-Element-Type", '"signed 32-bit integer"'), "i4"
+        )
+        return _np.cumsum(deltas).astype(_np.dtype(dt)).reshape(ny_, nx_)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (workers may not have trx_spark on path)
         import hashlib as _hl
@@ -175,6 +357,8 @@ def decode_image(
             for _, row in pdf.iterrows():
                 if codec == "edf":
                     img = _parse_edf(bytes(row["content"]), _np).astype(float)
+                elif codec == "cbf":
+                    img = _parse_cbf(bytes(row["content"]), _np).astype(float)
                 else:
                     seed = int.from_bytes(
                         _hl.sha256(bytes(row["content"])).digest()[:4], "big"
