@@ -85,6 +85,10 @@ HEADLINE = [
     "bigram_rarity",
     "vocab_coverage",
     "cms_heavy_hitters",
+    # round-4 additions
+    "dsir_weights",
+    "per_source_sample",
+    "filter_outlier_curves",
 ]
 
 

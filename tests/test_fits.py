@@ -137,3 +137,34 @@ def test_find_center_using_rings_converges(spark):
     assert abs(res["cx"] - cx) < 1.0 and abs(res["cy"] - cy) < 1.0
     assert len(res["trace"]) >= 1
     assert abs(res["trace"][-1]["r"] - r0) < 2.0
+
+
+def test_fit_peaks_pseudovoigt(spark):
+    """Planted PseudoVoigt (η=0.6) recovered: center/fwhm/height/η/bg.
+    Matches the reference's lmfit PseudoVoigt parameterization
+    (trx/peaks.py:14-40): both components share FWHM = 2σ."""
+    x = np.linspace(0, 10, 800)
+    center, hwhm, amp, bg, eta = 4.2, 0.7, 100.0, 5.0, 0.6
+    sg = hwhm / np.sqrt(2 * np.log(2))
+    u = x - center
+    y = bg + amp * (
+        (1 - eta) * np.exp(-(u**2) / (2 * sg**2)) + eta * hwhm**2 / (u**2 + hwhm**2)
+    )
+    df = spark.createDataFrame(pd.DataFrame({"group": "pv", "x": x, "y": y}))
+    got = fits.fit_peaks(df).first()
+    np.testing.assert_allclose(got["center"], center, atol=1e-6)
+    np.testing.assert_allclose(got["fwhm"], 2 * hwhm, rtol=1e-6)
+    np.testing.assert_allclose(got["amplitude"], amp, rtol=1e-6)
+    np.testing.assert_allclose(got["fraction"], eta, atol=1e-6)
+    np.testing.assert_allclose(got["background"], bg, atol=1e-6)
+
+
+def test_fit_peaks_pure_lorentzian(spark):
+    x = np.linspace(-8, 8, 600)
+    hwhm, amp, bg = 0.9, 40.0, 2.0
+    y = bg + amp * hwhm**2 / (x**2 + hwhm**2)
+    df = spark.createDataFrame(pd.DataFrame({"group": "lor", "x": x, "y": y}))
+    got = fits.fit_peaks(df).first()
+    np.testing.assert_allclose(got["center"], 0.0, atol=1e-6)
+    np.testing.assert_allclose(got["fwhm"], 2 * hwhm, rtol=1e-5)
+    np.testing.assert_allclose(got["fraction"], 1.0, atol=1e-5)

@@ -11,8 +11,8 @@ pure-numpy equivalents chosen for determinism:
   scipy.leastsq on the algebraic residual of center.py:49-57),
 - ellipse: Fitzgibbon algebraic fit via the generalized eigenproblem
   (the same scatter-matrix eigenvector method as center.py:71-105),
-- peak: Gaussian log-parabola (Caruana's method) with FWHM-window
-  refinement standing in for the PseudoVoigt of peaks.py:14-40,
+- peak: a REAL PseudoVoigt fit (Caruana log-parabola seed + pure-numpy
+  Levenberg–Marquardt, lmfit-matching fraction blend) for peaks.py:14-40,
 - background: SNIP (iterative clipped baseline) standing in for the
   dualtree wavelet baseline of utils/numeric.py:66-82.
 
@@ -33,7 +33,8 @@ ELLIPSE_SCHEMA = (
     "group string, cx double, cy double, a double, b double, tilt double, n_points long"
 )
 PEAK_SCHEMA = (
-    "group string, center double, fwhm double, amplitude double, background double, n_points long"
+    "group string, center double, fwhm double, amplitude double, fraction double, "
+    "background double, n_points long"
 )
 
 
@@ -131,26 +132,45 @@ def fit_ellipses(points: DataFrame, *, group: str = "group", x: str = "x", y: st
 def fit_peaks(
     curves: DataFrame, *, group: str = "group", x: str = "x", y: str = "y", err: str | None = None
 ) -> DataFrame:
-    """U6 ``fitPeak`` (trx/peaks.py:14-40): per-group peak fit with
-    auto-range around the FWHM. Gaussian via Caruana log-parabola on the
-    background-subtracted peak window; amplitude/background from data."""
+    """U6 ``fitPeak`` (trx/peaks.py:14-40): per-group PseudoVoigt fit
+    with auto-range around the FWHM, matching the reference's lmfit
+    PseudoVoigtModel semantics in pure numpy.
+
+    Model (height parameterization; both components share FWHM = 2σ as
+    in lmfit's fraction-blended PseudoVoigt):
+
+        y = bg + h·[(1−η)·exp(−(x−c)²/(2σ_g²)) + η·σ²/((x−c)²+σ²)],
+        σ_g = σ/√(2 ln 2),  η ∈ [0, 1].
+
+    Seeded by Caruana's log-parabola (the round-2 Gaussian stand-in),
+    refined by a small Levenberg–Marquardt loop (numeric Jacobian)
+    with optional 1/err weighting — the same objective lmfit minimizes
+    (peaks.py:33-37 weights by 1/err)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(x)
-        if len(pdf) < 4:
-            # under-determined: report NaNs rather than a spurious fit
+        def _one(res: dict) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "group": [pdf[group].iloc[0]],
-                    "center": [float("nan")],
-                    "fwhm": [float("nan")],
-                    "amplitude": [float("nan")],
-                    "background": [float("nan")],
+                    "center": [res.get("center", float("nan"))],
+                    "fwhm": [res.get("fwhm", float("nan"))],
+                    "amplitude": [res.get("amp", float("nan"))],
+                    "fraction": [res.get("frac", float("nan"))],
+                    "background": [res.get("bg", float("nan"))],
                     "n_points": [len(pdf)],
                 }
             )
+
+        pdf = pdf.sort_values(x)
+        if len(pdf) < 5:
+            # under-determined: report NaNs rather than a spurious fit
+            return _one({})
         xs = pdf[x].to_numpy(dtype=float)
         ys = pdf[y].to_numpy(dtype=float)
+        wts = None
+        if err is not None and err in pdf:
+            e = pdf[err].to_numpy(dtype=float)
+            wts = np.where(np.isfinite(e) & (e > 0), 1.0 / e, 0.0)
         bg = float(np.nanmin(ys))
         yc = ys - bg
         k = int(np.nanargmax(yc))
@@ -166,22 +186,69 @@ def fit_peaks(
             ly = np.log(np.clip(yc[w], 1e-300, None))
             coef = np.polyfit(xs[w], ly, 2)
         if coef[0] >= 0 or not np.isfinite(coef).all():
-            center = float(xs[k])
-            fwhm = float(xs[min(hi, len(xs) - 1)] - xs[lo])
-            amp = float(yc[k])
-        else:
-            center = float(-coef[1] / (2 * coef[0]))
-            sigma2 = -1.0 / (2 * coef[0])
-            fwhm = float(2.3548200450309493 * np.sqrt(sigma2))
-            amp = float(np.exp(coef[2] - coef[1] ** 2 / (4 * coef[0])))
-        return pd.DataFrame(
+            return _one(
+                {
+                    "center": float(xs[k]),
+                    "fwhm": float(xs[min(hi, len(xs) - 1)] - xs[lo]),
+                    "amp": float(yc[k]),
+                    "bg": bg,
+                }
+            )
+        center = float(-coef[1] / (2 * coef[0]))
+        sigma_g2 = -1.0 / (2 * coef[0])
+        s = 1.1774100225154747  # √(2 ln 2): HWHM of a unit-σ Gaussian
+        amp = float(np.exp(coef[2] - coef[1] ** 2 / (4 * coef[0])))
+
+        def model(p, xv):
+            h, c, sg, eta, b = p
+            sg = max(sg, 1e-12)
+            u = xv - c
+            gauss = np.exp(-(u * u) / (2.0 * (sg / s) ** 2))
+            lor = sg * sg / (u * u + sg * sg)
+            return b + h * ((1.0 - eta) * gauss + eta * lor)
+
+        def resid(p):
+            r = ys - model(p, xs)
+            return r * wts if wts is not None else r
+
+        # LM refine over (height, center, hwhm σ, fraction η, bg)
+        p = np.array([amp, center, s * np.sqrt(sigma_g2), 0.3, bg])
+        lam = 1e-3
+        cost = float(np.sum(resid(p) ** 2))
+        for _ in range(60):
+            j = np.empty((len(xs), 5))
+            step = np.maximum(np.abs(p), 1e-8) * 1e-6
+            for m in range(5):
+                dp = np.zeros(5)
+                dp[m] = step[m]
+                j[:, m] = (resid(p + dp) - resid(p - dp)) / (2 * step[m])
+            r = resid(p)
+            g = j.T @ r
+            a_mat = j.T @ j
+            try:
+                delta = np.linalg.solve(a_mat + lam * np.diag(np.diag(a_mat)), -g)
+            except np.linalg.LinAlgError:
+                break
+            cand = p + delta
+            cand[2] = abs(cand[2])
+            cand[3] = min(max(cand[3], 0.0), 1.0)
+            new_cost = float(np.sum(resid(cand) ** 2))
+            if not np.isfinite(new_cost) or new_cost >= cost:
+                lam *= 10.0
+                if lam > 1e8:
+                    break
+                continue
+            rel = abs(cost - new_cost) / max(cost, 1e-300)
+            p, cost, lam = cand, new_cost, max(lam / 10.0, 1e-12)
+            if rel < 1e-12:
+                break
+        return _one(
             {
-                "group": [pdf[group].iloc[0]],
-                "center": [center],
-                "fwhm": [fwhm],
-                "amplitude": [amp],
-                "background": [bg],
-                "n_points": [len(pdf)],
+                "center": float(p[1]),
+                "fwhm": float(2.0 * p[2]),
+                "amp": float(p[0]),
+                "frac": float(p[3]),
+                "bg": float(p[4]),
             }
         )
 

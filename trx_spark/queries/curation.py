@@ -792,6 +792,110 @@ def _rollup_sql() -> str:
     return _ROLLUP_SQL.format(q=_quality_base_sql())
 
 
+# ---------------------------------------------------------------------
+# DSIR-style importance weights (data selection for a target domain)
+# ---------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much its hashed
+# bag-of-words features look like a trusted TARGET domain vs the raw
+# corpus. Features = char-fold token hash mod _DSIR_BUCKETS (the same
+# map-side fold as MinHash — no dictionary, no shuffle); target = docs
+# from _DSIR_TARGET_SOURCE (the trusted-domain stand-in on this
+# testdata). The paper scores Σ_f [log p_target(f) − log q_raw(f)];
+# log isn't cross-engine bit-stable, so the per-bucket evidence is the
+# SMOOTHED fixed-point likelihood ratio
+#     r[b] = floor(S · (ct[b]+1) / (cr[b]+B))
+# and the doc weight is the exact integer mean of r over its token
+# stream — the same monotone per-bucket signal, oracle-exact.
+#
+# Plan shape at 100 TB: two partial hash-aggs over the token stream
+# (bucket grain, B rows each), a B-row ratio table broadcast BY
+# CONSTRUCTION, one groupBy doc_id — no global structure, no windows.
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_SCALE = 1_000_000_000
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance weight for the target domain (docs with
+    zero tokens emit no row, like the other token-grain queries)."""
+    from trx_spark.queries.textdata import _tok_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    tb = (
+        docs.select("doc_id", "source", F.explode(toks).alias("tok"))
+        .withColumn("b", _tok_hash(F.col("tok")) % _DSIR_BUCKETS)
+        .drop("tok")
+        # feeds the two count aggs AND the join-back — run the
+        # regex+fold+explode once
+        .localCheckpoint()
+    )
+    cr = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        tb.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ratio = (
+        cr.join(ct, "b", "left")
+        .select(
+            "b",
+            F.floor(
+                F.lit(float(_DSIR_SCALE))
+                * (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("cr") + F.lit(_DSIR_BUCKETS)).cast("double")
+            )
+            .cast("long")
+            .alias("rb"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("rb").alias("w_fp"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("w_fp").cast("double")
+                / F.lit(float(_DSIR_SCALE))
+                / F.col("n_tokens").cast("double")
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    from trx_spark.queries.textdata import _tok_hash_sql
+
+    return f"""
+WITH tb AS (
+  SELECT doc_id, source, {_tok_hash_sql('t.tok')} % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS tok
+        FROM documents) t
+),
+cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+       FROM tb WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY b),
+r AS (
+  SELECT cr.b,
+    CAST(FLOOR(CAST({_DSIR_SCALE} AS DOUBLE)
+               * CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+               / CAST(cr.cr + {_DSIR_BUCKETS} AS DOUBLE)) AS BIGINT) AS rb
+  FROM cr LEFT JOIN ct ON cr.b = ct.b
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(rb) AS DOUBLE) / CAST({_DSIR_SCALE} AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dsir_weight
+FROM tb JOIN r USING (b)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "decontaminated_docs": decontaminated_docs,
@@ -805,6 +909,7 @@ QUERIES = {
     "source_quality_rollup": source_quality_rollup,
     "mixture_sample": mixture_sample,
     "normalized_docs": normalized_docs,
+    "dsir_weights": dsir_weights,
 }
 
 ORACLES = {
@@ -820,4 +925,5 @@ ORACLES = {
     "source_quality_rollup": _rollup_sql(),
     "mixture_sample": _MIXTURE_SQL,
     "normalized_docs": _NORMALIZE_SQL,
+    "dsir_weights": _dsir_sql(),
 }
