@@ -53,6 +53,30 @@ _P = 2147483647  # 2^31 − 1
 _SHINGLE_N = 8
 _BENCH_MOD = 20
 
+# contamination_check and decontaminated_docs consume the SAME exploded
+# shingle table (regex tokenize + 8-shingle explode over every doc —
+# the dominant cost of each); memoize its localCheckpoint per
+# (session, sf_dir) like the trxdomain3 curve bank.
+_SHINGLED_CACHE: dict = {}
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _SHINGLED_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+        n = F.size(toks)
+        shingles = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (_SHINGLE_N - 1), F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i, _SHINGLE_N), " "),
+            )
+        )
+        _SHINGLED_CACHE[key] = docs.select(
+            "doc_id", F.explode(shingles).alias("shingle")
+        ).localCheckpoint()
+    return _SHINGLED_CACHE[key]
+
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus docs sharing ≥1 8-token shingle with the benchmark slice.
@@ -61,16 +85,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles of the doc appear anywhere in the benchmark, and
     how many distinct benchmark docs it collides with.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-    n = F.size(toks)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (_SHINGLE_N - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, _SHINGLE_N), " "),
-        )
-    )
-    shingled = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    shingled = _shingled(spark, sf_dir)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = shingled.where(is_bench).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
@@ -116,15 +131,7 @@ def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shape, flipped to ``left_anti``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-    n = F.size(toks)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (_SHINGLE_N - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, _SHINGLE_N), " "),
-        )
-    )
-    shingled = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    shingled = _shingled(spark, sf_dir)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench_shingles = shingled.where(is_bench).select("shingle").distinct()
     dirty = (
