@@ -219,6 +219,40 @@ WHERE (doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 100 < {_RATE_CASE}
 
 _NGRAM_K = 20
 
+# topk_ngrams and bigram_rarity consume the SAME exploded (doc_id,
+# bigram) stream; cms_heavy_hitters and dsir_weights the same (doc_id,
+# source, token) stream. Memoize each localCheckpoint per (session,
+# sf_dir) — same pattern as the shingle table above.
+_BIGRAM_CACHE: dict = {}
+_TOKEN_CACHE: dict = {}
+
+
+def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _BIGRAM_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+        n = F.size(toks)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        )
+        _BIGRAM_CACHE[key] = docs.select(
+            "doc_id", F.explode(bigrams).alias("ngram")
+        ).localCheckpoint()
+    return _BIGRAM_CACHE[key]
+
+
+def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _TOKEN_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+        _TOKEN_CACHE[key] = docs.select(
+            "doc_id", "source", F.explode(toks).alias("token")
+        ).localCheckpoint()
+    return _TOKEN_CACHE[key]
+
 
 def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus's top-20 bigrams by total occurrence count.
@@ -229,15 +263,8 @@ def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition cross to the driver merge; the full bigram table is
     never globally sorted). Deterministic tie-break on the bigram text.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
-    )
     return (
-        docs.select(F.explode(bigrams).alias("ngram"))
+        _bigram_stream(spark, sf_dir)
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
@@ -281,16 +308,9 @@ _RARITY_SCALE = 1_000_000_000  # 1e9 fixed-point for the 1/freq terms
 
 def bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean inverse bigram frequency (higher = rarer text)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
-    )
-    # the exploded bigram table feeds BOTH the count agg and the
-    # join-back — checkpoint so the regex+explode runs once
-    db = docs.select("doc_id", F.explode(bigrams).alias("ngram")).localCheckpoint()
+    # the shared exploded bigram stream feeds BOTH the count agg and
+    # the join-back (and topk_ngrams)
+    db = _bigram_stream(spark, sf_dir)
     counts = db.groupBy("ngram").agg(F.count(F.lit(1)).alias("freq"))
     inv = F.floor(F.lit(float(_RARITY_SCALE)) / F.col("freq").cast("double")).cast(
         "long"
@@ -419,9 +439,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact vs count-min-sketch counts for the corpus top tokens."""
     from trx_spark.queries.textdata import _tok_hash
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-    tok = docs.select(F.explode(toks).alias("token")).localCheckpoint()
+    tok = _token_stream(spark, sf_dir).select("token")
     sk = (
         tok.select(F.explode(_cms_cells(_tok_hash(F.col("token")))).alias("cell"))
         .groupBy("cell")
@@ -830,15 +848,8 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero tokens emit no row, like the other token-grain queries)."""
     from trx_spark.queries.textdata import _tok_hash
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-    tb = (
-        docs.select("doc_id", "source", F.explode(toks).alias("tok"))
-        .withColumn("b", _tok_hash(F.col("tok")) % _DSIR_BUCKETS)
-        .drop("tok")
-        # feeds the two count aggs AND the join-back — run the
-        # regex+fold+explode once
-        .localCheckpoint()
+    tb = _token_stream(spark, sf_dir).select(
+        "doc_id", "source", (_tok_hash(F.col("token")) % _DSIR_BUCKETS).alias("b")
     )
     cr = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     ct = (
