@@ -242,3 +242,29 @@ def test_decode_cbf_distributed(spark, tmp_path):
         np.testing.assert_array_equal(
             sub["intensity"].to_numpy().reshape(6, 4), img.astype(float)
         )
+
+
+def test_cbf_byte_offset_property():
+    """Property: the byte_offset stream round-trips ANY int64-safe pixel
+    vector (hypothesis drives delta widths across all four escape
+    tiers and marker-colliding payload bytes)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trx_spark.operators.multimodal import _byte_offset_pack, _byte_offset_unpack
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def roundtrip(vals):
+        arr = np.array(vals, dtype=np.int64)
+        back = _byte_offset_unpack(_byte_offset_pack(arr), len(arr))
+        np.testing.assert_array_equal(back, arr)
+
+    roundtrip()
