@@ -48,7 +48,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs that appear in no pair are joined back as singletons here.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = textdata.minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    pairs = textdata.minhash_lsh_pairs(spark, sf_dir)  # memoized checkpoint
     labels = graph.connected_components(pairs, src="doc_a", dst="doc_b")
     return (
         docs.join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")

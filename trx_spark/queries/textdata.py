@@ -261,12 +261,20 @@ FROM tids
 _LSH_BUCKET_CAP = 64
 
 
+# consumed by the gate query AND dedup_clusters' connected components —
+# memoize the pair table per (session, sf_dir)
+_LSH_PAIRS_CACHE: dict = {}
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows) over the MinHash signatures:
     candidate near-dup pairs = docs sharing any band. The quadratic pair
     search becomes an equi-join on (band, h_even, h_odd), and buckets
     with more than _LSH_BUCKET_CAP members are dropped pre-join (see
     cap note above)."""
+    key = (spark, sf_dir)
+    if key in _LSH_PAIRS_CACHE:
+        return _LSH_PAIRS_CACHE[key]
     # the self-join would recompute the signature lineage on both sides
     # — a local checkpoint materializes the tiny signature table once
     sig = minhash_signatures(spark, sf_dir).localCheckpoint()
@@ -293,7 +301,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs
+    _LSH_PAIRS_CACHE[key] = pairs.localCheckpoint()
+    return _LSH_PAIRS_CACHE[key]
 
 
 # The CTE chain ending in ``pairs`` is shared with the connected-
