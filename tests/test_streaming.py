@@ -103,3 +103,34 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path):
     b = {(r["delay"], round(r["q"], 9)): (r["n"], round(r["i_mean"], 9)) for r in batch.collect()}
     i = {(r["delay"], round(r["q"], 9)): (r["n"], round(r["i_mean"], 9)) for r in inc.collect()}
     assert b == i, "replayed store must reduce to the batch result"
+
+
+def test_ts_prepare_handles_both_parquet_layouts(spark, tmp_path):
+    """The streaming gate queries' layout shim (streamingq._make_ts_prepare)
+    must produce the same ts_t for a TIMESTAMP_NTZ file and a
+    TIMESTAMP(NANOS)-as-bigint file of the same instants."""
+    import pandas as pd
+
+    from trx_spark.queries.streamingq import _make_ts_prepare
+
+    micros = [1_700_000_000_000_000 + k * 1_000_000 for k in range(5)]
+    # bigint-nanos layout
+    spark.createDataFrame(
+        pd.DataFrame({"event_id": range(5), "ts": [m * 1000 for m in micros]})
+    ).write.mode("overwrite").parquet(str(tmp_path / "long"))
+    # timestamp layout
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"event_id": range(5), "ts": pd.to_datetime(micros, unit="us")}
+        )
+    ).write.mode("overwrite").parquet(str(tmp_path / "tstamp"))
+
+    outs = []
+    for sub in ("long", "tstamp"):
+        df = spark.read.parquet(str(tmp_path / sub))
+        prepared = _make_ts_prepare(df.schema)(df)
+        outs.append(
+            {r["event_id"]: r["ts_t"] for r in prepared.select("event_id", "ts_t").collect()}
+        )
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 5

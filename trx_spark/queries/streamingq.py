@@ -184,14 +184,79 @@ FROM s GROUP BY user_id, sid
 """
 
 
+_ATTR_WINDOW_H = 6
+
+
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click attribution):
+    'click' events joined onto 'view' events of the same user within a
+    6-hour half-open window, both sides streamed (availableNow) and
+    watermarked so join state expires. Over a single replay of static
+    input this equals the batch inequality join — full DuckDB oracle.
+    The batch twin of this shape is ``events_range_join``."""
+    from trx_spark.streaming.joins import run_interval_join_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    base = _make_ts_prepare(schema)
+
+    def prep(event_type, id_out, ts_out):
+        def p(df: DataFrame) -> DataFrame:
+            return (
+                base(df)
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    "user_id",
+                    F.col("event_id").alias(id_out),
+                    F.col("ts_t").alias(ts_out),
+                )
+            )
+
+        return p
+
+    out = run_interval_join_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="events.parquet",
+        schema=schema,
+        prepare_left=prep("view", "view_id", "v_ts"),
+        prepare_right=prep("click", "click_id", "c_ts"),
+        on="user_id",
+        l_ts="v_ts",
+        r_ts="c_ts",
+        window=f"{_ATTR_WINDOW_H} hours",
+        watermark=f"{2 * _ATTR_WINDOW_H} hours",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias("delay_us"),
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS delay_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts < v.ts + INTERVAL {_ATTR_WINDOW_H} HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_session_stats": streaming_session_stats,
+    "streaming_attribution_join": streaming_attribution_join,
 }
 ORACLES: dict[str, str] = {
     "streaming_windowed_counts": _WINDOWED_SQL,
     "streaming_dedup_keys": _DEDUP_KEYS_SQL,
     "streaming_session_stats": _SESSION_STATS_SQL,
+    "streaming_attribution_join": _ATTRIBUTION_SQL,
 }

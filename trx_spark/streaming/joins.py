@@ -47,3 +47,53 @@ def interval_stream_join(
         .join(rw.alias("r"), cond, "inner")
         .drop(F.col(key_r))
     )
+
+
+_MEM_NAMES = __import__("itertools").count()
+
+
+def run_interval_join_catchup(
+    spark,
+    *,
+    landing_dir: str,
+    schema,
+    path_glob_filter: str | None = None,
+    prepare_left=None,
+    prepare_right=None,
+    on: str,
+    l_ts: str,
+    r_ts: str,
+    window: str = "6 hours",
+    watermark: str = "12 hours",
+):
+    """availableNow replay of :func:`interval_stream_join` over two
+    file-source streams of the same parquet folder, collected through a
+    memory sink (append mode — inner stream-stream joins emit rows as
+    both sides arrive; nothing waits on the watermark). Over static
+    input this equals the batch inequality join, so the gate query
+    carries a full oracle."""
+
+    def _stream():
+        reader = spark.readStream.schema(schema)
+        if path_glob_filter is not None:
+            reader = reader.option("pathGlobFilter", path_glob_filter)
+        return reader.parquet(landing_dir)
+
+    left, right = _stream(), _stream()
+    if prepare_left is not None:
+        left = prepare_left(left)
+    if prepare_right is not None:
+        right = prepare_right(right)
+    joined = interval_stream_join(
+        left, right, on=on, l_ts=l_ts, r_ts=r_ts, window=window, watermark=watermark
+    )
+    name = f"trx_ivjoin_{next(_MEM_NAMES)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
