@@ -346,9 +346,20 @@ def quality_signals(docs: DataFrame) -> DataFrame:
     )
 
 
+# quality_filter and curation.source_quality_rollup both consume the
+# signals projection (regex-heavy but zero-shuffle) — memoize its
+# localCheckpoint per (session, sf_dir)
+_SIGNALS_CACHE: dict = {}
+
+
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: :func:`quality_signals` over the documents table."""
-    return quality_signals(load_table(spark, sf_dir, "documents"))
+    key = (spark, sf_dir)
+    if key not in _SIGNALS_CACHE:
+        _SIGNALS_CACHE[key] = quality_signals(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint()
+    return _SIGNALS_CACHE[key]
 
 
 def _qf_marker_sql(lang: str) -> str:

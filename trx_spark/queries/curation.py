@@ -776,10 +776,11 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials make the shuffle tiny (one row per source).
     """
     from trx_spark.exact import dsum
-    from trx_spark.queries.corpus import quality_signals
+    from trx_spark.queries.corpus import quality_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = quality_signals(docs).join(
+    # rides the memoized signals checkpoint shared with quality_filter
+    sig = quality_filter(spark, sf_dir).join(
         docs.select("doc_id", "source"), "doc_id"
     )
     return sig.groupBy("source").agg(
