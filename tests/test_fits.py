@@ -168,3 +168,26 @@ def test_fit_peaks_pure_lorentzian(spark):
     np.testing.assert_allclose(got["center"], 0.0, atol=1e-6)
     np.testing.assert_allclose(got["fwhm"], 2 * hwhm, rtol=1e-5)
     np.testing.assert_allclose(got["fraction"], 1.0, atol=1e-5)
+
+
+def test_remove_background_wavelet_pinned_regions(spark):
+    """The wavelet (default) baseline follows a slow varying background
+    under a sharp peak, and background_regions pin the baseline to the
+    data exactly (trx/utils/numeric.py:75-80 semantics)."""
+    x = np.linspace(0, 20, 400)
+    baseline = 30.0 + 10.0 * np.sin(x / 8.0)
+    peak = 120.0 * np.exp(-((x - 11) ** 2) / (2 * 0.25**2))
+    df = spark.createDataFrame(
+        pd.DataFrame({"group": "w", "x": x, "y": baseline + peak})
+    )
+    out = fits.remove_background(
+        df, background_regions=[(0.0, 4.0), (17.0, 20.0)]
+    ).orderBy("x").toPandas()
+    inside = (out.x >= 0) & (out.x <= 4)
+    np.testing.assert_allclose(
+        out.loc[inside, "baseline"], out.loc[inside, "y"], atol=1e-9
+    )
+    away = (out.x > 5) & (out.x < 9)
+    assert np.max(np.abs(out.loc[away, "baseline"] - (30.0 + 10.0 * np.sin(out.loc[away, "x"] / 8.0)))) < 4.0
+    at_peak = np.abs(out.x - 11) < 0.3
+    assert out.loc[at_peak, "y_corrected"].max() > 80.0
