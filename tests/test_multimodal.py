@@ -268,3 +268,43 @@ def test_cbf_byte_offset_property():
         np.testing.assert_array_equal(back, arr)
 
     roundtrip()
+
+
+def test_wav_roundtrip_kernel():
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = np.arange(2048) / 16000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    back, rate = decode_wav(encode_wav(mono, rate=16000))
+    assert rate == 16000 and back.shape == (2048, 1)
+    np.testing.assert_allclose(back[:, 0], mono, atol=1.0 / 32768)
+    stereo = np.stack([mono, -mono], axis=1)
+    back2, _ = decode_wav(encode_wav(stereo))
+    assert back2.shape == (2048, 2)
+    np.testing.assert_allclose(back2, stereo, atol=1.0 / 32768)
+
+
+def test_audio_frame_features_distributed(spark, tmp_path):
+    """REAL WAV decode through binaryFile → mapInPandas: a 440 Hz sine
+    has RMS ≈ amp/√2 and ZCR ≈ 2·f/rate in every full frame; silence
+    decodes to rms = 0."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import audio_frame_features, encode_wav
+
+    rate, amp, freq = 16000, 0.5, 440.0
+    t = np.arange(rate) / rate
+    (tmp_path / "tone.wav").write_bytes(encode_wav(amp * np.sin(2 * np.pi * freq * t), rate=rate))
+    (tmp_path / "silence.wav").write_bytes(encode_wav(np.zeros(rate), rate=rate))
+    assets = read_binary_assets(spark, str(tmp_path / "*.wav"), "audio")
+    feats = audio_frame_features(assets, frame=512, hop=256).toPandas()
+    tone = feats[feats.file.str.endswith("tone.wav")]
+    sil = feats[feats.file.str.endswith("silence.wav")]
+    assert len(tone) == 1 + (rate - 512) // 256 and len(sil) == len(tone)
+    np.testing.assert_allclose(tone["rms"], amp / np.sqrt(2), rtol=0.05)
+    np.testing.assert_allclose(tone["zcr"], 2 * freq / rate, rtol=0.1)
+    assert (sil["rms"] == 0).all() and (sil["peak"] == 0).all()
+    # frame schedule: t_start_s advances by hop/rate
+    np.testing.assert_allclose(np.diff(sorted(tone["t_start_s"])), 256 / rate)

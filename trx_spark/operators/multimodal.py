@@ -385,6 +385,167 @@ def decode_image(
     )
 
 
+# ---------------------------------------------------------------------
+# WAV codec (RIFF PCM — the audio leg of the multimodal brief). The
+# format is public and simple: 'RIFF' + size + 'WAVE', then chunks;
+# 'fmt ' carries (audio_format, n_channels, sample_rate, bits); 'data'
+# carries interleaved samples. PCM16/PCM8 and IEEE float32 decode with
+# pure numpy — real, like the EDF/CBF image codecs. Compressed audio
+# (mp3/ogg) stays behind the deterministic fake.
+# ---------------------------------------------------------------------
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE blob → (float64 samples [n, channels] in
+    [-1, 1], sample_rate)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = (
+                int.from_bytes(body[0:2], "little"),  # audio format
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    afmt, nch, rate, bits = fmt
+    if afmt == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif afmt == 1 and bits == 8:
+        samples = (np.frombuffer(data, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    elif afmt == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format ({afmt}, {bits} bit)")
+    n = len(samples) // nch
+    return samples[: n * nch].reshape(n, nch), rate
+
+
+def encode_wav(samples: np.ndarray, *, rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or [n, ch]) as PCM16
+    RIFF/WAVE — the write side of the audio seam and the tests' golden
+    producer."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    nch = arr.shape[1]
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.reshape(-1).tobytes()
+    byte_rate = rate * nch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (nch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def audio_frame_features(
+    assets: DataFrame,
+    *,
+    frame: int = 512,
+    hop: int = 256,
+    codec: str = "wav",
+) -> DataFrame:
+    """Audio feature extraction (the audio leg of U1's shape): binary
+    blob → per-frame rows (file, frame_idx, t_start_s, rms, zcr, peak)
+    via mapInPandas — 1 file fans out to n_frames rows executor-side,
+    no shuffle; downstream is ordinary relational analytics (VAD
+    thresholds, clipping detection, silence trimming).
+
+    ``codec="wav"`` is the REAL pure-numpy RIFF/PCM decode;
+    ``codec="fake"`` synthesizes a deterministic waveform from the
+    content hash (for compressed formats whose codecs are absent)."""
+    if codec not in ("wav", "fake"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure-self-contained (workers may not import trx_spark)
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _parse_wav(buf):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE stream")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+                body = buf[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = (
+                        int.from_bytes(body[0:2], "little"),
+                        int.from_bytes(body[2:4], "little"),
+                        int.from_bytes(body[4:8], "little"),
+                        int.from_bytes(body[14:16], "little"),
+                    )
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            afmt, nch, rate, bits = fmt
+            if afmt == 1 and bits == 16:
+                s = _np.frombuffer(data, dtype="<i2").astype(_np.float64) / 32768.0
+            elif afmt == 1 and bits == 8:
+                s = (_np.frombuffer(data, dtype="u1").astype(_np.float64) - 128.0) / 128.0
+            elif afmt == 3 and bits == 32:
+                s = _np.frombuffer(data, dtype="<f4").astype(_np.float64)
+            else:
+                raise ValueError(f"unsupported WAV format ({afmt}, {bits} bit)")
+            n = len(s) // nch
+            return s[: n * nch].reshape(n, nch).mean(axis=1), rate
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if codec == "wav":
+                    mono, rate = _parse_wav(bytes(row["content"]))
+                else:
+                    seed = int.from_bytes(
+                        _hl.sha256(bytes(row["content"])).digest()[:4], "big"
+                    )
+                    rng = _np.random.default_rng(seed)
+                    rate = 16000
+                    mono = rng.uniform(-0.5, 0.5, size=rate)
+                n_frames = max(0, 1 + (len(mono) - frame) // hop) if len(mono) >= frame else 0
+                recs = []
+                for k in range(n_frames):
+                    w = mono[k * hop : k * hop + frame]
+                    rms = float(_np.sqrt(_np.mean(w * w)))
+                    zcr = float(_np.mean(_np.signbit(w[1:]) != _np.signbit(w[:-1])))
+                    recs.append(
+                        (row["file"], k, k * hop / rate, rms, zcr, float(_np.max(_np.abs(w))))
+                    )
+                out.append(
+                    _pd.DataFrame(
+                        recs, columns=["file", "frame_idx", "t_start_s", "rms", "zcr", "peak"]
+                    )
+                )
+            yield _pd.concat(out) if out else _pd.DataFrame(
+                {"file": [], "frame_idx": [], "t_start_s": [], "rms": [], "zcr": [], "peak": []}
+            )
+
+    return assets.select("path", "content").withColumnRenamed("path", "file").mapInPandas(
+        extract,
+        schema="file string, frame_idx int, t_start_s double, rms double, zcr double, peak double",
+    )
+
+
 def frame_sample(
     assets: DataFrame,
     *,
