@@ -89,6 +89,7 @@ HEADLINE = [
     "dsir_weights",
     "per_source_sample",
     "filter_outlier_curves",
+    "shipping_priority",
 ]
 
 

@@ -346,6 +346,76 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority: 3-way fact join + top-k
+# ---------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = datetime.datetime(1998, 6, 1, tzinfo=datetime.timezone.utc)
+_Q3_DATE_NS = int(_Q3_DATE.timestamp()) * 1_000_000_000
+_Q3_K = 10
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer(segment) ⋈ orders(before date) ⋈
+    lineitem(shipped after date) → revenue per order → top-10.
+
+    Plan-quality showcase: both date predicates sit on the PHYSICAL
+    parquet columns (pushed to the scans in either storage layout), the
+    customer keep-list joins without a hint (AQE broadcasts at test
+    scale, shuffles at 100 TB), and the top-10 compiles to
+    TakeOrderedAndProject — never a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    if raw_dtype(spark, sf_dir, "orders", "o_orderdate") == "bigint":
+        before = F.col("o_orderdate_ns") < F.lit(_Q3_DATE_NS)
+    else:
+        before = F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast(
+            dict(orders.dtypes)["o_orderdate"]
+        )
+    if raw_dtype(spark, sf_dir, "lineitem", "l_shipdate") == "bigint":
+        after = F.col("l_shipdate_ns") > F.lit(_Q3_DATE_NS)
+    else:
+        after = F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast(
+            dict(li.dtypes)["l_shipdate"]
+        )
+    seg_cust = cust.filter(F.col("c_mktsegment") == _Q3_SEGMENT).select("c_custkey")
+    open_orders = (
+        orders.filter(before)
+        .join(seg_cust, orders.o_custkey == seg_cust.c_custkey, "left_semi")
+        .select("o_orderkey", "o_orderdate_ns", "o_orderpriority")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(after)
+        .select("l_orderkey", rev.alias("rev"))
+        .join(open_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate_ns", "o_orderpriority")
+        .agg(dsum(F.col("rev")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(_Q3_K)
+        .select("l_orderkey", "o_orderdate_ns", "o_orderpriority", "revenue")
+    )
+
+
+_SHIPPING_SQL = f"""
+SELECT l_orderkey,
+  epoch_ns(CAST(o_orderdate AS TIMESTAMP_NS)) AS o_orderdate_ns,
+  o_orderpriority,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{_Q3_SEGMENT}'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate_ns, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {_Q3_K}
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "supplier_revenue": supplier_revenue,
@@ -357,6 +427,7 @@ QUERIES = {
     "slice_skip_first_last": slice_skip_first_last,
     "value_gradient": value_gradient,
     "distinct_scan_points": distinct_scan_points,
+    "shipping_priority": shipping_priority,
 }
 
 ORACLES = {
@@ -370,4 +441,5 @@ ORACLES = {
     "slice_skip_first_last": _SLICE_SQL,
     "value_gradient": _GRADIENT_SQL,
     "distinct_scan_points": _DISTINCT_SQL,
+    "shipping_priority": _SHIPPING_SQL,
 }
