@@ -59,3 +59,20 @@ def test_no_cartesian_no_stray_nested_loop(spark, sf_dir, name):
             f"{name} plans a nested-loop join outside the documented "
             "1-row-build-side set"
         )
+
+
+def test_global_stats_are_aggregates_not_windows(spark, sf_dir):
+    """Round-3 de-globalization, pinned: the global median/MAD of
+    filter_outlier_curves and SemDeDup's cell-size cap must plan with
+    NO window at all (two-pass aggregates + broadcast back; a
+    regression to percentile().over(partitionBy(lit(1))) or a count
+    window fails here)."""
+    from trx_spark.queries.similarity import semantic_dedup
+    from trx_spark.queries.trxdomain2 import filter_outlier_curves
+
+    for name, fn in [
+        ("filter_outlier_curves", filter_outlier_curves),
+        ("semantic_dedup", semantic_dedup),
+    ]:
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{name} plans a window:\n{plan[:2000]}"
