@@ -1,0 +1,34 @@
+"""The shared-stage memoization contract (PLANS.md round-3 section):
+within one session a stage builds once and every consumer rides the
+same checkpoint; a different session misses the cache and still
+computes correct results (keys are (session, sf_dir), so stale
+checkpoints never leak across sessions)."""
+
+from __future__ import annotations
+
+
+def test_same_session_hits_cache(spark, sf_dir):
+    from trx_spark.queries.corpus import quality_filter
+    from trx_spark.queries.curation import _bigram_stream, _token_stream
+
+    assert _bigram_stream(spark, sf_dir) is _bigram_stream(spark, sf_dir)
+    assert _token_stream(spark, sf_dir) is _token_stream(spark, sf_dir)
+    assert quality_filter(spark, sf_dir) is quality_filter(spark, sf_dir)
+
+
+def test_new_session_misses_cache_and_stays_correct(spark, sf_dir):
+    from trx_spark.queries.curation import topk_ngrams
+
+    base = {(r["ngram"], r["n_occurrences"]) for r in topk_ngrams(spark, sf_dir).collect()}
+    other = spark.newSession()
+    again = {(r["ngram"], r["n_occurrences"]) for r in topk_ngrams(other, sf_dir).collect()}
+    assert base == again and len(base) > 0
+
+
+def test_distinct_sf_dirs_get_distinct_stages(spark, sf_dir):
+    from trx_spark.queries.curation import _token_stream
+
+    a = _token_stream(spark, sf_dir)
+    b = _token_stream(spark, "/root/testdata/sf0.01")
+    assert a is not b
+    assert a.count() != b.count() or sf_dir == "/root/testdata/sf0.01"
