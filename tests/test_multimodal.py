@@ -85,7 +85,7 @@ def test_decode_edf_distributed(spark, tmp_path):
 
 def test_decode_unknown_codec_raises(assets):
     with pytest.raises(Exception, match="codec"):
-        decode_image(assets, shape=(4, 4), codec="tiff").collect()
+        decode_image(assets, shape=(4, 4), codec="mp4").collect()
 
 
 def test_edf_through_e1_pipeline(spark, tmp_path):
@@ -308,3 +308,40 @@ def test_audio_frame_features_distributed(spark, tmp_path):
     assert (sil["rms"] == 0).all() and (sil["peak"] == 0).all()
     # frame schedule: t_start_s advances by hop/rate
     np.testing.assert_allclose(np.diff(sorted(tone["t_start_s"])), 256 / rate)
+
+
+def test_tiff_roundtrip_kernel():
+    """decode_tiff(encode_tiff(img)) == img for uint8/16, int32 and
+    float32 in both byte orders (baseline TIFF 6.0, pure numpy)."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(23)
+    for dt in ("u1", "u2", "i4", "f4"):
+        for bo in ("<", ">"):
+            img = rng.uniform(0, 255, (6, 9)).astype(dt)
+            back, tags = decode_tiff(encode_tiff(img, byte_order=bo))
+            np.testing.assert_array_equal(back, img)
+            assert tags[256][0] == 9 and tags[257][0] == 6
+
+
+def test_decode_tiff_distributed(spark, tmp_path):
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_tiff
+
+    rng = np.random.default_rng(29)
+    truth = {}
+    for k in range(2):
+        img = rng.poisson(200, (5, 7)).astype("u2")
+        truth[f"det_{k}.tif"] = img
+        (tmp_path / f"det_{k}.tif").write_bytes(encode_tiff(img))
+    assets = read_binary_assets(spark, str(tmp_path / "*.tif"), "image")
+    px = decode_image(assets, codec="tiff").toPandas()
+    assert len(px) == 2 * 5 * 7
+    for fname, img in truth.items():
+        sub = px[px.file.str.endswith(fname)].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(5, 7), img.astype(float)
+        )

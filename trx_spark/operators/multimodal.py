@@ -270,6 +270,8 @@ def decode_image(
       - ``"cbf"`` — REAL decode of the imgCIF byte_offset format
         (pure-numpy :func:`decode_cbf`; fabio's other beamline format,
         trx/azav.py:29-47).
+      - ``"tiff"`` — REAL decode of baseline uncompressed TIFF
+        (pure-numpy :func:`decode_tiff`; the third fabio format).
       - ``"fake"`` (default) — deterministic intensity pattern seeded by
         the content hash: same schema/partitioning/batch shape, stable
         golden values, for formats whose codec libraries (PIL/ffmpeg)
@@ -278,8 +280,9 @@ def decode_image(
     """
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
-    if codec not in ("edf", "cbf", "fake"):
+    if codec not in ("edf", "cbf", "tiff", "fake"):
         raise ValueError(f"unknown codec {codec!r}")
+    tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
     cbf_elem_types = dict(_CBF_ELEM_TYPES)
     cbf_magic = bytes(_CBF_MAGIC)
@@ -345,6 +348,36 @@ def decode_image(
         )
         return _np.cumsum(deltas).astype(_np.dtype(dt)).reshape(ny_, nx_)
 
+    def _parse_tiff(buf, _np):
+        # nested (pickled by value) twin of decode_tiff — see _parse_edf
+        bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+        end = "little" if bo == "<" else "big"
+        ifd_off = int.from_bytes(buf[4:8], end)
+        n = int.from_bytes(buf[ifd_off : ifd_off + 2], end)
+        tags = {}
+        for k in range(n):
+            e = ifd_off + 2 + 12 * k
+            tag = int.from_bytes(buf[e : e + 2], end)
+            typ = int.from_bytes(buf[e + 2 : e + 4], end)
+            cnt = int.from_bytes(buf[e + 4 : e + 8], end)
+            size = tiff_type_size.get(typ, 1) * cnt
+            if size <= 4:
+                body = buf[e + 8 : e + 8 + size]
+            else:
+                off = int.from_bytes(buf[e + 8 : e + 12], end)
+                body = buf[off : off + size]
+            w = tiff_type_size.get(typ, 1)
+            tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
+        if tags.get(259, [1])[0] != 1:
+            raise ValueError("unsupported TIFF compression")
+        nx_, ny_ = tags[256][0], tags[257][0]
+        bits = tags.get(258, [8])[0]
+        kind = {1: "u", 2: "i", 3: "f"}[tags.get(339, [1])[0]]
+        data = b"".join(buf[o : o + c] for o, c in zip(tags[273], tags[279]))
+        return _np.frombuffer(
+            data, dtype=_np.dtype(f"{bo}{kind}{bits // 8}"), count=nx_ * ny_
+        ).reshape(ny_, nx_)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (workers may not have trx_spark on path)
         import hashlib as _hl
@@ -359,6 +392,8 @@ def decode_image(
                     img = _parse_edf(bytes(row["content"]), _np).astype(float)
                 elif codec == "cbf":
                     img = _parse_cbf(bytes(row["content"]), _np).astype(float)
+                elif codec == "tiff":
+                    img = _parse_tiff(bytes(row["content"]), _np).astype(float)
                 else:
                     seed = int.from_bytes(
                         _hl.sha256(bytes(row["content"])).digest()[:4], "big"
@@ -383,6 +418,100 @@ def decode_image(
     return assets.select("path", "content").withColumnRenamed("path", "file").mapInPandas(
         decode, schema=PIXEL_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# TIFF codec (baseline, uncompressed grayscale — the third and last of
+# the reference's fabio detector formats, trx/azav.py:29-47). Public
+# TIFF 6.0 structure: byte-order mark 'II'/'MM' + magic 42 + IFD offset;
+# the IFD is a count followed by 12-byte tag entries (tag, type, count,
+# value/offset); pixel data lives in strips. Tags honored: 256 width,
+# 257 height, 258 bits/sample, 259 compression (=1 only), 273 strip
+# offsets, 279 strip byte counts, 339 sample format (1 uint, 2 int,
+# 3 float). Scientific detector TIFFs are exactly this shape.
+# ---------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 5: 8, 8: 2, 9: 4, 11: 4, 12: 8}
+
+
+def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode one baseline TIFF blob → (2-D array, tag dict)."""
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None or int.from_bytes(buf[2:4], "little" if bo == "<" else "big") != 42:
+        raise ValueError("not a TIFF stream")
+    end = "little" if bo == "<" else "big"
+    ifd_off = int.from_bytes(buf[4:8], end)
+    n = int.from_bytes(buf[ifd_off : ifd_off + 2], end)
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag = int.from_bytes(buf[e : e + 2], end)
+        typ = int.from_bytes(buf[e + 2 : e + 4], end)
+        cnt = int.from_bytes(buf[e + 4 : e + 8], end)
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+        raw = buf[e + 8 : e + 12] if size <= 4 else None
+        off = int.from_bytes(buf[e + 8 : e + 12], end)
+        body = raw[:size] if raw is not None else buf[off : off + size]
+        w = _TIFF_TYPE_SIZE.get(typ, 1)
+        tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError("unsupported TIFF compression (baseline only)")
+    nx, ny = tags[256][0], tags[257][0]
+    bits = tags.get(258, [8])[0]
+    sfmt = tags.get(339, [1])[0]
+    kind = {1: "u", 2: "i", 3: "f"}[sfmt]
+    dt = np.dtype(f"{bo}{kind}{bits // 8}")
+    data = b"".join(
+        buf[o : o + c] for o, c in zip(tags[273], tags[279])
+    )
+    img = np.frombuffer(data, dtype=dt, count=nx * ny)
+    return img.reshape(ny, nx), tags
+
+
+def encode_tiff(img: np.ndarray, *, byte_order: str = "<") -> bytes:
+    """Encode a 2-D array as a single-strip baseline TIFF (the write
+    side of the S1 seam and the tests' golden producer)."""
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    end = "little" if byte_order == "<" else "big"
+    kind = img.dtype.kind
+    if kind not in "uif":
+        raise ValueError(f"unsupported dtype {img.dtype}")
+    sfmt = {"u": 1, "i": 2, "f": 3}[kind]
+    payload = img.astype(img.dtype.newbyteorder(byte_order), copy=False).tobytes()
+    ny, nx = img.shape
+    # layout: 8-byte header | pixel strip | IFD
+    strip_off = 8
+    ifd_off = strip_off + len(payload)
+    entries = [
+        (256, 3, 1, nx),
+        (257, 3, 1, ny),
+        (258, 3, 1, img.dtype.itemsize * 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),  # BlackIsZero
+        (273, 4, 1, strip_off),
+        (277, 3, 1, 1),
+        (278, 3, 1, ny),
+        (279, 4, 1, len(payload)),
+        (339, 3, 1, sfmt),
+    ]
+    ifd = len(entries).to_bytes(2, end)
+    for tag, typ, cnt, val in entries:
+        # short values are LEFT-justified in the 4-byte value field in
+        # both byte orders (TIFF 6.0 §2)
+        ifd += (
+            tag.to_bytes(2, end)
+            + typ.to_bytes(2, end)
+            + cnt.to_bytes(4, end)
+            + val.to_bytes(_TIFF_TYPE_SIZE[typ], end).ljust(4, b"\x00")
+        )
+    ifd += (0).to_bytes(4, end)
+    header = (
+        (b"II" if byte_order == "<" else b"MM")
+        + (42).to_bytes(2, end)
+        + ifd_off.to_bytes(4, end)
+    )
+    return header + payload + ifd
 
 
 # ---------------------------------------------------------------------
