@@ -345,3 +345,27 @@ def test_decode_tiff_distributed(spark, tmp_path):
         np.testing.assert_array_equal(
             sub["intensity"].to_numpy().reshape(5, 7), img.astype(float)
         )
+
+
+def test_decode_auto_mixed_folder(spark, tmp_path):
+    """codec='auto' sniffs EDF / CBF / TIFF per file in one mixed
+    folder (fabio's auto-detection behavior) and decodes each exactly."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_cbf, encode_edf, encode_tiff
+
+    rng = np.random.default_rng(31)
+    truth = {}
+    imgs = [rng.poisson(100, (4, 6)).astype(t) for t in ("u2", "i4", "u2")]
+    (tmp_path / "a.edf").write_bytes(encode_edf(imgs[0]))
+    (tmp_path / "b.cbf").write_bytes(encode_cbf(imgs[1]))
+    (tmp_path / "c.tif").write_bytes(encode_tiff(imgs[2]))
+    truth = {"a.edf": imgs[0], "b.cbf": imgs[1], "c.tif": imgs[2]}
+    assets = read_binary_assets(spark, str(tmp_path / "*"), "image")
+    px = decode_image(assets, codec="auto").toPandas()
+    assert len(px) == 3 * 4 * 6
+    for fname, img in truth.items():
+        sub = px[px.file.str.endswith(fname)].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(4, 6), img.astype(float)
+        )

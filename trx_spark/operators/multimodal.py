@@ -272,6 +272,9 @@ def decode_image(
         trx/azav.py:29-47).
       - ``"tiff"`` — REAL decode of baseline uncompressed TIFF
         (pure-numpy :func:`decode_tiff`; the third fabio format).
+      - ``"auto"`` — per-file magic-byte sniffing across the three real
+        formats (fabio's auto-detection behavior: a real beamline
+        folder mixes formats).
       - ``"fake"`` (default) — deterministic intensity pattern seeded by
         the content hash: same schema/partitioning/batch shape, stable
         golden values, for formats whose codec libraries (PIL/ffmpeg)
@@ -280,7 +283,7 @@ def decode_image(
     """
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
-    if codec not in ("edf", "cbf", "tiff", "fake"):
+    if codec not in ("edf", "cbf", "tiff", "auto", "fake"):
         raise ValueError(f"unknown codec {codec!r}")
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
@@ -385,14 +388,28 @@ def decode_image(
         import numpy as _np
         import pandas as _pd
 
+        def _sniff(buf):
+            # magic bytes: TIFF 'II*\0'/'MM\0*', CBF '###CBF', EDF
+            # header brace (possibly after whitespace/newline)
+            if buf[:2] in (b"II", b"MM"):
+                return "tiff"
+            if buf[:6] == b"###CBF" or cbf_section in buf[:4096]:
+                return "cbf"
+            if buf.lstrip()[:1] == b"{":
+                return "edf"
+            raise ValueError("unrecognized image format (auto codec)")
+
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                if codec == "edf":
+                fmt = codec
+                if fmt == "auto":
+                    fmt = _sniff(bytes(row["content"]))
+                if fmt == "edf":
                     img = _parse_edf(bytes(row["content"]), _np).astype(float)
-                elif codec == "cbf":
+                elif fmt == "cbf":
                     img = _parse_cbf(bytes(row["content"]), _np).astype(float)
-                elif codec == "tiff":
+                elif fmt == "tiff":
                     img = _parse_tiff(bytes(row["content"]), _np).astype(float)
                 else:
                     seed = int.from_bytes(
