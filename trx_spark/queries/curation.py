@@ -213,6 +213,40 @@ FROM documents
 WHERE (doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 100 < {_RATE_CASE}
 """
 
+
+def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed last-mile selection a real pipeline runs: quality
+    gate FIRST (C4/Gopher keep decision, rides the memoized signals
+    checkpoint), then the deterministic per-language stratified sample
+    over the survivors. Same hash → the picks are the stratified picks
+    that also passed quality; one semi-join, no new shuffles of the
+    corpus."""
+    from trx_spark.queries.corpus import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.where(_sample_hash_col() < rate)
+        .join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _quality_stratified_sql() -> str:
+    from trx_spark.queries.corpus import ORACLES as _CORPUS_ORACLES
+
+    quality = _CORPUS_ORACLES["quality_filter"].strip().rstrip(";")
+    return f"""
+WITH q AS ({quality})
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE (d.doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 100 < {_RATE_CASE.replace("lang", "d.lang")}
+  AND d.doc_id IN (SELECT doc_id FROM q WHERE keep)
+"""
+
 # ---------------------------------------------------------------------
 # Global top-k n-grams
 # ---------------------------------------------------------------------
@@ -929,6 +963,7 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "normalized_docs": normalized_docs,
     "dsir_weights": dsir_weights,
+    "quality_stratified_sample": quality_stratified_sample,
 }
 
 ORACLES = {
@@ -945,4 +980,5 @@ ORACLES = {
     "mixture_sample": _MIXTURE_SQL,
     "normalized_docs": _NORMALIZE_SQL,
     "dsir_weights": _dsir_sql(),
+    "quality_stratified_sample": _quality_stratified_sql(),
 }
