@@ -820,6 +820,78 @@ WHERE rank <= {_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------
+# LSH candidate verification: exact token-set Jaccard over the pairs
+# ---------------------------------------------------------------------
+#
+# The dedup decision step public pipelines run after blocking: MinHash
+# banding proposes candidates (high recall, false positives allowed);
+# the exact Jaccard over the two token SETS — the statistic MinHash
+# estimates — makes the keep/drop call. Plan: the memoized pair table
+# joins the distinct-token stream twice on (doc, token); everything is
+# keyed equi-joins + one count aggregate, no windows.
+
+_VERIFY_JACCARD_MIN = 0.5
+
+
+def lsh_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification of the MinHash-LSH candidates."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("t"))
+        .localCheckpoint()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(tok.alias("ta"), pairs.doc_a == F.col("ta.doc_id"))
+        .join(
+            tok.alias("tb"),
+            (pairs.doc_b == F.col("tb.doc_id")) & (F.col("ta.t") == F.col("tb.t")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("n_sh", "n_a"), inter.doc_a == F.col("doc_id"))
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("n_sh", "n_b"), F.col("doc_b") == F.col("doc_id"))
+        .drop("doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(_VERIFY_JACCARD_MIN)))
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+_LSH_VERIFIED_SQL = f"""
+WITH {_PAIRS_CTES},
+tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS t
+        FROM documents) x
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN tok a ON a.doc_id = p.doc_a
+  JOIN tok b ON b.doc_id = p.doc_b AND b.t = a.t
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+  CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)
+      >= CAST({_VERIFY_JACCARD_MIN!r} AS DOUBLE)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -833,6 +905,7 @@ QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_multiprobe": ann_topk_multiprobe,
+    "lsh_pairs_verified": lsh_pairs_verified,
 }
 
 ORACLES = {
@@ -848,4 +921,5 @@ ORACLES = {
     "ann_lsh_buckets": _ANN_LSH_SQL,
     "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
     "ann_topk_multiprobe": _ANN_TOPK_MULTIPROBE_SQL,
+    "lsh_pairs_verified": _LSH_VERIFIED_SQL,
 }
