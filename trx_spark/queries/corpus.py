@@ -424,11 +424,88 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------
+# Corpus keep-list: the composed final verdict of the whole pipeline
+# ---------------------------------------------------------------------
+#
+# The artifact a curation run actually ships: one row per document with
+# the three independent verdicts — exact-dup keeper (smallest doc_id
+# per content hash), near-dup cluster canonical (connected components
+# over the LSH pairs), quality keep (C4/Gopher bitmask) — and the
+# final ``keep`` conjunction. Every input stage is a memoized shared
+# stage, so this costs three keyed joins over their checkpoints.
+
+
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc final keep verdict: exact-keeper ∧ cluster-canonical ∧
+    quality-keep."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keep = (
+        docs.withColumn("_h", F.md5(F.col("text").cast("binary")))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("exact_keeper"))
+    )
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    quality = quality_filter(spark, sf_dir).select("doc_id", "keep")
+    return (
+        docs.select("doc_id")
+        .join(exact_keep, "doc_id", "left")
+        .join(clusters, "doc_id")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("exact_keeper", F.lit(False)).alias("exact_keeper"),
+            "is_canonical",
+            F.col("keep").alias("quality_keep"),
+            (
+                F.coalesce("exact_keeper", F.lit(False))
+                & F.col("is_canonical")
+                & F.col("keep")
+            ).alias("keep"),
+        )
+    )
+
+
+def _keep_list_sql() -> str:
+    quality = _QUALITY_SQL.strip().rstrip(";")
+    # _CLUSTERS_SQL is a full recursive query; reuse its WITH chain by
+    # wrapping it as a subselect
+    return f"""
+WITH RECURSIVE {textdata._PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+q AS ({quality})
+SELECT d.doc_id,
+  (d.doc_id IN (SELECT doc_id FROM exact_keep)) AS exact_keeper,
+  (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical,
+  q.keep AS quality_keep,
+  ((d.doc_id IN (SELECT doc_id FROM exact_keep))
+   AND (COALESCE(c.cluster_id, d.doc_id) = d.doc_id)
+   AND q.keep) AS keep
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+JOIN q ON q.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "span_dedup": span_dedup,
     "repetition_stats": repetition_stats,
     "quality_filter": quality_filter,
+    "corpus_keep_list": corpus_keep_list,
 }
 
 ORACLES = {
@@ -436,4 +513,5 @@ ORACLES = {
     "span_dedup": _SPAN_DEDUP_SQL,
     "repetition_stats": _REPETITION_SQL,
     "quality_filter": _QUALITY_SQL,
+    "corpus_keep_list": _keep_list_sql(),
 }
