@@ -90,6 +90,9 @@ HEADLINE = [
     "per_source_sample",
     "filter_outlier_curves",
     "shipping_priority",
+    "lsh_pairs_verified",
+    "corpus_keep_list",
+    "quality_stratified_sample",
 ]
 
 
