@@ -53,26 +53,38 @@ _P = 2147483647  # 2^31 − 1
 _SHINGLE_N = 8
 _BENCH_MOD = 20
 
-# contamination_check and decontaminated_docs consume the SAME exploded
-# shingle table (regex tokenize + 8-shingle explode over every doc —
-# the dominant cost of each); memoize its localCheckpoint per
-# (session, sf_dir) like the trxdomain3 curve bank.
+# The corpus-stats stages all start from the regex tokenization of
+# every document — the single most repeated piece of work in the set.
+# Memoize the tokenized base (doc_id, source, toks ARRAY) once per
+# (session, sf_dir); the shingle/bigram/token streams derive from its
+# checkpoint with pure array math, never re-running the regex.
+_TOKS_CACHE: dict = {}
 _SHINGLED_CACHE: dict = {}
+
+
+def _toks_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _TOKS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+        _TOKS_CACHE[key] = docs.select(
+            "doc_id", "source", toks.alias("toks")
+        ).localCheckpoint()
+    return _TOKS_CACHE[key]
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _SHINGLED_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-        n = F.size(toks)
+        base = _toks_base(spark, sf_dir)
+        n = F.size(F.col("toks"))
         shingles = F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n - (_SHINGLE_N - 1), F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i, _SHINGLE_N), " "),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, _SHINGLE_N), " "),
             )
         )
-        _SHINGLED_CACHE[key] = docs.select(
+        _SHINGLED_CACHE[key] = base.select(
             "doc_id", F.explode(shingles).alias("shingle")
         ).localCheckpoint()
     return _SHINGLED_CACHE[key]
@@ -264,14 +276,13 @@ _TOKEN_CACHE: dict = {}
 def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _BIGRAM_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-        n = F.size(toks)
+        base = _toks_base(spark, sf_dir)
+        n = F.size(F.col("toks"))
         bigrams = F.transform(
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
         )
-        _BIGRAM_CACHE[key] = docs.select(
+        _BIGRAM_CACHE[key] = base.select(
             "doc_id", F.explode(bigrams).alias("ngram")
         ).localCheckpoint()
     return _BIGRAM_CACHE[key]
@@ -280,10 +291,9 @@ def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _TOKEN_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-        _TOKEN_CACHE[key] = docs.select(
-            "doc_id", "source", F.explode(toks).alias("token")
+        base = _toks_base(spark, sf_dir)
+        _TOKEN_CACHE[key] = base.select(
+            "doc_id", "source", F.explode(F.col("toks")).alias("token")
         ).localCheckpoint()
     return _TOKEN_CACHE[key]
 
