@@ -32,3 +32,15 @@ def test_distinct_sf_dirs_get_distinct_stages(spark, sf_dir):
     b = _token_stream(spark, "/root/testdata/sf0.01")
     assert a is not b
     assert a.count() != b.count() or sf_dir == "/root/testdata/sf0.01"
+
+
+def test_clear_stage_caches(spark, sf_dir):
+    from trx_spark.cache import clear_stage_caches, stage_cache_stats
+    from trx_spark.queries.curation import _token_stream
+
+    _token_stream(spark, sf_dir)
+    assert stage_cache_stats()["token_stream"] >= 1
+    assert clear_stage_caches() >= 1
+    assert all(v == 0 for v in stage_cache_stats().values())
+    # next consumer rebuilds transparently
+    assert _token_stream(spark, sf_dir).count() > 0

@@ -1,0 +1,61 @@
+"""Management of the session-scoped shared-stage caches.
+
+Several query families memoize a localCheckpoint'ed build stage per
+(session, sf_dir) — the curve bank, events diff bank, tokenized base +
+derived streams, quality signals, trained codebooks, LSH buckets and
+pairs (PLANS.md round-3 section). The caches are keyed by the LIVE
+SparkSession so they can never serve stale data to a new session, but
+a long-lived session that processes many datasets accumulates
+checkpoint blocks. ``clear_stage_caches()`` drops every entry (and the
+blocks, once the frames are garbage-collected) — call it between
+datasets in a long-running service.
+"""
+
+from __future__ import annotations
+
+
+def _all_caches() -> list[dict]:
+    from trx_spark.queries import corpus, curation, similarity, textdata, trxdomain, trxdomain3
+
+    return [
+        trxdomain._DIFFS_CACHE,
+        trxdomain3._DIFFS_CACHE,
+        curation._TOKS_CACHE,
+        curation._SHINGLED_CACHE,
+        curation._BIGRAM_CACHE,
+        curation._TOKEN_CACHE,
+        corpus._SIGNALS_CACHE,
+        similarity._CENTS_CACHE,
+        similarity._PQ_CACHE,
+        textdata._LSH_BUCKET_TABLE_CACHE,
+        textdata._LSH_PAIRS_CACHE,
+    ]
+
+
+def clear_stage_caches() -> int:
+    """Drop every memoized shared stage; returns the number of entries
+    cleared. Safe at any time — the next consumer simply rebuilds."""
+    n = 0
+    for cache in _all_caches():
+        n += len(cache)
+        cache.clear()
+    return n
+
+
+def stage_cache_stats() -> dict[str, int]:
+    """Entry counts per cache (for diagnostics/monitoring)."""
+    from trx_spark.queries import corpus, curation, similarity, textdata, trxdomain, trxdomain3
+
+    return {
+        "events_diff_bank": len(trxdomain._DIFFS_CACHE),
+        "curve_bank": len(trxdomain3._DIFFS_CACHE),
+        "tokenized_base": len(curation._TOKS_CACHE),
+        "shingle_stream": len(curation._SHINGLED_CACHE),
+        "bigram_stream": len(curation._BIGRAM_CACHE),
+        "token_stream": len(curation._TOKEN_CACHE),
+        "quality_signals": len(corpus._SIGNALS_CACHE),
+        "coarse_codebook": len(similarity._CENTS_CACHE),
+        "pq_codebooks": len(similarity._PQ_CACHE),
+        "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),
+        "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),
+    }
