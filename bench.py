@@ -93,6 +93,7 @@ HEADLINE = [
     "lsh_pairs_verified",
     "corpus_keep_list",
     "quality_stratified_sample",
+    "decontam_bloom_flags",
 ]
 
 

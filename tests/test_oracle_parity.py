@@ -36,3 +36,15 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_bloom_superset(spark, sf_dir):
+    """Bloom decontamination has NO false negatives: every doc the
+    exact shingle join finds contaminated is flagged by the filter."""
+    from trx_spark.queries.curation import contamination_check, decontam_bloom_flags
+
+    truth = {r["doc_id"] for r in contamination_check(spark, sf_dir).collect()}
+    flagged = {
+        r["doc_id"] for r in decontam_bloom_flags(spark, sf_dir).filter("flagged").collect()
+    }
+    assert truth <= flagged

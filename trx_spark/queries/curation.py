@@ -90,6 +90,142 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLED_CACHE[key]
 
 
+# ---------------------------------------------------------------------
+# Bloom-filter decontamination (the broadcast-filter scale path)
+# ---------------------------------------------------------------------
+#
+# The shingle equi-join above shuffles corpus shingles against the
+# benchmark set; at 100 TB the standard alternative ships a COMPACT
+# BLOOM FILTER of the benchmark shingles to every executor and tests
+# membership map-side — no shuffle of the corpus at all (false
+# positives quarantine a few clean docs; no false negatives). The
+# filter here is fully deterministic: k=2 affine hashes of the
+# char-fold shingle hash, m = 2048 bits packed into 64 words of 32
+# bits each (shifts stay < 32 — DuckDB checks shift overflow at bit 63,
+# Spark wraps silently; 32-bit packing keeps both engines in exact
+# agreement) via a bit_or aggregate — pure integer math, so DuckDB
+# reproduces the exact same filter and the gate checks it bit-for-bit.
+
+_BLOOM_BITS = 131072  # m >> k*n keeps FPR low; still only 4096 words to broadcast
+_BLOOM_WORDS = _BLOOM_BITS // 32
+_BLOOM_A2, _BLOOM_B2 = 1103515245, 12345
+
+
+def decontam_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus-doc Bloom membership stats vs the benchmark filter:
+    (doc_id, n_shingles, n_bloom_hits, flagged). ``flagged`` is a
+    superset of true contamination (Bloom has no false negatives —
+    pinned by test_bloom_superset)."""
+    from trx_spark.queries.textdata import _tok_hash
+
+    sh = _shingled(spark, sf_dir)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    h1 = _tok_hash(F.col("shingle"))
+    h2 = (h1 * _BLOOM_A2 + _BLOOM_B2) % _P
+    bits = F.explode(F.array((h1 % _BLOOM_BITS), (h2 % _BLOOM_BITS))).alias("bit")
+    words = (
+        sh.where(is_bench)
+        .select(bits)
+        .select(
+            (F.col("bit") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    probes = (
+        sh.where(~is_bench)
+        .select(
+            "doc_id",
+            (h1 % _BLOOM_BITS).alias("b1"),
+            (h2 % _BLOOM_BITS).alias("b2"),
+        )
+        .withColumn("w1", (F.col("b1") / 32).cast("long"))
+        .withColumn("w2", (F.col("b2") / 32).cast("long"))
+    )
+    # the filter is ≤64 rows BY CONSTRUCTION → broadcast both lookups
+    j1 = probes.join(
+        F.broadcast(words.withColumnRenamed("word", "w1").withColumnRenamed("mask", "m1")),
+        "w1",
+        "left",
+    )
+    j2 = j1.join(
+        F.broadcast(words.withColumnRenamed("word", "w2").withColumnRenamed("mask", "m2")),
+        "w2",
+        "left",
+    )
+    hit = (
+        F.coalesce(F.col("m1"), F.lit(0)).bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b1 % 32 AS INT))")
+        )
+        != 0
+    ) & (
+        F.coalesce(F.col("m2"), F.lit(0)).bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b2 % 32 AS INT))")
+        )
+        != 0
+    )
+    return (
+        j2.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit.cast("long")).alias("n_bloom_hits"),
+        )
+        .withColumn("flagged", F.col("n_bloom_hits") > 0)
+    )
+
+
+def _bloom_sql() -> str:
+    from trx_spark.queries.textdata import _tok_hash_sql
+
+    th = _tok_hash_sql("shingle")
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0)),
+      i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))) AS s(shingle)
+),
+hs AS (
+  SELECT doc_id, {th} AS h1 FROM sh
+),
+hh AS (
+  SELECT doc_id, h1, (h1 * {_BLOOM_A2} + {_BLOOM_B2}) % {_P} AS h2 FROM hs
+),
+bench_bits AS (
+  SELECT b.bit FROM hh, UNNEST([h1 % {_BLOOM_BITS}, h2 % {_BLOOM_BITS}]) AS b(bit)
+  WHERE doc_id % {_BENCH_MOD} = 0
+),
+words AS (
+  SELECT CAST(bit // 32 AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS mask
+  FROM bench_bits GROUP BY 1
+),
+probes AS (
+  SELECT doc_id, h1 % {_BLOOM_BITS} AS b1, h2 % {_BLOOM_BITS} AS b2
+  FROM hh WHERE doc_id % {_BENCH_MOD} <> 0
+),
+hits AS (
+  SELECT p.doc_id,
+    ((COALESCE(w1.mask, 0) & (CAST(1 AS BIGINT) << CAST(p.b1 % 32 AS INTEGER))) <> 0
+     AND
+     (COALESCE(w2.mask, 0) & (CAST(1 AS BIGINT) << CAST(p.b2 % 32 AS INTEGER))) <> 0
+    ) AS hit
+  FROM probes p
+  LEFT JOIN words w1 ON w1.word = p.b1 // 32
+  LEFT JOIN words w2 ON w2.word = p.b2 // 32
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+  (SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0) AS flagged
+FROM hits GROUP BY doc_id
+"""
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus docs sharing ≥1 8-token shingle with the benchmark slice.
 
@@ -974,6 +1110,7 @@ QUERIES = {
     "normalized_docs": normalized_docs,
     "dsir_weights": dsir_weights,
     "quality_stratified_sample": quality_stratified_sample,
+    "decontam_bloom_flags": decontam_bloom_flags,
 }
 
 ORACLES = {
@@ -991,4 +1128,5 @@ ORACLES = {
     "normalized_docs": _NORMALIZE_SQL,
     "dsir_weights": _dsir_sql(),
     "quality_stratified_sample": _quality_stratified_sql(),
+    "decontam_bloom_flags": _bloom_sql(),
 }
