@@ -369,3 +369,49 @@ def test_decode_auto_mixed_folder(spark, tmp_path):
         np.testing.assert_array_equal(
             sub["intensity"].to_numpy().reshape(4, 6), img.astype(float)
         )
+
+
+def test_wav_tiff_roundtrip_properties():
+    """Hypothesis: WAV PCM16 round-trips any [-1,1] float signal to
+    within quantization; TIFF round-trips any uint16 image exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trx_spark.operators.multimodal import (
+        decode_tiff,
+        decode_wav,
+        encode_tiff,
+        encode_wav,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=1,
+            max_size=64,
+        ),
+        st.integers(min_value=1, max_value=2),
+    )
+    def wav_roundtrip(vals, nch):
+        arr = np.array(vals * nch, dtype=np.float64).reshape(nch, -1).T
+        back, rate = decode_wav(encode_wav(arr, rate=8000))
+        assert rate == 8000 and back.shape == arr.shape
+        np.testing.assert_allclose(back, np.clip(arr, -1, 32767 / 32768), atol=1.0 / 32768)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def tiff_roundtrip(ny, nx, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 2**16, size=(ny, nx), dtype=np.uint16)
+        for bo in ("<", ">"):
+            back, _ = decode_tiff(encode_tiff(img, byte_order=bo))
+            np.testing.assert_array_equal(back, img)
+
+    wav_roundtrip()
+    tiff_roundtrip()
