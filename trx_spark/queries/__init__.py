@@ -47,3 +47,28 @@ for mod in (
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
+
+# The driver's correctness gate hashes the first 50 registry entries per
+# round (CORRECTNESS_r01..r03 each cover exactly the registry's first 50
+# names).  Rounds 1-3 verified the relational/trx-domain/ANN block, so
+# rotate the registry: the 37 queries that have never had a driver row
+# (curation / PQ / packing / composed / streaming waves) come first, then
+# the already-verified 50 in their original relative order.  Union of
+# CORRECTNESS_r03 + r04 then covers all 87.
+_R04_FIRST = [
+    "embedding_neardup_pairs", "ann_ivf_topk", "kmeans_cells",
+    "ann_ivf_trained_topk", "semantic_dedup", "pq_codes", "ann_pq_topk",
+    "dedup_clusters", "span_dedup", "repetition_stats", "quality_filter",
+    "corpus_keep_list", "contamination_check", "decontaminated_docs",
+    "stratified_sample", "topk_ngrams", "bigram_rarity", "vocab_coverage",
+    "cms_heavy_hitters", "per_source_sample", "token_count_bpe",
+    "source_quality_rollup", "mixture_sample", "normalized_docs",
+    "dsir_weights", "quality_stratified_sample", "decontam_bloom_flags",
+    "pii_scrub", "pack_sequences", "doc_chunks", "epoch_shuffle",
+    "events_range_join", "streaming_incremental_stats",
+    "streaming_windowed_counts", "streaming_dedup_keys",
+    "streaming_session_stats", "streaming_attribution_join",
+]
+_order = _R04_FIRST + [n for n in QUERIES if n not in set(_R04_FIRST)]
+QUERIES = {n: QUERIES[n] for n in _order}
+ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
