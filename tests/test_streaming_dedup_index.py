@@ -1,20 +1,42 @@
-"""Online LSH dedup index: pairs found incrementally across waves equal
-the batch LSH pair set over the same corpus (the streaming/batch
-equivalence the module docstring pins)."""
+"""Online LSH dedup index.
+
+* With no key saturation, pairs found incrementally across waves equal
+  the batch LSH pair set over the same corpus (the streaming/batch
+  equivalence the module docstring pins).
+* With the default cap, the result is sandwiched: capped-batch ⊆
+  streaming ⊆ uncapped-batch (pairs emitted before a key saturates
+  persist; the store never exceeds the cap).
+* A hot band key (identical texts — the boilerplate-heavy stream) is
+  bounded: per-key store rows ≤ cap, emitted pairs stop growing.
+"""
 
 from __future__ import annotations
 
-from trx_spark.streaming.dedup_index import run_lsh_dedup_catchup
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from trx_spark.streaming.dedup_index import (
+    _STREAM_KEY_CAP,
+    band_keys,
+    run_lsh_dedup_catchup,
+)
 from trx_spark.tables import load_table
 
 
-def _batch_pairs_uncapped(spark, docs):
-    # reference implementation: the batch banding self-join with no cap
-    from pyspark.sql import functions as F
-
-    from trx_spark.streaming.dedup_index import band_keys
-
+def _batch_pairs(spark, docs, cap=None):
+    # reference implementation: the batch banding self-join; cap=None
+    # → uncapped, else buckets above cap dropped (batch semantics)
     b = band_keys(docs).localCheckpoint()
+    if cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "hx", "hy")
+        b = (
+            b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= cap)
+            .drop("_bsz")
+        )
     a = b.alias("a")
     c = b.alias("c")
     return {
@@ -29,28 +51,109 @@ def _batch_pairs_uncapped(spark, docs):
     }
 
 
-def test_streaming_lsh_pairs_equal_batch(spark, sf_dir, tmp_path):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # two arrival waves -> two micro-batches (maxFilesPerTrigger=1);
-    # plain files (not directories) so the file source discovers them
+def _write_waves(tmp_path, frames):
     waves = tmp_path / "landing"
     waves.mkdir()
-    for k, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
-        pdf = docs.filter(pred).toPandas()
+    for k, pdf in enumerate(frames):
         pq.write_table(pa.Table.from_pandas(pdf), waves / f"w{k}.parquet")
-    got = run_lsh_dedup_catchup(
+    return waves
+
+
+def _run(spark, tmp_path, waves, schema, **kw):
+    return run_lsh_dedup_catchup(
         spark,
         landing_dir=str(waves),
-        schema=docs.schema,
+        schema=schema,
         band_store=str(tmp_path / "bands"),
         pairs_dir=str(tmp_path / "pairs"),
         checkpoint_dir=str(tmp_path / "ckpt"),
         path_glob_filter="*.parquet",
         max_files_per_trigger=1,
+        **kw,
     )
+
+
+def test_cap_mirrors_batch_cap():
+    from trx_spark.queries.textdata import _LSH_BUCKET_CAP
+
+    assert _STREAM_KEY_CAP == _LSH_BUCKET_CAP
+
+
+def test_streaming_lsh_pairs_equal_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # two arrival waves -> two micro-batches (maxFilesPerTrigger=1);
+    # plain files (not directories) so the file source discovers them.
+    # key_cap raised past the largest bucket → no saturation → exact
+    # equality with the uncapped batch twin.
+    waves = _write_waves(
+        tmp_path,
+        [docs.filter(p).toPandas() for p in ("doc_id % 2 = 0", "doc_id % 2 = 1")],
+    )
+    got = _run(spark, tmp_path, waves, docs.schema, key_cap=1_000_000)
     streaming_pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
-    assert streaming_pairs == _batch_pairs_uncapped(spark, docs)
+    assert streaming_pairs == _batch_pairs(spark, docs)
     assert len(streaming_pairs) > 0
+
+
+def test_streaming_lsh_capped_sandwich(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = _write_waves(
+        tmp_path,
+        [docs.filter(p).toPandas() for p in ("doc_id % 2 = 0", "doc_id % 2 = 1")],
+    )
+    got = _run(spark, tmp_path, waves, docs.schema)  # default cap
+    streaming_pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    uncapped = _batch_pairs(spark, docs)
+    capped = _batch_pairs(spark, docs, cap=_STREAM_KEY_CAP)
+    # sf0.001 has buckets above the cap, so the sandwich is strict on
+    # at least one side
+    assert capped <= streaming_pairs <= uncapped
+    assert len(streaming_pairs) < len(uncapped)
+    # the store invariant: never more than cap rows per band key
+    store = spark.read.parquet(str(tmp_path / "bands"))
+    mx = (
+        store.groupBy("band", "hx", "hy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mx <= _STREAM_KEY_CAP
+
+
+def test_streaming_lsh_hot_key_bounded(spark, tmp_path):
+    import pandas as pd
+
+    # 90 identical texts (one hot bucket per band) in 3 waves of 30:
+    # waves 1+2 fit under the cap (30, then 60), wave 3 would overflow
+    # (90 > 64) → dropped-and-logged; the store holds 60 per key and
+    # pairs stop at C(60,2).
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    frames = [
+        pd.DataFrame({"doc_id": range(k * 30, (k + 1) * 30), "text": [text] * 30})
+        for k in range(3)
+    ]
+    waves = _write_waves(tmp_path, frames)
+    got = _run(spark, tmp_path, waves, "doc_id BIGINT, text STRING")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    assert len(pairs) == 60 * 59 // 2
+    store = spark.read.parquet(str(tmp_path / "bands"))
+    per_key = store.groupBy("band", "hx", "hy").agg(F.count(F.lit(1)).alias("n"))
+    assert per_key.agg(F.max("n")).collect()[0][0] <= _STREAM_KEY_CAP
+    # only the 60 pre-saturation docs are in the store
+    assert store.select("doc_id").distinct().count() == 60
+
+
+def test_streaming_lsh_no_pairs_returns_empty(spark, tmp_path):
+    import pandas as pd
+
+    # every doc a unique single token → singleton buckets → zero pairs;
+    # the guarded final read must return a typed empty frame, not raise
+    frames = [
+        pd.DataFrame(
+            {"doc_id": range(8), "text": [f"uniquetoken{c}" for c in "abcdefgh"]}
+        )
+    ]
+    waves = _write_waves(tmp_path, frames)
+    got = _run(spark, tmp_path, waves, "doc_id BIGINT, text STRING")
+    assert got.columns == ["doc_a", "doc_b"]
+    assert got.count() == 0

@@ -8,26 +8,60 @@ band-key store — all previously-seen documents — and against itself,
 emitting candidate pairs (doc_a < doc_b) incrementally; the batch's
 band keys are then appended to the store.
 
-Scale shape: the per-batch work is O(batch) banding + one equi-join on
-(band, hx, hy) against the store (bucket-pruned by the join key — at
-cluster scale the store is bucketed by band key so the join is
-co-located); state is the band-key store itself (4 rows per doc),
-checkpointed file tracking replaces any bookkeeping. Both writes are
-epoch-partitioned with dynamic overwrite, so an at-least-once replay
-of a batch rewrites its own partition instead of duplicating rows
-(same idempotence contract as streaming/incremental.py).
+Scale shape (designed for a store that dwarfs every micro-batch):
 
-Equivalence (pinned by tests/test_streaming_dedup_index.py): after the
-backlog drains, the distinct emitted pair set EQUALS the batch LSH
-pair set over the same documents (with no bucket cap; the cap is a
-batch-side scale guard whose streaming twin is a per-key state bound).
+* **Per-band-key state bound** — the streaming twin of the batch
+  ``_LSH_BUCKET_CAP`` (textdata.py): a band key whose stored member
+  count would exceed the cap after this batch is *saturated* — the
+  batch's rows on that key are dropped from both joins AND from the
+  store append (drop-and-log, exactly the batch semantics of dropping
+  oversize buckets). The store therefore never holds more than
+  ``key_cap`` rows per band key, so every bucket join stays linear and
+  emitted pairs per key are bounded for the stream's lifetime. A
+  boilerplate-heavy stream (the classic hot-key near-dup workload)
+  degrades to "key dropped + warning", never to a quadratic join.
+* **Key-bucketed store layout** — the store is partitioned by
+  ``_kb = hash(band,hx,hy) mod store_partitions`` (plus ``_epoch``),
+  and each batch reads ONLY the ``_kb`` partitions its own keys touch
+  (partition pruning): per-batch store I/O is proportional to the
+  touched key-space fraction, not the full store.
+* **The store never shuffles** — the batch side (tiny by
+  construction) is broadcast into both the cross join and the
+  saturation anti-join, so the accumulated store is scanned in place
+  with no Exchange, whatever its size.
+* Both writes are epoch-partitioned with dynamic overwrite, so an
+  at-least-once replay of a batch rewrites its own partition instead
+  of duplicating rows (same idempotence contract as
+  streaming/incremental.py).
+
+Equivalence (pinned by tests/test_streaming_dedup_index.py): when no
+band key saturates, the distinct emitted pair set after the backlog
+drains EQUALS the batch LSH pair set over the same documents. When a
+key saturates mid-stream, pairs emitted before saturation persist (the
+capped batch twin would drop the whole bucket) — the cap is a state
+bound, not a retroactive delete; tests/test_streaming_dedup_index.py
+pins the per-key store bound under a hot key.
 """
 
 from __future__ import annotations
 
+import logging
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+logger = logging.getLogger(__name__)
+
+# Streaming twin of textdata._LSH_BUCKET_CAP (import kept lazy there;
+# the two are asserted equal in tests).
+_STREAM_KEY_CAP = 64
+
+# Hash-bucket partitions of the band store (a partition COLUMN, so the
+# per-batch read prunes to touched buckets — cheap dirs at local scale,
+# raise for a cluster store).
+_STORE_PARTITIONS = 64
 
 
 def band_keys(docs: DataFrame) -> DataFrame:
@@ -53,29 +87,86 @@ def band_keys(docs: DataFrame) -> DataFrame:
     )
 
 
-def make_lsh_batch_handler(band_store: str, pairs_dir: str):
+def _read_band_store(spark: SparkSession, band_store: str) -> DataFrame | None:
+    """Read the accumulated store; ``None`` only when the store does
+    not exist yet (first batch). Any other failure — transient IO,
+    corruption — re-raises so the streaming query fails loudly instead
+    of silently skipping the cross-batch join for a micro-batch (which
+    would permanently lose those pairs: later batches never re-pair
+    old docs against old docs)."""
+    try:
+        return spark.read.parquet(band_store)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+def make_lsh_batch_handler(
+    band_store: str,
+    pairs_dir: str,
+    *,
+    key_cap: int = _STREAM_KEY_CAP,
+    store_partitions: int = _STORE_PARTITIONS,
+):
     """foreachBatch handler: band the batch, pair it against the store
-    and itself, append pairs and band keys (both epoch-idempotent)."""
+    and itself, append pairs and band keys (both epoch-idempotent).
+    Per-band-key state is bounded by ``key_cap`` (see module doc)."""
+
+    on = ["band", "hx", "hy"]
+    kb = F.pmod(F.xxhash64("band", "hx", "hy"), F.lit(store_partitions))
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        new = band_keys(batch).localCheckpoint()
-        on = ["band", "hx", "hy"]
-        try:
-            seen = spark.read.parquet(band_store).drop("_epoch")
-        except Exception:
-            seen = None
-        a = new.alias("a")
-        cross = (
-            a.join(seen.alias("b"), on).filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            if seen is not None
+        new = band_keys(batch).withColumn("_kb", kb).localCheckpoint()
+
+        # Prune the store read to the hash buckets this batch touches:
+        # ≤ store_partitions small ints, driver-side by design.
+        touched = [r["_kb"] for r in new.select("_kb").distinct().collect()]
+        store = _read_band_store(spark, band_store)
+        seen = (
+            store.filter(F.col("_kb").isin(touched)).drop("_epoch", "_kb")
+            if store is not None
             else None
         )
-        within = new.alias("b2").join(a, on).filter(F.col("a.doc_id") < F.col("b2.doc_id"))
+
+        # Saturation: keys whose stored count would exceed the cap
+        # after this batch. Dropped from both joins and from the store
+        # append, so the store invariant (≤ key_cap rows per key)
+        # holds for the stream's lifetime.
+        bcnt = new.groupBy(*on).agg(F.count(F.lit(1)).alias("_bcnt"))
+        if seen is not None:
+            pcnt = seen.groupBy(*on).agg(F.count(F.lit(1)).alias("_pcnt"))
+            totals = bcnt.join(pcnt, on, "left").withColumn(
+                "_tot", F.col("_bcnt") + F.coalesce(F.col("_pcnt"), F.lit(0))
+            )
+        else:
+            totals = bcnt.withColumn("_tot", F.col("_bcnt"))
+        sat = totals.filter(F.col("_tot") > key_cap).select(*on, "_bcnt")
+        dropped = sat.agg(
+            F.count(F.lit(1)).alias("keys"), F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("rows")
+        ).collect()[0]
+        if dropped["keys"]:
+            logger.warning(
+                "lsh index epoch %d: dropped %d rows on %d saturated band keys "
+                "(cap=%d)", epoch_id, dropped["rows"], dropped["keys"], key_cap
+            )
+        ok = new.join(F.broadcast(sat.select(*on)), on, "left_anti").localCheckpoint()
+
+        # The batch side is small by construction — broadcast it so the
+        # store side never shuffles.
+        a = ok.alias("a")
+        within = F.broadcast(ok.alias("b2")).join(a, on).filter(
+            F.col("a.doc_id") < F.col("b2.doc_id")
+        )
         pairs = within.select(
             F.col("a.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
         )
-        if cross is not None:
+        if seen is not None:
+            cross = F.broadcast(a).join(seen.alias("b"), on).filter(
+                F.col("a.doc_id") != F.col("b.doc_id")
+            )
             pairs = pairs.unionByName(
                 cross.select(
                     F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
@@ -91,10 +182,10 @@ def make_lsh_batch_handler(band_store: str, pairs_dir: str):
             .parquet(pairs_dir)
         )
         (
-            new.withColumn("_epoch", F.lit(int(epoch_id)))
+            ok.withColumn("_epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
+            .partitionBy("_epoch", "_kb")
             .parquet(band_store)
         )
 
@@ -111,6 +202,7 @@ def run_lsh_dedup_catchup(
     checkpoint_dir: str,
     path_glob_filter: str | None = None,
     max_files_per_trigger: int | None = None,
+    key_cap: int = _STREAM_KEY_CAP,
 ) -> DataFrame:
     """Drain the landing dir (availableNow) through the streaming LSH
     index; returns the distinct accumulated pair set. Set
@@ -123,10 +215,21 @@ def run_lsh_dedup_catchup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
     q = (
-        stream.writeStream.foreachBatch(make_lsh_batch_handler(band_store, pairs_dir))
+        stream.writeStream.foreachBatch(
+            make_lsh_batch_handler(band_store, pairs_dir, key_cap=key_cap)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+    try:
+        return spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            # No candidate pair was ever emitted → the partitioned
+            # overwrite wrote no files; return an explicitly-typed
+            # empty pair set instead of raising at read time.
+            return spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+        raise
