@@ -147,19 +147,32 @@ def data_reduction(
             q_window=cfg.q_norm_window, use_median=True,
         )
 
-    w_all = Window.partitionBy(*group) if group else Window.partitionBy(F.lit(1))
-    if cfg.reference == "min":
+    if cfg.reference in ("min", "max"):
         # 'min' picks scan.min() (dataReduction.py:223-224); with the id9
-        # convention laser-off rows carry -10.0 (id9.py:64), the minimum
-        is_ref = F.col(delay) == F.min(F.col(delay)).over(w_all)
-    elif cfg.reference == "max":
-        is_ref = F.col(delay) == F.max(F.col(delay)).over(w_all)
+        # convention laser-off rows carry -10.0 (id9.py:64), the minimum.
+        agg_fn = F.min if cfg.reference == "min" else F.max
+        if group:
+            w_all = Window.partitionBy(*group)
+            shots = joined.withColumn(
+                "is_ref", F.col(delay) == agg_fn(F.col(delay)).over(w_all)
+            )
+        else:
+            # Global extremum as a scalar AGGREGATE broadcast back
+            # (the global_mad_scalars pattern) — a partitionBy(lit(1))
+            # window funnels every row through one task.
+            ref_val = joined.agg(agg_fn(F.col(delay)).alias("_ref_delay"))
+            shots = (
+                joined.crossJoin(F.broadcast(ref_val))
+                .withColumn("is_ref", F.col(delay) == F.col("_ref_delay"))
+                .drop("_ref_delay")
+            )
     else:
         # float: isclose(scan, reference, atol=1e-12) → round-12 equality
         # (dataReduction.py:227-228 + the id9 rounding at id9.py:55)
-        is_ref = F.round(F.col(delay), 12) == F.round(F.lit(float(cfg.reference)), 12)
-
-    shots = joined.withColumn("is_ref", is_ref)
+        shots = joined.withColumn(
+            "is_ref",
+            F.round(F.col(delay), 12) == F.round(F.lit(float(cfg.reference)), 12),
+        )
     q_group = [*group, "q_bin"] if "q_bin" in shots.columns else group
     shots = reduction.time_resolved_diff(
         shots,
