@@ -415,3 +415,83 @@ def test_wav_tiff_roundtrip_properties():
 
     wav_roundtrip()
     tiff_roundtrip()
+
+
+def test_gzip_edf_roundtrip_kernel():
+    """decode_any transparently gunzips (.edf.gz — the reference's
+    default glob *.edf* with fabio decompression)."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_any, encode_edf, sniff_codec
+
+    rng = np.random.default_rng(3)
+    img = rng.poisson(80, (6, 5)).astype("u2")
+    blob = gzip.compress(encode_edf(img))
+    assert sniff_codec(blob) == "gzip"
+    back, hdr = decode_any(blob)
+    np.testing.assert_array_equal(back, img)
+    assert hdr["Dim_1"] == "5"
+
+
+def test_multiframe_edf_roundtrip_kernel():
+    """decode_edf_frames(encode_edf_stack(imgs)) == imgs frame by frame
+    (multi-frame EDF: successive header+payload blocks)."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_edf_frames, encode_edf_stack
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.poisson(100, (4, 6)).astype("u2") for _ in range(3)]
+    blob = encode_edf_stack(imgs)
+    frames = decode_edf_frames(blob)
+    assert len(frames) == 3
+    for k, (back, hdr) in enumerate(frames):
+        np.testing.assert_array_equal(back, imgs[k])
+        assert hdr["Image"] == str(k + 1)
+
+
+def test_decode_image_mixed_gzip_multiframe(spark, tmp_path):
+    """E1 over a mixed folder: a plain EDF, a gzipped EDF and a
+    3-frame stack, all through codec='auto' — gunzip + sniff + frame
+    fan-out happen executor-side."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_edf, encode_edf_stack
+
+    rng = np.random.default_rng(9)
+    plain = rng.poisson(60, (5, 5)).astype("u2")
+    zipped = rng.poisson(70, (5, 5)).astype("u2")
+    stack = [np.full((5, 5), 10 * (k + 1), dtype="u2") for k in range(3)]
+    (tmp_path / "a_plain.edf").write_bytes(encode_edf(plain))
+    (tmp_path / "b_zip.edf.gz").write_bytes(gzip.compress(encode_edf(zipped)))
+    (tmp_path / "c_stack.edf").write_bytes(encode_edf_stack(stack))
+    assets = read_binary_assets(spark, str(tmp_path / "*.edf*"), "image")
+    px = decode_image(assets, codec="auto").toPandas()
+    # 1 + 1 + 3 frames of 25 pixels each
+    assert len(px) == 5 * 25
+    stacked = px[px.file.str.endswith("c_stack.edf")]
+    assert sorted(stacked["frame"].unique()) == [0, 1, 2]
+    per_frame = stacked.groupby("frame")["intensity"].mean()
+    assert list(per_frame) == [10.0, 20.0, 30.0]
+    z = px[px.file.str.endswith("b_zip.edf.gz")].sort_values(["y", "x"])
+    np.testing.assert_array_equal(
+        z["intensity"].to_numpy().reshape(5, 5), zipped.astype(float)
+    )
+    # frame-aware feature grain: one row per (file, frame)
+    feats = image_features(decode_image(assets, codec="auto"))
+    assert feats.count() == 5
+
+
+def test_wav_missing_fmt_raises_valueerror(spark, tmp_path):
+    """A truncated RIFF blob (no fmt chunk) fails the frame-features
+    kernel with the explicit ValueError, not an opaque TypeError."""
+    from trx_spark.operators.multimodal import audio_frame_features
+
+    (tmp_path / "bad.wav").write_bytes(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+    assets = read_binary_assets(spark, str(tmp_path / "*.wav"), "audio")
+    with pytest.raises(Exception, match="missing fmt/data chunk"):
+        audio_frame_features(assets).collect()

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PIXEL_SCHEMA = "file string, y int, x int, intensity double"
+PIXEL_SCHEMA = "file string, frame int, y int, x int, intensity double"
 IMAGE_META_SCHEMA = (
     "path string, modality string, n_bytes long, content_sha256 string"
 )
@@ -54,27 +54,48 @@ _EDF_DTYPES = {
 }
 
 
-def decode_edf(buf: bytes) -> tuple[np.ndarray, dict]:
-    """Decode one EDF blob → (2-D array, header dict).
+def decode_edf_frames(buf: bytes) -> list[tuple[np.ndarray, dict]]:
+    """Decode an EDF blob → [(2-D array, header dict), ...] — one entry
+    per frame. Multi-frame EDF files (the reference stacks them 3-D,
+    trx/azav.py:42-46) are successive header+payload blocks; the next
+    frame's ``{`` follows the previous payload.
 
     Header fields honored: Dim_1 (fast axis / columns), Dim_2 (rows),
-    DataType, ByteOrder (LowByteFirst | HighByteFirst). The pixel block
-    starts right after the ``}\\n`` terminator of the (space-padded)
+    DataType, ByteOrder (LowByteFirst | HighByteFirst). Each pixel block
+    starts right after the ``}\\n`` terminator of its (space-padded)
     header."""
-    end = buf.index(b"}")
-    header = buf[: end + 1].decode("ascii", "replace")
-    fields: dict[str, str] = {}
-    for line in header.strip("{} \r\n").split(";"):
-        if "=" in line:
-            k, v = line.split("=", 1)
-            fields[k.strip()] = v.strip()
-    nx, ny = int(fields["Dim_1"]), int(fields["Dim_2"])
-    dt = np.dtype(_EDF_DTYPES[fields.get("DataType", "UnsignedShort")])
-    order = "<" if fields.get("ByteOrder", "LowByteFirst") == "LowByteFirst" else ">"
-    dt = dt.newbyteorder(order)
-    start = buf.index(b"}\n") + 2
-    img = np.frombuffer(buf, dtype=dt, count=nx * ny, offset=start)
-    return img.reshape(ny, nx), fields
+    frames: list[tuple[np.ndarray, dict]] = []
+    pos = 0
+    n_buf = len(buf)
+    while pos < n_buf:
+        while pos < n_buf and buf[pos : pos + 1] in (b" ", b"\r", b"\n", b"\t", b"\x00"):
+            pos += 1
+        if pos >= n_buf or buf[pos : pos + 1] != b"{":
+            break
+        end = buf.index(b"}", pos)
+        header = buf[pos : end + 1].decode("ascii", "replace")
+        fields: dict[str, str] = {}
+        for line in header.strip("{} \r\n").split(";"):
+            if "=" in line:
+                k, v = line.split("=", 1)
+                fields[k.strip()] = v.strip()
+        nx, ny = int(fields["Dim_1"]), int(fields["Dim_2"])
+        dt = np.dtype(_EDF_DTYPES[fields.get("DataType", "UnsignedShort")])
+        order = "<" if fields.get("ByteOrder", "LowByteFirst") == "LowByteFirst" else ">"
+        dt = dt.newbyteorder(order)
+        start = buf.index(b"}\n", pos) + 2
+        img = np.frombuffer(buf, dtype=dt, count=nx * ny, offset=start)
+        frames.append((img.reshape(ny, nx), fields))
+        pos = start + nx * ny * dt.itemsize
+    if not frames:
+        raise ValueError("no EDF frame found")
+    return frames
+
+
+def decode_edf(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode the FIRST frame of an EDF blob → (2-D array, header dict)
+    (see :func:`decode_edf_frames` for the full stack)."""
+    return decode_edf_frames(buf)[0]
 
 
 def encode_edf(
@@ -107,6 +128,58 @@ def encode_edf(
     return header.encode("ascii") + payload
 
 
+def encode_edf_stack(imgs: list[np.ndarray], **kw) -> bytes:
+    """Concatenate per-frame EDF blocks (``Image = k`` headers) — the
+    write side of the multi-frame seam and the tests' golden producer."""
+    extra = kw.pop("extra", {})
+    return b"".join(
+        encode_edf(img, extra={"Image": str(k + 1), **extra}, **kw)
+        for k, img in enumerate(imgs)
+    )
+
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def maybe_gunzip(buf: bytes) -> bytes:
+    """Transparent gzip: the reference's default glob is ``*.edf*`` and
+    fabio decompresses ``.edf.gz`` on the fly (trx/utils/files.py:14-21,
+    azav.py:29-34; its bundled calibrants ship gzipped). Mirror via the
+    gzip magic bytes rather than the extension."""
+    if buf[:2] == _GZIP_MAGIC:
+        import gzip
+
+        return gzip.decompress(buf)
+    return buf
+
+
+def sniff_codec(buf: bytes) -> str:
+    """Magic-byte format detection across the real codecs (fabio's
+    auto-detection role). Gzip wrapping is NOT unwrapped here — callers
+    gunzip first (:func:`maybe_gunzip`) so sniff sees the payload."""
+    if buf[:2] == _GZIP_MAGIC:
+        return "gzip"
+    if buf[:2] in (b"II", b"MM"):
+        return "tiff"
+    if buf[:6] == b"###CBF" or _CBF_SECTION in buf[:4096]:
+        return "cbf"
+    if buf.lstrip()[:1] == b"{":
+        return "edf"
+    raise ValueError("unrecognized image format (auto codec)")
+
+
+def decode_any(buf: bytes) -> tuple[np.ndarray, dict]:
+    """gunzip-if-needed + sniff + dispatch → (first frame, header)."""
+    buf = maybe_gunzip(buf)
+    fmt = sniff_codec(buf)
+    if fmt == "edf":
+        return decode_edf(buf)
+    if fmt == "cbf":
+        return decode_cbf(buf)
+    img, tags = decode_tiff(buf)
+    return img, {str(k): v for k, v in tags.items()}
+
+
 # ---------------------------------------------------------------------
 # CBF codec (imgCIF / Crystallographic Binary File — the reference's
 # fabio path reads CBF alongside EDF, trx/azav.py:29-47). The format is
@@ -133,15 +206,20 @@ def _byte_offset_unpack(raw: bytes, n: int, _np=np) -> np.ndarray:
     """byte_offset stream → int64 pixel vector of length ``n``."""
     buf = _np.frombuffer(raw, dtype=_np.uint8)
     deltas = _np.empty(n, dtype=_np.int64)
+    # all candidate escape-marker positions computed ONCE; markers
+    # consumed inside escape payloads are skipped by searchsorted, so
+    # each escape costs O(log m) instead of a full O(n) rescan (the
+    # rescan made escape-dense images effectively quadratic)
+    marks = _np.flatnonzero(buf == 0x80)
     i = 0  # byte cursor
     k = 0  # pixel cursor
     while k < n:
-        rest = buf[i:]
-        esc = _np.flatnonzero(rest == 0x80)
-        j = min(int(esc[0]) if esc.size else rest.size, n - k)
+        m = int(_np.searchsorted(marks, i))
+        nxt = int(marks[m]) if m < marks.size else buf.size
+        j = min(nxt - i, n - k)
         if j:
             # run of plain 1-byte deltas up to the next escape marker
-            deltas[k : k + j] = rest[:j].view(_np.int8)
+            deltas[k : k + j] = buf[i : i + j].view(_np.int8)
             i += j
             k += j
             if k >= n:
@@ -261,7 +339,13 @@ def decode_image(
     codec: str | None = None,
     real_codec: bool = False,
 ) -> DataFrame:
-    """binary image → pixel rows via mapInPandas (U1: 1 file → H·W rows).
+    """binary image → pixel rows via mapInPandas (U1: 1 file → H·W rows;
+    a multi-frame EDF stack fans out to one row-set per frame, keyed by
+    the ``frame`` column — the reference stacks frames 3-D,
+    trx/azav.py:42-46; pass ``image=["file", "frame"]`` downstream).
+    Gzip-wrapped blobs (``.edf.gz`` — the reference's default glob is
+    ``*.edf*`` and fabio decompresses transparently) are gunzipped
+    before decode for every real codec.
 
     ``codec``:
       - ``"edf"`` — REAL decode of the reference's detector format
@@ -292,21 +376,35 @@ def decode_image(
     cbf_section = bytes(_CBF_SECTION)
 
     def _parse_edf(buf, _np):
-        # nested (pickled by value) twin of decode_edf: worker kernels
-        # must not reference trx_spark module symbols — executors may
-        # not have the repo on their import path
-        end = buf.index(b"}")
-        fields = {}
-        for line in buf[: end + 1].decode("ascii", "replace").strip("{} \r\n").split(";"):
-            if "=" in line:
-                k, v = line.split("=", 1)
-                fields[k.strip()] = v.strip()
-        nx_, ny_ = int(fields["Dim_1"]), int(fields["Dim_2"])
-        dt = _np.dtype(edf_dtypes[fields.get("DataType", "UnsignedShort")])
-        order = "<" if fields.get("ByteOrder", "LowByteFirst") == "LowByteFirst" else ">"
-        start = buf.index(b"}\n") + 2
-        img = _np.frombuffer(buf, dtype=dt.newbyteorder(order), count=nx_ * ny_, offset=start)
-        return img.reshape(ny_, nx_)
+        # nested (pickled by value) twin of decode_edf_frames: worker
+        # kernels must not reference trx_spark module symbols —
+        # executors may not have the repo on their import path.
+        # Returns the full frame stack (multi-frame EDF = successive
+        # header+payload blocks, reference stacks 3-D at azav.py:42-46).
+        frames = []
+        pos, n_buf = 0, len(buf)
+        while pos < n_buf:
+            while pos < n_buf and buf[pos : pos + 1] in (b" ", b"\r", b"\n", b"\t", b"\x00"):
+                pos += 1
+            if pos >= n_buf or buf[pos : pos + 1] != b"{":
+                break
+            end = buf.index(b"}", pos)
+            fields = {}
+            for line in buf[pos : end + 1].decode("ascii", "replace").strip("{} \r\n").split(";"):
+                if "=" in line:
+                    k, v = line.split("=", 1)
+                    fields[k.strip()] = v.strip()
+            nx_, ny_ = int(fields["Dim_1"]), int(fields["Dim_2"])
+            dt = _np.dtype(edf_dtypes[fields.get("DataType", "UnsignedShort")])
+            order = "<" if fields.get("ByteOrder", "LowByteFirst") == "LowByteFirst" else ">"
+            dt = dt.newbyteorder(order)
+            start = buf.index(b"}\n", pos) + 2
+            img = _np.frombuffer(buf, dtype=dt, count=nx_ * ny_, offset=start)
+            frames.append(img.reshape(ny_, nx_))
+            pos = start + nx_ * ny_ * dt.itemsize
+        if not frames:
+            raise ValueError("no EDF frame found")
+        return frames
 
     def _parse_cbf(buf, _np):
         # nested (pickled by value) twin of decode_cbf — see _parse_edf
@@ -325,13 +423,16 @@ def decode_image(
         raw = buf[mark + len(cbf_magic) :]
         u8 = _np.frombuffer(raw, dtype=_np.uint8)
         deltas = _np.empty(n, dtype=_np.int64)
+        # marker index computed once; searchsorted skips markers inside
+        # consumed escape payloads (see _byte_offset_unpack)
+        marks = _np.flatnonzero(u8 == 0x80)
         i = k = 0
         while k < n:
-            rest = u8[i:]
-            esc = _np.flatnonzero(rest == 0x80)
-            j = min(int(esc[0]) if esc.size else rest.size, n - k)
+            m = int(_np.searchsorted(marks, i))
+            nxt = int(marks[m]) if m < marks.size else u8.size
+            j = min(nxt - i, n - k)
             if j:
-                deltas[k : k + j] = rest[:j].view(_np.int8)
+                deltas[k : k + j] = u8[i : i + j].view(_np.int8)
                 i += j
                 k += j
                 if k >= n:
@@ -383,6 +484,7 @@ def decode_image(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (workers may not have trx_spark on path)
+        import gzip as _gz
         import hashlib as _hl
 
         import numpy as _np
@@ -403,33 +505,38 @@ def decode_image(
             out = []
             for _, row in pdf.iterrows():
                 fmt = codec
+                raw = bytes(row["content"])
+                if fmt != "fake" and raw[:2] == b"\x1f\x8b":
+                    # transparent .edf.gz etc. (fabio behavior; the
+                    # reference's default glob is *.edf*)
+                    raw = _gz.decompress(raw)
                 if fmt == "auto":
-                    fmt = _sniff(bytes(row["content"]))
+                    fmt = _sniff(raw)
                 if fmt == "edf":
-                    img = _parse_edf(bytes(row["content"]), _np).astype(float)
+                    frames = [f.astype(float) for f in _parse_edf(raw, _np)]
                 elif fmt == "cbf":
-                    img = _parse_cbf(bytes(row["content"]), _np).astype(float)
+                    frames = [_parse_cbf(raw, _np).astype(float)]
                 elif fmt == "tiff":
-                    img = _parse_tiff(bytes(row["content"]), _np).astype(float)
+                    frames = [_parse_tiff(raw, _np).astype(float)]
                 else:
-                    seed = int.from_bytes(
-                        _hl.sha256(bytes(row["content"])).digest()[:4], "big"
-                    )
+                    seed = int.from_bytes(_hl.sha256(raw).digest()[:4], "big")
                     rng = _np.random.default_rng(seed)
-                    img = rng.poisson(100.0, size=(ny, nx)).astype(float)
-                iy, ix = _np.mgrid[0 : img.shape[0], 0 : img.shape[1]]
-                out.append(
-                    _pd.DataFrame(
-                        {
-                            "file": row["file"],
-                            "y": iy.ravel().astype("int32"),
-                            "x": ix.ravel().astype("int32"),
-                            "intensity": img.ravel(),
-                        }
+                    frames = [rng.poisson(100.0, size=(ny, nx)).astype(float)]
+                for fk, img in enumerate(frames):
+                    iy, ix = _np.mgrid[0 : img.shape[0], 0 : img.shape[1]]
+                    out.append(
+                        _pd.DataFrame(
+                            {
+                                "file": row["file"],
+                                "frame": _np.int32(fk),
+                                "y": iy.ravel().astype("int32"),
+                                "x": ix.ravel().astype("int32"),
+                                "intensity": img.ravel(),
+                            }
+                        )
                     )
-                )
             yield _pd.concat(out) if out else _pd.DataFrame(
-                {"file": [], "y": [], "x": [], "intensity": []}
+                {"file": [], "frame": [], "y": [], "x": [], "intensity": []}
             )
 
     return assets.select("path", "content").withColumnRenamed("path", "file").mapInPandas(
@@ -644,6 +751,10 @@ def audio_frame_features(
                 elif cid == b"data":
                     data = body
                 pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                # mirror decode_wav's explicit guard so a malformed blob
+                # fails diagnosably instead of with an opaque TypeError
+                raise ValueError("missing fmt/data chunk")
             afmt, nch, rate, bits = fmt
             if afmt == 1 and bits == 16:
                 s = _np.frombuffer(data, dtype="<i2").astype(_np.float64) / 32768.0
@@ -725,9 +836,10 @@ def resize_pixels(
     if agg not in ("mean", "max", "sum"):
         raise ValueError(f"unknown agg {agg!r}")
     fn = {"mean": F.avg, "max": F.max, "sum": F.sum}[agg]
+    keys = ["file", "frame"] if "frame" in pixels.columns else ["file"]
     return (
         pixels.groupBy(
-            "file",
+            *keys,
             (F.col("y") / factor).cast("int").alias("y"),
             (F.col("x") / factor).cast("int").alias("x"),
         )
@@ -743,7 +855,8 @@ def image_features(pixels: DataFrame) -> DataFrame:
     feature vector for downstream similarity/clustering stages.
     """
     w = F.col("intensity")
-    return pixels.groupBy("file").agg(
+    keys = ["file", "frame"] if "frame" in pixels.columns else ["file"]
+    return pixels.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_px"),
         F.avg(w).alias("mean_i"),
         F.min(w).alias("min_i"),

@@ -100,7 +100,8 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # membership map-side — no shuffle of the corpus at all (false
 # positives quarantine a few clean docs; no false negatives). The
 # filter here is fully deterministic: k=2 affine hashes of the
-# char-fold shingle hash, m = 2048 bits packed into 64 words of 32
+# char-fold shingle hash, m = _BLOOM_BITS = 131072 bits packed into
+# 4096 words of 32
 # bits each (shifts stay < 32 — DuckDB checks shift overflow at bit 63,
 # Spark wraps silently; 32-bit packing keeps both engines in exact
 # agreement) via a bit_or aggregate — pure integer math, so DuckDB
@@ -143,7 +144,8 @@ def decontam_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", (F.col("b1") / 32).cast("long"))
         .withColumn("w2", (F.col("b2") / 32).cast("long"))
     )
-    # the filter is ≤64 rows BY CONSTRUCTION → broadcast both lookups
+    # the filter is ≤4096 rows (_BLOOM_WORDS) BY CONSTRUCTION, a fixed
+    # ~32 KiB bit array whatever the corpus size → broadcast both lookups
     j1 = probes.join(
         F.broadcast(words.withColumnRenamed("word", "w1").withColumnRenamed("mask", "m1")),
         "w1",
