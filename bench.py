@@ -2,11 +2,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "cold_total": sec,
+"queries_cold": {...}, "sf": ...}.
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect). Timings include Catalyst planning but not session
 startup.
+
+Two passes: the AMORTIZED pass (the headline "value", comparable with
+prior rounds) lets the shared-stage memos ride across sibling queries —
+the first consumer of a memoized bank pays its build. The COLD pass
+clears the stage caches before every query, so each number is
+order-independent and a per-query regression can't hide inside a memo
+hit. Set SPARK_GRAFT_BENCH_COLD=0 to skip the cold pass while
+iterating.
 """
 
 from __future__ import annotations
@@ -110,25 +119,33 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_pass(cold: bool) -> dict[str, float]:
+        from trx_spark.cache import clear_stage_caches
 
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            if cold:
+                clear_stage_caches()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
+
+    timings = run_pass(cold=False)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0":
+        cold_timings = run_pass(cold=True)
+        out["cold_total"] = round(sum(cold_timings.values()), 3)
+        out["queries_cold"] = cold_timings
+    print(json.dumps(out))
     spark.stop()
 
 
