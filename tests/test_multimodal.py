@@ -495,3 +495,34 @@ def test_wav_missing_fmt_raises_valueerror(spark, tmp_path):
     assets = read_binary_assets(spark, str(tmp_path / "*.wav"), "audio")
     with pytest.raises(Exception, match="missing fmt/data chunk"):
         audio_frame_features(assets).collect()
+
+
+def test_cbf_none_roundtrip_kernel():
+    """The uncompressed x-CBF_NONE conversion (plain-CIF variant)
+    roundtrips for i4 and i8 element widths."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_cbf, encode_cbf
+
+    rng = np.random.default_rng(13)
+    for dt in ("i4", "i8"):
+        img = rng.integers(-5000, 5000, (7, 5)).astype(dt)
+        blob = encode_cbf(img, compression="none")
+        back, hdr = decode_cbf(blob)
+        np.testing.assert_array_equal(back, img)
+        assert hdr["X-Binary-Size-Fastest-Dimension"] == "5"
+
+
+def test_cbf_none_distributed(spark, tmp_path):
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_cbf
+
+    rng = np.random.default_rng(17)
+    img = rng.poisson(50, (6, 6)).astype("i4")
+    (tmp_path / "pilatus_plain.cbf").write_bytes(encode_cbf(img, compression="none"))
+    assets = read_binary_assets(spark, str(tmp_path / "*.cbf"), "image")
+    px = decode_image(assets, codec="auto").toPandas().sort_values(["y", "x"])
+    np.testing.assert_array_equal(
+        px["intensity"].to_numpy().reshape(6, 6), img.astype(float)
+    )

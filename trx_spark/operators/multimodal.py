@@ -265,8 +265,10 @@ def decode_cbf(buf: bytes) -> tuple[np.ndarray, dict]:
     """Decode one CBF blob → (2-D int array, binary-section header dict).
 
     Honors: X-Binary-Size-Fastest-Dimension (columns), -Second-Dimension
-    (rows), X-Binary-Element-Type, conversions="x-CBF_BYTE_OFFSET"
-    (the only compression the codec implements — the beamline default)."""
+    (rows), X-Binary-Element-Type, and two conversions:
+    ``x-CBF_BYTE_OFFSET`` (the beamline default — Pilatus detectors
+    write exactly this) and ``x-CBF_NONE`` (uncompressed little-endian
+    elements, the plain-CIF variant)."""
     sec = buf.index(_CBF_SECTION)
     mark = buf.index(_CBF_MAGIC, sec)
     fields: dict[str, str] = {}
@@ -274,27 +276,42 @@ def decode_cbf(buf: bytes) -> tuple[np.ndarray, dict]:
         if ":" in line:
             k, v = line.split(":", 1)
             fields[k.strip()] = v.strip()
-    # conversions may sit on a MIME continuation line, so test the raw
-    # section text rather than the parsed key/value pairs
-    if b"x-CBF_BYTE_OFFSET" not in buf[sec:mark]:
-        raise ValueError("unsupported CBF conversions (codec implements byte_offset)")
     nx = int(fields["X-Binary-Size-Fastest-Dimension"])
     ny = int(fields["X-Binary-Size-Second-Dimension"])
     dt = _CBF_ELEM_TYPES.get(
         fields.get("X-Binary-Element-Type", '"signed 32-bit integer"'), "i4"
     )
-    flat = _byte_offset_unpack(buf[mark + len(_CBF_MAGIC) :], nx * ny)
+    raw = buf[mark + len(_CBF_MAGIC) :]
+    # conversions may sit on a MIME continuation line, so test the raw
+    # section text rather than the parsed key/value pairs
+    if b"x-CBF_BYTE_OFFSET" in buf[sec:mark]:
+        flat = _byte_offset_unpack(raw, nx * ny)
+    elif b"x-CBF_NONE" in buf[sec:mark]:
+        flat = np.frombuffer(raw, dtype=np.dtype(dt).newbyteorder("<"), count=nx * ny)
+    else:
+        raise ValueError(
+            "unsupported CBF conversions (codec implements byte_offset and none)"
+        )
     return flat.astype(np.dtype(dt)).reshape(ny, nx), fields
 
 
-def encode_cbf(img: np.ndarray, *, extra: dict | None = None) -> bytes:
-    """Encode a 2-D int array as a byte_offset-compressed CBF blob
-    (pure-numpy writer for the public imgCIF structure; write side of
-    the S1 seam and the tests' golden producer)."""
+def encode_cbf(
+    img: np.ndarray, *, extra: dict | None = None, compression: str = "byte_offset"
+) -> bytes:
+    """Encode a 2-D int array as a CBF blob — ``byte_offset`` (the
+    beamline default) or ``none`` (uncompressed little-endian) — a
+    pure-numpy writer for the public imgCIF structure; write side of
+    the S1 seam and the tests' golden producer."""
     if img.dtype.kind not in "iu":
-        raise ValueError(f"CBF byte_offset stores integer counts, got {img.dtype}")
+        raise ValueError(f"CBF stores integer counts, got {img.dtype}")
+    if compression not in ("byte_offset", "none"):
+        raise ValueError(f"unknown CBF compression {compression!r}")
     elem = '"signed 64-bit integer"' if img.dtype.itemsize > 4 else '"signed 32-bit integer"'
-    payload = _byte_offset_pack(img.ravel())
+    if compression == "byte_offset":
+        payload = _byte_offset_pack(img.ravel())
+    else:
+        width = 8 if img.dtype.itemsize > 4 else 4
+        payload = img.astype(f"<i{width}", copy=False).ravel().tobytes()
     head = (
         b"###CBF: VERSION 1.5\n"
         b"# pure-numpy byte_offset writer (public imgCIF spec)\n\n"
@@ -302,8 +319,12 @@ def encode_cbf(img: np.ndarray, *, extra: dict | None = None) -> bytes:
         + _CBF_SECTION
         + b"\n"
         b"Content-Type: application/octet-stream;\n"
-        b'     conversions="x-CBF_BYTE_OFFSET"\n'
-        b"Content-Transfer-Encoding: BINARY\n"
+        + (
+            b'     conversions="x-CBF_BYTE_OFFSET"\n'
+            if compression == "byte_offset"
+            else b'     conversions="x-CBF_NONE"\n'
+        )
+        + b"Content-Transfer-Encoding: BINARY\n"
         + f"X-Binary-Size: {len(payload)}\n".encode()
         + b"X-Binary-ID: 1\n"
         + f"X-Binary-Element-Type: {elem}\n".encode()
@@ -410,8 +431,6 @@ def decode_image(
         # nested (pickled by value) twin of decode_cbf — see _parse_edf
         sec = buf.index(cbf_section)
         mark = buf.index(cbf_magic, sec)
-        if b"x-CBF_BYTE_OFFSET" not in buf[sec:mark]:
-            raise ValueError("unsupported CBF conversions")
         fields = {}
         for line in buf[sec:mark].decode("ascii", "replace").splitlines():
             if ":" in line:
@@ -421,6 +440,17 @@ def decode_image(
         ny_ = int(fields["X-Binary-Size-Second-Dimension"])
         n = nx_ * ny_
         raw = buf[mark + len(cbf_magic) :]
+        dt0 = cbf_elem_types.get(
+            fields.get("X-Binary-Element-Type", '"signed 32-bit integer"'), "i4"
+        )
+        if b"x-CBF_BYTE_OFFSET" not in buf[sec:mark]:
+            if b"x-CBF_NONE" in buf[sec:mark]:
+                # uncompressed little-endian elements (plain-CIF variant)
+                flat = _np.frombuffer(
+                    raw, dtype=_np.dtype(dt0).newbyteorder("<"), count=n
+                )
+                return flat.astype(_np.dtype(dt0)).reshape(ny_, nx_)
+            raise ValueError("unsupported CBF conversions")
         u8 = _np.frombuffer(raw, dtype=_np.uint8)
         deltas = _np.empty(n, dtype=_np.int64)
         # marker index computed once; searchsorted skips markers inside
@@ -447,10 +477,7 @@ def decode_image(
                     i += 8
             deltas[k] = v
             k += 1
-        dt = cbf_elem_types.get(
-            fields.get("X-Binary-Element-Type", '"signed 32-bit integer"'), "i4"
-        )
-        return _np.cumsum(deltas).astype(_np.dtype(dt)).reshape(ny_, nx_)
+        return _np.cumsum(deltas).astype(_np.dtype(dt0)).reshape(ny_, nx_)
 
     def _parse_tiff(buf, _np):
         # nested (pickled by value) twin of decode_tiff — see _parse_edf
