@@ -76,3 +76,20 @@ def test_global_stats_are_aggregates_not_windows(spark, sf_dir):
     ]:
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, f"{name} plans a window:\n{plan[:2000]}"
+
+
+def test_no_global_lit1_window_in_source():
+    """Invariant 7's source-level twin (round 4): no
+    ``partitionBy(F.lit(1))`` / ``partitionBy(lit(1))`` window exists
+    anywhere in trx_spark — global statistics must be scalar aggregates
+    broadcast back, never a single-task window."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "trx_spark"
+    offenders = [
+        str(p)
+        for p in root.rglob("*.py")
+        if "partitionBy(F.lit(1))" in p.read_text()
+        or "partitionBy(lit(1))" in p.read_text()
+    ]
+    assert offenders == []

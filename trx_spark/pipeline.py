@@ -158,8 +158,8 @@ def data_reduction(
             )
         else:
             # Global extremum as a scalar AGGREGATE broadcast back
-            # (the global_mad_scalars pattern) — a partitionBy(lit(1))
-            # window funnels every row through one task.
+            # (the global_mad_scalars pattern) — a constant-partition
+            # window would funnel every row through one task.
             ref_val = joined.agg(agg_fn(F.col(delay)).alias("_ref_delay"))
             shots = (
                 joined.crossJoin(F.broadcast(ref_val))
