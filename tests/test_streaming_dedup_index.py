@@ -157,3 +157,40 @@ def test_streaming_lsh_no_pairs_returns_empty(spark, tmp_path):
     got = _run(spark, tmp_path, waves, "doc_id BIGINT, text STRING")
     assert got.columns == ["doc_a", "doc_b"]
     assert got.count() == 0
+
+
+def test_band_store_compaction_preserves_index(spark, sf_dir, tmp_path):
+    """compact_band_store folds epochs into _epoch=-1, keeps the _kb
+    hash-bucket dirs, and the handler keeps finding cross-batch pairs
+    against the compacted store."""
+    import os
+
+    from trx_spark.streaming.dedup_index import (
+        compact_band_store,
+        make_lsh_batch_handler,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = _write_waves(
+        tmp_path,
+        [docs.filter(p).toPandas() for p in ("doc_id % 3 = 0", "doc_id % 3 = 1")],
+    )
+    got = _run(spark, tmp_path, waves, docs.schema, key_cap=1_000_000)
+    before = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    store = str(tmp_path / "bands")
+    rows_before = spark.read.parquet(store).count()
+    n = compact_band_store(spark, store)
+    assert n == rows_before
+    # layout: single folded epoch, _kb dirs intact underneath
+    epochs = sorted(e for e in os.listdir(store) if e.startswith("_epoch="))
+    assert epochs == ["_epoch=-1"]
+    assert any(
+        d.startswith("_kb=") for d in os.listdir(os.path.join(store, "_epoch=-1"))
+    )
+    # a later batch still pairs against the compacted store
+    handler = make_lsh_batch_handler(store, str(tmp_path / "pairs"), key_cap=1_000_000)
+    handler(docs.filter("doc_id % 3 = 2"), 99)
+    got2 = spark.read.parquet(str(tmp_path / "pairs")).select("doc_a", "doc_b").distinct()
+    after = {(r["doc_a"], r["doc_b"]) for r in got2.collect()}
+    assert after == _batch_pairs(spark, docs)
+    assert after > before

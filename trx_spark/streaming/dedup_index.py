@@ -192,6 +192,40 @@ def make_lsh_batch_handler(
     return handle
 
 
+def compact_band_store(
+    spark: SparkSession, band_store: str, *, store_partitions: int = _STORE_PARTITIONS
+) -> int:
+    """Fold all committed epochs of the band store into the single
+    compacted generation ``_epoch=-1`` while PRESERVING the ``_kb``
+    hash-bucket layout (the partition-pruning index the per-batch read
+    depends on — the generic ``sinks.compact_store`` would flatten it).
+
+    After thousands of micro-batches the store's file count, not its
+    byte size, is what kills scan planning; an epoch already committed
+    in the streaming checkpoint can never be replayed, so per-epoch
+    overwrite idempotency is only needed for FUTURE epochs — which
+    keep landing in their own partitions next to the compacted one.
+    Atomic swap via write-to-temp + rename (same contract as
+    ``sinks.compact_store``; on an object store, swap via the
+    FileSystem API instead). Returns the compacted row count."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(band_store)
+    tmp = band_store.rstrip("/") + "._compact_tmp"
+    (
+        df.withColumn("_epoch", F.lit(-1))
+        .repartition("_kb")
+        .write.mode("overwrite")
+        .partitionBy("_epoch", "_kb")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(band_store)
+    os.rename(tmp, band_store)
+    return int(n)
+
+
 def run_lsh_dedup_catchup(
     spark: SparkSession,
     *,
