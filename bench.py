@@ -95,6 +95,7 @@ HEADLINE = [
     "vocab_coverage",
     "cms_heavy_hitters",
     # round-4 additions
+    "boilerplate_spans",
     "dsir_weights",
     "per_source_sample",
     "filter_outlier_curves",

@@ -87,14 +87,10 @@ _SPAN_W = 8  # words per non-overlapping span
 _POS_ENC = 1_000_000  # keeper key = doc_id * enc + pos (pos << enc)
 
 
-def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide span dedup: split each document into consecutive
-    8-word spans, keep only the FIRST occurrence of each distinct span
-    (ordered by (doc_id, position)), and reassemble the surviving text.
-    The C4 recipe at span granularity — removes boilerplate repeated
-    across documents, not just whole-doc duplicates.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _doc_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, pos, span): each document split into its
+    consecutive non-overlapping _SPAN_W-word spans — the shared front
+    end of span_dedup and boilerplate_spans."""
     words = F.split(F.col("text"), " ")
     n_spans = F.ceil(F.size(words) / F.lit(_SPAN_W)).cast("long")
     chunks = F.when(F.size(words) > 0, F.transform(
@@ -106,7 +102,19 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span"),
         ),
     )).otherwise(F.array().cast("array<struct<pos:long,span:string>>"))
-    spans = docs.select("doc_id", n_spans.alias("n_spans"), F.inline(chunks))
+    return docs.select("doc_id", n_spans.alias("n_spans"), F.inline(chunks))
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span dedup: split each document into consecutive
+    8-word spans, keep only the FIRST occurrence of each distinct span
+    (ordered by (doc_id, position)), and reassemble the surviving text.
+    The C4 recipe at span granularity — removes boilerplate repeated
+    across documents, not just whole-doc duplicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _doc_spans(docs)
+    n_spans = F.ceil(F.size(F.split(F.col("text"), " ")) / F.lit(_SPAN_W)).cast("long")
     kk = F.col("doc_id") * _POS_ENC + F.col("pos")
     # min() of the encoded key is partial-aggregatable — unlike a
     # row_number window this combines map-side before the shuffle
@@ -162,6 +170,93 @@ SELECT d.doc_id,
        CAST(ceil(len(string_split(d.text, ' '))/{_SPAN_W}.0) AS BIGINT)
          - COALESCE(r.n_kept, 0) AS n_dropped,
        COALESCE(r.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------
+# Frequency-based boilerplate removal (the CCNet/RefinedWeb recipe at
+# span granularity): a span that appears in at least _BOILER_MIN_DOCS
+# DISTINCT documents is boilerplate and is dropped EVERYWHERE —
+# including its first occurrence (unlike span_dedup's keep-first
+# semantics, which preserves one copy). Scale shape: one span-grain
+# count-distinct agg (map-side partial), one anti-join keyed by span;
+# nothing quadratic, no windows.
+# ---------------------------------------------------------------------
+
+_BOILER_MIN_DOCS = 2
+
+
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate stats + cleaned text: (doc_id, n_spans,
+    n_kept, n_boiler, text_clean) where boilerplate = spans occurring
+    in ≥ _BOILER_MIN_DOCS distinct docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _doc_spans(docs)
+    common = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("span")
+    )
+    # `common` is proportional to the shared-boilerplate volume — no
+    # broadcast hint; AQE broadcasts it at gate scale and shuffles a
+    # web-corpus-sized one
+    kept = spans.join(common, "span", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    n_spans = F.ceil(F.size(F.split(F.col("text"), " ")) / F.lit(_SPAN_W)).cast("long")
+    return (
+        docs.select("doc_id", n_spans.alias("n_spans"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_spans") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+                "n_boiler"
+            ),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+_BOILER_SQL = f"""
+WITH spans AS (
+  SELECT doc_id, gs.i AS pos,
+         array_to_string(list_slice(d.w, gs.i*{_SPAN_W}+1, gs.i*{_SPAN_W}+{_SPAN_W}), ' ') AS span
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(len(d.w)/{_SPAN_W}.0) AS BIGINT) - 1)) AS i) gs
+  WHERE len(d.w) > 0
+),
+common AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+),
+kept AS (
+  SELECT s.doc_id, s.pos, s.span FROM spans s
+  WHERE s.span NOT IN (SELECT span FROM common)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(ceil(len(string_split(d.text, ' '))/{_SPAN_W}.0) AS BIGINT) AS n_spans,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(ceil(len(string_split(d.text, ' '))/{_SPAN_W}.0) AS BIGINT)
+         - COALESCE(r.n_kept, 0) AS n_boiler,
+       COALESCE(r.text_clean, '') AS text_clean
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
@@ -503,6 +598,7 @@ JOIN q ON q.doc_id = d.doc_id
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "span_dedup": span_dedup,
+    "boilerplate_spans": boilerplate_spans,
     "repetition_stats": repetition_stats,
     "quality_filter": quality_filter,
     "corpus_keep_list": corpus_keep_list,
@@ -511,6 +607,7 @@ QUERIES = {
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
+    "boilerplate_spans": _BOILER_SQL,
     "repetition_stats": _REPETITION_SQL,
     "quality_filter": _QUALITY_SQL,
     "corpus_keep_list": _keep_list_sql(),
