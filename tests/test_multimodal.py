@@ -526,3 +526,48 @@ def test_cbf_none_distributed(spark, tmp_path):
     np.testing.assert_array_equal(
         px["intensity"].to_numpy().reshape(6, 6), img.astype(float)
     )
+
+
+def test_multiframe_gzip_edf_property():
+    """Property: any stack (1-4 frames, arbitrary dims/dtype/byte
+    order), optionally gzip-wrapped, round-trips frame-by-frame through
+    decode_edf_frames / decode_any."""
+    import gzip
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trx_spark.operators.multimodal import (
+        decode_any,
+        decode_edf_frames,
+        encode_edf_stack,
+        maybe_gunzip,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n_frames=st.integers(min_value=1, max_value=4),
+        ny=st.integers(min_value=1, max_value=9),
+        nx=st.integers(min_value=1, max_value=9),
+        dt=st.sampled_from(["u2", "i4", "f4", "f8"]),
+        order=st.sampled_from(["LowByteFirst", "HighByteFirst"]),
+        zipped=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def roundtrip(n_frames, ny, nx, dt, order, zipped, seed):
+        rng = np.random.default_rng(seed)
+        imgs = [
+            rng.integers(0, 1000, (ny, nx)).astype(dt) for _ in range(n_frames)
+        ]
+        blob = encode_edf_stack(imgs, byte_order=order)
+        if zipped:
+            blob = gzip.compress(blob)
+        frames = decode_edf_frames(maybe_gunzip(blob))
+        assert len(frames) == n_frames
+        for img, (back, hdr) in zip(imgs, frames):
+            np.testing.assert_array_equal(back, img)
+        first, _ = decode_any(blob)
+        np.testing.assert_array_equal(first, imgs[0])
+
+    roundtrip()
