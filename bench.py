@@ -96,6 +96,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     # round-4 additions
     "boilerplate_spans",
+    "ann_ivfpq_topk",
     "dsir_weights",
     "per_source_sample",
     "filter_outlier_curves",

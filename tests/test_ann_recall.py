@@ -21,6 +21,9 @@ _FLOORS = {
     "ann_ivf_topk": 0.6,
     "ann_ivf_trained_topk": 0.7,
     "ann_pq_topk": 0.4,  # ADC shortlist (10% scan) + exact re-rank
+    # IVF-PQ composite: probed-cell scan × approximate codes — measured
+    # 0.7 (between trained-IVF 0.8 and PQ-alone 0.4, as expected)
+    "ann_ivfpq_topk": 0.5,
 }
 
 

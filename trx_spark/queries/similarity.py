@@ -730,6 +730,131 @@ WHERE rank <= {_TOP_K_PQ}
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (the FAISS-style production shape: coarse
+    quantizer bounds the search space, product codes score it, exact
+    math finishes): the query probes its _N_PROBE best trained cells,
+    ADC scores ONLY the vectors assigned to those cells purely from the
+    codes table, and the _PQ_SHORTLIST survivors get the exact cosine
+    re-rank. Shares the memoized coarse codebook with kmeans_cells/
+    ann_ivf_trained_topk and the memoized PQ codebooks with
+    pq_codes/ann_pq_topk — at corpus scale the ADC scan reads ~1/32 of
+    the embedding bytes and only 1/(cells/probes) of the rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _trained_cents(spark, sf_dir)
+    scored = score_cells(emb, cents).localCheckpoint()
+    assign = argmax_cell(scored)
+    probe = (
+        scored.filter(F.col("vec_id") == 0)
+        .orderBy(F.desc("dot"), F.col("cid"))
+        .limit(_N_PROBE)
+        .select("cid")
+    )
+    cell_cand = assign.join(F.broadcast(probe), "cid", "left_semi").select("vec_id")
+
+    sub, pcents, codes_df = _pq_train_encode(spark, sf_dir)
+    table = score_cells_grouped(
+        sub.filter(F.col("vec_id") == 0), pcents, ["m"]
+    ).select(
+        "m",
+        F.col("cid").alias("code"),
+        F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
+    )
+    # candidate set ∝ corpus/cells — keyed semi-join, no broadcast hint
+    codes = codes_df.select("vec_id", "m", F.col("cid").alias("code")).join(
+        cell_cand, "vec_id", "left_semi"
+    )
+    adc = (
+        codes.join(F.broadcast(table), ["m", "code"])  # M*K rows: tiny
+        .groupBy("vec_id")
+        .agg((F.sum("t_fp").cast("double") / F.lit(_PQ_TSCALE)).alias("adc_score"))
+    )
+    cand = (
+        adc.orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+
+
+_IVFPQ_SQL = f"""
+WITH {_EX_CTE},
+cents0 AS (SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < {_N_CELLS}),
+cd0 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents0 c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd0) t
+  WHERE rn = 1
+),
+cents1 AS (
+  SELECT a.cid, e.pos,
+         (CAST(SUM(CAST(FLOOR(e.x * {_EMB_SCALE!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+            / {_EMB_SCALE!r}) / COUNT(*) AS c
+  FROM ex e JOIN a0 a USING (vec_id)
+  GROUP BY a.cid, e.pos
+),
+cd1 AS (
+  SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
+  FROM ex e JOIN cents1 c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM cd1) t
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dot DESC, cid) AS rn
+    FROM cd1 WHERE vec_id = 0) t
+  WHERE rn <= {_N_PROBE}
+),
+ccand AS (SELECT vec_id FROM a1 WHERE cid IN (SELECT cid FROM qprobe)),
+{_pq_sql_parts()},
+tbl AS ({' UNION ALL '.join(
+    f"SELECT CAST({m} AS BIGINT) AS m, cid AS code, "
+    f"CAST(FLOOR(dot * {_PQ_TSCALE!r}) AS BIGINT) AS t_fp FROM cd1_{m} WHERE vec_id = 0"
+    for m in range(_PQ_M))}),
+codes AS ({' UNION ALL '.join(
+    f"SELECT vec_id, CAST({m} AS BIGINT) AS m, cid AS code FROM a1_{m}"
+    for m in range(_PQ_M))}),
+adc AS (
+  SELECT c.vec_id,
+         CAST(SUM(t.t_fp) AS DOUBLE) / {_PQ_TSCALE!r} AS adc_score
+  FROM codes c JOIN tbl t USING (m, code)
+  WHERE c.vec_id IN (SELECT vec_id FROM ccand)
+  GROUP BY c.vec_id
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_score DESC, vec_id) AS rn
+    FROM adc) t
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+exc AS (SELECT e.* FROM ex e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+q0 AS (SELECT pos, x AS y FROM ex WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    {_fpsum_sql('e.x * q.y')} AS dot,
+    {_fpsum_sql('e.x * e.x')} AS n1
+  FROM exc e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT {_fpsum_sql('x * x')} AS nq FROM ex WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -738,6 +863,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "pq_codes": pq_codes,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 ORACLES = {
@@ -748,4 +874,5 @@ ORACLES = {
     "semantic_dedup": _SEMDEDUP_SQL,
     "pq_codes": _PQ_CODES_SQL,
     "ann_pq_topk": _PQ_TOPK_SQL,
+    "ann_ivfpq_topk": _IVFPQ_SQL,
 }
