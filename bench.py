@@ -97,6 +97,7 @@ HEADLINE = [
     # round-4 additions
     "boilerplate_spans",
     "ann_ivfpq_topk",
+    "simhash_neardup_pairs",
     "dsir_weights",
     "per_source_sample",
     "filter_outlier_curves",

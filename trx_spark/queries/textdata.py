@@ -892,6 +892,129 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------
+# SimHash near-dup pairs (Manku/Jain/Sarma 2007, WWW — the Google web
+# dedup recipe): a WIDE fingerprint banded by the pigeonhole principle.
+# Hamming(x, y) ≤ 3 over a 48-bit simhash split into 4 bands of 12 bits
+# guarantees at least one band matches exactly, so the quadratic
+# Hamming search becomes an equi-join on (band, band_value) followed by
+# an exact bit_count verification of the candidates. Same cap
+# discipline as the MinHash path: degenerate bands (near-identical
+# token sets) above _LSH_BUCKET_CAP members are dropped pre-join.
+# ---------------------------------------------------------------------
+
+_SIMHAM_BITS = 48
+_SIMHAM_BAND_BITS = 12  # 4 bands × 12 bits; pigeonhole covers H ≤ 3
+_SIMHAM_MAX = 3
+# two public LCG multipliers fold the 31-bit token id into the two
+# 24-bit halves of the wide hash
+_SIMHAM_A1, _SIMHAM_B1 = 48271, 11
+_SIMHAM_A2, _SIMHAM_B2 = 69621, 7
+
+
+def _simhash48(d: DataFrame) -> DataFrame:
+    """(doc_id, sh): 48-bit simhash over distinct-token ids, one array
+    fold (zip_with accumulator) instead of 48 per-bit folds."""
+    half = 1 << (_SIMHAM_BITS // 2)
+    hs = F.transform(
+        F.transform(F.array_distinct(_tokens_col()), _tok_hash),
+        lambda x: (F.lit(_SIMHAM_A1) * x + F.lit(_SIMHAM_B1)) % half
+        + ((F.lit(_SIMHAM_A2) * x + F.lit(_SIMHAM_B2)) % half) * half,
+    )
+    votes = (
+        f"aggregate(hs, array_repeat(0L, {_SIMHAM_BITS}), (acc, h) -> "
+        f"zip_with(acc, transform(sequence(0, {_SIMHAM_BITS - 1}), "
+        "j -> (shiftright(h, j) % 2) * 2 - 1), (a, b) -> a + CAST(b AS BIGINT)))"
+    )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0, {_SIMHAM_BITS - 1}), "
+        "(v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (a, b) -> a + b)"
+    )
+    return (
+        d.filter(F.size(_tokens_col()) > 0)
+        .withColumn("hs", hs)
+        .selectExpr("doc_id", f"{pack} AS sh")
+    )
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ 3): SimHash near-dup pairs via
+    pigeonhole banding + exact Hamming verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _simhash48(docs).localCheckpoint()
+    mask = (1 << _SIMHAM_BAND_BITS) - 1
+    n_bands = _SIMHAM_BITS // _SIMHAM_BAND_BITS
+    stack_args = ", ".join(
+        f"{b}, shiftright(sh, {b * _SIMHAM_BAND_BITS}) & {mask}"
+        for b in range(n_bands)
+    )
+    bands = sh.selectExpr(
+        "doc_id", "sh", f"stack({n_bands}, {stack_args}) AS (band, v)"
+    )
+    w_bucket = Window.partitionBy("band", "v")
+    capped = (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_bsz") <= _LSH_BUCKET_CAP)
+        .drop("_bsz")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= _SIMHAM_MAX)
+
+
+_SIMHAM_HALF = 1 << (_SIMHAM_BITS // 2)
+_SIMHAM_VOTE_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) % 2) * 2 - 1)) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(_SIMHAM_BITS)
+)
+_SIMHAM_MASK = (1 << _SIMHAM_BAND_BITS) - 1
+
+_SIMHAM_PAIRS_SQL = f"""
+WITH {_TIDS_CTE},
+hs AS (
+  SELECT doc_id,
+         list_transform(ids, x ->
+           ({_SIMHAM_A1} * x + {_SIMHAM_B1}) % {_SIMHAM_HALF}
+           + (({_SIMHAM_A2} * x + {_SIMHAM_B2}) % {_SIMHAM_HALF}) * {_SIMHAM_HALF}) AS hs
+  FROM tids WHERE len(ids) > 0
+),
+sh AS (SELECT doc_id, CAST({_SIMHAM_VOTE_TERMS} AS BIGINT) AS sh FROM hs),
+bands AS (
+  SELECT doc_id, sh, b.b AS band, (sh >> (b.b * {_SIMHAM_BAND_BITS})) & {_SIMHAM_MASK} AS v
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, {_SIMHAM_BITS // _SIMHAM_BAND_BITS - 1})) AS b) b
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, v) AS bsz FROM bands) t
+  WHERE bsz <= {_LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {_SIMHAM_MAX}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -906,6 +1029,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_multiprobe": ann_topk_multiprobe,
     "lsh_pairs_verified": lsh_pairs_verified,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
 }
 
 ORACLES = {
@@ -922,4 +1046,5 @@ ORACLES = {
     "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
     "ann_topk_multiprobe": _ANN_TOPK_MULTIPROBE_SQL,
     "lsh_pairs_verified": _LSH_VERIFIED_SQL,
+    "simhash_neardup_pairs": _SIMHAM_PAIRS_SQL,
 }
