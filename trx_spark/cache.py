@@ -27,6 +27,7 @@ def _all_caches() -> list[dict]:
         corpus._SIGNALS_CACHE,
         similarity._CENTS_CACHE,
         similarity._PQ_CACHE,
+        similarity._SCORED_CACHE,
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
     ]
@@ -55,6 +56,7 @@ def stage_cache_stats() -> dict[str, int]:
         "token_stream": len(curation._TOKEN_CACHE),
         "quality_signals": len(corpus._SIGNALS_CACHE),
         "coarse_codebook": len(similarity._CENTS_CACHE),
+        "trained_scored": len(similarity._SCORED_CACHE),
         "pq_codebooks": len(similarity._PQ_CACHE),
         "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),
         "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),

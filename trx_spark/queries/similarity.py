@@ -268,6 +268,7 @@ _KM_ROUNDS = 2
 # is the training passes over the corpus.
 _CENTS_CACHE: dict = {}
 _PQ_CACHE: dict = {}
+_SCORED_CACHE: dict = {}
 
 
 def _trained_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,6 +281,19 @@ def _trained_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CENTS_CACHE[key]
 
 
+def _trained_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector scored against every trained centroid — shared by
+    ann_ivf_trained_topk and ann_ivfpq_topk (same memo discipline as
+    the codebooks; the score table is the costly corpus pass)."""
+    key = (spark, sf_dir)
+    if key not in _SCORED_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        _SCORED_CACHE[key] = score_cells(
+            emb, _trained_cents(spark, sf_dir)
+        ).localCheckpoint()
+    return _SCORED_CACHE[key]
+
+
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF codebook assignment: 2 Lloyd rounds (init = first 16
     vectors, one centroid update between the two assignment steps) via
@@ -288,10 +302,9 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid — the codebook the IVF scale path would partition the
     corpus by. Fixed-point sums keep the trained centroids bit-exact
     against the oracle despite float input."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # == lloyd_assign(emb, k, rounds=_KM_ROUNDS) with the trained
-    # codebook shared across the quantizer queries
-    return argmax_cell(score_cells(emb, _trained_cents(spark, sf_dir))).select(
+    # codebook AND the scored table shared across the quantizer queries
+    return argmax_cell(_trained_scored(spark, sf_dir)).select(
         "vec_id", F.col("cid").cast("long").alias("cid"), "dot"
     )
 
@@ -338,9 +351,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed so training executes once, then both the corpus
     assignment and the query's probe ranking read the same scored
     table."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _trained_cents(spark, sf_dir)
-    scored = score_cells(emb, cents).localCheckpoint()
+    scored = _trained_scored(spark, sf_dir)
     assign = argmax_cell(scored)
     probe = (
         scored.filter(F.col("vec_id") == 0)
@@ -740,9 +751,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_trained_topk and the memoized PQ codebooks with
     pq_codes/ann_pq_topk — at corpus scale the ADC scan reads ~1/32 of
     the embedding bytes and only 1/(cells/probes) of the rows."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _trained_cents(spark, sf_dir)
-    scored = score_cells(emb, cents).localCheckpoint()
+    scored = _trained_scored(spark, sf_dir)
     assign = argmax_cell(scored)
     probe = (
         scored.filter(F.col("vec_id") == 0)
