@@ -22,6 +22,7 @@ _ONE_ROW_BUILD_OK = {
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "pq_codes",
     "embedding_neardup_pairs",
     "kmeans_cells",
