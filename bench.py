@@ -129,7 +129,10 @@ def main() -> None:
         for name in HEADLINE:
             fn = QUERIES[name]
             if cold:
-                clear_stage_caches()
+                # spark handle → checkpoint blocks are unpersisted too,
+                # so cold numbers aren't distorted by orphaned-block
+                # memory pressure accumulating across 60+ rebuilds
+                clear_stage_caches(spark)
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)

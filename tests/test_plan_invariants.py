@@ -87,10 +87,9 @@ def test_no_global_lit1_window_in_source():
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1] / "trx_spark"
-    offenders = [
-        str(p)
-        for p in root.rglob("*.py")
-        if "partitionBy(F.lit(1))" in p.read_text()
-        or "partitionBy(lit(1))" in p.read_text()
-    ]
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if "partitionBy(F.lit(1))" in src or "partitionBy(lit(1))" in src:
+            offenders.append(str(p))
     assert offenders == []

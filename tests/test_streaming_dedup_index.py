@@ -194,3 +194,65 @@ def test_band_store_compaction_preserves_index(spark, sf_dir, tmp_path):
     after = {(r["doc_a"], r["doc_b"]) for r in got2.collect()}
     assert after == _batch_pairs(spark, docs)
     assert after > before
+
+
+def test_first_batch_fully_saturated_then_recovers(spark, tmp_path):
+    """A first micro-batch whose every key saturates writes an empty
+    store (dir with only _SUCCESS); the next batch must treat it as
+    empty — not crash on schema inference — and keep indexing."""
+    import pandas as pd
+
+    from trx_spark.streaming.dedup_index import make_lsh_batch_handler
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    handler = make_lsh_batch_handler(
+        str(tmp_path / "bands"), str(tmp_path / "pairs")
+    )
+    # 100 identical docs > cap 64 -> everything dropped, store empty
+    handler(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(100), "text": [hot] * 100})
+        ),
+        0,
+    )
+    # a normal batch afterwards must work and emit its within-pairs
+    handler(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [200, 201], "text": ["alpha beta gamma"] * 2})
+        ),
+        1,
+    )
+    pairs = spark.read.parquet(str(tmp_path / "pairs")).select("doc_a", "doc_b").distinct()
+    assert {(r[0], r[1]) for r in pairs.collect()} == {(200, 201)}
+
+
+def test_replay_same_epoch_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-running an epoch (same data, same id)
+    must not double-count its own rows into the saturation totals —
+    pairs and store end up exactly as after the first attempt."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from trx_spark.streaming.dedup_index import make_lsh_batch_handler
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    handler = make_lsh_batch_handler(
+        str(tmp_path / "bands"), str(tmp_path / "pairs")
+    )
+    # epoch 0: 40 docs on the hot key (under cap 64, all stored)
+    handler(
+        spark.createDataFrame(pd.DataFrame({"doc_id": range(40), "text": [text] * 40})),
+        0,
+    )
+    # epoch 1: 20 more (40 + 20 = 60 <= 64, all stored) — run it TWICE
+    e1 = pd.DataFrame({"doc_id": range(40, 60), "text": [text] * 20})
+    handler(spark.createDataFrame(e1), 1)
+    handler(spark.createDataFrame(e1), 1)  # the replay
+    # the replay must not see its own epoch-1 rows as prior state
+    # (40 prior + 20 batch = 60, not 60 + 20 = 80 > cap)
+    pairs = spark.read.parquet(str(tmp_path / "pairs")).select("doc_a", "doc_b").distinct()
+    assert pairs.count() == 60 * 59 // 2
+    store = spark.read.parquet(str(tmp_path / "bands"))
+    per_key = store.groupBy("band", "hx", "hy").agg(F.count(F.lit(1)).alias("n"))
+    assert per_key.agg(F.max("n")).collect()[0][0] == 60

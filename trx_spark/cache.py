@@ -33,13 +33,26 @@ def _all_caches() -> list[dict]:
     ]
 
 
-def clear_stage_caches() -> int:
+def clear_stage_caches(spark=None) -> int:
     """Drop every memoized shared stage; returns the number of entries
-    cleared. Safe at any time — the next consumer simply rebuilds."""
+    cleared. Safe at any time — the next consumer simply rebuilds.
+
+    The memos hold ``localCheckpoint``-ed DataFrames whose executor
+    blocks are NOT freed by clearing the dicts — they linger until
+    Python GC and the py4j finalizer queue get around to them, which
+    under a long benchmark session shows up as storage-memory pressure
+    and GC pauses. Pass the ``spark`` session to also unpersist every
+    persistent RDD immediately (safe here: after the dicts are cleared
+    nothing references the checkpoint blocks; per-query transient
+    checkpoints are rebuilt by the next query anyway)."""
     n = 0
     for cache in _all_caches():
         n += len(cache)
         cache.clear()
+    if spark is not None:
+        # py4j exposes the JavaSparkContext's map as a dict-like view
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
     return n
 
 

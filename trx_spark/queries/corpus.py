@@ -87,14 +87,19 @@ _SPAN_W = 8  # words per non-overlapping span
 _POS_ENC = 1_000_000  # keeper key = doc_id * enc + pos (pos << enc)
 
 
+def _n_spans_col() -> F.Column:
+    """ceil(|words| / _SPAN_W) — the per-doc span count, shared by both
+    span queries (and mirrored twice in each SQL oracle)."""
+    return F.ceil(F.size(F.split(F.col("text"), " ")) / F.lit(_SPAN_W)).cast("long")
+
+
 def _doc_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_spans, pos, span): each document split into its
-    consecutive non-overlapping _SPAN_W-word spans — the shared front
-    end of span_dedup and boilerplate_spans."""
+    """(doc_id, pos, span): each document split into its consecutive
+    non-overlapping _SPAN_W-word spans — the shared front end of
+    span_dedup and boilerplate_spans."""
     words = F.split(F.col("text"), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(_SPAN_W)).cast("long")
     chunks = F.when(F.size(words) > 0, F.transform(
-        F.sequence(F.lit(0).cast("long"), n_spans - 1),
+        F.sequence(F.lit(0).cast("long"), _n_spans_col() - 1),
         lambda i: F.struct(
             i.alias("pos"),
             F.array_join(
@@ -102,7 +107,7 @@ def _doc_spans(docs: DataFrame) -> DataFrame:
             ).alias("span"),
         ),
     )).otherwise(F.array().cast("array<struct<pos:long,span:string>>"))
-    return docs.select("doc_id", n_spans.alias("n_spans"), F.inline(chunks))
+    return docs.select("doc_id", F.inline(chunks))
 
 
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +119,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     spans = _doc_spans(docs)
-    n_spans = F.ceil(F.size(F.split(F.col("text"), " ")) / F.lit(_SPAN_W)).cast("long")
+    n_spans = _n_spans_col()
     kk = F.col("doc_id") * _POS_ENC + F.col("pos")
     # min() of the encoded key is partial-aggregatable — unlike a
     # row_number window this combines map-side before the shuffle
@@ -213,7 +218,7 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_clean"),
     )
-    n_spans = F.ceil(F.size(F.split(F.col("text"), " ")) / F.lit(_SPAN_W)).cast("long")
+    n_spans = _n_spans_col()
     return (
         docs.select("doc_id", n_spans.alias("n_spans"))
         .join(rebuilt, "doc_id", "left")

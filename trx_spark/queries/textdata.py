@@ -937,10 +937,11 @@ def _simhash48(d: DataFrame) -> DataFrame:
     )
 
 
-def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, hamming ≤ 3): SimHash near-dup pairs via
-    pigeonhole banding + exact Hamming verification."""
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_pairs_frame(docs: DataFrame, *, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """The banding join over any (doc_id, text) frame — the production
+    body of simhash_neardup_pairs, parameterized on the bucket cap so
+    the banding≡brute-force equivalence test can run the REAL code path
+    with the cap disabled."""
     sh = _simhash48(docs).localCheckpoint()
     mask = (1 << _SIMHAM_BAND_BITS) - 1
     n_bands = _SIMHAM_BITS // _SIMHAM_BAND_BITS
@@ -954,7 +955,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_bucket = Window.partitionBy("band", "v")
     capped = (
         bands.withColumn("_bsz", F.count(F.lit(1)).over(w_bucket))
-        .filter(F.col("_bsz") <= _LSH_BUCKET_CAP)
+        .filter(F.col("_bsz") <= cap)
         .drop("_bsz")
     )
     a = capped.alias("a")
@@ -976,6 +977,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= _SIMHAM_MAX)
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ 3): SimHash near-dup pairs via
+    pigeonhole banding + exact Hamming verification."""
+    return _simhash_pairs_frame(load_table(spark, sf_dir, "documents"))
 
 
 _SIMHAM_HALF = 1 << (_SIMHAM_BITS // 2)

@@ -98,7 +98,14 @@ def _read_band_store(spark: SparkSession, band_store: str) -> DataFrame | None:
         return spark.read.parquet(band_store)
     except AnalysisException as exc:
         msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        # UNABLE_TO_INFER_SCHEMA: the dir exists but holds no parquet —
+        # a fully-saturated (or all-empty-text) prior batch wrote only
+        # _SUCCESS. Same "empty store" meaning as a missing path.
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
             return None
         raise
 
@@ -122,11 +129,19 @@ def make_lsh_batch_handler(
         new = band_keys(batch).withColumn("_kb", kb).localCheckpoint()
 
         # Prune the store read to the hash buckets this batch touches:
-        # ≤ store_partitions small ints, driver-side by design.
+        # ≤ store_partitions small ints, driver-side by design. Rows
+        # this epoch may have written in a FAILED earlier attempt are
+        # excluded (filter on _epoch) so an at-least-once replay sees
+        # the store exactly as the first attempt did — otherwise the
+        # replay double-counts its own rows into the saturation totals
+        # and can spuriously drop keys whose pairs the overwrite then
+        # erases.
         touched = [r["_kb"] for r in new.select("_kb").distinct().collect()]
         store = _read_band_store(spark, band_store)
         seen = (
-            store.filter(F.col("_kb").isin(touched)).drop("_epoch", "_kb")
+            store.filter(
+                F.col("_kb").isin(touched) & (F.col("_epoch") != int(epoch_id))
+            ).drop("_epoch", "_kb")
             if store is not None
             else None
         )
@@ -134,7 +149,10 @@ def make_lsh_batch_handler(
         # Saturation: keys whose stored count would exceed the cap
         # after this batch. Dropped from both joins and from the store
         # append, so the store invariant (≤ key_cap rows per key)
-        # holds for the stream's lifetime.
+        # holds for the stream's lifetime. The saturated key set is
+        # collected ONCE (tiny: ≤ distinct keys in the batch) so the
+        # pruned store scan + count aggregation run a single time, not
+        # once per consumer.
         bcnt = new.groupBy(*on).agg(F.count(F.lit(1)).alias("_bcnt"))
         if seen is not None:
             pcnt = seen.groupBy(*on).agg(F.count(F.lit(1)).alias("_pcnt"))
@@ -143,16 +161,23 @@ def make_lsh_batch_handler(
             )
         else:
             totals = bcnt.withColumn("_tot", F.col("_bcnt"))
-        sat = totals.filter(F.col("_tot") > key_cap).select(*on, "_bcnt")
-        dropped = sat.agg(
-            F.count(F.lit(1)).alias("keys"), F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("rows")
-        ).collect()[0]
-        if dropped["keys"]:
+        sat_rows = totals.filter(F.col("_tot") > key_cap).select(*on, "_bcnt").collect()
+        if sat_rows:
             logger.warning(
                 "lsh index epoch %d: dropped %d rows on %d saturated band keys "
-                "(cap=%d)", epoch_id, dropped["rows"], dropped["keys"], key_cap
+                "(cap=%d)",
+                epoch_id,
+                sum(r["_bcnt"] for r in sat_rows),
+                len(sat_rows),
+                key_cap,
             )
-        ok = new.join(F.broadcast(sat.select(*on)), on, "left_anti").localCheckpoint()
+            sat = spark.createDataFrame(
+                [(r["band"], r["hx"], r["hy"]) for r in sat_rows],
+                "band INT, hx BIGINT, hy BIGINT",
+            )
+            ok = new.join(F.broadcast(sat), on, "left_anti").localCheckpoint()
+        else:
+            ok = new
 
         # The batch side is small by construction — broadcast it so the
         # store side never shuffles.
@@ -205,9 +230,13 @@ def compact_band_store(
     in the streaming checkpoint can never be replayed, so per-epoch
     overwrite idempotency is only needed for FUTURE epochs — which
     keep landing in their own partitions next to the compacted one.
-    Atomic swap via write-to-temp + rename (same contract as
-    ``sinks.compact_store``; on an object store, swap via the
-    FileSystem API instead). Returns the compacted row count."""
+    Swap order is crash-safe: the old store is renamed ASIDE first,
+    the compacted copy renamed into place, and only then is the old
+    copy deleted — a crash in the window leaves either the old or the
+    new store at the path, never nothing (a vanished store would
+    silently restart the index empty and lose every cross-batch pair;
+    on an object store, use the FileSystem API's atomic rename).
+    Returns the compacted row count."""
     import os
     import shutil
 
@@ -221,8 +250,11 @@ def compact_band_store(
         .parquet(tmp)
     )
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(band_store)
+    old = band_store.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(band_store, old)
     os.rename(tmp, band_store)
+    shutil.rmtree(old)
     return int(n)
 
 
