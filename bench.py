@@ -106,6 +106,12 @@ HEADLINE = [
     "corpus_keep_list",
     "quality_stratified_sample",
     "decontam_bloom_flags",
+    # round-4 wave 2: sketches, relevance ranking, knn graph,
+    # diversity sampling
+    "hll_distinct_tokens",
+    "bm25_topk",
+    "knn_graph",
+    "cluster_balanced_sample",
 ]
 
 

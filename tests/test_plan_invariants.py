@@ -26,6 +26,8 @@ _ONE_ROW_BUILD_OK = {
     "pq_codes",
     "embedding_neardup_pairs",
     "kmeans_cells",
+    "cluster_balanced_sample",  # rides the trained-codebook scoring (1-row scalar joins)
+    "bm25_topk",  # corpus scalars (N, avgdl) are a 1-row broadcast
     "semantic_dedup",
     "vocab_coverage",
     "mixture_sample",

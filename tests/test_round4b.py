@@ -1,0 +1,124 @@
+"""Semantic tests for the round-4 wave-2 operators (beyond the oracle
+parity gate): HLL accuracy, BM25 golden recompute, k-NN graph
+structure, cluster-balanced sample structure."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """m=64 HLL has ~13 % standard error; require every per-source
+    estimate within 40 % (≈3σ) of the exact distinct count."""
+    from trx_spark.queries.sketches import hll_distinct_tokens
+
+    rows = hll_distinct_tokens(spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        rel = r["hll_estimate"] / r["exact_distinct"]
+        assert 0.6 < rel < 1.4, (r["source"], rel)
+        assert 1 <= r["n_registers_hit"] <= 64
+
+
+def test_hll_registers_bounded(spark, sf_dir):
+    """The shuffled state is ≤ m rows per source — the scale argument."""
+    from trx_spark.queries.sketches import _HLL_M, hll_distinct_tokens
+
+    rows = hll_distinct_tokens(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_registers_hit"] <= _HLL_M
+        # denominator is consistent: hit registers contribute ≤ 2^30
+        # each, unhit exactly 2^30 each
+        assert r["harmonic_denom"] <= _HLL_M * (1 << 30)
+        assert r["harmonic_denom"] > 0
+
+
+def test_bm25_golden_recompute(spark, sf_dir):
+    """Recompute BM25 (log-free idf surrogate) in numpy from the raw
+    documents and compare the top-20 ranking."""
+    from trx_spark.queries.ranking import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        _K1P1,
+        _ONE_MINUS_B,
+        bm25_topk,
+    )
+    from trx_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: re.findall("[a-z]+", r["text"]) for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        term: sum(1 for t in toks.values() if term in t) for term in _BM25_TERMS
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in _BM25_TERMS:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            idf = (n_docs - df[term] + 0.5) / (df[term] + 0.5)
+            s += idf * (tf * _K1P1) / (tf + _BM25_K1 * (_ONE_MINUS_B + _BM25_B * (len(t) / avgdl)))
+        if s > 0:
+            scores[d] = s
+    want = sorted(scores, key=lambda d: (-scores[d], d))[:_BM25_TOPK]
+
+    got = bm25_topk(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        # fixed-point truncation ≤ len(terms)/1e9
+        assert math.isclose(r["bm25_score"], scores[r["doc_id"]], rel_tol=1e-6)
+
+
+def test_knn_graph_structure(spark, sf_dir):
+    from trx_spark.queries.similarity import _KNN_K, knn_graph
+    from trx_spark.queries.textdata import ann_lsh_buckets
+
+    rows = knn_graph(spark, sf_dir).collect()
+    assert rows
+    bucket = {
+        r["vec_id"]: r["bucket"] for r in ann_lsh_buckets(spark, sf_dir).collect()
+    }
+    by_src: dict = {}
+    for r in rows:
+        assert r["vec_id"] != r["nbr_id"]
+        assert bucket[r["vec_id"]] == bucket[r["nbr_id"]], "edge crosses buckets"
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+        by_src.setdefault(r["vec_id"], []).append(r)
+    for src, es in by_src.items():
+        ranks = sorted(e["knn_rank"] for e in es)
+        assert ranks == list(range(1, len(es) + 1))
+        assert len(es) <= _KNN_K
+        es = sorted(es, key=lambda e: e["knn_rank"])
+        sims = [e["cos_sim"] for e in es]
+        assert all(a >= b - 1e-12 for a, b in zip(sims, sims[1:]))
+
+
+def test_cluster_balanced_sample_structure(spark, sf_dir):
+    from trx_spark.queries.similarity import (
+        _CBS_PER_CELL,
+        cluster_balanced_sample,
+        kmeans_cells,
+    )
+
+    sample = cluster_balanced_sample(spark, sf_dir).collect()
+    assert sample
+    assign = {r["vec_id"]: r["cid"] for r in kmeans_cells(spark, sf_dir).collect()}
+    per_cell: dict = {}
+    for r in sample:
+        assert assign[r["vec_id"]] == r["cid"], "sample disagrees with assignment"
+        per_cell.setdefault(r["cid"], []).append(r["pick_rank"])
+    for cid, ranks in per_cell.items():
+        assert len(ranks) <= _CBS_PER_CELL
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # every non-empty cell is represented — the diversity guarantee
+    assert set(per_cell) == set(assign.values())

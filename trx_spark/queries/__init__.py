@@ -17,8 +17,10 @@ from trx_spark.queries import (
     corpus,
     curation,
     packing,
+    ranking,
     relational,
     similarity,
+    sketches,
     streamingq,
     temporal,
     textdata,
@@ -43,6 +45,8 @@ for mod in (
     curation,
     packing,
     temporal,
+    sketches,
+    ranking,
     streamingq,
 ):
     QUERIES.update(mod.QUERIES)
@@ -69,6 +73,16 @@ _R04_FIRST = [
     "streaming_windowed_counts", "streaming_dedup_keys",
     "streaming_session_stats", "streaming_attribution_join",
 ]
-_order = _R04_FIRST + [n for n in QUERIES if n not in set(_R04_FIRST)]
+# Round-4 additions (sketches / ranking / knn / diversity-sample) slot
+# in right behind the rotated block: 37 + 4 = 41 < 50, so they enter
+# the driver's 50-row gate window this round too.
+_R04_NEW = [
+    "hll_distinct_tokens", "bm25_topk", "knn_graph", "cluster_balanced_sample",
+]
+_order = (
+    _R04_FIRST
+    + _R04_NEW
+    + [n for n in QUERIES if n not in set(_R04_FIRST) | set(_R04_NEW)]
+)
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

@@ -1,0 +1,145 @@
+"""Corpus relevance ranking: BM25 (Robertson–Spärck Jones okapi
+weighting) of every document against a fixed query-term set — the
+retrieval primitive a training-data pipeline uses for targeted corpus
+slicing (pull the documents most relevant to an eval topic before
+decontamination, or build retrieval-based quality labels).
+
+Scale shape: term frequencies are one keyed aggregation over the
+(already memoized) token stream *filtered to the query terms* — the
+scan discards every non-query token map-side, so the shuffled volume is
+proportional to query-term occurrences, not corpus tokens. Document
+frequencies and the corpus scalars (N, avgdl) are tiny BY CONSTRUCTION
+(≤ |query| rows / 1 row) and broadcast; the final ranking is
+``TakeOrderedAndProject`` (per-partition top-k), never a global sort.
+
+Determinism: the classic BM25 idf is ``ln((N−df+0.5)/(df+0.5)+1)``;
+``ln`` is a libm transcendental the parity gate cannot trust across
+engines, so this implementation uses the LOG-FREE monotone surrogate
+``idf = (N−df+0.5)/(df+0.5)`` — per-term rank-equivalent to the okapi
+idf (ln is monotone), and every remaining operation is plain IEEE
+arithmetic on identical expression trees. Per-document accumulation
+across query terms uses the fixed-point integer sum
+(:mod:`trx_spark.exact`), so the gate compares bit-equal scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.exact import fint, sql_dsum
+from trx_spark.queries.curation import _token_stream, _toks_base
+from trx_spark.queries.textdata import _TOKEN_RE
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_K1P1 = _BM25_K1 + 1.0   # 2.2
+_ONE_MINUS_B = 1.0 - _BM25_B  # 0.25
+_BM25_TOPK = 20
+_BM25_SCALE = 1e9
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 against the fixed query
+    ``{spark, join, window}``. Documents containing none of the query
+    terms never enter the ranking (their score is identically 0).
+
+    Output: (doc_id, n_terms_hit, bm25_score), descending."""
+    base = _toks_base(spark, sf_dir)  # (doc_id, source, toks), memoized
+    dl = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    ts = _token_stream(spark, sf_dir)
+    tf = (
+        ts.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    den = tf_d + F.lit(_BM25_K1) * (
+        F.lit(_ONE_MINUS_B)
+        + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    term_score = (idf * (tf_d * F.lit(_K1P1))) / den
+    return (
+        scored.withColumn("ts_fp", fint(term_score, _BM25_SCALE))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            (F.sum("ts_fp").cast("double") / F.lit(_BM25_SCALE)).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+scalars AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS avgdl
+  FROM dl
+),
+ts AS (
+  SELECT doc_id, s.token FROM base, UNNEST(toks) AS s(token)
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ts WHERE token IN ({_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+df_tbl AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT t.doc_id,
+         (((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+          * (CAST(t.tf AS DOUBLE) * CAST({_K1P1!r} AS DOUBLE)))
+         / (CAST(t.tf AS DOUBLE)
+            + CAST({_BM25_K1!r} AS DOUBLE)
+              * (CAST({_ONE_MINUS_B!r} AS DOUBLE)
+                 + CAST({_BM25_B!r} AS DOUBLE)
+                   * (CAST(l.dl AS DOUBLE) / s.avgdl))) AS term_score
+  FROM tf t
+  JOIN df_tbl d USING (token)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN scalars s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       {sql_dsum('term_score', _BM25_SCALE)} AS bm25_score
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+"""
+
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+}
+
+ORACLES = {
+    "bm25_topk": _BM25_SQL,
+}

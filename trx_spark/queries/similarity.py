@@ -864,6 +864,157 @@ WHERE rank <= 10
 """
 
 
+# ---------------------------------------------------------------------
+# k-NN graph (bounded, LSH-bucket-blocked)
+# ---------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed k-nearest-neighbor graph over the embedding corpus —
+    the backbone structure for graph-based dedup clustering, label
+    propagation, and diversity analysis over training data.
+
+    Candidates are restricted to the (memoized) 8-plane LSH bucket, so
+    edge generation is an equi-join on bucket — never all-pairs — with
+    the same pre-join bucket-size cap as the MinHash banding
+    (invariant 6: a degenerate bucket degrades to a logged no-op, not a
+    quadratic join). Per-vector norms are computed BEFORE the self-join
+    and each candidate edge folds one fixed-point dot product. The
+    per-source top-k is a row_number window partitioned by the source
+    vector — thousands of small partitions, no global sort.
+
+    Output: (vec_id, nbr_id, cos_sim, knn_rank), ≤ _KNN_K rows per
+    vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = (
+        ann_lsh_buckets(spark, sf_dir)
+        .join(emb, "vec_id")
+        .withColumn("n1", _norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("bucket")
+    capped = (
+        b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= _LSH_BUCKET_CAP)
+        .drop("_bsz")
+    )
+    src = capped.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("ea"),
+        F.col("n1").alias("na"),
+    )
+    nbr = capped.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("eb"),
+        F.col("n1").alias("nb"),
+    )
+    pairs = src.join(nbr, ["bucket"]).filter(F.col("src_id") != F.col("nbr_id"))
+    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    wk = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim").isNotNull())
+        .withColumn("knn_rank", F.row_number().over(wk))
+        .filter(F.col("knn_rank") <= _KNN_K)
+        .select(
+            F.col("src_id").alias("vec_id"),
+            "nbr_id",
+            "cos_sim",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+        )
+    )
+
+
+_KNN_SQL = f"""
+WITH {_EX_CTE},
+{_BUCKETS_CTE},
+norms AS (
+  SELECT vec_id, {_fpsum_sql('x * x')} AS n1 FROM ex GROUP BY vec_id
+),
+bsz AS (SELECT bucket, count(*) AS c FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.vec_id, b.bucket FROM buckets b JOIN bsz USING (bucket)
+  WHERE bsz.c <= {_LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+pd AS (
+  SELECT p.src_id, p.nbr_id, {_fpsum_sql('xa.x * xb.x')} AS dot
+  FROM pairs p
+  JOIN ex xa ON xa.vec_id = p.src_id
+  JOIN ex xb ON xb.vec_id = p.nbr_id AND xb.pos = xa.pos
+  GROUP BY p.src_id, p.nbr_id
+),
+scored AS (
+  SELECT pd.src_id, pd.nbr_id, pd.dot / SQRT(na.n1 * nb.n1) AS cos_sim
+  FROM pd JOIN norms na ON na.vec_id = pd.src_id
+          JOIN norms nb ON nb.vec_id = pd.nbr_id
+  WHERE pd.dot / SQRT(na.n1 * nb.n1) IS NOT NULL
+)
+SELECT src_id AS vec_id, nbr_id, cos_sim, CAST(knn_rank AS INTEGER) AS knn_rank
+FROM (
+  SELECT src_id, nbr_id, cos_sim,
+         row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC)
+           AS knn_rank
+  FROM scored) z
+WHERE knn_rank <= {_KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------
+# Cluster-balanced (diversity) sampling over the trained codebook
+# ---------------------------------------------------------------------
+
+_CBS_PER_CELL = 5
+_CBS_A, _CBS_B = 69621, 30103  # deterministic per-cell shuffling hash
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: an equal number of vectors from every
+    trained k-means cell (uniform-per-cluster coreset — the standard
+    counter to majority-mode collapse when subsampling web-scale
+    embeddings; cf. cluster-balanced selection in SemDeDup-style
+    curation pipelines).
+
+    Rides the memoized trained codebook (one Lloyd training per
+    session, shared with kmeans_cells / ann_ivf_trained_topk /
+    semantic_dedup); its own work is one row_number window PARTITIONED
+    BY CELL over an affine-hash order — per-cell reservoirs, no global
+    sort, reproducible under retries (rank is a pure function of
+    vec_id).
+
+    Output: (cid, vec_id, pick_rank), ≤ _CBS_PER_CELL rows per cell."""
+    assign = argmax_cell(_trained_scored(spark, sf_dir)).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    rk = (F.lit(_CBS_A) * F.col("vec_id") + F.lit(_CBS_B)) % F.lit(2147483647)
+    w = Window.partitionBy("cid").orderBy(rk.asc(), F.col("vec_id").asc())
+    return (
+        assign.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _CBS_PER_CELL)
+        .select("cid", "vec_id", F.col("pick_rank").cast("int").alias("pick_rank"))
+    )
+
+
+_CBS_SQL = f"""
+WITH assign AS ({_KMEANS_SQL})
+SELECT cid, vec_id, CAST(pick_rank AS INTEGER) AS pick_rank
+FROM (
+  SELECT cid, vec_id,
+         row_number() OVER (
+           PARTITION BY cid
+           ORDER BY ({_CBS_A} * vec_id + {_CBS_B}) % 2147483647 ASC, vec_id ASC)
+           AS pick_rank
+  FROM assign) z
+WHERE pick_rank <= {_CBS_PER_CELL}
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -873,6 +1024,8 @@ QUERIES = {
     "pq_codes": pq_codes,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "knn_graph": knn_graph,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -884,4 +1037,6 @@ ORACLES = {
     "pq_codes": _PQ_CODES_SQL,
     "ann_pq_topk": _PQ_TOPK_SQL,
     "ann_ivfpq_topk": _IVFPQ_SQL,
+    "knn_graph": _KNN_SQL,
+    "cluster_balanced_sample": _CBS_SQL,
 }

@@ -1,0 +1,210 @@
+"""Cardinality sketches for corpus statistics: HyperLogLog distinct
+counts (Flajolet–Fuchs–Gandouet–Meunier 2007), built entirely from
+deterministic integer arithmetic so the DuckDB oracle reproduces the
+sketch bit-for-bit.
+
+Why this exists at 100 TB: an exact per-source distinct-token count
+(``COUNT(DISTINCT token)``) must shuffle every distinct token of the
+corpus to its (source, token) reducer — the shuffle is proportional to
+the vocabulary. The HLL register table is partially aggregatable: the
+map side collapses each partition to at most ``m`` rows per source
+(64 here) before anything crosses the wire, so the shuffle volume is
+O(sources · m) no matter how many tokens feed it — the same shape as
+the count-min sketch in :mod:`trx_spark.queries.curation`.
+
+Reference anchor: the reference engine keeps per-run distinct counts of
+scan points / delays driver-side (trx/dataReduction.py:120-140 builds
+``np.unique`` tables in memory); this is the sketch that replaces that
+pattern when the key space no longer fits one node.
+
+Determinism notes (the oracle-parity contract):
+
+- token → id is the shared char-fold hash (:func:`textdata._tok_hash`);
+  the spread hash is one affine map mod the Mersenne prime — pure
+  BIGINT math in both engines.
+- the register index is the low 6 bits, the rank input the high 25;
+  rank-of-first-set-bit is ``26 − bitlength(w)`` with bitlength taken
+  as ``length(bin(w))`` — Spark's ``bin`` and DuckDB's ``bin`` both
+  print minimal binary strings, asserted equal in tests.
+- the harmonic denominator is accumulated as exact powers of two in a
+  BIGINT (``2^(30−rho)``), so the only float op is the final constant
+  division — one IEEE divide of exact integers, identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.queries.curation import _token_stream
+from trx_spark.queries.textdata import _P, _TOKEN_RE, _tok_hash, _tok_hash_sql
+
+# m = 2^6 = 64 registers: ±13 % standard error — the gate checks the
+# CONSTRUCTION bit-exactly, production raises p for tighter error.
+_HLL_P_BITS = 6
+_HLL_M = 1 << _HLL_P_BITS          # 64
+_HLL_WBITS = 31 - _HLL_P_BITS      # 25 rank-input bits (h < 2^31)
+_HLL_A, _HLL_B = 48271, 11213      # spread hash (Lehmer multiplier)
+_HLL_ALPHA = 0.709                 # alpha_64 from the HLL paper
+# estimate = alpha·m² / Σ 2^-rho ; we accumulate Σ 2^(30-rho) exactly in
+# a BIGINT, so the numerator carries the matching 2^30 scale. Single
+# precomputed double literal → both engines parse the identical value.
+_HLL_NUM = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << 30)
+
+# Small-range correction (the raw estimator reads ~2× high when
+# n ≲ m): Flajolet's linear-counting branch E = m·ln(m/V) with V =
+# number of zero registers. V is an integer in 1..m, so the ln — the
+# one transcendental the parity gate cannot trust across libm
+# implementations — is a 64-entry CONSTANT table precomputed in Python
+# and embedded verbatim in both engines (repr round-trips doubles, so
+# each engine indexes the bit-identical constant).
+import math as _math
+
+_LC_TABLE = [float(_HLL_M) * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+_LC_THRESHOLD = 2.5 * _HLL_M  # use linear counting below this raw estimate
+
+
+def _dlit(v: float) -> str:
+    """A DuckDB literal guaranteed to parse as DOUBLE: an exponent
+    forces the approximate-literal path (plain decimals with > 15
+    significant digits go through DECIMAL, whose → DOUBLE conversion
+    can be off by an ulp vs strtod for mantissas beyond 2^53)."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+_LC_TABLE_SQL = "[" + ", ".join(_dlit(v) for v in _LC_TABLE) + "]"
+
+
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality: HLL estimate next to the
+    exact count (the exact side exists to exhibit the sketch's error —
+    a production pipeline keeps only the register aggregation).
+
+    Output: (source, n_registers_hit, harmonic_denom, hll_estimate,
+    exact_distinct).
+
+    Plan shape: token stream → register/rank projection (map-side) →
+    partial-aggregatable MAX per (source, register) — ≤ 64 rows per
+    source per partition cross the shuffle — → per-source fold of the
+    64 registers. The exact branch is the classic two-phase distinct
+    (group on (source, token) then count), the very shuffle the sketch
+    avoids."""
+    ts = _token_stream(spark, sf_dir)  # (doc_id, source, token), memoized
+    tid = _tok_hash(F.col("token"))
+    h = (F.lit(_HLL_A) * tid + F.lit(_HLL_B)) % F.lit(_P)
+    reg = F.floor(h % _HLL_M).cast("long")
+    wv = F.floor(h / F.lit(float(_HLL_M))).cast("long")
+    rho = F.when(F.col("wv") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("wv")))
+    )
+    regs = (
+        ts.select("source", reg.alias("reg"), wv.alias("wv"))
+        .withColumn("rho", rho)
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("rmax"))
+    )
+    per_src = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_registers_hit"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - rmax AS INT))")
+        ).alias("s_hit"),
+    )
+    denom = (
+        F.col("s_hit")
+        + (F.lit(_HLL_M).cast("long") - F.col("n_registers_hit"))
+        * F.lit(1 << 30).cast("long")
+    ).alias("harmonic_denom")
+    sk = (
+        per_src.select(
+            "source",
+            F.col("n_registers_hit").cast("long").alias("n_registers_hit"),
+            denom,
+        )
+        .withColumn("hll_raw", F.lit(_HLL_NUM) / F.col("harmonic_denom").cast("double"))
+        .withColumn("n_zero", F.lit(_HLL_M).cast("long") - F.col("n_registers_hit"))
+        .withColumn(
+            "hll_estimate",
+            F.when(
+                (F.col("hll_raw") <= F.lit(_LC_THRESHOLD)) & (F.col("n_zero") > 0),
+                F.element_at(
+                    F.array(*[F.lit(v) for v in _LC_TABLE]),
+                    F.col("n_zero").cast("int"),
+                ),
+            ).otherwise(F.col("hll_raw")),
+        )
+    )
+    exact = ts.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    return sk.join(exact, "source").select(
+        "source",
+        "n_registers_hit",
+        "harmonic_denom",
+        "hll_raw",
+        "hll_estimate",
+        "exact_distinct",
+    )
+
+
+_HLL_SQL = f"""
+WITH ts AS (
+  SELECT source, s.token
+  FROM (SELECT source, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+hashed AS (
+  SELECT source,
+         ({_HLL_A} * {_tok_hash_sql('token')} + {_HLL_B}) % {_P} AS h
+  FROM ts
+),
+rr AS (
+  SELECT source,
+         CAST(FLOOR(h % {_HLL_M}) AS BIGINT) AS reg,
+         CAST(FLOOR(h / {float(_HLL_M)!r}) AS BIGINT) AS wv
+  FROM hashed
+),
+regs AS (
+  SELECT source, reg,
+         MAX(CASE WHEN wv = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(wv)) END) AS rmax
+  FROM rr GROUP BY source, reg
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+         CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(30 - rmax AS INTEGER)) AS BIGINT) AS BIGINT) AS s_hit
+  FROM regs GROUP BY source
+),
+sk AS (
+  SELECT source, n_registers_hit,
+         s_hit + (CAST({_HLL_M} AS BIGINT) - n_registers_hit) * CAST({1 << 30} AS BIGINT)
+           AS harmonic_denom
+  FROM per_src
+),
+exact AS (
+  SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+  FROM ts GROUP BY source
+),
+est AS (
+  SELECT source, n_registers_hit, harmonic_denom,
+         CAST({_HLL_NUM!r} AS DOUBLE) / CAST(harmonic_denom AS DOUBLE) AS hll_raw,
+         CAST({_HLL_M} AS BIGINT) - n_registers_hit AS n_zero
+  FROM sk
+)
+SELECT est.source, est.n_registers_hit, est.harmonic_denom, est.hll_raw,
+       CASE WHEN est.hll_raw <= CAST({_LC_THRESHOLD!r} AS DOUBLE) AND est.n_zero > 0
+            THEN list_extract({_LC_TABLE_SQL}, CAST(est.n_zero AS INTEGER))
+            ELSE est.hll_raw END AS hll_estimate,
+       exact.exact_distinct
+FROM est JOIN exact USING (source)
+"""
+
+
+QUERIES = {
+    "hll_distinct_tokens": hll_distinct_tokens,
+}
+
+ORACLES = {
+    "hll_distinct_tokens": _HLL_SQL,
+}
