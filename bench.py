@@ -112,6 +112,7 @@ HEADLINE = [
     "bm25_topk",
     "knn_graph",
     "cluster_balanced_sample",
+    "doclen_quantiles",
 ]
 
 

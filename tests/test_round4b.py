@@ -79,6 +79,30 @@ def test_bm25_golden_recompute(spark, sf_dir):
         assert math.isclose(r["bm25_score"], scores[r["doc_id"]], rel_tol=1e-6)
 
 
+def test_doclen_quantile_sketch_bounds(spark, sf_dir):
+    """The histogram sketch returns the upper edge of the bin holding
+    the ceil(p·n)-th smallest value: it must dominate the exact
+    interpolated percentile and sit within one bin width of the order
+    statistic (absent CAP clamping)."""
+    from trx_spark.queries.sketches import _HIST_W, _QUANTILES, doclen_quantiles
+    from trx_spark.tables import load_table
+
+    lens: dict = {}
+    for r in load_table(spark, sf_dir, "documents").select("source", "n_chars").collect():
+        lens.setdefault(r["source"], []).append(r["n_chars"])
+    for v in lens.values():
+        v.sort()
+    for r in doclen_quantiles(spark, sf_dir).collect():
+        vals = lens[r["source"]]
+        assert r["n_docs"] == len(vals)
+        for p in _QUANTILES:
+            tag = str(int(p * 100))
+            sketch, exact = r[f"p{tag}_sketch"], r[f"p{tag}_exact"]
+            kth = vals[math.ceil(p * len(vals)) - 1]
+            assert exact <= sketch + 1e-9, (r["source"], p, exact, sketch)
+            assert kth <= sketch < kth + _HIST_W + 1, (r["source"], p, kth, sketch)
+
+
 def test_knn_graph_structure(spark, sf_dir):
     from trx_spark.queries.similarity import _KNN_K, knn_graph
     from trx_spark.queries.textdata import ann_lsh_buckets

@@ -201,10 +201,122 @@ FROM est JOIN exact USING (source)
 """
 
 
+# ---------------------------------------------------------------------
+# Histogram quantile sketch (per-source length distribution)
+# ---------------------------------------------------------------------
+
+# Fixed-width histogram: bin = min(floor(n_chars / W), CAP). The
+# per-(source, bin) count is partially aggregatable with AT MOST
+# CAP+1 rows per source per partition crossing the shuffle — the
+# mergeable-summary shape (Greenwald–Khanna / t-digest territory, done
+# here with the simplest deterministic member of the family). The
+# EXACT percentile carried alongside funnels every value of a source
+# through its reducer — the contrast is the query's point, as with the
+# HLL above.
+_HIST_W = 64
+_HIST_CAP = 255          # bins ≥ CAP clamp: bounded state by construction
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles: histogram-sketch estimate
+    (upper bin edge — a ≤ W-char overestimate) next to the exact
+    interpolated percentile.
+
+    Output: (source, n_docs, p50_sketch, p50_exact, p90_sketch,
+    p90_exact, p99_sketch, p99_exact)."""
+    from trx_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    bins = (
+        docs.select(
+            "source",
+            F.least(
+                F.floor(F.col("n_chars") / F.lit(float(_HIST_W))).cast("long"),
+                F.lit(_HIST_CAP).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("cum", F.sum("c").over(wcum))
+    totals = bins.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    j = cum.join(totals, "source")
+    edge = (F.col("bin") + 1) * _HIST_W
+    sketch_aggs = []
+    for p in _QUANTILES:
+        k = F.ceil(F.lit(p) * F.col("n_docs").cast("double")).cast("long")
+        tag = str(int(p * 100))
+        sketch_aggs.append(
+            F.min(F.when(F.col("cum") >= k, edge)).alias(f"p{tag}_sketch")
+        )
+    sk = j.groupBy("source", "n_docs").agg(*sketch_aggs)
+    exact_aggs = [
+        F.expr(f"percentile(n_chars, {p!r})").alias(f"p{int(p * 100)}_exact")
+        for p in _QUANTILES
+    ]
+    exact = docs.groupBy("source").agg(*exact_aggs)
+    cols = ["source", "n_docs"]
+    for p in _QUANTILES:
+        tag = str(int(p * 100))
+        cols += [f"p{tag}_sketch", f"p{tag}_exact"]
+    return sk.join(exact, "source").select(*cols)
+
+
+def _q_sketch_sql(p: float) -> str:
+    tag = str(int(p * 100))
+    return (
+        f"MIN(CASE WHEN cum >= CAST(CEIL(CAST({p!r} AS DOUBLE) * "
+        f"CAST(n_docs AS DOUBLE)) AS BIGINT) "
+        f"THEN (bin + 1) * {_HIST_W} END) AS p{tag}_sketch"
+    )
+
+
+_DOCLEN_SQL = f"""
+WITH bins AS (
+  SELECT source,
+         LEAST(CAST(FLOOR(n_chars / {float(_HIST_W)!r}) AS BIGINT),
+               CAST({_HIST_CAP} AS BIGINT)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bin, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bins
+),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM bins GROUP BY source),
+sk AS (
+  SELECT cum.source, totals.n_docs,
+         {', '.join(_q_sketch_sql(p) for p in _QUANTILES)}
+  FROM cum JOIN totals USING (source)
+  GROUP BY cum.source, totals.n_docs
+),
+exact AS (
+  SELECT source,
+         {', '.join(f'quantile_cont(n_chars, CAST({p!r} AS DOUBLE)) AS p{int(p * 100)}_exact' for p in _QUANTILES)}
+  FROM documents GROUP BY source
+)
+SELECT sk.source, sk.n_docs,
+       {', '.join(f'sk.p{int(p * 100)}_sketch, exact.p{int(p * 100)}_exact' for p in _QUANTILES)}
+FROM sk JOIN exact USING (source)
+"""
+
+
 QUERIES = {
     "hll_distinct_tokens": hll_distinct_tokens,
+    "doclen_quantiles": doclen_quantiles,
 }
 
 ORACLES = {
     "hll_distinct_tokens": _HLL_SQL,
+    "doclen_quantiles": _DOCLEN_SQL,
 }
