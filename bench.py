@@ -113,6 +113,7 @@ HEADLINE = [
     "knn_graph",
     "cluster_balanced_sample",
     "doclen_quantiles",
+    "knn_pagerank",
 ]
 
 

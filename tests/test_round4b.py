@@ -127,6 +127,45 @@ def test_knn_graph_structure(spark, sf_dir):
         assert all(a >= b - 1e-12 for a, b in zip(sims, sims[1:]))
 
 
+def test_knn_pagerank_golden(spark, sf_dir):
+    """Recompute the 3-round lost-mass PageRank in plain Python from
+    the same edge list (same fixed-point transfer) and compare."""
+    from trx_spark.queries.similarity import (
+        _PR_DAMP,
+        _PR_ITERS,
+        _PR_SCALE,
+        knn_graph,
+        knn_pagerank,
+    )
+
+    edges = [
+        (r["vec_id"], r["nbr_id"]) for r in knn_graph(spark, sf_dir).collect()
+    ]
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        s_by_tgt = {v: 0 for v in nodes}
+        for s, t in edges:
+            s_by_tgt[t] += math.floor((pr[s] / outdeg[s]) * _PR_SCALE)
+        pr = {
+            v: (1.0 - _PR_DAMP) / n + _PR_DAMP * (s_by_tgt[v] / _PR_SCALE)
+            for v in nodes
+        }
+
+    got = knn_pagerank(spark, sf_dir).collect()
+    assert sorted(r["vec_id"] for r in got) == nodes
+    total = 0.0
+    for r in got:
+        assert r["pagerank"] == pytest.approx(pr[r["vec_id"]], rel=1e-12)
+        assert r["out_degree"] == outdeg.get(r["vec_id"], 0)
+        total += r["pagerank"]
+    assert 0.0 < total <= 1.0 + 1e-9  # lost-mass variant never exceeds 1
+
+
 def test_cluster_balanced_sample_structure(spark, sf_dir):
     from trx_spark.queries.similarity import (
         _CBS_PER_CELL,

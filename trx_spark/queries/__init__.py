@@ -78,7 +78,7 @@ _R04_FIRST = [
 # the driver's 50-row gate window this round too.
 _R04_NEW = [
     "hll_distinct_tokens", "bm25_topk", "knn_graph", "cluster_balanced_sample",
-    "doclen_quantiles",
+    "doclen_quantiles", "knn_pagerank",
 ]
 _order = (
     _R04_FIRST

@@ -1015,6 +1015,139 @@ WHERE pick_rank <= {_CBS_PER_CELL}
 """
 
 
+# ---------------------------------------------------------------------
+# PageRank centrality over the k-NN graph
+# ---------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_PR_BASE = 1.0 - _PR_DAMP  # 0.15
+_PR_SCALE = 1e12  # per-key sums ≤ bucket_cap·1e12 — bounded by construction
+
+
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed k-NN graph: centrality-based
+    canonical selection (the most "central" member of a near-duplicate
+    neighborhood is the natural keeper; peripheral members are the
+    duplicates to drop).
+
+    Fixed-iteration (3 rounds, d=0.85, uniform init, dangling mass
+    dropped — the lost-mass variant) so the oracle unrolls the same
+    rounds as CTEs. The per-iteration transfer sums are fixed-point
+    BIGINTs; each target's incoming sum carries at most
+    bucket_cap−1 terms (in-edges only arrive from the same capped LSH
+    bucket), so the accumulator is bounded BY CONSTRUCTION at any
+    corpus size.
+
+    Scale shape: the same iterative keyed-equi-join discipline as
+    ``dedup_clusters`` (operators/graph.py) — per round one
+    edge⋈rank join and one groupBy on the target id, edges
+    localCheckpoint'ed once up front, lineage kept flat, nothing
+    driver-side.
+
+    Output: (vec_id, out_degree, pagerank)."""
+    edges = (
+        knn_graph(spark, sf_dir).select("vec_id", "nbr_id").localCheckpoint()
+    )
+    nodes = (
+        edges.select("vec_id")
+        .unionByName(edges.select(F.col("nbr_id").alias("vec_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).alias("out_degree"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    base = F.lit(_PR_BASE) / F.col("nn").cast("double")
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).withColumn(
+        "pr", F.lit(1.0) / F.col("nn").cast("double")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.select("vec_id", "pr"), "vec_id")
+            .join(outdeg, "vec_id")
+            .select(
+                F.col("nbr_id").alias("vec_id"),
+                F.floor(
+                    (F.col("pr") / F.col("out_degree").cast("double"))
+                    * F.lit(_PR_SCALE)
+                )
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("t").alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(contrib, "vec_id", "left")
+            .withColumn(
+                "pr",
+                base
+                + F.lit(_PR_DAMP)
+                * (
+                    F.coalesce(F.col("s"), F.lit(0).cast("long")).cast("double")
+                    / F.lit(_PR_SCALE)
+                ),
+            )
+            .select("vec_id", "nn", "pr")
+            .localCheckpoint()
+        )
+    return (
+        pr.join(outdeg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("out_degree"), F.lit(0).cast("long")).alias("out_degree"),
+            F.col("pr").alias("pagerank"),
+        )
+    )
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out}_c AS (
+  SELECT e.nbr_id AS vec_id,
+         CAST(SUM(CAST(FLOOR((p.pr / CAST(o.out_degree AS DOUBLE)) * {_PR_SCALE!r}) AS BIGINT)) AS BIGINT) AS s
+  FROM knn_edges e
+  JOIN {prev} p ON p.vec_id = e.vec_id
+  JOIN outdeg o ON o.vec_id = e.vec_id
+  GROUP BY e.nbr_id
+),
+{out} AS (
+  SELECT n.vec_id,
+         CAST({_PR_BASE!r} AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+           + CAST({_PR_DAMP!r} AS DOUBLE)
+             * (CAST(COALESCE(c.s, CAST(0 AS BIGINT)) AS DOUBLE) / {_PR_SCALE!r}) AS pr
+  FROM nodes n CROSS JOIN n_nodes nn
+  LEFT JOIN {out}_c c ON c.vec_id = n.vec_id
+)"""
+
+
+_PR_SQL = (
+    f"""
+WITH knn AS ({_KNN_SQL}),
+knn_edges AS (SELECT vec_id, nbr_id FROM knn),
+nodes AS (
+  SELECT DISTINCT vec_id FROM (
+    SELECT vec_id FROM knn_edges UNION ALL SELECT nbr_id AS vec_id FROM knn_edges) u
+),
+outdeg AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS out_degree FROM knn_edges GROUP BY vec_id
+),
+n_nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+pr0 AS (
+  SELECT n.vec_id, CAST(1.0 AS DOUBLE) / CAST(nn.nn AS DOUBLE) AS pr
+  FROM nodes n CROSS JOIN n_nodes nn
+),"""
+    + ",".join(_pr_round_sql(f"pr{i}", f"pr{i + 1}") for i in range(_PR_ITERS))
+    + f"""
+SELECT p.vec_id,
+       COALESCE(o.out_degree, CAST(0 AS BIGINT)) AS out_degree,
+       p.pr AS pagerank
+FROM pr{_PR_ITERS} p LEFT JOIN outdeg o ON o.vec_id = p.vec_id
+"""
+)
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1026,6 +1159,7 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "knn_graph": knn_graph,
     "cluster_balanced_sample": cluster_balanced_sample,
+    "knn_pagerank": knn_pagerank,
 }
 
 ORACLES = {
@@ -1039,4 +1173,5 @@ ORACLES = {
     "ann_ivfpq_topk": _IVFPQ_SQL,
     "knn_graph": _KNN_SQL,
     "cluster_balanced_sample": _CBS_SQL,
+    "knn_pagerank": _PR_SQL,
 }
