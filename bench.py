@@ -114,6 +114,10 @@ HEADLINE = [
     "cluster_balanced_sample",
     "doclen_quantiles",
     "knn_pagerank",
+    "curriculum_phases",
+    "priority_sample",
+    "event_funnel",
+    "cohort_retention",
 ]
 
 

@@ -127,6 +127,121 @@ def test_knn_graph_structure(spark, sf_dir):
         assert all(a >= b - 1e-12 for a, b in zip(sims, sims[1:]))
 
 
+def test_curriculum_phases_structure(spark, sf_dir):
+    from trx_spark.queries.curriculum import _CURR_N_SHARDS, curriculum_phases
+
+    rows = curriculum_phases(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    by_phase = {0: 0, 1: 0, 2: 0}
+    for r in rows:
+        assert r["phase"] in (0, 1, 2)
+        assert 0 <= r["shard"] < _CURR_N_SHARDS
+        assert r["quality_score"] > 0
+        by_phase[r["phase"]] += 1
+    # percentile cuts at 33/66 % → each phase holds roughly a third
+    for ph, c in by_phase.items():
+        assert 0.15 * n < c < 0.55 * n, (ph, c, n)
+
+
+def test_priority_sample_golden(spark, sf_dir):
+    """Recompute the deterministic priorities in Python and check the
+    per-source top-k choice."""
+    from trx_spark.queries.curriculum import _P as P
+    from trx_spark.queries.curriculum import (
+        _PRI_A,
+        _PRI_B,
+        _PRI_K,
+        priority_sample,
+    )
+    from trx_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    pri = {}
+    by_src: dict = {}
+    for r in docs:
+        h = (_PRI_A * r["doc_id"] + _PRI_B) % P
+        pri[r["doc_id"]] = (float(r["n_chars"]) * float(P)) / float(h + 1)
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    want = {
+        src: sorted(ids, key=lambda d: (-pri[d], d))[:_PRI_K]
+        for src, ids in by_src.items()
+    }
+    got: dict = {}
+    for r in priority_sample(spark, sf_dir).collect():
+        got.setdefault(r["source"], []).append((r["pick_rank"], r["doc_id"]))
+        assert r["priority"] == pytest.approx(pri[r["doc_id"]], rel=1e-12)
+    for src, pairs in got.items():
+        assert [d for _, d in sorted(pairs)] == want[src]
+
+
+def test_event_funnel_golden(spark, sf_dir):
+    from trx_spark.queries.temporal import _FUNNEL_WIN_US, event_funnel
+    from trx_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_type", "ts_ns DIV 1000 AS t_us")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["t_us"], r["event_type"]))
+    want = {}
+    for u, evs in by_user.items():
+        views = [t for t, k in evs if k == "view"]
+        if not views:
+            continue
+        tv = min(views)
+        clicks = [t for t, k in evs if k == "click" and tv < t <= tv + _FUNNEL_WIN_US]
+        tc = min(clicks) if clicks else None
+        tp = None
+        if tc is not None:
+            purch = [
+                t for t, k in evs if k == "purchase" and tc < t <= tc + _FUNNEL_WIN_US
+            ]
+            tp = min(purch) if purch else None
+        want[u] = (tv, tc, tp, 1 + (tc is not None) + (tp is not None))
+
+    got = {
+        r["user_id"]: (
+            r["t_view_us"],
+            r["t_click_us"],
+            r["t_purchase_us"],
+            r["funnel_stage"],
+        )
+        for r in event_funnel(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cohort_retention_golden(spark, sf_dir):
+    from trx_spark.queries.temporal import _DAY_US, cohort_retention
+    from trx_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "ts_ns DIV 1000 AS t_us")
+        .collect()
+    )
+    days: dict = {}
+    for r in ev:
+        days.setdefault(r["user_id"], set()).add(r["t_us"] // _DAY_US)
+    want: dict = {}
+    for u, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            want[(c, d - c)] = want.get((c, d - c), 0) + 1
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_active_users"]
+        for r in cohort_retention(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(off >= 0 for _, off in got)
+
+
 def test_knn_pagerank_golden(spark, sf_dir):
     """Recompute the 3-round lost-mass PageRank in plain Python from
     the same edge list (same fixed-point transfer) and compare."""

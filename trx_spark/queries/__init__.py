@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from trx_spark.queries import (
     corpus,
     curation,
+    curriculum,
     packing,
     ranking,
     relational,
@@ -45,6 +46,7 @@ for mod in (
     curation,
     packing,
     temporal,
+    curriculum,
     sketches,
     ranking,
     streamingq,
@@ -73,12 +75,14 @@ _R04_FIRST = [
     "streaming_windowed_counts", "streaming_dedup_keys",
     "streaming_session_stats", "streaming_attribution_join",
 ]
-# Round-4 additions (sketches / ranking / knn / diversity-sample) slot
-# in right behind the rotated block: 37 + 4 = 41 < 50, so they enter
-# the driver's 50-row gate window this round too.
+# Round-4 additions (sketches / ranking / knn graph+pagerank /
+# diversity sample / curriculum / funnel+cohort) slot in right behind
+# the rotated block: 37 + 10 = 47 < 50, so they enter the driver's
+# 50-row gate window this round too.
 _R04_NEW = [
     "hll_distinct_tokens", "bm25_topk", "knn_graph", "cluster_balanced_sample",
-    "doclen_quantiles", "knn_pagerank",
+    "doclen_quantiles", "knn_pagerank", "curriculum_phases",
+    "priority_sample", "event_funnel", "cohort_retention",
 ]
 _order = (
     _R04_FIRST

@@ -1,0 +1,183 @@
+"""Training-order construction: quality-curriculum phase assignment and
+weighted (priority) sampling — the stage between corpus curation and
+the packed training shards, where a pipeline decides WHAT ORDER and
+WITH WHAT PROBABILITY the surviving documents are seen.
+
+Both operators follow the engine's global-statistics discipline
+(PLANS invariant 7): corpus-level thresholds are exact-percentile
+AGGREGATES whose 1-row result is broadcast back — never a global sort
+or a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.queries.textdata import _P, _TOKEN_RE
+from trx_spark.tables import load_table
+
+# ---------------------------------------------------------------------
+# Quality-curriculum phases
+# ---------------------------------------------------------------------
+
+_CURR_N_SHARDS = 8
+_CURR_A, _CURR_B = 1229, 48611  # shard-assignment affine hash
+_CURR_CUTS = (0.33, 0.66)
+
+
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum assignment: split the corpus into three
+    phases by a monotone quality proxy (lexical diversity × mean word
+    length — rational arithmetic only, so the gate checks it exactly)
+    and hash-shard within each phase. A curriculum/annealing schedule
+    then trains phase 0 → 1 → 2 (lowest quality first, highest-quality
+    data last — the standard annealing order).
+
+    Plan: the score is a zero-shuffle scan projection; the two phase
+    cuts are ONE exact-percentile aggregate broadcast back (two-pass
+    global statistic, invariant 7); shard assignment is a pure hash —
+    the whole query carries no corpus-sized shuffle at all.
+
+    Output: (doc_id, quality_score, phase, shard)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    tc = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    score = (nd.cast("double") / n.cast("double")) * (
+        tc.cast("double") / n.cast("double")
+    )
+    scored = docs.select("doc_id", n.alias("n"), score.alias("quality_score")).filter(
+        F.col("n") > 0
+    )
+    cuts = scored.agg(
+        F.expr(f"percentile(quality_score, {_CURR_CUTS[0]!r})").alias("c1"),
+        F.expr(f"percentile(quality_score, {_CURR_CUTS[1]!r})").alias("c2"),
+    )
+    phase = (
+        F.when(F.col("quality_score") <= F.col("c1"), 0)
+        .when(F.col("quality_score") <= F.col("c2"), 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    shard = (
+        ((F.lit(_CURR_A) * F.col("doc_id") + F.lit(_CURR_B)) % F.lit(_P))
+        % F.lit(_CURR_N_SHARDS)
+    ).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "quality_score",
+            phase.alias("phase"),
+            shard.alias("shard"),
+        )
+    )
+
+
+_CURR_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tc
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t
+),
+scored AS (
+  SELECT doc_id, n,
+         (CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)) AS quality_score
+  FROM m WHERE n > 0
+),
+cuts AS (
+  SELECT quantile_cont(quality_score, CAST({_CURR_CUTS[0]!r} AS DOUBLE)) AS c1,
+         quantile_cont(quality_score, CAST({_CURR_CUTS[1]!r} AS DOUBLE)) AS c2
+  FROM scored
+)
+SELECT doc_id, quality_score,
+       CAST(CASE WHEN quality_score <= c1 THEN 0
+                 WHEN quality_score <= c2 THEN 1
+                 ELSE 2 END AS INTEGER) AS phase,
+       CAST((({_CURR_A} * doc_id + {_CURR_B}) % {_P}) % {_CURR_N_SHARDS} AS INTEGER) AS shard
+FROM scored CROSS JOIN cuts
+"""
+
+
+# ---------------------------------------------------------------------
+# Priority sampling (weighted without-replacement, per source)
+# ---------------------------------------------------------------------
+
+_PRI_K = 10
+_PRI_A, _PRI_B = 2045213, 1013904223  # the deterministic "uniform" draw
+
+
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sample, k per source, by PRIORITY
+    SAMPLING (Duffield–Lund–Thorup 2007): each item draws priority
+    w/u with u uniform on (0,1], and the k highest priorities per
+    stratum are kept — inclusion probability ∝ weight with strong
+    subset-sum estimation guarantees. Here w = n_chars (longer
+    documents proportionally more likely) and u is the deterministic
+    affine-hash draw u = (h+1)/P — reproducible under retries and
+    bit-equal in the oracle.
+
+    The per-source top-k is a row_number window partitioned by source
+    (per-stratum reservoirs, no global sort) — the per_source_sample
+    discipline.
+
+    Output: (source, doc_id, n_chars, priority, pick_rank)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    h = (F.lit(_PRI_A) * F.col("doc_id") + F.lit(_PRI_B)) % F.lit(_P)
+    # priority = w / u = w·P / (h+1): one multiply + one divide, both
+    # IEEE-exact-identical across engines
+    pri = (F.col("n_chars").cast("double") * F.lit(float(_P))) / (
+        (h + 1).cast("double")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("priority", pri)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _PRI_K)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "priority",
+            F.col("pick_rank").cast("int").alias("pick_rank"),
+        )
+    )
+
+
+_PRI_SQL = f"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars,
+         (CAST(n_chars AS DOUBLE) * CAST({float(_P)!r} AS DOUBLE))
+           / CAST((({_PRI_A} * doc_id + {_PRI_B}) % {_P}) + 1 AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT source, doc_id, n_chars, priority, CAST(pick_rank AS INTEGER) AS pick_rank
+FROM (
+  SELECT source, doc_id, n_chars, priority,
+         row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id ASC)
+           AS pick_rank
+  FROM pri) z
+WHERE pick_rank <= {_PRI_K}
+"""
+
+
+QUERIES = {
+    "curriculum_phases": curriculum_phases,
+    "priority_sample": priority_sample,
+}
+
+ORACLES = {
+    "curriculum_phases": _CURR_SQL,
+    "priority_sample": _PRI_SQL,
+}

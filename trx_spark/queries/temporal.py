@@ -68,5 +68,159 @@ GROUP BY c.event_id, c.user_id, epoch_us(c.ts)
 """
 
 
-QUERIES = {"events_range_join": events_range_join}
-ORACLES = {"events_range_join": _RANGE_JOIN_SQL}
+# ---------------------------------------------------------------------
+# Funnel analysis: view → click → purchase per user
+# ---------------------------------------------------------------------
+
+_FUNNEL_WIN_US = 24 * 3600 * 1_000_000  # each stage within 24 h of the prior
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic conversion funnel: per user, the FIRST view, then the
+    earliest click within 24 h after it, then the earliest purchase
+    within 24 h after that click. ``funnel_stage`` ∈ {1, 2, 3} = how
+    deep the user got.
+
+    Plan shape: three keyed (user_id) min-aggregates chained by
+    broadcast-or-shuffle equi-joins — no window, no non-equi join (the
+    24 h bound is a residual predicate on an equi-join, same policy as
+    events_range_join). All comparisons on integer micros.
+
+    Output: (user_id, t_view_us, t_click_us, t_purchase_us,
+    funnel_stage)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("t_us")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_view_us"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("t_us") > F.col("t_view_us"))
+            & (F.col("t_us") <= F.col("t_view_us") + _FUNNEL_WIN_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_click_us"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("t_us") > F.col("t_click_us"))
+            & (F.col("t_us") <= F.col("t_click_us") + _FUNNEL_WIN_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_purchase_us"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click_us").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase_us").isNotNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view_us",
+            "t_click_us",
+            "t_purchase_us",
+            stage.alias("funnel_stage"),
+        )
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+),
+views AS (
+  SELECT user_id, MIN(t_us) AS t_view_us FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, MIN(e.t_us) AS t_click_us
+  FROM ev e JOIN views v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.t_us > v.t_view_us AND e.t_us <= v.t_view_us + {_FUNNEL_WIN_US}
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, MIN(e.t_us) AS t_purchase_us
+  FROM ev e JOIN clicks c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.t_us > c.t_click_us AND e.t_us <= c.t_click_us + {_FUNNEL_WIN_US}
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us,
+       CAST(1 + (CASE WHEN c.t_click_us IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN p.t_purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+            AS INTEGER) AS funnel_stage
+FROM views v
+LEFT JOIN clicks c ON c.user_id = v.user_id
+LEFT JOIN purchases p ON p.user_id = v.user_id
+"""
+
+
+# ---------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day
+    (their cohort); for each (cohort_day, day_offset) the number of
+    distinct cohort members active that many days later.
+
+    Plan: one keyed min-agg for the cohort table, one equi-join back
+    on user_id, one (cohort, offset) count-distinct — every shuffle
+    keyed, offsets are integer day arithmetic on micros.
+
+    Output: (cohort_day, day_offset, n_active_users)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("t_us")
+    )
+    days = ev.select("user_id", F.expr(f"t_us DIV {_DAY_US}").alias("day"))
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+_COHORT_SQL = f"""
+WITH days AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active_users
+FROM days d JOIN cohort c USING (user_id)
+GROUP BY c.cohort_day, d.day - c.cohort_day
+"""
+
+
+QUERIES = {
+    "events_range_join": events_range_join,
+    "event_funnel": event_funnel,
+    "cohort_retention": cohort_retention,
+}
+ORACLES = {
+    "events_range_join": _RANGE_JOIN_SQL,
+    "event_funnel": _FUNNEL_SQL,
+    "cohort_retention": _COHORT_SQL,
+}
