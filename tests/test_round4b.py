@@ -38,6 +38,52 @@ def test_hll_registers_bounded(spark, sf_dir):
         assert r["harmonic_denom"] > 0
 
 
+def test_hll_merge_property(spark, sf_dir):
+    """The defining sketch property: registers merged by MAX across two
+    disjoint sub-streams equal the registers of the combined stream —
+    i.e. the partial aggregation the 100 TB plan relies on is lossless.
+    Recomputed in Python from the same hash construction."""
+    from trx_spark.queries.sketches import _HLL_A, _HLL_B, _HLL_M, _HLL_WBITS
+    from trx_spark.queries.textdata import _P
+    from trx_spark.tables import load_table
+    import re as _re
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def tok_hash(t):
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % _P
+        return acc
+
+    def registers(texts):
+        regs = {}
+        for txt in texts:
+            for t in _re.findall("[a-z]+", txt):
+                h = (_HLL_A * tok_hash(t) + _HLL_B) % _P
+                reg, w = h % _HLL_M, h // _HLL_M
+                rho = (_HLL_WBITS + 1) if w == 0 else (_HLL_WBITS + 1 - w.bit_length())
+                regs[reg] = max(regs.get(reg, 0), rho)
+        return regs
+
+    half_a = [r["text"] for r in docs if r["doc_id"] % 2 == 0]
+    half_b = [r["text"] for r in docs if r["doc_id"] % 2 == 1]
+    ra, rb, rall = registers(half_a), registers(half_b), registers(half_a + half_b)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == rall
+
+    # and the Python construction matches the engine's register counts
+    from trx_spark.queries.sketches import hll_distinct_tokens
+
+    src_docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    by_src: dict = {}
+    for r in src_docs:
+        by_src.setdefault(r["source"], []).append(r["text"])
+    got = {r["source"]: r["n_registers_hit"] for r in hll_distinct_tokens(spark, sf_dir).collect()}
+    for src, n_hit in got.items():
+        assert n_hit == len(registers(by_src[src])), src
+
+
 def test_bm25_golden_recompute(spark, sf_dir):
     """Recompute BM25 (log-free idf surrogate) in numpy from the raw
     documents and compare the top-20 ranking."""
