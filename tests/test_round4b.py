@@ -7,7 +7,6 @@ from __future__ import annotations
 import math
 import re
 
-import numpy as np
 import pytest
 
 
@@ -85,8 +84,8 @@ def test_hll_merge_property(spark, sf_dir):
 
 
 def test_bm25_golden_recompute(spark, sf_dir):
-    """Recompute BM25 (log-free idf surrogate) in numpy from the raw
-    documents and compare the top-20 ranking."""
+    """Recompute BM25 (log-free idf surrogate) in plain Python from
+    the raw documents and compare the top-20 ranking."""
     from trx_spark.queries.ranking import (
         _BM25_B,
         _BM25_K1,
@@ -127,10 +126,16 @@ def test_bm25_golden_recompute(spark, sf_dir):
 
 def test_doclen_quantile_sketch_bounds(spark, sf_dir):
     """The histogram sketch returns the upper edge of the bin holding
-    the ceil(p·n)-th smallest value: it must dominate the exact
-    interpolated percentile and sit within one bin width of the order
-    statistic (absent CAP clamping)."""
-    from trx_spark.queries.sketches import _HIST_W, _QUANTILES, doclen_quantiles
+    the ceil(p·n)-th smallest value — exactly (absent CAP clamping).
+    The interpolated exact percentile is NOT bounded by the sketch in
+    general (interpolation reads past the order statistic), so the
+    test pins the true invariant only."""
+    from trx_spark.queries.sketches import (
+        _HIST_CAP,
+        _HIST_W,
+        _QUANTILES,
+        doclen_quantiles,
+    )
     from trx_spark.tables import load_table
 
     lens: dict = {}
@@ -143,10 +148,10 @@ def test_doclen_quantile_sketch_bounds(spark, sf_dir):
         assert r["n_docs"] == len(vals)
         for p in _QUANTILES:
             tag = str(int(p * 100))
-            sketch, exact = r[f"p{tag}_sketch"], r[f"p{tag}_exact"]
+            sketch = r[f"p{tag}_sketch"]
             kth = vals[math.ceil(p * len(vals)) - 1]
-            assert exact <= sketch + 1e-9, (r["source"], p, exact, sketch)
-            assert kth <= sketch < kth + _HIST_W + 1, (r["source"], p, kth, sketch)
+            want_bin = min(kth // _HIST_W, _HIST_CAP)
+            assert sketch == (want_bin + 1) * _HIST_W, (r["source"], p, kth, sketch)
 
 
 def test_knn_graph_structure(spark, sf_dir):

@@ -64,6 +64,18 @@ def dstddev_pop(col: Column, scale: float = SCALE, sq_scale: float | None = None
 # These must stay textually parallel to the Column builders above: the
 # whole parity argument rests on identical expression trees.
 
+def dlit(v: float) -> str:
+    """A DuckDB literal guaranteed to parse as DOUBLE: an exponent
+    forces the approximate-literal path. Plain decimals go through
+    DECIMAL first, and for > 15 significant digits the scaled mantissa
+    can exceed 2^53, where DECIMAL→DOUBLE conversion is not guaranteed
+    correctly rounded — an ulp off vs Spark's strtod literal breaks the
+    bit-exact parity gate. repr() round-trips doubles, so the exponent
+    form parses back to the identical bits on both engines."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 def sql_fint(expr: str, scale: float = SCALE) -> str:
     return f"CAST(FLOOR(({expr}) * {scale!r}) AS BIGINT)"
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from trx_spark.queries.curation import _toks_base
 from trx_spark.queries.textdata import _P, _TOKEN_RE
 from trx_spark.tables import load_table
 
@@ -40,8 +41,11 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole query carries no corpus-sized shuffle at all.
 
     Output: (doc_id, quality_score, phase, shard)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    # rides the memoized tokenized base (curation._toks_base) — the
+    # regex tokenization runs once per session, shared with the
+    # shingle/bigram/token streams and bm25/hll
+    docs = _toks_base(spark, sf_dir)
+    toks = F.col("toks")
     n = F.size(toks).cast("long")
     nd = F.size(F.array_distinct(toks)).cast("long")
     tc = F.aggregate(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from trx_spark.exact import dlit
 from trx_spark.operators.kmeans import (
     argmax_cell,
     argmax_cell_grouped,
@@ -870,6 +871,11 @@ WHERE rank <= 10
 
 _KNN_K = 3
 
+# the edge table is consumed by knn_graph itself AND knn_pagerank —
+# memoize the localCheckpoint per (session, sf_dir) like the LSH bucket
+# table, so the bucket self-join + rank window runs once per session
+_KNN_CACHE: dict = {}
+
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed k-nearest-neighbor graph over the embedding corpus —
@@ -887,6 +893,9 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (vec_id, nbr_id, cos_sim, knn_rank), ≤ _KNN_K rows per
     vec_id."""
+    key = (spark, sf_dir)
+    if key in _KNN_CACHE:
+        return _KNN_CACHE[key]
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     b = (
         ann_lsh_buckets(spark, sf_dir)
@@ -914,7 +923,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = src.join(nbr, ["bucket"]).filter(F.col("src_id") != F.col("nbr_id"))
     cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
     wk = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
-    return (
+    out = (
         pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim").isNotNull())
         .withColumn("knn_rank", F.row_number().over(wk))
@@ -926,6 +935,8 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("knn_rank").cast("int").alias("knn_rank"),
         )
     )
+    _KNN_CACHE[key] = out.localCheckpoint()
+    return _KNN_CACHE[key]
 
 
 _KNN_SQL = f"""
@@ -1046,9 +1057,9 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side.
 
     Output: (vec_id, out_degree, pagerank)."""
-    edges = (
-        knn_graph(spark, sf_dir).select("vec_id", "nbr_id").localCheckpoint()
-    )
+    # the memoized knn_graph checkpoint (shared with the knn_graph
+    # query itself) — the bucket self-join runs once per session
+    edges = knn_graph(spark, sf_dir).select("vec_id", "nbr_id")
     nodes = (
         edges.select("vec_id")
         .unionByName(edges.select(F.col("nbr_id").alias("vec_id")))
@@ -1114,8 +1125,8 @@ def _pr_round_sql(prev: str, out: str) -> str:
 ),
 {out} AS (
   SELECT n.vec_id,
-         CAST({_PR_BASE!r} AS DOUBLE) / CAST(nn.nn AS DOUBLE)
-           + CAST({_PR_DAMP!r} AS DOUBLE)
+         CAST({dlit(_PR_BASE)} AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+           + CAST({dlit(_PR_DAMP)} AS DOUBLE)
              * (CAST(COALESCE(c.s, CAST(0 AS BIGINT)) AS DOUBLE) / {_PR_SCALE!r}) AS pr
   FROM nodes n CROSS JOIN n_nodes nn
   LEFT JOIN {out}_c c ON c.vec_id = n.vec_id

@@ -33,11 +33,15 @@ Determinism notes (the oracle-parity contract):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math as _math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from trx_spark.exact import dlit
 from trx_spark.queries.curation import _token_stream
 from trx_spark.queries.textdata import _P, _TOKEN_RE, _tok_hash, _tok_hash_sql
+from trx_spark.tables import load_table
 
 # m = 2^6 = 64 registers: ±13 % standard error — the gate checks the
 # CONSTRUCTION bit-exactly, production raises p for tighter error.
@@ -58,22 +62,10 @@ _HLL_NUM = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << 30)
 # implementations — is a 64-entry CONSTANT table precomputed in Python
 # and embedded verbatim in both engines (repr round-trips doubles, so
 # each engine indexes the bit-identical constant).
-import math as _math
-
 _LC_TABLE = [float(_HLL_M) * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
 _LC_THRESHOLD = 2.5 * _HLL_M  # use linear counting below this raw estimate
 
-
-def _dlit(v: float) -> str:
-    """A DuckDB literal guaranteed to parse as DOUBLE: an exponent
-    forces the approximate-literal path (plain decimals with > 15
-    significant digits go through DECIMAL, whose → DOUBLE conversion
-    can be off by an ulp vs strtod for mantissas beyond 2^53)."""
-    r = repr(float(v))
-    return r if ("e" in r or "E" in r) else r + "e0"
-
-
-_LC_TABLE_SQL = "[" + ", ".join(_dlit(v) for v in _LC_TABLE) + "]"
+_LC_TABLE_SQL = "[" + ", ".join(dlit(v) for v in _LC_TABLE) + "]"
 
 
 def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,8 +73,8 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count (the exact side exists to exhibit the sketch's error —
     a production pipeline keeps only the register aggregation).
 
-    Output: (source, n_registers_hit, harmonic_denom, hll_estimate,
-    exact_distinct).
+    Output: (source, n_registers_hit, harmonic_denom, hll_raw,
+    hll_estimate, exact_distinct).
 
     Plan shape: token stream → register/rank projection (map-side) →
     partial-aggregatable MAX per (source, register) — ≤ 64 rows per
@@ -188,7 +180,7 @@ exact AS (
 ),
 est AS (
   SELECT source, n_registers_hit, harmonic_denom,
-         CAST({_HLL_NUM!r} AS DOUBLE) / CAST(harmonic_denom AS DOUBLE) AS hll_raw,
+         CAST({dlit(_HLL_NUM)} AS DOUBLE) / CAST(harmonic_denom AS DOUBLE) AS hll_raw,
          CAST({_HLL_M} AS BIGINT) - n_registers_hit AS n_zero
   FROM sk
 )
@@ -225,8 +217,6 @@ def doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (source, n_docs, p50_sketch, p50_exact, p90_sketch,
     p90_exact, p99_sketch, p99_exact)."""
-    from trx_spark.tables import load_table
-
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     bins = (
         docs.select(
@@ -239,8 +229,6 @@ def doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    from pyspark.sql import Window
-
     wcum = (
         Window.partitionBy("source")
         .orderBy("bin")
