@@ -1,0 +1,99 @@
+"""Streaming count-min sketch: multi-wave merge equals the batch
+sketch (mergeability), per-epoch state is bounded at d·w cells, and
+compaction preserves the merged sketch."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pandas as pd
+
+from trx_spark.queries.curation import _CMS_COEF, _CMS_W
+from trx_spark.streaming.sketch import (
+    _batch_cells,
+    compact_cms_store,
+    merged_sketch,
+    run_cms_catchup,
+)
+from trx_spark.tables import load_table
+
+
+def _write_waves(tmp_path, frames):
+    waves = tmp_path / "landing"
+    waves.mkdir()
+    for k, pdf in enumerate(frames):
+        pq.write_table(pa.Table.from_pandas(pdf), waves / f"w{k}.parquet")
+    return waves
+
+
+def _sketch_dict(df):
+    return {r["cell"]: r["c"] for r in df.collect()}
+
+
+def test_multiwave_equals_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas()
+    thirds = [pdf.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    waves = _write_waves(tmp_path, thirds)
+
+    merged = run_cms_catchup(
+        spark,
+        landing_dir=str(waves),
+        schema="doc_id BIGINT, text STRING",
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # one micro-batch per wave
+    )
+    want = _sketch_dict(_batch_cells(docs))
+    got = _sketch_dict(merged)
+    assert got == want
+
+    # per-epoch state bound: every epoch partial holds ≤ d·w rows
+    store = spark.read.parquet(str(tmp_path / "sketch"))
+    sizes = {
+        r["_epoch"]: r["n"]
+        for r in store.groupBy("_epoch").count().withColumnRenamed("count", "n").collect()
+    }
+    assert len(sizes) == 3
+    assert all(n <= len(_CMS_COEF) * _CMS_W for n in sizes.values())
+
+
+def test_compaction_preserves_sketch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas()
+    waves = _write_waves(
+        tmp_path, [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
+    )
+    sketch_dir = str(tmp_path / "sketch")
+    run_cms_catchup(
+        spark,
+        landing_dir=str(waves),
+        schema="doc_id BIGINT, text STRING",
+        sketch_dir=sketch_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    before = _sketch_dict(merged_sketch(spark, sketch_dir))
+    compact_cms_store(spark, sketch_dir)
+    after = _sketch_dict(merged_sketch(spark, sketch_dir))
+    assert after == before
+    # history folded to one partial of ≤ d·w rows
+    assert spark.read.parquet(sketch_dir).count() <= len(_CMS_COEF) * _CMS_W
+
+
+def test_empty_batch_wave(spark, sf_dir, tmp_path):
+    """A wave with zero token-bearing docs contributes an empty partial
+    without corrupting the merge."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas()
+    empty = pd.DataFrame({"doc_id": [999999], "text": ["12345 67890"]})  # no [a-z]+
+    waves = _write_waves(tmp_path, [pdf, empty])
+    merged = run_cms_catchup(
+        spark,
+        landing_dir=str(waves),
+        schema="doc_id BIGINT, text STRING",
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert _sketch_dict(merged) == _sketch_dict(_batch_cells(docs))

@@ -247,16 +247,63 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch over the documents feed
+    (availableNow): each micro-batch contributes a ≤ 256-cell partial,
+    the state is the cell-wise sum. Mergeability makes the streamed
+    sketch EQUAL the batch sketch of the same corpus, so this streaming
+    query carries a full DuckDB oracle (the batch CMS cell table) —
+    the gate literally checks the merge property bit-for-bit.
+    Multi-wave ≡ single-wave ≡ batch is pinned separately in
+    tests/test_streaming_sketch.py."""
+    from trx_spark.streaming.sketch import run_cms_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_cms_stream_")
+    out = run_cms_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="documents.parquet",
+        schema=schema,
+        sketch_dir=os.path.join(work, "sketch"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return out.select(F.col("cell").cast("long").alias("cell"), "c")
+
+
+def _cms_cells_oracle_sql() -> str:
+    from trx_spark.queries.curation import _cms_cells_sql
+    from trx_spark.queries.textdata import _TOKEN_RE, _tok_hash_sql
+
+    return f"""
+WITH tok AS (
+  SELECT s.token
+  FROM (SELECT regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+cellrows AS (
+  {_cms_cells_sql(_tok_hash_sql("token"), "token", "tok")}
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS c
+FROM cellrows GROUP BY cell
+"""
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_session_stats": streaming_session_stats,
     "streaming_attribution_join": streaming_attribution_join,
+    "streaming_cms_cells": streaming_cms_cells,
 }
 ORACLES: dict[str, str] = {
     "streaming_windowed_counts": _WINDOWED_SQL,
     "streaming_dedup_keys": _DEDUP_KEYS_SQL,
     "streaming_session_stats": _SESSION_STATS_SQL,
     "streaming_attribution_join": _ATTRIBUTION_SQL,
+    "streaming_cms_cells": _cms_cells_oracle_sql(),
 }
