@@ -81,6 +81,33 @@ def test_compaction_preserves_sketch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sketch_dir).count() <= len(_CMS_COEF) * _CMS_W
 
 
+def test_hll_multiwave_equals_batch(spark, sf_dir, tmp_path):
+    """HLL twin: register-wise MAX across waves equals the batch
+    register table (max-merge mergeability, end to end through the
+    streaming harness)."""
+    from trx_spark.streaming.sketch import _batch_hll_registers, run_hll_catchup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas()
+    thirds = [pdf.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    waves = _write_waves(tmp_path, thirds)
+
+    merged = run_hll_catchup(
+        spark,
+        landing_dir=str(waves),
+        schema="doc_id BIGINT, text STRING",
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    want = {r["reg"]: r["rmax"] for r in _batch_hll_registers(docs).collect()}
+    got = {r["reg"]: r["rmax"] for r in merged.collect()}
+    assert got == want
+    from trx_spark.queries.sketches import _HLL_M
+
+    assert len(got) <= _HLL_M
+
+
 def test_empty_batch_wave(spark, sf_dir, tmp_path):
     """A wave with zero token-bearing docs contributes an empty partial
     without corrupting the merge."""

@@ -292,6 +292,54 @@ FROM cellrows GROUP BY cell
 """
 
 
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog over the documents feed (availableNow):
+    per-epoch ≤ 64-row register partials merged by register-wise MAX.
+    HLL mergeability makes the streamed register table EQUAL the batch
+    one, so this also carries a full DuckDB oracle."""
+    from trx_spark.streaming.sketch import run_hll_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_hll_stream_")
+    out = run_hll_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="documents.parquet",
+        schema=schema,
+        sketch_dir=os.path.join(work, "sketch"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return out.select("reg", F.col("rmax").cast("long").alias("rmax"))
+
+
+def _hll_registers_oracle_sql() -> str:
+    from trx_spark.queries.sketches import _HLL_A, _HLL_B, _HLL_M, _HLL_WBITS
+    from trx_spark.queries.textdata import _P, _TOKEN_RE, _tok_hash_sql
+
+    return f"""
+WITH tok AS (
+  SELECT s.token
+  FROM (SELECT regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+hashed AS (
+  SELECT ({_HLL_A} * {_tok_hash_sql('token')} + {_HLL_B}) % {_P} AS h FROM tok
+),
+rr AS (
+  SELECT CAST(FLOOR(h % {_HLL_M}) AS BIGINT) AS reg,
+         CAST(FLOOR(h / {float(_HLL_M)!r}) AS BIGINT) AS wv
+  FROM hashed
+)
+SELECT reg,
+       CAST(MAX(CASE WHEN wv = 0 THEN {_HLL_WBITS + 1}
+                     ELSE {_HLL_WBITS + 1} - length(bin(wv)) END) AS BIGINT) AS rmax
+FROM rr GROUP BY reg
+"""
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -299,6 +347,7 @@ QUERIES = {
     "streaming_session_stats": streaming_session_stats,
     "streaming_attribution_join": streaming_attribution_join,
     "streaming_cms_cells": streaming_cms_cells,
+    "streaming_hll_registers": streaming_hll_registers,
 }
 ORACLES: dict[str, str] = {
     "streaming_windowed_counts": _WINDOWED_SQL,
@@ -306,4 +355,5 @@ ORACLES: dict[str, str] = {
     "streaming_session_stats": _SESSION_STATS_SQL,
     "streaming_attribution_join": _ATTRIBUTION_SQL,
     "streaming_cms_cells": _cms_cells_oracle_sql(),
+    "streaming_hll_registers": _hll_registers_oracle_sql(),
 }
