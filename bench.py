@@ -118,6 +118,7 @@ HEADLINE = [
     "priority_sample",
     "event_funnel",
     "cohort_retention",
+    "hashed_tf_features",
 ]
 
 

@@ -154,6 +154,52 @@ def test_doclen_quantile_sketch_bounds(spark, sf_dir):
             assert sketch == (want_bin + 1) * _HIST_W, (r["source"], p, kth, sketch)
 
 
+def test_hashed_tf_features_structure(spark, sf_dir):
+    """Feature-hashing invariants: dims within range, per-doc mass
+    bounded by token count, duplicate texts map to identical sparse
+    vectors, and a Python recompute matches exactly."""
+    from trx_spark.queries.ranking import _FH_DIM, _FH_SIGN_A, _FH_SIGN_B, hashed_tf_features
+    from trx_spark.queries.textdata import _P
+    from trx_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def tok_hash(t):
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % _P
+        return acc
+
+    def featurize(text):
+        v: dict = {}
+        for t in re.findall("[a-z]+", text):
+            h = tok_hash(t)
+            s = 1 if ((_FH_SIGN_A * h + _FH_SIGN_B) % _P) % 2 == 0 else -1
+            v[h % _FH_DIM] = v.get(h % _FH_DIM, 0) + s
+        return v
+
+    want = {}
+    n_toks = {}
+    for r in docs:
+        want[r["doc_id"]] = featurize(r["text"])
+        n_toks[r["doc_id"]] = len(re.findall("[a-z]+", r["text"]))
+
+    got: dict = {}
+    for r in hashed_tf_features(spark, sf_dir).collect():
+        assert 0 <= r["dim"] < _FH_DIM
+        got.setdefault(r["doc_id"], {})[r["dim"]] = r["value"]
+    for d, vec in got.items():
+        assert vec == want[d], d
+        assert sum(abs(x) for x in vec.values()) <= n_toks[d]
+    # duplicate texts → identical vectors
+    by_text: dict = {}
+    for r in docs:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    for ids in by_text.values():
+        if len(ids) > 1:
+            assert all(got.get(i, {}) == got.get(ids[0], {}) for i in ids)
+
+
 def test_knn_graph_structure(spark, sf_dir):
     from trx_spark.queries.similarity import _KNN_K, knn_graph
     from trx_spark.queries.textdata import ann_lsh_buckets

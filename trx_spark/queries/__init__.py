@@ -83,7 +83,7 @@ _R04_NEW = [
     "hll_distinct_tokens", "bm25_topk", "knn_graph", "cluster_balanced_sample",
     "doclen_quantiles", "knn_pagerank", "curriculum_phases",
     "priority_sample", "event_funnel", "cohort_retention",
-    "streaming_cms_cells", "streaming_hll_registers",
+    "streaming_cms_cells", "streaming_hll_registers", "hashed_tf_features",
 ]
 _order = (
     _R04_FIRST

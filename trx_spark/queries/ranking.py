@@ -136,10 +136,75 @@ LIMIT {_BM25_TOPK}
 """
 
 
+# ---------------------------------------------------------------------
+# Feature hashing (the "hashing trick")
+# ---------------------------------------------------------------------
+
+_FH_DIM = 64           # feature dimension (production: 2^18+)
+_FH_SIGN_A = 40503     # independent affine hash for the sign bit
+_FH_SIGN_B = 30323
+
+
+def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed term-frequency vectors (Weinberger et al. 2009,
+    the "hashing trick"): every document becomes a sparse
+    ``_FH_DIM``-dimensional vector with no vocabulary table at all —
+    the featurization that scales to unbounded vocabularies because it
+    needs NO global state (contrast `vocab_coverage`'s top-K vocab
+    broadcast). The signed variant (±1 from an independent hash bit)
+    makes collisions cancel in expectation, preserving inner products.
+
+    Emitted as sparse (doc_id, dim, value) triples — the join-friendly
+    layout for downstream linear models or similarity joins; densify
+    with `array_agg` only at the consumer.
+
+    Plan: tokenize map-side (memoized base) → one keyed aggregation on
+    (doc_id, dim) — ≤ _FH_DIM rows per doc cross the shuffle however
+    large the vocabulary. Pure integer math → oracle-exact."""
+    from trx_spark.queries.textdata import _P, _tok_hash
+
+    ts = _token_stream(spark, sf_dir)  # (doc_id, source, token), memoized
+    tid = _tok_hash(F.col("token"))
+    dim = (tid % _FH_DIM).cast("long")
+    sign = F.when(
+        ((F.lit(_FH_SIGN_A) * tid + F.lit(_FH_SIGN_B)) % F.lit(_P)) % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1)).cast("long")
+    return (
+        ts.select("doc_id", dim.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("value"))
+    )
+
+
+def _fh_sql() -> str:
+    from trx_spark.queries.textdata import _P, _tok_hash_sql
+
+    tid = _tok_hash_sql("token")
+    return f"""
+WITH ts AS (
+  SELECT doc_id, s.token
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST({tid} % {_FH_DIM} AS BIGINT) AS dim,
+         CAST(CASE WHEN (({_FH_SIGN_A} * {tid} + {_FH_SIGN_B}) % {_P}) % 2 = 0
+                   THEN 1 ELSE -1 END AS BIGINT) AS s
+  FROM ts
+)
+SELECT doc_id, dim, CAST(CAST(SUM(s) AS BIGINT) AS BIGINT) AS value
+FROM hashed GROUP BY doc_id, dim
+"""
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "hashed_tf_features": hashed_tf_features,
 }
 
 ORACLES = {
     "bm25_topk": _BM25_SQL,
+    "hashed_tf_features": _fh_sql(),
 }
