@@ -892,3 +892,66 @@ def image_features(pixels: DataFrame) -> DataFrame:
         (F.sum(F.col("x") * w) / F.sum(w)).alias("centroid_x"),
         (F.sum(F.col("y") * w) / F.sum(w)).alias("centroid_y"),
     )
+
+
+# ---------------------------------------------------------------------
+# Perceptual image hashing (dHash) — image-grain near-dup detection
+# ---------------------------------------------------------------------
+
+_DHASH_SIDE = 8  # 8×8 difference bits from an 8×9 block-mean grid
+
+
+def dhash64(pixels: DataFrame, *, src_shape: tuple[int, int]) -> DataFrame:
+    """Difference hash (dHash, Krawetz's public construction): block-
+    mean the image down to an 8×9 grid, set bit (gy·8+gx) iff
+    cell(gy, gx) > cell(gy, gx+1). Invariant to any monotone global
+    intensity rescale (comparisons survive gain changes — the common
+    duplicate mode for detector images: same exposure at different
+    gain/monitor), and one flipped bit per locally corrupted cell.
+
+    Expressed RELATIONALLY like resize_pixels: one keyed partial-agg
+    shuffle to the 72-cell grid, one equi-join of adjacent cells, one
+    64-term bit sum — no UDF, per-image state is 72 rows whatever the
+    detector resolution, so at 100 TB this is the azint plan shape.
+
+    Output: (file[, frame], dhash) — one BIGINT per image.
+    """
+    src_h, src_w = src_shape
+    keys = ["file", "frame"] if "frame" in pixels.columns else ["file"]
+    gy = F.floor(F.col("y") * _DHASH_SIDE / F.lit(src_h)).cast("int")
+    gx = F.floor(F.col("x") * (_DHASH_SIDE + 1) / F.lit(src_w)).cast("int")
+    grid = (
+        pixels.groupBy(*keys, gy.alias("gy"), gx.alias("gx"))
+        .agg(F.avg("intensity").alias("m"))
+    )
+    right = grid.select(
+        *keys,
+        F.col("gy").alias("gy"),
+        (F.col("gx") - 1).alias("gx"),
+        F.col("m").alias("m_r"),
+    )
+    bits = grid.join(right, [*keys, "gy", "gx"]).select(
+        *keys,
+        F.when(
+            F.col("m") > F.col("m_r"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(gy * {_DHASH_SIDE} + gx AS INT))"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("b"),
+    )
+    return bits.groupBy(*keys).agg(F.sum("b").alias("dhash"))
+
+
+def image_neardup_groups(pixels: DataFrame, *, src_shape: tuple[int, int]) -> DataFrame:
+    """Image near-dup grouping by exact perceptual-hash match: images
+    whose dHash is identical are grouped, smallest file name elected
+    keeper — the image-modality twin of `dedup_exact`. For
+    Hamming-tolerant matching compose `dhash64` with the SimHash
+    pigeonhole banding (`queries/textdata.simhash_neardup_pairs`
+    pattern) instead of widening this exact group-by."""
+    h = dhash64(pixels, src_shape=src_shape)
+    keys = ["file", "frame"] if "frame" in pixels.columns else ["file"]
+    return h.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min(keys[0]).alias("keeper_file"),
+    )
