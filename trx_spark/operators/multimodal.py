@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 PIXEL_SCHEMA = "file string, frame int, y int, x int, intensity double"
@@ -954,4 +954,55 @@ def image_neardup_groups(pixels: DataFrame, *, src_shape: tuple[int, int]) -> Da
     return h.groupBy("dhash").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.min(keys[0]).alias("keeper_file"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Audio fingerprint — delta-sign over the frame-energy envelope
+# ---------------------------------------------------------------------
+
+_AFP_BITS = 64
+
+
+def audio_fingerprint(frame_feats: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint from the per-frame feature rows
+    (`audio_frame_features` output): bit k is set iff the RMS envelope
+    RISES between frame k and k+1 (the energy-delta-sign construction
+    — the envelope shape survives global gain changes exactly like
+    dHash survives brightness rescale). Uses the first `_AFP_BITS`+1
+    frames; shorter clips simply set fewer bits.
+
+    Relational all the way: one window ordered by frame_idx WITHIN the
+    file (thousands of small partitions), one bit-sum groupBy — no
+    UDF beyond the upstream decode.
+
+    Output: (file, n_frames, afp) — one BIGINT per clip."""
+    w = Window.partitionBy("file").orderBy("frame_idx")
+    nxt = F.lead("rms").over(w)
+    bits = (
+        frame_feats.select("file", "frame_idx", "rms")
+        .filter(F.col("frame_idx") < _AFP_BITS)
+        .withColumn("rms_next", nxt)
+        .withColumn(
+            "b",
+            F.when(
+                F.col("rms_next") > F.col("rms"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(frame_idx AS INT))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return bits.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("b").alias("afp"),
+    )
+
+
+def audio_neardup_groups(frame_feats: DataFrame) -> DataFrame:
+    """Clip near-dup grouping by exact fingerprint match — the audio
+    twin of `image_neardup_groups` (gain-scaled re-encodes of the same
+    recording collide; Hamming-tolerant matching composes with the
+    SimHash banding pattern)."""
+    return audio_fingerprint(frame_feats).groupBy("afp").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("file").alias("keeper_file"),
     )
