@@ -52,6 +52,21 @@ def test_dhash_gain_and_offset_invariant(spark):
     assert 0 <= h["a_base"] < 1 << (_DHASH_SIDE * _DHASH_SIDE)
 
 
+def test_dhash_invariant_under_many_random_gains(spark):
+    """Property (batched into ONE Spark job): for any positive gain g
+    and any offset o, dhash(g·img + o) == dhash(img) — comparisons are
+    preserved by strictly monotone maps."""
+    rng = np.random.default_rng(5)
+    base = _base_img()
+    imgs = {"v0": base}
+    for k in range(1, 9):
+        g = float(rng.uniform(0.01, 50.0))
+        o = float(rng.uniform(-1e4, 1e4))
+        imgs[f"v{k}"] = base * g + o
+    h = _hashes(dhash64(_pixels_df(spark, imgs), src_shape=_SHAPE))
+    assert len(set(h.values())) == 1, h
+
+
 def test_dhash_local_corruption_flips_few_bits(spark):
     base = _base_img()
     corrupted = base.copy()

@@ -81,6 +81,38 @@ def test_compaction_preserves_sketch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sketch_dir).count() <= len(_CMS_COEF) * _CMS_W
 
 
+def test_compact_then_continue_and_replay(spark, sf_dir, tmp_path):
+    """The live-stream scenarios the layout + watermark must survive:
+    (a) compaction mid-stream, then MORE epochs land next to the folded
+    partial (layouts coexist); (b) an at-least-once REPLAY of an epoch
+    that compaction already absorbed is a no-op, never a double-count."""
+    from trx_spark.streaming.sketch import make_partial_handler
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas()
+    third = len(pdf) // 3
+    b1 = spark.createDataFrame(pdf.iloc[:third])
+    b2 = spark.createDataFrame(pdf.iloc[third : 2 * third])
+    b3 = spark.createDataFrame(pdf.iloc[2 * third :])
+
+    sketch_dir = str(tmp_path / "sketch")
+    handle = make_partial_handler(sketch_dir, _batch_cells)
+    handle(b1, 0)
+    handle(b2, 1)
+    compact_cms_store(spark, sketch_dir)
+
+    # (b) replay of an absorbed epoch: merged sketch unchanged
+    before = _sketch_dict(merged_sketch(spark, sketch_dir))
+    handle(b1, 0)
+    assert _sketch_dict(merged_sketch(spark, sketch_dir)) == before
+
+    # (a) a new epoch lands after compaction: read still works and the
+    # merged sketch equals the batch sketch of everything
+    handle(b3, 2)
+    want = _sketch_dict(_batch_cells(docs))
+    assert _sketch_dict(merged_sketch(spark, sketch_dir)) == want
+
+
 def test_hll_multiwave_equals_batch(spark, sf_dir, tmp_path):
     """HLL twin: register-wise MAX across waves equals the batch
     register table (max-merge mergeability, end to end through the

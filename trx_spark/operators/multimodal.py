@@ -944,16 +944,23 @@ def dhash64(pixels: DataFrame, *, src_shape: tuple[int, int]) -> DataFrame:
 
 def image_neardup_groups(pixels: DataFrame, *, src_shape: tuple[int, int]) -> DataFrame:
     """Image near-dup grouping by exact perceptual-hash match: images
-    whose dHash is identical are grouped, smallest file name elected
-    keeper — the image-modality twin of `dedup_exact`. For
-    Hamming-tolerant matching compose `dhash64` with the SimHash
-    pigeonhole banding (`queries/textdata.simhash_neardup_pairs`
-    pattern) instead of widening this exact group-by."""
+    (keyed by file, or (file, frame) for multi-frame stacks — a group
+    can span frames of one file AND copies across files) are grouped on
+    identical dHash, with the smallest (file[, frame]) elected keeper —
+    the image-modality twin of `dedup_exact`. For Hamming-tolerant
+    matching compose `dhash64` with the SimHash pigeonhole banding
+    (`queries/textdata.simhash_neardup_pairs` pattern) instead of
+    widening this exact group-by."""
     h = dhash64(pixels, src_shape=src_shape)
     keys = ["file", "frame"] if "frame" in pixels.columns else ["file"]
-    return h.groupBy("dhash").agg(
+    agg = h.groupBy("dhash").agg(
         F.count(F.lit(1)).alias("n_images"),
-        F.min(keys[0]).alias("keeper_file"),
+        F.min(F.struct(*keys)).alias("_keeper"),
+    )
+    return agg.select(
+        "dhash",
+        "n_images",
+        *[F.col(f"_keeper.{k}").alias(f"keeper_{k}") for k in keys],
     )
 
 
@@ -981,8 +988,12 @@ def audio_fingerprint(frame_feats: DataFrame) -> DataFrame:
     nxt = F.lead("rms").over(w)
     bits = (
         frame_feats.select("file", "frame_idx", "rms")
-        .filter(F.col("frame_idx") < _AFP_BITS)
+        # keep frame _AFP_BITS as the lead() source for bit _AFP_BITS-1,
+        # then drop it below — otherwise the top bit's rms_next is
+        # always NULL and the fingerprint silently loses a bit
+        .filter(F.col("frame_idx") <= _AFP_BITS)
         .withColumn("rms_next", nxt)
+        .filter(F.col("frame_idx") < _AFP_BITS)
         .withColumn(
             "b",
             F.when(

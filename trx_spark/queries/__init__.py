@@ -76,9 +76,11 @@ _R04_FIRST = [
     "streaming_session_stats", "streaming_attribution_join",
 ]
 # Round-4 additions (sketches / ranking / knn graph+pagerank /
-# diversity sample / curriculum / funnel+cohort) slot in right behind
-# the rotated block: 37 + 10 = 47 < 50, so they enter the driver's
-# 50-row gate window this round too.
+# diversity sample / curriculum / funnel+cohort / streaming sketches /
+# feature hashing) slot in right behind the rotated block:
+# 37 + 13 = 50 — the driver's 50-row gate window is now EXACTLY full;
+# any further query lands beyond it (local parity gate only) until the
+# round-5 rotation.
 _R04_NEW = [
     "hll_distinct_tokens", "bm25_topk", "knn_graph", "cluster_balanced_sample",
     "doclen_quantiles", "knn_pagerank", "curriculum_phases",

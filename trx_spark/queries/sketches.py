@@ -68,6 +68,46 @@ _LC_THRESHOLD = 2.5 * _HLL_M  # use linear counting below this raw estimate
 _LC_TABLE_SQL = "[" + ", ".join(dlit(v) for v in _LC_TABLE) + "]"
 
 
+def hll_register_cols(token_col) -> tuple:
+    """(reg, wv) columns for a token column — the single definition of
+    the register construction, shared by the batch query and the
+    streaming twin (streaming/sketch.py) so the two cannot drift."""
+    tid = _tok_hash(token_col)
+    h = (F.lit(_HLL_A) * tid + F.lit(_HLL_B)) % F.lit(_P)
+    reg = F.floor(h % _HLL_M).cast("long")
+    wv = F.floor(h / F.lit(float(_HLL_M))).cast("long")
+    return reg, wv
+
+
+def hll_rho(wv_col):
+    """rank-of-first-set-bit from the 25-bit rank input column."""
+    return F.when(wv_col == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(wv_col))
+    )
+
+
+def hll_rr_sql(extra_cols: str = "") -> str:
+    """The hashed→(reg, wv) SQL fragment (DuckDB), textually parallel
+    to :func:`hll_register_cols` — ``extra_cols`` like ``"source, "``
+    threads grouping columns through. Expects a CTE named ``ts`` with
+    a ``token`` column in scope."""
+    return f"""hashed AS (
+  SELECT {extra_cols}({_HLL_A} * {_tok_hash_sql('token')} + {_HLL_B}) % {_P} AS h
+  FROM ts
+),
+rr AS (
+  SELECT {extra_cols}CAST(FLOOR(h % {_HLL_M}) AS BIGINT) AS reg,
+         CAST(FLOOR(h / {float(_HLL_M)!r}) AS BIGINT) AS wv
+  FROM hashed
+)"""
+
+
+_HLL_RHO_SQL = (
+    f"CASE WHEN wv = 0 THEN {_HLL_WBITS + 1} "
+    f"ELSE {_HLL_WBITS + 1} - length(bin(wv)) END"
+)
+
+
 def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-token cardinality: HLL estimate next to the
     exact count (the exact side exists to exhibit the sketch's error —
@@ -83,16 +123,10 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group on (source, token) then count), the very shuffle the sketch
     avoids."""
     ts = _token_stream(spark, sf_dir)  # (doc_id, source, token), memoized
-    tid = _tok_hash(F.col("token"))
-    h = (F.lit(_HLL_A) * tid + F.lit(_HLL_B)) % F.lit(_P)
-    reg = F.floor(h % _HLL_M).cast("long")
-    wv = F.floor(h / F.lit(float(_HLL_M))).cast("long")
-    rho = F.when(F.col("wv") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("wv")))
-    )
+    reg, wv = hll_register_cols(F.col("token"))
     regs = (
         ts.select("source", reg.alias("reg"), wv.alias("wv"))
-        .withColumn("rho", rho)
+        .withColumn("rho", hll_rho(F.col("wv")))
         .groupBy("source", "reg")
         .agg(F.max("rho").alias("rmax"))
     )
@@ -145,21 +179,10 @@ WITH ts AS (
   FROM (SELECT source, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
        UNNEST(toks) AS s(token)
 ),
-hashed AS (
-  SELECT source,
-         ({_HLL_A} * {_tok_hash_sql('token')} + {_HLL_B}) % {_P} AS h
-  FROM ts
-),
-rr AS (
-  SELECT source,
-         CAST(FLOOR(h % {_HLL_M}) AS BIGINT) AS reg,
-         CAST(FLOOR(h / {float(_HLL_M)!r}) AS BIGINT) AS wv
-  FROM hashed
-),
+{hll_rr_sql('source, ')},
 regs AS (
   SELECT source, reg,
-         MAX(CASE WHEN wv = 0 THEN {_HLL_WBITS + 1}
-                  ELSE {_HLL_WBITS + 1} - length(bin(wv)) END) AS rmax
+         MAX({_HLL_RHO_SQL}) AS rmax
   FROM rr GROUP BY source, reg
 ),
 per_src AS (

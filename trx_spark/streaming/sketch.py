@@ -1,24 +1,31 @@
-"""Streaming count-min sketch: mergeable token-frequency state for an
+"""Streaming mergeable sketches (count-min + HyperLogLog) for an
 online corpus feed.
 
-The batch engine's CMS (`queries/curation.cms_heavy_hitters`) is a
-256-cell aggregate; its defining property is MERGEABILITY — cell-wise
-SUM of two sketches equals the sketch of the concatenated streams. That
-property is exactly what a streaming deployment needs: each micro-batch
-contributes its own ≤ 256-row partial sketch, and the accumulated state
-is the cell-wise sum. Per-epoch state is bounded BY CONSTRUCTION
-(d·w = 256 cells regardless of batch size), the store grows only
-O(epochs · 256) rows, and :func:`compact_cms_store` folds history back
-to a single 256-row epoch at any time without changing the merged
-sketch.
+The batch engine's CMS (`queries/curation.cms_heavy_hitters`) and HLL
+(`queries/sketches.hll_distinct_tokens`) are tiny aggregates whose
+defining property is MERGEABILITY — cell-wise SUM (CMS) / register-wise
+MAX (HLL) of two sketches equals the sketch of the concatenated
+streams. That property is exactly what a streaming deployment needs:
+each micro-batch contributes its own bounded partial (≤ 256 CMS cells,
+≤ 64 HLL registers BY CONSTRUCTION, whatever the batch size), and the
+accumulated state is the merge. The store grows O(epochs · partial)
+rows and :func:`compact_store` folds history back to one partial.
 
 Write idempotency follows the engine's streaming convention
 (`streaming/incremental.make_batch_handler`): each epoch lands in its
 own ``_epoch`` partition with dynamic partition overwrite, so an
 at-least-once replay rewrites its partition instead of double-counting.
+Compaction preserves that guarantee with a WATERMARK: the folded
+partial (``_epoch=-1``) records the highest epoch it absorbed in a
+``_compacted_through`` marker file, and the handler SKIPS any replayed
+epoch at or below the watermark — its counts already live inside the
+folded partial, so re-writing them would double-count.
 """
 
 from __future__ import annotations
+
+import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,9 +33,11 @@ from pyspark.sql.types import StructType
 
 from trx_spark.queries.curation import _cms_cells
 
+_MARKER = "_compacted_through"
+
 
 def _batch_cells(batch: DataFrame) -> DataFrame:
-    """(cell, c) partial sketch of one micro-batch's token stream."""
+    """(cell, c) CMS partial of one micro-batch's token stream."""
     from trx_spark.queries.textdata import _TOKEN_RE, _tok_hash
 
     toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
@@ -40,14 +49,48 @@ def _batch_cells(batch: DataFrame) -> DataFrame:
     )
 
 
-def make_cms_batch_handler(sketch_dir: str):
-    """foreachBatch handler: write this epoch's ≤ 256-cell partial
-    sketch into its own ``_epoch`` partition (idempotent under
-    replay)."""
+def _batch_hll_registers(batch: DataFrame) -> DataFrame:
+    """(reg, rmax) HLL partial of one micro-batch — built from the
+    SAME register construction as the batch query
+    (`queries/sketches.hll_register_cols` / `hll_rho`), so the
+    streaming twin cannot drift from the gate-checked batch sketch."""
+    from trx_spark.queries.sketches import hll_register_cols, hll_rho
+    from trx_spark.queries.textdata import _TOKEN_RE
+
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    reg, wv = hll_register_cols(F.col("token"))
+    return (
+        batch.select(F.explode(toks).alias("token"))
+        .select(reg.alias("reg"), wv.alias("wv"))
+        .withColumn("rho", hll_rho(F.col("wv")))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rmax"))
+    )
+
+
+def _compacted_through(sketch_dir: str) -> int:
+    """Highest epoch folded into the ``_epoch=-1`` partial (or a
+    sentinel below every real epoch when never compacted)."""
+    try:
+        with open(os.path.join(sketch_dir, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def make_partial_handler(
+    sketch_dir: str, partial_fn: Callable[[DataFrame], DataFrame]
+):
+    """foreachBatch handler shared by both sketches: write this epoch's
+    bounded partial into its own ``_epoch`` partition (idempotent under
+    replay), skipping epochs already absorbed by a compaction (see
+    module doc — the watermark keeps replay + compaction consistent)."""
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) <= _compacted_through(sketch_dir):
+            return  # this epoch's counts already live in _epoch=-1
         (
-            _batch_cells(batch)
+            partial_fn(batch)
             .withColumn("_epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -59,66 +102,13 @@ def make_cms_batch_handler(sketch_dir: str):
 
 
 def merged_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """Cell-wise SUM across all epoch partials — by mergeability this
-    equals the batch sketch of everything ingested so far."""
+    """Cell-wise SUM across all epoch partials — by CMS mergeability
+    this equals the batch sketch of everything ingested so far."""
     return (
         spark.read.parquet(sketch_dir)
         .groupBy("cell")
         .agg(F.sum("c").alias("c"))
     )
-
-
-def compact_cms_store(spark: SparkSession, sketch_dir: str) -> None:
-    """Fold the epoch history into a single merged partial (epoch -1)
-    so the store stays O(256) rows over an unbounded stream. Merge-sum
-    is associative, so the merged sketch is unchanged."""
-    merged = merged_sketch(spark, sketch_dir).withColumn("_epoch", F.lit(-1))
-    merged.localCheckpoint().write.mode("overwrite").parquet(sketch_dir)
-
-
-def _batch_hll_registers(batch: DataFrame) -> DataFrame:
-    """(reg, rmax) partial HLL register table of one micro-batch —
-    the same construction as queries/sketches.hll_distinct_tokens but
-    corpus-global (no source key): 64 rows max."""
-    from trx_spark.queries.sketches import _HLL_A, _HLL_B, _HLL_M, _HLL_WBITS
-    from trx_spark.queries.textdata import _P, _TOKEN_RE, _tok_hash
-
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-    tid = _tok_hash(F.col("token"))
-    h = (F.lit(_HLL_A) * tid + F.lit(_HLL_B)) % F.lit(_P)
-    return (
-        batch.select(F.explode(toks).alias("token"))
-        .select(
-            F.floor(h % _HLL_M).cast("long").alias("reg"),
-            F.floor(h / F.lit(float(_HLL_M))).cast("long").alias("wv"),
-        )
-        .withColumn(
-            "rho",
-            F.when(F.col("wv") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-                F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("wv")))
-            ),
-        )
-        .groupBy("reg")
-        .agg(F.max("rho").alias("rmax"))
-    )
-
-
-def make_hll_batch_handler(sketch_dir: str):
-    """foreachBatch handler for the HLL twin: ≤ 64-row register partial
-    per epoch, idempotent dynamic-partition write. HLL merges by MAX
-    (not SUM) — :func:`merged_hll_registers` applies it."""
-
-    def handle(batch: DataFrame, epoch_id: int) -> None:
-        (
-            _batch_hll_registers(batch)
-            .withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(sketch_dir)
-        )
-
-    return handle
 
 
 def merged_hll_registers(spark: SparkSession, sketch_dir: str) -> DataFrame:
@@ -133,18 +123,56 @@ def merged_hll_registers(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
-def run_hll_catchup(
+def compact_store(
+    spark: SparkSession,
+    sketch_dir: str,
+    merge_fn: Callable[[SparkSession, str], DataFrame],
+) -> None:
+    """Fold the epoch history into a single merged partial at
+    ``_epoch=-1`` (same partitioned layout as the live writes, so the
+    next micro-batch coexists with the compacted data) so the store
+    stays O(partial) rows over an unbounded stream. The merge is
+    associative, so the merged sketch is unchanged; the watermark
+    marker keeps subsequent replays of absorbed epochs no-ops."""
+    store = spark.read.parquet(sketch_dir)
+    high = store.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
+    merged = merge_fn(spark, sketch_dir).withColumn("_epoch", F.lit(-1))
+    # STATIC overwrite on purpose: replace the whole store (dropping the
+    # folded epoch partitions), not just the _epoch=-1 partition
+    (
+        merged.localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("_epoch")
+        .parquet(sketch_dir)
+    )
+    with open(os.path.join(sketch_dir, _MARKER), "w") as fh:
+        fh.write(str(int(high)))
+
+
+def compact_cms_store(spark: SparkSession, sketch_dir: str) -> None:
+    compact_store(spark, sketch_dir, merged_sketch)
+
+
+def compact_hll_store(spark: SparkSession, sketch_dir: str) -> None:
+    compact_store(spark, sketch_dir, merged_hll_registers)
+
+
+def _run_catchup(
     spark: SparkSession,
     *,
     landing_dir: str,
     schema: StructType | str,
     sketch_dir: str,
     checkpoint_dir: str,
+    partial_fn: Callable[[DataFrame], DataFrame],
+    merge_fn: Callable[[SparkSession, str], DataFrame],
     path_glob_filter: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Drain the landing dir through the HLL handler; return the merged
-    (reg, rmax) register table."""
+    """Drain the landing dir (availableNow) through a partial handler;
+    return the merged sketch. One harness for both sketch families —
+    the idempotent-write recipe lives in exactly one place."""
     reader = spark.readStream.schema(schema)
     if path_glob_filter is not None:
         reader = reader.option("pathGlobFilter", path_glob_filter)
@@ -152,38 +180,22 @@ def run_hll_catchup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
     q = (
-        stream.writeStream.foreachBatch(make_hll_batch_handler(sketch_dir))
+        stream.writeStream.foreachBatch(make_partial_handler(sketch_dir, partial_fn))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return merged_hll_registers(spark, sketch_dir)
+    return merge_fn(spark, sketch_dir)
 
 
-def run_cms_catchup(
-    spark: SparkSession,
-    *,
-    landing_dir: str,
-    schema: StructType | str,
-    sketch_dir: str,
-    checkpoint_dir: str,
-    path_glob_filter: str | None = None,
-    max_files_per_trigger: int | None = None,
-) -> DataFrame:
-    """Drain the landing dir (availableNow) through the sketch handler;
-    return the merged (cell, c) sketch."""
-    reader = spark.readStream.schema(schema)
-    if path_glob_filter is not None:
-        reader = reader.option("pathGlobFilter", path_glob_filter)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(landing_dir)
-    q = (
-        stream.writeStream.foreachBatch(make_cms_batch_handler(sketch_dir))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+def run_cms_catchup(spark: SparkSession, **kw) -> DataFrame:
+    """CMS catch-up: merged (cell, c) sketch of the drained feed."""
+    return _run_catchup(spark, partial_fn=_batch_cells, merge_fn=merged_sketch, **kw)
+
+
+def run_hll_catchup(spark: SparkSession, **kw) -> DataFrame:
+    """HLL catch-up: merged (reg, rmax) register table of the feed."""
+    return _run_catchup(
+        spark, partial_fn=_batch_hll_registers, merge_fn=merged_hll_registers, **kw
     )
-    q.awaitTermination()
-    return merged_sketch(spark, sketch_dir)
