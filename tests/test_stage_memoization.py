@@ -44,3 +44,29 @@ def test_clear_stage_caches(spark, sf_dir):
     assert all(v == 0 for v in stage_cache_stats().values())
     # next consumer rebuilds transparently
     assert _token_stream(spark, sf_dir).count() > 0
+
+
+def test_every_memo_dict_is_registered():
+    """Every module-level ``*_CACHE`` dict in the query/operator
+    modules must be covered by cache._all_caches() — an unregistered
+    memo survives clear_stage_caches() holding an unpersisted
+    localCheckpoint, which crashes the next consumer with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the bench cold pass found
+    exactly this for the knn edge memo)."""
+    import importlib
+    import pkgutil
+
+    from trx_spark import cache as cache_mod
+    import trx_spark.queries as qpkg
+    import trx_spark.operators as opkg
+
+    registered = {id(c) for c in cache_mod._all_caches()}
+    missing = []
+    for pkg in (qpkg, opkg):
+        for info in pkgutil.iter_modules(pkg.__path__):
+            mod = importlib.import_module(f"{pkg.__name__}.{info.name}")
+            for name, val in vars(mod).items():
+                if name.endswith("_CACHE") and isinstance(val, dict):
+                    if id(val) not in registered:
+                        missing.append(f"{mod.__name__}.{name}")
+    assert not missing, f"memo dicts not in cache._all_caches(): {missing}"

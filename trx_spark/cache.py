@@ -30,6 +30,7 @@ def _all_caches() -> list[dict]:
         similarity._SCORED_CACHE,
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
+        similarity._KNN_CACHE,
     ]
 
 
@@ -73,4 +74,5 @@ def stage_cache_stats() -> dict[str, int]:
         "pq_codebooks": len(similarity._PQ_CACHE),
         "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),
         "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),
+        "knn_edges": len(similarity._KNN_CACHE),
     }
