@@ -72,3 +72,35 @@ def test_auto_shard_count_from_bytes(spark, docs, tmp_path):
     )
     assert manifest["n_shards"] >= 1
     assert manifest["total_rows"] == docs.count()
+
+
+def test_partitioned_store_read_is_partition_pruned(spark, tmp_path):
+    """The day-partitioned store (save_per_delay layout) must serve a
+    single-day query by scanning ONLY that day's partition — the
+    PartitionFilters line in the scan, not a post-scan filter. At
+    100 TB this is the difference between reading one day and reading
+    the table."""
+    from pyspark.sql import functions as F
+
+    from trx_spark.sources.sinks import save_per_delay
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").selectExpr(
+        "event_id", "user_id", "value", "(ts_ns DIV 86400000000000) AS day"
+    )
+    out = str(tmp_path / "by_day")
+    save_per_delay(ev, out, delay="day")
+
+    days = [r["day"] for r in ev.select("day").distinct().collect()]
+    pick = sorted(days)[1]
+    rd = spark.read.parquet(out).filter(F.col("day") == pick)
+    n = rd.count()
+    assert n == ev.filter(F.col("day") == pick).count()
+
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the day predicate must live in PartitionFilters (metadata-only),
+    # and the scanned files must be the single day's directory
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    # the equality predicate on the picked day sits IN the partition
+    # filter list — metadata-only pruning, no data-filter fallback
+    assert "day" in pf_line and str(pick) in pf_line, pf_line
