@@ -22,6 +22,13 @@ def _write_waves(tmp_path, frames):
     waves = tmp_path / "landing"
     waves.mkdir()
     for k, pdf in enumerate(frames):
+        pdf = pdf.copy()
+        for c in pdf.columns:
+            # pandas upcasts parquet micros to ns; writing ns back would
+            # produce TIMESTAMP(NANOS) files that clash with the
+            # original TIMESTAMP_NTZ(micros) schema the stream declares
+            if str(pdf[c].dtype).startswith("datetime64"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
         pq.write_table(pa.Table.from_pandas(pdf), waves / f"w{k}.parquet")
     return waves
 
@@ -138,6 +145,52 @@ def test_hll_multiwave_equals_batch(spark, sf_dir, tmp_path):
     from trx_spark.queries.sketches import _HLL_M
 
     assert len(got) <= _HLL_M
+
+
+def test_matview_multiwave_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental view maintenance: per-epoch mergeable partials of
+    the pricing aggregation, drained over 3 waves, equal the batch
+    query bit-for-bit — and compaction mid-history preserves the view."""
+    from trx_spark.queries.relational import pricing_summary
+    from trx_spark.streaming.matview import (
+        compact_pricing_view,
+        merged_pricing_view,
+        pricing_partials,
+        run_pricing_matview_catchup,
+    )
+    from trx_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pdf = raw.toPandas()
+    thirds = [pdf.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    waves = _write_waves(tmp_path, thirds)
+
+    view_dir = str(tmp_path / "view")
+    got = run_pricing_matview_catchup(
+        spark,
+        landing_dir=str(waves),
+        schema=raw.schema,
+        view_dir=view_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in pricing_summary(spark, sf_dir).collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        w = want[(r["l_returnflag"], r["l_linestatus"])]
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                  "avg_qty", "avg_price", "avg_disc", "count_order"):
+            assert r[c] == w[c], (c, r[c], w[c])
+
+    before = {tuple(r) for r in merged_pricing_view(spark, view_dir).collect()}
+    compact_pricing_view(spark, view_dir)
+    after = {tuple(r) for r in merged_pricing_view(spark, view_dir).collect()}
+    assert after == before
 
 
 def test_empty_batch_wave(spark, sf_dir, tmp_path):

@@ -340,6 +340,29 @@ FROM rr GROUP BY reg
 """
 
 
+def streaming_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the flagship pricing aggregation
+    maintained as mergeable per-epoch partials (streaming/matview.py).
+    Fixed-point partial sums make the merged view BIT-EQUAL to the
+    batch aggregation, so this streaming query carries the very same
+    DuckDB oracle as batch `pricing_summary`."""
+    from trx_spark.streaming.matview import run_pricing_matview_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_matview_")
+    return run_pricing_matview_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="lineitem.parquet",
+        schema=schema,
+        view_dir=os.path.join(work, "view"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -348,6 +371,7 @@ QUERIES = {
     "streaming_attribution_join": streaming_attribution_join,
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_hll_registers": streaming_hll_registers,
+    "streaming_pricing_summary": streaming_pricing_summary,
 }
 ORACLES: dict[str, str] = {
     "streaming_windowed_counts": _WINDOWED_SQL,
@@ -356,4 +380,8 @@ ORACLES: dict[str, str] = {
     "streaming_attribution_join": _ATTRIBUTION_SQL,
     "streaming_cms_cells": _cms_cells_oracle_sql(),
     "streaming_hll_registers": _hll_registers_oracle_sql(),
+    # the SAME oracle as the batch query — the merged view is bit-equal
+    "streaming_pricing_summary": __import__(
+        "trx_spark.queries.relational", fromlist=["_PRICING_SQL"]
+    )._PRICING_SQL,
 }
