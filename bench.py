@@ -119,6 +119,7 @@ HEADLINE = [
     "event_funnel",
     "cohort_retention",
     "hashed_tf_features",
+    "contrastive_triples",
 ]
 
 

@@ -30,6 +30,7 @@ _ONE_ROW_BUILD_OK = {
     "bm25_topk",  # corpus scalars (N, avgdl) are a 1-row broadcast
     "knn_pagerank",  # the node-count scalar is a 1-row broadcast per round
     "curriculum_phases",  # the two percentile cuts are a 1-row broadcast
+    "contrastive_triples",  # rides the trained-codebook scoring (1-row scalar joins)
     "semantic_dedup",
     "vocab_coverage",
     "mixture_sample",

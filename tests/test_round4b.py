@@ -378,6 +378,26 @@ def test_knn_pagerank_golden(spark, sf_dir):
     assert 0.0 < total <= 1.0 + 1e-9  # lost-mass variant never exceeds 1
 
 
+def test_contrastive_triples_structure(spark, sf_dir):
+    from trx_spark.queries.similarity import contrastive_triples, kmeans_cells
+
+    assign = {r["vec_id"]: r["cid"] for r in kmeans_cells(spark, sf_dir).collect()}
+    rows = contrastive_triples(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["anchor_id"] != r["positive_id"]
+        assert assign[r["anchor_id"]] == r["cid"]
+        assert assign[r["positive_id"]] == r["cid"], "positive crosses cells"
+        assert assign[r["negative_id"]] == r["neg_cid"]
+        assert r["neg_cid"] != r["cid"], "negative from the anchor's own cell"
+    # every multi-member cell's anchors produce triples
+    from collections import Counter
+
+    cell_sizes = Counter(assign.values())
+    n_expected = sum(c for c in cell_sizes.values() if c > 1)
+    assert len(rows) == n_expected
+
+
 def test_cluster_balanced_sample_structure(spark, sf_dir):
     from trx_spark.queries.similarity import (
         _CBS_PER_CELL,

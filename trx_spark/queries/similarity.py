@@ -1027,6 +1027,88 @@ WHERE pick_rank <= {_CBS_PER_CELL}
 
 
 # ---------------------------------------------------------------------
+# Contrastive training triples over the trained codebook
+# ---------------------------------------------------------------------
+
+_CT_A, _CT_B = 48947, 55661  # negative-cell pick hash
+
+
+def contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triples for contrastive training:
+    the positive is another member of the anchor's trained k-means cell
+    (cluster-positive mining — cheap positives without labels), the
+    negative is the representative of a deterministically-picked OTHER
+    cell (cluster-negative). Rides the memoized trained codebook; all
+    picks are pure hash functions of vec_id → reproducible under
+    retries, no sampling state.
+
+    Plan: the positive is a lead-with-wraparound window PARTITIONED BY
+    CELL over the affine-hash order (per-cell reservoirs); the
+    negative is a broadcast join against the 16-row representative
+    table. Single-member cells yield no triple (no positive exists).
+
+    Output: (anchor_id, positive_id, negative_id, cid, neg_cid)."""
+    assign = argmax_cell(_trained_scored(spark, sf_dir)).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    rk = (F.lit(_CBS_A) * F.col("vec_id") + F.lit(_CBS_B)) % F.lit(2147483647)
+    w = Window.partitionBy("cid").orderBy(rk.asc(), F.col("vec_id").asc())
+    ordered = assign.withColumn("_nxt", F.lead("vec_id").over(w)).withColumn(
+        "_first", F.first("vec_id").over(w)
+    )
+    pos = F.coalesce(F.col("_nxt"), F.col("_first"))
+    reps = (
+        assign.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("cid").alias("neg_cid"), F.col("vec_id").alias("negative_id"))
+    )
+    n_cells = F.lit(_N_CELLS).cast("long")
+    tgt = ((F.lit(_CT_A) * F.col("vec_id") + F.lit(_CT_B)) % F.lit(2147483647)) % n_cells
+    neg_cid = F.when(tgt == F.col("cid"), (tgt + 1) % n_cells).otherwise(tgt)
+    return (
+        ordered.withColumn("positive_id", pos)
+        .filter(F.col("positive_id") != F.col("vec_id"))  # singleton cells drop
+        .withColumn("neg_cid", neg_cid)
+        .join(F.broadcast(reps), "neg_cid")
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            "positive_id",
+            "negative_id",
+            "cid",
+            "neg_cid",
+        )
+    )
+
+
+_CT_SQL = f"""
+WITH assign AS ({_KMEANS_SQL}),
+ordered AS (
+  SELECT vec_id, cid,
+         lead(vec_id) OVER w AS _nxt,
+         first_value(vec_id) OVER w AS _first,
+         row_number() OVER w AS _rn
+  FROM assign
+  WINDOW w AS (PARTITION BY cid
+               ORDER BY ({_CBS_A} * vec_id + {_CBS_B}) % 2147483647 ASC, vec_id ASC)
+),
+reps AS (
+  SELECT cid AS neg_cid, vec_id AS negative_id FROM ordered WHERE _rn = 1
+),
+anchors AS (
+  SELECT vec_id, cid,
+         COALESCE(_nxt, _first) AS positive_id,
+         CASE WHEN (({_CT_A} * vec_id + {_CT_B}) % 2147483647) % {_N_CELLS} = cid
+              THEN ((({_CT_A} * vec_id + {_CT_B}) % 2147483647) % {_N_CELLS} + 1) % {_N_CELLS}
+              ELSE (({_CT_A} * vec_id + {_CT_B}) % 2147483647) % {_N_CELLS} END AS neg_cid
+  FROM ordered
+)
+SELECT a.vec_id AS anchor_id, a.positive_id, r.negative_id, a.cid, a.neg_cid
+FROM anchors a JOIN reps r USING (neg_cid)
+WHERE a.positive_id <> a.vec_id
+"""
+
+
+# ---------------------------------------------------------------------
 # PageRank centrality over the k-NN graph
 # ---------------------------------------------------------------------
 
@@ -1171,6 +1253,7 @@ QUERIES = {
     "knn_graph": knn_graph,
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_pagerank": knn_pagerank,
+    "contrastive_triples": contrastive_triples,
 }
 
 ORACLES = {
@@ -1185,4 +1268,5 @@ ORACLES = {
     "knn_graph": _KNN_SQL,
     "cluster_balanced_sample": _CBS_SQL,
     "knn_pagerank": _PR_SQL,
+    "contrastive_triples": _CT_SQL,
 }
