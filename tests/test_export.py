@@ -74,7 +74,7 @@ def test_auto_shard_count_from_bytes(spark, docs, tmp_path):
     assert manifest["total_rows"] == docs.count()
 
 
-def test_partitioned_store_read_is_partition_pruned(spark, tmp_path):
+def test_partitioned_store_read_is_partition_pruned(spark, sf_dir, tmp_path):
     """The day-partitioned store (save_per_delay layout) must serve a
     single-day query by scanning ONLY that day's partition — the
     PartitionFilters line in the scan, not a post-scan filter. At
@@ -84,14 +84,16 @@ def test_partitioned_store_read_is_partition_pruned(spark, tmp_path):
 
     from trx_spark.sources.sinks import save_per_delay
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").selectExpr(
+    ev = load_table(spark, sf_dir, "events").selectExpr(
         "event_id", "user_id", "value", "(ts_ns DIV 86400000000000) AS day"
     )
     out = str(tmp_path / "by_day")
     save_per_delay(ev, out, delay="day")
 
-    days = [r["day"] for r in ev.select("day").distinct().collect()]
-    pick = sorted(days)[1]
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    if len(days) < 2:
+        pytest.skip("events span a single day; pruning is unobservable")
+    pick = days[len(days) // 2]
     rd = spark.read.parquet(out).filter(F.col("day") == pick)
     n = rd.count()
     assert n == ev.filter(F.col("day") == pick).count()

@@ -119,6 +119,18 @@ def test_compact_then_continue_and_replay(spark, sf_dir, tmp_path):
     want = _sketch_dict(_batch_cells(docs))
     assert _sketch_dict(merged_sketch(spark, sketch_dir)) == want
 
+    # (c) the watermark never regresses: compacting twice with no new
+    # epochs in between must NOT lower _compacted_through (a lowered
+    # marker would re-enable replay double-counting)
+    from trx_spark.streaming.sketch import _compacted_through
+
+    compact_cms_store(spark, sketch_dir)
+    assert _compacted_through(sketch_dir) == 2
+    compact_cms_store(spark, sketch_dir)  # store now holds only _epoch=-1
+    assert _compacted_through(sketch_dir) == 2
+    handle(b2, 1)  # replay of an absorbed epoch stays a no-op
+    assert _sketch_dict(merged_sketch(spark, sketch_dir)) == want
+
 
 def test_hll_multiwave_equals_batch(spark, sf_dir, tmp_path):
     """HLL twin: register-wise MAX across waves equals the batch
@@ -155,12 +167,9 @@ def test_matview_multiwave_equals_batch(spark, sf_dir, tmp_path):
     from trx_spark.streaming.matview import (
         compact_pricing_view,
         merged_pricing_view,
-        pricing_partials,
         run_pricing_matview_catchup,
     )
-    from trx_spark.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
     raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pdf = raw.toPandas()
     thirds = [pdf.iloc[i::3].reset_index(drop=True) for i in range(3)]

@@ -1044,8 +1044,14 @@ def contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the positive is a lead-with-wraparound window PARTITIONED BY
     CELL over the affine-hash order (per-cell reservoirs); the
-    negative is a broadcast join against the 16-row representative
-    table. Single-member cells yield no triple (no positive exists).
+    negatives come from a 1-ROW broadcast holding the sorted
+    representative arrays of the NON-EMPTY cells, indexed modularly
+    while skipping the anchor's own cell — so a trained codebook with
+    empty cells (an initial centroid capturing nothing) still yields a
+    negative for every anchor, never a silent drop. The only dropped
+    anchors are the two documented degeneracies: singleton cells (no
+    positive exists) and a corpus collapsed into one single non-empty
+    cell (no negative exists anywhere).
 
     Output: (anchor_id, positive_id, negative_id, cid, neg_cid)."""
     assign = argmax_cell(_trained_scored(spark, sf_dir)).select(
@@ -1060,22 +1066,36 @@ def contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = (
         assign.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(F.col("cid").alias("neg_cid"), F.col("vec_id").alias("negative_id"))
+        .select(F.col("cid").alias("rcid"), F.col("vec_id").alias("rvid"))
     )
-    n_cells = F.lit(_N_CELLS).cast("long")
-    tgt = ((F.lit(_CT_A) * F.col("vec_id") + F.lit(_CT_B)) % F.lit(2147483647)) % n_cells
-    neg_cid = F.when(tgt == F.col("cid"), (tgt + 1) % n_cells).otherwise(tgt)
+    # ≤ _N_CELLS rows folded into ONE row of parallel sorted arrays —
+    # the documented 1-row-build-side broadcast pattern
+    rep_row = reps.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rcid", "rvid"))), lambda s: s.rcid
+        ).alias("cids"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rcid", "rvid"))), lambda s: s.rvid
+        ).alias("negs"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    own_idx = F.array_position(F.col("cids"), F.col("cid"))  # 1-based
+    j = ((F.lit(_CT_A) * F.col("vec_id") + F.lit(_CT_B)) % F.lit(2147483647)) % (
+        F.col("m") - 1
+    )
+    neg_pos = F.when(j + 1 >= own_idx, j + 2).otherwise(j + 1)
     return (
         ordered.withColumn("positive_id", pos)
         .filter(F.col("positive_id") != F.col("vec_id"))  # singleton cells drop
-        .withColumn("neg_cid", neg_cid)
-        .join(F.broadcast(reps), "neg_cid")
+        .crossJoin(F.broadcast(rep_row))
+        .filter(F.col("m") > 1)
+        .withColumn("_np", neg_pos.cast("int"))
         .select(
             F.col("vec_id").alias("anchor_id"),
             "positive_id",
-            "negative_id",
+            F.element_at(F.col("negs"), F.col("_np")).alias("negative_id"),
             "cid",
-            "neg_cid",
+            F.element_at(F.col("cids"), F.col("_np")).alias("neg_cid"),
         )
     )
 
@@ -1092,19 +1112,31 @@ ordered AS (
                ORDER BY ({_CBS_A} * vec_id + {_CBS_B}) % 2147483647 ASC, vec_id ASC)
 ),
 reps AS (
-  SELECT cid AS neg_cid, vec_id AS negative_id FROM ordered WHERE _rn = 1
+  SELECT cid AS rcid, vec_id AS rvid FROM ordered WHERE _rn = 1
+),
+rep_row AS (
+  SELECT list(rcid ORDER BY rcid) AS cids,
+         list(rvid ORDER BY rcid) AS negs,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM reps
 ),
 anchors AS (
-  SELECT vec_id, cid,
-         COALESCE(_nxt, _first) AS positive_id,
-         CASE WHEN (({_CT_A} * vec_id + {_CT_B}) % 2147483647) % {_N_CELLS} = cid
-              THEN ((({_CT_A} * vec_id + {_CT_B}) % 2147483647) % {_N_CELLS} + 1) % {_N_CELLS}
-              ELSE (({_CT_A} * vec_id + {_CT_B}) % 2147483647) % {_N_CELLS} END AS neg_cid
-  FROM ordered
+  SELECT o.vec_id, o.cid,
+         COALESCE(o._nxt, o._first) AS positive_id,
+         CAST(list_position(r.cids, o.cid) AS BIGINT) AS own_idx,
+         (({_CT_A} * o.vec_id + {_CT_B}) % 2147483647) % (r.m - 1) AS j,
+         r.cids, r.negs, r.m
+  FROM ordered o CROSS JOIN rep_row r
+  WHERE r.m > 1
 )
-SELECT a.vec_id AS anchor_id, a.positive_id, r.negative_id, a.cid, a.neg_cid
-FROM anchors a JOIN reps r USING (neg_cid)
-WHERE a.positive_id <> a.vec_id
+SELECT vec_id AS anchor_id, positive_id,
+       negs[CAST(CASE WHEN j + 1 >= own_idx THEN j + 2 ELSE j + 1 END AS INTEGER)]
+         AS negative_id,
+       cid,
+       cids[CAST(CASE WHEN j + 1 >= own_idx THEN j + 2 ELSE j + 1 END AS INTEGER)]
+         AS neg_cid
+FROM anchors
+WHERE positive_id <> vec_id
 """
 
 

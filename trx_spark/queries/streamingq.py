@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trx_spark.queries.relational import _PRICING_SQL
 from trx_spark.streaming.incremental import run_catchup
 
 
@@ -381,7 +382,5 @@ ORACLES: dict[str, str] = {
     "streaming_cms_cells": _cms_cells_oracle_sql(),
     "streaming_hll_registers": _hll_registers_oracle_sql(),
     # the SAME oracle as the batch query — the merged view is bit-equal
-    "streaming_pricing_summary": __import__(
-        "trx_spark.queries.relational", fromlist=["_PRICING_SQL"]
-    )._PRICING_SQL,
+    "streaming_pricing_summary": _PRICING_SQL,
 }

@@ -60,25 +60,40 @@ def pricing_partials(batch: DataFrame) -> DataFrame:
             F.sum(fint(disc_price)).alias("fp_disc_price"),
             F.sum(fint(charge)).alias("fp_charge"),
             F.sum(fint(F.col("l_discount"))).alias("fp_disc"),
+            # per-column NON-NULL counts, so the finalized averages
+            # divide exactly like the batch query's davg (= dsum /
+            # count(col)) even on null-bearing measures
+            F.count(F.col("l_quantity")).alias("n_qty"),
+            F.count(F.col("l_extendedprice")).alias("n_price"),
+            F.count(F.col("l_discount")).alias("n_disc"),
             F.count(F.lit(1)).alias("n"),
         )
     )
 
 
-def merged_pricing_view(spark: SparkSession, view_dir: str) -> DataFrame:
-    """Key-wise merge of the epoch partials, finalized to the exact
-    batch `pricing_summary` schema (the integer partial sums make the
-    merge associative and the final division bit-identical to the
-    batch fixed-point aggregation)."""
-    parts = spark.read.parquet(view_dir)
-    m = parts.groupBy(*_KEYS).agg(
-        F.sum("fp_qty").alias("fp_qty"),
-        F.sum("fp_base").alias("fp_base"),
-        F.sum("fp_disc_price").alias("fp_disc_price"),
-        F.sum("fp_charge").alias("fp_charge"),
-        F.sum("fp_disc").alias("fp_disc"),
-        F.sum("n").alias("n"),
+_PARTIAL_COLS = [
+    "fp_qty", "fp_base", "fp_disc_price", "fp_charge", "fp_disc",
+    "n_qty", "n_price", "n_disc", "n",
+]
+
+
+def _merge_partials(spark: SparkSession, view_dir: str) -> DataFrame:
+    """Key-wise merge of the epoch partials — the ONE definition shared
+    by the finalizing read and compaction, so a new partial column can
+    never silently drop out of the folded store."""
+    return (
+        spark.read.parquet(view_dir)
+        .groupBy(*_KEYS)
+        .agg(*[F.sum(c).alias(c) for c in _PARTIAL_COLS])
     )
+
+
+def merged_pricing_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """Merged partials finalized to the exact batch `pricing_summary`
+    schema (the integer partial sums make the merge associative, and
+    the final divisions — dsum/scale, dsum/count(col) — are the very
+    expressions the batch query evaluates, so equality is bit-exact)."""
+    m = _merge_partials(spark, view_dir)
 
     def d(col):  # fixed-point long → double, same op as exact.dsum
         return F.col(col).cast("double") / F.lit(SCALE)
@@ -89,33 +104,19 @@ def merged_pricing_view(spark: SparkSession, view_dir: str) -> DataFrame:
         d("fp_base").alias("sum_base_price"),
         d("fp_disc_price").alias("sum_disc_price"),
         d("fp_charge").alias("sum_charge"),
-        (d("fp_qty") / F.col("n")).alias("avg_qty"),
-        (d("fp_base") / F.col("n")).alias("avg_price"),
-        (d("fp_disc") / F.col("n")).alias("avg_disc"),
+        (d("fp_qty") / F.col("n_qty")).alias("avg_qty"),
+        (d("fp_base") / F.col("n_price")).alias("avg_price"),
+        (d("fp_disc") / F.col("n_disc")).alias("avg_disc"),
         F.col("n").alias("count_order"),
     )
 
 
 def compact_pricing_view(spark: SparkSession, view_dir: str) -> None:
     """Fold epoch history to one partial per group (watermarked like
-    the sketch stores). NOTE: folds the PARTIAL columns, not the
-    finalized view — merge must stay associative."""
-
-    def merge_partials(s: SparkSession, d: str) -> DataFrame:
-        return (
-            s.read.parquet(d)
-            .groupBy(*_KEYS)
-            .agg(
-                F.sum("fp_qty").alias("fp_qty"),
-                F.sum("fp_base").alias("fp_base"),
-                F.sum("fp_disc_price").alias("fp_disc_price"),
-                F.sum("fp_charge").alias("fp_charge"),
-                F.sum("fp_disc").alias("fp_disc"),
-                F.sum("n").alias("n"),
-            )
-        )
-
-    compact_store(spark, view_dir, merge_partials)
+    the sketch stores). Folds the PARTIAL columns via the shared
+    :func:`_merge_partials` — never the finalized view, whose averages
+    are not associative."""
+    compact_store(spark, view_dir, _merge_partials)
 
 
 def run_pricing_matview_catchup(

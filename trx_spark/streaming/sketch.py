@@ -136,6 +136,10 @@ def compact_store(
     marker keeps subsequent replays of absorbed epochs no-ops."""
     store = spark.read.parquet(sketch_dir)
     high = store.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
+    # a store holding only the folded _epoch=-1 partial reports max=-1;
+    # the watermark must never REGRESS (a lowered marker re-enables
+    # replay double-counting of the epochs absorbed earlier)
+    high = max(int(high), _compacted_through(sketch_dir))
     merged = merge_fn(spark, sketch_dir).withColumn("_epoch", F.lit(-1))
     # STATIC overwrite on purpose: replace the whole store (dropping the
     # folded epoch partitions), not just the _epoch=-1 partition
