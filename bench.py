@@ -120,6 +120,7 @@ HEADLINE = [
     "cohort_retention",
     "hashed_tf_features",
     "contrastive_triples",
+    "dedup_report",
 ]
 
 

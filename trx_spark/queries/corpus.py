@@ -600,6 +600,48 @@ JOIN q ON q.doc_id = d.doc_id
 """
 
 
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: how many documents each pipeline
+    stage rejects (exact duplicate / near-dup non-canonical / quality)
+    and how many survive — the report an operator reads before
+    committing a corpus build. Pure rollup of the composed keep-list
+    verdict: one keyed groupBy over already-memoized stages.
+
+    Output: (source, n_docs, n_exact_dupes, n_near_dupes,
+    n_quality_rejects, n_kept)."""
+    kl = corpus_keep_list(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def n_where(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return (
+        kl.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_where(~F.col("exact_keeper"), "n_exact_dupes"),
+            n_where(~F.col("is_canonical"), "n_near_dupes"),
+            n_where(~F.col("quality_keep"), "n_quality_rejects"),
+            n_where(F.col("keep"), "n_kept"),
+        )
+    )
+
+
+def _dedup_report_sql() -> str:
+    return f"""
+WITH kl AS ({_keep_list_sql().strip()})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT kl.exact_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dupes,
+       CAST(SUM(CASE WHEN NOT kl.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dupes,
+       CAST(SUM(CASE WHEN NOT kl.quality_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_rejects,
+       CAST(SUM(CASE WHEN kl.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kl JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "span_dedup": span_dedup,
@@ -607,6 +649,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "quality_filter": quality_filter,
     "corpus_keep_list": corpus_keep_list,
+    "dedup_report": dedup_report,
 }
 
 ORACLES = {
@@ -616,4 +659,5 @@ ORACLES = {
     "repetition_stats": _REPETITION_SQL,
     "quality_filter": _QUALITY_SQL,
     "corpus_keep_list": _keep_list_sql(),
+    "dedup_report": _dedup_report_sql(),
 }
