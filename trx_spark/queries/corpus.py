@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from trx_spark.operators import graph
 from trx_spark.queries import textdata
-from trx_spark.tables import load_table
+from trx_spark.tables import fan_out_small_scan, load_table
 
 # ---------------------------------------------------------------------
 # Near-dup clusters: connected components over LSH candidate pairs
@@ -117,7 +117,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The C4 recipe at span granularity — removes boilerplate repeated
     across documents, not just whole-doc duplicates.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     spans = _doc_spans(docs)
     n_spans = _n_spans_col()
     kk = F.col("doc_id") * _POS_ENC + F.col("pos")
@@ -196,7 +196,7 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate stats + cleaned text: (doc_id, n_spans,
     n_kept, n_boiler, text_clean) where boilerplate = spans occurring
     in ≥ _BOILER_MIN_DOCS distinct docs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     spans = _doc_spans(docs)
     common = (
         spans.groupBy("span")
@@ -303,7 +303,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandwidth). The top-bigram multiplicity is the sorted-run fold of
     :func:`_max_run_count`, linearithmic in document length.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     n = F.size(w).cast("long")
     nd = F.size(F.array_distinct(w)).cast("long")
@@ -456,8 +456,10 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: :func:`quality_signals` over the documents table."""
     key = (spark, sf_dir)
     if key not in _SIGNALS_CACHE:
+        from trx_spark.tables import fan_out_small_scan
+
         _SIGNALS_CACHE[key] = quality_signals(
-            load_table(spark, sf_dir, "documents")
+            fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         ).localCheckpoint()
     return _SIGNALS_CACHE[key]
 

@@ -65,7 +65,11 @@ _SHINGLED_CACHE: dict = {}
 def _toks_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _TOKS_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
+        from trx_spark.tables import fan_out_small_scan
+
+        # regex tokenize is map-only — fan the small scan out so it
+        # parallelizes (no-op at cluster scale; tables.py docstring)
+        docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
         _TOKS_CACHE[key] = docs.select(
             "doc_id", "source", toks.alias("toks")

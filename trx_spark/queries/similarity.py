@@ -31,7 +31,7 @@ from trx_spark.queries.textdata import (
     _plane_sql,
     ann_lsh_buckets,
 )
-from trx_spark.tables import load_table
+from trx_spark.tables import fan_out_small_scan, load_table
 
 _NEARDUP_COS = 0.25  # isotropic test corpus tops out near 0.44
 
@@ -65,7 +65,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms are computed BEFORE the self-join so each side carries a
     scalar, and the pair dot product is a single array fold per
     candidate row."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     b = (
         ann_lsh_buckets(spark, sf_dir)
         .join(emb, "vec_id")
@@ -171,7 +173,9 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector lands in the cell of its max-dot-product centroid. The
     centroid table is 16 rows → broadcast; the argmax is a window
     partitioned BY VECTOR, so assignment is embarrassingly parallel."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
     )
@@ -201,7 +205,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _query_cell_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The query's _N_PROBE nearest cells by centroid dot product."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
     )
@@ -275,7 +281,9 @@ _SCORED_CACHE: dict = {}
 def _trained_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _CENTS_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        emb = fan_out_small_scan(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", "embedding")
         _CENTS_CACHE[key] = lloyd_centroids(
             emb, k=_N_CELLS, updates=_KM_ROUNDS - 1
         ).localCheckpoint()
@@ -288,7 +296,9 @@ def _trained_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codebooks; the score table is the costly corpus pass)."""
     key = (spark, sf_dir)
     if key not in _SCORED_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        emb = fan_out_small_scan(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", "embedding")
         _SCORED_CACHE[key] = score_cells(
             emb, _trained_cents(spark, sf_dir)
         ).localCheckpoint()
@@ -456,7 +466,9 @@ _SEMDEDUP_CELL_CAP = 256
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector SemDeDup verdict: trained cell + keep/drop flag."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     cents = _trained_cents(spark, sf_dir)
     assign = argmax_cell(score_cells(emb, cents)).select("vec_id", "cid")
     # cell sizes: ≤ k rows BY CONSTRUCTION → aggregate + broadcast join
@@ -601,7 +613,9 @@ def _pq_train_encode(spark: SparkSession, sf_dir: str):
     Returns (sub, cents, codes) with every frame keyed by m."""
     key = (spark, sf_dir)
     if key not in _PQ_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        emb = fan_out_small_scan(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", "embedding")
         sub = _pq_subspaces(emb)
         cents = lloyd_centroids_grouped(
             sub, k=_PQ_K, updates=1, group=["m"]
@@ -896,7 +910,9 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _KNN_CACHE:
         return _KNN_CACHE[key]
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     b = (
         ann_lsh_buckets(spark, sf_dir)
         .join(emb, "vec_id")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trx_spark.tables import load_table
+from trx_spark.tables import fan_out_small_scan, load_table
 
 _TOKEN_RE = "[a-z]+"
 _P = 2147483647  # 2^31 − 1, Mersenne prime for the affine hash family
@@ -68,7 +68,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring: token/type counts, total token
     chars, stopword ratio, and a rational quality score (no
     transcendentals → oracle-exact)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = _tokens_col()
     n_tokens = F.size(toks).cast("long")
     n_types = F.size(F.array_distinct(toks)).cast("long")
@@ -131,7 +131,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: count per-language marker tokens, argmax
     with a fixed precedence (en > de > es > fr; 'und' = undetermined when
     all scores are zero)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = _tokens_col()
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
@@ -227,7 +227,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-fold token ids. ZERO-shuffle: each signature row is an array
     fold over the doc's own tokens — a pure projection of the documents
     scan (docs with no tokens are excluded, as before)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tids = F.transform(F.array_distinct(_tokens_col()), _tok_hash)
     d = docs.filter(F.size(_tokens_col()) > 0).withColumn("ids", tids)
 
@@ -347,7 +347,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs: shingle sets per doc, pair
     candidates = docs sharing a shingle (the shingle join IS the
     blocking), J = |∩| / |∪| ≥ 0.2."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "t"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     sh = (
@@ -419,7 +419,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-fold token ids. ZERO-shuffle: the whole fingerprint is one
     nested array fold per document row (round 1 exploded + joined a
     rank dictionary + re-collected — three shuffles for a projection)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     fp = F.aggregate(
         F.transform(_tokens_col(), _tok_hash),
         F.lit(0).cast("long"),
@@ -492,7 +492,7 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO-shuffle: with char-fold token ids the 16 bit-votes are array
     folds per document row (round 1 cross-joined a bits table and ran
     two groupBy shuffles)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     hs = F.transform(
         F.transform(F.array_distinct(_tokens_col()), _tok_hash),
         lambda x: (F.lit(_SIMHASH_A) * x + F.lit(_SIMHASH_B)) % (1 << _SIMHASH_BITS),
@@ -555,7 +555,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _LSH_BUCKET_TABLE_CACHE[key]
     from trx_spark.exact import dsum
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     ex = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .withColumn("x", F.col("x").cast("double"))
@@ -838,7 +838,7 @@ def lsh_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard verification of the MinHash-LSH candidates."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     tok = (
-        load_table(spark, sf_dir, "documents")
+        fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("t"))
         .localCheckpoint()
     )
@@ -942,7 +942,7 @@ def _simhash_pairs_frame(docs: DataFrame, *, cap: int = _LSH_BUCKET_CAP) -> Data
     body of simhash_neardup_pairs, parameterized on the bucket cap so
     the banding≡brute-force equivalence test can run the REAL code path
     with the cap disabled."""
-    sh = _simhash48(docs).localCheckpoint()
+    sh = _simhash48(fan_out_small_scan(docs)).localCheckpoint()
     mask = (1 << _SIMHAM_BAND_BITS) - 1
     n_bands = _SIMHAM_BITS // _SIMHAM_BAND_BITS
     stack_args = ", ".join(

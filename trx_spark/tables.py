@@ -65,6 +65,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a SMALL scan before a compute-bound,
+    shuffle-free projection (regex tokenize, MinHash/SimHash signature
+    folds, PQ encode, per-vector scoring against a broadcast codebook).
+
+    Why: a scan of one small parquet file yields ONE input split, so a
+    heavy per-row projection — or anything downstream of a broadcast
+    join, which preserves the probe side's partitioning — runs serially
+    no matter how many cores the session has. Join/groupBy stages
+    self-heal (the shuffle re-spreads to spark.sql.shuffle.partitions);
+    map-only stages never do.
+
+    At cluster scale the scan already yields >= defaultParallelism
+    splits and this returns the frame untouched — the helper is a local
+    small-file corrective, not a standing shuffle. Apply it AFTER any
+    scan-pushable filter so pushdown is preserved."""
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def raw_dtype(spark: SparkSession, sf_dir: str, name: str, col: str) -> str | None:
     """dtype of ``col`` as stored in the parquet file itself (footer-only
     peek, no data read) — BEFORE load_table's ns/timestamp normalization.
