@@ -563,22 +563,26 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # overflow for the coefficients that fit in int32
         .withColumn("pos", F.col("pos").cast("long"))
     )
-    planes = []
-    for j, (a, b) in enumerate(_PLANE_COEF):
-        comp = ((F.lit(a) * (F.col("pos") + 1) + F.lit(b)) % 97 - 48).cast("double")
-        planes.append(
-            ex.withColumn("plane", F.lit(j)).withColumn("v", comp)
+    # all 8 plane dot products in ONE keyed aggregation (8 agg columns)
+    # instead of a union of 8 per-plane copies — same fixed-point sums,
+    # 1 shuffle of the exploded rows rather than 8
+    def comp(a: int, b: int) -> F.Column:
+        return ((F.lit(a) * (F.col("pos") + 1) + F.lit(b)) % 97 - 48).cast("double")
+
+    dots = ex.groupBy("vec_id").agg(
+        *[
+            dsum(F.col("x") * comp(a, b), 1e9).alias(f"dot{j}")
+            for j, (a, b) in enumerate(_PLANE_COEF)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"dot{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    allp = planes[0]
-    for p in planes[1:]:
-        allp = allp.unionByName(p)
-    dots = allp.groupBy("vec_id", "plane").agg(dsum(F.col("x") * F.col("v"), 1e9).alias("dot"))
-    bucket = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("bucket")
+        for j in range(len(_PLANE_COEF))
+    ]
+    bucket = dots.select(
+        "vec_id", sum(bits[1:], bits[0]).alias("bucket")
     )
     _LSH_BUCKET_TABLE_CACHE[key] = bucket.localCheckpoint()
     return _LSH_BUCKET_TABLE_CACHE[key]
