@@ -98,3 +98,26 @@ def test_no_global_lit1_window_in_source():
         if "partitionBy(F.lit(1))" in src or "partitionBy(lit(1))" in src:
             offenders.append(str(p))
     assert offenders == []
+
+
+def test_compute_bound_bases_fan_out(spark):
+    """Invariant 10 (round 4): map-only compute-heavy stages must not
+    inherit a single-split scan. The shared bases (tokenized docs,
+    quality signals, signature/fingerprint projections, every
+    per-vector embedding stage) fan a small scan out to the session's
+    default parallelism before the heavy projection — a no-op at
+    cluster scale, the difference between serial and parallel locally."""
+    from trx_spark.cache import clear_stage_caches
+    from trx_spark.queries.corpus import quality_filter
+    from trx_spark.queries.curation import _toks_base
+    from trx_spark.tables import fan_out_small_scan, load_table
+
+    sf = "/root/testdata/sf0.001"
+    target = min(spark.sparkContext.defaultParallelism, 8)
+    clear_stage_caches(spark)
+    assert _toks_base(spark, sf).rdd.getNumPartitions() >= target
+    assert quality_filter(spark, sf).rdd.getNumPartitions() >= target
+    # the helper is a no-op once the scan already has enough splits
+    many = load_table(spark, sf, "documents").repartition(64)
+    assert fan_out_small_scan(many) is many
+    clear_stage_caches(spark)
