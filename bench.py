@@ -121,6 +121,9 @@ HEADLINE = [
     "hashed_tf_features",
     "contrastive_triples",
     "dedup_report",
+    # round-4 wave 3
+    "bpe_merges",
+    "bpe_encode",
 ]
 
 

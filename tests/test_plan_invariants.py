@@ -31,6 +31,8 @@ _ONE_ROW_BUILD_OK = {
     "knn_pagerank",  # the node-count scalar is a 1-row broadcast per round
     "curriculum_phases",  # the two percentile cuts are a 1-row broadcast
     "contrastive_triples",  # rides the trained-codebook scoring (1-row scalar joins)
+    "bpe_merges",  # per-round best-pair is a 1-row broadcast into the rewrite
+    "bpe_encode",  # same trained state, plus the K-row vocab broadcast
     "semantic_dedup",
     "vocab_coverage",
     "mixture_sample",

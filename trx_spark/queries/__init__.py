@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from trx_spark.queries import (
+    bpe,
     corpus,
     curation,
     curriculum,
@@ -49,6 +50,7 @@ for mod in (
     curriculum,
     sketches,
     ranking,
+    bpe,
     streamingq,
 ):
     QUERIES.update(mod.QUERIES)
