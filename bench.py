@@ -124,6 +124,7 @@ HEADLINE = [
     # round-4 wave 3
     "bpe_merges",
     "bpe_encode",
+    "compression_ratio",
 ]
 
 

@@ -644,6 +644,64 @@ GROUP BY d.source
 """
 
 
+
+
+# ---------------------------------------------------------------------
+# Compression-ratio quality signal (zlib low-entropy filter)
+# ---------------------------------------------------------------------
+
+_CR_LOW = 0.35  # below: near-constant text (template/boilerplate spam)
+_CR_LEVEL = 6  # fixed zlib level -> deterministic byte counts
+
+
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic low-entropy
+    quality filter (highly repetitive machine-generated text
+    compresses far below natural language). Real zlib, so there is no
+    SQL oracle; correctness is pinned by a Python golden test
+    (tests/test_compression_ratio.py) that byte-compares against
+    direct zlib calls.
+
+    Scale shape: one Arrow-batched mapInPandas pass over the scan
+    (fan-out per invariant 10), zero shuffles, no state — the
+    distributed ceiling is scan bandwidth. The kernel is
+    closure-self-contained (workers never import repo modules).
+
+    Output: (doc_id, n_bytes, n_compressed, compression_ratio,
+    flagged_low_entropy)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+
+    low, level = _CR_LOW, _CR_LEVEL
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, level)) for b in raw]
+            ratio = [
+                (c / b) if b else float("nan") for c, b in zip(nc, nb)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": ratio,
+                    "flagged_low_entropy": [r < low for r in ratio],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        "doc_id long, n_bytes long, n_compressed long, "
+        "compression_ratio double, flagged_low_entropy boolean",
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "span_dedup": span_dedup,
@@ -652,6 +710,7 @@ QUERIES = {
     "quality_filter": quality_filter,
     "corpus_keep_list": corpus_keep_list,
     "dedup_report": dedup_report,
+    "compression_ratio": compression_ratio,
 }
 
 ORACLES = {
