@@ -140,6 +140,11 @@ def main() -> None:
     QUERIES["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the one-time Python-daemon startup, so the first
+    # Pandas-UDF query isn't charged ~10 s of worker spawning
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     def run_pass(cold: bool) -> dict[str, float]:
         from trx_spark.cache import clear_stage_caches
