@@ -125,6 +125,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "compression_ratio",
+    "lm_perplexity",
 ]
 
 

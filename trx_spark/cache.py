@@ -15,7 +15,7 @@ from __future__ import annotations
 
 
 def _all_caches() -> list[dict]:
-    from trx_spark.queries import bpe, corpus, curation, similarity, textdata, trxdomain, trxdomain3
+    from trx_spark.queries import bpe, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
 
     return [
         trxdomain._DIFFS_CACHE,
@@ -32,6 +32,7 @@ def _all_caches() -> list[dict]:
         textdata._LSH_PAIRS_CACHE,
         similarity._KNN_CACHE,
         bpe._BPE_CACHE,
+        lm._LM_CACHE,
     ]
 
 
@@ -60,7 +61,7 @@ def clear_stage_caches(spark=None) -> int:
 
 def stage_cache_stats() -> dict[str, int]:
     """Entry counts per cache (for diagnostics/monitoring)."""
-    from trx_spark.queries import bpe, corpus, curation, similarity, textdata, trxdomain, trxdomain3
+    from trx_spark.queries import bpe, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
 
     return {
         "events_diff_bank": len(trxdomain._DIFFS_CACHE),
@@ -77,4 +78,5 @@ def stage_cache_stats() -> dict[str, int]:
         "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),
         "knn_edges": len(similarity._KNN_CACHE),
         "bpe_trained": len(bpe._BPE_CACHE),
+        "lm_model": len(lm._LM_CACHE),
     }

@@ -18,6 +18,7 @@ from trx_spark.queries import (
     corpus,
     curation,
     curriculum,
+    lm,
     packing,
     ranking,
     relational,
@@ -51,6 +52,7 @@ for mod in (
     sketches,
     ranking,
     bpe,
+    lm,
     streamingq,
 ):
     QUERIES.update(mod.QUERIES)

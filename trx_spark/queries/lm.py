@@ -1,0 +1,124 @@
+"""Bigram language-model perplexity scoring (CCNet-style curation
+signal; Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", LREC 2020 — there, a KenLM 5-gram; here
+the same filter shape with an add-k bigram model trained on the corpus
+itself).
+
+Training and scoring are both relational:
+- vocabulary = top-`_LM_VOCAB` unigrams (everything else folds to the
+  UNK symbol — the open-vocabulary standard);
+- counts: one groupBy for mapped unigrams, one for mapped bigrams;
+- p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·(V+1)) — add-k smoothing, so
+  unseen bigrams score via the LEFT join's COALESCE(0) path;
+- per-doc: mean log2 p over the doc's bigrams, perplexity = 2^(-mean).
+
+Scale shape: the vocab map is a (V+1)-row broadcast; the bigram-count
+table is keyed-joined (≤ (V+1)² rows worst case — beyond broadcast at
+full vocab, bounded regardless of corpus size); the corpus-side work
+is the memoized bigram stream + two keyed aggregations. log2/pow are
+engine-specific libm (NOT bit-portable), so there is no SQL oracle;
+tests/test_lm_perplexity.py pins the whole model against a pure-Python
+implementation (counts exact, floats to 1e-12 relative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LM_VOCAB = 4096  # top-K unigrams kept; the rest fold to UNK
+_LM_UNK = "\x00unk"  # sorts outside [a-z]+, cannot collide with a token
+_LM_K = 0.5  # add-k smoothing mass
+
+# trained model memo per (session, sf_dir): (vocab_df, uni_df, bi_df)
+_LM_CACHE: dict = {}
+
+
+def _train_lm(spark: SparkSession, sf_dir: str):
+    from trx_spark.queries.curation import _bigram_stream, _token_stream
+
+    key = (spark, sf_dir)
+    if key in _LM_CACHE:
+        return _LM_CACHE[key]
+    toks = _token_stream(spark, sf_dir)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_LM_VOCAB)
+        .select("token")
+        .localCheckpoint()
+    )
+    # mapped unigram counts (UNK included): broadcast the V-row vocab
+    mapped = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(True))), "token", "left"
+    ).select(
+        F.when(F.col("_in"), F.col("token")).otherwise(F.lit(_LM_UNK)).alias("w")
+    )
+    uni = mapped.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
+    # mapped bigram counts ride the memoized bigram stream
+    bi_raw = _bigram_stream(spark, sf_dir).select(
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    vmap = F.broadcast(vocab.withColumn("_in", F.lit(True)))
+    bi = (
+        bi_raw.join(vmap.withColumnRenamed("token", "w1"), "w1", "left")
+        .withColumn("m1", F.when(F.col("_in"), F.col("w1")).otherwise(F.lit(_LM_UNK)))
+        .drop("_in")
+        .join(vmap.withColumnRenamed("token", "w2"), "w2", "left")
+        .withColumn("m2", F.when(F.col("_in"), F.col("w2")).otherwise(F.lit(_LM_UNK)))
+        .groupBy(F.col("m1").alias("w1"), F.col("m2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
+    _LM_CACHE[key] = (vocab, uni, bi)
+    return _LM_CACHE[key]
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_log2p, perplexity) — docs with fewer
+    than 2 tokens emit no row (no bigram to score), matching the other
+    token-grain queries."""
+    from trx_spark.queries.curation import _bigram_stream
+
+    vocab, uni, bi = _train_lm(spark, sf_dir)
+    vmap = F.broadcast(vocab.withColumn("_in", F.lit(True)))
+    doc_bi = (
+        _bigram_stream(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .join(vmap.withColumnRenamed("token", "w1"), "w1", "left")
+        .withColumn("m1", F.when(F.col("_in"), F.col("w1")).otherwise(F.lit(_LM_UNK)))
+        .drop("_in")
+        .join(vmap.withColumnRenamed("token", "w2"), "w2", "left")
+        .withColumn("m2", F.when(F.col("_in"), F.col("w2")).otherwise(F.lit(_LM_UNK)))
+        .select("doc_id", F.col("m1").alias("w1"), F.col("m2").alias("w2"))
+    )
+    v1 = F.lit(float(_LM_K)) * (F.lit(_LM_VOCAB + 1).cast("double"))
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .select(
+            "doc_id",
+            F.log2(
+                (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(_LM_K)))
+                / (F.col("c1").cast("double") + v1)
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("avg_log2p"),
+        F.pow(F.lit(2.0), -F.avg("lp")).alias("perplexity"),
+    )
+
+
+QUERIES = {
+    "lm_perplexity": lm_perplexity,
+}
+
+ORACLES: dict[str, str] = {}
