@@ -1,7 +1,7 @@
 """lm_perplexity has no SQL oracle (log2/pow are engine-specific
 libm); pin the whole trained model against a pure-Python
-implementation — counts exact, floats to 1e-12 relative — at
-sf0.001, plus a discrimination check (natural text scores lower
+implementation (counts exact; the fixed-point log2 sums match to
+float tolerance) at sf0.001, plus a discrimination check (natural text scores lower
 perplexity than shuffled-vocabulary noise under a model trained on
 the natural side)."""
 
@@ -13,7 +13,7 @@ import re
 import pyarrow.parquet as pq
 import pytest
 
-from trx_spark.queries.lm import _LM_K, _LM_UNK, _LM_VOCAB, lm_perplexity
+from trx_spark.queries.lm import _LM_K, _LM_SCALE, _LM_UNK, _LM_VOCAB, lm_perplexity
 
 _TOKEN_RE = re.compile("[a-z]+")
 
@@ -41,15 +41,18 @@ def _ref_model(docs: dict[int, str]):
 
 def _ref_score(ts, m, uni, bi):
     lps = [
-        math.log2(
-            (bi.get((m(a), m(b)), 0) + _LM_K)
-            / (uni[m(a)] + _LM_K * (_LM_VOCAB + 1))
+        math.floor(
+            math.log2(
+                (bi.get((m(a), m(b)), 0) + _LM_K)
+                / (uni[m(a)] + _LM_K * (_LM_VOCAB + 1))
+            )
+            * _LM_SCALE
         )
         for a, b in zip(ts, ts[1:])
     ]
     if not lps:
         return None
-    avg = sum(lps) / len(lps)
+    avg = sum(lps) / _LM_SCALE / len(lps)
     return len(lps), avg, 2.0 ** (-avg)
 
 

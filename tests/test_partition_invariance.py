@@ -20,6 +20,9 @@ _REPRESENTATIVE = [
     "sessionize_events",    # partitioned window + cumsum
     "topk_ngrams",          # TakeOrderedAndProject with tie-break
     "quality_filter",       # pure projection (control)
+    "bpe_merges",           # iterative trainer (r4w3)
+    "lm_perplexity",        # fixed-point log2 sums (r4w3)
+    "compression_ratio",    # mapInPandas kernel (r4w3)
 ]
 
 

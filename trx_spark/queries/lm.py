@@ -18,7 +18,9 @@ full vocab, bounded regardless of corpus size); the corpus-side work
 is the memoized bigram stream + two keyed aggregations. log2/pow are
 engine-specific libm (NOT bit-portable), so there is no SQL oracle;
 tests/test_lm_perplexity.py pins the whole model against a pure-Python
-implementation (counts exact, floats to 1e-12 relative).
+implementation — exactly, since the per-row log2 terms (deterministic
+on a given libm) are summed in fixed point (decimal-exact), making
+the result bit-stable under any partitioning.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from pyspark.sql import functions as F
 _LM_VOCAB = 4096  # top-K unigrams kept; the rest fold to UNK
 _LM_UNK = "\x00unk"  # sorts outside [a-z]+, cannot collide with a token
 _LM_K = 0.5  # add-k smoothing mass
+_LM_SCALE = 1e12  # fixed-point scale for the log2 sum (decimal-summed)
 
 # trained model memo per (session, sf_dir): (vocab_df, uni_df, bi_df)
 _LM_CACHE: dict = {}
@@ -110,10 +113,20 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
+    # fixed-point (decimal-exact) sum of the per-row log2 terms: double
+    # addition is not associative, so a plain avg() would drift with
+    # partition order/count in the last ulp — this keeps the result
+    # bit-stable under any partitioning (test_partition_invariance)
+    avg = (
+        F.sum(F.floor(F.col("lp") * F.lit(_LM_SCALE)).cast("decimal(38,0)"))
+        .cast("double")
+        / F.lit(_LM_SCALE)
+        / F.count(F.lit(1)).cast("double")
+    )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.avg("lp").alias("avg_log2p"),
-        F.pow(F.lit(2.0), -F.avg("lp")).alias("perplexity"),
+        avg.alias("avg_log2p"),
+        F.pow(F.lit(2.0), -avg).alias("perplexity"),
     )
 
 
