@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trx_spark.queries.curation import _BPE_RE, _P, _SAMPLE_A, _SAMPLE_B
-from trx_spark.tables import load_table
+from trx_spark.tables import fan_out_small_scan, load_table
 
 # ---------------------------------------------------------------------
 # PII scrubbing
@@ -56,7 +56,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text (deterministic, so the oracle reproduces them), then both
     regexes redact to ``<EMAIL>`` / ``<PHONE>``. Zero shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     email_span = F.concat(
         F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")
     )
@@ -136,7 +136,7 @@ def pack_sequences(
     ``n_shards`` bounds the cumsum-window partition size — the gate
     default matches the oracle SQL; a real deployment sets it ∝ corpus
     size (tokens per shard ≈ what one task should sort)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast("long")
     base = docs.select(
         "doc_id",
@@ -211,7 +211,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunks per document (empty docs emit
     no chunks). chunk_hash identifies the chunk content for downstream
     chunk-level dedup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
     base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tok")).where(
         F.col("n_tok") > 0
