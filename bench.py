@@ -126,6 +126,7 @@ HEADLINE = [
     "bpe_encode",
     "compression_ratio",
     "lm_perplexity",
+    "training_set_manifest",
 ]
 
 

@@ -310,11 +310,70 @@ FROM e
 """
 
 
+
+
+# ---------------------------------------------------------------------
+# Training-set manifest: the composed last mile
+# ---------------------------------------------------------------------
+
+
+def training_set_manifest(
+    spark: SparkSession, sf_dir: str, *, n_shards: int = _N_PACK_SHARDS
+) -> DataFrame:
+    """The capstone composition: the corpus keep-list verdict
+    (exact-keeper ∧ near-dup-canonical ∧ quality) gates the corpus,
+    the survivors are assigned to pack shards, and the manifest a
+    training job consumes rolls up per shard: document count, token
+    count, and the number of _SEQ_BUDGET-token sequences the shard
+    packs into.
+
+    Plan: the keep-list rides its memoized component stages
+    (LSH pair table, quality signals); the manifest itself is one
+    semi-join + one partial-aggregatable groupBy — no window, no
+    global sort, nothing driver-side. Output: (shard, n_docs,
+    n_tokens, n_seqs)."""
+    from trx_spark.queries.corpus import corpus_keep_list
+
+    kept = corpus_keep_list(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast("long")
+    base = docs.join(kept, "doc_id", "left_semi").select(
+        (F.col("doc_id") % n_shards).alias("shard"), n_tok.alias("n_tokens")
+    )
+    b = F.lit(float(_SEQ_BUDGET))
+    return base.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.ceil(F.sum("n_tokens").cast("double") / b).alias("n_seqs"),
+    )
+
+
+def _manifest_sql() -> str:
+    from trx_spark.queries.corpus import _keep_list_sql
+
+    return f"""
+WITH kept AS (
+  SELECT doc_id FROM ({_keep_list_sql()}) WHERE keep
+),
+base AS (
+  SELECT CAST(d.doc_id % {_N_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(d.text, '{_BPE_RE}')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(ceil(CAST(SUM(n_tokens) AS DOUBLE) / {float(_SEQ_BUDGET)}) AS BIGINT) AS n_seqs
+FROM base GROUP BY shard
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
     "doc_chunks": doc_chunks,
     "epoch_shuffle": epoch_shuffle,
+    "training_set_manifest": training_set_manifest,
 }
 
 ORACLES = {
@@ -322,4 +381,5 @@ ORACLES = {
     "pack_sequences": _PACK_SQL,
     "doc_chunks": _CHUNKS_SQL,
     "epoch_shuffle": _SHUFFLE_SQL,
+    "training_set_manifest": _manifest_sql(),
 }
