@@ -1,0 +1,62 @@
+"""The migration façade: a reference user's exact call sequence —
+doFolder → doFolder_dataRed — must reproduce the closed-form journey
+(same fixture as test_full_journey, driven through the reference-named
+API with reference-vocabulary knobs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from trx_spark import compat
+from trx_spark.operators.multimodal import encode_edf
+
+NY = NX = 16
+DELAYS = [-10.0, 1e-10, -10.0, 3e-10, -10.0, 1e-9]
+
+
+def _geometry(spark):
+    yy, xx = np.mgrid[0:NY, 0:NX]
+    r = np.hypot(xx - NX / 2, yy - NY / 2)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "y": yy.ravel(), "x": xx.ravel(),
+                "q": (r / r.max() * 2.0).ravel(),
+                "chi": np.zeros(NY * NX), "solid_angle": np.ones(NY * NX),
+                "pol_corr": np.ones(NY * NX),
+            }
+        )
+    )
+
+
+def test_reference_call_sequence(spark, tmp_path):
+    logs = []
+    for i, d in enumerate(DELAYS):
+        boost = 0.0 if d == -10.0 else 100.0 * d / 1e-9
+        img = np.full((NY, NX), 50.0 + boost, dtype="f8")
+        (tmp_path / f"img_{i:04d}.edf").write_bytes(encode_edf(img))
+        logs.append({"file": f"img_{i:04d}.edf", "delay": d, "currentmA": 190.0})
+    log = spark.createDataFrame(pd.DataFrame(logs))
+
+    curves = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        files="*.edf*", nQ=4, qlims=(0.0, 2.0),
+    )
+    res = compat.doFolder_dataRed(curves, log, reference="min")
+    scan = res["scan"].toPandas()
+    assert set(res) == {"shots", "scan", "scan_filtered"}
+    for d, grp in scan.groupby("delay"):
+        expect = 0.0 if d == -10.0 else 100.0 * d / 1e-9
+        np.testing.assert_allclose(grp["mean_diff"], expect, atol=1e-9)
+
+
+def test_mask_string_knob(spark, tmp_path):
+    img = np.full((NY, NX), 50.0, dtype="f8")
+    (tmp_path / "a.edf").write_bytes(encode_edf(img))
+    curves = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        nQ=4, qlims=(0.0, 2.0), mask="x>7",
+    ).toPandas()
+    # half the detector masked away -> curves still well-formed
+    assert (curves["n_pix"] > 0).all() and len(curves) > 0
