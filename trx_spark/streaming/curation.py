@@ -1,0 +1,228 @@
+"""Online corpus curation: first-seen-wins keep verdicts as documents
+arrive (the streaming twin of queries/corpus.corpus_keep_list).
+
+Batch curation sees the whole corpus and picks cluster canonicals;
+an INGEST pipeline must decide per document as it lands. The standard
+online semantics is FIRST-SEEN-WINS: a document is kept iff
+
+  quality          — the Gopher-style signal gate (map-side, stateless)
+∧ exact-first      — its exact text hash was never seen before
+                     (nor on a smaller doc_id in the same micro-batch)
+∧ no near-dup      — none of its MinHash band keys match any
+                     previously seen document (nor a smaller-id doc in
+                     the same batch) — same banding as the batch LSH
+
+Scale shape mirrors streaming/dedup_index.py exactly:
+* both stores (exact hashes, band keys) are hash-bucket partitioned
+  and each batch reads only its touched buckets (partition pruning);
+* the batch side is broadcast into every store join — the accumulated
+  state never shuffles;
+* per-band-key state is bounded by the same cap (a saturated key stops
+  matching AND stops growing: drop-and-log, the batch bucket-cap
+  semantics) so a boilerplate-heavy stream degrades gracefully;
+* all writes are epoch-partitioned with dynamic overwrite —
+  at-least-once replays rewrite their own partition (idempotent).
+
+Equivalence: tests/test_streaming_curation.py drains doc_id-ordered
+waves one micro-batch each and pins the verdict set against a pure-
+Python first-seen-wins reference implementing the identical rules.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from trx_spark.streaming.dedup_index import (
+    _STORE_PARTITIONS,
+    _STREAM_KEY_CAP,
+    _read_band_store,
+    band_keys,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def make_curation_batch_handler(
+    hash_store: str,
+    band_store: str,
+    verdict_dir: str,
+    *,
+    key_cap: int = _STREAM_KEY_CAP,
+    store_partitions: int = _STORE_PARTITIONS,
+):
+    """foreachBatch handler producing (doc_id, quality_keep,
+    exact_first, near_dup, keep) per document, appending the exact
+    hashes and band keys of every SEEN (non-saturated) document."""
+
+    on = ["band", "hx", "hy"]
+    kb = F.pmod(F.xxhash64("band", "hx", "hy"), F.lit(store_partitions))
+    hb = F.pmod(F.xxhash64("h"), F.lit(store_partitions))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        from trx_spark.queries.corpus import quality_signals
+
+        spark = batch.sparkSession
+        docs = batch.localCheckpoint()
+
+        q = quality_signals(docs).select(
+            "doc_id", F.col("keep").alias("quality_keep")
+        )
+
+        # ---- exact-dup leg (first occurrence of the text hash wins)
+        hashes = docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+        ).withColumn("_hb", hb).localCheckpoint()
+        touched_hb = [r["_hb"] for r in hashes.select("_hb").distinct().collect()]
+        hstore = _read_band_store(spark, hash_store)
+        prev_h = (
+            hstore.filter(
+                F.col("_hb").isin(touched_hb) & (F.col("_epoch") != int(epoch_id))
+            ).select("h").distinct()
+            if hstore is not None
+            else None
+        )
+        first_in_batch = hashes.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        exact_first = first_in_batch.select("doc_id", "h")
+        if prev_h is not None:
+            exact_first = exact_first.join(
+                prev_h, "h", "left_anti"
+            )
+        exact_first = exact_first.select(
+            "doc_id", F.lit(True).alias("exact_first")
+        )
+
+        # ---- near-dup leg (same band scheme + key cap as dedup_index)
+        new = band_keys(docs).withColumn("_kb", kb).localCheckpoint()
+        touched_kb = [r["_kb"] for r in new.select("_kb").distinct().collect()]
+        bstore = _read_band_store(spark, band_store)
+        seen = (
+            bstore.filter(
+                F.col("_kb").isin(touched_kb) & (F.col("_epoch") != int(epoch_id))
+            ).drop("_epoch", "_kb")
+            if bstore is not None
+            else None
+        )
+        bcnt = new.groupBy(*on).agg(F.count(F.lit(1)).alias("_bcnt"))
+        if seen is not None:
+            pcnt = seen.groupBy(*on).agg(F.count(F.lit(1)).alias("_pcnt"))
+            totals = bcnt.join(pcnt, on, "left").withColumn(
+                "_tot", F.col("_bcnt") + F.coalesce(F.col("_pcnt"), F.lit(0))
+            )
+        else:
+            totals = bcnt.withColumn("_tot", F.col("_bcnt"))
+        sat_rows = totals.filter(F.col("_tot") > key_cap).select(*on, "_bcnt").collect()
+        if sat_rows:
+            logger.warning(
+                "curation epoch %d: %d rows on %d saturated band keys (cap=%d)",
+                epoch_id,
+                sum(r["_bcnt"] for r in sat_rows),
+                len(sat_rows),
+                key_cap,
+            )
+            sat = spark.createDataFrame(
+                [(r["band"], r["hx"], r["hy"]) for r in sat_rows],
+                "band INT, hx BIGINT, hy BIGINT",
+            )
+            ok = new.join(F.broadcast(sat), on, "left_anti").localCheckpoint()
+        else:
+            ok = new
+
+        near_prev = (
+            F.broadcast(ok.alias("n"))
+            .join(seen.alias("s"), on)
+            .select(F.col("n.doc_id").alias("doc_id"))
+            .distinct()
+            if seen is not None
+            else None
+        )
+        a = ok.alias("a")
+        near_in_batch = (
+            F.broadcast(ok.alias("b")).join(a, on)
+            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        near = near_in_batch
+        if near_prev is not None:
+            near = near.unionByName(near_prev).distinct()
+        near = near.select("doc_id", F.lit(True).alias("near_dup"))
+
+        # ---- composed verdict
+        verdict = (
+            docs.select("doc_id")
+            .join(q, "doc_id", "left")
+            .join(exact_first, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
+                F.coalesce("exact_first", F.lit(False)).alias("exact_first"),
+                F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            )
+            .withColumn(
+                "keep",
+                F.col("quality_keep") & F.col("exact_first") & ~F.col("near_dup"),
+            )
+        )
+        (
+            verdict.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(verdict_dir)
+        )
+        # state appends: every seen doc's hash; every non-saturated band row
+        (
+            hashes.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", "_hb")
+            .parquet(hash_store)
+        )
+        (
+            ok.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", "_kb")
+            .parquet(band_store)
+        )
+
+    return handle
+
+
+def run_curation_catchup(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    schema: StructType | str,
+    hash_store: str,
+    band_store: str,
+    verdict_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    key_cap: int = _STREAM_KEY_CAP,
+) -> DataFrame:
+    """Drain the landing dir (availableNow) through the curation
+    handler; returns the accumulated per-doc verdicts."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            make_curation_batch_handler(
+                hash_store, band_store, verdict_dir, key_cap=key_cap
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(verdict_dir).select(
+        "doc_id", "quality_keep", "exact_first", "near_dup", "keep"
+    )
