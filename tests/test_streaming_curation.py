@@ -105,3 +105,42 @@ def test_streaming_matches_first_seen_reference(spark, tmp_path):
     assert want[11][2] and not want[11][3]    # near-dup dropped
     assert not want[20][3]                    # late exact dup dropped
     assert want[21][3] and not want[22][3]    # within-batch dup: first wins
+
+
+def test_hot_key_state_bounded(spark, tmp_path):
+    """A boilerplate flood (identical text, so exact-dup catches every
+    doc after the first) must keep per-band-key state bounded: the
+    band store saturates at the cap and later batches drop the key
+    (the verdicts stay correct — exact-first still rejects them)."""
+    from pyspark.sql import functions as F
+
+    from trx_spark.streaming.dedup_index import _STREAM_KEY_CAP
+
+    text = (
+        "the same boilerplate paragraph arrives over and over from a "
+        "templated mirror site flooding the ingest stream with copies "
+        "that carry no new information yet consume bandwidth storage "
+        "and compute until the curation layer learns to turn them away"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for k in range(3):
+        spark.createDataFrame(
+            [(k * 30 + i, text, "s", "en", len(text)) for i in range(30)], _SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(landing / f"wave{k}"))
+
+    got = run_curation_catchup(
+        spark,
+        landing_dir=str(landing / "wave*"),
+        schema=_SCHEMA,
+        hash_store=str(tmp_path / "hashes"),
+        band_store=str(tmp_path / "bands"),
+        verdict_dir=str(tmp_path / "verdicts"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    kept = [r["doc_id"] for r in got.filter(F.col("keep")).collect()]
+    assert kept == [0]  # first-seen only
+    store = spark.read.parquet(str(tmp_path / "bands"))
+    per_key = store.groupBy("band", "hx", "hy").agg(F.count(F.lit(1)).alias("n"))
+    assert per_key.agg(F.max("n")).collect()[0][0] <= _STREAM_KEY_CAP
