@@ -31,6 +31,7 @@ def _all_caches() -> list[dict]:
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
         similarity._KNN_CACHE,
+        similarity._CELLS_ASSIGN_CACHE,
         bpe._BPE_CACHE,
         lm._LM_CACHE,
     ]
@@ -77,6 +78,7 @@ def stage_cache_stats() -> dict[str, int]:
         "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),
         "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),
         "knn_edges": len(similarity._KNN_CACHE),
+        "ivf_cells": len(similarity._CELLS_ASSIGN_CACHE),
         "bpe_trained": len(bpe._BPE_CACHE),
         "lm_model": len(lm._LM_CACHE),
     }

@@ -166,13 +166,21 @@ _N_CELLS = 16
 _N_PROBE = 2
 
 
+_CELLS_ASSIGN_CACHE: dict = {}
+
+
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse quantizer assignment: centroids are the first _N_CELLS
     vectors (a deterministic stand-in for a trained k-means codebook —
     the assignment/probe PLUMBING is the operator under test), each
     vector lands in the cell of its max-dot-product centroid. The
     centroid table is 16 rows → broadcast; the argmax is a window
-    partitioned BY VECTOR, so assignment is embarrassingly parallel."""
+    partitioned BY VECTOR, so assignment is embarrassingly parallel.
+    Memoized per (session, sf_dir) like the trained codebooks — the
+    assignment is consumed by ann_ivf_topk and the LSH/IVF composites."""
+    key = (spark, sf_dir)
+    if key in _CELLS_ASSIGN_CACHE:
+        return _CELLS_ASSIGN_CACHE[key]
     emb = fan_out_small_scan(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
@@ -183,11 +191,13 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot", _dot(F.col("embedding"), F.col("cent"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.col("cid"))
-    return (
+    _CELLS_ASSIGN_CACHE[key] = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("vec_id", "cid")
+        .localCheckpoint()
     )
+    return _CELLS_ASSIGN_CACHE[key]
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
