@@ -127,6 +127,7 @@ HEADLINE = [
     "compression_ratio",
     "lm_perplexity",
     "training_set_manifest",
+    "quality_classifier_scores",
 ]
 
 

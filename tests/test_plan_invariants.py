@@ -32,6 +32,7 @@ _ONE_ROW_BUILD_OK = {
     "curriculum_phases",  # the two percentile cuts are a 1-row broadcast
     "contrastive_triples",  # rides the trained-codebook scoring (1-row scalar joins)
     "bpe_merges",  # per-round best-pair is a 1-row broadcast into the rewrite
+    "quality_classifier_scores",  # the bias and n_docs scalars are 1-row broadcasts
     "bpe_encode",  # same trained state, plus the K-row vocab broadcast
     "semantic_dedup",
     "vocab_coverage",

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 
 def _all_caches() -> list[dict]:
-    from trx_spark.queries import bpe, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
+    from trx_spark.queries import bpe, classifier, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
 
     return [
         trxdomain._DIFFS_CACHE,
@@ -34,6 +34,7 @@ def _all_caches() -> list[dict]:
         similarity._CELLS_ASSIGN_CACHE,
         bpe._BPE_CACHE,
         lm._LM_CACHE,
+        classifier._CLF_CACHE,
     ]
 
 
@@ -62,7 +63,7 @@ def clear_stage_caches(spark=None) -> int:
 
 def stage_cache_stats() -> dict[str, int]:
     """Entry counts per cache (for diagnostics/monitoring)."""
-    from trx_spark.queries import bpe, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
+    from trx_spark.queries import bpe, classifier, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
 
     return {
         "events_diff_bank": len(trxdomain._DIFFS_CACHE),
@@ -81,4 +82,5 @@ def stage_cache_stats() -> dict[str, int]:
         "ivf_cells": len(similarity._CELLS_ASSIGN_CACHE),
         "bpe_trained": len(bpe._BPE_CACHE),
         "lm_model": len(lm._LM_CACHE),
+        "quality_classifier": len(classifier._CLF_CACHE),
     }

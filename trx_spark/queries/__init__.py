@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from trx_spark.queries import (
     bpe,
+    classifier,
     corpus,
     curation,
     curriculum,
@@ -53,6 +54,7 @@ for mod in (
     ranking,
     bpe,
     lm,
+    classifier,
     streamingq,
 ):
     QUERIES.update(mod.QUERIES)

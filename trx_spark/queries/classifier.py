@@ -1,0 +1,171 @@
+"""Trained quality classifier (the GPT-3/LLaMA-style curation step:
+a linear classifier scores every document's similarity to a trusted
+target domain, and the scores drive sampling/filtering — Brown et al.
+2020 §A; here logistic regression on hashed-TF features, trained with
+full-batch gradient descent inside Spark).
+
+Training is the same iterative-declarative discipline as the Lloyd
+trainer and PageRank: the weight vector is a ≤(dim+1)-row DataFrame,
+broadcast into each pass; per iteration one map-side margin join, one
+keyed gradient aggregation, and a weight update — nothing collected
+to the driver, lineage cut per round with localCheckpoint.
+
+- Features: the signed hashing-trick TF triples (ranking.
+  hashed_tf_features), L1-normalized per doc so feature scale is
+  bounded and the fixed learning rate is stable.
+- Labels: y=1 for the DSIR target source (the "trusted domain"), else
+  0 — self-supervised from the corpus's own source column, exactly
+  how production quality classifiers bootstrap (trusted slice vs the
+  rest).
+- Scale: per iteration the corpus pass is one broadcast join + two
+  partial-aggregatable groupBys; the model state is dim+1 rows
+  however large the corpus. exp/log are engine-specific, so no SQL
+  oracle; tests/test_quality_classifier.py pins training against a
+  pure-numpy implementation and checks the scores separate the
+  target source from the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CLF_ITERS = 10
+_CLF_LR = 1.0
+_BIAS_DIM = -1  # the bias term rides the same (dim, w) table
+
+# trained weights memo per (session, sf_dir)
+_CLF_CACHE: dict = {}
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dim, x, y): L1-normalized signed hashed-TF features
+    plus the per-doc label (docs with zero tokens emit no rows)."""
+    from trx_spark.queries.curation import _DSIR_TARGET_SOURCE
+    from trx_spark.queries.ranking import hashed_tf_features
+    from trx_spark.tables import load_table
+
+    tf = hashed_tf_features(spark, sf_dir)
+    norms = tf.groupBy("doc_id").agg(F.sum(F.abs("value")).alias("n1"))
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("source") == _DSIR_TARGET_SOURCE).cast("double").alias("y"),
+    )
+    return (
+        tf.join(norms, "doc_id")
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "dim",
+            (F.col("value").cast("double") / F.col("n1").cast("double")).alias("x"),
+            "y",
+        )
+    )
+
+
+def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch GD for _CLF_ITERS rounds; returns (dim, w) with the
+    bias at dim=_BIAS_DIM."""
+    key = (spark, sf_dir)
+    if key in _CLF_CACHE:
+        return _CLF_CACHE[key]
+    from trx_spark.queries.ranking import _FH_DIM
+
+    feats = _features(spark, sf_dir).localCheckpoint()
+    docs = feats.select("doc_id", "y").distinct().localCheckpoint()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+
+    w = spark.range(_FH_DIM).select(
+        F.col("id").cast("long").alias("dim"), F.lit(0.0).alias("w")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(_BIAS_DIM).cast("long").alias("dim"), F.lit(0.0).alias("w")
+        )
+    ).localCheckpoint()
+
+    for _ in range(_CLF_ITERS):
+        margin = (
+            feats.join(F.broadcast(w), "dim")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("xw"))
+        )
+        bias = w.filter(F.col("dim") == _BIAS_DIM).select(
+            F.col("w").alias("b")
+        )
+        err = (
+            docs.join(margin, "doc_id", "left")
+            .crossJoin(F.broadcast(bias))
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.coalesce("xw", F.lit(0.0)) + F.col("b"))))
+                    - F.col("y")
+                ).alias("e"),
+            )
+        )
+        grad = (
+            feats.join(err, "doc_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
+            .unionByName(
+                err.agg(F.sum("e").alias("g")).select(
+                    F.lit(_BIAS_DIM).cast("long").alias("dim"), "g"
+                )
+            )
+        )
+        w = (
+            w.join(grad, "dim", "left")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "dim",
+                (
+                    F.col("w")
+                    - F.lit(_CLF_LR)
+                    * F.coalesce("g", F.lit(0.0))
+                    / F.col("nd").cast("double")
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    _CLF_CACHE[key] = w
+    return w
+
+
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model: (dim, weight); bias at dim=-1."""
+    return _train(spark, sf_dir).select("dim", F.col("w").alias("weight"))
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every featurizable doc scored by the trained model:
+    (doc_id, label, score, predicted) with score = P(target-domain)."""
+    w = _train(spark, sf_dir)
+    feats = _features(spark, sf_dir)
+    docs = feats.select("doc_id", "y").distinct()
+    margin = (
+        feats.join(F.broadcast(w), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("xw"))
+    )
+    bias = w.filter(F.col("dim") == _BIAS_DIM).select(F.col("w").alias("b"))
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.coalesce("xw", F.lit(0.0)) + F.col("b")))
+    )
+    return (
+        docs.join(margin, "doc_id", "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            "doc_id",
+            F.col("y").alias("label"),
+            score.alias("score"),
+            (score > 0.5).alias("predicted"),
+        )
+    )
+
+
+QUERIES = {
+    "quality_classifier_scores": quality_classifier_scores,
+}
+
+ORACLES: dict[str, str] = {}
