@@ -51,7 +51,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("source") == _DSIR_TARGET_SOURCE).cast("double").alias("y"),
     )
-    return (
+    feats = (
         tf.join(norms, "doc_id")
         .join(labels, "doc_id")
         .select(
@@ -61,6 +61,14 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
+    # the bias rides as a constant feature (dim=_BIAS_DIM, x=1): one
+    # margin join and one gradient groupBy cover weights AND bias —
+    # no separate bias branch, two fewer stages per GD iteration
+    bias_rows = feats.select("doc_id", "y").distinct().select(
+        "doc_id", F.lit(_BIAS_DIM).cast("long").alias("dim"),
+        F.lit(1.0).alias("x"), "y",
+    )
+    return feats.unionByName(bias_rows)
 
 
 def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,23 +92,16 @@ def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     for _ in range(_CLF_ITERS):
-        margin = (
-            feats.join(F.broadcast(w), "dim")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("xw"))
-        )
-        bias = w.filter(F.col("dim") == _BIAS_DIM).select(
-            F.col("w").alias("b")
-        )
+        # every doc has the bias row, so margin covers xw + b in one
+        # aggregation and the sigmoid error needs no left-join fallback
         err = (
-            docs.join(margin, "doc_id", "left")
-            .crossJoin(F.broadcast(bias))
+            feats.join(F.broadcast(w), "dim")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
             .select(
                 "doc_id",
                 (
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-(F.coalesce("xw", F.lit(0.0)) + F.col("b"))))
-                    - F.col("y")
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
                 ).alias("e"),
             )
         )
@@ -108,11 +109,6 @@ def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats.join(err, "doc_id")
             .groupBy("dim")
             .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
-            .unionByName(
-                err.agg(F.sum("e").alias("g")).select(
-                    F.lit(_BIAS_DIM).cast("long").alias("dim"), "g"
-                )
-            )
         )
         w = (
             w.join(grad, "dim", "left")
@@ -142,19 +138,11 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, label, score, predicted) with score = P(target-domain)."""
     w = _train(spark, sf_dir)
     feats = _features(spark, sf_dir)
-    docs = feats.select("doc_id", "y").distinct()
-    margin = (
-        feats.join(F.broadcast(w), "dim")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("xw"))
-    )
-    bias = w.filter(F.col("dim") == _BIAS_DIM).select(F.col("w").alias("b"))
-    score = F.lit(1.0) / (
-        F.lit(1.0) + F.exp(-(F.coalesce("xw", F.lit(0.0)) + F.col("b")))
-    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
     return (
-        docs.join(margin, "doc_id", "left")
-        .crossJoin(F.broadcast(bias))
+        feats.join(F.broadcast(w), "dim")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
         .select(
             "doc_id",
             F.col("y").alias("label"),
