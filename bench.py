@@ -128,6 +128,8 @@ HEADLINE = [
     "lm_perplexity",
     "training_set_manifest",
     "quality_classifier_scores",
+    "knn_reciprocal_pairs",
+    "minhash_containment",
 ]
 
 

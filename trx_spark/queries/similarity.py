@@ -1299,6 +1299,45 @@ FROM pr{_PR_ITERS} p LEFT JOIN outdeg o ON o.vec_id = p.vec_id
 )
 
 
+
+
+def knn_reciprocal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN near-dup pairs: (vec_a < vec_b) kept only when each
+    is in the OTHER's k-nearest list — the reciprocal-nearest-neighbor
+    criterion, a much higher-precision near-dup signal than one-way
+    kNN (standard in RNN-based dedup/cluster seeding).
+
+    Rides the memoized knn_graph edge table: one self-equi-join on the
+    reversed key pair, no new shuffles of the embeddings. Output:
+    (vec_a, vec_b, cos_sim) with cos_sim from the a→b direction."""
+    e = knn_graph(spark, sf_dir).select("vec_id", "nbr_id", "cos_sim")
+    a = e.alias("a")
+    b = e.select(
+        F.col("vec_id").alias("b_src"), F.col("nbr_id").alias("b_dst")
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.b_dst"))
+            & (F.col("a.nbr_id") == F.col("b.b_src")),
+        )
+        .filter(F.col("a.vec_id") < F.col("a.nbr_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("a.nbr_id").alias("vec_b"),
+            F.col("a.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+_RNN_SQL = f"""
+WITH knn AS ({_KNN_SQL})
+SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.cos_sim
+FROM knn a JOIN knn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+WHERE a.vec_id < a.nbr_id
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1312,6 +1351,7 @@ QUERIES = {
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_pagerank": knn_pagerank,
     "contrastive_triples": contrastive_triples,
+    "knn_reciprocal_pairs": knn_reciprocal_pairs,
 }
 
 ORACLES = {
@@ -1327,4 +1367,5 @@ ORACLES = {
     "cluster_balanced_sample": _CBS_SQL,
     "knn_pagerank": _PR_SQL,
     "contrastive_triples": _CT_SQL,
+    "knn_reciprocal_pairs": _RNN_SQL,
 }

@@ -896,6 +896,78 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)
 """
 
 
+_CONTAIN_MIN = 0.8
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over the LSH candidate pairs:
+    c(A→B) = |A∩B| / |A|. Catches SUB-document duplication that
+    Jaccard misses — a short doc fully embedded in a long one has
+    c ≈ 1 while J = |A|/|B| can be tiny (Broder's containment, the
+    quote/boilerplate-inclusion detector). Emits pairs where either
+    direction's containment ≥ _CONTAIN_MIN, with both directions
+    reported. Same blocked-join shape as lsh_pairs_verified — the LSH
+    pair table prunes the quadratic space first."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    tok = (
+        fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("t"))
+        .localCheckpoint()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(tok.alias("ta"), pairs.doc_a == F.col("ta.doc_id"))
+        .join(
+            tok.alias("tb"),
+            (pairs.doc_b == F.col("tb.doc_id")) & (F.col("ta.t") == F.col("tb.t")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.join(sizes.withColumnRenamed("n_sh", "n_a"), inter.doc_a == F.col("doc_id"))
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("n_sh", "n_b"), F.col("doc_b") == F.col("doc_id"))
+        .drop("doc_id")
+        .withColumn("contain_a", c_a)
+        .withColumn("contain_b", c_b)
+        .filter(
+            (F.col("contain_a") >= F.lit(float(_CONTAIN_MIN)))
+            | (F.col("contain_b") >= F.lit(float(_CONTAIN_MIN)))
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "contain_a", "contain_b")
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_PAIRS_CTES},
+tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS t
+        FROM documents) x
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN tok a ON a.doc_id = p.doc_a
+  JOIN tok b ON b.doc_id = p.doc_b AND b.t = a.t
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+  CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS contain_a,
+  CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS contain_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= CAST({_CONTAIN_MIN!r} AS DOUBLE)
+   OR CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= CAST({_CONTAIN_MIN!r} AS DOUBLE)
+"""
+
+
+
 # ---------------------------------------------------------------------
 # SimHash near-dup pairs (Manku/Jain/Sarma 2007, WWW — the Google web
 # dedup recipe): a WIDE fingerprint banded by the pigeonhole principle.
@@ -1040,6 +1112,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_multiprobe": ann_topk_multiprobe,
     "lsh_pairs_verified": lsh_pairs_verified,
+    "minhash_containment": minhash_containment,
     "simhash_neardup_pairs": simhash_neardup_pairs,
 }
 
@@ -1057,5 +1130,6 @@ ORACLES = {
     "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
     "ann_topk_multiprobe": _ANN_TOPK_MULTIPROBE_SQL,
     "lsh_pairs_verified": _LSH_VERIFIED_SQL,
+    "minhash_containment": _CONTAINMENT_SQL,
     "simhash_neardup_pairs": _SIMHAM_PAIRS_SQL,
 }
