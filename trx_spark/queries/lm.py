@@ -33,7 +33,7 @@ _LM_UNK = "\x00unk"  # sorts outside [a-z]+, cannot collide with a token
 _LM_K = 0.5  # add-k smoothing mass
 _LM_SCALE = 1e12  # fixed-point scale for the log2 sum (decimal-summed)
 
-# trained model memo per (session, sf_dir): (vocab_df, uni_df, bi_df)
+# trained model memo per (session, sf_dir): (doc_bi_df, uni_df, bi_df)
 _LM_CACHE: dict = {}
 
 
@@ -59,33 +59,9 @@ def _train_lm(spark: SparkSession, sf_dir: str):
         F.when(F.col("_in"), F.col("token")).otherwise(F.lit(_LM_UNK)).alias("w")
     )
     uni = mapped.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
-    # mapped bigram counts ride the memoized bigram stream
-    bi_raw = _bigram_stream(spark, sf_dir).select(
-        F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
-        F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
-    )
-    vmap = F.broadcast(vocab.withColumn("_in", F.lit(True)))
-    bi = (
-        bi_raw.join(vmap.withColumnRenamed("token", "w1"), "w1", "left")
-        .withColumn("m1", F.when(F.col("_in"), F.col("w1")).otherwise(F.lit(_LM_UNK)))
-        .drop("_in")
-        .join(vmap.withColumnRenamed("token", "w2"), "w2", "left")
-        .withColumn("m2", F.when(F.col("_in"), F.col("w2")).otherwise(F.lit(_LM_UNK)))
-        .groupBy(F.col("m1").alias("w1"), F.col("m2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint()
-    )
-    _LM_CACHE[key] = (vocab, uni, bi)
-    return _LM_CACHE[key]
-
-
-def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_bigrams, avg_log2p, perplexity) — docs with fewer
-    than 2 tokens emit no row (no bigram to score), matching the other
-    token-grain queries."""
-    from trx_spark.queries.curation import _bigram_stream
-
-    vocab, uni, bi = _train_lm(spark, sf_dir)
+    # the VOCAB-MAPPED per-doc bigram table is built once and shared by
+    # training (count aggregation) and scoring (per-doc join) — one
+    # pass over the raw bigram stream instead of two
     vmap = F.broadcast(vocab.withColumn("_in", F.lit(True)))
     doc_bi = (
         _bigram_stream(spark, sf_dir)
@@ -100,7 +76,22 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vmap.withColumnRenamed("token", "w2"), "w2", "left")
         .withColumn("m2", F.when(F.col("_in"), F.col("w2")).otherwise(F.lit(_LM_UNK)))
         .select("doc_id", F.col("m1").alias("w1"), F.col("m2").alias("w2"))
+        .localCheckpoint()
     )
+    bi = (
+        doc_bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
+    _LM_CACHE[key] = (doc_bi, uni, bi)
+    return _LM_CACHE[key]
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_log2p, perplexity) — docs with fewer
+    than 2 tokens emit no row (no bigram to score), matching the other
+    token-grain queries."""
+    doc_bi, uni, bi = _train_lm(spark, sf_dir)
     v1 = F.lit(float(_LM_K)) * (F.lit(_LM_VOCAB + 1).cast("double"))
     scored = (
         doc_bi.join(bi, ["w1", "w2"], "left")
