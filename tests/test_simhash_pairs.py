@@ -54,3 +54,23 @@ def test_simhash48_is_48_bits(spark):
     pdf = pd.DataFrame({"doc_id": [1], "text": ["alpha bravo charlie"]})
     sh = td._simhash48(spark.createDataFrame(pdf)).collect()[0]["sh"]
     assert 0 <= sh < (1 << 48)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Broder: max(c(A→B), c(B→A)) ≥ J(A,B) for every candidate pair,
+    with equality iff |A| = |B| — pins the two verifiers' shared
+    intersection math against each other on the same LSH candidates."""
+    from pyspark.sql import functions as F
+
+    from trx_spark.queries.textdata import minhash_containment
+
+    mc = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in minhash_containment(spark, sf_dir).collect()
+    }
+    assert mc  # fixture produces candidates
+    for (a, b), r in mc.items():
+        j = r["n_inter"] / (r["n_a"] + r["n_b"] - r["n_inter"])
+        assert max(r["contain_a"], r["contain_b"]) >= j - 1e-12
+        if r["n_a"] == r["n_b"]:
+            assert r["contain_a"] == r["contain_b"]
