@@ -130,6 +130,7 @@ HEADLINE = [
     "quality_classifier_scores",
     "knn_reciprocal_pairs",
     "minhash_containment",
+    "mmr_diverse_topk",
 ]
 
 

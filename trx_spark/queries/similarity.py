@@ -1338,6 +1338,139 @@ WHERE a.vec_id < a.nbr_id
 """
 
 
+
+
+# ---------------------------------------------------------------------
+# MMR diverse top-k (Carbonell & Goldstein 1998): greedy selection that
+# trades query relevance against redundancy with the already-selected
+# set — the standard diversity-aware example/demonstration selector in
+# training-data curation. All similarity math is the fixed-point dot
+# family, so the whole greedy loop unrolls into oracle CTEs.
+# ---------------------------------------------------------------------
+
+_MMR_K = 8
+# λ = 0.5 exactly (written CAST(0.5 AS DOUBLE) in the oracle)
+_MMR_L = 0.5
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, vec_id, rel, mmr): the _MMR_K-element diverse result set
+    for query vector 0. Round r picks argmax over the remaining
+    candidates of λ·rel − (1−λ)·max_{s∈selected} cos(v, s); round 1 is
+    pure relevance. Per round: one broadcast join against the ≤k-row
+    selected set, one TakeOrderedAndProject(1) — the candidate table
+    never re-shuffles (same iterative discipline as the Lloyd/BPE/GD
+    trainers)."""
+    emb = fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding").withColumn("n1", _norm(F.col("embedding")))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("n1").alias("qn")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "n1",
+            (_dot(F.col("embedding"), F.col("qe")) / F.sqrt(F.col("n1") * F.col("qn"))).alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    lam = F.lit(_MMR_L)
+    picks = []
+    selected = None
+    remaining = cand
+    for rank in range(1, _MMR_K + 1):
+        if selected is None:
+            scored = remaining.withColumn("mmr", lam * F.col("rel"))
+        else:
+            sims = (
+                remaining.alias("c")
+                .join(F.broadcast(selected.alias("s")), F.lit(True))
+                .select(
+                    F.col("c.vec_id").alias("vec_id"),
+                    (
+                        _dot(F.col("c.embedding"), F.col("s.embedding"))
+                        / F.sqrt(F.col("c.n1") * F.col("s.n1"))
+                    ).alias("sim"),
+                )
+                .groupBy("vec_id")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            scored = remaining.join(sims, "vec_id").withColumn(
+                "mmr", lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("maxsim")
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(
+            pick.select(
+                F.lit(rank).alias("rank"), "vec_id", "rel", F.col("mmr")
+            )
+        )
+        sel_rows = pick.select("vec_id", "embedding", "n1")
+        selected = sel_rows if selected is None else selected.unionByName(sel_rows)
+        remaining = remaining.join(
+            pick.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint()
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out
+
+
+def _mmr_sql() -> str:
+    lam = "CAST(0.5 AS DOUBLE)"
+    parts = [f"""
+rel0 AS MATERIALIZED (
+  SELECT a.vec_id, {_fpsum_sql('a.x * q.x')} AS dot
+  FROM ex a JOIN ex q ON q.vec_id = 0 AND q.pos = a.pos
+  WHERE a.vec_id <> 0 GROUP BY a.vec_id
+),
+relc AS MATERIALIZED (
+  SELECT r.vec_id, r.dot / SQRT(n.n1 * nq.n1) AS rel
+  FROM rel0 r JOIN norms n USING (vec_id),
+       (SELECT n1 FROM norms WHERE vec_id = 0) nq
+),
+s1 AS MATERIALIZED (SELECT vec_id, rel, {lam} * rel AS mmr FROM relc
+       ORDER BY mmr DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""]
+    for i in range(2, _MMR_K + 1):
+        prev = i - 1
+        parts.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT a.vec_id, s.vec_id AS sid, {_fpsum_sql('a.x * b.x')} AS dot
+  FROM ex a JOIN sel{prev} s ON TRUE JOIN ex b ON b.vec_id = s.vec_id AND b.pos = a.pos
+  WHERE a.vec_id <> 0 AND a.vec_id NOT IN (SELECT vec_id FROM sel{prev})
+  GROUP BY a.vec_id, s.vec_id
+),
+m{i} AS MATERIALIZED (
+  SELECT p.vec_id, MAX(p.dot / SQRT(n.n1 * ns.n1)) AS maxsim
+  FROM p{i} p JOIN norms n ON n.vec_id = p.vec_id
+            JOIN norms ns ON ns.vec_id = p.sid
+  GROUP BY p.vec_id
+),
+s{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, {lam} * c.rel - (CAST(1.0 AS DOUBLE) - {lam}) * m.maxsim AS mmr
+  FROM relc c JOIN m{i} m USING (vec_id)
+  ORDER BY mmr DESC, vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{prev} UNION ALL SELECT vec_id FROM s{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, rel, mmr FROM s{i}" for i in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + _EX_CTE.replace("ex AS (", "ex AS MATERIALIZED (", 1) + """,
+norms AS MATERIALIZED (
+  SELECT vec_id, """ + _fpsum_sql("x * x") + """ AS n1 FROM ex GROUP BY vec_id
+),""" + ",".join(parts) + "\n" + union
+    )
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1352,6 +1485,7 @@ QUERIES = {
     "knn_pagerank": knn_pagerank,
     "contrastive_triples": contrastive_triples,
     "knn_reciprocal_pairs": knn_reciprocal_pairs,
+    "mmr_diverse_topk": mmr_diverse_topk,
 }
 
 ORACLES = {
@@ -1368,4 +1502,5 @@ ORACLES = {
     "knn_pagerank": _PR_SQL,
     "contrastive_triples": _CT_SQL,
     "knn_reciprocal_pairs": _RNN_SQL,
+    "mmr_diverse_topk": _mmr_sql(),
 }
