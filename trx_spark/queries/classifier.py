@@ -52,7 +52,9 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == _DSIR_TARGET_SOURCE).cast("double").alias("y"),
     )
     feats = (
-        tf.join(norms, "doc_id")
+        # a doc whose signed features fully cancel (n1 = 0) has an
+        # undefined normalization (0/0) — excluded, like zero-token docs
+        tf.join(norms.filter(F.col("n1") > 0), "doc_id")
         .join(labels, "doc_id")
         .select(
             "doc_id",
