@@ -60,3 +60,27 @@ def test_mask_string_knob(spark, tmp_path):
     ).toPandas()
     # half the detector masked away -> curves still well-formed
     assert (curves["n_pix"] > 0).all() and len(curves) > 0
+
+
+def test_online_loop_catchup(spark, tmp_path):
+    """compat.doFolder_online with poll_seconds=None drains the
+    backlog (availableNow) through the incremental store — the
+    reference's online loop as a one-shot catch-up."""
+    import pandas as pd
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame({"file": ["a", "b"], "q": [0.1, 0.2], "i": [1.0, 2.0]})
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "w0"))
+    q = compat.doFolder_online(
+        spark,
+        poll_seconds=None,
+        landing_dir=str(landing / "w*"),
+        schema="file STRING, q DOUBLE, i DOUBLE",
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(str(tmp_path / "store"))
+    assert back.count() == 2

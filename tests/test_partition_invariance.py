@@ -23,6 +23,7 @@ _REPRESENTATIVE = [
     "bpe_merges",           # iterative trainer (r4w3)
     "lm_perplexity",        # fixed-point log2 sums (r4w3)
     "compression_ratio",    # mapInPandas kernel (r4w3)
+    "bpe_encode",           # trained merges + OOV fallback (r4w3)
     "mmr_diverse_topk",     # greedy loop, fixed-point sims (r4w4)
     "minhash_containment",  # blocked-join verifier (r4w4)
     "training_set_manifest",# composed keep-list -> shard rollup (r4w3)

@@ -1414,9 +1414,10 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel_rows = pick.select("vec_id", "embedding", "n1")
         selected = sel_rows if selected is None else selected.unionByName(sel_rows)
-        remaining = remaining.join(
-            pick.select("vec_id"), "vec_id", "left_anti"
-        ).localCheckpoint()
+        # picks are checkpointed, so the anti-join chain stays shallow
+        # (cand-checkpoint + <=K tiny anti-joins) — no per-round
+        # checkpoint job needed
+        remaining = remaining.join(pick.select("vec_id"), "vec_id", "left_anti")
     out = picks[0]
     for pk in picks[1:]:
         out = out.unionByName(pk)
