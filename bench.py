@@ -131,6 +131,7 @@ HEADLINE = [
     "knn_reciprocal_pairs",
     "minhash_containment",
     "mmr_diverse_topk",
+    "source_overlap_matrix",
 ]
 
 

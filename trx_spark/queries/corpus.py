@@ -702,6 +702,46 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every (source_a, source_b)
+    pair (unordered, a <= b), how many near-dup pairs connect them —
+    the provenance dashboard that tells a curation team WHICH feeds
+    copy from which (mirror detection, license leakage, scraper
+    loops). Rides the memoized LSH pair table; two broadcast-eligible
+    joins against the doc->source projection and one tiny groupBy."""
+    pairs = textdata.minhash_lsh_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb").withColumnRenamed("doc_id", "db"),
+            F.col("doc_b") == F.col("db"),
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_SRC_OVERLAP_SQL = f"""
+WITH {textdata._PAIRS_CTES}
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents sa ON sa.doc_id = p.doc_a
+JOIN documents sb ON sb.doc_id = p.doc_b
+GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+"""
+
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "span_dedup": span_dedup,
@@ -711,6 +751,7 @@ QUERIES = {
     "corpus_keep_list": corpus_keep_list,
     "dedup_report": dedup_report,
     "compression_ratio": compression_ratio,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 ORACLES = {
@@ -721,4 +762,5 @@ ORACLES = {
     "quality_filter": _QUALITY_SQL,
     "corpus_keep_list": _keep_list_sql(),
     "dedup_report": _dedup_report_sql(),
+    "source_overlap_matrix": _SRC_OVERLAP_SQL,
 }
