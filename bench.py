@@ -132,6 +132,7 @@ HEADLINE = [
     "minhash_containment",
     "mmr_diverse_topk",
     "source_overlap_matrix",
+    "ngram_novelty",
 ]
 
 

@@ -1101,8 +1101,60 @@ GROUP BY doc_id
 """
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty score: the fraction of the doc's distinct
+    8-token shingles whose FIRST corpus occurrence (by doc_id order)
+    is this doc — the freshness signal curriculum/dedup pipelines use
+    to favor documents that add new content over re-combinations of
+    already-seen text. Docs with no shingle (<8 tokens) emit no row.
+
+    Plan: rides the memoized shingle stream; first-occurrence is a
+    partial-aggregatable min() per shingle (the span_dedup keeper
+    trick — no window), joined back and rolled up per doc."""
+    sh = _shingled(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0)),
+      i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))) AS s(shingle)
+),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh JOIN first f USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+
 QUERIES = {
     "contamination_check": contamination_check,
+    "ngram_novelty": ngram_novelty,
     "decontaminated_docs": decontaminated_docs,
     "stratified_sample": stratified_sample,
     "topk_ngrams": topk_ngrams,
@@ -1120,6 +1172,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ngram_novelty": _NOVELTY_SQL,
     "contamination_check": _CONTAMINATION_SQL,
     "decontaminated_docs": _DECONTAM_SQL,
     "stratified_sample": _STRATIFIED_SQL,
