@@ -133,6 +133,7 @@ HEADLINE = [
     "mmr_diverse_topk",
     "source_overlap_matrix",
     "ngram_novelty",
+    "event_rate_cusum",
 ]
 
 

@@ -16,7 +16,7 @@ engines share (same convention as ``sessionize_events``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trx_spark.operators.rangejoin import interval_point_join
@@ -214,13 +214,101 @@ GROUP BY c.cohort_day, d.day - c.cohort_day
 """
 
 
+# ---------------------------------------------------------------------
+# CUSUM drift chart over per-minute event rates
+# ---------------------------------------------------------------------
+#
+# Classic rate-drift diagnostic (Page 1954 CUSUM chart, V-mask form):
+# per event_type, bin events to minutes and track the cumulative
+# deviation of the per-minute count from the type's mean rate. The
+# deviation is kept as an EXACT integer D_i = nm·Σ_{j≤i} c_j − i·total
+# (nm = #minutes, total = #events for the type) so both engines agree
+# bit-for-bit; cum_dev = D_i / nm is the chart value and the peak
+# |D_i| per type marks the strongest drift point.
+
+_MIN_NS = 60 * 1_000_000_000
+
+
+def event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, minute, n_events, cum_dev, is_peak): cumulative
+    rate-deviation chart per event type.
+
+    Plan: one groupBy to the (type, minute) grain, windows keyed by
+    event_type (cumsum + rank — the per-type minute count is bounded
+    by the TIME RANGE, not the data volume, so the window partition
+    stays small at any corpus size), per-type scalars via aggregate +
+    join (no global window)."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = (
+        ev.select("event_type", F.expr(f"ts_ns DIV {_MIN_NS}").alias("minute"))
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("nm")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wi = Window.partitionBy("event_type").orderBy("minute")
+    d = (
+        binned.join(totals, "event_type")
+        .withColumn("csum", F.sum("n_events").over(w))
+        .withColumn("i", F.row_number().over(wi).cast("long"))
+        .withColumn("d", F.col("nm") * F.col("csum") - F.col("i") * F.col("total"))
+    )
+    peaks = d.groupBy("event_type").agg(F.max(F.abs("d")).alias("peak"))
+    return (
+        d.join(peaks, "event_type")
+        .select(
+            "event_type",
+            "minute",
+            "n_events",
+            (F.col("d").cast("double") / F.col("nm").cast("double")).alias("cum_dev"),
+            (F.abs("d") == F.col("peak")).alias("is_peak"),
+        )
+    )
+
+
+_CUSUM_SQL = f"""
+WITH binned AS (
+  SELECT event_type, epoch_ns(ts) // {_MIN_NS} AS minute,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, epoch_ns(ts) // {_MIN_NS}
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS nm
+  FROM binned GROUP BY event_type
+),
+d AS (
+  SELECT b.event_type, b.minute, b.n_events, t.nm,
+    t.nm * SUM(b.n_events) OVER (PARTITION BY b.event_type ORDER BY b.minute
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - CAST(ROW_NUMBER() OVER (PARTITION BY b.event_type ORDER BY b.minute) AS BIGINT)
+        * t.total AS dv
+  FROM binned b JOIN totals t USING (event_type)
+),
+peaks AS (SELECT event_type, MAX(ABS(dv)) AS peak FROM d GROUP BY event_type)
+SELECT d.event_type, d.minute, d.n_events,
+       CAST(d.dv AS DOUBLE) / CAST(d.nm AS DOUBLE) AS cum_dev,
+       (ABS(d.dv) = p.peak) AS is_peak
+FROM d JOIN peaks p USING (event_type)
+"""
+
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "event_funnel": event_funnel,
     "cohort_retention": cohort_retention,
+    "event_rate_cusum": event_rate_cusum,
 }
 ORACLES = {
     "events_range_join": _RANGE_JOIN_SQL,
     "event_funnel": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
+    "event_rate_cusum": _CUSUM_SQL,
 }
