@@ -134,6 +134,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "ngram_novelty",
     "event_rate_cusum",
+    "train_val_test_split",
 ]
 
 

@@ -1152,9 +1152,45 @@ GROUP BY sh.doc_id
 
 
 
+# deterministic 3-way holdout split: hash buckets 0-97 -> train,
+# 98 -> validation, 99 -> test (≈98/1/1; a different affine hash than
+# the sampling one so split and sample decisions are independent)
+_SPLIT_A, _SPLIT_B = 69069, 54321
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, split): the canonical deterministic holdout
+    assignment every training pipeline needs — a pure per-row affine
+    hash of doc_id, so the split is reproducible across engines,
+    retries, partitionings, and reruns (never a random() split, which
+    leaks validation docs into training on every recompute). Zero
+    shuffles; composes with the keep-list/manifest downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (F.col("doc_id") % _P * _SPLIT_A + _SPLIT_B) % _P % 100
+    split = (
+        F.when(b >= 99, F.lit("test"))
+        .when(b >= 98, F.lit("validation"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id, source,
+  CASE
+    WHEN (doc_id % {_P} * {_SPLIT_A} + {_SPLIT_B}) % {_P} % 100 >= 99 THEN 'test'
+    WHEN (doc_id % {_P} * {_SPLIT_A} + {_SPLIT_B}) % {_P} % 100 >= 98 THEN 'validation'
+    ELSE 'train'
+  END AS split
+FROM documents
+"""
+
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "ngram_novelty": ngram_novelty,
+    "train_val_test_split": train_val_test_split,
     "decontaminated_docs": decontaminated_docs,
     "stratified_sample": stratified_sample,
     "topk_ngrams": topk_ngrams,
@@ -1173,6 +1209,7 @@ QUERIES = {
 
 ORACLES = {
     "ngram_novelty": _NOVELTY_SQL,
+    "train_val_test_split": _SPLIT_SQL,
     "contamination_check": _CONTAMINATION_SQL,
     "decontaminated_docs": _DECONTAM_SQL,
     "stratified_sample": _STRATIFIED_SQL,
