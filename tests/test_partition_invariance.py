@@ -27,6 +27,10 @@ _REPRESENTATIVE = [
     "mmr_diverse_topk",     # greedy loop, fixed-point sims (r4w4)
     "minhash_containment",  # blocked-join verifier (r4w4)
     "training_set_manifest",# composed keep-list -> shard rollup (r4w3)
+    "source_overlap_matrix",# pair->source rollup (r4w4)
+    "ngram_novelty",        # first-occurrence min-agg (r4w4)
+    "event_rate_cusum",     # exact-integer cumulative deviation (r4w4)
+    "train_val_test_split", # pure affine-hash projection (r4w4)
 ]
 
 
