@@ -76,6 +76,75 @@ def test_merges_match_reference(spark, tiny_corpus):
     assert enc[4] == (4, pieces["widest"] + pieces["low"] + pieces["lower"] + pieces["newest"])
 
 
+def test_merges_boundary_crossing(spark, tmp_path_factory):
+    """Merge application must be symbol-aligned: after merging (e,s),
+    applying (s,t) to best = [b, es, t] must NOT fuse es+t (a string
+    replace of 's<SEP>t' on the joined sequence would — the s it
+    matches is the SUFFIX of symbol 'es', not a symbol). Frequencies
+    are skewed so round 1 selects (e,s) and round 2 selects (s,t)
+    while 'best' holds the crossing-prone [b, es, t] shape."""
+    d = tmp_path_factory.mktemp("bpe_boundary")
+    docs = [
+        (1, "wes wes wes wes", "s1", "en", 15),
+        (2, "esq esq esq esq", "s1", "en", 15),
+        (3, "sto sto sto sto sto sto sto", "s2", "en", 27),
+        (4, "best best best", "s2", "en", 14),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    freq = {"wes": 4, "esq": 4, "sto": 7, "best": 3}
+    # precondition: the corpus really exercises the crossing scenario —
+    # after round 2 applies (s,t), 'best' must still be [b, es, t]
+    # (a boundary-crossing replace yields [b, est], and from there the
+    # trained merge tables diverge at rank 6: (b,est) vs (b,es))
+    two_merges, two_words = _ref_bpe(freq, 2)
+    assert two_merges[0][:2] == ("e", "s")
+    assert two_merges[1][:2] == ("s", "t")
+    assert two_words["best"] == ["b", "es", "t"]  # NOT ["b", "est"]
+    ref_merges, ref_words = _ref_bpe(freq, bpe._BPE_MERGES)
+    assert ref_merges[5][:2] == ("b", "es")  # crossing-sensitive rank
+
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.bpe_merges(spark, str(d)).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges
+
+    enc = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+        for r in bpe.bpe_encode(spark, str(d)).collect()
+    }
+    assert enc[4] == (3, 3 * len(ref_words["best"]))
+
+    # the DuckDB oracle must implement the identical symbol-aligned fold
+    import duckdb
+
+    from tests.oracle_utils import compare_query
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}/*.parquet')"
+    )
+    try:
+        compare_query(
+            bpe.bpe_merges(spark, str(d)),
+            con,
+            bpe._MERGES_SQL,
+            "bpe_merges_boundary",
+        )
+        compare_query(
+            bpe.bpe_encode(spark, str(d)),
+            con,
+            bpe._ENCODE_SQL,
+            "bpe_encode_boundary",
+        )
+    finally:
+        con.close()
+
+
 def test_encode_oov_falls_back_to_chars(spark, tmp_path_factory):
     """A word outside the training dictionary costs length(word)
     pieces (with _BPE_VOCAB=256 every word of this corpus is in-vocab,

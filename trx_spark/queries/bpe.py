@@ -26,10 +26,24 @@ Scale design (the 100 TB story):
   against the token stream — map-side, no corpus shuffle beyond the
   final per-doc aggregation.
 
+Merge application is SYMBOL-ALIGNED: each round folds the symbol
+array left-to-right, fusing only an exact trailing symbol ``l``
+followed by an exact symbol ``r`` (Spark ``aggregate`` / DuckDB
+``list_reduce`` over the split sequence). A plain string ``replace``
+of ``l<SEP>r`` on the joined sequence would match ACROSS symbol
+boundaries — a symbol ENDING in l before a symbol STARTING with r
+gets wrongly fused (e.g. after merging (e,s), applying (s,t) to
+b<SEP>es<SEP>t must NOT produce "est") — diverging from Sennrich's
+algorithm. The fold is exactly Sennrich's greedy left-to-right
+non-overlapping scan: after a fuse the trailing symbol becomes l||r
+(never equal to l, since r is non-empty), so the fused symbol cannot
+chain-fuse within the round, and the <SEP>-anchored suffix check
+cannot match a partial symbol. Pinned by
+tests/test_bpe.py::test_merges_boundary_crossing.
+
 Oracle: the DuckDB twin unrolls the same _BPE_MERGES rounds as CTEs
-(string_split / replace have identical non-overlapping left-to-right
-semantics in both engines; counts are exact integers), so the gate
-checks the whole trainer bit-for-bit.
+with the identical list_reduce fold (counts are exact integers), so
+the gate checks the whole trainer bit-for-bit.
 """
 
 from __future__ import annotations
@@ -44,6 +58,18 @@ _BPE_MERGES = 8  # merge rounds (static unroll, mirrored in the oracle)
 # trained state memo per (session, sf_dir): (merges_df, words_df) —
 # bpe_encode rides the same training run as bpe_merges
 _BPE_CACHE: dict = {}
+
+# symbol-aligned merge application (see module docstring): fold the
+# symbol array, fusing exact adjacent symbols (l, r) only. Runs over
+# the <=_BPE_VOCAB-row word dict — O(K * max_word_len) per round.
+_APPLY_MERGE_EXPR = (
+    f"aggregate("
+    f"slice(split(seq, '{_SEP}'), 2, size(split(seq, '{_SEP}')) - 1), "
+    f"element_at(split(seq, '{_SEP}'), 1), "
+    f"(acc, x) -> CASE WHEN x = r "
+    f"AND (acc = l OR endswith(acc, '{_SEP}' || l)) "
+    f"THEN acc || x ELSE acc || '{_SEP}' || x END)"
+)
 
 
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,13 +141,7 @@ def _train(spark: SparkSession, sf_dir: str):
                 "word",
                 "freq",
                 F.when(F.col("l").isNull(), F.col("seq"))
-                .otherwise(
-                    F.replace(
-                        F.col("seq"),
-                        F.concat(F.col("l"), F.lit(_SEP), F.col("r")),
-                        F.concat(F.col("l"), F.col("r")),
-                    )
-                )
+                .otherwise(F.expr(_APPLY_MERGE_EXPR))
                 .alias("seq"),
             )
             .localCheckpoint()
@@ -202,7 +222,12 @@ b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
 {cur} AS (
   SELECT w.word, w.freq,
          CASE WHEN b.l IS NULL THEN w.seq
-              ELSE replace(w.seq, b.l || chr(31) || b.r, b.l || b.r) END AS seq
+              ELSE list_reduce(string_split(w.seq, chr(31)),
+                     (acc, x) -> CASE WHEN x = b.r AND (acc = b.l
+                                   OR ends_with(acc, chr(31) || b.l))
+                                 THEN acc || x
+                                 ELSE acc || chr(31) || x END)
+         END AS seq
   FROM {prev} w LEFT JOIN b{i} b ON TRUE
 )"""
 
