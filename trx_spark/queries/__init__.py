@@ -61,42 +61,42 @@ for mod in (
     ORACLES.update(mod.ORACLES)
 
 # The driver's correctness gate hashes the first 50 registry entries per
-# round (CORRECTNESS_r01..r03 each cover exactly the registry's first 50
-# names).  Rounds 1-3 verified the relational/trx-domain/ANN block, so
-# rotate the registry: the 37 queries that have never had a driver row
-# (curation / PQ / packing / composed / streaming waves) come first, then
-# the already-verified 50 in their original relative order.  Union of
-# CORRECTNESS_r03 + r04 then covers all 87.
-_R04_FIRST = [
-    "embedding_neardup_pairs", "ann_ivf_topk", "kmeans_cells",
-    "ann_ivf_trained_topk", "semantic_dedup", "pq_codes", "ann_pq_topk",
-    "dedup_clusters", "span_dedup", "repetition_stats", "quality_filter",
-    "corpus_keep_list", "contamination_check", "decontaminated_docs",
-    "stratified_sample", "topk_ngrams", "bigram_rarity", "vocab_coverage",
-    "cms_heavy_hitters", "per_source_sample", "token_count_bpe",
-    "source_quality_rollup", "mixture_sample", "normalized_docs",
-    "dsir_weights", "quality_stratified_sample", "decontam_bloom_flags",
-    "pii_scrub", "pack_sequences", "doc_chunks", "epoch_shuffle",
-    "events_range_join", "streaming_incremental_stats",
-    "streaming_windowed_counts", "streaming_dedup_keys",
-    "streaming_session_stats", "streaming_attribution_join",
+# round.  Rounds 1-3 verified the relational/trx-domain/ANN block and
+# round 4's rotation verified the curation/PQ/packing/streaming waves
+# (CORRECTNESS_r03 ∪ r04 = 100 distinct names, 99 green).  Round-5
+# rotation: the 19 queries that have never had a driver row (the late
+# round-4 waves beyond the window) come first, then the three streaming
+# entries whose oracles are NEW this round (incremental_stats gained its
+# batch GROUP-BY twin; running_stats and lsh_pairs are new gate entries
+# for the stateful operator and the LSH index), then 28 round-1-era
+# classics as regression re-checks of round-5 code.  Union r03∪r04∪r05
+# then covers every oracle-bearing registry name.
+_R05_UNCHECKED = [
+    "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
+    "streaming_pricing_summary", "contrastive_triples", "dedup_report",
+    "bpe_merges", "bpe_encode", "compression_ratio", "lm_perplexity",
+    "minhash_containment", "knn_reciprocal_pairs", "mmr_diverse_topk",
+    "training_set_manifest", "quality_classifier_scores",
+    "source_overlap_matrix", "ngram_novelty", "event_rate_cusum",
+    "train_val_test_split",
 ]
-# Round-4 additions (sketches / ranking / knn graph+pagerank /
-# diversity sample / curriculum / funnel+cohort / streaming sketches /
-# feature hashing) slot in right behind the rotated block:
-# 37 + 13 = 50 — the driver's 50-row gate window is now EXACTLY full;
-# any further query lands beyond it (local parity gate only) until the
-# round-5 rotation.
-_R04_NEW = [
-    "hll_distinct_tokens", "bm25_topk", "knn_graph", "cluster_balanced_sample",
-    "doclen_quantiles", "knn_pagerank", "curriculum_phases",
-    "priority_sample", "event_funnel", "cohort_retention",
-    "streaming_cms_cells", "streaming_hll_registers", "hashed_tf_features",
+_R05_NEW_ORACLES = [
+    "streaming_incremental_stats", "streaming_running_stats",
+    "streaming_lsh_pairs",
 ]
-_order = (
-    _R04_FIRST
-    + _R04_NEW
-    + [n for n in QUERIES if n not in set(_R04_FIRST) | set(_R04_NEW)]
-)
+_R05_RECHECK = [
+    "pricing_summary", "revenue_by_nation", "topk_orders_per_customer",
+    "azint_1d", "azint_2d", "dezinger_flags", "monitor_norm",
+    "asof_interp_refs", "scanpoint_stats", "chi2_filter_auto",
+    "mad_outliers", "dedup_exact", "token_stats", "minhash_signatures",
+    "minhash_lsh_pairs", "doc_fingerprints", "ann_cosine_topk",
+    "asof_interp_per_user", "sessionize_events", "simhash16",
+    "ann_lsh_buckets", "reflections_triclinic", "reflections_cubic_si",
+    "polygon_mask_flags", "diffs_plus_ref", "curves_scan_stats",
+    "curves_chi2_per_shot", "global_curve_stats",
+]
+_R05_WINDOW = _R05_UNCHECKED + _R05_NEW_ORACLES + _R05_RECHECK
+assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
+_order = _R05_WINDOW + [n for n in QUERIES if n not in set(_R05_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

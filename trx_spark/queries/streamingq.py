@@ -1,9 +1,12 @@
-"""Streaming correctness-gate entry (SURVEY ST1/ST2): run the
-incremental pipeline over the events parquet with an availableNow
-trigger and return the reduced result. Non-SQL-expressible (stateful
-file-source semantics) → no oracle; the driver records a rows-only
-check. The batch-equivalence property (incremental == batch over the
-same files) is asserted separately in tests/test_streaming.py."""
+"""Streaming correctness-gate entries (SURVEY ST1/ST2): the
+incremental pipeline and its siblings run over the testdata parquet
+with an availableNow trigger and return the reduced result. Every
+entry carries a DuckDB oracle: over a single replay of static input,
+each streaming reduction equals its batch twin (count/fixed-point-sum
+GROUP BY, windowed counts, distinct keys, session islands, interval
+join, mergeable sketches, maintained matview) — so the driver gate
+checks the stateful path bit-for-bit, and the multi-wave ≡ single-wave
+properties are pinned separately in tests/test_streaming*.py."""
 
 from __future__ import annotations
 
@@ -33,7 +36,11 @@ def _make_ts_prepare(schema):
 
 def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow micro-batch ingestion of the events parquet →
-    append store → per-type reduction, returned as a DataFrame."""
+    append store → per-type reduction, returned as a DataFrame.
+
+    The catch-up replay ingests exactly the static events parquet, so
+    the per-type count + fixed-point sum EQUALS the batch GROUP BY —
+    full DuckDB oracle (same pattern as streaming_pricing_summary)."""
     # normalize session parquet handling like load_table does
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -62,6 +69,15 @@ def streaming_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = spark.read.parquet(reduced)
     return out.withColumn("sum_value", F.col("value_fp").cast("double") / 1e6).drop("value_fp")
+
+
+_INCREMENTAL_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+         AS sum_value
+FROM events GROUP BY event_type
+"""
 
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,6 +380,118 @@ def streaming_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator in the gate: per-event-type running
+    (count, sum, min, max) maintained in the streaming state store via
+    ``applyInPandasWithState`` (streaming/stateful.py), availableNow
+    replay of the events parquet.
+
+    Exactness: the value is fed FIXED-POINT (floor(value*1e6) as an
+    integer-valued double), so the running float sum is exact while
+    |sum| < 2^53 and order-independent — after draining, the final
+    state EQUALS the batch GROUP BY, giving the stateful path a full
+    DuckDB oracle. Cross-batch accumulation is pinned separately in
+    tests/test_streaming_stateful.py."""
+    from pyspark.sql import Window
+
+    from trx_spark.streaming.stateful import running_key_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_stateful_")
+    out_dir = os.path.join(work, "updates")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("event_type").alias("k"),
+            F.floor(F.col("value") * 1e6).cast("double").alias("v"),
+        )
+    )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        running_key_stats(stream, key="k", value="v")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.read.parquet(out_dir)
+    # update mode emits one row per (key, batch); the final state is
+    # the row with the largest n per key
+    w = Window.partitionBy("k").orderBy(F.desc("n"))
+    return (
+        upd.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("k").alias("event_type"),
+            "n",
+            (F.col("total") / F.lit(1e6)).alias("sum_value"),
+            (F.col("vmin") / F.lit(1e6)).alias("min_value"),
+            (F.col("vmax") / F.lit(1e6)).alias("max_value"),
+        )
+    )
+
+
+_RUNNING_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+         AS sum_value,
+       CAST(MIN(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+         AS min_value,
+       CAST(MAX(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+         AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def streaming_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MinHash-LSH index (streaming/dedup_index.py) in
+    the gate: drain the documents parquet (availableNow) through the
+    banded index and return the distinct emitted pair set.
+
+    Over a single replay the emitted pairs EQUAL the batch LSH pair
+    set — including the cap semantics: a band key saturating the
+    per-key state bound drops exactly the buckets the batch query's
+    _LSH_BUCKET_CAP drops (same cap, asserted equal in tests) — so
+    this carries the very same oracle as batch ``minhash_lsh_pairs``.
+    Multi-wave equivalence is pinned in
+    tests/test_streaming_dedup_index.py."""
+    from trx_spark.streaming.dedup_index import run_lsh_dedup_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_lshidx_")
+    return run_lsh_dedup_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="documents.parquet",
+        schema=schema,
+        band_store=os.path.join(work, "bands"),
+        pairs_dir=os.path.join(work, "pairs"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+
+
+def _lsh_pairs_oracle_sql() -> str:
+    from trx_spark.queries.textdata import _LSH_PAIRS_SQL
+
+    return _LSH_PAIRS_SQL
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -373,8 +501,11 @@ QUERIES = {
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_hll_registers": streaming_hll_registers,
     "streaming_pricing_summary": streaming_pricing_summary,
+    "streaming_running_stats": streaming_running_stats,
+    "streaming_lsh_pairs": streaming_lsh_pairs,
 }
 ORACLES: dict[str, str] = {
+    "streaming_incremental_stats": _INCREMENTAL_STATS_SQL,
     "streaming_windowed_counts": _WINDOWED_SQL,
     "streaming_dedup_keys": _DEDUP_KEYS_SQL,
     "streaming_session_stats": _SESSION_STATS_SQL,
@@ -383,4 +514,7 @@ ORACLES: dict[str, str] = {
     "streaming_hll_registers": _hll_registers_oracle_sql(),
     # the SAME oracle as the batch query — the merged view is bit-equal
     "streaming_pricing_summary": _PRICING_SQL,
+    "streaming_running_stats": _RUNNING_STATS_SQL,
+    # the SAME oracle as batch minhash_lsh_pairs (single-replay ≡ batch)
+    "streaming_lsh_pairs": _lsh_pairs_oracle_sql(),
 }
