@@ -144,3 +144,7 @@ def test_hot_key_state_bounded(spark, tmp_path):
     store = spark.read.parquet(str(tmp_path / "bands"))
     per_key = store.groupBy("band", "hx", "hy").agg(F.count(F.lit(1)).alias("n"))
     assert per_key.agg(F.max("n")).collect()[0][0] <= _STREAM_KEY_CAP
+    # the exact-hash store is bounded by DISTINCT hash count: 90 copies
+    # of one text must leave exactly one stored row, not 90
+    hstore = spark.read.parquet(str(tmp_path / "hashes"))
+    assert hstore.count() == 1

@@ -15,9 +15,12 @@ from __future__ import annotations
 
 
 def _all_caches() -> list[dict]:
+    from trx_spark import tables
     from trx_spark.queries import bpe, classifier, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
 
     return [
+        tables._FAN_MEMO,
+        classifier._FEATS_CACHE,
         trxdomain._DIFFS_CACHE,
         trxdomain3._DIFFS_CACHE,
         curation._TOKS_CACHE,
@@ -83,4 +86,5 @@ def stage_cache_stats() -> dict[str, int]:
         "bpe_trained": len(bpe._BPE_CACHE),
         "lm_model": len(lm._LM_CACHE),
         "quality_classifier": len(classifier._CLF_CACHE),
+        "classifier_features": len(classifier._FEATS_CACHE),
     }

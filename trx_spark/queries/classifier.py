@@ -36,11 +36,19 @@ _BIAS_DIM = -1  # the bias term rides the same (dim, w) table
 
 # trained weights memo per (session, sf_dir)
 _CLF_CACHE: dict = {}
+# featurized corpus memo per (session, sf_dir): training builds it
+# once, scoring reuses the same checkpointed frame instead of paying
+# the tokenize + hashed-TF + norm pass a second time
+_FEATS_CACHE: dict = {}
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, dim, x, y): L1-normalized signed hashed-TF features
-    plus the per-doc label (docs with zero tokens emit no rows)."""
+    plus the per-doc label (docs with zero tokens emit no rows).
+    Checkpointed + memoized per (session, sf_dir)."""
+    key = (spark, sf_dir)
+    if key in _FEATS_CACHE:
+        return _FEATS_CACHE[key]
     from trx_spark.queries.curation import _DSIR_TARGET_SOURCE
     from trx_spark.queries.ranking import hashed_tf_features
     from trx_spark.tables import load_table
@@ -70,7 +78,8 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(_BIAS_DIM).cast("long").alias("dim"),
         F.lit(1.0).alias("x"), "y",
     )
-    return feats.unionByName(bias_rows)
+    _FEATS_CACHE[key] = feats.unionByName(bias_rows).localCheckpoint()
+    return _FEATS_CACHE[key]
 
 
 def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +90,7 @@ def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _CLF_CACHE[key]
     from trx_spark.queries.ranking import _FH_DIM
 
-    feats = _features(spark, sf_dir).localCheckpoint()
+    feats = _features(spark, sf_dir)
     docs = feats.select("doc_id", "y").distinct().localCheckpoint()
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
 

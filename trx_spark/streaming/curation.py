@@ -15,6 +15,9 @@ online semantics is FIRST-SEEN-WINS: a document is kept iff
 Scale shape mirrors streaming/dedup_index.py exactly:
 * both stores (exact hashes, band keys) are hash-bucket partitioned
   and each batch reads only its touched buckets (partition pruning);
+* the hash store holds ONE row per distinct text hash (only first-seen
+  hashes are appended), so exact-dup floods — 10k copies of one
+  boilerplate page — cost one stored row, not 10k;
 * the batch side is broadcast into every store join — the accumulated
   state never shuffles;
 * per-band-key state is bounded by the same cap (a saturated key stops
@@ -55,8 +58,8 @@ def make_curation_batch_handler(
     store_partitions: int = _STORE_PARTITIONS,
 ):
     """foreachBatch handler producing (doc_id, quality_keep,
-    exact_first, near_dup, keep) per document, appending the exact
-    hashes and band keys of every SEEN (non-saturated) document."""
+    exact_first, near_dup, keep) per document, appending the FIRST-SEEN
+    exact hashes and the band keys of every non-saturated document."""
 
     on = ["band", "hx", "hy"]
     kb = F.pmod(F.xxhash64("band", "hx", "hy"), F.lit(store_partitions))
@@ -86,12 +89,12 @@ def make_curation_batch_handler(
             else None
         )
         first_in_batch = hashes.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        exact_first = first_in_batch.select("doc_id", "h")
+        first_new = first_in_batch.select("doc_id", "h")
         if prev_h is not None:
-            exact_first = exact_first.join(
-                prev_h, "h", "left_anti"
-            )
-        exact_first = exact_first.select(
+            first_new = first_new.join(prev_h, "h", "left_anti")
+        # checkpointed: feeds BOTH the verdict flag and the store append
+        first_new = first_new.withColumn("_hb", hb).localCheckpoint()
+        exact_first = first_new.select(
             "doc_id", F.lit(True).alias("exact_first")
         )
 
@@ -175,9 +178,14 @@ def make_curation_batch_handler(
             .partitionBy("_epoch")
             .parquet(verdict_dir)
         )
-        # state appends: every seen doc's hash; every non-saturated band row
+        # state appends: FIRST-SEEN hashes only (one stored row per
+        # distinct hash is sufficient for the first-seen-wins anti-join
+        # and bounds the store by distinct-hash count — appending every
+        # doc's hash would grow per-hash state linearly with duplicate
+        # volume, the exact flood the band-key cap guards against);
+        # every non-saturated band row
         (
-            hashes.withColumn("_epoch", F.lit(int(epoch_id)))
+            first_new.withColumn("_epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_epoch", "_hb")

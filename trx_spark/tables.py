@@ -80,13 +80,34 @@ def fan_out_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     At cluster scale the scan already yields >= defaultParallelism
     splits and this returns the frame untouched — the helper is a local
     small-file corrective, not a standing shuffle. Apply it AFTER any
-    scan-pushable filter so pushdown is preserved."""
+    scan-pushable filter so pushdown is preserved.
+
+    The split count needs physical planning + a DataFrame-to-RDD
+    conversion (df.rdd.getNumPartitions), which is pure driver latency
+    on hot unmemoized paths — so the count is memoized per
+    (session, semanticHash, target): the same logical frame (every
+    rebuild of a shared base like the tokenized docs) pays planning
+    once per session. The memo holds ints only, no data."""
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        key = (spark, df.semanticHash(), target)
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        key = None
+    n = _FAN_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _FAN_MEMO[key] = n
+    if n >= target:
         return df
     return df.repartition(target)
+
+
+# (session, semanticHash, target) -> planned partition count; cleared
+# with the stage caches so cold benchmarks re-pay planning honestly
+_FAN_MEMO: dict = {}
 
 
 def raw_dtype(spark: SparkSession, sf_dir: str, name: str, col: str) -> str | None:
