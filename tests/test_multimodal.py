@@ -571,3 +571,73 @@ def test_multiframe_gzip_edf_property():
         np.testing.assert_array_equal(first, imgs[0])
 
     roundtrip()
+
+
+def test_cbf_cif_style_roundtrip_kernel():
+    """The full CIF-wrapped framing (data_ block, CIF tags, no ###CBF
+    sentinel — what CBFlib itself writes) roundtrips for both
+    compressions and the signed/unsigned 16/32-bit element widths the
+    plain-CIF variant uses in the wild; the Pilatus header-contents
+    block is parsed into Pilatus_* fields."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_cbf, encode_cbf, sniff_codec
+
+    rng = np.random.default_rng(23)
+    hc = "# Detector: PILATUS 1M\n# Exposure_time 0.0995 s\n# Wavelength 0.9795 A"
+    for dt, comp in (
+        ("u2", "none"), ("i2", "none"), ("u4", "none"),
+        ("i4", "byte_offset"), ("u2", "byte_offset"),
+    ):
+        lo = 0 if dt[0] == "u" else -5000
+        img = rng.integers(lo, 5000, (9, 4)).astype(dt)
+        blob = encode_cbf(img, compression=comp, style="cif", header_contents=hc)
+        assert not blob.startswith(b"###CBF")
+        assert blob.startswith(b"data_")
+        assert sniff_codec(blob) == "cbf"
+        back, hdr = decode_cbf(blob)
+        np.testing.assert_array_equal(back, img)
+        assert back.dtype == np.dtype(dt)
+        assert hdr["Pilatus_Exposure_time"] == "0.0995 s"
+        assert hdr["Pilatus_Detector"] == "PILATUS 1M"
+
+
+def test_cbf_mini_header_contents_fields():
+    """miniCBF framing carries the same detector comment block."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_cbf, encode_cbf
+
+    img = np.arange(12, dtype="i4").reshape(3, 4)
+    blob = encode_cbf(
+        img, header_contents="# Threshold_setting 6000 eV\n# Tau = 1.991e-07 s"
+    )
+    assert blob.startswith(b"###CBF")
+    back, hdr = decode_cbf(blob)
+    np.testing.assert_array_equal(back, img)
+    assert hdr["Pilatus_Threshold_setting"] == "6000 eV"
+    # '###CBF' sentinel / writer comment lines must NOT leak into fields
+    assert not any(k.startswith("Pilatus_CBF") for k in hdr)
+    assert "Pilatus_pure-numpy" not in hdr
+
+
+def test_cbf_cif_long_preamble_sniff_and_distributed(spark, tmp_path):
+    """A CIF preamble larger than 4 KiB (big detector header) must
+    still sniff as CBF — prefix-limited sniffing missed it — and the
+    distributed auto decode must produce exact pixels."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_cbf, sniff_codec
+
+    rng = np.random.default_rng(29)
+    img = rng.poisson(80, (8, 8)).astype("i4")
+    hc = "\n".join(f"# Aux_field_{i:04d} value_{i}" for i in range(400))
+    blob = encode_cbf(img, style="cif", header_contents=hc)
+    assert blob.index(b"--CIF-BINARY-FORMAT-SECTION--") > 4096
+    assert sniff_codec(blob) == "cbf"
+    (tmp_path / "cifwrapped.cbf").write_bytes(blob)
+    assets = read_binary_assets(spark, str(tmp_path / "*.cbf"), "image")
+    px = decode_image(assets, codec="auto").toPandas().sort_values(["y", "x"])
+    np.testing.assert_array_equal(
+        px["intensity"].to_numpy().reshape(8, 8), img.astype(float)
+    )

@@ -161,7 +161,10 @@ def sniff_codec(buf: bytes) -> str:
         return "gzip"
     if buf[:2] in (b"II", b"MM"):
         return "tiff"
-    if buf[:6] == b"###CBF" or _CBF_SECTION in buf[:4096]:
+    # miniCBF starts '###CBF'; a full CIF-wrapped CBF starts with its
+    # 'data_<block>' line and can carry kilobytes of CIF tags before
+    # the binary section — search the whole buffer, not a prefix
+    if buf[:6] == b"###CBF" or _CBF_SECTION in buf:
         return "cbf"
     if buf.lstrip()[:1] == b"{":
         return "edf"
@@ -197,7 +200,10 @@ _CBF_MAGIC = b"\x0c\x1a\x04\xd5"
 _CBF_SECTION = b"--CIF-BINARY-FORMAT-SECTION--"
 
 _CBF_ELEM_TYPES = {
+    '"signed 16-bit integer"': "i2",
+    '"unsigned 16-bit integer"': "u2",
     '"signed 32-bit integer"': "i4",
+    '"unsigned 32-bit integer"': "u4",
     '"signed 64-bit integer"': "i8",
 }
 
@@ -265,13 +271,28 @@ def decode_cbf(buf: bytes) -> tuple[np.ndarray, dict]:
     """Decode one CBF blob → (2-D int array, binary-section header dict).
 
     Honors: X-Binary-Size-Fastest-Dimension (columns), -Second-Dimension
-    (rows), X-Binary-Element-Type, and two conversions:
-    ``x-CBF_BYTE_OFFSET`` (the beamline default — Pilatus detectors
-    write exactly this) and ``x-CBF_NONE`` (uncompressed little-endian
-    elements, the plain-CIF variant)."""
+    (rows), X-Binary-Element-Type (signed/unsigned 16/32/64-bit), and
+    two conversions: ``x-CBF_BYTE_OFFSET`` (the beamline default —
+    Pilatus detectors write exactly this) and ``x-CBF_NONE``
+    (uncompressed little-endian elements, the plain-CIF variant).
+    Works for both CBF framings: miniCBF (``###CBF`` first line,
+    detector metadata as ``# Key value`` comment lines in
+    ``_array_data.header_contents``) and the full CIF-wrapped form
+    (a ``data_`` block with CIF tags before the binary section).
+    Pilatus ``# Key value...`` header-contents lines are parsed into
+    the returned dict as ``Pilatus_<Key>`` entries."""
     sec = buf.index(_CBF_SECTION)
     mark = buf.index(_CBF_MAGIC, sec)
     fields: dict[str, str] = {}
+    # miniCBF / Pilatus detector metadata: '# Exposure_time 0.099 s'
+    # comment lines inside _array_data.header_contents (before the
+    # binary section)
+    for line in buf[:sec].decode("ascii", "replace").splitlines():
+        line = line.strip()
+        if line.startswith("#") and not line.startswith("###"):
+            parts = line.lstrip("# ").split(None, 1)
+            if len(parts) == 2 and parts[0][:1].isupper():
+                fields[f"Pilatus_{parts[0].rstrip(':')}"] = parts[1]
     for line in buf[sec:mark].decode("ascii", "replace").splitlines():
         if ":" in line:
             k, v = line.split(":", 1)
@@ -295,27 +316,70 @@ def decode_cbf(buf: bytes) -> tuple[np.ndarray, dict]:
     return flat.astype(np.dtype(dt)).reshape(ny, nx), fields
 
 
+_CBF_ELEM_NAMES = {v: k for k, v in _CBF_ELEM_TYPES.items()}
+
+
 def encode_cbf(
-    img: np.ndarray, *, extra: dict | None = None, compression: str = "byte_offset"
+    img: np.ndarray,
+    *,
+    extra: dict | None = None,
+    compression: str = "byte_offset",
+    style: str = "mini",
+    header_contents: str | None = None,
 ) -> bytes:
     """Encode a 2-D int array as a CBF blob — ``byte_offset`` (the
     beamline default) or ``none`` (uncompressed little-endian) — a
     pure-numpy writer for the public imgCIF structure; write side of
-    the S1 seam and the tests' golden producer."""
+    the S1 seam and the tests' golden producer.
+
+    ``style``: ``"mini"`` is the Pilatus miniCBF framing (``###CBF``
+    first line, detector metadata as ``# Key value`` comment lines in
+    ``_array_data.header_contents``); ``"cif"`` is the full CIF-wrapped
+    form (a ``data_`` block carrying CIF tags, no ``###CBF`` sentinel
+    — the framing CBFlib itself writes). ``header_contents`` is the
+    newline-joined ``# Key value`` detector block (both framings carry
+    it the same way)."""
     if img.dtype.kind not in "iu":
         raise ValueError(f"CBF stores integer counts, got {img.dtype}")
     if compression not in ("byte_offset", "none"):
         raise ValueError(f"unknown CBF compression {compression!r}")
-    elem = '"signed 64-bit integer"' if img.dtype.itemsize > 4 else '"signed 32-bit integer"'
+    if style not in ("mini", "cif"):
+        raise ValueError(f"unknown CBF style {style!r}")
+    code = f"{'u' if img.dtype.kind == 'u' else 'i'}{img.dtype.itemsize}"
+    if code not in _CBF_ELEM_NAMES:
+        raise ValueError(f"unsupported CBF element width {img.dtype}")
+    elem = _CBF_ELEM_NAMES[code]
     if compression == "byte_offset":
         payload = _byte_offset_pack(img.ravel())
     else:
-        width = 8 if img.dtype.itemsize > 4 else 4
-        payload = img.astype(f"<i{width}", copy=False).ravel().tobytes()
+        payload = (
+            img.astype(np.dtype(code).newbyteorder("<"), copy=False)
+            .ravel()
+            .tobytes()
+        )
+    hc = (
+        f"_array_data.header_convention \"PILATUS_1.2\"\n"
+        f"_array_data.header_contents\n;\n{header_contents}\n;\n\n"
+        if header_contents
+        else ""
+    ).encode()
+    if style == "mini":
+        preamble = (
+            b"###CBF: VERSION 1.5\n"
+            b"# pure-numpy byte_offset writer (public imgCIF spec)\n\n"
+            b"data_image_1\n\n" + hc
+        )
+    else:
+        preamble = (
+            b"data_image_1\n\n"
+            b"_diffrn.id DS1\n_diffrn.crystal_id xtal1\n\n" + hc +
+            b"loop_\n_array_element_size.array_id\n"
+            b"_array_element_size.index\n_array_element_size.size\n"
+            b"image_1 1 172e-6\nimage_1 2 172e-6\n\n"
+        )
     head = (
-        b"###CBF: VERSION 1.5\n"
-        b"# pure-numpy byte_offset writer (public imgCIF spec)\n\n"
-        b"data_image_1\n\n_array_data.data\n;\n"
+        preamble
+        + b"_array_data.data\n;\n"
         + _CBF_SECTION
         + b"\n"
         b"Content-Type: application/octet-stream;\n"
@@ -522,7 +586,9 @@ def decode_image(
             # header brace (possibly after whitespace/newline)
             if buf[:2] in (b"II", b"MM"):
                 return "tiff"
-            if buf[:6] == b"###CBF" or cbf_section in buf[:4096]:
+            # full-buffer section search: CIF-wrapped CBF can carry
+            # kilobytes of CIF tags before the binary section
+            if buf[:6] == b"###CBF" or cbf_section in buf:
                 return "cbf"
             if buf.lstrip()[:1] == b"{":
                 return "edf"
