@@ -84,3 +84,52 @@ def test_online_loop_catchup(spark, tmp_path):
     q.awaitTermination()
     back = spark.read.parquet(str(tmp_path / "store"))
     assert back.count() == 2
+
+
+def test_split_angle_two_angle_reduction(spark, tmp_path):
+    """trx/id9.py:246-263 split_angle: a two-angle dataset reduced with
+    split_angle=True keeps the angles apart — per-(angle, delay) means
+    match the per-angle closed form, each angle's reference is its OWN
+    laser-off — while the same call without split_angle mixes them."""
+    import pytest
+
+    logs = []
+    k = 0
+    for angle in (0.0, 45.0):
+        base = 50.0 if angle == 0.0 else 80.0
+        for d in DELAYS:
+            boost = 0.0 if d == -10.0 else (100.0 + angle) * d / 1e-9
+            img = np.full((NY, NX), base + boost, dtype="f8")
+            (tmp_path / f"img_{k:04d}.edf").write_bytes(encode_edf(img))
+            logs.append(
+                {"file": f"img_{k:04d}.edf", "delay": d,
+                 "currentmA": 190.0, "angle": angle}
+            )
+            k += 1
+    log = spark.createDataFrame(pd.DataFrame(logs))
+
+    curves = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        files="*.edf*", nQ=4, qlims=(0.0, 2.0),
+    )
+    res = compat.doFolder_dataRed(curves, log, reference="min", split_angle=True)
+    scan = res["scan"].toPandas()
+    assert "angle" in scan.columns
+    for (angle, d), grp in scan.groupby(["angle", "delay"]):
+        expect = 0.0 if d == -10.0 else (100.0 + angle) * d / 1e-9
+        np.testing.assert_allclose(grp["mean_diff"], expect, atol=1e-9)
+
+    # without the knob the two angles share references and mix: the
+    # pumped groups can no longer all match their per-angle closed form
+    mixed = compat.doFolder_dataRed(curves, log, reference="min")["scan"].toPandas()
+    ok = True
+    for d, grp in mixed.groupby("delay"):
+        if d == -10.0:
+            continue
+        for expect in ((100.0 + 0.0) * d / 1e-9, (100.0 + 45.0) * d / 1e-9):
+            ok = ok and bool(np.isclose(grp["mean_diff"], expect, atol=1e-9).any())
+    assert not ok
+
+    # the knob demands the angle column
+    with pytest.raises(ValueError, match="angle"):
+        compat.doFolder_dataRed(curves, log.drop("angle"), split_angle=True)

@@ -91,20 +91,41 @@ def doFolder_dataRed(
     reference: str | float = "min",
     chi2_threshold: float | None = None,
     extra_group: tuple[str, ...] = (),
+    split_angle: bool = False,
 ) -> dict[str, DataFrame]:
     """trx/id9.py:226 ``doFolder_dataRed``: curve bank ⨝ log →
     reference pick (min/max/value, P9) → as-of interpolation (J2) →
     diffs → per-delay averages with χ² (A4-A7) → non-destructive χ²
     filter (F1) → filtered re-aggregation (F6).
 
+    ``split_angle`` mirrors trx/id9.py:246-263: the reference loops
+    ``doFolder_dataRed`` once per unique ``azav.log.angle`` with an
+    index mask and stacks the results; here the same semantics is one
+    declarative pass with ``angle`` added to the group keys (SURVEY E2)
+    — every reference pick, interpolation window, and per-delay
+    aggregate partitions by angle, so angles never mix and the engine
+    still runs a single shuffle instead of a per-angle driver loop.
+
     Returns {'shots', 'scan', 'scan_filtered'} lazy frames — the
-    reference's data.red container split into its three views. For a
-    multi-run batch pass the run key in ``extra_group`` (every window
-    then partitions by it; see pipeline.data_reduction scale note)."""
+    reference's data.red container split into its three views (with
+    ``split_angle`` each carries the ``angle`` column, the relational
+    form of the reference's DataStorage(angles=…, diffs=[…]) stack).
+    For a multi-run batch pass the run key in ``extra_group`` (every
+    window then partitions by it; see pipeline.data_reduction scale
+    note)."""
+    groups = list(extra_group)
+    if split_angle:
+        if "angle" not in log.columns:
+            raise ValueError(
+                "split_angle=True requires an 'angle' column in the log "
+                "(the reference reads azav.log.angle, trx/id9.py:247)"
+            )
+        if "angle" not in groups:
+            groups.append("angle")
     cfg = ReductionConfig(
         reference=reference,
         chi2_threshold=chi2_threshold,
-        extra_group=list(extra_group),
+        extra_group=groups,
     )
     return data_reduction(curves, log, cfg)
 
