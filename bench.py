@@ -142,6 +142,10 @@ HEADLINE = [
     "ngram_novelty",
     "event_rate_cusum",
     "train_val_test_split",
+    # round-5 additions
+    "tfidf_top_terms",
+    "event_transition_matrix",
+    "rolling_active_users",
 ]
 
 

@@ -84,6 +84,12 @@ _R05_NEW_ORACLES = [
     "streaming_incremental_stats", "streaming_running_stats",
     "streaming_lsh_pairs",
 ]
+# Brand-new round-5 queries (c-TF-IDF source triage, Markov transition
+# matrix, rolling DAU/WAU) go straight into the window so they get a
+# driver row in their first round.
+_R05_NEW_QUERIES = [
+    "tfidf_top_terms", "event_transition_matrix", "rolling_active_users",
+]
 _R05_RECHECK = [
     "pricing_summary", "revenue_by_nation", "topk_orders_per_customer",
     "azint_1d", "azint_2d", "dezinger_flags", "monitor_norm",
@@ -92,10 +98,11 @@ _R05_RECHECK = [
     "minhash_lsh_pairs", "doc_fingerprints", "ann_cosine_topk",
     "asof_interp_per_user", "sessionize_events", "simhash16",
     "ann_lsh_buckets", "reflections_triclinic", "reflections_cubic_si",
-    "polygon_mask_flags", "diffs_plus_ref", "curves_scan_stats",
-    "curves_chi2_per_shot", "global_curve_stats",
+    "polygon_mask_flags", "diffs_plus_ref",
 ]
-_R05_WINDOW = _R05_UNCHECKED + _R05_NEW_ORACLES + _R05_RECHECK
+_R05_WINDOW = (
+    _R05_UNCHECKED + _R05_NEW_ORACLES + _R05_NEW_QUERIES + _R05_RECHECK
+)
 assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
 _order = _R05_WINDOW + [n for n in QUERIES if n not in set(_R05_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}

@@ -199,12 +199,106 @@ FROM hashed GROUP BY doc_id, dim
 """
 
 
+# ---------------------------------------------------------------------
+# Per-source characteristic terms (class-based TF-IDF)
+# ---------------------------------------------------------------------
+
+_TFIDF_TOPK = 10
+_TFIDF_MIN_TF = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF (Grootendorst's class-based TF-IDF shape): each SOURCE
+    is one meta-document; a term's weight is its source term frequency
+    × the log-free idf surrogate (S − df + 0.5)/(df + 0.5) over
+    source-level document frequency (rank-equivalent to the ln form —
+    same parity argument as bm25_topk). Top-_TFIDF_TOPK terms per
+    source: what a corpus triage step shows as "what is this source
+    about" before mixture weighting.
+
+    Scale: tf is one keyed aggregation over the memoized token stream
+    with MAP-SIDE combine; the min-tf prune (applied post-agg, before
+    the join) keeps the ranked frame proportional to characteristic
+    vocabulary; df and the source count are ≤|vocab| / 1 rows and
+    broadcast; the per-source top-k is a window shuffled by source —
+    |sources| partitions, each sorting only its own pruned vocabulary.
+    df is counted over min-tf-qualified (source, term) rows, so the
+    idf denominates by "sources where the term is actually frequent"."""
+    from pyspark.sql import Window
+
+    tf = (
+        _token_stream(spark, sf_dir)
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= _TFIDF_MIN_TF)
+    )
+    df_tbl = tf.groupBy("token").agg(F.countDistinct("source").alias("df"))
+    s_cnt = tf.select("source").distinct().agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    weight = F.col("tf").cast("double") * (
+        (
+            F.col("s").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(s_cnt))
+        .withColumn("weight", weight)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("weight"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("source", "token", "tf", "df", "weight", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH st AS (
+  SELECT source, s.token
+  FROM (SELECT source, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+        FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM st GROUP BY source, token HAVING COUNT(*) >= {_TFIDF_MIN_TF}
+),
+df_tbl AS (
+  SELECT token, CAST(COUNT(DISTINCT source) AS BIGINT) AS df
+  FROM tf GROUP BY token
+),
+s_cnt AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s FROM tf),
+scored AS (
+  SELECT t.source, t.token, t.tf, d.df,
+         CAST(t.tf AS DOUBLE)
+           * ((CAST(c.s AS DOUBLE) - CAST(d.df AS DOUBLE)
+               + CAST(0.5 AS DOUBLE))
+              / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS weight
+  FROM tf t JOIN df_tbl d USING (token) CROSS JOIN s_cnt c
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY weight DESC, token ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT source, token, tf, df, weight, rank
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "hashed_tf_features": hashed_tf_features,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
     "bm25_topk": _BM25_SQL,
     "hashed_tf_features": _fh_sql(),
+    "tfidf_top_terms": _TFIDF_SQL,
 }

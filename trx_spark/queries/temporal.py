@@ -300,15 +300,129 @@ FROM d JOIN peaks p USING (event_type)
 
 
 
+# ---------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequences (time order, event_id tiebreak) folded
+    into the first-order Markov transition matrix: (src_type, dst_type,
+    n, p) with p row-normalized — the behavioral-model summary a
+    session-analysis pipeline derives from clickstreams.
+
+    Scale: ONE window pass partitioned by user (no global sort — each
+    user's sequence sorts within its shuffle partition) + one keyed
+    aggregation; the result is |types|² rows at any corpus size, and
+    the row totals broadcast back for normalization."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("t_us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    pairs = ev.withColumn("dst_type", F.lead("event_type").over(w)).filter(
+        F.col("dst_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src_type"), "dst_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("src_type").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(tot), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------
+# Rolling 7-day active users (the classic DAU/WAU engagement rollup)
+# ---------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event day: distinct users that day (active_1d) and over the
+    trailing 7-day window (active_7d).
+
+    Scale: events collapse FIRST to distinct (day, user) — bounded by
+    users × days, not event volume — then the tiny day dimension
+    broadcasts into the trailing-window inequality join (each (day,
+    user) row meets ≤ 7 days), so the only corpus-scale work is the
+    initial distinct; no day ever holds more than 7× the (day, user)
+    rows of its window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    daily = du.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_1d")
+    )
+    days = du.select("day").distinct()
+    rolled = (
+        du.alias("a")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("a.day") <= F.col("d.day"))
+            & (F.col("a.day") >= F.col("d.day") - 6),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("active_7d"))
+    )
+    return daily.join(rolled, "day")
+
+
+_ROLLING_ACTIVE_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT (epoch_us(ts) // {_DAY_US}) AS day, user_id FROM events
+),
+daily AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_1d
+  FROM du GROUP BY day
+),
+days AS (SELECT DISTINCT day FROM du),
+rolled AS (
+  SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_7d
+  FROM days d JOIN du a ON a.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT daily.day, daily.active_1d, rolled.active_7d
+FROM daily JOIN rolled ON daily.day = rolled.day
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "event_funnel": event_funnel,
     "cohort_retention": cohort_retention,
     "event_rate_cusum": event_rate_cusum,
+    "event_transition_matrix": event_transition_matrix,
+    "rolling_active_users": rolling_active_users,
 }
 ORACLES = {
     "events_range_join": _RANGE_JOIN_SQL,
     "event_funnel": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_rate_cusum": _CUSUM_SQL,
+    "event_transition_matrix": _TRANSITION_SQL,
+    "rolling_active_users": _ROLLING_ACTIVE_SQL,
 }
