@@ -31,6 +31,9 @@ _REPRESENTATIVE = [
     "ngram_novelty",        # first-occurrence min-agg (r4w4)
     "event_rate_cusum",     # exact-integer cumulative deviation (r4w4)
     "train_val_test_split", # pure affine-hash projection (r4w4)
+    "tfidf_top_terms",      # window top-k with weight/token tie-break (r5)
+    "event_transition_matrix",  # lead window + row normalization (r5)
+    "rolling_active_users", # distinct + trailing inequality join (r5)
 ]
 
 
