@@ -226,11 +226,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf denominates by "sources where the term is actually frequent"."""
     from pyspark.sql import Window
 
+    # materialized once: the df/s/ranking legs all derive from tf, and
+    # without the checkpoint the (source, token) aggregation runs 3×
     tf = (
         _token_stream(spark, sf_dir)
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
         .filter(F.col("tf") >= _TFIDF_MIN_TF)
+        .localCheckpoint()
     )
     df_tbl = tf.groupBy("token").agg(F.countDistinct("source").alias("df"))
     s_cnt = tf.select("source").distinct().agg(

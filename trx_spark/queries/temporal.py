@@ -323,9 +323,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.withColumn("dst_type", F.lead("event_type").over(w)).filter(
         F.col("dst_type").isNotNull()
     )
+    # |types|²-row result, checkpointed so the window + aggregation
+    # chain runs once, not once per consumer (counts leg + row totals)
     counts = pairs.groupBy(
         F.col("event_type").alias("src_type"), "dst_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     tot = counts.groupBy("src_type").agg(F.sum("n").alias("tot"))
     return counts.join(F.broadcast(tot), "src_type").select(
         "src_type",
@@ -373,7 +375,10 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day"), "user_id"
     )
-    du = ev.distinct()
+    # the distinct (day, user) collapse is the one corpus-scale stage;
+    # checkpointed so the daily leg, the day dimension, and the
+    # trailing-window join all reuse it instead of re-scanning events
+    du = ev.distinct().localCheckpoint()
     daily = du.groupBy("day").agg(
         F.countDistinct("user_id").alias("active_1d")
     )
