@@ -146,6 +146,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "event_transition_matrix",
     "rolling_active_users",
+    "copurchase_lift",
 ]
 
 

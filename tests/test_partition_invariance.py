@@ -34,6 +34,7 @@ _REPRESENTATIVE = [
     "tfidf_top_terms",      # window top-k with weight/token tie-break (r5)
     "event_transition_matrix",  # lead window + row normalization (r5)
     "rolling_active_users", # distinct + trailing inequality join (r5)
+    "copurchase_lift",      # basket self-join + broadcast annotation (r5)
 ]
 
 

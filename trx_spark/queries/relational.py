@@ -416,8 +416,130 @@ LIMIT {_Q3_K}
 """
 
 
+# ---------------------------------------------------------------------
+# Market-basket association rules: co-purchase support + lift
+# ---------------------------------------------------------------------
+
+_BASKET_MIN_COOCCUR = 2   # emit pairs co-ordered at least this often
+_BASKET_MAX_ITEMS = 64    # drop pathological baskets (quadratic guard)
+
+
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rules mining over order baskets (the classic
+    support/lift co-occurrence analysis): for every part pair ordered
+    together in ≥ _BASKET_MIN_COOCCUR orders, the pair count, each
+    part's order count, the pair support, and the lift
+    n_ab·N / (n_a·n_b) (>1 ⇒ the parts co-occur more than chance).
+
+    Scale shape: baskets collapse to distinct (order, part) first; the
+    pair generation is a SELF-equi-join on the order key, quadratic
+    only in basket size, which is bounded — baskets larger than
+    _BASKET_MAX_ITEMS items are dropped up front (the LSH bucket-cap
+    discipline; TPC-H tops out at ~13). Per-part counts and the order
+    total are one keyed agg + one scalar, broadcast into the final
+    annotation join. All ratios are IEEE double ops on exact integer
+    counts — bit-identical in both engines."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_bs"))
+    items = (
+        items.join(
+            sized.filter(F.col("_bs") <= _BASKET_MAX_ITEMS), "l_orderkey"
+        )
+        .drop("_bs")
+        .localCheckpoint()  # feeds pair join (twice), part counts, N
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_COOCCUR)
+    )
+    na = part_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    nb = part_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double") / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+_BASKET_SQL = f"""
+WITH items0 AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sized AS (
+  SELECT l_orderkey FROM items0 GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_BASKET_MAX_ITEMS}
+),
+items AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items0 i JOIN sized USING (l_orderkey)
+),
+n_orders AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+),
+part_counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+  FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_COOCCUR}
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       ca.n_part AS n_a, cb.n_part AS n_b,
+       CAST(p.n_ab AS DOUBLE) / CAST(o.n_orders AS DOUBLE) AS support,
+       (CAST(p.n_ab AS DOUBLE) * CAST(o.n_orders AS DOUBLE))
+         / (CAST(ca.n_part AS DOUBLE) * CAST(cb.n_part AS DOUBLE)) AS lift
+FROM pairs p
+JOIN part_counts ca ON p.part_a = ca.l_partkey
+JOIN part_counts cb ON p.part_b = cb.l_partkey
+CROSS JOIN n_orders o
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "copurchase_lift": copurchase_lift,
     "supplier_revenue": supplier_revenue,
     "salted_skewjoin_stats": salted_skewjoin_stats,
     "revenue_by_nation": revenue_by_nation,
@@ -432,6 +554,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": _PRICING_SQL,
+    "copurchase_lift": _BASKET_SQL,
     "supplier_revenue": _SUPPLIER_SQL,
     "salted_skewjoin_stats": _SALTED_SQL,
     "revenue_by_nation": _REVENUE_SQL,
