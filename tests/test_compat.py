@@ -133,3 +133,36 @@ def test_split_angle_two_angle_reduction(spark, tmp_path):
     # the knob demands the angle column
     with pytest.raises(ValueError, match="angle"):
         compat.doFolder_dataRed(curves, log.drop("angle"), split_angle=True)
+
+
+def test_save_txt_family(spark, tmp_path):
+    """compat.saveTxt writes the reference's text-file family (matrix
+    + per-delay) with values matching the reduced scan frame."""
+    logs = []
+    for i, d in enumerate(DELAYS):
+        boost = 0.0 if d == -10.0 else 100.0 * d / 1e-9
+        img = np.full((NY, NX), 50.0 + boost, dtype="f8")
+        (tmp_path / f"img_{i:04d}.edf").write_bytes(encode_edf(img))
+        logs.append({"file": f"img_{i:04d}.edf", "delay": d, "currentmA": 190.0})
+    log = spark.createDataFrame(pd.DataFrame(logs))
+    curves = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        files="*.edf*", nQ=4, qlims=(0.0, 2.0),
+    )
+    res = compat.doFolder_dataRed(curves, log, reference="min")
+
+    out = tmp_path / "sample" / "run7"
+    written = compat.saveTxt(res, str(out), curves=curves)
+    names = {p.split("/")[-1] for p in written}
+    assert "sample_run7_diff_av_matrix.txt" in names
+    assert "sample_run7_diff_plus_ref_av_matrix.txt" in names
+    assert any(n.startswith("sample_run7_diff_av_") and "matrix" not in n for n in names)
+
+    # matrix values round-trip: the 1ns column holds the scan's means
+    txt = (out / "sample_run7_diff_av_matrix.txt").read_text().splitlines()
+    header = txt[1].split()[1:]
+    scan = res["scan"].toPandas()
+    one_ns = scan[scan["delay"] == 1e-9].sort_values("q_bin")
+    col = header.index("+1ns")  # time_to_str codec name (signed, '%+.0f')
+    got = [float(line.split()[col]) for line in txt[2:]]
+    np.testing.assert_allclose(got, one_ns["mean_diff"].to_numpy(), rtol=1e-5)

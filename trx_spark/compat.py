@@ -130,6 +130,96 @@ def doFolder_dataRed(
     return data_reduction(curves, log, cfg)
 
 
+def saveTxt(
+    res: dict[str, DataFrame],
+    folder: str,
+    *,
+    basename: str = "auto",
+    delay: str = "delay",
+    delay_to_str: bool = True,
+    curves: DataFrame | None = None,
+) -> list[str]:
+    """trx/dataReduction.py:245-291 ``saveTxt``: write the reduced scan
+    as the reference's text-file family —
+
+    * ``<basename>diff_av_matrix.txt``      (q × delays, mean_diff)
+    * ``<basename>diff_plus_ref_av_matrix.txt``  (diff + ref average)
+    * ``<basename>diff_av_matrix_err.txt``  (err of mean)
+    * one ``<basename>diff_av_<delay>.txt`` per scan point
+      (columns q diff err, trx/dataReduction.py:278-287)
+
+    ``basename='auto'`` joins the folder's last two path components
+    (the reference's sample/run convention, dataReduction.py:247-252);
+    delays format through the engine's ``time_to_str`` codec
+    (trx/utils/string.py ``timeToStr``) unless ``delay_to_str=False``
+    (then '%+10.5e' like the reference). The scan frame is tiny
+    (delays × q bins) by construction — the collect here is the S10
+    golden-sink contract, never raw data. If the scan only carries
+    ``q_bin``, pass the curve bank as ``curves`` to recover physical q
+    via its (q_bin, q) map. Returns the written paths."""
+    import os
+
+    from trx_spark.functions.strings import time_to_str
+
+    scan = res["scan"]
+    x = "q" if "q" in scan.columns else "q_bin"
+    if x == "q_bin" and curves is not None and {"q_bin", "q"} <= set(curves.columns):
+        qmap = curves.select("q_bin", "q").distinct()
+        scan = scan.join(qmap, "q_bin")
+        x = "q"
+    folder = os.path.abspath(folder)
+    if basename == "auto":
+        sep = os.sep
+        basename = "_".join(folder.rstrip(sep).split(sep)[-2:]) + "_"
+    label = (
+        time_to_str(F.col(delay))
+        if delay_to_str
+        else F.format_string("%+10.5e", F.col(delay))
+    )
+    pdf = (
+        scan.withColumn("_dstr", label)
+        .toPandas()
+        .sort_values([delay, x])
+        .reset_index(drop=True)
+    )
+    os.makedirs(folder, exist_ok=True)
+    written: list[str] = []
+    delays = list(dict.fromkeys(zip(pdf[delay], pdf["_dstr"])))
+
+    def _write(path: str, lines: list[str]) -> None:
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        written.append(path)
+
+    # matrix files: one row per q, one column per scan point
+    fmt = "%+10.5e"
+    for stem, col in (
+        ("diff_av_matrix", "mean_diff"),
+        ("diff_plus_ref_av_matrix", "diff_plus_ref"),
+        ("diff_av_matrix_err", "err_of_mean"),
+    ):
+        if col not in pdf.columns:
+            continue
+        piv = pdf.pivot_table(index=x, columns=delay, values=col, sort=True)
+        lines = ["# delays : " + " ".join(s for _, s in delays)]
+        lines.append("# " + " ".join([x, *(s for _, s in delays)]))
+        for qv, row in piv.iterrows():
+            lines.append(
+                " ".join([fmt % qv, *(fmt % row[d] for d, _ in delays)])
+            )
+        _write(os.path.join(folder, f"{basename}{stem}.txt"), lines)
+
+    # one file per scan point: q diff err
+    for d, dstr in delays:
+        sub = pdf[pdf[delay] == d]
+        cols = [c for c in ("mean_diff", "err_of_mean") if c in pdf.columns]
+        lines = ["# delay : " + dstr, "# " + " ".join([x, "diff", "err"][: 1 + len(cols)])]
+        for _, r in sub.iterrows():
+            lines.append(" ".join(fmt % r[c] for c in [x, *cols]))
+        _write(os.path.join(folder, f"{basename}diff_av_{dstr}.txt"), lines)
+    return written
+
+
 def doFolder_online(
     spark: SparkSession,
     *,
