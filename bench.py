@@ -147,6 +147,8 @@ HEADLINE = [
     "event_transition_matrix",
     "rolling_active_users",
     "copurchase_lift",
+    "knn_triangles",
+    "user_rfm_segments",
 ]
 
 

@@ -35,6 +35,8 @@ _REPRESENTATIVE = [
     "event_transition_matrix",  # lead window + row normalization (r5)
     "rolling_active_users", # distinct + trailing inequality join (r5)
     "copurchase_lift",      # basket self-join + broadcast annotation (r5)
+    "knn_triangles",        # wedge join + closure over memoized edges (r5)
+    "user_rfm_segments",    # exact-percentile cut assignment (r5)
 ]
 
 

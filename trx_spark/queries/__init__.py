@@ -89,7 +89,7 @@ _R05_NEW_ORACLES = [
 # driver row in their first round.
 _R05_NEW_QUERIES = [
     "tfidf_top_terms", "event_transition_matrix", "rolling_active_users",
-    "copurchase_lift",
+    "copurchase_lift", "knn_triangles", "user_rfm_segments",
 ]
 _R05_RECHECK = [
     "pricing_summary", "revenue_by_nation", "topk_orders_per_customer",
@@ -98,8 +98,7 @@ _R05_RECHECK = [
     "mad_outliers", "dedup_exact", "token_stats", "minhash_signatures",
     "minhash_lsh_pairs", "doc_fingerprints", "ann_cosine_topk",
     "asof_interp_per_user", "sessionize_events", "simhash16",
-    "ann_lsh_buckets", "reflections_triclinic", "reflections_cubic_si",
-    "polygon_mask_flags",
+    "ann_lsh_buckets", "reflections_triclinic",
 ]
 _R05_WINDOW = (
     _R05_UNCHECKED + _R05_NEW_ORACLES + _R05_NEW_QUERIES + _R05_RECHECK

@@ -1472,6 +1472,100 @@ norms AS MATERIALIZED (
     )
 
 
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the kNN graph: per-node triangle count and
+    local clustering coefficient 2T/(d(d−1)) — the standard density
+    diagnostic of a near-dup graph (tight duplicate clusters show up
+    as high-coefficient nodes; bridges and false candidates as low).
+
+    Scale shape: rides the memoized kNN edge table, whose out-degree
+    is bounded by construction (top-k per node over capped LSH
+    buckets), so the undirected edge set has degree ≤ 2k and the
+    wedge join (a,b)⋈(b,c) fans out at most deg² per pivot node —
+    bounded, never corpus-quadratic. Triangles are enumerated once
+    each via the a<b<c orientation; both joins are hash equi-joins on
+    vertex keys."""
+    e = knn_graph(spark, sf_dir).select("vec_id", "nbr_id")
+    und = (
+        e.filter(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds wedge join (x3), degree, closure
+    )
+    ab, bc, ac = und.alias("ab"), und.alias("bc"), und.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+        .join(
+            ac,
+            (F.col("ac.u") == F.col("ab.u")) & (F.col("ac.v") == F.col("bc.v")),
+        )
+        .select(
+            F.col("ab.u").alias("a"),
+            F.col("ab.v").alias("b"),
+            F.col("bc.v").alias("c"),
+        )
+    )
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("u").alias("vec_id"))
+        .unionAll(und.select(F.col("v").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    joined = deg.join(tn, "vec_id", "left").withColumn(
+        "n_triangles", F.coalesce("n_triangles", F.lit(0))
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2) * F.col("n_triangles")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "vec_id", "degree", "n_triangles", cc.alias("clustering_coeff")
+    )
+
+
+_TRIANGLES_SQL = f"""
+WITH knn AS ({_KNN_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS u, GREATEST(vec_id, nbr_id) AS v
+  FROM knn WHERE vec_id <> nbr_id
+),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM und ab
+  JOIN und bc ON ab.v = bc.u
+  JOIN und ac ON ac.u = ab.u AND ac.v = bc.v
+),
+tn AS (
+  SELECT node AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node
+),
+deg AS (
+  SELECT node AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+)
+SELECT d.vec_id, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+FROM deg d LEFT JOIN tn t USING (vec_id)
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1482,6 +1576,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "knn_graph": knn_graph,
+    "knn_triangles": knn_triangles,
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_pagerank": knn_pagerank,
     "contrastive_triples": contrastive_triples,
@@ -1499,6 +1594,7 @@ ORACLES = {
     "ann_pq_topk": _PQ_TOPK_SQL,
     "ann_ivfpq_topk": _IVFPQ_SQL,
     "knn_graph": _KNN_SQL,
+    "knn_triangles": _TRIANGLES_SQL,
     "cluster_balanced_sample": _CBS_SQL,
     "knn_pagerank": _PR_SQL,
     "contrastive_triples": _CT_SQL,

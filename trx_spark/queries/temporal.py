@@ -415,6 +415,101 @@ FROM daily JOIN rolled ON daily.day = rolled.day
 """
 
 
+# ---------------------------------------------------------------------
+# RFM user segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation over purchase events: per user the
+    last-purchase time (recency), purchase count (frequency), and
+    fixed-point value total (monetary), each cut into quartiles and
+    composed into the three-digit rfm_code marketers read (444 = best).
+
+    Quartile ASSIGNMENT uses exact-percentile cut values (the
+    curriculum_phases discipline): one keyed aggregation collapses
+    events to one row per user, a single 1-row exact-percentile
+    aggregate broadcasts the three cuts per metric, and bucket = 1 +
+    #(cuts below value) — ties share a bucket, nothing needs a global
+    ordered pass (a global ntile window would funnel every user
+    through one task; plan invariant 1). ``percentile`` ≡ DuckDB
+    ``quantile_cont`` exactly, so the gate checks the cuts too."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.expr("ts_ns DIV 1000")).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("monetary_fp"),
+    ).localCheckpoint()  # feeds the cuts aggregate AND the assignment
+    cuts = per_user.agg(
+        F.expr("percentile(last_us, array(0.25, 0.5, 0.75))").alias("rc"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fc"),
+        F.expr("percentile(monetary_fp, array(0.25, 0.5, 0.75))").alias("mc"),
+    )
+
+    def bucket(v: str, c: str):
+        out = F.lit(1)
+        for i in (1, 2, 3):
+            out = out + (F.col(v) > F.element_at(F.col(c), i)).cast("long")
+        return out.cast("long")
+
+    return (
+        per_user.crossJoin(F.broadcast(cuts))
+        .withColumn("r_q", bucket("last_us", "rc"))
+        .withColumn("f_q", bucket("frequency", "fc"))
+        .withColumn("m_q", bucket("monetary_fp", "mc"))
+        .select(
+            "user_id",
+            "last_us",
+            "frequency",
+            (F.col("monetary_fp").cast("double") / 1e6).alias("monetary"),
+            "r_q",
+            "f_q",
+            "m_q",
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("long")
+            .alias("rfm_code"),
+        )
+    )
+
+
+_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS monetary_fp
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+cuts AS (
+  SELECT quantile_cont(last_us, [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(monetary_fp, [0.25, 0.5, 0.75]) AS mc
+  FROM per_user
+),
+seg AS (
+  SELECT p.*,
+    CAST(1 + (CASE WHEN p.last_us > c.rc[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN p.last_us > c.rc[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN p.last_us > c.rc[3] THEN 1 ELSE 0 END) AS BIGINT) AS r_q,
+    CAST(1 + (CASE WHEN p.frequency > c.fc[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN p.frequency > c.fc[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN p.frequency > c.fc[3] THEN 1 ELSE 0 END) AS BIGINT) AS f_q,
+    CAST(1 + (CASE WHEN p.monetary_fp > c.mc[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN p.monetary_fp > c.mc[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN p.monetary_fp > c.mc[3] THEN 1 ELSE 0 END) AS BIGINT) AS m_q
+  FROM per_user p CROSS JOIN cuts c
+)
+SELECT user_id, last_us, frequency,
+       CAST(monetary_fp AS DOUBLE) / 1e6 AS monetary,
+       r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+FROM seg
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
     "event_funnel": event_funnel,
@@ -422,6 +517,7 @@ QUERIES = {
     "event_rate_cusum": event_rate_cusum,
     "event_transition_matrix": event_transition_matrix,
     "rolling_active_users": rolling_active_users,
+    "user_rfm_segments": user_rfm_segments,
 }
 ORACLES = {
     "events_range_join": _RANGE_JOIN_SQL,
@@ -430,4 +526,5 @@ ORACLES = {
     "event_rate_cusum": _CUSUM_SQL,
     "event_transition_matrix": _TRANSITION_SQL,
     "rolling_active_users": _ROLLING_ACTIVE_SQL,
+    "user_rfm_segments": _RFM_SQL,
 }
