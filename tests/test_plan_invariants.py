@@ -46,7 +46,18 @@ _ONE_ROW_BUILD_OK = {
     "scanpoint_stats",
     "asof_interp_refs",
     "diffs_plus_ref",
+    "tfidf_top_terms",   # the source-count scalar is a 1-row broadcast
+    "user_rfm_segments", # the quartile-cut triple is a 1-row broadcast
+    "copurchase_lift",   # the order-total scalar is a 1-row broadcast
 }
+
+# documented TINY-DIMENSION nested loops: the build side is a bounded
+# dimension table (not 1 row) broadcast into an inequality join whose
+# fan-out per probe row is constant — linear, never corpus-quadratic
+_TINY_DIM_BUILD_OK = {
+    "rolling_active_users",  # ≤|days|-row day dim; each row meets ≤7 days
+}
+_ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 
 # deliberate tiny cross products: the HKL Miller-index enumeration is
 # spark.range(-lim,lim+1)³ — a (2·lim+1)³-row GENERATOR (the reference's
