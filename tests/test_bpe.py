@@ -157,3 +157,63 @@ def test_encode_oov_falls_back_to_chars(spark, tmp_path_factory):
     rows = bpe.bpe_encode(spark, str(d)).collect()
     # "aaaa": merges collapse a␟a -> aa then aa␟aa -> aaaa => 1 piece
     assert rows[0]["n_pieces"] == 1
+
+
+def test_merge_fold_random_three_way(spark):
+    """Randomized three-way equivalence of the symbol-aligned merge
+    application: the Spark aggregate expression, the DuckDB
+    list_reduce oracle fold, and a pure-Python Sennrich merge must
+    agree on 300 random (sequence, pair) cases drawn from a tiny
+    alphabet chosen to force boundary-crossing and adjacent-overlap
+    shapes (symbols ending in l before symbols starting with r, runs
+    of the same symbol, l == r)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    symbols = ["a", "b", "s", "t", "es", "st", "ab", "aa", "a" * 3]
+
+    def py_merge(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = []
+    for k in range(300):
+        n = rng.randint(1, 8)
+        syms = [rng.choice(symbols) for _ in range(n)]
+        l, r = rng.choice(symbols), rng.choice(symbols)
+        cases.append((k, bpe._SEP.join(syms), l, r,
+                      bpe._SEP.join(py_merge(syms, l, r))))
+
+    df = spark.createDataFrame(
+        cases, "k long, seq string, l string, r string, want string"
+    )
+    got = df.select("k", "want", F.expr(bpe._APPLY_MERGE_EXPR).alias("got"))
+    bad = got.filter(F.col("got") != F.col("want")).collect()
+    assert bad == [], [(r["k"], r["got"], r["want"]) for r in bad[:5]]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cases(k BIGINT, seq VARCHAR, l VARCHAR, r VARCHAR, "
+        "want VARCHAR)"
+    )
+    con.executemany("INSERT INTO cases VALUES (?,?,?,?,?)", cases)
+    rows = con.execute("""
+        SELECT k, want,
+               list_reduce(string_split(seq, chr(31)),
+                 (acc, x) -> CASE WHEN x = r AND (acc = l
+                               OR ends_with(acc, chr(31) || l))
+                             THEN acc || x
+                             ELSE acc || chr(31) || x END) AS got
+        FROM cases WHERE got IS DISTINCT FROM want
+    """).fetchall()
+    assert rows == [], rows[:5]
