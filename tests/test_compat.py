@@ -166,3 +166,60 @@ def test_save_txt_family(spark, tmp_path):
     col = header.index("+1ns")  # time_to_str codec name (signed, '%+.0f')
     got = [float(line.split()[col]) for line in txt[2:]]
     np.testing.assert_allclose(got, one_ns["mean_diff"].to_numpy(), rtol=1e-5)
+
+
+def test_save_txt_split_angle_families(spark, tmp_path):
+    """A split_angle scan writes one text family per angle (never a
+    silent cross-angle average), and an ungrouped duplicate-(q, delay)
+    frame raises instead of averaging."""
+    import pytest
+
+    logs = []
+    k = 0
+    for angle in (0.0, 45.0):
+        for d in DELAYS:
+            boost = 0.0 if d == -10.0 else (100.0 + angle) * d / 1e-9
+            img = np.full((NY, NX), 50.0 + boost, dtype="f8")
+            (tmp_path / f"img_{k:04d}.edf").write_bytes(encode_edf(img))
+            logs.append({"file": f"img_{k:04d}.edf", "delay": d,
+                         "currentmA": 190.0, "angle": angle})
+            k += 1
+    log = spark.createDataFrame(pd.DataFrame(logs))
+    curves = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        files="*.edf*", nQ=4, qlims=(0.0, 2.0),
+    )
+    res = compat.doFolder_dataRed(curves, log, reference="min", split_angle=True)
+
+    out = tmp_path / "sample" / "runA"
+    written = compat.saveTxt(res, str(out))  # group defaults to angle
+    names = {p.split("/")[-1] for p in written}
+    assert "sample_runA_angle0.0_diff_av_matrix.txt" in names
+    assert "sample_runA_angle45.0_diff_av_matrix.txt" in names
+
+    # per-angle values, not cross-angle means: the 45-degree +1ns
+    # column must hold (100+45), not the (100 | 145) average
+    txt = (out / "sample_runA_angle45.0_diff_av_matrix.txt").read_text().splitlines()
+    header = txt[1].split()[1:]
+    col = header.index("+1ns")
+    vals = [float(line.split()[col]) for line in txt[2:]]
+    np.testing.assert_allclose(vals, 145.0, atol=1e-9)
+
+    # ungrouped duplicates must raise, not average
+    with pytest.raises(ValueError, match="group"):
+        compat.saveTxt(res, str(out), group="__missing__")
+
+
+def test_save_txt_label_collision(spark, tmp_path):
+    """Two delays that round to the same time_to_str label (+1ns for
+    1.0e-9 AND 1.4e-9 at digits=0) must write distinct per-delay files
+    (exact scientific fallback), never silently overwrite."""
+    scan = spark.createDataFrame(
+        [(1.0e-9, 0, 1.0), (1.4e-9, 0, 2.0)],
+        "delay double, q_bin int, mean_diff double",
+    )
+    written = compat.saveTxt({"scan": scan}, str(tmp_path / "s" / "r"))
+    per_delay = [p for p in written if "matrix" not in p]
+    assert len(per_delay) == 2
+    assert len(set(per_delay)) == 2
+    assert not any(p.endswith("diff_av_+1ns.txt") for p in per_delay)

@@ -616,6 +616,8 @@ def test_cbf_mini_header_contents_fields():
     back, hdr = decode_cbf(blob)
     np.testing.assert_array_equal(back, img)
     assert hdr["Pilatus_Threshold_setting"] == "6000 eV"
+    # the '# Key = value' Pilatus form: '=' is neither key nor value
+    assert hdr["Pilatus_Tau"] == "1.991e-07 s"
     # '###CBF' sentinel / writer comment lines must NOT leak into fields
     assert not any(k.startswith("Pilatus_CBF") for k in hdr)
     assert "Pilatus_pure-numpy" not in hdr

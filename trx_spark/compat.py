@@ -138,6 +138,7 @@ def saveTxt(
     delay: str = "delay",
     delay_to_str: bool = True,
     curves: DataFrame | None = None,
+    group: str | None = None,
 ) -> list[str]:
     """trx/dataReduction.py:245-291 ``saveTxt``: write the reduced scan
     as the reference's text-file family —
@@ -152,11 +153,21 @@ def saveTxt(
     (the reference's sample/run convention, dataReduction.py:247-252);
     delays format through the engine's ``time_to_str`` codec
     (trx/utils/string.py ``timeToStr``) unless ``delay_to_str=False``
-    (then '%+10.5e' like the reference). The scan frame is tiny
-    (delays × q bins) by construction — the collect here is the S10
-    golden-sink contract, never raw data. If the scan only carries
-    ``q_bin``, pass the curve bank as ``curves`` to recover physical q
-    via its (q_bin, q) map. Returns the written paths."""
+    (then '%+10.5e' like the reference); two distinct delays that
+    round to the same label (1.0e-9 and 1.4e-9 are both '+1ns' at
+    digits=0) fall back to the exact '%+10.5e' form so files never
+    collide. The scan frame is tiny (delays × q bins) by construction
+    — the collect here is the S10 golden-sink contract, never raw
+    data. If the scan only carries ``q_bin``, pass the curve bank as
+    ``curves`` to recover physical q via its (q_bin, q) map.
+
+    A scan carrying a ``group`` column (an ``angle`` from
+    ``split_angle=True``, or any ``extra_group`` key) writes ONE file
+    family per group value (`<basename><group><value>_...`), matching
+    the reference's per-angle loop; ``group`` defaults to ``angle``
+    when that column is present, and duplicate (q, delay) rows with no
+    group to split on raise instead of silently averaging. Returns the
+    written paths."""
     import os
 
     from trx_spark.functions.strings import time_to_str
@@ -182,9 +193,46 @@ def saveTxt(
         .sort_values([delay, x])
         .reset_index(drop=True)
     )
+    if group is None and "angle" in pdf.columns:
+        group = "angle"
     os.makedirs(folder, exist_ok=True)
-    written: list[str] = []
+    if group is not None and group in pdf.columns:
+        # one file family per group value — the relational form of the
+        # reference's per-angle loop (id9.py:246-263 stacks per-angle
+        # reductions; here each angle gets its own basename prefix)
+        written: list[str] = []
+        for gv, sub in pdf.groupby(group, sort=True):
+            written += _save_txt_family(
+                sub, folder, f"{basename}{group}{gv}_", x=x, delay=delay
+            )
+        return written
+    return _save_txt_family(pdf, folder, basename, x=x, delay=delay)
+
+
+def _save_txt_family(pdf, folder: str, basename: str, *, x: str, delay: str) -> list[str]:
+    """Write one matrix + per-delay text family for a single-group
+    scan frame (see :func:`saveTxt`)."""
+    import os
+
+    dup = pdf.duplicated(subset=[delay, x])
+    if dup.any():
+        raise ValueError(
+            "scan frame has duplicate (delay, q) rows — it carries an "
+            "ungrouped key (multi-angle / multi-run); pass group=<column> "
+            "to saveTxt so each group writes its own file family instead "
+            "of silently averaging"
+        )
+    fmt = "%+10.5e"
     delays = list(dict.fromkeys(zip(pdf[delay], pdf["_dstr"])))
+    # disambiguate label collisions (two delays rounding to the same
+    # time_to_str name) with the exact scientific form
+    seen: dict[str, int] = {}
+    for _, s in delays:
+        seen[s] = seen.get(s, 0) + 1
+    delays = [
+        (d, s if seen[s] == 1 else fmt % d) for d, s in delays
+    ]
+    written: list[str] = []
 
     def _write(path: str, lines: list[str]) -> None:
         with open(path, "w") as f:
@@ -192,7 +240,6 @@ def saveTxt(
         written.append(path)
 
     # matrix files: one row per q, one column per scan point
-    fmt = "%+10.5e"
     for stem, col in (
         ("diff_av_matrix", "mean_diff"),
         ("diff_plus_ref_av_matrix", "diff_plus_ref"),
@@ -200,7 +247,7 @@ def saveTxt(
     ):
         if col not in pdf.columns:
             continue
-        piv = pdf.pivot_table(index=x, columns=delay, values=col, sort=True)
+        piv = pdf.pivot(index=x, columns=delay, values=col)
         lines = ["# delays : " + " ".join(s for _, s in delays)]
         lines.append("# " + " ".join([x, *(s for _, s in delays)]))
         for qv, row in piv.iterrows():

@@ -161,13 +161,18 @@ def sniff_codec(buf: bytes) -> str:
         return "gzip"
     if buf[:2] in (b"II", b"MM"):
         return "tiff"
-    # miniCBF starts '###CBF'; a full CIF-wrapped CBF starts with its
-    # 'data_<block>' line and can carry kilobytes of CIF tags before
-    # the binary section — search the whole buffer, not a prefix
-    if buf[:6] == b"###CBF" or _CBF_SECTION in buf:
+    if buf[:6] == b"###CBF":
         return "cbf"
+    # EDF's brace test comes BEFORE the unbounded CBF-section search:
+    # a CIF-wrapped CBF never starts with '{', and the cheap prefix
+    # test saves an O(filesize) scan per EDF asset in the auto path
     if buf.lstrip()[:1] == b"{":
         return "edf"
+    # full CIF-wrapped CBF: a 'data_<block>' preamble can carry
+    # kilobytes of CIF tags before the binary section — search the
+    # whole buffer, not a prefix
+    if _CBF_SECTION in buf:
+        return "cbf"
     raise ValueError("unrecognized image format (auto codec)")
 
 
@@ -292,7 +297,10 @@ def decode_cbf(buf: bytes) -> tuple[np.ndarray, dict]:
         if line.startswith("#") and not line.startswith("###"):
             parts = line.lstrip("# ").split(None, 1)
             if len(parts) == 2 and parts[0][:1].isupper():
-                fields[f"Pilatus_{parts[0].rstrip(':')}"] = parts[1]
+                # both Pilatus forms: '# Exposure_time 0.0995 s' and
+                # '# Tau = 199.1e-09 s' — the '=' belongs to neither
+                # the key nor the value
+                fields[f"Pilatus_{parts[0].rstrip(':')}"] = parts[1].lstrip("= ")
     for line in buf[sec:mark].decode("ascii", "replace").splitlines():
         if ":" in line:
             k, v = line.split(":", 1)
@@ -346,6 +354,10 @@ def encode_cbf(
     if style not in ("mini", "cif"):
         raise ValueError(f"unknown CBF style {style!r}")
     code = f"{'u' if img.dtype.kind == 'u' else 'i'}{img.dtype.itemsize}"
+    # widths without an imgCIF element-type name map to the nearest
+    # declared width (1-byte widens; u8 narrows to signed 64-bit —
+    # the pre-round-5 behavior, exact for counts < 2^63)
+    code = {"i1": "i2", "u1": "u2", "u8": "i8"}.get(code, code)
     if code not in _CBF_ELEM_NAMES:
         raise ValueError(f"unsupported CBF element width {img.dtype}")
     elem = _CBF_ELEM_NAMES[code]
@@ -586,12 +598,15 @@ def decode_image(
             # header brace (possibly after whitespace/newline)
             if buf[:2] in (b"II", b"MM"):
                 return "tiff"
-            # full-buffer section search: CIF-wrapped CBF can carry
-            # kilobytes of CIF tags before the binary section
-            if buf[:6] == b"###CBF" or cbf_section in buf:
+            if buf[:6] == b"###CBF":
                 return "cbf"
+            # EDF brace before the unbounded CBF-section search (a
+            # CIF CBF never starts with '{'; saves an O(filesize)
+            # scan per EDF asset — see sniff_codec)
             if buf.lstrip()[:1] == b"{":
                 return "edf"
+            if cbf_section in buf:
+                return "cbf"
             raise ValueError("unrecognized image format (auto codec)")
 
         for pdf in batches:

@@ -68,8 +68,9 @@ for mod in (
 # round-4 waves beyond the window) come first, then the three streaming
 # entries whose oracles are NEW this round (incremental_stats gained its
 # batch GROUP-BY twin; running_stats and lsh_pairs are new gate entries
-# for the stateful operator and the LSH index), then 28 round-1-era
-# classics as regression re-checks of round-5 code.  Union r03∪r04∪r05
+# for the stateful operator and the LSH index), then the 6 brand-new
+# round-5 queries, then 22 round-1-era classics as regression
+# re-checks of round-5 code (19 + 3 + 6 + 22 = 50).  Union r03∪r04∪r05
 # then covers every oracle-bearing registry name.
 _R05_UNCHECKED = [
     "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",

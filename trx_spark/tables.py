@@ -85,14 +85,19 @@ def fan_out_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     The split count needs physical planning + a DataFrame-to-RDD
     conversion (df.rdd.getNumPartitions), which is pure driver latency
     on hot unmemoized paths — so the count is memoized per
-    (session, semanticHash, target): the same logical frame (every
-    rebuild of a shared base like the tokenized docs) pays planning
-    once per session. The memo holds ints only, no data."""
+    (session, semanticHash, input-file-listing, target): the same
+    logical frame (every rebuild of a shared base like the tokenized
+    docs) pays planning once per session, while a path whose files
+    change mid-session (append-then-requery) gets a fresh count from
+    the changed listing (semanticHash alone is a LOGICAL key and would
+    go stale). The listing is an analysis-time FileIndex lookup — far
+    cheaper than the physical planning it replaces. The memo holds
+    ints only, no data."""
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
     try:
-        key = (spark, df.semanticHash(), target)
+        key = (spark, df.semanticHash(), hash(tuple(df.inputFiles())), target)
     except Exception:  # pragma: no cover - semanticHash unavailable
         key = None
     n = _FAN_MEMO.get(key) if key is not None else None
