@@ -242,3 +242,81 @@ def test_read_motor_dump(spark, tmp_path):
     rows = {r["name"]: (r["user"], r["dial"]) for r in logfile.read_motor_dump(spark, str(p)).collect()}
     # repeated headers dropped (id9.py:349-353)
     assert rows == {"mono": (12.5, 12.4), "dety": (-3.25, -3.3), "gonio": (0.0, 0.1)}
+
+
+def test_compact_store_skips_replayed_folded_epoch(spark, tmp_path):
+    """Crash-replay after compaction: an epoch written (but whose
+    checkpoint commit was lost) and then FOLDED into _epoch=-1 must be
+    skipped when replayed — the watermark marker makes the per-epoch
+    overwrite a no-op instead of landing the rows a second time."""
+    import pandas as pd
+
+    from trx_spark.streaming.incremental import make_batch_handler
+
+    store = str(tmp_path / "store")
+    handler = make_batch_handler(store)
+    for e in range(4):
+        handler(spark.createDataFrame(pd.DataFrame({"v": [float(e)] * 2})), e)
+    sinks.compact_store(spark, store, target_file_mb=128)
+    assert sinks.compacted_through(store) == 3
+    assert spark.read.parquet(store).count() == 8
+    # replay of an absorbed epoch: no-op, rows NOT duplicated
+    handler(spark.createDataFrame(pd.DataFrame({"v": [2.0] * 2})), 2)
+    assert spark.read.parquet(store).count() == 8
+    # a genuinely new epoch still lands
+    handler(spark.createDataFrame(pd.DataFrame({"v": [9.0]})), 4)
+    assert spark.read.parquet(store).count() == 9
+
+
+def test_compact_store_partitioned_respects_file_target(spark, tmp_path):
+    """A Hive-partitioned (non-_epoch) store must repartition BY the
+    partition column — round-robin would write up to n_files files in
+    EVERY partition directory, defeating the compaction."""
+    import os
+
+    store = str(tmp_path / "pstore")
+    for k in range(8):
+        df = spark.createDataFrame(
+            [(d, k, float(k)) for d in range(5)], "day int, epoch int, v double"
+        )
+        df.repartition(4).write.mode("append").partitionBy("day").parquet(store)
+    sinks.compact_store(spark, store, target_file_mb=128)
+    for d in range(5):
+        files = [
+            f
+            for f in os.listdir(os.path.join(store, f"day={d}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    assert spark.read.parquet(store).count() == 8 * 5
+
+
+def test_compact_store_survives_stale_old_dir(spark, tmp_path):
+    """A '._compact_old' directory left by a crashed earlier compaction
+    must not break every subsequent compaction (os.rename onto a
+    non-empty dir raises)."""
+    import os
+
+    store = str(tmp_path / "store")
+    for k in range(3):
+        spark.createDataFrame([(k,)], "v int").coalesce(1).write.mode(
+            "append"
+        ).parquet(store)
+    stale = store + "._compact_old"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("leftover")
+    sinks.compact_store(spark, store, target_file_mb=128)
+    assert spark.read.parquet(store).count() == 3
+    assert not os.path.exists(stale)
+
+
+def test_export_shards_empty_frame(spark, tmp_path):
+    """A legitimately-empty export certifies an empty manifest instead
+    of aborting at the schema-less read-back."""
+    df = spark.createDataFrame([], "doc_id long, text string")
+    manifest = sinks.export_shards(
+        df, str(tmp_path / "out"), shard_key=["doc_id"], n_shards=4
+    )
+    assert manifest["total_rows"] == 0
+    assert manifest["rows_per_shard"] == {}

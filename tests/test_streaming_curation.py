@@ -148,3 +148,20 @@ def test_hot_key_state_bounded(spark, tmp_path):
     # of one text must leave exactly one stored row, not 90
     hstore = spark.read.parquet(str(tmp_path / "hashes"))
     assert hstore.count() == 1
+
+
+def test_empty_landing_returns_typed_empty(spark, tmp_path):
+    """Catch-up before any documents land must return an explicitly
+    typed empty verdict frame, not crash at the verdict read."""
+    (tmp_path / "landing").mkdir()
+    got = run_curation_catchup(
+        spark,
+        landing_dir=str(tmp_path / "landing" / "wave*"),
+        schema=_SCHEMA,
+        hash_store=str(tmp_path / "hashes"),
+        band_store=str(tmp_path / "bands"),
+        verdict_dir=str(tmp_path / "verdicts"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "quality_keep", "exact_first", "near_dup", "keep"]

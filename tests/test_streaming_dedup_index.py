@@ -256,3 +256,47 @@ def test_replay_same_epoch_is_idempotent(spark, tmp_path):
     store = spark.read.parquet(str(tmp_path / "bands"))
     per_key = store.groupBy("band", "hx", "hy").agg(F.count(F.lit(1)).alias("n"))
     assert per_key.agg(F.max("n")).collect()[0][0] == 60
+
+
+def test_replay_of_folded_epoch_is_skipped(spark, tmp_path):
+    """Crash-replay after band-store compaction: once an epoch's band
+    keys are folded into _epoch=-1, the handler's own-epoch filter can
+    no longer exclude them — a replay would double-count them into the
+    saturation totals and double-store the keys. The compaction
+    watermark makes the replayed epoch a no-op."""
+    from trx_spark.sources.sinks import compacted_through
+    from trx_spark.streaming.dedup_index import (
+        compact_band_store,
+        make_lsh_batch_handler,
+    )
+
+    band_store = str(tmp_path / "bands")
+    pairs_dir = str(tmp_path / "pairs")
+    handler = make_lsh_batch_handler(band_store, pairs_dir)
+    text = (
+        "a perfectly ordinary document about detectors and beamlines "
+        "carrying enough distinct tokens to produce stable band keys"
+    )
+    batch = spark.createDataFrame(
+        [(1, text, "s", "en", len(text)), (2, text + " tail", "s", "en", 5)],
+        "doc_id LONG, text STRING, source STRING, lang STRING, n_chars LONG",
+    )
+    handler(batch, 0)
+    before = spark.read.parquet(band_store).drop("_epoch").orderBy(
+        "doc_id", "band"
+    ).collect()
+    compact_band_store(spark, band_store)
+    assert compacted_through(band_store) == 0
+    # replay of the folded epoch: band store unchanged (no duplicate rows)
+    handler(batch, 0)
+    after = spark.read.parquet(band_store).drop("_epoch").orderBy(
+        "doc_id", "band"
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # a NEW epoch still processes and appends
+    batch2 = spark.createDataFrame(
+        [(3, text, "s", "en", len(text))],
+        "doc_id LONG, text STRING, source STRING, lang STRING, n_chars LONG",
+    )
+    handler(batch2, 1)
+    assert spark.read.parquet(band_store).count() > len(before)

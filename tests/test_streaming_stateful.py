@@ -98,3 +98,41 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert got2["c"] == (1, -2.0, -2.0, -2.0)
     # key 'b' was untouched in wave 2 → its running stats are unchanged
     assert got2["b"] == (1, 10.0, 10.0, 10.0)
+
+
+def test_stateful_nulls_and_bigint_key(spark, tmp_path):
+    """NULL values are excluded from n/total/min/max (SQL count-non-null
+    semantics), and a bigint key keeps its dtype in the output."""
+    import pandas as pd
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf = pd.DataFrame({"k": [7, 7, 7, 8], "v": [1.0, None, 3.0, None]})
+    spark.createDataFrame(pdf, "k long, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing / "w1"))
+    stream = spark.readStream.schema("k long, v double").parquet(
+        str(landing) + "/*"
+    )
+    out = tmp_path / "updates"
+
+    def sink(batch, epoch_id):
+        batch.write.mode("append").parquet(str(out))
+
+    q = (
+        running_key_stats(stream, key="k", value="v")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(str(out))
+    assert dict(back.dtypes)["k"] == "bigint"
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[7]["n"] == 2  # the NULL is NOT counted
+    assert rows[7]["total"] == 4.0 and rows[7]["mean"] == 2.0
+    assert rows[7]["vmin"] == 1.0 and rows[7]["vmax"] == 3.0
+    # an all-null key emits its unchanged (empty) state, never NaN mins
+    assert rows[8]["n"] == 0 and rows[8]["vmin"] is None

@@ -105,14 +105,22 @@ def compact_store(
 
     A Hive-partitioned store keeps its layout (partition column
     auto-detected from the top-level directory names when
-    ``partition_by`` is not given) — flattening it would leave an
-    unreadable mixed flat/partitioned layout after the next append.
-    The incremental sink's ``_epoch=N`` layout is special-cased: all
+    ``partition_by`` is not given; the rewrite repartitions BY that
+    column so the file-count target applies per layout, not
+    per-layout × per-task) — flattening it would leave an unreadable
+    mixed flat/partitioned layout after the next append. The
+    incremental sink's ``_epoch=N`` layout is special-cased: all
     existing epochs FOLD into the single compacted generation
-    ``_epoch=-1`` (an epoch whose batch is committed in the streaming
-    checkpoint can never be replayed, so per-epoch overwrite
-    idempotency is only needed for FUTURE epochs — which keep landing
-    in their own partitions next to the compacted one)."""
+    ``_epoch=-1``, and a ``_compacted_through`` marker (written INTO
+    the compacted copy before the atomic swap, so data and marker
+    install together) records the highest folded epoch —
+    ``streaming/incremental``'s handler skips any replayed epoch at or
+    below it, because an epoch that was written but NOT yet committed
+    in the streaming checkpoint at crash time CAN be replayed after a
+    compaction has already folded its rows (the per-epoch overwrite
+    would otherwise land those rows a second time). A stale
+    ``._compact_old`` left by a crashed earlier compaction is cleared
+    before the swap."""
     import shutil
 
     if partition_by is None:
@@ -134,18 +142,53 @@ def compact_store(
     )
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(store_dir)
+    high = None
     if partition_by == "_epoch":
+        row = df.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
+        # never regress the watermark: a store holding only a folded
+        # _epoch=-1 generation reports max=-1
+        high = max(
+            int(row) if row is not None else -1, compacted_through(store_dir)
+        )
         df = df.withColumn("_epoch", F.lit(-1))
     tmp = store_dir.rstrip("/") + "._compact_tmp"
-    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_by and partition_by != "_epoch":
+        # partitioned store: spread WITHIN the layout — round-robin
+        # repartition(n) would write up to n files per partition value
+        rep = df.repartition(int(n_files), partition_by)
+    else:
+        # flat store, or the single-valued _epoch=-1 fold (hashing a
+        # constant would funnel every row through one task)
+        rep = df.repartition(int(n_files))
+    writer = rep.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
+    if high is not None:
+        with open(os.path.join(tmp, _COMPACT_MARKER), "w") as fh:
+            fh.write(str(int(high)))
     old = store_dir.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)  # stale crash leftover
     os.rename(store_dir, old)
     os.rename(tmp, store_dir)
     shutil.rmtree(old)
     return int(n_files)
+
+
+_COMPACT_MARKER = "_compacted_through"
+
+
+def compacted_through(store_dir: str) -> int:
+    """Highest epoch folded into a store's compacted generation (-1
+    when the store was never compacted). Streaming handlers must skip
+    replayed epochs at or below this watermark — their rows are
+    already inside ``_epoch=-1`` and a per-epoch overwrite would land
+    them twice."""
+    try:
+        with open(os.path.join(store_dir, _COMPACT_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, NotADirectoryError, ValueError):
+        return -1
 
 
 def _config_hash(config: dict) -> str:
@@ -236,11 +279,20 @@ def export_shards(
         .partitionBy("_shard")
         .parquet(path)
     )
-    written = df.sparkSession.read.parquet(path)
-    counts = {
-        int(r["_shard"]): int(r["n"])
-        for r in written.groupBy("_shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    try:
+        written = df.sparkSession.read.parquet(path)
+        counts = {
+            int(r["_shard"]): int(r["n"])
+            for r in written.groupBy("_shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    except Exception as exc:
+        # a legitimately-empty export writes only _SUCCESS — the
+        # read-back cannot infer a schema; certify an empty manifest
+        # instead of aborting the pipeline
+        msg = str(exc)
+        if "UNABLE_TO_INFER_SCHEMA" not in msg and "Path does not exist" not in msg:
+            raise
+        counts = {}
     manifest = {
         "n_shards": int(n_shards),
         "shard_key": list(shard_key),

@@ -33,8 +33,7 @@ Python first-seen-wins reference implementing the identical rules.
 
 from __future__ import annotations
 
-import logging
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -44,9 +43,8 @@ from trx_spark.streaming.dedup_index import (
     _STREAM_KEY_CAP,
     _read_band_store,
     band_keys,
+    drop_saturated_keys,
 )
-
-logger = logging.getLogger(__name__)
 
 
 def make_curation_batch_handler(
@@ -67,7 +65,16 @@ def make_curation_batch_handler(
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         from trx_spark.queries.corpus import quality_signals
+        from trx_spark.sources.sinks import compacted_through
 
+        if int(epoch_id) <= max(
+            compacted_through(hash_store), compacted_through(band_store)
+        ):
+            # replayed epoch already folded into a store's _epoch=-1
+            # generation (compact_band_store watermark): its verdicts
+            # and state rows are in place; re-running would double-
+            # count its own rows into the saturation totals
+            return
         spark = batch.sparkSession
         docs = batch.localCheckpoint()
 
@@ -109,30 +116,10 @@ def make_curation_batch_handler(
             if bstore is not None
             else None
         )
-        bcnt = new.groupBy(*on).agg(F.count(F.lit(1)).alias("_bcnt"))
-        if seen is not None:
-            pcnt = seen.groupBy(*on).agg(F.count(F.lit(1)).alias("_pcnt"))
-            totals = bcnt.join(pcnt, on, "left").withColumn(
-                "_tot", F.col("_bcnt") + F.coalesce(F.col("_pcnt"), F.lit(0))
-            )
-        else:
-            totals = bcnt.withColumn("_tot", F.col("_bcnt"))
-        sat_rows = totals.filter(F.col("_tot") > key_cap).select(*on, "_bcnt").collect()
-        if sat_rows:
-            logger.warning(
-                "curation epoch %d: %d rows on %d saturated band keys (cap=%d)",
-                epoch_id,
-                sum(r["_bcnt"] for r in sat_rows),
-                len(sat_rows),
-                key_cap,
-            )
-            sat = spark.createDataFrame(
-                [(r["band"], r["hx"], r["hy"]) for r in sat_rows],
-                "band INT, hx BIGINT, hy BIGINT",
-            )
-            ok = new.join(F.broadcast(sat), on, "left_anti").localCheckpoint()
-        else:
-            ok = new
+        ok = drop_saturated_keys(
+            new, seen, on=on, key_cap=key_cap, epoch_id=epoch_id,
+            what="curation",
+        )
 
         near_prev = (
             F.broadcast(ok.alias("n"))
@@ -231,6 +218,23 @@ def run_curation_catchup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(verdict_dir).select(
-        "doc_id", "quality_keep", "exact_first", "near_dup", "keep"
-    )
+    try:
+        return spark.read.parquet(verdict_dir).select(
+            "doc_id", "quality_keep", "exact_first", "near_dup", "keep"
+        )
+    except AnalysisException as exc:
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            # nothing ever landed (empty glob / pre-arrival catch-up):
+            # an explicitly-typed empty verdict set, like
+            # run_lsh_dedup_catchup's empty-pairs guard
+            return spark.createDataFrame(
+                [],
+                "doc_id BIGINT, quality_keep BOOLEAN, exact_first BOOLEAN, "
+                "near_dup BOOLEAN, keep BOOLEAN",
+            )
+        raise

@@ -110,6 +110,51 @@ def _read_band_store(spark: SparkSession, band_store: str) -> DataFrame | None:
         raise
 
 
+def drop_saturated_keys(
+    new: DataFrame,
+    seen: DataFrame | None,
+    *,
+    on: list[str],
+    key_cap: int,
+    epoch_id: int,
+    what: str = "lsh index",
+) -> DataFrame:
+    """Per-band-key state bound shared by the LSH index and the
+    streaming-curation handler: keys whose stored count would exceed
+    the cap after this batch are SATURATED — the batch's rows on them
+    are dropped from every join AND from the store append, so the
+    store invariant (≤ key_cap rows per key) holds for the stream's
+    lifetime (drop-and-log, the batch bucket-cap semantics). The
+    saturated key set is collected ONCE (tiny: ≤ distinct keys in the
+    batch) so the pruned store scan + count aggregation run a single
+    time, not once per consumer."""
+    spark = new.sparkSession
+    bcnt = new.groupBy(*on).agg(F.count(F.lit(1)).alias("_bcnt"))
+    if seen is not None:
+        pcnt = seen.groupBy(*on).agg(F.count(F.lit(1)).alias("_pcnt"))
+        totals = bcnt.join(pcnt, on, "left").withColumn(
+            "_tot", F.col("_bcnt") + F.coalesce(F.col("_pcnt"), F.lit(0))
+        )
+    else:
+        totals = bcnt.withColumn("_tot", F.col("_bcnt"))
+    sat_rows = totals.filter(F.col("_tot") > key_cap).select(*on, "_bcnt").collect()
+    if not sat_rows:
+        return new
+    logger.warning(
+        "%s epoch %d: dropped %d rows on %d saturated band keys (cap=%d)",
+        what,
+        epoch_id,
+        sum(r["_bcnt"] for r in sat_rows),
+        len(sat_rows),
+        key_cap,
+    )
+    sat = spark.createDataFrame(
+        [tuple(r[c] for c in on) for r in sat_rows],
+        "band INT, hx BIGINT, hy BIGINT",
+    )
+    return new.join(F.broadcast(sat), on, "left_anti").localCheckpoint()
+
+
 def make_lsh_batch_handler(
     band_store: str,
     pairs_dir: str,
@@ -125,6 +170,12 @@ def make_lsh_batch_handler(
     kb = F.pmod(F.xxhash64("band", "hx", "hy"), F.lit(store_partitions))
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        from trx_spark.sources.sinks import compacted_through
+
+        if int(epoch_id) <= compacted_through(band_store):
+            # replayed epoch already folded into _epoch=-1 (see
+            # compact_band_store): its pairs/bands are in place
+            return
         spark = batch.sparkSession
         new = band_keys(batch).withColumn("_kb", kb).localCheckpoint()
 
@@ -146,38 +197,10 @@ def make_lsh_batch_handler(
             else None
         )
 
-        # Saturation: keys whose stored count would exceed the cap
-        # after this batch. Dropped from both joins and from the store
-        # append, so the store invariant (≤ key_cap rows per key)
-        # holds for the stream's lifetime. The saturated key set is
-        # collected ONCE (tiny: ≤ distinct keys in the batch) so the
-        # pruned store scan + count aggregation run a single time, not
-        # once per consumer.
-        bcnt = new.groupBy(*on).agg(F.count(F.lit(1)).alias("_bcnt"))
-        if seen is not None:
-            pcnt = seen.groupBy(*on).agg(F.count(F.lit(1)).alias("_pcnt"))
-            totals = bcnt.join(pcnt, on, "left").withColumn(
-                "_tot", F.col("_bcnt") + F.coalesce(F.col("_pcnt"), F.lit(0))
-            )
-        else:
-            totals = bcnt.withColumn("_tot", F.col("_bcnt"))
-        sat_rows = totals.filter(F.col("_tot") > key_cap).select(*on, "_bcnt").collect()
-        if sat_rows:
-            logger.warning(
-                "lsh index epoch %d: dropped %d rows on %d saturated band keys "
-                "(cap=%d)",
-                epoch_id,
-                sum(r["_bcnt"] for r in sat_rows),
-                len(sat_rows),
-                key_cap,
-            )
-            sat = spark.createDataFrame(
-                [(r["band"], r["hx"], r["hy"]) for r in sat_rows],
-                "band INT, hx BIGINT, hy BIGINT",
-            )
-            ok = new.join(F.broadcast(sat), on, "left_anti").localCheckpoint()
-        else:
-            ok = new
+        ok = drop_saturated_keys(
+            new, seen, on=on, key_cap=key_cap, epoch_id=epoch_id,
+            what="lsh index",
+        )
 
         # The batch side is small by construction — broadcast it so the
         # store side never shuffles.
@@ -226,11 +249,14 @@ def compact_band_store(
     depends on — the generic ``sinks.compact_store`` would flatten it).
 
     After thousands of micro-batches the store's file count, not its
-    byte size, is what kills scan planning; an epoch already committed
-    in the streaming checkpoint can never be replayed, so per-epoch
-    overwrite idempotency is only needed for FUTURE epochs — which
-    keep landing in their own partitions next to the compacted one.
-    Swap order is crash-safe: the old store is renamed ASIDE first,
+    byte size, is what kills scan planning. A committed epoch can never
+    be replayed, but an epoch whose rows were WRITTEN while the
+    checkpoint commit was lost in a crash CAN be — and once folded its
+    rows sit at ``_epoch=-1`` where the handler's own-epoch filter no
+    longer excludes them (they would double-count into saturation
+    totals and double-store) — so the compaction records a
+    ``_compacted_through`` watermark and the handler skips replayed
+    epochs at or below it. Swap order is crash-safe: the old store is renamed ASIDE first,
     the compacted copy renamed into place, and only then is the old
     copy deleted — a crash in the window leaves either the old or the
     new store at the path, never nothing (a vanished store would
@@ -240,7 +266,11 @@ def compact_band_store(
     import os
     import shutil
 
+    from trx_spark.sources.sinks import _COMPACT_MARKER, compacted_through
+
     df = spark.read.parquet(band_store)
+    row = df.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
+    high = max(int(row) if row is not None else -1, compacted_through(band_store))
     tmp = band_store.rstrip("/") + "._compact_tmp"
     (
         df.withColumn("_epoch", F.lit(-1))
@@ -250,6 +280,13 @@ def compact_band_store(
         .parquet(tmp)
     )
     n = spark.read.parquet(tmp).count()
+    # the watermark rides inside the compacted copy so data and marker
+    # swap in together: an epoch written-but-uncommitted at crash time
+    # CAN be replayed after its rows were folded — the handler's
+    # `_epoch != epoch_id` filter no longer excludes them (they now sit
+    # at _epoch=-1), so the replay must be skipped outright
+    with open(os.path.join(tmp, _COMPACT_MARKER), "w") as fh:
+        fh.write(str(int(high)))
     old = band_store.rstrip("/") + "._compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(band_store, old)

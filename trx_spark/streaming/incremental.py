@@ -36,11 +36,19 @@ def make_batch_handler(
     duplicate rows in the store. Each epoch lands in its own partition
     directory with DYNAMIC partition overwrite — a replay of epoch N
     rewrites ``_epoch=N`` in place instead of appending a second copy,
-    with no read-side dedupe."""
+    with no read-side dedupe. An epoch at or below the store's
+    ``_compacted_through`` watermark is SKIPPED entirely: its rows were
+    written (then folded into ``_epoch=-1`` by ``sinks.compact_store``)
+    before the crash lost the checkpoint commit, so the per-epoch
+    overwrite would land them a second time next to the fold."""
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from trx_spark.sources.sinks import compacted_through
+
+        if int(epoch_id) <= compacted_through(store_dir):
+            return
         (
             batch.withColumn("_epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")

@@ -141,17 +141,28 @@ def compact_store(
     # replay double-counting of the epochs absorbed earlier)
     high = max(int(high), _compacted_through(sketch_dir))
     merged = merge_fn(spark, sketch_dir).withColumn("_epoch", F.lit(-1))
-    # STATIC overwrite on purpose: replace the whole store (dropping the
-    # folded epoch partitions), not just the _epoch=-1 partition
+    # write-to-temp + rename swap, with the watermark INSIDE the temp
+    # copy: a direct overwrite of sketch_dir would delete the old
+    # marker before the new one lands — a crash in that window
+    # regresses the watermark to -1 while the epochs are already
+    # folded, re-enabling exactly the replay double-count the marker
+    # exists to prevent
+    import shutil
+
+    tmp = sketch_dir.rstrip("/") + "._compact_tmp"
     (
         merged.localCheckpoint()
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
         .partitionBy("_epoch")
-        .parquet(sketch_dir)
+        .parquet(tmp)
     )
-    with open(os.path.join(sketch_dir, _MARKER), "w") as fh:
+    with open(os.path.join(tmp, _MARKER), "w") as fh:
         fh.write(str(int(high)))
+    old = sketch_dir.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)  # stale crash leftover
+    os.rename(sketch_dir, old)
+    os.rename(tmp, sketch_dir)
+    shutil.rmtree(old)
 
 
 def compact_cms_store(spark: SparkSession, sketch_dir: str) -> None:

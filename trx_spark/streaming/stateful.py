@@ -29,12 +29,19 @@ def running_key_stats(
 
     Output (update mode): one row per key per batch in which the key
     appeared — ``(key, n, total, vmin, vmax, mean)`` reflecting ALL rows
-    seen for the key so far.
+    seen for the key so far. NULL values are excluded from every
+    statistic INCLUDING the count (SQL count-non-null / avg semantics —
+    counting nulls into n while pandas' skipna sums excluded them
+    would skew the mean), and the key column keeps the stream's own
+    key dtype (a bigint scan-point id groups as bigint, not a
+    stringified copy).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    key_type = stream.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} string, n bigint, total double, vmin double, vmax double, mean double"
+        f"{key} {key_type}, n bigint, total double, vmin double, "
+        f"vmax double, mean double"
     )
     state_schema = "n bigint, total double, vmin double, vmax double"
 
@@ -48,7 +55,7 @@ def running_key_stats(
         else:
             n, total, vmin, vmax = 0, 0.0, None, None
         for pdf in pdf_iter:
-            vals = pdf[value].astype(float)
+            vals = pdf[value].astype(float).dropna()
             if len(vals) == 0:
                 continue
             n += int(len(vals))
