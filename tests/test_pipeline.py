@@ -168,3 +168,43 @@ def test_data_reduction_chi2_filter_view(spark, domain):
     )
     assert (per_file["n_chi2"] <= 1).all()
     assert (per_file["n_excl"] == 1).all()
+
+
+def test_data_reduction_multirun_colliding_file_names(spark, domain):
+    """Multi-run batches reuse per-run file names (every run has an
+    img_0001) — when the run key rides BOTH frames and extra_group,
+    the join must key on (run, file) so runs never cross-match: each
+    run's diffs then hit its own closed form, with per-run auto chi2
+    thresholds and per-(run, file) monitor windows partitioned by the
+    run key."""
+    pixels, geom, log = domain
+    curves = integrate_folder(
+        pixels, geom, IntegrationConfig(q_min=0.0, q_max=Q_MAX, n_bins=4)
+    )
+    # two synthetic runs with IDENTICAL file names; run B's pumped
+    # signal is scaled 2x so cross-run leakage would shift the means
+    ca = curves.withColumn("run", F.lit("A"))
+    cb = curves.withColumn("run", F.lit("B")).withColumn(
+        "i", F.col("i") * 2.0
+    )
+    curves2 = ca.unionByName(cb)
+    la = log.withColumn("run", F.lit("A"))
+    lb = log.withColumn("run", F.lit("B"))
+    log2 = la.unionByName(lb)
+
+    res = data_reduction(
+        curves2,
+        log2,
+        ReductionConfig(
+            reference="min", chi2_threshold=None, extra_group=["run"]
+        ),
+    )
+    scan = res["scan"].toPandas()
+    assert set(scan["run"]) == {"A", "B"}
+    for (run, d), grp in scan.groupby(["run", "delay"]):
+        scale = 1.0 if run == "A" else 2.0
+        expect = 0.0 if d == -10.0 else scale * 100.0 * d / 1e-9
+        np.testing.assert_allclose(grp["mean_diff"], expect, atol=1e-9)
+    # row counts: no fan-out from the name collision — each (run,
+    # delay, q_bin) appears exactly once
+    assert not scan.duplicated(subset=["run", "delay", "q_bin"]).any()

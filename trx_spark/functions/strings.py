@@ -86,3 +86,12 @@ def basename(col: Column | str) -> Column:
     """Basename without extension (trx/utils/files.py:28-29)."""
     c = F.col(col) if isinstance(col, str) else col
     return remove_ext(F.element_at(F.split(c, "/"), -1))
+
+
+def ws_parts(col: Column | str) -> Column:
+    """Whitespace-tokenize a text line into its field array (tabs and
+    runs of spaces collapse to one separator) — the genfromtxt
+    field-splitting idiom shared by every text-log/chi reader. One
+    definition so a tokenization fix (tab handling, trailing comments)
+    lands everywhere at once."""
+    return F.split(F.regexp_replace(F.trim(col), r"\s+", " "), " ")

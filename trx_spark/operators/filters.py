@@ -105,13 +105,25 @@ def remove_zingers(
     )
 
 
-def chi2_filter_threshold(chi2_df: DataFrame, *, chi2: str = "chi2_0", pct: float = 0.95):
-    """'auto' threshold = 95th percentile of all chi2_0 (trx/filters.py:106).
+def chi2_filter_threshold(
+    chi2_df: DataFrame,
+    *,
+    chi2: str = "chi2_0",
+    pct: float = 0.95,
+    group: list[str] | None = None,
+):
+    """'auto' threshold = 95th percentile of chi2_0 (trx/filters.py:106).
 
-    Returns a 1-row DataFrame — keep it lazy and cross-join (broadcast) so
-    the threshold never round-trips through the driver.
-    """
-    return chi2_df.agg(F.expr(f"percentile({chi2}, {pct})").alias("chi2_threshold"))
+    With no ``group`` this is a 1-row DataFrame — keep it lazy and
+    cross-join (broadcast) so the threshold never round-trips through
+    the driver. With ``group`` (a multi-run batch) the percentile is
+    PER GROUP — the reference applies chi2Filter per folder, i.e. per
+    run, so one noisy run must not raise the shared threshold and let
+    bad shots in quiet runs through."""
+    pctl = F.expr(f"percentile({chi2}, {pct})").alias("chi2_threshold")
+    if group:
+        return chi2_df.groupBy(*group).agg(pctl)
+    return chi2_df.agg(pctl)
 
 
 def chi2_filter(
@@ -120,12 +132,18 @@ def chi2_filter(
     chi2: str = "chi2_0",
     threshold: float | None = None,
     flag_out: str = "chi2_excluded",
+    group: list[str] | None = None,
 ) -> DataFrame:
     """Flag whole shots whose chi2_0 exceeds the threshold
-    (auto = 95th pct, trx/filters.py:103-120). Non-destructive."""
+    (auto = 95th pct, per ``group`` when given — see
+    chi2_filter_threshold; trx/filters.py:103-120). Non-destructive."""
     if threshold is None:
-        thr = chi2_filter_threshold(chi2_df, chi2=chi2)
-        out = chi2_df.crossJoin(F.broadcast(thr))
+        thr = chi2_filter_threshold(chi2_df, chi2=chi2, group=group)
+        if group:
+            # one row per run — scales with run count, no broadcast hint
+            out = chi2_df.join(thr, list(group))
+        else:
+            out = chi2_df.crossJoin(F.broadcast(thr))
         return out.withColumn(flag_out, F.col(chi2) > F.col("chi2_threshold"))
     return chi2_df.withColumn("chi2_threshold", F.lit(threshold)).withColumn(
         flag_out, F.col(chi2) > F.lit(threshold)

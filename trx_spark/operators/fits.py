@@ -170,6 +170,11 @@ def fit_peaks(
             return _one({})
         xs = pdf[x].to_numpy(dtype=float)
         ys = pdf[y].to_numpy(dtype=float)
+        if not np.isfinite(ys).any():
+            # a fully masked/NaN group must report NaNs like the
+            # under-determined path — nanargmax on an all-NaN slice
+            # raises and would abort EVERY group's fit with it
+            return _one({})
         wts = None
         if err is not None and err in pdf:
             e = pdf[err].to_numpy(dtype=float)
@@ -368,9 +373,38 @@ def ring_histogram(
     )
     binned = pixels.withColumn("_bin", F.floor(dist / F.lit(bin_width)).cast("long"))
     hist = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("_bin").rowsBetween(-smooth_halfwidth, smooth_halfwidth)
-    # triangular weights via distance to the frame center
-    smoothed = hist.withColumn("n_smooth", F.avg("n").over(w))
+    # DENSIFY before smoothing: the reference convolves a dense
+    # np.histogram where empty bins are explicit zeros — over sparse
+    # ROWS the window would span non-adjacent radii, so an isolated hot
+    # bin escapes the damping of its (empty) neighbors and the ring
+    # search can lock onto a spurious radius
+    bounds = hist.agg(F.max("_bin").alias("_mx"))
+    bins = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("_bin")
+    )
+    dense = bins.join(hist, "_bin", "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    # true triangular kernel (weights h+1−|j|, zero-padded edges like
+    # np.convolve mode='same'; the normalization constant differs from
+    # the reference's kernel/(N²/4) scalar — peak LOCATIONS, which is
+    # what the center search consumes, are scale-invariant)
+    w = Window.orderBy("_bin")
+    h = int(smooth_halfwidth)
+    terms = []
+    total_w = 0
+    for j in range(-h, h + 1):
+        wt = h + 1 - abs(j)
+        total_w += wt
+        if j < 0:
+            c = F.lag("n", -j).over(w)
+        elif j > 0:
+            c = F.lead("n", j).over(w)
+        else:
+            c = F.col("n")
+        terms.append(F.coalesce(c, F.lit(0)) * F.lit(wt))
+    n_smooth = sum(terms[1:], terms[0]).cast("double") / F.lit(float(total_w))
+    smoothed = dense.withColumn("n_smooth", n_smooth)
     return smoothed.withColumn("radius", (F.col("_bin") + 0.5) * F.lit(bin_width)).select(
         F.col("_bin").alias("bin"), "radius", "n", "n_smooth"
     )

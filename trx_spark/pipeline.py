@@ -132,19 +132,37 @@ def data_reduction(
     ``cfg.extra_group``; every window then partitions by it (the gate
     queries exercise exactly that shape with a 16-shard run key).
     """
-    joined = curves.join(log, on=file, how="inner")
+    # Multi-run batches: per-run file names COLLIDE (img_0001 exists in
+    # every run), so any extra_group key present on BOTH sides joins the
+    # frames alongside the file name — joining on file alone would match
+    # a curve to every same-named log row across runs (row fan-out) or
+    # leave two ambiguous run columns. A group key carried only by the
+    # log simply rides the join (callers must then guarantee globally
+    # unique file names, the single-run shape).
+    group = list(cfg.extra_group)
+    join_key = [file] + [
+        g for g in group if g in curves.columns and g in log.columns
+    ]
+    joined = curves.join(log, on=join_key, how="inner")
     # per-image acquisition index from the file ordering (O1: the sorted
     # file list defines acquisition order, trx/utils/files.py:16)
     from pyspark.sql import Window
 
-    group = list(cfg.extra_group)
     w = Window.partitionBy(*group).orderBy(file) if group else Window.orderBy(file)
     joined = joined.withColumn("_idx", F.dense_rank().over(w))
 
     if cfg.q_norm_window is not None:
+        # the monitor window partitions by [group, file] — file alone
+        # would pool colliding per-run file names into one median — and
+        # the err column rescales with the data (dataReduction.py:240)
         joined = azav.monitor_normalize(
-            joined, image=[file], q="q", intensity="i", err=None,
-            q_window=cfg.q_norm_window, use_median=True,
+            joined,
+            image=[*group, file],
+            q="q",
+            intensity="i",
+            err="err" if "err" in joined.columns else None,
+            q_window=cfg.q_norm_window,
+            use_median=True,
         )
 
     if cfg.reference in ("min", "max"):
@@ -196,7 +214,9 @@ def data_reduction(
             idx="_idx", is_ref="is_ref", diff="diff",
         )
         if cfg.chi2_threshold is not None:
-            shot_scores = filters.chi2_filter(shot_scores, chi2="chi2_0", threshold=thr)
+            shot_scores = filters.chi2_filter(
+                shot_scores, chi2="chi2_0", threshold=thr, group=group
+            )
         else:
             shot_scores = shot_scores.withColumn(
                 "chi2_threshold", F.lit(None).cast("double")
@@ -218,7 +238,9 @@ def data_reduction(
             shots, scan=delay, group=q_group, idx="_idx", is_ref="is_ref", diff="diff", n_q=n_q
         )
         if cfg.chi2_threshold is not None:
-            per_shot = filters.chi2_filter(per_shot, chi2="chi2_0", threshold=thr)
+            per_shot = filters.chi2_filter(
+                per_shot, chi2="chi2_0", threshold=thr, group=group
+            )
         else:
             per_shot = per_shot.withColumn("chi2_excluded", F.lit(False))
         surviving = per_shot.filter(

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trx_spark.functions.strings import basename
+from trx_spark.functions.strings import basename, ws_parts
 
 
 def chi_read(spark: SparkSession, path_glob: str, *, scale: float = 1.0) -> DataFrame:
@@ -18,7 +18,7 @@ def chi_read(spark: SparkSession, path_glob: str, *, scale: float = 1.0) -> Data
     (the reference loops file-by-file, azav.py:596-603)."""
     text = spark.read.text(path_glob).withColumn("_path", F.input_file_name())
     rows = text.filter(~F.col("value").startswith("#")).filter(F.trim("value") != "")
-    parts = F.split(F.regexp_replace(F.trim("value"), r"\s+", " "), " ")
+    parts = ws_parts("value")
     return rows.select(
         basename("_path").alias("file"),
         parts.getItem(0).cast("double").alias("q"),
@@ -41,7 +41,12 @@ def chi_average(
         from pyspark.sql import Window
 
         w = Window.partitionBy("file")
-        sel = F.when((F.col("q") >= lo) & (F.col("q") <= hi), F.col("i"))
+        # STRICT bounds — the reference's chiAverage uses
+        # (q>norm[0]) & (q<norm[1]) (azav.py:599), so a grid point
+        # landing exactly on the window edge is EXCLUDED from the
+        # monitor mean (unlike the inclusive azav q-window monitor,
+        # dataReduction.py:236, which is a different operator)
+        sel = F.when((F.col("q") > lo) & (F.col("q") < hi), F.col("i"))
         curves = curves.withColumn("_mon", F.avg(sel).over(w)).withColumn(
             "i", F.col("i") / F.col("_mon")
         )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trx_spark.functions.strings import delay_to_num
+from trx_spark.functions.strings import delay_to_num, ws_parts
 
 
 def read_header_names(path: str) -> list[str]:
@@ -82,7 +82,7 @@ def read_log_file(
     if len(df.columns) != len(names):
         text = spark.read.text(path)
         rows = text.filter(~F.col("value").startswith("#")).filter(F.trim("value") != "")
-        parts = F.split(F.regexp_replace(F.trim("value"), r"\s+", " "), " ")
+        parts = ws_parts("value")
         df = rows.select(*[parts.getItem(i).alias(n) for i, n in enumerate(names)])
     else:
         df = df.toDF(*names)
@@ -126,9 +126,22 @@ def read_id9_log(
     ('off' → −10.0, unit suffixes via regexp — no UDF), ring-current
     filter, optional dark subtraction ``pdNic − dark·timeic``."""
     df = read_log_file(spark, path, skip_first=skip_first, last=last)
-    numeric = [c for c in df.columns if c not in ("file", "time", "delay")]
-    for c in numeric:
-        df = df.withColumn(c, F.col(c).cast("double"))
+    # Cast a column to double ONLY when no non-null value is lost — a
+    # textual column (a date, a status tag) must survive as string, as
+    # the reference's genfromtxt(dtype=None) keeps it. One tiny
+    # aggregate over the (small, driver-adjacent) log decides.
+    candidates = [c for c in df.columns if c not in ("file", "time", "delay")]
+    if candidates:
+        counts = df.agg(
+            *(F.count(c).alias(f"n_{c}") for c in candidates),
+            *(
+                F.count(F.col(c).try_cast("double")).alias(f"c_{c}")
+                for c in candidates
+            ),
+        ).collect()[0]
+        for c in candidates:
+            if counts[f"c_{c}"] == counts[f"n_{c}"]:
+                df = df.withColumn(c, F.col(c).try_cast("double"))
     if "delay" in df.columns:
         df = df.withColumn("delay_str", F.col("delay")).withColumn(
             "delay", F.round(delay_to_num("delay_str"), 12)
@@ -136,7 +149,13 @@ def read_id9_log(
     if subtract_dark:
         darks = read_dark_currents(path)
         for diode, dark in darks.items():
-            if diode in df.columns and "timeic" in df.columns:
+            # monitor_diodes restricts which diodes are dark-corrected
+            # (id9.py's monitor selection) — previously accepted but dead
+            if (
+                diode in monitor_diodes
+                and diode in df.columns
+                and "timeic" in df.columns
+            ):
                 df = df.withColumn(diode, F.col(diode) - F.lit(dark) * F.col("timeic"))
     if "currentmA" in df.columns:
         df = df.filter(F.col("currentmA") > F.lit(srcur_min))
@@ -154,7 +173,7 @@ def read_diagnostic(spark: SparkSession, path: str) -> DataFrame:
 
     text = spark.read.text(path)
     rows = text.filter(~F.col("value").startswith("#")).filter(F.trim("value") != "")
-    parts = F.split(F.regexp_replace(F.trim("value"), r"\s+", " "), " ")
+    parts = ws_parts("value")
     df = rows.select(
         parts.getItem(2).alias("fname"),
         parts.getItem(3).alias("delay_raw"),
@@ -176,7 +195,7 @@ def read_motor_dump(spark: SparkSession, path: str) -> DataFrame:
     name column equals the literal header token."""
     text = spark.read.text(path)
     rows = text.filter(F.trim("value") != "")
-    parts = F.split(F.regexp_replace(F.trim("value"), r"\s+", " "), " ")
+    parts = ws_parts("value")
     df = rows.select(
         parts.getItem(0).alias("name"),
         parts.getItem(1).alias("user"),
