@@ -223,3 +223,16 @@ def test_save_txt_label_collision(spark, tmp_path):
     assert len(per_delay) == 2
     assert len(set(per_delay)) == 2
     assert not any(p.endswith("diff_av_+1ns.txt") for p in per_delay)
+
+
+def test_dezinger_percentile_reference_scale(spark, tmp_path):
+    """compat.doFolder accepts the reference/pyFAI 0-100 dezinger knob
+    (e.g. 50) and rescales it to the engine's [0, 1] fraction — the
+    verbatim-forwarded value used to crash Spark's percentile()."""
+    img = np.full((NY, NX), 50.0, dtype="f8")
+    (tmp_path / "a.edf").write_bytes(encode_edf(img))
+    curves = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        nQ=4, qlims=(0.0, 2.0), dezinger=50,
+    ).toPandas()
+    assert len(curves) > 0  # flat image: nothing flagged, curves intact

@@ -230,3 +230,23 @@ def test_saxs_math(spark):
     np.testing.assert_allclose(
         got["mm"], 0.02 * 6e23 / (0.005 * (2.67e10 / 1.347) ** 2), rtol=1e-12
     )
+
+
+def test_mask_string_composite_clauses(spark):
+    """The reference-style composite DSL ('x>400;y<100') masks the
+    UNION of its clauses — the exact input compat._as_mask documents
+    and forwards."""
+    import pytest
+
+    from trx_spark.operators.masks import mask_from_string
+
+    df = spark.range(10).selectExpr("id as x", "CAST(9 - id AS BIGINT) as y")
+    # x>7 masks x in {8,9}; y<1 masks y=0 i.e. x=9 → union {8,9}
+    got = sorted(
+        r["x"] for r in df.filter(mask_from_string("x>7;y<1")).collect()
+    )
+    assert got == [8, 9]
+    with pytest.raises(ValueError, match="cannot parse"):
+        mask_from_string("x>>4")
+    with pytest.raises(ValueError, match="cannot parse"):
+        mask_from_string(";;")

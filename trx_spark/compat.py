@@ -62,6 +62,11 @@ def doFolder(
     it with sources.sinks.save_with_config for the reference's
     azav.h5-style cached store (F7 config-hash invalidation)."""
     q_min, q_max = qlims if qlims is not None else (0.0, 10.0)
+    if dezinger is not None and dezinger > 1:
+        # the reference/pyFAI knob is on the 0-100 scale
+        # (trx/azav.py:254-257, 'percentile=50'); the engine's dezinger
+        # takes a [0, 1] fraction — rescale reference-style values
+        dezinger = dezinger / 100.0
     assets = read_binary_assets(spark, f"{folder.rstrip('/')}/{files}", "image")
     pixels = decode_image(assets, codec="auto").withColumn(
         "file", F.element_at(F.split(F.col("file"), "/"), -1)

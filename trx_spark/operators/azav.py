@@ -133,18 +133,29 @@ def dezinger(
     percentile: float = 0.5,
     factor: float = 1.5,
     flag_out: str = "is_zinger",
+    baseline_out: str | None = None,
 ) -> DataFrame:
     """Cosmic-ray removal (trx/azav.py:119-129 ``dodezinger``, pyFAI
     ``separate``): within each (image, radial-bin) neighborhood, flag
     pixels whose intensity exceeds ``factor`` × the bin's percentile
     baseline. Non-destructive boolean flag; exact percentile for oracle
     parity (percentile_approx at real scale is a config switch).
+
+    ``percentile`` is a [0, 1] FRACTION (Spark's percentile contract;
+    the reference/pyFAI knob is 0-100 — the compat façade rescales).
+    ``baseline_out`` names an output column for the per-bin baseline;
+    by default the helper column does not leak into the schema.
     """
     image = image or ["file"]
     w = Window.partitionBy(*image, bin_col)
     baseline = F.expr(f"percentile({intensity}, {percentile})").over(w)
-    return pixels.withColumn("_baseline", baseline).withColumn(
-        flag_out, F.col(intensity) > F.lit(factor) * F.col("_baseline")
+    if baseline_out:
+        return pixels.withColumn(baseline_out, baseline).withColumn(
+            flag_out, F.col(intensity) > F.lit(factor) * F.col(baseline_out)
+        )
+    # the two identical window expressions plan as ONE WindowExec
+    return pixels.withColumn(
+        flag_out, F.col(intensity) > F.lit(factor) * baseline
     )
 
 
@@ -172,18 +183,22 @@ def monitor_normalize(
     if q_window is not None:
         lo, hi = q_window
         sel = F.when((F.col(q) >= lo) & (F.col(q) <= hi), F.col(intensity))
-    if use_median and q_window is None:
-        mon = F.expr(f"percentile({intensity}, 0.5)").over(w)
-    elif exact:
-        mon = (F.sum(fint(sel)).over(w).cast("double") / F.lit(SCALE)) / F.count(sel).over(w)
-    else:
-        mon = F.avg(sel).over(w)
+    # one branch per (use_median × q_window) case — the windowed median
+    # needs a materialized _sel column because percentile() takes a
+    # column reference, not an arbitrary expression, over a window
     if use_median and q_window is not None:
-        # median over the q-window: percentile of the windowed selection
         tmp = curves.withColumn("_sel", sel)
         mon = F.expr("percentile(_sel, 0.5)").over(w)
         out = tmp.withColumn("monitor", mon).drop("_sel")
     else:
+        if use_median:
+            mon = F.expr(f"percentile({intensity}, 0.5)").over(w)
+        elif exact:
+            mon = (
+                F.sum(fint(sel)).over(w).cast("double") / F.lit(SCALE)
+            ) / F.count(sel).over(w)
+        else:
+            mon = F.avg(sel).over(w)
         out = curves.withColumn("monitor", mon)
     out = out.withColumn(intensity, F.col(intensity) / F.col("monitor"))
     if err:

@@ -21,14 +21,23 @@ _DSL_RE = re.compile(r"^\s*([xy])\s*(<|>|<=|>=)\s*(-?\d+\.?\d*)\s*$")
 
 def mask_from_string(expr: str) -> Column:
     """Parse the reference's mini-DSL (trx/mask.py:287-326) into a
-    predicate; True = masked out."""
-    m = _DSL_RE.match(expr)
-    if not m:
+    predicate; True = masked out. A composite string joins clauses
+    with ';' ('x>400;y<100') and masks the UNION of the clauses —
+    the reference-style input the compat façade forwards verbatim."""
+    clauses = [c.strip() for c in expr.split(";") if c.strip()]
+    if not clauses:
         raise ValueError(f"cannot parse mask string {expr!r}")
-    axis, op, val = m.groups()
-    c = F.col(axis)
-    v = float(val)
-    return {"<": c < v, ">": c > v, "<=": c <= v, ">=": c >= v}[op]
+    out: Column | None = None
+    for clause in clauses:
+        m = _DSL_RE.match(clause)
+        if not m:
+            raise ValueError(f"cannot parse mask string {clause!r}")
+        axis, op, val = m.groups()
+        c = F.col(axis)
+        v = float(val)
+        pred = {"<": c < v, ">": c > v, "<=": c <= v, ">=": c >= v}[op]
+        out = pred if out is None else (out | pred)
+    return out
 
 
 def mask_rectangle(x0: float, x1: float, y0: float, y1: float) -> Column:
@@ -76,7 +85,13 @@ def mask_polygon_sql(
 ) -> str:
     """The identical even-odd ray cast as an ANSI-SQL expression (for
     DuckDB oracles): same edge order, same parenthesization, same IEEE
-    double ops — bit-exact against :func:`mask_polygon`."""
+    double ops — bit-exact against :func:`mask_polygon`. Literals go
+    through :func:`trx_spark.exact.dlit` so DuckDB parses them as
+    DOUBLE directly (a bare >15-significant-digit decimal would route
+    through DECIMAL, whose DOUBLE conversion can land 1 ulp off the
+    bits Spark's F.lit carries)."""
+    from trx_spark.exact import dlit
+
     terms = []
     n = len(vertices)
     for i in range(n):
@@ -85,8 +100,9 @@ def mask_polygon_sql(
         if y1 == y2:
             continue
         terms.append(
-            f"((({y1!r} > {y})) <> (({y2!r} > {y})) AND "
-            f"{x} < CAST({x2 - x1!r} AS DOUBLE) * ({y} - {y1!r}) / CAST({y2 - y1!r} AS DOUBLE) + {x1!r})"
+            f"((({dlit(y1)} > {y})) <> (({dlit(y2)} > {y})) AND "
+            f"{x} < CAST({dlit(x2 - x1)} AS DOUBLE) * ({y} - {dlit(y1)}) "
+            f"/ CAST({dlit(y2 - y1)} AS DOUBLE) + {dlit(x1)})"
         )
     expr = "FALSE"
     for t in terms:

@@ -372,7 +372,7 @@ def chi2_0_per_shot(
     keeps every row, adding ``chi2_0`` (NULL for rows dropped by the
     every-second-reference rule, which the reference never scores),
     plus ``noise`` and ``mean_diff`` context columns."""
-    from trx_spark.exact import SCALE
+    from trx_spark.exact import SCALE, fint
 
     group = group or []
     keys = [*group, scan]
@@ -382,9 +382,9 @@ def chi2_0_per_shot(
 
     def wsum(col):
         if exact:
-            return F.sum(F.floor(col * F.lit(SCALE)).cast("long")).over(w_full).cast(
-                "double"
-            ) / F.lit(SCALE)
+            # fint is THE fixed-point addend — the parity argument
+            # rests on this tree staying identical everywhere
+            return F.sum(fint(col)).over(w_full).cast("double") / F.lit(SCALE)
         return F.sum(col).over(w_full)
 
     d = F.col(diff)

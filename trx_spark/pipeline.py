@@ -76,7 +76,7 @@ def integrate_folder(
             intensity="intensity",
             percentile=cfg.dezinger_percentile,
             factor=cfg.dezinger_factor,
-        ).filter(~F.col("is_zinger")).drop("is_zinger", "_baseline", "q_bin")
+        ).filter(~F.col("is_zinger")).drop("is_zinger", "q_bin")
     curves = azav.integrate_1d(
         px,
         image=image,

@@ -272,9 +272,17 @@ def epoch_shuffle(
 
     Gate defaults match the oracle SQL; a deployment sets ``n_shards``
     ∝ corpus size (docs per shard ≈ one task's sort budget)."""
+    if n_epochs < 1:
+        # without the guard Spark's default sequence STEP is -1 when
+        # start > stop, so n_epochs=0 would silently emit epochs
+        # [0, -1] — double the corpus under a bogus negative epoch
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     docs = load_table(spark, sf_dir, "documents")
     e = docs.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_epochs - 1), F.lit(1))
+        ).alias("epoch"),
     ).withColumn(
         "h",
         (

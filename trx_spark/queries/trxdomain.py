@@ -397,11 +397,12 @@ def dezinger_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_bin", azav.q_bin("l_extendedprice", q_min=_Q_MIN, q_max=_Q_MAX, n_bins=_N_BINS)
     )
     out = azav.dezinger(
-        px, image=["l_suppkey"], bin_col="q_bin", intensity="l_quantity", percentile=0.5, factor=1.5
+        px, image=["l_suppkey"], bin_col="q_bin", intensity="l_quantity",
+        percentile=0.5, factor=1.5, baseline_out="baseline",
     )
     return out.select(
         "l_orderkey", "l_linenumber", "l_suppkey", "q_bin",
-        F.col("_baseline").alias("baseline"), "is_zinger",
+        "baseline", "is_zinger",
     )
 
 
