@@ -106,3 +106,37 @@ def test_salted_join_contract(spark):
     # outer modes that would duplicate unmatched small-side rows are rejected
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, on="k", salt_src="rid", n_salt=8, how="full")
+
+
+def test_short_docs_emit_no_shingles_not_crash(spark, tmp_path):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0], so ungated
+    shingle/bigram generators called slice(toks, 0, k) and CRASHED on
+    any doc with fewer tokens than the window — such docs must simply
+    emit nothing (the DuckDB oracle's generate_series(1,0) is empty)."""
+    import pandas as pd
+
+    from trx_spark.queries.curation import _bigram_stream, _shingled
+
+    d = tmp_path / "short_sf"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "only three tokens",                      # < 8 and < SHINGLE_N
+                "1234 5678",                              # zero [a-z]+ tokens
+                "one two three four five six seven eight nine ten",
+            ],
+            "source": ["s"] * 3,
+            "lang": ["en"] * 3,
+            "n_chars": [17, 9, 48],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    sh = _shingled(spark, str(d)).toPandas()
+    assert set(sh["doc_id"]) == {3}
+    assert len(sh) == 3  # 10 tokens -> 3 distinct 8-gram shingles
+    bg = _bigram_stream(spark, str(d)).toPandas()
+    assert sorted(bg.groupby("doc_id").size().items()) == [(1, 2), (3, 9)]

@@ -84,7 +84,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 # ---------------------------------------------------------------------
 
 _SPAN_W = 8  # words per non-overlapping span
-_POS_ENC = 1_000_000  # keeper key = doc_id * enc + pos (pos << enc)
+# keeper key = doc_id * enc + pos; enc = 2^32 so the packing cannot
+# bleed across documents before pos reaches 4.3e9 spans (1e6 overflowed
+# at 8M-word web documents) while doc_id keeps 2^31 headroom in int64
+_POS_ENC = 2**32
 
 
 def _n_spans_col() -> F.Column:

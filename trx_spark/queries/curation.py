@@ -82,11 +82,20 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SHINGLED_CACHE:
         base = _toks_base(spark, sf_dir)
         n = F.size(F.col("toks"))
-        shingles = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n - (_SHINGLE_N - 1), F.lit(0))),
-                lambda i: F.array_join(F.slice(F.col("toks"), i, _SHINGLE_N), " "),
-            )
+        # gated on n >= _SHINGLE_N: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0] (not empty), and slice(toks, 0, k) then
+        # THROWS — a short doc must emit no shingles (the DuckDB
+        # oracle's generate_series(1, 0) is empty), never crash the job
+        shingles = F.when(
+            n >= _SHINGLE_N,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (_SHINGLE_N - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i, _SHINGLE_N), " "
+                    ),
+                )
+            ),
         )
         _SHINGLED_CACHE[key] = base.select(
             "doc_id", F.explode(shingles).alias("shingle")
@@ -420,9 +429,13 @@ def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _BIGRAM_CACHE:
         base = _toks_base(spark, sf_dir)
         n = F.size(F.col("toks"))
-        bigrams = F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
+        # gated on n >= 2 — same sequence(1, 0) footgun as _shingled
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
+            ),
         )
         _BIGRAM_CACHE[key] = base.select(
             "doc_id", F.explode(bigrams).alias("ngram")
