@@ -33,6 +33,7 @@ def _all_caches() -> list[dict]:
         similarity._SCORED_CACHE,
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
+        textdata._PAIR_STATS_CACHE,
         similarity._KNN_CACHE,
         similarity._CELLS_ASSIGN_CACHE,
         bpe._BPE_CACHE,
@@ -81,6 +82,7 @@ def stage_cache_stats() -> dict[str, int]:
         "pq_codebooks": len(similarity._PQ_CACHE),
         "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),
         "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),
+        "pair_token_stats": len(textdata._PAIR_STATS_CACHE),
         "knn_edges": len(similarity._KNN_CACHE),
         "ivf_cells": len(similarity._CELLS_ASSIGN_CACHE),
         "bpe_trained": len(bpe._BPE_CACHE),

@@ -381,13 +381,14 @@ _MAX_DUP_WORD = 0.6
 _MAX_TOP_BIGRAM = 0.10
 _WL_LO, _WL_HI = 3.0, 10.0
 _TOKEN_RE = "[a-z]+"
-_LANG_MARKERS = {
-    # same marker sets as textdata.lang_id (en > de > es > fr precedence)
-    "en": ("the", "and", "of", "is"),
-    "de": ("der", "die", "und", "das"),
-    "es": ("el", "la", "de", "que"),
-    "fr": ("le", "la", "et", "les"),
-}
+# THE marker table and argmax live in textdata (lang_id); importing
+# them here means an edit to either can never desynchronize
+# quality_filter's predicted_lang (reject bit 16) from lang_id
+from trx_spark.queries.textdata import (  # noqa: E402
+    _LANG_MARKERS,
+    lang_argmax,
+    lang_marker_scores,
+)
 
 
 def quality_signals(docs: DataFrame) -> DataFrame:
@@ -414,17 +415,8 @@ def quality_signals(docs: DataFrame) -> DataFrame:
     )
     n_bg = F.size(bgs).cast("long")
     tb = _max_run_count(bgs)
-    s = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
-        for lang, words in _LANG_MARKERS.items()
-    }
-    pred = (
-        F.when(s["en"] + s["de"] + s["es"] + s["fr"] == 0, F.lit("und"))
-        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
-        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
-        .when(s["es"] >= s["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
+    s = lang_marker_scores(toks)
+    pred = lang_argmax(s)
     dup_frac = (n - nd).cast("double") / n.cast("double")
     wl = tc.cast("double") / n.cast("double")
     bg_frac = F.when(n_bg > 0, tb.cast("double") / n_bg.cast("double")).otherwise(

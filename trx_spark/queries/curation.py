@@ -353,22 +353,37 @@ def _sample_hash_col():
     return (F.col("doc_id") % _P * _SAMPLE_A + _SAMPLE_B) % _P % 100
 
 
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language sample of the documents table."""
-    docs = load_table(spark, sf_dir, "documents")
+def _rate_col():
+    """The per-stratum sampling rate as ONE shared Column expression —
+    stratified_sample and quality_stratified_sample must draw from the
+    identical rule or the composed sample stops being a subset."""
     rate = F.lit(_DEFAULT_RATE)
     for lang, r in _STRATA_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    return docs.where(_sample_hash_col() < rate).select(
+    return rate
+
+
+def _rate_case_sql(col: str = "lang") -> str:
+    """The SQL twin, parameterized by the qualified column reference
+    (a post-hoc string replace of 'lang' would rewrite EVERY
+    occurrence of that substring in the fragment, not just the
+    column)."""
+    return (
+        "CASE "
+        + " ".join(f"WHEN {col} = '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+        + f" ELSE {_DEFAULT_RATE} END"
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample of the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(_sample_hash_col() < _rate_col()).select(
         "doc_id", "lang", "source", "n_chars"
     )
 
 
-_RATE_CASE = (
-    "CASE "
-    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
-    + f" ELSE {_DEFAULT_RATE} END"
-)
+_RATE_CASE = _rate_case_sql()
 
 _STRATIFIED_SQL = f"""
 SELECT doc_id, lang, source, n_chars
@@ -388,11 +403,8 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     keep = quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    rate = F.lit(_DEFAULT_RATE)
-    for lang, r in _STRATA_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
     return (
-        docs.where(_sample_hash_col() < rate)
+        docs.where(_sample_hash_col() < _rate_col())
         .join(keep, "doc_id", "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
     )
@@ -406,7 +418,7 @@ def _quality_stratified_sql() -> str:
 WITH q AS ({quality})
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
-WHERE (d.doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 100 < {_RATE_CASE.replace("lang", "d.lang")}
+WHERE (d.doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % 100 < {_rate_case_sql("d.lang")}
   AND d.doc_id IN (SELECT doc_id FROM q WHERE keep)
 """
 
@@ -725,18 +737,20 @@ _VOCAB_K = 16
 
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate against the corpus top-_VOCAB_K vocabulary
-    (docs with zero tokens emit no row)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    (docs with zero tokens emit no row). Rides the memoized tokenized
+    base + token stream — the regex pass is the module's 'single most
+    repeated piece of work' and must not re-run per consumer."""
     vocab = (
-        docs.select(F.explode(toks).alias("token"))
+        _token_stream(spark, sf_dir)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("token"))
         .limit(_VOCAB_K)
         .agg(F.sort_array(F.collect_list("token")).alias("va"))
     )
-    base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    base = _toks_base(spark, sf_dir).select("doc_id", "toks").where(
+        F.size("toks") > 0
+    )
     j = base.crossJoin(F.broadcast(vocab))
     n_tok = F.size("toks").cast("long")
     n_oov = F.size(

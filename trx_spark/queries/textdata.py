@@ -127,25 +127,36 @@ _LANG_MARKERS = {
 }
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID: count per-language marker tokens, argmax
-    with a fixed precedence (en > de > es > fr; 'und' = undetermined when
-    all scores are zero)."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = _tokens_col()
-    scores = {
+def lang_marker_scores(toks) -> dict:
+    """Per-language marker-token counts over a token-array column —
+    THE marker table (shared with corpus.quality_signals so the two
+    can never desynchronize)."""
+    return {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
         for lang, words in _LANG_MARKERS.items()
     }
-    df = docs.select("doc_id", "lang", *[scores[k].alias(f"score_{k}") for k in _LANG_MARKERS])
-    s = {k: F.col(f"score_{k}") for k in _LANG_MARKERS}
-    pred = (
+
+
+def lang_argmax(s: dict):
+    """The fixed argmax precedence (en > de > es > fr; 'und' when all
+    scores are zero) over a {lang: score Column} dict."""
+    return (
         F.when(s["en"] + s["de"] + s["es"] + s["fr"] == 0, F.lit("und"))
         .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
         .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
         .when(s["es"] >= s["fr"], F.lit("es"))
         .otherwise(F.lit("fr"))
     )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: count per-language marker tokens, argmax
+    with a fixed precedence (en > de > es > fr; 'und' = undetermined when
+    all scores are zero)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    scores = lang_marker_scores(_tokens_col())
+    df = docs.select("doc_id", "lang", *[scores[k].alias(f"score_{k}") for k in _LANG_MARKERS])
+    pred = lang_argmax({k: F.col(f"score_{k}") for k in _LANG_MARKERS})
     return df.withColumn("predicted_lang", pred)
 
 
@@ -837,9 +848,21 @@ WHERE rank <= {_TOP_K}
 
 _VERIFY_JACCARD_MIN = 0.5
 
+# (doc_a, doc_b, n_inter, n_a, n_b) per candidate pair — shared by the
+# Jaccard verifier and the containment scorer (one token explode, one
+# intersection join, one checkpoint for both)
+_PAIR_STATS_CACHE: dict = {}
 
-def lsh_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-Jaccard verification of the MinHash-LSH candidates."""
+
+def _pair_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token intersection statistics over the memoized LSH
+    candidate pairs: (doc_a, doc_b, n_inter, n_a, n_b). The verifier
+    (exact Jaccard) and the containment scorer (Broder c(A→B)) are
+    both pure arithmetic over this frame — the intersection machinery
+    exists ONCE in each engine."""
+    key = (spark, sf_dir)
+    if key in _PAIR_STATS_CACHE:
+        return _PAIR_STATS_CACHE[key]
     pairs = minhash_lsh_pairs(spark, sf_dir)
     tok = (
         fan_out_small_scan(load_table(spark, sf_dir, "documents"))
@@ -856,11 +879,20 @@ def lsh_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("n_sh", "n_a"), inter.doc_a == F.col("doc_id"))
         .drop("doc_id")
         .join(sizes.withColumnRenamed("n_sh", "n_b"), F.col("doc_b") == F.col("doc_id"))
         .drop("doc_id")
+    )
+    _PAIR_STATS_CACHE[key] = out.localCheckpoint()
+    return _PAIR_STATS_CACHE[key]
+
+
+def lsh_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification of the MinHash-LSH candidates."""
+    return (
+        _pair_token_stats(spark, sf_dir)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -871,8 +903,9 @@ def lsh_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_VERIFIED_SQL = f"""
-WITH {_PAIRS_CTES},
+# the shared intersection CTE chain (the SQL twin of
+# _pair_token_stats — both oracles derive from pstats)
+_PAIR_STATS_CTES = f"""{_PAIRS_CTES},
 tok AS (
   SELECT DISTINCT doc_id, t
   FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS t
@@ -885,13 +918,20 @@ inter AS (
   JOIN tok a ON a.doc_id = p.doc_a
   JOIN tok b ON b.doc_id = p.doc_b AND b.t = a.t
   GROUP BY p.doc_a, p.doc_b
-)
-SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
-  CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)
+),
+pstats AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)"""
+
+_LSH_VERIFIED_SQL = f"""
+WITH {_PAIR_STATS_CTES}
+SELECT doc_a, doc_b, n_inter, n_a, n_b,
+  CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM pstats
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
       >= CAST({_VERIFY_JACCARD_MIN!r} AS DOUBLE)
 """
 
@@ -906,31 +946,12 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c ≈ 1 while J = |A|/|B| can be tiny (Broder's containment, the
     quote/boilerplate-inclusion detector). Emits pairs where either
     direction's containment ≥ _CONTAIN_MIN, with both directions
-    reported. Same blocked-join shape as lsh_pairs_verified — the LSH
-    pair table prunes the quadratic space first."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    tok = (
-        fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("t"))
-        .localCheckpoint()
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(tok.alias("ta"), pairs.doc_a == F.col("ta.doc_id"))
-        .join(
-            tok.alias("tb"),
-            (pairs.doc_b == F.col("tb.doc_id")) & (F.col("ta.t") == F.col("tb.t")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    reported. Rides the SAME pair-intersection frame as
+    lsh_pairs_verified (one blocked join serves both)."""
     c_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
     c_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
     return (
-        inter.join(sizes.withColumnRenamed("n_sh", "n_a"), inter.doc_a == F.col("doc_id"))
-        .drop("doc_id")
-        .join(sizes.withColumnRenamed("n_sh", "n_b"), F.col("doc_b") == F.col("doc_id"))
-        .drop("doc_id")
+        _pair_token_stats(spark, sf_dir)
         .withColumn("contain_a", c_a)
         .withColumn("contain_b", c_b)
         .filter(
@@ -942,28 +963,13 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAINMENT_SQL = f"""
-WITH {_PAIRS_CTES},
-tok AS (
-  SELECT DISTINCT doc_id, t
-  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS t
-        FROM documents) x
-),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM pairs p
-  JOIN tok a ON a.doc_id = p.doc_a
-  JOIN tok b ON b.doc_id = p.doc_b AND b.t = a.t
-  GROUP BY p.doc_a, p.doc_b
-)
-SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
-  CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS contain_a,
-  CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS contain_b
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= CAST({_CONTAIN_MIN!r} AS DOUBLE)
-   OR CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= CAST({_CONTAIN_MIN!r} AS DOUBLE)
+WITH {_PAIR_STATS_CTES}
+SELECT doc_a, doc_b, n_inter, n_a, n_b,
+  CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS contain_a,
+  CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS contain_b
+FROM pstats
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= CAST({_CONTAIN_MIN!r} AS DOUBLE)
+   OR CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= CAST({_CONTAIN_MIN!r} AS DOUBLE)
 """
 
 
