@@ -229,6 +229,7 @@ def test_dezinger_percentile_reference_scale(spark, tmp_path):
     """compat.doFolder accepts the reference/pyFAI 0-100 dezinger knob
     (e.g. 50) and rescales it to the engine's [0, 1] fraction — the
     verbatim-forwarded value used to crash Spark's percentile()."""
+    import pytest
     img = np.full((NY, NX), 50.0, dtype="f8")
     (tmp_path / "a.edf").write_bytes(encode_edf(img))
     curves = compat.doFolder(
@@ -236,3 +237,17 @@ def test_dezinger_percentile_reference_scale(spark, tmp_path):
         nQ=4, qlims=(0.0, 2.0), dezinger=50,
     ).toPandas()
     assert len(curves) > 0  # flat image: nothing flagged, curves intact
+
+    # the façade scale is ALWAYS 0-100: dezinger=1 means the 1st
+    # percentile (0.01 fraction), never the max-baseline fraction 1.0
+    low = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        nQ=4, qlims=(0.0, 2.0), dezinger=1,
+    ).toPandas()
+    assert len(low) > 0
+    for bad in (0, -5, 101):
+        with pytest.raises(ValueError, match="percentile"):
+            compat.doFolder(
+                spark, str(tmp_path), _geometry(spark),
+                nQ=4, qlims=(0.0, 2.0), dezinger=bad,
+            )

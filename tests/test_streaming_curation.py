@@ -150,6 +150,68 @@ def test_hot_key_state_bounded(spark, tmp_path):
     assert hstore.count() == 1
 
 
+def test_replay_after_single_store_compaction(spark, tmp_path):
+    """Crash-replay with INDEPENDENT store compaction: epoch 1 appended
+    its hashes but crashed before the band append; an operator then
+    compacted only the hash store (folding epoch 1 into _epoch=-1 and
+    advancing ITS watermark). The replay must still run the band leg —
+    an all-or-nothing skip on max(watermarks) would permanently lose
+    epoch 1's band keys, so later near-dups of its docs would go
+    undetected — while leaving the already-written verdicts and the
+    folded hash store untouched."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from trx_spark.sources.sinks import compact_store
+    from trx_spark.streaming.curation import make_curation_batch_handler
+
+    hash_store = str(tmp_path / "hashes")
+    band_store = str(tmp_path / "bands")
+    verdict_dir = str(tmp_path / "verdicts")
+    handler = make_curation_batch_handler(hash_store, band_store, verdict_dir)
+
+    def wave(rows):
+        return spark.createDataFrame(
+            [(d, t, "s", "en", len(t)) for d, t in rows], _SCHEMA
+        )
+
+    handler(wave([(1, _GOOD)]), 0)
+    handler(wave([(10, _GOOD2)]), 1)
+    # crash window: epoch 1's band append is lost, hashes + verdict kept
+    shutil.rmtree(str(tmp_path / "bands" / "_epoch=1"))
+    compact_store(spark, hash_store, partition_by="_epoch")
+
+    # restart: the streaming checkpoint replays epoch 1
+    handler(wave([(10, _GOOD2)]), 1)
+
+    # the band leg ran: epoch 1's band keys are back in the store
+    restored = (
+        spark.read.parquet(band_store)
+        .filter(F.col("_epoch") == 1)
+        .count()
+    )
+    assert restored > 0
+    # the folded hash store was NOT double-appended (1 distinct row per
+    # text) and the epoch-1 verdict survived unchanged
+    assert spark.read.parquet(hash_store).select("h").distinct().count() == 2
+    assert spark.read.parquet(hash_store).count() == 2
+    v = {
+        r["doc_id"]: (r["quality_keep"], r["exact_first"], r["near_dup"], r["keep"])
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert v[10] == (True, True, False, True)
+
+    # and a later near-dup of the replayed doc IS detected
+    near = _GOOD2.replace("atomic", "nuclear")
+    handler(wave([(20, near)]), 2)
+    v2 = {
+        r["doc_id"]: r["near_dup"]
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert v2[20] is True
+
+
 def test_empty_landing_returns_typed_empty(spark, tmp_path):
     """Catch-up before any documents land must return an explicitly
     typed empty verdict frame, not crash at the verdict read."""

@@ -62,10 +62,21 @@ def doFolder(
     it with sources.sinks.save_with_config for the reference's
     azav.h5-style cached store (F7 config-hash invalidation)."""
     q_min, q_max = qlims if qlims is not None else (0.0, 10.0)
-    if dezinger is not None and dezinger > 1:
-        # the reference/pyFAI knob is on the 0-100 scale
-        # (trx/azav.py:254-257, 'percentile=50'); the engine's dezinger
-        # takes a [0, 1] fraction — rescale reference-style values
+    if dezinger is not None:
+        # the reference/pyFAI knob is ALWAYS on the 0-100 percentile
+        # scale (trx/azav.py:254-257, 'percentile=50'); the engine's
+        # native dezinger takes a [0, 1] fraction, so the façade
+        # rescales unconditionally — a conditional "only if > 1"
+        # rescale would silently reinterpret a reference-style
+        # dezinger=1 (the 1st percentile) as the fraction 1.0, the
+        # maximum, inverting the intended baseline. Fraction-form
+        # callers belong on operators.azav.dezinger directly.
+        if not 0.0 < dezinger <= 100.0:
+            raise ValueError(
+                f"compat dezinger={dezinger!r} must be a percentile in "
+                "(0, 100] (the reference/pyFAI scale); for a [0, 1] "
+                "fraction use the native operators.azav.dezinger"
+            )
         dezinger = dezinger / 100.0
     assets = read_binary_assets(spark, f"{folder.rstrip('/')}/{files}", "image")
     pixels = decode_image(assets, codec="auto").withColumn(

@@ -445,7 +445,7 @@ def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_STATS_SQL = """
 SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(value) AS BIGINT) AS n,
        CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
          AS sum_value,
        CAST(MIN(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6

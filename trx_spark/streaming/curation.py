@@ -67,124 +67,145 @@ def make_curation_batch_handler(
         from trx_spark.queries.corpus import quality_signals
         from trx_spark.sources.sinks import compacted_through
 
-        if int(epoch_id) <= max(
-            compacted_through(hash_store), compacted_through(band_store)
-        ):
-            # replayed epoch already folded into a store's _epoch=-1
-            # generation (compact_band_store watermark): its verdicts
-            # and state rows are in place; re-running would double-
-            # count its own rows into the saturation totals
+        e = int(epoch_id)
+        # Per-store replay gates: each store folds (compacts)
+        # independently, so each append is gated on ITS OWN
+        # _compacted_through watermark. A crash between the two appends
+        # followed by compacting only the hash store used to advance a
+        # shared max() watermark past the epoch and skip the replay
+        # outright — permanently losing the epoch's band keys from the
+        # near-dup index. Now the replay still runs the band leg and
+        # appends the missing band rows.
+        do_hash = e > compacted_through(hash_store)
+        do_band = e > compacted_through(band_store)
+        if not do_hash and not do_band:
+            # fully folded into both stores: verdicts and state rows
+            # are all in place; re-running would double-count the
+            # epoch's own rows into the saturation totals
             return
+        # The verdict is written BEFORE either append, so if either
+        # store already folded this epoch the verdict partition exists
+        # — and recomputing it would be wrong anyway: the folded rows
+        # sit at _epoch=-1 where the own-epoch exclusion filter cannot
+        # see them, so a replayed leg would read the epoch's own state
+        # as "previously seen".
+        do_verdict = do_hash and do_band
         spark = batch.sparkSession
         docs = batch.localCheckpoint()
 
-        q = quality_signals(docs).select(
-            "doc_id", F.col("keep").alias("quality_keep")
-        )
-
         # ---- exact-dup leg (first occurrence of the text hash wins)
-        hashes = docs.select(
-            "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
-        ).withColumn("_hb", hb).localCheckpoint()
-        touched_hb = [r["_hb"] for r in hashes.select("_hb").distinct().collect()]
-        hstore = _read_band_store(spark, hash_store)
-        prev_h = (
-            hstore.filter(
-                F.col("_hb").isin(touched_hb) & (F.col("_epoch") != int(epoch_id))
-            ).select("h").distinct()
-            if hstore is not None
-            else None
-        )
-        first_in_batch = hashes.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        first_new = first_in_batch.select("doc_id", "h")
-        if prev_h is not None:
-            first_new = first_new.join(prev_h, "h", "left_anti")
-        # checkpointed: feeds BOTH the verdict flag and the store append
-        first_new = first_new.withColumn("_hb", hb).localCheckpoint()
-        exact_first = first_new.select(
-            "doc_id", F.lit(True).alias("exact_first")
-        )
+        first_new = None
+        if do_hash:
+            hashes = docs.select(
+                "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+            ).withColumn("_hb", hb).localCheckpoint()
+            touched_hb = [r["_hb"] for r in hashes.select("_hb").distinct().collect()]
+            hstore = _read_band_store(spark, hash_store)
+            prev_h = (
+                hstore.filter(
+                    F.col("_hb").isin(touched_hb) & (F.col("_epoch") != e)
+                ).select("h").distinct()
+                if hstore is not None
+                else None
+            )
+            first_in_batch = hashes.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            first_new = first_in_batch.select("doc_id", "h")
+            if prev_h is not None:
+                first_new = first_new.join(prev_h, "h", "left_anti")
+            # checkpointed: feeds BOTH the verdict flag and the store append
+            first_new = first_new.withColumn("_hb", hb).localCheckpoint()
 
         # ---- near-dup leg (same band scheme + key cap as dedup_index)
-        new = band_keys(docs).withColumn("_kb", kb).localCheckpoint()
-        touched_kb = [r["_kb"] for r in new.select("_kb").distinct().collect()]
-        bstore = _read_band_store(spark, band_store)
-        seen = (
-            bstore.filter(
-                F.col("_kb").isin(touched_kb) & (F.col("_epoch") != int(epoch_id))
-            ).drop("_epoch", "_kb")
-            if bstore is not None
-            else None
-        )
-        ok = drop_saturated_keys(
-            new, seen, on=on, key_cap=key_cap, epoch_id=epoch_id,
-            what="curation",
-        )
-
-        near_prev = (
-            F.broadcast(ok.alias("n"))
-            .join(seen.alias("s"), on)
-            .select(F.col("n.doc_id").alias("doc_id"))
-            .distinct()
-            if seen is not None
-            else None
-        )
-        a = ok.alias("a")
-        near_in_batch = (
-            F.broadcast(ok.alias("b")).join(a, on)
-            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_id"))
-            .distinct()
-        )
-        near = near_in_batch
-        if near_prev is not None:
-            near = near.unionByName(near_prev).distinct()
-        near = near.select("doc_id", F.lit(True).alias("near_dup"))
-
-        # ---- composed verdict
-        verdict = (
-            docs.select("doc_id")
-            .join(q, "doc_id", "left")
-            .join(exact_first, "doc_id", "left")
-            .join(near, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
-                F.coalesce("exact_first", F.lit(False)).alias("exact_first"),
-                F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        ok = None
+        seen = None
+        if do_band:
+            new = band_keys(docs).withColumn("_kb", kb).localCheckpoint()
+            touched_kb = [r["_kb"] for r in new.select("_kb").distinct().collect()]
+            bstore = _read_band_store(spark, band_store)
+            seen = (
+                bstore.filter(
+                    F.col("_kb").isin(touched_kb) & (F.col("_epoch") != e)
+                ).drop("_epoch", "_kb")
+                if bstore is not None
+                else None
             )
-            .withColumn(
-                "keep",
-                F.col("quality_keep") & F.col("exact_first") & ~F.col("near_dup"),
+            ok = drop_saturated_keys(
+                new, seen, on=on, key_cap=key_cap, epoch_id=epoch_id,
+                what="curation",
             )
-        )
-        (
-            verdict.withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(verdict_dir)
-        )
+
+        if do_verdict:
+            q = quality_signals(docs).select(
+                "doc_id", F.col("keep").alias("quality_keep")
+            )
+            exact_first = first_new.select(
+                "doc_id", F.lit(True).alias("exact_first")
+            )
+            near_prev = (
+                F.broadcast(ok.alias("n"))
+                .join(seen.alias("s"), on)
+                .select(F.col("n.doc_id").alias("doc_id"))
+                .distinct()
+                if seen is not None
+                else None
+            )
+            a = ok.alias("a")
+            near_in_batch = (
+                F.broadcast(ok.alias("b")).join(a, on)
+                .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+                .select(F.col("a.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            near = near_in_batch
+            if near_prev is not None:
+                near = near.unionByName(near_prev).distinct()
+            near = near.select("doc_id", F.lit(True).alias("near_dup"))
+
+            verdict = (
+                docs.select("doc_id")
+                .join(q, "doc_id", "left")
+                .join(exact_first, "doc_id", "left")
+                .join(near, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
+                    F.coalesce("exact_first", F.lit(False)).alias("exact_first"),
+                    F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+                )
+                .withColumn(
+                    "keep",
+                    F.col("quality_keep") & F.col("exact_first") & ~F.col("near_dup"),
+                )
+            )
+            (
+                verdict.withColumn("_epoch", F.lit(e))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(verdict_dir)
+            )
         # state appends: FIRST-SEEN hashes only (one stored row per
         # distinct hash is sufficient for the first-seen-wins anti-join
         # and bounds the store by distinct-hash count — appending every
         # doc's hash would grow per-hash state linearly with duplicate
         # volume, the exact flood the band-key cap guards against);
         # every non-saturated band row
-        (
-            first_new.withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch", "_hb")
-            .parquet(hash_store)
-        )
-        (
-            ok.withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch", "_kb")
-            .parquet(band_store)
-        )
+        if do_hash:
+            (
+                first_new.withColumn("_epoch", F.lit(e))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch", "_hb")
+                .parquet(hash_store)
+            )
+        if do_band:
+            (
+                ok.withColumn("_epoch", F.lit(e))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch", "_kb")
+                .parquet(band_store)
+            )
 
     return handle
 

@@ -148,9 +148,11 @@ def drop_saturated_keys(
         len(sat_rows),
         key_cap,
     )
+    # schema derived from the input's own key columns so a caller with
+    # a different key set cannot silently desynchronize the anti-join
     sat = spark.createDataFrame(
         [tuple(r[c] for c in on) for r in sat_rows],
-        "band INT, hx BIGINT, hy BIGINT",
+        new.select(*on).schema,
     )
     return new.join(F.broadcast(sat), on, "left_anti").localCheckpoint()
 
