@@ -149,6 +149,11 @@ HEADLINE = [
     "copurchase_lift",
     "knn_triangles",
     "user_rfm_segments",
+    # round-6 additions (streaming_curation_keep is gate-only, like the
+    # rest of the streaming family)
+    "image_dedup_groups",
+    "audio_dedup_groups",
+    "lm_bigram_counts",
 ]
 
 

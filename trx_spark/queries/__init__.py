@@ -20,6 +20,7 @@ from trx_spark.queries import (
     curation,
     curriculum,
     lm,
+    multimodalq,
     packing,
     ranking,
     relational,
@@ -55,56 +56,51 @@ for mod in (
     bpe,
     lm,
     classifier,
+    multimodalq,
     streamingq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
 # The driver's correctness gate hashes the first 50 registry entries per
-# round.  Rounds 1-3 verified the relational/trx-domain/ANN block and
-# round 4's rotation verified the curation/PQ/packing/streaming waves
-# (CORRECTNESS_r03 ∪ r04 = 100 distinct names, 99 green).  Round-5
-# rotation: the 19 queries that have never had a driver row (the late
-# round-4 waves beyond the window) come first, then the three streaming
-# entries whose oracles are NEW this round (incremental_stats gained its
-# batch GROUP-BY twin; running_stats and lsh_pairs are new gate entries
-# for the stateful operator and the LSH index), then the 6 brand-new
-# round-5 queries, then 22 round-1-era classics as regression
-# re-checks of round-5 code (19 + 3 + 6 + 22 = 50).  Union r03∪r04∪r05
-# then covers every oracle-bearing registry name.
-_R05_UNCHECKED = [
-    "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
-    "streaming_pricing_summary", "contrastive_triples", "dedup_report",
-    "bpe_merges", "bpe_encode", "compression_ratio", "lm_perplexity",
-    "minhash_containment", "knn_reciprocal_pairs", "mmr_diverse_topk",
-    "training_set_manifest", "quality_classifier_scores",
-    "source_overlap_matrix", "ngram_novelty", "event_rate_cusum",
-    "train_val_test_split",
+# round.  The r01-r05 union covers all 127 pre-round-6 names (124/124
+# oracles green), so rotation now optimizes for CODE CURRENCY: every
+# name whose driver row predates the code that currently backs it gets
+# re-hashed first.  Round-6 window: the 4 brand-new gate entries
+# (perceptual image/audio dedup, the LM count model, the streaming
+# curation twin), then the 28 names whose newest driver row is r03-era
+# (the oldest rows in the union), then 18 round-4-era names whose
+# implementations were touched by the round-5 shared-helper refactors
+# across curation/corpus/textdata/similarity (span dedup, quality gate,
+# keep-list, vocab/bigram streams, clustering, decontam, sketches)
+# (4 + 28 + 18 = 50).  The 31 remaining r04-era names rotate in r7.
+_R06_NEW = [
+    "image_dedup_groups", "audio_dedup_groups",
+    "lm_bigram_counts", "streaming_curation_keep",
 ]
-_R05_NEW_ORACLES = [
-    "streaming_incremental_stats", "streaming_running_stats",
-    "streaming_lsh_pairs",
+_R06_R03_ERA = [
+    "ann_topk_lsh", "ann_topk_multiprobe", "azint_qlims",
+    "curves_chi2_per_shot", "curves_scan_stats",
+    "customers_without_orders", "delay_codec", "diffs_plus_ref",
+    "distinct_scan_points", "events_pivot_counts",
+    "filter_outlier_curves", "global_curve_stats", "lang_id",
+    "lsh_pairs_verified", "monitor_qwindow_median",
+    "ngram_jaccard_pairs", "parts_with_orders", "polygon_mask_flags",
+    "pricing_rollup", "rebin_nearest", "reflections_cubic_si",
+    "running_order_totals", "salted_skewjoin_stats",
+    "shipping_priority", "slice_skip_first_last", "supplier_revenue",
+    "times_to_info", "value_gradient",
 ]
-# Brand-new round-5 queries (c-TF-IDF source triage, Markov transition
-# matrix, rolling DAU/WAU) go straight into the window so they get a
-# driver row in their first round.
-_R05_NEW_QUERIES = [
-    "tfidf_top_terms", "event_transition_matrix", "rolling_active_users",
-    "copurchase_lift", "knn_triangles", "user_rfm_segments",
+_R06_R5_TOUCHED = [
+    "span_dedup", "quality_filter", "corpus_keep_list",
+    "vocab_coverage", "bigram_rarity", "normalized_docs",
+    "repetition_stats", "topk_ngrams", "dedup_clusters",
+    "token_count_bpe", "contamination_check", "decontam_bloom_flags",
+    "decontaminated_docs", "dsir_weights", "cms_heavy_hitters",
+    "hll_distinct_tokens", "semantic_dedup", "embedding_neardup_pairs",
 ]
-_R05_RECHECK = [
-    "pricing_summary", "revenue_by_nation", "topk_orders_per_customer",
-    "azint_1d", "azint_2d", "dezinger_flags", "monitor_norm",
-    "asof_interp_refs", "scanpoint_stats", "chi2_filter_auto",
-    "mad_outliers", "dedup_exact", "token_stats", "minhash_signatures",
-    "minhash_lsh_pairs", "doc_fingerprints", "ann_cosine_topk",
-    "asof_interp_per_user", "sessionize_events", "simhash16",
-    "ann_lsh_buckets", "reflections_triclinic",
-]
-_R05_WINDOW = (
-    _R05_UNCHECKED + _R05_NEW_ORACLES + _R05_NEW_QUERIES + _R05_RECHECK
-)
-assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
-_order = _R05_WINDOW + [n for n in QUERIES if n not in set(_R05_WINDOW)]
+_R06_WINDOW = _R06_NEW + _R06_R03_ERA + _R06_R5_TOUCHED
+assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)
+_order = _R06_WINDOW + [n for n in QUERIES if n not in set(_R06_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

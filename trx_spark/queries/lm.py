@@ -121,8 +121,69 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the LM's EXACT integer sufficient statistics.
+
+    ``lm_perplexity`` itself has no SQL oracle (log2/pow are libm,
+    not bit-portable), but the trained model is fully determined by
+    integer counts: the top-K vocabulary (count-desc, token-asc
+    tie-break), the UNK fold, the mapped bigram counts c(w1,w2) and
+    the mapped unigram counts c(w1). This query emits exactly those —
+    one row per surviving (w1, w2) with both counts — so the driver
+    hashes the entire count model; only the final transcendental
+    rescale stays under the Python-golden tests.
+
+    Shares `_train_lm`'s memoized frames with ``lm_perplexity`` (zero
+    extra passes over the corpus when both run in one session)."""
+    _, uni, bi = _train_lm(spark, sf_dir)
+    return bi.join(
+        F.broadcast(uni.withColumnRenamed("w", "w1")), "w1"
+    ).select("w1", "w2", "c2", "c1")
+
+
+_BIGRAM_COUNTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents
+),
+tok AS (SELECT doc_id, s.token FROM t, UNNEST(toks) AS s(token)),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT {_LM_VOCAB})
+),
+uni AS (
+  SELECT CASE WHEN v.token IS NOT NULL THEN tok.token
+              ELSE chr(0) || 'unk' END AS w,
+         CAST(COUNT(*) AS BIGINT) AS c1
+  FROM tok LEFT JOIN vocab v ON v.token = tok.token
+  GROUP BY w
+),
+bg AS (
+  SELECT b.ngram
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i+1])) AS b(ngram)
+),
+mb AS (
+  SELECT CASE WHEN v1.token IS NOT NULL THEN split_part(bg.ngram, ' ', 1)
+              ELSE chr(0) || 'unk' END AS w1,
+         CASE WHEN v2.token IS NOT NULL THEN split_part(bg.ngram, ' ', 2)
+              ELSE chr(0) || 'unk' END AS w2
+  FROM bg
+  LEFT JOIN vocab v1 ON v1.token = split_part(bg.ngram, ' ', 1)
+  LEFT JOIN vocab v2 ON v2.token = split_part(bg.ngram, ' ', 2)
+),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM mb GROUP BY w1, w2)
+SELECT bi.w1, bi.w2, bi.c2, u.c1
+FROM bi JOIN uni u ON u.w = bi.w1
+"""
+
+
 QUERIES = {
     "lm_perplexity": lm_perplexity,
+    "lm_bigram_counts": lm_bigram_counts,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "lm_bigram_counts": _BIGRAM_COUNTS_SQL,
+}

@@ -1,0 +1,171 @@
+"""Perceptual multimodal dedup in the correctness gate.
+
+The dHash image pipeline (block means → difference bits → 64-bit
+fingerprint; `operators/multimodal.py` dhash64/image_neardup_groups)
+and the audio energy-delta fingerprint (RMS envelope rise bits;
+audio_fingerprint/audio_neardup_groups) are deterministic INTEGER math
+end-to-end, so both graduate from tests-only into the DuckDB oracle
+gate — the same bar as every other dedup family.
+
+The driver's testdata carries no pixel/audio tables, so each query
+generates its fixture the way `reflections_cubic_si` generates its hkl
+table: a seedless integer-hash pattern over small ranges, planted with
+duplicate groups, expressed with the IDENTICAL arithmetic in Spark and
+DuckDB. Copies of the same content are emitted at different integer
+GAINS (1×/2×/3×) — the pipelines' fingerprints are invariant under any
+positive per-image (per-clip) rescale, so the gate checks the
+perceptual property itself, not just the plumbing: three gain-variants
+of one content must land in one group.
+
+Exactness notes:
+* every block-mean cell aggregates exactly 16 integer pixels (32×36
+  image, 8×9 grid), so AVG is an exact sum/16 in binary double — the
+  m > m_r comparisons are bit-portable;
+* bit 63 wraps negative in Spark's int64 ``shiftleft``; DuckDB raises
+  on ``1::BIGINT << 63``, so the oracle special-cases the sign bit to
+  the literal −2^63 (partial sums then stay inside int64 on both
+  engines: with the sign bit the running sum is in [−2^63, −1]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.operators.multimodal import audio_neardup_groups, image_neardup_groups
+
+# 60 images of 20 distinct contents → 20 groups of 3 gain-variants.
+_N_IMG = 60
+_N_CONTENT = 20
+_IMG_H, _IMG_W = 32, 36  # 8×9 dHash grid ⇒ every cell is exactly 4×4 px
+
+_N_CLIPS = 60
+_N_FRAMES = 65  # 64 delta bits need 65 envelope frames
+
+
+def _image_pixels(spark: SparkSession) -> DataFrame:
+    """Deterministic (file, y, x, intensity) pixel table: content
+    pattern ((content·997 + y·211 + x·53) mod 1024) at integer gain
+    (1 + file mod 3). Generation cross joins are tiny bounded ranges
+    (the J4/reflection-list pattern), not data joins."""
+    img = spark.range(0, _N_IMG).select(F.col("id").alias("file"))
+    ys = spark.range(0, _IMG_H).select(F.col("id").alias("y"))
+    xs = spark.range(0, _IMG_W).select(F.col("id").alias("x"))
+    base = (
+        (F.col("file") % _N_CONTENT) * 997 + F.col("y") * 211 + F.col("x") * 53
+    ) % 1024
+    gain = F.lit(1) + F.col("file") % 3
+    return img.crossJoin(ys).crossJoin(xs).select(
+        "file", "y", "x", (gain * base).alias("intensity")
+    )
+
+
+def image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: perceptual image near-dup groups over the generated
+    pixel fixture — (dhash, n_images, keeper_file), one row per
+    distinct dHash, smallest file elected keeper."""
+    return image_neardup_groups(
+        _image_pixels(spark), src_shape=(_IMG_H, _IMG_W)
+    ).select("dhash", "n_images", "keeper_file")
+
+
+_SIGN_BIT = -9223372036854775808  # −2^63: int64 wrap of 1 << 63
+
+
+def _shift_sql(pos: str) -> str:
+    """DuckDB raises on 1::BIGINT << 63 where Spark's shiftleft wraps
+    negative — emit the wrapped literal for the sign bit."""
+    return (
+        f"CASE WHEN {pos} = 63 THEN CAST({_SIGN_BIT} AS BIGINT) "
+        f"ELSE CAST(1 AS BIGINT) << ({pos}) END"
+    )
+
+
+_IMAGE_DEDUP_SQL = f"""
+WITH img AS (SELECT CAST(f AS BIGINT) AS file FROM range(0, {_N_IMG}) t(f)),
+ys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_IMG_H}) t(v)),
+xs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_IMG_W}) t(v)),
+px AS (
+  SELECT file, y, x,
+         (1 + file % 3)
+           * (((file % {_N_CONTENT}) * 997 + y * 211 + x * 53) % 1024)
+           AS intensity
+  FROM img, ys, xs
+),
+grid AS (
+  SELECT file,
+         CAST(FLOOR(y * 8 / {_IMG_H}) AS INTEGER) AS gy,
+         CAST(FLOOR(x * 9 / {_IMG_W}) AS INTEGER) AS gx,
+         AVG(intensity) AS m
+  FROM px GROUP BY file, gy, gx
+),
+bits AS (
+  SELECT g.file,
+         CASE WHEN g.m > r.m
+              THEN {_shift_sql('g.gy * 8 + g.gx')}
+              ELSE CAST(0 AS BIGINT) END AS b
+  FROM grid g JOIN grid r
+    ON r.file = g.file AND r.gy = g.gy AND r.gx = g.gx + 1
+),
+h AS (SELECT file, CAST(SUM(b) AS BIGINT) AS dhash FROM bits GROUP BY file)
+SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images, MIN(file) AS keeper_file
+FROM h GROUP BY dhash
+"""
+
+
+def _audio_frames(spark: SparkSession) -> DataFrame:
+    """Deterministic (file, frame_idx, rms) envelope table: content
+    pattern ((content·241 + frame·113) mod 503) at integer gain."""
+    clips = spark.range(0, _N_CLIPS).select(F.col("id").alias("file"))
+    frames = spark.range(0, _N_FRAMES).select(F.col("id").alias("frame_idx"))
+    base = ((F.col("file") % _N_CONTENT) * 241 + F.col("frame_idx") * 113) % 503
+    gain = F.lit(1) + F.col("file") % 3
+    return clips.crossJoin(frames).select(
+        "file", "frame_idx", (gain * base).alias("rms")
+    )
+
+
+def audio_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: audio fingerprint near-dup groups over the generated
+    envelope fixture — (afp, n_clips, keeper_file)."""
+    return audio_neardup_groups(_audio_frames(spark)).select(
+        "afp", "n_clips", "keeper_file"
+    )
+
+
+_AUDIO_DEDUP_SQL = f"""
+WITH clips AS (SELECT CAST(f AS BIGINT) AS file FROM range(0, {_N_CLIPS}) t(f)),
+fr AS (SELECT CAST(v AS BIGINT) AS frame_idx FROM range(0, {_N_FRAMES}) t(v)),
+feat AS (
+  SELECT file, frame_idx,
+         (1 + file % 3)
+           * (((file % {_N_CONTENT}) * 241 + frame_idx * 113) % 503) AS rms
+  FROM clips, fr
+),
+env AS (
+  SELECT file, frame_idx, rms,
+         lead(rms) OVER (PARTITION BY file ORDER BY frame_idx) AS rms_next
+  FROM feat WHERE frame_idx <= 63 + 1
+),
+bits AS (
+  SELECT file,
+         CASE WHEN rms_next > rms
+              THEN {_shift_sql('frame_idx')}
+              ELSE CAST(0 AS BIGINT) END AS b
+  FROM env WHERE frame_idx < 64
+),
+h AS (SELECT file, CAST(SUM(b) AS BIGINT) AS afp FROM bits GROUP BY file)
+SELECT afp, CAST(COUNT(*) AS BIGINT) AS n_clips, MIN(file) AS keeper_file
+FROM h GROUP BY afp
+"""
+
+
+QUERIES = {
+    "image_dedup_groups": image_dedup_groups,
+    "audio_dedup_groups": audio_dedup_groups,
+}
+
+ORACLES = {
+    "image_dedup_groups": _IMAGE_DEDUP_SQL,
+    "audio_dedup_groups": _AUDIO_DEDUP_SQL,
+}

@@ -492,6 +492,63 @@ def _lsh_pairs_oracle_sql() -> str:
     return _LSH_PAIRS_SQL
 
 
+def streaming_curation_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation twin (streaming/curation.py) in the gate:
+    drain the documents parquet (availableNow) through the first-seen-
+    wins handler and return the per-doc verdicts.
+
+    Over a single replay (one micro-batch) the first-seen-wins rules
+    are fully SQL-expressible: quality = the batch Gopher gate,
+    exact_first = smallest doc_id per text hash, near_dup = shares a
+    non-saturated MinHash band key with a smaller doc_id — the same
+    banding and the same per-key cap as the batch LSH query, so the
+    stateful curation path gets a full DuckDB oracle. Multi-wave ≡
+    first-seen-reference equivalence is pinned separately in
+    tests/test_streaming_curation.py."""
+    from trx_spark.streaming.curation import run_curation_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_curation_")
+    return run_curation_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="documents.parquet",
+        schema=schema,
+        hash_store=os.path.join(work, "hashes"),
+        band_store=os.path.join(work, "bands"),
+        verdict_dir=os.path.join(work, "verdicts"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+
+
+def _curation_keep_oracle_sql() -> str:
+    from trx_spark.queries.corpus import _QUALITY_SQL
+    from trx_spark.queries import textdata
+
+    quality = _QUALITY_SQL.strip().rstrip(";")
+    return f"""
+WITH {textdata._PAIRS_CTES},
+near AS (
+  SELECT DISTINCT a.doc_id
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy
+   AND b.doc_id < a.doc_id
+),
+ef AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+q AS ({quality})
+SELECT d.doc_id,
+  q.keep AS quality_keep,
+  (d.doc_id IN (SELECT doc_id FROM ef)) AS exact_first,
+  (d.doc_id IN (SELECT doc_id FROM near)) AS near_dup,
+  (q.keep AND (d.doc_id IN (SELECT doc_id FROM ef))
+   AND NOT (d.doc_id IN (SELECT doc_id FROM near))) AS keep
+FROM documents d JOIN q ON q.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -503,6 +560,7 @@ QUERIES = {
     "streaming_pricing_summary": streaming_pricing_summary,
     "streaming_running_stats": streaming_running_stats,
     "streaming_lsh_pairs": streaming_lsh_pairs,
+    "streaming_curation_keep": streaming_curation_keep,
 }
 ORACLES: dict[str, str] = {
     "streaming_incremental_stats": _INCREMENTAL_STATS_SQL,
@@ -517,4 +575,7 @@ ORACLES: dict[str, str] = {
     "streaming_running_stats": _RUNNING_STATS_SQL,
     # the SAME oracle as batch minhash_lsh_pairs (single-replay ≡ batch)
     "streaming_lsh_pairs": _lsh_pairs_oracle_sql(),
+    # single-replay first-seen-wins rules, fully SQL (batch quality ∧
+    # min-doc_id-per-hash ∧ capped band-key match to a smaller doc_id)
+    "streaming_curation_keep": _curation_keep_oracle_sql(),
 }

@@ -219,12 +219,15 @@ def run_curation_catchup(
     band_store: str,
     verdict_dir: str,
     checkpoint_dir: str,
+    path_glob_filter: str | None = None,
     max_files_per_trigger: int | None = None,
     key_cap: int = _STREAM_KEY_CAP,
 ) -> DataFrame:
     """Drain the landing dir (availableNow) through the curation
     handler; returns the accumulated per-doc verdicts."""
     reader = spark.readStream.schema(schema)
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
