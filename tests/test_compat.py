@@ -225,6 +225,58 @@ def test_save_txt_label_collision(spark, tmp_path):
     assert not any(p.endswith("diff_av_+1ns.txt") for p in per_delay)
 
 
+def test_save_diffs_xy_golden(spark, tmp_path):
+    """S12 (trx/utils/misc.py:67-80): one 2-col %f-formatted .xy file
+    per scan point, named <sample>_<run>_<i:03d>_<timeToStr>.xy, rows
+    (2theta_deg, diff_plus_ref) in ascending 2theta order."""
+    import math
+
+    import pytest
+
+    scan = spark.createDataFrame(
+        [
+            (1.0e-9, 0.5, 10.0),
+            (1.0e-9, 1.5, 11.0),
+            (-10.0, 0.5, 20.0),
+            (-10.0, 1.5, 21.0),
+        ],
+        "delay double, q double, diff_plus_ref double",
+    )
+    out = tmp_path / "sample" / "runA"
+    written = compat.save_diffs_xy({"scan": scan}, str(out), wavelength=1.0)
+    assert [p.split("/")[-1] for p in written] == [
+        "sample_runA_000_-10s.xy",
+        "sample_runA_001_+1ns.xy",
+    ]
+    tt = lambda q: math.degrees(2.0 * math.asin(q * 1.0 / (4.0 * math.pi)))
+    got = (out / "sample_runA_001_+1ns.xy").read_text()
+    want = "".join("%f %f\n" % (tt(q), v) for q, v in [(0.5, 10.0), (1.5, 11.0)])
+    assert got == want
+
+    # q_bin-only scans recover q through the curve bank's (q_bin, q) map
+    scan_b = spark.createDataFrame(
+        [(1.0e-9, 0, 10.0)], "delay double, q_bin int, diff_plus_ref double"
+    )
+    curves = spark.createDataFrame([(0, 0.5)], "q_bin int, q double")
+    w2 = compat.save_diffs_xy(
+        {"scan": scan_b}, str(tmp_path / "s2" / "r2"), curves=curves, wavelength=1.0
+    )
+    assert (tmp_path / "s2" / "r2" / "s2_r2_000_+1ns.xy").read_text() == (
+        "%f %f\n" % (tt(0.5), 10.0)
+    )
+    assert len(w2) == 1
+
+    # no 2theta axis and no q → explicit error, not silent column guess
+    with pytest.raises(ValueError, match="2theta"):
+        compat.save_diffs_xy({"scan": scan_b}, str(tmp_path / "s3"))
+    # missing diff_plus_ref → explicit error
+    with pytest.raises(ValueError, match="diff_plus_ref"):
+        compat.save_diffs_xy(
+            {"scan": scan.drop("diff_plus_ref")}, str(tmp_path / "s4"),
+            wavelength=1.0,
+        )
+
+
 def test_dezinger_percentile_reference_scale(spark, tmp_path):
     """compat.doFolder accepts the reference/pyFAI 0-100 dezinger knob
     (e.g. 50) and rescales it to the engine's [0, 1] fraction — the

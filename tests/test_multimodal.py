@@ -643,3 +643,115 @@ def test_cbf_cif_long_preamble_sniff_and_distributed(spark, tmp_path):
     np.testing.assert_array_equal(
         px["intensity"].to_numpy().reshape(8, 8), img.astype(float)
     )
+
+
+def test_mar345_roundtrip_kernel():
+    """decode_mar345(encode_mar345(img)) == img across bit-size tiers
+    (flat blocks → 0-bit, photon noise → 4-8 bit, sharp spikes → 16/32
+    bit) plus the >65535 overflow table and both byte orders."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_mar345, encode_mar345
+
+    rng = np.random.default_rng(23)
+    img = rng.poisson(120, (16, 16)).astype("u2")
+    img[3, 5] = 65535          # packed ceiling, no overflow record
+    back, hdr = decode_mar345(encode_mar345(img))
+    np.testing.assert_array_equal(back, img.astype(np.int64))
+    assert hdr["size"] == 16 and hdr["nhigh"] == 0
+
+    # overflow pixels (>65535) go through the (1-based addr, value)
+    # table and come back exact
+    big = img.astype("u4")
+    big[0, 0] = 70_000
+    big[15, 15] = 2_000_000_000  # int32 record ceiling is 2^31 - 1
+    back2, hdr2 = decode_mar345(encode_mar345(big))
+    np.testing.assert_array_equal(back2, big.astype(np.int64))
+    assert hdr2["nhigh"] == 2
+    with pytest.raises(ValueError, match="int32"):
+        encode_mar345(np.full((4, 4), 1 << 31, dtype="u4"))
+
+    # flat image → all-zero diffs → 0-bit blocks; spiky image → 32-bit
+    flat = np.full((8, 8), 7, dtype="u2")
+    np.testing.assert_array_equal(decode_mar345(encode_mar345(flat))[0], 7)
+    spiky = np.zeros((8, 8), dtype="u2")
+    spiky[::2, ::2] = 60_000
+    np.testing.assert_array_equal(
+        decode_mar345(encode_mar345(spiky))[0], spiky.astype(np.int64)
+    )
+
+    # big-endian container
+    back3, hdr3 = decode_mar345(encode_mar345(img, byte_order=">"))
+    np.testing.assert_array_equal(back3, img.astype(np.int64))
+    assert hdr3["byte_order"] == ">"
+
+
+def test_mar345_rejects_bad_inputs():
+    import numpy as np
+    import pytest
+
+    from trx_spark.operators.multimodal import decode_mar345, encode_mar345
+
+    with pytest.raises(ValueError, match="square"):
+        encode_mar345(np.ones((4, 6), dtype="u2"))
+    with pytest.raises(ValueError, match="non-negative"):
+        encode_mar345(np.full((4, 4), -1, dtype="i4"))
+    with pytest.raises(ValueError, match="sentinel"):
+        decode_mar345(b"\x00" * 64)
+
+
+def test_mar345_pck_property():
+    """Property: the PCK bit stream round-trips ANY int32-safe
+    difference vector (hypothesis drives all bit-size tiers and the
+    padded final block)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trx_spark.operators.multimodal import _pck_pack_diffs, _pck_unpack_diffs
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            min_size=1,
+            max_size=70,
+        )
+    )
+    def check(vals):
+        d = np.asarray(vals, dtype=np.int64)
+        back = _pck_unpack_diffs(_pck_pack_diffs(d), len(d))
+        np.testing.assert_array_equal(back, d)
+
+    check()
+
+
+def test_decode_mar345_distributed(spark, tmp_path):
+    """The REAL mar345 codec path through binaryFile → mapInPandas,
+    auto-sniffed (1234 sentinel) alongside gzip wrapping."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_mar345, sniff_codec
+
+    rng = np.random.default_rng(29)
+    truth = {}
+    for k in range(3):
+        img = rng.poisson(150, (8, 8)).astype("u4")
+        img[k, k] = 100_000 + k  # overflow record in every file
+        truth[f"plate_{k}.mar345"] = img
+        blob = encode_mar345(img)
+        assert sniff_codec(blob) == "mar345"
+        if k == 2:  # transparent .gz wrapping like the EDF path
+            (tmp_path / f"plate_{k}.mar345.gz").write_bytes(gzip.compress(blob))
+        else:
+            (tmp_path / f"plate_{k}.mar345").write_bytes(blob)
+    assets = read_binary_assets(spark, str(tmp_path / "plate_*"), "image")
+    px = decode_image(assets, codec="auto").toPandas()
+    assert len(px) == 3 * 8 * 8
+    for fname, img in truth.items():
+        sub = px[px.file.str.contains(fname.split(".")[0] + ".")].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(8, 8), img.astype(float)
+        )

@@ -61,8 +61,15 @@ _ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 
 # deliberate tiny cross products: the HKL Miller-index enumeration is
 # spark.range(-lim,lim+1)³ — a (2·lim+1)³-row GENERATOR (the reference's
-# itertools.product, trx/cell.py:43-61), not a join of data tables
-_CARTESIAN_OK = {"reflections_cubic_si", "reflections_triclinic"}
+# itertools.product, trx/cell.py:43-61), not a join of data tables; the
+# multimodal gate fixtures are the same shape (bounded range products
+# generating a deterministic pixel/envelope table, never data⨯data)
+_CARTESIAN_OK = {
+    "reflections_cubic_si",
+    "reflections_triclinic",
+    "image_dedup_groups",
+    "audio_dedup_groups",
+}
 
 _SKIP = {"streaming_incremental_stats"}  # executes a stream, not a plan
 

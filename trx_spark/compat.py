@@ -283,6 +283,89 @@ def _save_txt_family(pdf, folder: str, basename: str, *, x: str, delay: str) -> 
     return written
 
 
+def save_diffs_xy(
+    res: dict[str, DataFrame],
+    folder: str,
+    *,
+    basename: str = "auto",
+    delay: str = "delay",
+    curves: DataFrame | None = None,
+    energy: float | None = None,
+    wavelength: float | None = None,
+) -> list[str]:
+    """trx/utils/misc.py:67-80 ``save_diffs_xy``: one 2-column ``.xy``
+    file (2θ_deg, diff_plus_ref) per scan point — "files that topas
+    likes" — named ``<basename>_<i:03d>_<timeToStr(delay)>.xy`` with
+    ``%f`` formatting, scan points enumerated in ascending-delay order
+    (the reference zips ``diffs.scan``, which is np.unique-sorted).
+
+    ``basename='auto'`` joins the folder's last two path components
+    with ``_`` (the reference's sample_run convention, misc.py:73-76).
+    The 2θ axis uses a ``twotheta_deg`` column when the scan carries
+    one; otherwise it is derived from ``q`` via ``q_to_two_theta``
+    with the given ``energy``/``wavelength`` (the reference
+    precomputes ``diffs.twotheta_deg`` from the azav geometry the same
+    way, trx/azav.py:396-397); a ``q_bin``-only scan recovers physical
+    q through the ``curves`` (q_bin, q) map as in :func:`saveTxt`.
+    The scan frame is tiny (delays × q bins) — the collect is the S12
+    golden-sink contract. Returns the written paths."""
+    import os
+
+    from trx_spark.functions.scattering import q_to_two_theta
+    from trx_spark.functions.strings import time_to_str
+
+    scan = res["scan"]
+    if "diff_plus_ref" not in scan.columns:
+        raise ValueError(
+            "save_diffs_xy needs the 'diff_plus_ref' column (the "
+            "reference writes diffs_plus_ref, misc.py:77-80) — pass the "
+            "'scan' frame from doFolder_dataRed"
+        )
+    x = "q" if "q" in scan.columns else "q_bin"
+    if x == "q_bin" and curves is not None and {"q_bin", "q"} <= set(curves.columns):
+        qmap = curves.select("q_bin", "q").distinct()
+        scan = scan.join(qmap, "q_bin")
+        x = "q"
+    if "twotheta_deg" in scan.columns:
+        tt = F.col("twotheta_deg")
+    elif x == "q" and (energy is not None or wavelength is not None):
+        tt = q_to_two_theta("q", as_deg=True, energy=energy, wavelength=wavelength)
+    else:
+        raise ValueError(
+            "no 2theta axis: provide a 'twotheta_deg' column, or a "
+            "physical 'q' column (via curves=) plus energy=/wavelength="
+        )
+    folder = os.path.abspath(folder)
+    if basename == "auto":
+        sep = os.sep
+        basename = "_".join(folder.rstrip(sep).split(sep)[-2:])
+    pdf = (
+        scan.withColumn("_tt", tt)
+        .withColumn("_dstr", time_to_str(F.col(delay)))
+        .select(delay, "_dstr", "_tt", "diff_plus_ref")
+        .toPandas()
+        .sort_values([delay, "_tt"])
+        .reset_index(drop=True)
+    )
+    if pdf.duplicated(subset=[delay, "_tt"]).any():
+        raise ValueError(
+            "scan frame has duplicate (delay, 2theta) rows — it carries "
+            "an ungrouped key (multi-angle / multi-run); reduce per group "
+            "and call save_diffs_xy once per group"
+        )
+    os.makedirs(folder, exist_ok=True)
+    written: list[str] = []
+    delays = list(dict.fromkeys(zip(pdf[delay], pdf["_dstr"])))
+    for i, (d, dstr) in enumerate(delays):
+        sub = pdf[pdf[delay] == d]
+        path = os.path.join(folder, f"{basename}_{i:03d}_{dstr}.xy")
+        with open(path, "w") as f:
+            for _, r in sub.iterrows():
+                f.write("%f %f\n" % (r["_tt"], r["diff_plus_ref"]))
+        written.append(path)
+    return written
+
+
 def doFolder_online(
     spark: SparkSession,
     *,

@@ -163,6 +163,12 @@ def sniff_codec(buf: bytes) -> str:
         return "tiff"
     if buf[:6] == b"###CBF":
         return "cbf"
+    # mar345: 32-bit byte-order sentinel 1234 in either endianness
+    if len(buf) >= 4 and (
+        int.from_bytes(buf[:4], "little") == _MAR345_SENTINEL
+        or int.from_bytes(buf[:4], "big") == _MAR345_SENTINEL
+    ):
+        return "mar345"
     # EDF's brace test comes BEFORE the unbounded CBF-section search:
     # a CIF-wrapped CBF never starts with '{', and the cheap prefix
     # test saves an O(filesize) scan per EDF asset in the auto path
@@ -184,6 +190,8 @@ def decode_any(buf: bytes) -> tuple[np.ndarray, dict]:
         return decode_edf(buf)
     if fmt == "cbf":
         return decode_cbf(buf)
+    if fmt == "mar345":
+        return decode_mar345(buf)
     img, tags = decode_tiff(buf)
     return img, {str(k): v for k, v in tags.items()}
 
@@ -453,7 +461,10 @@ def decode_image(
         trx/azav.py:29-47).
       - ``"tiff"`` — REAL decode of baseline uncompressed TIFF
         (pure-numpy :func:`decode_tiff`; the third fabio format).
-      - ``"auto"`` — per-file magic-byte sniffing across the three real
+      - ``"mar345"`` — REAL decode of the marresearch image-plate
+        format (pure-numpy :func:`decode_mar345`: CCP4 PCK bit stream
+        + overflow table; fabio's mar345 surface).
+      - ``"auto"`` — per-file magic-byte sniffing across the real
         formats (fabio's auto-detection behavior: a real beamline
         folder mixes formats).
       - ``"fake"`` (default) — deterministic intensity pattern seeded by
@@ -464,7 +475,7 @@ def decode_image(
     """
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
-    if codec not in ("edf", "cbf", "tiff", "auto", "fake"):
+    if codec not in ("edf", "cbf", "tiff", "mar345", "auto", "fake"):
         raise ValueError(f"unknown codec {codec!r}")
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
@@ -555,6 +566,67 @@ def decode_image(
             k += 1
         return _np.cumsum(deltas).astype(_np.dtype(dt0)).reshape(ny_, nx_)
 
+    def _parse_mar345(buf, _np):
+        # nested (pickled by value) twin of decode_mar345 — see
+        # _parse_edf for why worker kernels stay self-contained
+        pck_bits = (0, 4, 5, 6, 7, 8, 16, 32)
+        for order in ("<", ">"):
+            if int(_np.frombuffer(buf, dtype=f"{order}i4", count=1)[0]) == 1234:
+                break
+        else:
+            raise ValueError("not a mar345 stream")
+        words = _np.frombuffer(buf, dtype=f"{order}i4", count=6)
+        size, nhigh, fmt = int(words[1]), int(words[2]), int(words[3])
+        if fmt != 1:
+            raise ValueError("unsupported mar345 format word")
+        pos = 4096
+        high = _np.frombuffer(
+            buf, dtype=f"{order}i4", count=2 * nhigh, offset=pos
+        ).reshape(nhigh, 2)
+        pos += 8 * nhigh
+        marker = ("\nCCP4 packed image, X: %04d, Y: %04d\n" % (size, size)).encode()
+        raw = buf[buf.index(marker, pos) + len(marker) :]
+        n = size * size
+        out = _np.empty(n, dtype=_np.int64)
+        acc = nbits = bpos = k = 0
+        while k < n:
+            while nbits < 6:
+                acc |= raw[bpos] << nbits
+                bpos += 1
+                nbits += 8
+            blocklen = 1 << (acc & 7)
+            bits = pck_bits[(acc >> 3) & 7]
+            acc >>= 6
+            nbits -= 6
+            for _ in range(blocklen):
+                if bits:
+                    while nbits < bits:
+                        acc |= raw[bpos] << nbits
+                        bpos += 1
+                        nbits += 8
+                    v = acc & ((1 << bits) - 1)
+                    acc >>= bits
+                    nbits -= bits
+                    if v >= 1 << (bits - 1):
+                        v -= 1 << bits
+                else:
+                    v = 0
+                if k < n:
+                    out[k] = v
+                k += 1
+        img = _np.zeros(n, dtype=_np.int64)
+        img[:size] = _np.cumsum(out[:size])
+        for i in range(size, n):
+            nw = img[i - size - 1] if i > size else img[i - 1]
+            pred = (
+                img[i - 1] + img[i - size + 1] + img[i - size] + nw + 2
+            ) >> 2
+            img[i] = out[i] + pred
+        img = img.reshape(size, size)
+        for addr, val in high:
+            img.flat[int(addr) - 1] = int(val)
+        return img
+
     def _parse_tiff(buf, _np):
         # nested (pickled by value) twin of decode_tiff — see _parse_edf
         bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
@@ -600,6 +672,11 @@ def decode_image(
                 return "tiff"
             if buf[:6] == b"###CBF":
                 return "cbf"
+            if len(buf) >= 4 and (
+                int.from_bytes(buf[:4], "little") == 1234
+                or int.from_bytes(buf[:4], "big") == 1234
+            ):
+                return "mar345"
             # EDF brace before the unbounded CBF-section search (a
             # CIF CBF never starts with '{'; saves an O(filesize)
             # scan per EDF asset — see sniff_codec)
@@ -624,6 +701,8 @@ def decode_image(
                     frames = [f.astype(float) for f in _parse_edf(raw, _np)]
                 elif fmt == "cbf":
                     frames = [_parse_cbf(raw, _np).astype(float)]
+                elif fmt == "mar345":
+                    frames = [_parse_mar345(raw, _np).astype(float)]
                 elif fmt == "tiff":
                     frames = [_parse_tiff(raw, _np).astype(float)]
                 else:
@@ -744,6 +823,208 @@ def encode_tiff(img: np.ndarray, *, byte_order: str = "<") -> bytes:
         + ifd_off.to_bytes(4, end)
     )
     return header + payload + ifd
+
+
+# ---------------------------------------------------------------------
+# mar345 codec (marresearch image-plate format — part of the
+# reference's "whatever fabio reads" surface, trx/azav.py:29-34). The
+# container is public (mar345 format description / CCP4): a 4096-byte
+# header of 32-bit words led by the byte-order sentinel 1234 and the
+# square image size, an overflow table of (1-based address, value)
+# int32 records for pixels above the 16-bit packed ceiling, the ASCII
+# marker line "\nCCP4 packed image, X: %04d, Y: %04d\n", then the CCP4
+# PCK stream: differences from a neighbor prediction (first pixel raw;
+# rest of row 0 predicted by the left pixel; later rows by the
+# truncated mean (W + NW + N + NE + 2)/4 over FLAT indices — row
+# boundaries wrap into the adjacent row, the pack_c convention; the
+# single out-of-range NW at the first 4-neighbor pixel reuses the left
+# pixel), packed LSB-first in blocks
+# with a 6-bit header (3 bits log2 block length, 3 bits index into the
+# bit-size table {0,4,5,6,7,8,16,32}), values two's-complement signed.
+# Verified by roundtrip + distributed tests against this encoder (the
+# same verification scope as the EDF/CBF/TIFF codecs).
+# ---------------------------------------------------------------------
+
+_MAR345_SENTINEL = 1234
+_PCK_BITS = (0, 4, 5, 6, 7, 8, 16, 32)
+_PCK_MARKER_FMT = "\nCCP4 packed image, X: %04d, Y: %04d\n"
+_PCK_BLOCK = 8  # encoder block length (decoder accepts any power of 2)
+_MAR345_CEIL = 65535  # packed-stream ceiling; larger pixels → overflow
+
+
+def _pck_pack_diffs(diffs: np.ndarray) -> bytes:
+    """Pack int64 differences into the PCK bit stream (blocks of
+    ``_PCK_BLOCK``, per-block minimal bit size from the table)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(v: int, b: int) -> None:
+        nonlocal acc, nbits
+        acc |= (v & ((1 << b) - 1)) << nbits
+        nbits += b
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    d = np.asarray(diffs, dtype=np.int64)
+    pad = (-len(d)) % _PCK_BLOCK
+    if pad:
+        d = np.concatenate([d, np.zeros(pad, dtype=np.int64)])
+    lg = _PCK_BLOCK.bit_length() - 1
+    for s in range(0, len(d), _PCK_BLOCK):
+        blk = d[s : s + _PCK_BLOCK]
+        lo, hi = int(blk.min()), int(blk.max())
+        idx = next(
+            i for i, b in enumerate(_PCK_BITS)
+            if (b == 0 and lo == 0 and hi == 0)
+            or (b > 0 and lo >= -(1 << (b - 1)) and hi < (1 << (b - 1)))
+        )
+        put(lg, 3)
+        put(idx, 3)
+        bits = _PCK_BITS[idx]
+        if bits:
+            for v in blk:
+                put(int(v), bits)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _pck_unpack_diffs(raw: bytes, n: int) -> np.ndarray:
+    """Unpack ``n`` differences from a PCK bit stream (int64)."""
+    out = np.empty(n, dtype=np.int64)
+    acc = 0
+    nbits = 0
+    pos = 0
+    k = 0
+
+    def get(b: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < b:
+            acc |= raw[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << b) - 1)
+        acc >>= b
+        nbits -= b
+        return v
+
+    while k < n:
+        blocklen = 1 << get(3)
+        bits = _PCK_BITS[get(3)]
+        for _ in range(blocklen):
+            if bits:
+                v = get(bits)
+                if v >= 1 << (bits - 1):
+                    v -= 1 << bits
+            else:
+                v = 0
+            if k < n:  # final block may be padded
+                out[k] = v
+            k += 1
+    return out
+
+
+def _pck_predictions_apply(diffs: np.ndarray, size: int) -> np.ndarray:
+    """Reconstruct pixels from PCK differences: row 0 is a prefix sum;
+    each later pixel adds the truncated 4-neighbor mean over flat
+    indices. The in-row left dependency makes decode sequential per
+    pixel (Python-level ~1 Mpx/s — the honest cost of a bit-packed
+    legacy format; the hot beamline formats stay EDF/CBF)."""
+    n = size * size
+    img = np.zeros(n, dtype=np.int64)
+    img[:size] = np.cumsum(diffs[:size])
+    for i in range(size, n):
+        # the very first 4-neighbor pixel (i == size) has no NW at a
+        # valid flat index — reuse the left pixel for that term
+        nw = img[i - size - 1] if i > size else img[i - 1]
+        pred = (img[i - 1] + img[i - size + 1] + img[i - size] + nw + 2) >> 2
+        img[i] = diffs[i] + pred
+    return img.reshape(size, size)
+
+
+def _pck_predictions_make(img: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_pck_predictions_apply`: pixels → differences."""
+    size = img.shape[0]
+    flat = img.astype(np.int64).ravel()
+    n = flat.size
+    d = np.empty(n, dtype=np.int64)
+    d[0] = flat[0]
+    d[1:size] = np.diff(flat[:size])
+    i = np.arange(size, n)
+    nw = i - size - 1
+    nw[0] = size - 1  # i == size: out-of-range NW reuses the left pixel
+    pred = (flat[i - 1] + flat[i - size + 1] + flat[i - size] + flat[nw] + 2) >> 2
+    d[size:] = flat[size:] - pred
+    return d
+
+
+def decode_mar345(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a mar345 blob → (2-D int64 array, header dict)."""
+    for order in ("<", ">"):
+        if int(np.frombuffer(buf, dtype=f"{order}i4", count=1)[0]) == _MAR345_SENTINEL:
+            break
+    else:
+        raise ValueError("not a mar345 stream (missing 1234 sentinel)")
+    words = np.frombuffer(buf, dtype=f"{order}i4", count=6)
+    size, nhigh, fmt = int(words[1]), int(words[2]), int(words[3])
+    if fmt != 1:
+        raise ValueError(f"unsupported mar345 format word {fmt} (packed=1 only)")
+    header = {
+        "size": size,
+        "nhigh": nhigh,
+        "format": fmt,
+        "mode": int(words[4]),
+        "pixels": int(words[5]),
+        "byte_order": order,
+    }
+    pos = 4096
+    high = np.frombuffer(buf, dtype=f"{order}i4", count=2 * nhigh, offset=pos).reshape(
+        nhigh, 2
+    )
+    pos += 8 * nhigh
+    marker = (_PCK_MARKER_FMT % (size, size)).encode("ascii")
+    mark = buf.index(marker, pos)
+    diffs = _pck_unpack_diffs(buf[mark + len(marker) :], size * size)
+    img = _pck_predictions_apply(diffs, size)
+    for addr, val in high:
+        img.flat[int(addr) - 1] = int(val)  # addresses are 1-based
+    return img, header
+
+
+def encode_mar345(img: np.ndarray, *, byte_order: str = "<") -> bytes:
+    """Encode a square non-negative integer image as a mar345 blob
+    (4096-byte word header, overflow records for pixels above the
+    16-bit packed ceiling, CCP4 marker line, PCK stream). The write
+    side of the S1 seam for this format and the tests' golden
+    producer."""
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    if img.ndim != 2 or img.shape[0] != img.shape[1]:
+        raise ValueError("mar345 images are square (size x size)")
+    if img.dtype.kind not in "ui" or (img.dtype.kind == "i" and int(img.min()) < 0):
+        raise ValueError("mar345 pixels are non-negative integers")
+    if int(img.max()) >= 1 << 31:
+        raise ValueError(
+            "mar345 overflow records are int32 — pixels must be < 2^31"
+        )
+    size = img.shape[0]
+    flat = img.astype(np.int64).ravel()
+    over = np.flatnonzero(flat > _MAR345_CEIL)
+    packed_img = np.minimum(flat, _MAR345_CEIL).reshape(size, size)
+    nhigh = int(over.size)
+    words = np.zeros(1024, dtype=f"{byte_order}i4")
+    words[:6] = [_MAR345_SENTINEL, size, nhigh, 1, 1, size * size]
+    head = bytearray(words.tobytes())
+    head[128 : 128 + 12] = b"mar research"  # the spec's program tag
+    high = np.empty((nhigh, 2), dtype=f"{byte_order}i4")
+    high[:, 0] = over + 1  # 1-based addresses
+    high[:, 1] = flat[over]
+    marker = (_PCK_MARKER_FMT % (size, size)).encode("ascii")
+    stream = _pck_pack_diffs(_pck_predictions_make(packed_img))
+    return bytes(head) + high.tobytes() + marker + stream
 
 
 # ---------------------------------------------------------------------
