@@ -154,6 +154,7 @@ HEADLINE = [
     "image_dedup_groups",
     "audio_dedup_groups",
     "lm_bigram_counts",
+    "cluster_topics",
 ]
 
 

@@ -47,6 +47,7 @@ _ONE_ROW_BUILD_OK = {
     "asof_interp_refs",
     "diffs_plus_ref",
     "tfidf_top_terms",   # the source-count scalar is a 1-row broadcast
+    "cluster_topics",    # the cell-count scalar is a 1-row broadcast
     "user_rfm_segments", # the quartile-cut triple is a 1-row broadcast
     "copurchase_lift",   # the order-total scalar is a 1-row broadcast
 }

@@ -294,14 +294,110 @@ FROM ranked WHERE rank <= {_TFIDF_TOPK}
 """
 
 
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labeling for embedding clusters (the BERTopic shape,
+    Grootendorst 2022: cluster the embeddings, then describe each
+    cluster with class-based TF-IDF): every document is assigned to its
+    embedding-space cell via the IVF coarse quantizer's memoized
+    assignment (vec_id ≡ doc_id in the testdata), each CELL is one
+    meta-document, and its characteristic terms rank by the same
+    log-free c-TF-IDF surrogate as ``tfidf_top_terms`` — the "what is
+    this cluster about" readout a curation run uses to audit
+    semantic-dedup / cluster-balanced-sampling decisions.
+
+    Scale: the assignment join is one keyed shuffle of the token
+    stream against the (vec_id, cid) table; everything downstream is
+    the tfidf plan — map-side-combined tf aggregation, broadcast
+    df/class-count, per-cell top-k window over the min-tf-pruned
+    vocabulary (|cells| partitions)."""
+    from pyspark.sql import Window
+
+    from trx_spark.queries.curation import _token_stream
+    from trx_spark.queries.similarity import _cells
+
+    cells = _cells(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cid"
+    )
+    tf = (
+        _token_stream(spark, sf_dir)
+        .join(cells, "doc_id")
+        .groupBy("cid", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= _TFIDF_MIN_TF)
+        .localCheckpoint()
+    )
+    df_tbl = tf.groupBy("token").agg(F.countDistinct("cid").alias("df"))
+    c_cnt = tf.select("cid").distinct().agg(F.count(F.lit(1)).alias("c"))
+    weight = F.col("tf").cast("double") * (
+        (
+            F.col("c").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(c_cnt))
+        .withColumn("weight", weight)
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("weight"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("cid", "token", "tf", "df", "weight", "rank")
+    )
+
+
+def _cluster_topics_sql() -> str:
+    from trx_spark.queries.similarity import _CELLS_CTES
+
+    return f"""
+WITH {_CELLS_CTES},
+st AS (
+  SELECT t.doc_id, s.token
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+        FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+tf AS (
+  SELECT c.cid, st.token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM st JOIN cells c ON c.vec_id = st.doc_id
+  GROUP BY c.cid, st.token HAVING COUNT(*) >= {_TFIDF_MIN_TF}
+),
+df_tbl AS (
+  SELECT token, CAST(COUNT(DISTINCT cid) AS BIGINT) AS df
+  FROM tf GROUP BY token
+),
+c_cnt AS (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) AS c FROM tf),
+scored AS (
+  SELECT t.cid, t.token, t.tf, d.df,
+         CAST(t.tf AS DOUBLE)
+           * ((CAST(n.c AS DOUBLE) - CAST(d.df AS DOUBLE)
+               + CAST(0.5 AS DOUBLE))
+              / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS weight
+  FROM tf t JOIN df_tbl d USING (token) CROSS JOIN c_cnt n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cid
+                 ORDER BY weight DESC, token ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT cid, token, tf, df, weight, rank
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "hashed_tf_features": hashed_tf_features,
     "tfidf_top_terms": tfidf_top_terms,
+    "cluster_topics": cluster_topics,
 }
 
 ORACLES = {
     "bm25_topk": _BM25_SQL,
     "hashed_tf_features": _fh_sql(),
     "tfidf_top_terms": _TFIDF_SQL,
+    "cluster_topics": _cluster_topics_sql(),
 }

@@ -232,8 +232,9 @@ def _query_cell_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_SQL = f"""
-WITH {_EX_CTE},
+# ex → cents → celldots → cells: the coarse-quantizer assignment chain,
+# shared by the IVF oracle and the cluster-topics (c-TF-IDF) oracle
+_CELLS_CTES = f"""{_EX_CTE},
 cents AS (SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < {_N_CELLS}),
 celldots AS (
   SELECT e.vec_id, c.cid, {_fpsum_sql('e.x * c.c')} AS dot
@@ -245,7 +246,10 @@ cells AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
     FROM celldots) t
   WHERE rn = 1
-),
+)"""
+
+_IVF_SQL = f"""
+WITH {_CELLS_CTES},
 qprobe AS (
   SELECT cid FROM (
     SELECT cid, row_number() OVER (ORDER BY dot DESC, cid) AS rn
