@@ -141,9 +141,11 @@ def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("w1", "w2", "c2", "c1")
 
 
+from trx_spark.queries.textdata import _TOKEN_RE as _LM_TOKEN_RE  # noqa: E402
+
 _BIGRAM_COUNTS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents
+  SELECT doc_id, regexp_extract_all(text, '{_LM_TOKEN_RE}') AS toks FROM documents
 ),
 tok AS (SELECT doc_id, s.token FROM t, UNNEST(toks) AS s(token)),
 vocab AS (

@@ -24,11 +24,17 @@ Scale shape mirrors streaming/dedup_index.py exactly:
   matching AND stops growing: drop-and-log, the batch bucket-cap
   semantics) so a boilerplate-heavy stream degrades gracefully;
 * all writes are epoch-partitioned with dynamic overwrite —
-  at-least-once replays rewrite their own partition (idempotent).
+  at-least-once replays rewrite their own partition (idempotent);
+* each store append is gated on that store's OWN compaction watermark
+  (stores fold independently — a replay after a single-store
+  compaction re-runs only the missing leg, never the folded one).
 
 Equivalence: tests/test_streaming_curation.py drains doc_id-ordered
 waves one micro-batch each and pins the verdict set against a pure-
-Python first-seen-wins reference implementing the identical rules.
+Python first-seen-wins reference implementing the identical rules;
+the gate query ``streaming_curation_keep`` (queries/streamingq.py)
+additionally pins a single replay against the SQL form of the rules
+under the driver's DuckDB oracle.
 """
 
 from __future__ import annotations
