@@ -155,6 +155,7 @@ HEADLINE = [
     "audio_dedup_groups",
     "lm_bigram_counts",
     "cluster_topics",
+    "winnowing_fingerprints",
 ]
 
 

@@ -420,6 +420,103 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_MIN!r}
 """
 
 # ---------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+# the MOSS local fingerprinting algorithm)
+# ---------------------------------------------------------------------
+
+_WINNOW_K = 4  # token k-gram length
+_WINNOW_W = 5  # winnowing window: consecutive k-gram hashes
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing: hash every token ``k``-gram, slide a window of ``w``
+    consecutive hashes, and select each window's RIGHTMOST minimal hash
+    — the classic guarantee that any shared substring of length
+    ≥ k + w − 1 tokens contributes at least one common fingerprint,
+    with density ~2/(w+1). The positional complement to
+    ``doc_fingerprints`` (whole-document) and ``minhash_*`` (set-level):
+    matching (pos, hash) fingerprints localize WHERE two documents
+    overlap, the plagiarism/provenance primitive.
+
+    Relational shape: one per-doc ordered window builds the k-grams
+    (lead), a second bounded frame (``ROWS BETWEEN CURRENT AND w-1
+    FOLLOWING``) collects each window's (hash, pos) pairs as a w-length
+    array, and the rightmost-min pick is pure array math per row — two
+    keyed window passes, no self-join, linear in corpus size. Docs with
+    fewer than k + w − 1 tokens emit no fingerprint (no full window),
+    per the original definition.
+
+    Output: distinct (doc_id, pos, fp_hash) selected fingerprints.
+    """
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("p", "t"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    kg = toks
+    for j in range(1, _WINNOW_K):
+        kg = kg.withColumn(f"t{j}", F.lead("t", j).over(w))
+    gram = F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, _WINNOW_K)])
+    kg = (
+        kg.filter(F.col(f"t{_WINNOW_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            _tok_hash(gram).alias("h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WINNOW_W - 1)
+    )
+    arr = F.collect_list(F.struct(F.col("h"), F.col("p"))).over(frame)
+    starts = (
+        kg.select("doc_id", arr.alias("arr"))
+        .filter(F.size("arr") == _WINNOW_W)
+        .withColumn("fp_hash", F.array_min(F.transform(F.col("arr"), lambda e: e["h"])))
+    )
+    winner = F.array_max(
+        F.transform(
+            F.filter(F.col("arr"), lambda e: e["h"] == F.col("fp_hash")),
+            lambda e: e["p"],
+        )
+    )
+    return starts.select("doc_id", winner.alias("pos"), "fp_hash").distinct()
+
+
+_WINNOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) - 1 AS p
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS l FROM documents) x
+),
+kg0 AS (
+  SELECT doc_id, p,
+    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+      || ' ' || lead(t, 3) OVER w AS gram,
+    lead(t, {_WINNOW_K - 1}) OVER w AS tlast
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+kh AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, {_tok_hash_sql('gram')} AS h
+  FROM kg0 WHERE tlast IS NOT NULL
+),
+win AS (
+  SELECT doc_id,
+         list(h) OVER frame AS hs,
+         list(p) OVER frame AS ps
+  FROM kh
+  WINDOW frame AS (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+),
+sel AS (
+  SELECT doc_id, list_min(hs) AS fp_hash,
+    list_max(list_filter(
+      list_transform(generate_series(1, len(hs)),
+        i -> CASE WHEN hs[i] = list_min(hs) THEN ps[i] ELSE NULL END),
+      x -> x IS NOT NULL)) AS pos
+  FROM win WHERE len(hs) = {_WINNOW_W}
+)
+SELECT DISTINCT doc_id, pos, fp_hash FROM sel
+"""
+
+# ---------------------------------------------------------------------
 # Document fingerprint (rolling polynomial hash over the token stream)
 # ---------------------------------------------------------------------
 
@@ -1112,6 +1209,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_fingerprints": doc_fingerprints,
+    "winnowing_fingerprints": winnowing_fingerprints,
     "ann_cosine_topk": ann_cosine_topk,
     "simhash16": simhash16,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -1130,6 +1228,7 @@ ORACLES = {
     "minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
+    "winnowing_fingerprints": _WINNOW_SQL,
     "ann_cosine_topk": _ANN_SQL,
     "simhash16": _SIMHASH_SQL,
     "ann_lsh_buckets": _ANN_LSH_SQL,
