@@ -70,7 +70,7 @@ for mod in (
 # (perceptual image/audio dedup, the LM count model, the streaming
 # curation twin, cluster topic labeling, winnowing fingerprints), then
 # the 28 names whose newest driver row is r03-era
-# (the oldest rows in the union), then 18 round-4-era names whose
+# (the oldest rows in the union), then 16 round-4-era names whose
 # implementations were touched by the round-5 shared-helper refactors
 # across curation/corpus/textdata/similarity (span dedup, quality gate,
 # keep-list, vocab/bigram streams, clustering, decontam, sketches)

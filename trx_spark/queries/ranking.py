@@ -207,6 +207,64 @@ _TFIDF_TOPK = 10
 _TFIDF_MIN_TF = 3
 
 
+def _ctfidf_rank(tf: DataFrame, cls: str) -> DataFrame:
+    """Shared c-TF-IDF scoring over a min-tf-pruned (cls, token, tf)
+    frame: log-free idf surrogate, broadcast df/class-count, per-class
+    top-k window. One parameterized plan for both class columns
+    (``tfidf_top_terms`` cls=source, ``cluster_topics`` cls=cid)."""
+    from pyspark.sql import Window
+
+    df_tbl = tf.groupBy("token").agg(F.countDistinct(cls).alias("df"))
+    c_cnt = tf.select(cls).distinct().agg(F.count(F.lit(1)).alias("_c"))
+    weight = F.col("tf").cast("double") * (
+        (
+            F.col("_c").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(c_cnt))
+        .withColumn("weight", weight)
+    )
+    w = Window.partitionBy(cls).orderBy(F.desc("weight"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select(cls, "token", "tf", "df", "weight", "rank")
+    )
+
+
+def _ctfidf_sql(cls: str, with_clause: str) -> str:
+    """SQL twin of :func:`_ctfidf_rank`: ``with_clause`` must end in a
+    ``tf`` CTE of min-tf-pruned (cls, token, tf) rows."""
+    return f"""
+WITH {with_clause},
+df_tbl AS (
+  SELECT token, CAST(COUNT(DISTINCT {cls}) AS BIGINT) AS df
+  FROM tf GROUP BY token
+),
+c_cnt AS (SELECT CAST(COUNT(DISTINCT {cls}) AS BIGINT) AS c FROM tf),
+scored AS (
+  SELECT t.{cls}, t.token, t.tf, d.df,
+         CAST(t.tf AS DOUBLE)
+           * ((CAST(n.c AS DOUBLE) - CAST(d.df AS DOUBLE)
+               + CAST(0.5 AS DOUBLE))
+              / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS weight
+  FROM tf t JOIN df_tbl d USING (token) CROSS JOIN c_cnt n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY {cls}
+                 ORDER BY weight DESC, token ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT {cls}, token, tf, df, weight, rank
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c-TF-IDF (Grootendorst's class-based TF-IDF shape): each SOURCE
     is one meta-document; a term's weight is its source term frequency
@@ -224,8 +282,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| partitions, each sorting only its own pruned vocabulary.
     df is counted over min-tf-qualified (source, term) rows, so the
     idf denominates by "sources where the term is actually frequent"."""
-    from pyspark.sql import Window
-
     # materialized once: the df/s/ranking legs all derive from tf, and
     # without the checkpoint the (source, token) aggregation runs 3×
     tf = (
@@ -235,33 +291,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tf") >= _TFIDF_MIN_TF)
         .localCheckpoint()
     )
-    df_tbl = tf.groupBy("token").agg(F.countDistinct("source").alias("df"))
-    s_cnt = tf.select("source").distinct().agg(
-        F.count(F.lit(1)).alias("s")
-    )
-    weight = F.col("tf").cast("double") * (
-        (
-            F.col("s").cast("double")
-            - F.col("df").cast("double")
-            + F.lit(0.5)
-        )
-        / (F.col("df").cast("double") + F.lit(0.5))
-    )
-    scored = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .crossJoin(F.broadcast(s_cnt))
-        .withColumn("weight", weight)
-    )
-    w = Window.partitionBy("source").orderBy(F.desc("weight"), F.asc("token"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TFIDF_TOPK)
-        .select("source", "token", "tf", "df", "weight", "rank")
-    )
+    return _ctfidf_rank(tf, "source")
 
 
-_TFIDF_SQL = f"""
-WITH st AS (
+_TFIDF_SQL = _ctfidf_sql(
+    "source",
+    f"""st AS (
   SELECT source, s.token
   FROM (SELECT source, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
         FROM documents) t,
@@ -270,28 +305,8 @@ WITH st AS (
 tf AS (
   SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
   FROM st GROUP BY source, token HAVING COUNT(*) >= {_TFIDF_MIN_TF}
-),
-df_tbl AS (
-  SELECT token, CAST(COUNT(DISTINCT source) AS BIGINT) AS df
-  FROM tf GROUP BY token
-),
-s_cnt AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s FROM tf),
-scored AS (
-  SELECT t.source, t.token, t.tf, d.df,
-         CAST(t.tf AS DOUBLE)
-           * ((CAST(c.s AS DOUBLE) - CAST(d.df AS DOUBLE)
-               + CAST(0.5 AS DOUBLE))
-              / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS weight
-  FROM tf t JOIN df_tbl d USING (token) CROSS JOIN s_cnt c
-),
-ranked AS (
-  SELECT *, CAST(row_number() OVER (PARTITION BY source
-                 ORDER BY weight DESC, token ASC) AS BIGINT) AS rank
-  FROM scored
+)""",
 )
-SELECT source, token, tf, df, weight, rank
-FROM ranked WHERE rank <= {_TFIDF_TOPK}
-"""
 
 
 def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,11 +322,9 @@ def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the assignment join is one keyed shuffle of the token
     stream against the (vec_id, cid) table; everything downstream is
-    the tfidf plan — map-side-combined tf aggregation, broadcast
-    df/class-count, per-cell top-k window over the min-tf-pruned
-    vocabulary (|cells| partitions)."""
-    from pyspark.sql import Window
-
+    the shared :func:`_ctfidf_rank` plan — map-side-combined tf
+    aggregation, broadcast df/class-count, per-cell top-k window over
+    the min-tf-pruned vocabulary (|cells| partitions)."""
     from trx_spark.queries.curation import _token_stream
     from trx_spark.queries.similarity import _cells
 
@@ -326,34 +339,15 @@ def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tf") >= _TFIDF_MIN_TF)
         .localCheckpoint()
     )
-    df_tbl = tf.groupBy("token").agg(F.countDistinct("cid").alias("df"))
-    c_cnt = tf.select("cid").distinct().agg(F.count(F.lit(1)).alias("c"))
-    weight = F.col("tf").cast("double") * (
-        (
-            F.col("c").cast("double")
-            - F.col("df").cast("double")
-            + F.lit(0.5)
-        )
-        / (F.col("df").cast("double") + F.lit(0.5))
-    )
-    scored = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .crossJoin(F.broadcast(c_cnt))
-        .withColumn("weight", weight)
-    )
-    w = Window.partitionBy("cid").orderBy(F.desc("weight"), F.asc("token"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TFIDF_TOPK)
-        .select("cid", "token", "tf", "df", "weight", "rank")
-    )
+    return _ctfidf_rank(tf, "cid")
 
 
 def _cluster_topics_sql() -> str:
     from trx_spark.queries.similarity import _CELLS_CTES
 
-    return f"""
-WITH {_CELLS_CTES},
+    return _ctfidf_sql(
+        "cid",
+        f"""{_CELLS_CTES},
 st AS (
   SELECT t.doc_id, s.token
   FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
@@ -364,28 +358,8 @@ tf AS (
   SELECT c.cid, st.token, CAST(COUNT(*) AS BIGINT) AS tf
   FROM st JOIN cells c ON c.vec_id = st.doc_id
   GROUP BY c.cid, st.token HAVING COUNT(*) >= {_TFIDF_MIN_TF}
-),
-df_tbl AS (
-  SELECT token, CAST(COUNT(DISTINCT cid) AS BIGINT) AS df
-  FROM tf GROUP BY token
-),
-c_cnt AS (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) AS c FROM tf),
-scored AS (
-  SELECT t.cid, t.token, t.tf, d.df,
-         CAST(t.tf AS DOUBLE)
-           * ((CAST(n.c AS DOUBLE) - CAST(d.df AS DOUBLE)
-               + CAST(0.5 AS DOUBLE))
-              / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS weight
-  FROM tf t JOIN df_tbl d USING (token) CROSS JOIN c_cnt n
-),
-ranked AS (
-  SELECT *, CAST(row_number() OVER (PARTITION BY cid
-                 ORDER BY weight DESC, token ASC) AS BIGINT) AS rank
-  FROM scored
-)
-SELECT cid, token, tf, df, weight, rank
-FROM ranked WHERE rank <= {_TFIDF_TOPK}
-"""
+)""",
+    )
 
 
 QUERIES = {
