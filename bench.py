@@ -156,6 +156,7 @@ HEADLINE = [
     "lm_bigram_counts",
     "cluster_topics",
     "winnowing_fingerprints",
+    "concurrent_sessions_peak",
 ]
 
 

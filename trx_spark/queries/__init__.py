@@ -66,19 +66,20 @@ for mod in (
 # round.  The r01-r05 union covers all 127 pre-round-6 names (124/124
 # oracles green), so rotation now optimizes for CODE CURRENCY: every
 # name whose driver row predates the code that currently backs it gets
-# re-hashed first.  Round-6 window: the 6 brand-new gate entries
+# re-hashed first.  Round-6 window: the 7 brand-new gate entries
 # (perceptual image/audio dedup, the LM count model, the streaming
-# curation twin, cluster topic labeling, winnowing fingerprints), then
+# curation twin, cluster topic labeling, winnowing fingerprints, the sweep-line
+# concurrency peak), then
 # the 28 names whose newest driver row is r03-era
-# (the oldest rows in the union), then 16 round-4-era names whose
+# (the oldest rows in the union), then 15 round-4-era names whose
 # implementations were touched by the round-5 shared-helper refactors
 # across curation/corpus/textdata/similarity (span dedup, quality gate,
 # keep-list, vocab/bigram streams, clustering, decontam, sketches)
-# (6 + 28 + 16 = 50).  The 33 remaining r04-era names rotate in r7.
+# (7 + 28 + 15 = 50).  The 34 remaining r04-era names rotate in r7.
 _R06_NEW = [
     "image_dedup_groups", "audio_dedup_groups",
     "lm_bigram_counts", "streaming_curation_keep", "cluster_topics",
-    "winnowing_fingerprints",
+    "winnowing_fingerprints", "concurrent_sessions_peak",
 ]
 _R06_R03_ERA = [
     "ann_topk_lsh", "ann_topk_multiprobe", "azint_qlims",
@@ -99,7 +100,6 @@ _R06_R5_TOUCHED = [
     "repetition_stats", "topk_ngrams", "dedup_clusters",
     "token_count_bpe", "contamination_check", "decontam_bloom_flags",
     "decontaminated_docs", "dsir_weights", "cms_heavy_hitters",
-    "semantic_dedup",
 ]
 _R06_WINDOW = _R06_NEW + _R06_R03_ERA + _R06_R5_TOUCHED
 assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)

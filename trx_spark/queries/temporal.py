@@ -510,8 +510,109 @@ FROM seg
 """
 
 
+# ---------------------------------------------------------------------
+# Peak concurrent sessions (distributed sweep line)
+# ---------------------------------------------------------------------
+
+_SWEEP_BUCKET_US = 3_600_000_000  # 1 h sweep buckets
+_DAY_US = 86_400_000_000
+
+
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak number of concurrently open user sessions — the
+    classic capacity/ops metric, computed as an interval sweep line:
+    every session contributes (+1 at start, −1 at end+1 — half-open, so
+    single-event sessions still count at their instant), and the peak
+    is the maximum of the running boundary sum sampled at the start
+    events of each day.
+
+    A running sum over ALL boundaries is inherently a global order — a
+    single-task window at scale — so the plan is the distributed
+    prefix-sum decomposition: boundaries are bucketed by hour, each
+    bucket computes its LOCAL running sum in parallel (one window per
+    bucket partition), the per-bucket totals (a ≤ |hours|-row frame —
+    ~10⁵ rows for a decade, driver-trivial) get exclusive-prefix
+    offsets on a tiny global window, and the broadcast offsets are
+    added back. Exact integer sums make the decomposition equal the
+    single-pass oracle bit-for-bit.
+
+    Output: (day, peak_concurrent) — day = epoch-day index, one row per
+    day that has at least one session start."""
+    from trx_spark.queries.trxdomain2 import sessionize_events
+
+    sess = sessionize_events(spark, sf_dir)
+    starts = sess.select(
+        F.col("t_start_us").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = sess.select(
+        (F.col("t_end_us") + 1).alias("t"), F.lit(-1).alias("delta")
+    )
+    bnd = starts.unionByName(ends).withColumn(
+        "bucket", F.expr(f"t DIV {_SWEEP_BUCKET_US}")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bnd.withColumn("run_local", F.sum("delta").over(w_local))
+    totals = bnd.groupBy("bucket").agg(F.sum("delta").alias("btot"))
+    # exclusive prefix over the tiny bucket-totals frame (bounded by
+    # the time span in hours, never by data volume)
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("off")
+    )
+    conc = local.join(F.broadcast(offs), "bucket").withColumn(
+        "conc", F.col("run_local") + F.col("off")
+    )
+    return (
+        conc.filter(F.col("delta") == 1)
+        .groupBy(F.expr(f"t DIV {_DAY_US}").alias("day"))
+        .agg(F.max("conc").cast("long").alias("peak_concurrent"))
+    )
+
+
+_CONCURRENT_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_id, MIN(t_us) AS t_start_us, MAX(t_us) AS t_end_us
+  FROM s GROUP BY user_id, session_id
+),
+b AS (
+  SELECT t_start_us AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT t_end_us + 1, -1 FROM sess
+),
+r AS (
+  SELECT t, delta,
+    SUM(delta) OVER (ORDER BY t, delta
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM b
+)
+SELECT CAST(t // {_DAY_US} AS BIGINT) AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+FROM r WHERE delta = 1 GROUP BY day
+"""
+
+
 QUERIES = {
     "events_range_join": events_range_join,
+    "concurrent_sessions_peak": concurrent_sessions_peak,
     "event_funnel": event_funnel,
     "cohort_retention": cohort_retention,
     "event_rate_cusum": event_rate_cusum,
@@ -521,6 +622,7 @@ QUERIES = {
 }
 ORACLES = {
     "events_range_join": _RANGE_JOIN_SQL,
+    "concurrent_sessions_peak": _CONCURRENT_SQL,
     "event_funnel": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_rate_cusum": _CUSUM_SQL,
