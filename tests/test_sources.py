@@ -320,3 +320,73 @@ def test_export_shards_empty_frame(spark, tmp_path):
     )
     assert manifest["total_rows"] == 0
     assert manifest["rows_per_shard"] == {}
+
+
+def test_spec_file_reader(spark, tmp_path):
+    """S8 (trx/utils/spec.py): scans, double-space labels (labels may
+    contain single spaces), #O/#P motor zip across continuation lines,
+    last-scan default, distributed data block."""
+    import pytest
+
+    from trx_spark.sources.specfile import (
+        read_spec_scan,
+        spec_motors,
+        spec_scan_headers,
+    )
+
+    spec = "\n".join(
+        [
+            "#F /data/run1.spec",
+            "#E 1700000000",
+            "#D Sat Aug 14 10:00:00 2026",
+            "#O0 mono  slit gap",
+            "#O1 samz",
+            "",
+            "#S 1 ascan samz 0 1 2 0.1",
+            "#D Sat Aug 14 10:01:00 2026",
+            "#P0 12.398  0.5",
+            "#P1 3.25",
+            "#N 3",
+            "#L samz  Two Theta  det",
+            "0.0 10.0 100",
+            "0.5 10.5 110",
+            "1.0 11.0 120",
+            "",
+            "#S 2 timescan 0.1",
+            "#P0 12.398  0.6",
+            "#P1 4.0",
+            "#N 2",
+            "#L time  det",
+            "0.0 5",
+            "0.1 7",
+            "",
+        ]
+    )
+    p = tmp_path / "run1.spec"
+    p.write_text(spec)
+
+    hs = spec_scan_headers(str(p))
+    assert [h.number for h in hs] == [1, 2]
+    assert hs[0].command.startswith("ascan")
+    assert hs[0].labels == ["samz", "Two Theta", "det"]
+    assert hs[0].motors == {"mono": 12.398, "slit gap": 0.5, "samz": 3.25}
+    assert hs[1].motors["samz"] == 4.0
+
+    df = read_spec_scan(spark, str(p), scan=1)
+    assert df.columns == ["samz", "Two Theta", "det"]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [(0.0, 10.0, 100.0), (0.5, 10.5, 110.0), (1.0, 11.0, 120.0)]
+
+    # scan=None → the last scan
+    last = read_spec_scan(spark, str(p))
+    assert last.columns == ["time", "det"]
+    assert last.count() == 2
+
+    mot = {
+        (r["scan_no"], r["motor"]): r["position"]
+        for r in spec_motors(spark, str(p)).collect()
+    }
+    assert mot[(1, "samz")] == 3.25 and mot[(2, "slit gap")] == 0.6
+
+    with pytest.raises(ValueError, match="scan 9"):
+        read_spec_scan(spark, str(p), scan=9)
