@@ -303,3 +303,48 @@ def test_dezinger_percentile_reference_scale(spark, tmp_path):
                 spark, str(tmp_path), _geometry(spark),
                 nQ=4, qlims=(0.0, 2.0), dezinger=bad,
             )
+
+
+def test_specfile_facade(spark, tmp_path):
+    """SpecFile.getScan mirrors trx/utils/spec.py:53-66: '/'-sanitized
+    labels, ycol+normalize ('max' | int index | slice mean | None)."""
+    import pytest
+
+    spec = "\n".join(
+        [
+            "#O0 mono",
+            "#S 1 ascan x 0 1 3 0.1",
+            "#P0 12.4",
+            "#L x  I/I0",
+            "0.0 2.0",
+            "1.0 4.0",
+            "2.0 8.0",
+            "3.0 4.0",
+            "",
+        ]
+    )
+    p = tmp_path / "a.spec"
+    p.write_text(spec)
+    sf = compat.SpecFile(spark, str(p))
+    assert sf.scan_numbers() == [1]
+
+    full = sf.getScan(1)
+    assert full.columns == ["x", "I_I0"]
+
+    ymax = {r["x"]: r["I_I0"] for r in sf.getScan(1, ycol="I/I0").collect()}
+    assert ymax[2.0] == 1.0 and ymax[0.0] == 0.25  # y / max(y)
+
+    yidx = {r["x"]: r["I_I0"] for r in sf.getScan(1, ycol="I/I0", normalize=1).collect()}
+    assert yidx[1.0] == 1.0 and yidx[2.0] == 2.0  # y / y[1]
+
+    ysl = {r["x"]: r["I_I0"] for r in sf.getScan(1, ycol="I/I0", normalize=slice(0, 2)).collect()}
+    assert ysl[0.0] == 2.0 / 3.0  # y / mean(y[:2]) = y/3
+
+    raw = {r["x"]: r["I_I0"] for r in sf.getScan(1, ycol="I/I0", normalize=None).collect()}
+    assert raw[3.0] == 4.0
+
+    mot = sf.motors(1).collect()
+    assert [(r["motor"], r["position"]) for r in mot] == [("mono", 12.4)]
+
+    with pytest.raises(ValueError, match="ycol"):
+        sf.getScan(1, ycol="nope")

@@ -366,6 +366,81 @@ def save_diffs_xy(
     return written
 
 
+class SpecFile:
+    """trx/utils/spec.py:20 ``SpecFile`` facade over the pure-text SPEC
+    reader (no PyMca): ``getScan`` returns the labeled scan data as a
+    DataFrame (labels sanitized ``/``→``_`` like the reference,
+    spec.py:57), with the reference's ``ycol``/``normalize`` semantics
+    — ``ycol='all'`` → every column; a label → two columns (x = first
+    label, y = ycol) normalized by ``'max'`` (y/max), an int row index
+    (y / y[i]), a ``slice`` (y / mean(y[slice])), or ``None``. The
+    display helpers (``showMotors``/``showScan``) are plotting surface
+    (SURVEY U10, out of scope); their data lives in :meth:`motors` and
+    :meth:`getScan`."""
+
+    def __init__(self, spark: SparkSession, fname: str):
+        self.spark = spark
+        self.fname = fname
+
+    def scan_numbers(self) -> list[int]:
+        from trx_spark.sources.specfile import spec_scan_headers
+
+        return [h.number for h in spec_scan_headers(self.fname)]
+
+    def motors(self, scanno: int | None = None) -> DataFrame:
+        from trx_spark.sources.specfile import spec_motors
+
+        m = spec_motors(self.spark, self.fname)
+        return m if scanno is None else m.filter(F.col("scan_no") == scanno)
+
+    def getScan(
+        self,
+        scanno: int = 1,
+        ycol: str = "all",
+        normalize: object = "max",
+    ) -> DataFrame:
+        from trx_spark.sources.specfile import read_spec_scan, spec_scan_headers
+
+        df = read_spec_scan(
+            self.spark, self.fname, scan=scanno, index=ycol != "all"
+        )
+        renames = {c: c.replace("/", "_") for c in df.columns}
+        for old, new in renames.items():
+            if new != old:
+                df = df.withColumnRenamed(old, new)
+        if ycol == "all":
+            return df
+        header = {h.number: h for h in spec_scan_headers(self.fname)}[scanno]
+        labels = [c.replace("/", "_") for c in header.labels]
+        y = ycol.replace("/", "_")
+        if y not in labels:
+            raise ValueError(f"ycol {ycol!r} not in scan labels {labels}")
+        x = labels[0]
+        out = df.select("_idx", F.col(x).alias(x), F.col(y).alias("_y"))
+        if normalize is None:
+            denom = None
+        elif normalize == "max":
+            denom = out.agg(F.max("_y").alias("_den"))
+        elif isinstance(normalize, int):
+            denom = out.filter(F.col("_idx") == normalize).select(
+                F.col("_y").alias("_den")
+            )
+        elif isinstance(normalize, slice):
+            start = normalize.start or 0
+            stop = normalize.stop
+            sel = out.filter(F.col("_idx") >= start)
+            if stop is not None:
+                sel = sel.filter(F.col("_idx") < stop)
+            denom = sel.agg(F.avg("_y").alias("_den"))
+        else:
+            raise ValueError(f"unsupported normalize {normalize!r}")
+        if denom is not None:
+            out = out.crossJoin(F.broadcast(denom)).withColumn(
+                "_y", F.col("_y") / F.col("_den")
+            ).drop("_den")
+        return out.orderBy("_idx").select(x, F.col("_y").alias(y))
+
+
 def doFolder_online(
     spark: SparkSession,
     *,

@@ -100,14 +100,16 @@ def spec_motors(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_spec_scan(
-    spark: SparkSession, path: str, scan: int | None = None
+    spark: SparkSession, path: str, scan: int | None = None, *, index: bool = False
 ) -> DataFrame:
     """One scan's data block as a DataFrame with the scan's ``#L``
     labels as DOUBLE columns (SPEC data is numeric). ``scan=None``
     reads the LAST scan (the reference's common interactive default —
     the freshest acquisition). The scan assignment is a running count
     of ``#S`` markers over the deterministic file-line order, so the
-    data block read stays distributed."""
+    data block read stays distributed. ``index=True`` adds ``_idx``
+    (0-based file-order row number within the scan) for positional
+    consumers (the reference's ``y[normalize]`` indexing)."""
     headers = spec_scan_headers(path)
     by_no = {h.number: h for h in headers}
     if scan is None:
@@ -138,9 +140,10 @@ def read_spec_scan(
         & (F.trim("value") != "")
     )
     parts = ws_parts("value")
-    return rows.select(
-        *[
-            parts.getItem(i).cast("double").alias(n)
-            for i, n in enumerate(header.labels)
-        ]
-    )
+    cols = [
+        parts.getItem(i).cast("double").alias(n)
+        for i, n in enumerate(header.labels)
+    ]
+    if index:
+        cols.insert(0, (F.row_number().over(w) - F.lit(1)).cast("long").alias("_idx"))
+    return rows.select(*cols)
