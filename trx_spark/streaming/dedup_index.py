@@ -178,6 +178,15 @@ def make_lsh_batch_handler(
             # replayed epoch already folded into _epoch=-1 (see
             # compact_band_store): its pairs/bands are in place
             return
+        # No separate watermark gate for pairs_dir: pairs are written
+        # BEFORE bands, so a crash-replay re-runs only epochs whose
+        # band append is missing — if the pairs dir was independently
+        # compacted first, the replayed epoch's pairs land twice (once
+        # folded, once at _epoch=N), which the consumer's distinct()
+        # collapses; the band-side saturation totals never read the
+        # pairs dir, so no state is double-counted (contrast the
+        # curation handler, whose BOTH sinks feed state and therefore
+        # gate per-store).
         spark = batch.sparkSession
         new = band_keys(batch).withColumn("_kb", kb).localCheckpoint()
 
