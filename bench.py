@@ -157,6 +157,7 @@ HEADLINE = [
     "cluster_topics",
     "winnowing_fingerprints",
     "concurrent_sessions_peak",
+    "allpairs_jaccard_join",
 ]
 
 

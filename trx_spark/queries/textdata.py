@@ -420,6 +420,152 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_MIN!r}
 """
 
 # ---------------------------------------------------------------------
+# Prefix-filtered exact similarity join (AllPairs/PPJoin — Bayardo,
+# Ma & Srikant, WWW 2007 / Xiao et al., WWW 2008)
+# ---------------------------------------------------------------------
+
+_ALLPAIRS_T = 0.8  # Jaccard threshold
+_ALLPAIRS_K = 3  # shingle width: unigram SETS are degenerate on this
+# corpus (31-word vocabulary — every doc-pair collides); 3-gram
+# shingle sets give a spread vocabulary where prefix filtering bites
+
+
+def allpairs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (AllPairs,
+    Bayardo-Ma-Srikant) — the guaranteed-complete complement to the
+    probabilistic MinHash-LSH path: every pair of documents whose
+    3-gram SHINGLE sets have J ≥ t is returned, no false negatives,
+    yet the blocking join touches only PREFIX shingles.
+
+    The two published filters:
+    * prefix filter — order every doc's shingle set by a global
+      canonical order (document frequency ascending, rarest first,
+      then shingle text); two sets with J ≥ t MUST share an element
+      within their first ``|x| − ⌈t·|x|⌉ + 1`` under the SAME order,
+      so only the rare end of each set ever becomes a blocking key (a
+      boilerplate shingle shared by half the corpus never does, unless
+      a tiny doc's prefix reaches it);
+    * length filter — J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t, applied inside the
+      candidate join so mismatched sizes never materialize.
+
+    Verification is per-pair array math: each candidate pair joins the
+    two docs' sorted shingle ARRAYS once and counts
+    ``array_intersect`` — no token-grain three-way join, so the
+    verify cost is |candidates| × set size, vectorized JVM-side.
+
+    The oracle is the naive shared-shingle formulation — independent
+    of both filters, so the gate proves the pruning loses nothing.
+
+    Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard), J ≥ t."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("t1", F.lead("t", 1).over(w))
+        .withColumn("t2", F.lead("t", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("shingle"))
+        .distinct()
+        .localCheckpoint()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.transform("arr", lambda e: e["shingle"]).alias("arr"),
+            F.size("arr").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    plen = (
+        F.col("n") - F.ceil(F.lit(_ALLPAIRS_T) * F.col("n")) + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id", "n", F.explode(F.slice("arr", 1, plen)).alias("shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    t = F.lit(_ALLPAIRS_T)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t·max(|a|,|b|) ≤ min(|a|,|b|)
+            & (F.col("a.n") * t <= F.col("b.n"))
+            & (F.col("b.n") * t <= F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    va = ordered.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("n").alias("n_a"),
+    )
+    vb = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
+        F.col("n").alias("n_b"),
+    )
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
+    )
+    j = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        verified.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= t)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "jaccard",
+        )
+    )
+
+
+_ALLPAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s.sh AS shingle FROM t,
+  UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s(sh)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {_ALLPAIRS_T!r}
+"""
+
+# ---------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
 # the MOSS local fingerprinting algorithm)
 # ---------------------------------------------------------------------
@@ -1210,6 +1356,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_fingerprints": doc_fingerprints,
     "winnowing_fingerprints": winnowing_fingerprints,
+    "allpairs_jaccard_join": allpairs_jaccard_join,
     "ann_cosine_topk": ann_cosine_topk,
     "simhash16": simhash16,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -1229,6 +1376,7 @@ ORACLES = {
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "winnowing_fingerprints": _WINNOW_SQL,
+    "allpairs_jaccard_join": _ALLPAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,
     "simhash16": _SIMHASH_SQL,
     "ann_lsh_buckets": _ANN_LSH_SQL,
