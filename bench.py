@@ -158,6 +158,7 @@ HEADLINE = [
     "winnowing_fingerprints",
     "concurrent_sessions_peak",
     "allpairs_jaccard_join",
+    "edit_distance_pairs",
 ]
 
 

@@ -66,21 +66,22 @@ for mod in (
 # round.  The r01-r05 union covers all 127 pre-round-6 names (124/124
 # oracles green), so rotation now optimizes for CODE CURRENCY: every
 # name whose driver row predates the code that currently backs it gets
-# re-hashed first.  Round-6 window: the 8 brand-new gate entries
+# re-hashed first.  Round-6 window: the 9 brand-new gate entries
 # (perceptual image/audio dedup, the LM count model, the streaming
 # curation twin, cluster topic labeling, winnowing fingerprints, the sweep-line
-# concurrency peak, the AllPairs prefix-filtered exact Jaccard join), then
+# concurrency peak, the AllPairs prefix-filtered exact Jaccard join, the Levenshtein
+# candidate verify), then
 # the 28 names whose newest driver row is r03-era
-# (the oldest rows in the union), then 14 round-4-era names whose
+# (the oldest rows in the union), then 13 round-4-era names whose
 # implementations were touched by the round-5 shared-helper refactors
 # across curation/corpus/textdata/similarity (span dedup, quality gate,
 # keep-list, vocab/bigram streams, clustering, decontam, sketches)
-# (8 + 28 + 14 = 50).  The 35 remaining r04-era names rotate in r7.
+# (9 + 28 + 13 = 50).  The 36 remaining r04-era names rotate in r7.
 _R06_NEW = [
     "image_dedup_groups", "audio_dedup_groups",
     "lm_bigram_counts", "streaming_curation_keep", "cluster_topics",
     "winnowing_fingerprints", "concurrent_sessions_peak",
-    "allpairs_jaccard_join",
+    "allpairs_jaccard_join", "edit_distance_pairs",
 ]
 _R06_R03_ERA = [
     "ann_topk_lsh", "ann_topk_multiprobe", "azint_qlims",
@@ -100,7 +101,7 @@ _R06_R5_TOUCHED = [
     "vocab_coverage", "bigram_rarity", "normalized_docs",
     "repetition_stats", "topk_ngrams", "dedup_clusters",
     "token_count_bpe", "contamination_check", "decontam_bloom_flags",
-    "decontaminated_docs", "dsir_weights",
+    "decontaminated_docs",
 ]
 _R06_WINDOW = _R06_NEW + _R06_R03_ERA + _R06_R5_TOUCHED
 assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)

@@ -1179,6 +1179,55 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
 """
 
 
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level verification of the MinHash-LSH candidates:
+    Levenshtein distance over each candidate pair's raw texts, plus the
+    normalized similarity 1 − d/max(len) — the fuzzy-dedup confirm
+    stage that catches what token-set Jaccard cannot distinguish
+    (reordered tokens score identical Jaccard but large edit distance;
+    small in-place edits score high on both).
+
+    Scale shape: the O(len²) dynamic program runs ONLY on the LSH
+    candidate pairs (memoized, bounded by the band cap), one row per
+    pair — never all-pairs; both engines implement the identical
+    classic integer DP, so the distance (and the exact division
+    similarity) is oracle-bit-exact."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    d = F.levenshtein("_ta", "_tb").cast("long")
+    denom = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)).cast("long")
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            d.alias("edit_distance"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+            (F.lit(1.0) - d.cast("double") / denom.cast("double")).alias("edit_sim"),
+        )
+    )
+
+
+_EDIT_PAIRS_SQL = f"""
+WITH {_PAIRS_CTES}
+SELECT p.doc_a, p.doc_b,
+  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+  CAST(length(da.text) AS BIGINT) AS len_a,
+  CAST(length(db.text) AS BIGINT) AS len_b,
+  CAST(1.0 AS DOUBLE)
+    - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+      / CAST(GREATEST(length(da.text), length(db.text), 1) AS DOUBLE)
+    AS edit_sim
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
 _CONTAIN_MIN = 0.8
 
 
@@ -1357,6 +1406,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "winnowing_fingerprints": winnowing_fingerprints,
     "allpairs_jaccard_join": allpairs_jaccard_join,
+    "edit_distance_pairs": edit_distance_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "simhash16": simhash16,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -1377,6 +1427,7 @@ ORACLES = {
     "doc_fingerprints": _FINGERPRINT_SQL,
     "winnowing_fingerprints": _WINNOW_SQL,
     "allpairs_jaccard_join": _ALLPAIRS_SQL,
+    "edit_distance_pairs": _EDIT_PAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,
     "simhash16": _SIMHASH_SQL,
     "ann_lsh_buckets": _ANN_LSH_SQL,
