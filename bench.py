@@ -196,7 +196,14 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         return timings
 
+    # ambient-load stamps: the driver's run and the committed clean run
+    # have disagreed by >20 % twice (r4, r6) from machine load alone —
+    # recording loadavg + wall timestamps around each pass makes a
+    # contaminated run self-identifying from the artifact
+    load = {"start": list(os.getloadavg()), "t_start": round(time.time(), 1)}
     timings = run_pass(cold=False)
+    load["after_amortized"] = list(os.getloadavg())
+    load["t_after_amortized"] = round(time.time(), 1)
     total = round(sum(timings.values()), 3)
     detail = {"queries": timings, "sf": sf}
     out = {
@@ -212,6 +219,10 @@ def main() -> None:
         out["cold_total"] = round(sum(cold_timings.values()), 3)
         detail["cold_total"] = out["cold_total"]
         detail["queries_cold"] = cold_timings
+    load["end"] = list(os.getloadavg())
+    load["t_end"] = round(time.time(), 1)
+    out["loadavg"] = {k: v for k, v in load.items() if k.startswith(("start", "after", "end"))}
+    detail["loadavg"] = load
     out["slowest5"] = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -297,12 +297,29 @@ def test_dezinger_percentile_reference_scale(spark, tmp_path):
         nQ=4, qlims=(0.0, 2.0), dezinger=1,
     ).toPandas()
     assert len(low) > 0
-    for bad in (0, -5, 101):
-        with pytest.raises(ValueError, match="percentile"):
-            compat.doFolder(
-                spark, str(tmp_path), _geometry(spark),
-                nQ=4, qlims=(0.0, 2.0), dezinger=bad,
-            )
+    with pytest.raises(ValueError, match="percentile"):
+        compat.doFolder(
+            spark, str(tmp_path), _geometry(spark),
+            nQ=4, qlims=(0.0, 2.0), dezinger=101,
+        )
+
+    # reference no-op semantics (trx/azav.py dodezinger: 'if dezinger is
+    # None or dezinger <= 0: return imgs'): 0/negative disable
+    # dezingering instead of raising
+    off = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        nQ=4, qlims=(0.0, 2.0), dezinger=0,
+    ).toPandas()
+    none = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        nQ=4, qlims=(0.0, 2.0), dezinger=None,
+    ).toPandas()
+    assert off.equals(none)
+    neg = compat.doFolder(
+        spark, str(tmp_path), _geometry(spark),
+        nQ=4, qlims=(0.0, 2.0), dezinger=-5,
+    ).toPandas()
+    assert neg.equals(none)
 
 
 def test_specfile_facade(spark, tmp_path):
@@ -345,6 +362,17 @@ def test_specfile_facade(spark, tmp_path):
 
     mot = sf.motors(1).collect()
     assert [(r["motor"], r["position"]) for r in mot] == [("mono", 12.4)]
+
+    # numpy-style negative index: y / y[-1] (reference y[normalize]
+    # accepts any valid numpy index)
+    yneg = {r["x"]: r["I_I0"] for r in sf.getScan(1, ycol="I/I0", normalize=-1).collect()}
+    assert yneg[3.0] == 1.0 and yneg[2.0] == 2.0  # y / y[-1] = y/4
+
+    with pytest.raises(IndexError, match="out of range"):
+        sf.getScan(1, ycol="I/I0", normalize=-5)
+    # bools are int subclasses but not row indices
+    with pytest.raises(ValueError, match="normalize"):
+        sf.getScan(1, ycol="I/I0", normalize=True)
 
     with pytest.raises(ValueError, match="ycol"):
         sf.getScan(1, ycol="nope")

@@ -62,6 +62,11 @@ def doFolder(
     it with sources.sinks.save_with_config for the reference's
     azav.h5-style cached store (F7 config-hash invalidation)."""
     q_min, q_max = qlims if qlims is not None else (0.0, 10.0)
+    if dezinger is not None and dezinger <= 0:
+        # reference semantics: dezinger=0/negative disables dezingering
+        # (trx/azav.py dodezinger: 'if dezinger is None or dezinger <= 0:
+        # return imgs') — a no-op, not an error
+        dezinger = None
     if dezinger is not None:
         # the reference/pyFAI knob is ALWAYS on the 0-100 percentile
         # scale (trx/azav.py:254-257, 'percentile=50'); the engine's
@@ -417,12 +422,28 @@ class SpecFile:
             raise ValueError(f"ycol {ycol!r} not in scan labels {labels}")
         x = labels[0]
         out = df.select("_idx", F.col(x).alias(x), F.col(y).alias("_y"))
+        if isinstance(normalize, bool):
+            # bool is an int subclass; True/False are not row indices in
+            # the reference's y[normalize] and would silently pick row 0/1
+            raise ValueError(f"unsupported normalize {normalize!r}")
         if normalize is None:
             denom = None
         elif normalize == "max":
             denom = out.agg(F.max("_y").alias("_den"))
         elif isinstance(normalize, int):
-            denom = out.filter(F.col("_idx") == normalize).select(
+            idx = normalize
+            if idx < 0:
+                # numpy-style negative index (reference: y / y[normalize],
+                # spec.py getScan) — translate via the scan row count
+                # (bounded driver read: SPEC scans are KB-scale metadata)
+                n = out.count()
+                idx += n
+                if idx < 0:
+                    raise IndexError(
+                        f"normalize index {normalize} out of range for "
+                        f"scan with {n} rows"
+                    )
+            denom = out.filter(F.col("_idx") == idx).select(
                 F.col("_y").alias("_den")
             )
         elif isinstance(normalize, slice):

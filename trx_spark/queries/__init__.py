@@ -63,48 +63,42 @@ for mod in (
     ORACLES.update(mod.ORACLES)
 
 # The driver's correctness gate hashes the first 50 registry entries per
-# round.  The r01-r05 union covers all 127 pre-round-6 names (124/124
-# oracles green), so rotation now optimizes for CODE CURRENCY: every
-# name whose driver row predates the code that currently backs it gets
-# re-hashed first.  Round-6 window: the 9 brand-new gate entries
-# (perceptual image/audio dedup, the LM count model, the streaming
-# curation twin, cluster topic labeling, winnowing fingerprints, the sweep-line
-# concurrency peak, the AllPairs prefix-filtered exact Jaccard join, the Levenshtein
-# candidate verify), then
-# the 28 names whose newest driver row is r03-era
-# (the oldest rows in the union), then 13 round-4-era names whose
-# implementations were touched by the round-5 shared-helper refactors
-# across curation/corpus/textdata/similarity (span dedup, quality gate,
-# keep-list, vocab/bigram streams, clustering, decontam, sketches)
-# (9 + 28 + 13 = 50).  The 36 remaining r04-era names rotate in r7.
-_R06_NEW = [
-    "image_dedup_groups", "audio_dedup_groups",
-    "lm_bigram_counts", "streaming_curation_keep", "cluster_topics",
-    "winnowing_fingerprints", "concurrent_sessions_peak",
-    "allpairs_jaccard_join", "edit_distance_pairs",
+# round.  The r01-r06 union covers all prior names (133/133 oracles
+# green), so rotation optimizes for CODE CURRENCY: every name whose
+# driver row predates the code that currently backs it gets re-hashed
+# first.  Round-7 window: the 36 names whose newest driver row is
+# r04-era (the last stale cohort — the sketch/ranking/graph/curriculum/
+# funnel/packing/contrastive waves; after this window every registry
+# name's newest driver row is r05+ code), then the round-7 gate entries
+# and queries whose code round 7 touched (36 + 14 = 50).
+_R07_R04_ERA = [
+    "ann_ivf_topk", "ann_ivf_trained_topk", "ann_pq_topk", "bm25_topk",
+    "cluster_balanced_sample", "cms_heavy_hitters", "cohort_retention",
+    "curriculum_phases", "doc_chunks", "doclen_quantiles",
+    "dsir_weights", "embedding_neardup_pairs", "epoch_shuffle",
+    "event_funnel", "events_range_join", "hashed_tf_features",
+    "hll_distinct_tokens", "kmeans_cells", "knn_graph", "knn_pagerank",
+    "mixture_sample", "pack_sequences", "per_source_sample",
+    "pii_scrub", "priority_sample", "quality_stratified_sample",
+    "semantic_dedup", "source_quality_rollup", "stratified_sample",
+    "streaming_attribution_join", "streaming_cms_cells",
+    "streaming_dedup_keys", "streaming_hll_registers",
+    "streaming_session_stats", "streaming_windowed_counts",
 ]
-_R06_R03_ERA = [
-    "ann_topk_lsh", "ann_topk_multiprobe", "azint_qlims",
-    "curves_chi2_per_shot", "curves_scan_stats",
-    "customers_without_orders", "delay_codec", "diffs_plus_ref",
-    "distinct_scan_points", "events_pivot_counts",
-    "filter_outlier_curves", "global_curve_stats", "lang_id",
-    "lsh_pairs_verified", "monitor_qwindow_median",
-    "ngram_jaccard_pairs", "parts_with_orders", "polygon_mask_flags",
-    "pricing_rollup", "rebin_nearest", "reflections_cubic_si",
-    "running_order_totals", "salted_skewjoin_stats",
-    "shipping_priority", "slice_skip_first_last", "supplier_revenue",
-    "times_to_info", "value_gradient",
+_R07_NEW = [
+    # round-7 additions + r7-touched code (allpairs gains the
+    # prefix-key skew cap this round)
+    "allpairs_jaccard_join",
+    # provisional fillers until the r7 gate entries land — the oldest
+    # r05-row names, re-hashed for freshness
+    "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
+    "contrastive_triples", "dedup_report", "bpe_merges", "bpe_encode",
+    "training_set_manifest", "knn_reciprocal_pairs",
+    "minhash_containment", "mmr_diverse_topk", "source_overlap_matrix",
+    "ngram_novelty", "event_rate_cusum",
 ]
-_R06_R5_TOUCHED = [
-    "span_dedup", "quality_filter", "corpus_keep_list",
-    "vocab_coverage", "bigram_rarity", "normalized_docs",
-    "repetition_stats", "topk_ngrams", "dedup_clusters",
-    "token_count_bpe", "contamination_check", "decontam_bloom_flags",
-    "decontaminated_docs",
-]
-_R06_WINDOW = _R06_NEW + _R06_R03_ERA + _R06_R5_TOUCHED
-assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)
-_order = _R06_WINDOW + [n for n in QUERIES if n not in set(_R06_WINDOW)]
+_R07_WINDOW = _R07_R04_ERA + _R07_NEW
+assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
+_order = _R07_WINDOW + [n for n in QUERIES if n not in set(_R07_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
