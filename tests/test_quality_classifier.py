@@ -120,3 +120,41 @@ def test_scores_separate_lexically_distinct_sources(spark, tmp_path_factory):
     assert min(pos) > max(neg)  # fully separated
     acc = np.mean([(r["score"] > 0.5) == (r["label"] == 1.0) for r in out])
     assert acc == 1.0
+
+
+def test_gd_round_stats_match_numpy_round1(spark, sf_dir):
+    """The fixed-point round-1 statistics (the driver-hashed gate
+    surface) must reconstruct the numpy trainer's first gradient to
+    within the fixed-point truncation bound (≤ 1/S per addend)."""
+    from trx_spark.queries.classifier import _GD_SCALE, classifier_gd_round_stats
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    docs = list(zip(*(tbl[c].to_pylist() for c in ["doc_id", "text", "source"])))
+    feats = _ref_features(docs)
+    ids = sorted(feats)
+    X = np.array([feats[d][0] for d in ids])
+    y = np.array([feats[d][1] for d in ids])
+    n = len(ids)
+    # round 1 at w=0: e = 1/2 - y exactly
+    g_ref = X.T @ (0.5 - y)          # per-dim gradient * n... (before /n)
+    gb_ref = (0.5 - y).sum()         # bias channel
+
+    got = {
+        r["dim"]: r
+        for r in classifier_gd_round_stats(spark, sf_dir).collect()
+    }
+    assert got[_BIAS_DIM]["n_rows"] == n
+    assert got[_BIAS_DIM]["n_pos"] == int(y.sum())
+    for j in range(_FH_DIM):
+        if j not in got:
+            # a dim with no feature rows at this sf — gradient is 0
+            assert g_ref[j] == 0.0
+            continue
+        r = got[j]
+        # g[dim]·(-1) = (gq_pos - gq_neg)/(2·S); truncation ≤ n_rows/S
+        g_fp = (r["gq_neg"] - r["gq_pos"]) / (2.0 * _GD_SCALE)
+        assert abs(g_fp - g_ref[j]) <= (r["n_rows"] + 1) / _GD_SCALE
+    gb_fp = (got[_BIAS_DIM]["gq_neg"] - got[_BIAS_DIM]["gq_pos"]) / (2.0 * _GD_SCALE)
+    assert gb_fp == pytest.approx(gb_ref, abs=(n + 1) / _GD_SCALE)

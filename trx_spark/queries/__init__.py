@@ -89,13 +89,16 @@ _R07_NEW = [
     # round-7 additions + r7-touched code (allpairs gains the
     # prefix-key skew cap this round)
     "allpairs_jaccard_join",
+    # the GD trainer's round-1 fixed-point sufficient statistics —
+    # the driver now hashes the classifier's math
+    "classifier_gd_round_stats",
     # provisional fillers until the r7 gate entries land — the oldest
     # r05-row names, re-hashed for freshness
     "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
     "contrastive_triples", "dedup_report", "bpe_merges", "bpe_encode",
     "training_set_manifest", "knn_reciprocal_pairs",
     "minhash_containment", "mmr_diverse_topk", "source_overlap_matrix",
-    "ngram_novelty", "event_rate_cusum",
+    "ngram_novelty",
 ]
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)

@@ -163,8 +163,100 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Round-1 sufficient statistics (the driver-hashable integer core of
+# the trainer — the `lm_bigram_counts` pattern applied to GD)
+# ---------------------------------------------------------------------
+
+_GD_SCALE = 1e12  # |x| ≤ 1 and ≤ ~1e6 rows/dim at gate sf → no overflow
+
+
+def classifier_gd_round_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 sufficient statistics of the GD trainer, fixed-point
+    exact: at w=0 the sigmoid is exactly 1/2, so the per-row error
+    e = 1/2 − y is exact in binary and the round-1 gradient decomposes
+    into the two label-conditioned sums of the quantized features —
+    g[dim] = (gq_neg − gq_pos) / (2·S·n_docs) up to the fixed-point
+    truncation shared by both engines. Hashing (dim, n_rows, n_pos,
+    gq_pos, gq_neg) therefore pins the trainer's featurization, L1
+    normalization, label join, bias channel and gradient aggregation
+    bit-for-bit; only the later rounds' exp() stays outside the gate
+    (engine-specific transcendental — covered by the numpy pin in
+    tests/test_quality_classifier.py)."""
+    from trx_spark.exact import fint
+
+    feats = _features(spark, sf_dir)
+    q = fint(F.col("x"), _GD_SCALE)
+    return feats.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("y") == 1.0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("y") == 1.0, q).otherwise(F.lit(0))).alias("gq_pos"),
+        F.sum(F.when(F.col("y") == 0.0, q).otherwise(F.lit(0))).alias("gq_neg"),
+    )
+
+
+def _gd_stats_sql() -> str:
+    from trx_spark.exact import sql_fint
+    from trx_spark.queries.curation import _DSIR_TARGET_SOURCE
+    from trx_spark.queries.ranking import _FH_DIM, _FH_SIGN_A, _FH_SIGN_B, _TOKEN_RE
+    from trx_spark.queries.textdata import _P, _tok_hash_sql
+
+    tid = _tok_hash_sql("token")
+    q = sql_fint("x", _GD_SCALE)
+    return f"""
+WITH ts AS (
+  SELECT doc_id, s.token
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST({tid} % {_FH_DIM} AS BIGINT) AS dim,
+         CAST(CASE WHEN (({_FH_SIGN_A} * {tid} + {_FH_SIGN_B}) % {_P}) % 2 = 0
+                   THEN 1 ELSE -1 END AS BIGINT) AS s
+  FROM ts
+),
+tf AS (
+  SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS value
+  FROM hashed GROUP BY doc_id, dim
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(ABS(value)) AS BIGINT) AS n1
+  FROM tf GROUP BY doc_id
+  HAVING CAST(SUM(ABS(value)) AS BIGINT) > 0
+),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN source = '{_DSIR_TARGET_SOURCE}'
+              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  FROM documents
+),
+feats AS (
+  SELECT t.doc_id, t.dim,
+         CAST(t.value AS DOUBLE) / CAST(n.n1 AS DOUBLE) AS x, l.y
+  FROM tf t JOIN norms n USING (doc_id) JOIN labels l USING (doc_id)
+  UNION ALL
+  SELECT DISTINCT t.doc_id, CAST({_BIAS_DIM} AS BIGINT) AS dim,
+         CAST(1 AS DOUBLE) AS x, l.y
+  FROM tf t JOIN norms n USING (doc_id) JOIN labels l USING (doc_id)
+),
+quant AS (SELECT dim, y, {q} AS q FROM feats)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN y = 1.0 THEN q ELSE 0 END) AS BIGINT) AS gq_pos,
+       CAST(SUM(CASE WHEN y = 0.0 THEN q ELSE 0 END) AS BIGINT) AS gq_neg
+FROM quant GROUP BY dim
+"""
+
+
 QUERIES = {
     "quality_classifier_scores": quality_classifier_scores,
+    "classifier_gd_round_stats": classifier_gd_round_stats,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "classifier_gd_round_stats": _gd_stats_sql(),
+}
