@@ -122,6 +122,27 @@ def test_no_global_lit1_window_in_source():
     assert offenders == []
 
 
+def test_spec_reader_windows_are_per_file(spark, tmp_path):
+    """read_spec_scan's #S running count and _idx windows must
+    partition by file_path (round-7): an unpartitioned window funnels
+    every line of a SPEC glob through one task. SinglePartition
+    exchange feeding a Window = regression."""
+    from trx_spark.sources.specfile import read_spec_scan
+
+    p = tmp_path / "a.spec"
+    p.write_text(
+        "#O0 m\n#S 1 ascan x 0 1 1 0.1\n#P0 1.0\n#L x  y\n0.0 1.0\n"
+    )
+    plan = (
+        read_spec_scan(spark, str(p), scan=1, index=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
 def test_compute_bound_bases_fan_out(spark):
     """Invariant 10 (round 4): map-only compute-heavy stages must not
     inherit a single-split scan. The shared bases (tokenized docs,

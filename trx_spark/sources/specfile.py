@@ -123,8 +123,12 @@ def read_spec_scan(
     ordinal = headers.index(header) + 1  # nth #S marker in file order
 
     text = spark.read.text(path)
-    w = Window.orderBy(
-        F.col("_metadata.file_path"),
+    # per-file window: the #S running count is a PER-FILE property, so
+    # partitioning by file_path is both semantically right (each file's
+    # marker count restarts at 0) and scale-safe — a glob of many SPEC
+    # files fans out one window task per file instead of funnelling
+    # every line through a single unpartitioned-window task
+    w = Window.partitionBy(F.col("_metadata.file_path")).orderBy(
         F.col("_metadata.file_block_start"),
         F.monotonically_increasing_id(),
     )
