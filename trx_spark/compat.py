@@ -8,10 +8,12 @@ eager numpy containers.
 
 Signature sources: ``doFolder`` ← trx/azav.py:230-290,
 ``doFolder_dataRed`` ← trx/id9.py:226-303, ``doFolder`` (online loop)
-← trx/id9.py:305-335. The poni-file geometry init (trx/azav.py:96-129)
-is replaced by an explicit per-pixel geometry DataFrame
-(y, x, q, chi, solid_angle, pol_corr) — built once per detector and
-broadcast (SURVEY U8); the online loop is Structured Streaming
+← trx/id9.py:305-335. The poni-file geometry init (trx/azav.py:96-129,
+173-228 getAI) is sources.poni: ``poni="file.poni"`` resolves with
+getAI's search order and generates the per-pixel geometry DataFrame
+(y, x, q, chi, solid_angle, pol_corr) distributed — built once per
+detector and broadcast (SURVEY U8); an explicit geometry DataFrame is
+still accepted. The online loop is Structured Streaming
 (trx_spark/streaming/incremental.py) rather than a sleep-poll.
 """
 
@@ -42,7 +44,7 @@ def _as_mask(mask: str | Column | None) -> Column | None:
 def doFolder(
     spark: SparkSession,
     folder: str,
-    geometry: DataFrame,
+    geometry: DataFrame | None = None,
     *,
     files: str = "*.edf*",
     nQ: int = 1500,
@@ -51,12 +53,24 @@ def doFolder(
     qlims: tuple[float, float] | None = None,
     monitor: tuple[float, float] | None = None,
     dezinger: float | None = None,
+    poni: str | dict | None = None,
+    detector_shape: tuple[int, int] | None = None,
 ) -> DataFrame:
     """trx/azav.py:230 ``doFolder``: folder of detector images →
     per-image I(q) curves. ``files`` is the same glob (gzip-wrapped
     EDF/CBF/TIFF decode transparently via the magic-byte sniffer);
     ``nQ`` → radial bins, ``qlims`` → (q_min, q_max), ``monitor`` →
     the q-window normalization, ``dezinger`` → the percentile knob.
+
+    Geometry comes either as an explicit per-pixel DataFrame or — the
+    reference's own vocabulary — as ``poni=``: a ``.poni`` filename
+    (resolved with getAI's search order: the path itself, then
+    ``folder`` and all its parents, then cwd and home —
+    trx/azav.py:190-212) or a getAI-style parameter dict (``dist``/
+    ``poni1``/``xcen``/``pixel``/``E``/...). The per-pixel table is
+    then generated distributed (sources.poni) for ``detector_shape``;
+    when omitted, the shape is probed from the first image of the
+    folder (one bounded single-image decode).
 
     Returns the lazy curve bank (file, q_bin, q, i, err, ...); persist
     it with sources.sinks.save_with_config for the reference's
@@ -84,6 +98,31 @@ def doFolder(
             )
         dezinger = dezinger / 100.0
     assets = read_binary_assets(spark, f"{folder.rstrip('/')}/{files}", "image")
+    if geometry is None:
+        if poni is None:
+            raise ValueError("doFolder needs either a geometry DataFrame or poni=")
+        from trx_spark.sources.poni import (
+            apply_overrides,
+            load_poni,
+            poni_geometry_table,
+        )
+
+        geom = (
+            apply_overrides(**poni)
+            if isinstance(poni, dict)
+            else load_poni(poni, folder=folder)
+        )
+        if detector_shape is None:
+            # bounded probe: decode ONE image to learn (ny, nx), the
+            # reference's own move (azav.py:41 'read one image to know
+            # img size')
+            probe = (
+                decode_image(assets.limit(1), codec="auto")
+                .agg(F.max("y").alias("my"), F.max("x").alias("mx"))
+                .collect()[0]
+            )
+            detector_shape = (int(probe["my"]) + 1, int(probe["mx"]) + 1)
+        geometry = poni_geometry_table(spark, geom, detector_shape)
     pixels = decode_image(assets, codec="auto").withColumn(
         "file", F.element_at(F.split(F.col("file"), "/"), -1)
     )
