@@ -13,10 +13,14 @@ top-k baseline with the query vector broadcast.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trx_spark.tables import fan_out_small_scan, load_table
+
+logger = logging.getLogger(__name__)
 
 _TOKEN_RE = "[a-z]+"
 _P = 2147483647  # 2^31 − 1, Mersenne prime for the affine hash family
@@ -428,9 +432,20 @@ _ALLPAIRS_T = 0.8  # Jaccard threshold
 _ALLPAIRS_K = 3  # shingle width: unigram SETS are degenerate on this
 # corpus (31-word vocabulary — every doc-pair collides); 3-gram
 # shingle sets give a spread vocabulary where prefix filtering bites
+_ALLPAIRS_KEY_CAP = 4096  # docs per prefix blocking key before the key
+# is declared SATURATED and dropped-with-accounting (the
+# streaming/dedup_index.py drop_saturated_keys semantics): a prefix key
+# shared by >cap docs fans out >cap² candidate pairs — the one
+# adversarial distribution that breaks the AllPairs cost model. The
+# default never fires on non-degenerate corpora (PLANS.md documents the
+# blocking-key distribution as the 100-TB monitoring target); a key
+# that DOES saturate means >cap near-identical docs, which belongs to
+# the dedup family, not an exact pairwise join.
 
 
-def allpairs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def allpairs_jaccard_join(
+    spark: SparkSession, sf_dir: str, *, key_cap: int = _ALLPAIRS_KEY_CAP
+) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (AllPairs,
     Bayardo-Ma-Srikant) — the guaranteed-complete complement to the
     probabilistic MinHash-LSH path: every pair of documents whose
@@ -455,6 +470,11 @@ def allpairs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the naive shared-shingle formulation — independent
     of both filters, so the gate proves the pruning loses nothing.
+
+    A per-blocking-key saturation cap (``key_cap``) bounds the
+    candidate fan-out under adversarial key distributions — see the
+    inline note; on non-degenerate corpora it never fires, so the
+    exactness guarantee holds wherever the cost model does.
 
     Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard), J ≥ t."""
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
@@ -488,6 +508,30 @@ def allpairs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ordered.select(
         "doc_id", "n", F.explode(F.slice("arr", 1, plen)).alias("shingle")
     )
+    # saturated-key guard (drop_saturated_keys semantics, one-shot
+    # form): a blocking key carried by > key_cap docs would fan out
+    # > cap² candidate pairs; such keys are removed from the blocking
+    # stage with accounting. Pairs whose ONLY shared prefix key is
+    # saturated are lost — drop-and-log, bounded fan-out. The
+    # saturated set is a bounded driver read (keys over cap only).
+    sat_rows = (
+        prefix.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("kcnt"))
+        .filter(F.col("kcnt") > key_cap)
+        .collect()
+    )
+    if sat_rows:
+        logger.warning(
+            "allpairs_jaccard_join: dropped %d saturated prefix keys "
+            "(cap=%d, hottest=%d docs)",
+            len(sat_rows),
+            key_cap,
+            max(r["kcnt"] for r in sat_rows),
+        )
+        sat = spark.createDataFrame(
+            [(r["shingle"],) for r in sat_rows], "shingle STRING"
+        )
+        prefix = prefix.join(F.broadcast(sat), "shingle", "left_anti")
     a = prefix.alias("a")
     b = prefix.alias("b")
     t = F.lit(_ALLPAIRS_T)
