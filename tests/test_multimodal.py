@@ -755,3 +755,167 @@ def test_decode_mar345_distributed(spark, tmp_path):
         np.testing.assert_array_equal(
             sub["intensity"].to_numpy().reshape(8, 8), img.astype(float)
         )
+
+
+def test_marccd_roundtrip_kernel():
+    """decode_marccd(encode_marccd(img)) == img, both byte orders,
+    MarCCD layout invariants (TIFF strip at 4096, frame header at
+    1024), sniff discriminates MarCCD from plain TIFF (reference reads
+    .mccd through fabio, trx/azav.py:29-34)."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_any,
+        decode_marccd,
+        decode_tiff,
+        encode_marccd,
+        encode_tiff,
+        sniff_codec,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 60000, (7, 5)).astype("u2")
+    blob = encode_marccd(img)
+    assert sniff_codec(blob) == "marccd"
+    # a plain TIFF of the same pixels still sniffs as tiff
+    assert sniff_codec(encode_tiff(img)) == "tiff"
+    back, hdr = decode_marccd(blob)
+    np.testing.assert_array_equal(back, img)
+    assert hdr["header_name"] == "MarCCD"
+    assert (hdr["nfast"], hdr["nslow"]) == (5, 7)
+    assert hdr["depth"] == 2 and hdr["header_size"] == 3072
+    # pixels live in the TIFF container at the canonical 4096 offset —
+    # a generic TIFF reader decodes the same values (fabio mccd is a
+    # tifimage subclass for exactly this reason)
+    timg, tags = decode_tiff(blob)
+    np.testing.assert_array_equal(timg, img)
+    assert tags[273][0] == 4096
+    # big-endian container
+    back_be, hdr_be = decode_marccd(encode_marccd(img, byte_order=">"))
+    np.testing.assert_array_equal(back_be, img)
+    assert hdr_be["header_byte_order"] == 1234  # self-describing word
+    # decode_any dispatch
+    via_any, _ = decode_any(blob)
+    np.testing.assert_array_equal(via_any, img)
+
+
+def test_marccd_dim_disagreement_raises():
+    """A frame header whose nfast/nslow contradict the TIFF IFD is
+    surfaced, not silently trusted (the IFD is the spec-certain
+    source)."""
+    import numpy as np
+    import pytest as _pt
+
+    from trx_spark.operators.multimodal import decode_marccd, encode_marccd
+
+    blob = bytearray(encode_marccd(np.ones((4, 4), dtype="u2")))
+    blob[1024 + 80 : 1024 + 84] = (99).to_bytes(4, "little")  # corrupt nfast
+    with _pt.raises(ValueError, match="disagree"):
+        decode_marccd(bytes(blob))
+
+
+def test_bruker_roundtrip_kernel():
+    """decode_bruker(encode_bruker(img)) == img across NPIXELB widths
+    and through the ASCII overflow table (format-86 layout; reference
+    reads .sfrm through fabio, trx/azav.py:29-34)."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_any,
+        decode_bruker,
+        encode_bruker,
+        sniff_codec,
+    )
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 250, (6, 9)).astype("u4")
+    img[2, 3] = 70_000  # above the 2-byte ceiling → overflow record
+    img[5, 8] = 1_000_000
+    for npixelb in (1, 2, 4):
+        blob = encode_bruker(img, npixelb=npixelb)
+        assert sniff_codec(blob) == "bruker"
+        back, hdr = decode_bruker(blob)
+        np.testing.assert_array_equal(back, img.astype(np.int64))
+        assert (hdr["nrows"], hdr["ncols"]) == (6, 9)
+        assert hdr["npixelb"] == npixelb
+        assert hdr["noverfl"] == (0 if npixelb == 4 else 2 if npixelb == 2 else 2)
+    # saturated-but-not-overflow pixel: value exactly at the ceiling
+    # stays literal (no overflow record consumed)
+    flat = np.full((3, 3), 255, dtype="u2")
+    back, hdr = decode_bruker(encode_bruker(flat, npixelb=1))
+    assert hdr["noverfl"] == 0
+    np.testing.assert_array_equal(back, 255)
+    via_any, _ = decode_any(encode_bruker(img))
+    np.testing.assert_array_equal(via_any, img.astype(np.int64))
+
+
+def test_decode_marccd_bruker_distributed(spark, tmp_path):
+    """REAL MarCCD + Bruker decode through binaryFile → mapInPandas in
+    one auto-sniffed folder (mixed-format beamline dir), gzip wrapping
+    included — distributed values ≡ local kernel values."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_bruker, encode_marccd
+
+    rng = np.random.default_rng(41)
+    truth = {}
+    img_m = rng.integers(0, 60000, (8, 8)).astype("u2")
+    truth["frame_0"] = img_m.astype(float)
+    (tmp_path / "frame_0.mccd").write_bytes(encode_marccd(img_m))
+    img_b = rng.integers(0, 250, (8, 8)).astype("u4")
+    img_b[3, 3] = 80_000
+    truth["frame_1"] = img_b.astype(float)
+    (tmp_path / "frame_1.sfrm").write_bytes(encode_bruker(img_b, npixelb=2))
+    img_g = rng.integers(0, 1000, (8, 8)).astype("u2")
+    truth["frame_2"] = img_g.astype(float)
+    (tmp_path / "frame_2.mccd.gz").write_bytes(
+        gzip.compress(encode_marccd(img_g, byte_order=">"))
+    )
+    assets = read_binary_assets(spark, str(tmp_path / "frame_*"), "image")
+    px = decode_image(assets, codec="auto").toPandas()
+    assert len(px) == 3 * 8 * 8
+    for stem, img in truth.items():
+        sub = px[px.file.str.contains(stem + ".")].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(8, 8), img
+        )
+
+
+def test_mar345_pck_prediction_convention():
+    """Pin the PCK neighbor-prediction convention against a by-hand
+    derivation of the published pack_c formula (CCP4 / mar345 format
+    description): diff[0] = img[0]; diffs 1..size-1 use the left pixel;
+    from flat index size onward the prediction is the truncated mean
+    (W + NE + N + NW + 2) >> 2 over FLAT indices (row boundaries wrap
+    into the neighboring row), with the single out-of-range NW at
+    i == size falling back to the left pixel. The expected differences
+    below are computed inline from that formula — independently of the
+    encoder's vectorized _pck_predictions_make — so a convention
+    regression in either direction fails this test."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        _pck_predictions_apply,
+        _pck_predictions_make,
+    )
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 5000, (5, 5)).astype(np.int64)
+    flat = img.ravel()
+    size = 5
+    exp = np.empty(size * size, dtype=np.int64)
+    exp[0] = flat[0]
+    for i in range(1, size):
+        exp[i] = flat[i] - flat[i - 1]
+    for i in range(size, size * size):
+        west = flat[i - 1]          # flat index — wraps across rows
+        north = flat[i - size]
+        ne = flat[i - size + 1]
+        nw = flat[i - size - 1] if i > size else flat[i - 1]
+        exp[i] = flat[i] - ((west + ne + north + nw + 2) >> 2)
+    got = _pck_predictions_make(img)
+    np.testing.assert_array_equal(got, exp)
+    # and the decoder inverts exactly that convention
+    np.testing.assert_array_equal(_pck_predictions_apply(exp, size), img)

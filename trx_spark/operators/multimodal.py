@@ -160,7 +160,16 @@ def sniff_codec(buf: bytes) -> str:
     if buf[:2] == _GZIP_MAGIC:
         return "gzip"
     if buf[:2] in (b"II", b"MM"):
+        # MarCCD is a TIFF container distinguished by the frame-header
+        # name tag at the canonical 1024+4 offset (fabio's detection)
+        if (
+            len(buf) > _MARCCD_DATA_OFFSET
+            and buf[_MARCCD_NAME_OFFSET : _MARCCD_NAME_OFFSET + 6] == b"MarCCD"
+        ):
+            return "marccd"
         return "tiff"
+    if buf[:7] == b"FORMAT " and buf[7:8] == b":":
+        return "bruker"
     if buf[:6] == b"###CBF":
         return "cbf"
     # mar345: 32-bit byte-order sentinel 1234 in either endianness
@@ -192,6 +201,10 @@ def decode_any(buf: bytes) -> tuple[np.ndarray, dict]:
         return decode_cbf(buf)
     if fmt == "mar345":
         return decode_mar345(buf)
+    if fmt == "marccd":
+        return decode_marccd(buf)
+    if fmt == "bruker":
+        return decode_bruker(buf)
     img, tags = decode_tiff(buf)
     return img, {str(k): v for k, v in tags.items()}
 
@@ -464,6 +477,12 @@ def decode_image(
       - ``"mar345"`` — REAL decode of the marresearch image-plate
         format (pure-numpy :func:`decode_mar345`: CCP4 PCK bit stream
         + overflow table; fabio's mar345 surface).
+      - ``"marccd"`` — REAL decode of the MarCCD detector format
+        (TIFF container + frame header at 1024, pixels through the
+        spec-certain TIFF path; fabio's mccd surface).
+      - ``"bruker"`` — REAL decode of the Bruker SFRM frame format
+        (80-char keyed header records + ASCII overflow table;
+        fabio's bruker surface).
       - ``"auto"`` — per-file magic-byte sniffing across the real
         formats (fabio's auto-detection behavior: a real beamline
         folder mixes formats).
@@ -475,7 +494,9 @@ def decode_image(
     """
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
-    if codec not in ("edf", "cbf", "tiff", "mar345", "auto", "fake"):
+    if codec not in (
+        "edf", "cbf", "tiff", "mar345", "marccd", "bruker", "auto", "fake"
+    ):
         raise ValueError(f"unknown codec {codec!r}")
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
@@ -657,6 +678,35 @@ def decode_image(
             data, dtype=_np.dtype(f"{bo}{kind}{bits // 8}"), count=nx_ * ny_
         ).reshape(ny_, nx_)
 
+    def _parse_bruker(buf, _np):
+        # nested (pickled by value) twin of decode_bruker — see
+        # _parse_edf for why worker kernels stay self-contained
+        def _items(nblk):
+            out = {}
+            for off in range(0, nblk * 512, 80):
+                line = buf[off : off + 80].decode("ascii", "replace")
+                key, val = line[:7].strip(), line[8:].strip()
+                if key and key not in out:
+                    out[key] = val
+            return out
+
+        hdrblks = int(_items(1).get("HDRBLKS", "3").split()[0])
+        items = _items(hdrblks)
+        nrows = int(items["NROWS"].split()[0])
+        ncols = int(items["NCOLS"].split()[0])
+        npixelb = int(items["NPIXELB"].split()[0])
+        noverfl = int(items.get("NOVERFL", "0").split()[0])
+        pos = hdrblks * 512
+        n = nrows * ncols
+        img = _np.frombuffer(
+            buf, dtype=f"<u{npixelb}", count=n, offset=pos
+        ).astype(_np.int64).reshape(nrows, ncols)
+        pos += n * npixelb
+        for k in range(noverfl):
+            rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
+            img.flat[int(rec[9:16])] = int(rec[:9])
+        return img
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (workers may not have trx_spark on path)
         import gzip as _gz
@@ -669,7 +719,11 @@ def decode_image(
             # magic bytes: TIFF 'II*\0'/'MM\0*', CBF '###CBF', EDF
             # header brace (possibly after whitespace/newline)
             if buf[:2] in (b"II", b"MM"):
+                if len(buf) > 4096 and buf[1028:1034] == b"MarCCD":
+                    return "marccd"
                 return "tiff"
+            if buf[:7] == b"FORMAT " and buf[7:8] == b":":
+                return "bruker"
             if buf[:6] == b"###CBF":
                 return "cbf"
             if len(buf) >= 4 and (
@@ -703,7 +757,11 @@ def decode_image(
                     frames = [_parse_cbf(raw, _np).astype(float)]
                 elif fmt == "mar345":
                     frames = [_parse_mar345(raw, _np).astype(float)]
-                elif fmt == "tiff":
+                elif fmt == "bruker":
+                    frames = [_parse_bruker(raw, _np).astype(float)]
+                elif fmt in ("tiff", "marccd"):
+                    # MarCCD pixels live in the TIFF container — the
+                    # IFD walk is the authoritative decode for both
                     frames = [_parse_tiff(raw, _np).astype(float)]
                 else:
                     seed = int.from_bytes(_hl.sha256(raw).digest()[:4], "big")
@@ -842,7 +900,13 @@ def encode_tiff(img: np.ndarray, *, byte_order: str = "<") -> bytes:
 # with a 6-bit header (3 bits log2 block length, 3 bits index into the
 # bit-size table {0,4,5,6,7,8,16,32}), values two's-complement signed.
 # Verified by roundtrip + distributed tests against this encoder (the
-# same verification scope as the EDF/CBF/TIFF codecs).
+# same verification scope as the EDF/CBF/TIFF codecs), plus a by-hand
+# derivation of the pack_c prediction formula in
+# tests/test_multimodal.py::test_mar345_pck_prediction_convention that
+# pins the flat-index row-wrap and i==size NW-fallback conventions
+# independently of the encoder. (A golden produced by fabio's mar345
+# writer would pin the bit-packing against real beamline files too;
+# fabio is not installable in this environment.)
 # ---------------------------------------------------------------------
 
 _MAR345_SENTINEL = 1234
@@ -1025,6 +1089,237 @@ def encode_mar345(img: np.ndarray, *, byte_order: str = "<") -> bytes:
     marker = (_PCK_MARKER_FMT % (size, size)).encode("ascii")
     stream = _pck_pack_diffs(_pck_predictions_make(packed_img))
     return bytes(head) + high.tobytes() + marker + stream
+
+
+# ---------------------------------------------------------------------
+# MarCCD codec (.mccd — the marccd detector format, another member of
+# the reference's "whatever fabio reads" surface, trx/azav.py:29-34 and
+# trx/mask.py:28). The container is a baseline TIFF: the pixel strip
+# starts at the fixed offset 4096 and the IFD fits inside the first
+# 1024 bytes; bytes [1024, 4096) hold the marccd frame_header struct
+# (3072 bytes of little/big-endian uint32 words + fixed-width char
+# fields, published with the marccd software and reproduced in CBFlib's
+# format documentation). Pixels therefore decode through the
+# spec-certain TIFF path; the frame header contributes metadata. Fields
+# parsed here are the struct prefix (header_type, header_name,
+# versions, byte orders, header_size, frame_type, magic,
+# compression_type) plus nfast/nslow/depth at word offsets 80/84/88 —
+# the dimensions are cross-checked against the authoritative TIFF IFD
+# at decode and the IFD wins on disagreement.
+# ---------------------------------------------------------------------
+
+_MARCCD_HEADER_OFFSET = 1024
+_MARCCD_HEADER_SIZE = 3072
+_MARCCD_DATA_OFFSET = 4096
+_MARCCD_NAME_OFFSET = _MARCCD_HEADER_OFFSET + 4  # char header_name[16]
+
+
+def decode_marccd(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a MarCCD (.mccd) blob → (2-D array, header dict)."""
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None or len(buf) <= _MARCCD_DATA_OFFSET:
+        raise ValueError("not a MarCCD stream (TIFF container too small)")
+    if not buf[_MARCCD_NAME_OFFSET : _MARCCD_NAME_OFFSET + 6] == b"MarCCD":
+        raise ValueError("not a MarCCD stream (missing header_name tag)")
+    # frame_header byte order is self-describing: the header_byte_order
+    # word holds 1234 in the header's own endianness
+    h32 = int.from_bytes(buf[1024 + 28 : 1024 + 32], "little")
+    end = "little" if h32 == 1234 else "big"
+    w = lambda off: int.from_bytes(buf[1024 + off : 1024 + off + 4], end)
+    header = {
+        "header_type": w(0),
+        "header_name": buf[1028:1044].rstrip(b"\x00").decode("ascii", "replace"),
+        "header_major_version": w(20),
+        "header_minor_version": w(24),
+        "header_byte_order": w(28),
+        "data_byte_order": w(32),
+        "header_size": w(36),
+        "frame_type": w(40),
+        "magic_number": w(44),
+        "compression_type": w(48),
+        "nfast": w(80),
+        "nslow": w(84),
+        "depth": w(88),
+    }
+    img, tags = decode_tiff(buf)
+    # the TIFF IFD is the spec-certain source of dimensions; surface a
+    # frame-header disagreement rather than trusting unpinned offsets
+    if header["nfast"] and (
+        header["nfast"] != tags[256][0] or header["nslow"] != tags[257][0]
+    ):
+        raise ValueError(
+            "MarCCD frame header dims disagree with TIFF IFD "
+            f"({header['nfast']}x{header['nslow']} vs {tags[256][0]}x{tags[257][0]})"
+        )
+    return img, header
+
+
+def encode_marccd(img: np.ndarray, *, byte_order: str = "<") -> bytes:
+    """Encode a 2-D unsigned-int array as a MarCCD blob (TIFF header +
+    IFD inside the first 1024 bytes, frame header at 1024, single pixel
+    strip at the canonical 4096 offset). The write side of the S1 seam
+    for this format and the tests' golden producer."""
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    if img.ndim != 2 or img.dtype.kind != "u":
+        raise ValueError("MarCCD frames are 2-D unsigned integers")
+    end = "little" if byte_order == "<" else "big"
+    ny, nx = img.shape
+    payload = img.astype(img.dtype.newbyteorder(byte_order), copy=False).tobytes()
+    entries = [
+        (256, 3, 1, nx),
+        (257, 3, 1, ny),
+        (258, 3, 1, img.dtype.itemsize * 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (273, 4, 1, _MARCCD_DATA_OFFSET),
+        (277, 3, 1, 1),
+        (278, 3, 1, ny),
+        (279, 4, 1, len(payload)),
+        (339, 3, 1, 1),
+    ]
+    ifd = len(entries).to_bytes(2, end)
+    for tag, typ, cnt, val in entries:
+        ifd += (
+            tag.to_bytes(2, end)
+            + typ.to_bytes(2, end)
+            + cnt.to_bytes(4, end)
+            + val.to_bytes(_TIFF_TYPE_SIZE[typ], end).ljust(4, b"\x00")
+        )
+    ifd += (0).to_bytes(4, end)
+    head = bytearray(_MARCCD_DATA_OFFSET)
+    head[0:2] = b"II" if byte_order == "<" else b"MM"
+    head[2:4] = (42).to_bytes(2, end)
+    head[4:8] = (8).to_bytes(4, end)  # IFD immediately after the header
+    head[8 : 8 + len(ifd)] = ifd
+    mar = bytearray(_MARCCD_HEADER_SIZE)
+
+    def put(off: int, v: int) -> None:
+        mar[off : off + 4] = v.to_bytes(4, end)
+
+    put(0, 1)  # header_type
+    mar[4:20] = b"MarCCD".ljust(16, b"\x00")
+    put(20, 1)  # header_major_version
+    put(24, 0)
+    put(28, 1234)  # header_byte_order sentinel in its own endianness
+    put(32, 1234)
+    put(36, _MARCCD_HEADER_SIZE)
+    put(40, 1)  # frame_type
+    put(44, 1)  # magic_number
+    put(48, 0)  # compression_type: none
+    put(80, nx)  # nfast
+    put(84, ny)  # nslow
+    put(88, img.dtype.itemsize)  # depth
+    head[_MARCCD_HEADER_OFFSET:_MARCCD_DATA_OFFSET] = mar
+    return bytes(head) + payload
+
+
+# ---------------------------------------------------------------------
+# Bruker SFRM codec (.sfrm — the Bruker detector frame format, the last
+# member of the reference's "whatever fabio reads" surface,
+# trx/azav.py:29-34). The format is public (Bruker frame-format
+# documentation; multiple independent open readers): a header of
+# HDRBLKS x 512 bytes made of 80-character records ``KEY____:value``
+# (7-char key, colon, 72-char value); then NROWS x NCOLS little-endian
+# unsigned pixels of NPIXELB bytes each, row-major; then (format 86)
+# the overflow table — NOVERFL records of 16 ASCII characters, a
+# %9d value followed by a %7d flat pixel offset, padded to a 512-byte
+# boundary. Saturated pixels (all-ones at NPIXELB width) carry their
+# true value in the overflow table, applied by offset.
+# ---------------------------------------------------------------------
+
+_SFRM_BLOCK = 512
+_SFRM_LINE = 80
+
+
+def _sfrm_header_items(buf: bytes, hdrblks: int) -> dict[str, str]:
+    items: dict[str, str] = {}
+    for off in range(0, hdrblks * _SFRM_BLOCK, _SFRM_LINE):
+        line = buf[off : off + _SFRM_LINE].decode("ascii", "replace")
+        key, val = line[:7].strip(), line[8:].strip()
+        if key and key not in items:  # first occurrence wins (fabio-style)
+            items[key] = val
+    return items
+
+
+def decode_bruker(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a Bruker SFRM blob → (2-D int64 array, header dict)."""
+    if buf[:7] != b"FORMAT " or buf[7:8] != b":":
+        raise ValueError("not a Bruker SFRM stream (missing FORMAT record)")
+    # HDRBLKS lives inside the first block — parse that, then the rest
+    first = _sfrm_header_items(buf, 1)
+    hdrblks = int(first.get("HDRBLKS", "3").split()[0])
+    items = _sfrm_header_items(buf, hdrblks)
+    nrows = int(items["NROWS"].split()[0])
+    ncols = int(items["NCOLS"].split()[0])
+    npixelb = int(items["NPIXELB"].split()[0])
+    noverfl = int(items.get("NOVERFL", "0").split()[0])
+    if int(items.get("WORDORD", "0").split()[0]) != 0:
+        raise ValueError("unsupported SFRM word order (little-endian only)")
+    pos = hdrblks * _SFRM_BLOCK
+    n = nrows * ncols
+    img = np.frombuffer(
+        buf, dtype=f"<u{npixelb}", count=n, offset=pos
+    ).astype(np.int64).reshape(nrows, ncols)
+    pos += n * npixelb
+    # format-86 ASCII overflow table: 16-char records (%9d value,
+    # %7d offset), applied by explicit flat offset
+    for k in range(noverfl):
+        rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
+        img.flat[int(rec[9:16])] = int(rec[:9])
+    header = {
+        "format": int(items.get("FORMAT", "86").split()[0]),
+        "version": int(items.get("VERSION", "11").split()[0]),
+        "hdrblks": hdrblks,
+        "nrows": nrows,
+        "ncols": ncols,
+        "npixelb": npixelb,
+        "noverfl": noverfl,
+    }
+    return img, header
+
+
+def encode_bruker(img: np.ndarray, *, npixelb: int = 2) -> bytes:
+    """Encode a 2-D non-negative integer image as a Bruker SFRM blob
+    (format-86 layout: 80-char header records in 512-byte blocks,
+    little-endian NPIXELB-byte pixels, ASCII overflow table for values
+    above the per-pixel ceiling)."""
+    if img.ndim != 2 or img.dtype.kind not in "ui" or (
+        img.dtype.kind == "i" and int(img.min()) < 0
+    ):
+        raise ValueError("SFRM pixels are 2-D non-negative integers")
+    if npixelb not in (1, 2, 4):
+        raise ValueError("NPIXELB must be 1, 2 or 4")
+    nrows, ncols = img.shape
+    flat = img.astype(np.int64).ravel()
+    ceil = (1 << (8 * npixelb)) - 1
+    over = np.flatnonzero(flat > ceil)
+    if over.size and (int(flat[over].max()) > 999_999_999 or flat.size > 9_999_999):
+        raise ValueError("overflow record exceeds the 16-char ASCII field")
+    records = [
+        ("FORMAT", "86"),
+        ("VERSION", "11"),
+        ("HDRBLKS", "3"),
+        ("TYPE", "Synthetic frame"),
+        ("NROWS", str(nrows)),
+        ("NCOLS", str(ncols)),
+        ("WORDORD", "0"),
+        ("LONGORD", "0"),
+        ("NPIXELB", str(npixelb)),
+        ("NOVERFL", str(int(over.size))),
+    ]
+    head = b"".join(
+        f"{k:<7s}:{v:<72s}".encode("ascii") for k, v in records
+    )
+    hdrblks = 3
+    head = head.ljust(hdrblks * _SFRM_BLOCK, b"\x1a")  # classic pad byte
+    body = np.minimum(flat, ceil).astype(f"<u{npixelb}").tobytes()
+    table = b"".join(
+        f"{int(flat[o]):9d}{int(o):7d}".encode("ascii") for o in over
+    )
+    if table:
+        table = table.ljust(-(-len(table) // _SFRM_BLOCK) * _SFRM_BLOCK, b" ")
+    return head + body + table
 
 
 # ---------------------------------------------------------------------

@@ -29,6 +29,7 @@ from trx_spark.queries import (
     streamingq,
     temporal,
     textdata,
+    textquality,
     trxdomain,
     trxdomain2,
     trxdomain3,
@@ -48,6 +49,7 @@ for mod in (
     similarity,
     corpus,
     curation,
+    textquality,
     packing,
     temporal,
     curriculum,
@@ -92,13 +94,16 @@ _R07_NEW = [
     # the GD trainer's round-1 fixed-point sufficient statistics —
     # the driver now hashes the classifier's math
     "classifier_gd_round_stats",
-    # provisional fillers until the r7 gate entries land — the oldest
-    # r05-row names, re-hashed for freshness
+    # round-7 gate entries: exact-substring span dedup (Lee et al.
+    # 2022), readability sufficient statistics, Kneser-Ney continuation
+    # counts — each a new oracle-bearing operator, hashed in its
+    # landing round
+    "duplicate_ngram_spans", "readability_stats", "kn_bigram_stats",
+    # remaining slots re-hash the oldest r05-row names for freshness
     "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
     "contrastive_triples", "dedup_report", "bpe_merges", "bpe_encode",
     "training_set_manifest", "knn_reciprocal_pairs",
-    "minhash_containment", "mmr_diverse_topk", "source_overlap_matrix",
-    "ngram_novelty",
+    "minhash_containment",
 ]
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)

@@ -181,11 +181,93 @@ FROM bi JOIN uni u ON u.w = bi.w1
 """
 
 
+def kn_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney sufficient statistics over the RAW (unmapped) bigram
+    stream (Kneser & Ney, "Improved backing-off for m-gram language
+    modeling", ICASSP 1995): per word, the context total c_context =
+    Σ c(w, ·), the right fertility N1+(w ·) = |{w2 : c(w, w2) > 0}|
+    (the absolute-discount denominator's λ numerator) and the left
+    continuation count N1+(· w) = |{w1 : c(w1, w) > 0}| (the
+    lower-order KN distribution's numerator). All exact integers — the
+    discounted probabilities are affine/rational maps of these
+    columns, so hashing them gates the whole model's inputs (the
+    lm_bigram_counts pattern). Top 200 by (c_context DESC, word ASC).
+
+    Scale shape: distinct-bigram reduction is one partial-aggregatable
+    groupBy over the memoized bigram stream; both fertility counts
+    aggregate the ALREADY-REDUCED (≤ distinct-bigram-count) pair table,
+    so corpus size only touches the first groupBy."""
+    from trx_spark.queries.curation import _bigram_stream
+
+    pairs = (
+        _bigram_stream(spark, sf_dir)
+        .select(
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    right = pairs.groupBy("w1").agg(
+        F.sum("c2").alias("c_context"),
+        F.count(F.lit(1)).alias("n_right_types"),
+    )
+    left = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left_contexts"))
+    return (
+        right.join(left, right.w1 == left.w2, "full")
+        .select(
+            F.coalesce(F.col("w1"), F.col("w2")).alias("word"),
+            F.coalesce(F.col("c_context"), F.lit(0)).alias("c_context"),
+            F.coalesce(F.col("n_right_types"), F.lit(0)).alias("n_right_types"),
+            F.coalesce(F.col("n_left_contexts"), F.lit(0)).alias(
+                "n_left_contexts"
+            ),
+        )
+        .orderBy(F.desc("c_context"), F.asc("word"))
+        .limit(200)
+    )
+
+
+_KN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents
+),
+bg AS (
+  SELECT b.ngram
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i+1])) AS b(ngram)
+),
+p AS (
+  SELECT split_part(ngram, ' ', 1) AS w1, split_part(ngram, ' ', 2) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bg GROUP BY 1, 2
+),
+r AS (
+  SELECT w1 AS word, CAST(SUM(c2) AS BIGINT) AS c_context,
+         CAST(COUNT(*) AS BIGINT) AS n_right_types
+  FROM p GROUP BY w1
+),
+l AS (
+  SELECT w2 AS word, CAST(COUNT(*) AS BIGINT) AS n_left_contexts
+  FROM p GROUP BY w2
+)
+SELECT COALESCE(r.word, l.word) AS word,
+       COALESCE(r.c_context, 0) AS c_context,
+       COALESCE(r.n_right_types, 0) AS n_right_types,
+       COALESCE(l.n_left_contexts, 0) AS n_left_contexts
+FROM r FULL JOIN l ON r.word = l.word
+ORDER BY c_context DESC, word ASC LIMIT 200
+"""
+
+
 QUERIES = {
     "lm_perplexity": lm_perplexity,
     "lm_bigram_counts": lm_bigram_counts,
+    "kn_bigram_stats": kn_bigram_stats,
 }
 
 ORACLES: dict[str, str] = {
     "lm_bigram_counts": _BIGRAM_COUNTS_SQL,
+    "kn_bigram_stats": _KN_STATS_SQL,
 }
