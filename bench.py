@@ -159,6 +159,12 @@ HEADLINE = [
     "concurrent_sessions_peak",
     "allpairs_jaccard_join",
     "edit_distance_pairs",
+    # round-7 additions
+    "classifier_gd_round_stats",
+    "duplicate_ngram_spans",
+    "readability_stats",
+    "kn_bigram_stats",
+    "wordpiece_encode",
 ]
 
 

@@ -217,3 +217,34 @@ def test_merge_fold_random_three_way(spark):
         FROM cases WHERE got IS DISTINCT FROM want
     """).fetchall()
     assert rows == [], rows[:5]
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """Pin the WordPiece matcher semantics with a crafted vocab:
+    longest-match-first (whole word beats any shorter prefix), greedy
+    restart after each consumed piece, char fallback, and the
+    >_WP_MAXLEN → UNK rule (applied in wordpiece_encode, not the
+    fold)."""
+    from trx_spark.queries.wordpiece import _WP_MAXLEN, _wp_fold_expr
+
+    vocab = ["un", "unwanted", "want", "wanted", "ed"] + [
+        chr(c) for c in range(ord("a"), ord("z") + 1)
+    ]
+    df = spark.createDataFrame(
+        [("unwanted",), ("unwanting",), ("zzz",), ("wantedun",)], ["word"]
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["word"]: r["np"]
+        for r in df.withColumn("np", F.expr(_wp_fold_expr(vocab))).collect()
+    }
+    assert got["unwanted"] == 1  # whole-word piece wins over 'un'
+    # un|want|i|n|g: 'unwanted' is not a prefix, 'un' is; then 'want'
+    # beats 'w'; 'ing' has no multi-char piece
+    assert got["unwanting"] == 5
+    assert got["zzz"] == 3  # pure char fallback
+    assert got["wantedun"] == 2  # 'wanted' (not 'want') then 'un'
+    # a word longer than _WP_MAXLEN never reaches the fold — the query
+    # maps it to one UNK piece before the distinct-word filter
+    assert _WP_MAXLEN == 20

@@ -31,6 +31,7 @@ from trx_spark.queries import (
     textdata,
     textquality,
     trxdomain,
+    wordpiece,
     trxdomain2,
     trxdomain3,
 )
@@ -56,6 +57,7 @@ for mod in (
     sketches,
     ranking,
     bpe,
+    wordpiece,
     lm,
     classifier,
     multimodalq,
@@ -99,11 +101,11 @@ _R07_NEW = [
     # counts — each a new oracle-bearing operator, hashed in its
     # landing round
     "duplicate_ngram_spans", "readability_stats", "kn_bigram_stats",
+    "wordpiece_encode",
     # remaining slots re-hash the oldest r05-row names for freshness
     "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
     "contrastive_triples", "dedup_report", "bpe_merges", "bpe_encode",
     "training_set_manifest", "knn_reciprocal_pairs",
-    "minhash_containment",
 ]
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)

@@ -131,18 +131,27 @@ FROM s GROUP BY doc_id
 def readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc readability sufficient statistics: sentence/word/
     long-word/character/vowel-group counts (all exact integers) plus
-    the two derived ratios every classic index is an affine map of."""
-    from trx_spark.queries.curation import _toks_base
+    the two derived ratios every classic index is an affine map of.
+
+    Deliberately a SINGLE map-only pass over ``documents`` (re-running
+    the token regex rather than reusing the memoized _toks_base
+    checkpoint): a per-doc scalar query must not pay a corpus-wide
+    doc_id join — at sf0.1 AQE would broadcast one side, but at 100 TB
+    both sides are corpus-sized and the join becomes a full shuffle.
+    Zero exchanges; whole-stage-codegen end to end."""
     from trx_spark.tables import fan_out_small_scan, load_table
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).select(
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    out = docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_SENT_RE), 0))
         .cast("long")
         .alias("n_sentences"),
-    )
-    toks = _toks_base(spark, sf_dir).select(
+        toks.alias("toks"),
+    ).select(
         "doc_id",
+        "n_sentences",
         F.size("toks").cast("long").alias("n_words"),
         F.size(F.expr(f"filter(toks, t -> length(t) >= {_LONG_WORD})"))
         .cast("long")
@@ -155,7 +164,6 @@ def readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"a + size(regexp_extract_all(x, '{_VOWEL_RE}', 0)))"
         ).alias("n_vowel_groups"),
     )
-    out = docs.join(toks, "doc_id")
     return out.select(
         "doc_id",
         "n_sentences",
