@@ -919,3 +919,69 @@ def test_mar345_pck_prediction_convention():
     np.testing.assert_array_equal(got, exp)
     # and the decoder inverts exactly that convention
     np.testing.assert_array_equal(_pck_predictions_apply(exp, size), img)
+
+
+def test_adsc_roundtrip_kernel():
+    """decode_adsc(encode_adsc(img)) == img across types and byte
+    orders; sniff discriminates ADSC SMV (brace + HEADER_BYTES) from
+    EDF (brace, no HEADER_BYTES) — reference reads .img through fabio,
+    trx/azav.py:29-34."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_adsc,
+        decode_any,
+        encode_adsc,
+        encode_edf,
+        sniff_codec,
+    )
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 60000, (6, 4)).astype("u2")
+    blob = encode_adsc(img)
+    assert sniff_codec(blob) == "adsc"
+    assert sniff_codec(encode_edf(img)) == "edf"  # same '{' opener
+    back, hdr = decode_adsc(blob)
+    np.testing.assert_array_equal(back, img)
+    assert (int(hdr["SIZE1"]), int(hdr["SIZE2"])) == (4, 6)
+    # big-endian + unsigned_long type
+    big = rng.integers(0, 1 << 20, (3, 5)).astype("u4")
+    back_be, hdr_be = decode_adsc(encode_adsc(big, byte_order=">"))
+    np.testing.assert_array_equal(back_be, big)
+    assert hdr_be["BYTE_ORDER"] == "big_endian"
+    assert hdr_be["TYPE"] == "unsigned_long"
+    via_any, _ = decode_any(blob)
+    np.testing.assert_array_equal(via_any, img)
+
+
+def test_decode_adsc_distributed(spark, tmp_path):
+    """REAL ADSC decode through binaryFile → mapInPandas, auto-sniffed
+    in a folder that also holds an EDF (the two brace formats must not
+    shadow each other), gzip wrapping included."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_adsc, encode_edf
+
+    rng = np.random.default_rng(53)
+    truth = {}
+    img_a = rng.integers(0, 60000, (8, 8)).astype("u2")
+    truth["shot_0"] = img_a.astype(float)
+    (tmp_path / "shot_0.img").write_bytes(encode_adsc(img_a))
+    img_e = rng.integers(0, 60000, (8, 8)).astype("u2")
+    truth["shot_1"] = img_e.astype(float)
+    (tmp_path / "shot_1.edf").write_bytes(encode_edf(img_e))
+    img_g = rng.integers(0, 60000, (8, 8)).astype("u2")
+    truth["shot_2"] = img_g.astype(float)
+    (tmp_path / "shot_2.img.gz").write_bytes(
+        gzip.compress(encode_adsc(img_g, byte_order=">"))
+    )
+    assets = read_binary_assets(spark, str(tmp_path / "shot_*"), "image")
+    px = decode_image(assets, codec="auto").toPandas()
+    assert len(px) == 3 * 8 * 8
+    for stem, img in truth.items():
+        sub = px[px.file.str.contains(stem + ".")].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(8, 8), img
+        )

@@ -180,9 +180,12 @@ def sniff_codec(buf: bytes) -> str:
         return "mar345"
     # EDF's brace test comes BEFORE the unbounded CBF-section search:
     # a CIF-wrapped CBF never starts with '{', and the cheap prefix
-    # test saves an O(filesize) scan per EDF asset in the auto path
+    # test saves an O(filesize) scan per EDF asset in the auto path.
+    # ADSC SMV shares the '{' opener — discriminated by its mandatory
+    # HEADER_BYTES key (by convention the first header line; EDF has
+    # no such key)
     if buf.lstrip()[:1] == b"{":
-        return "edf"
+        return "adsc" if b"HEADER_BYTES" in buf[:512] else "edf"
     # full CIF-wrapped CBF: a 'data_<block>' preamble can carry
     # kilobytes of CIF tags before the binary section — search the
     # whole buffer, not a prefix
@@ -205,6 +208,8 @@ def decode_any(buf: bytes) -> tuple[np.ndarray, dict]:
         return decode_marccd(buf)
     if fmt == "bruker":
         return decode_bruker(buf)
+    if fmt == "adsc":
+        return decode_adsc(buf)
     img, tags = decode_tiff(buf)
     return img, {str(k): v for k, v in tags.items()}
 
@@ -483,6 +488,9 @@ def decode_image(
       - ``"bruker"`` — REAL decode of the Bruker SFRM frame format
         (80-char keyed header records + ASCII overflow table;
         fabio's bruker surface).
+      - ``"adsc"`` — REAL decode of the ADSC Quantum SMV format
+        (padded ``{key=value;}`` ASCII header + raw uint16 pixels;
+        fabio's adsc surface).
       - ``"auto"`` — per-file magic-byte sniffing across the real
         formats (fabio's auto-detection behavior: a real beamline
         folder mixes formats).
@@ -495,7 +503,8 @@ def decode_image(
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
     if codec not in (
-        "edf", "cbf", "tiff", "mar345", "marccd", "bruker", "auto", "fake"
+        "edf", "cbf", "tiff", "mar345", "marccd", "bruker", "adsc",
+        "auto", "fake",
     ):
         raise ValueError(f"unknown codec {codec!r}")
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
@@ -707,6 +716,27 @@ def decode_image(
             img.flat[int(rec[9:16])] = int(rec[:9])
         return img
 
+    def _parse_adsc(buf, _np):
+        # nested (pickled by value) twin of decode_adsc — see
+        # _parse_edf for why worker kernels stay self-contained
+        end = buf.index(b"}")
+        fields = {}
+        for line in buf[: end + 1].decode("ascii", "replace").strip("{} \r\n").splitlines():
+            line = line.strip().rstrip(";")
+            if "=" in line:
+                k, v = line.split("=", 1)
+                fields[k.strip()] = v.strip()
+        nx_ = int(fields["SIZE1"])
+        ny_ = int(fields["SIZE2"])
+        order = "<" if fields.get("BYTE_ORDER", "little_endian") == "little_endian" else ">"
+        kind = {"unsigned_short": "u2", "unsigned_long": "u4", "signed_short": "i2"}[
+            fields.get("TYPE", "unsigned_short")
+        ]
+        return _np.frombuffer(
+            buf, dtype=f"{order}{kind}", count=nx_ * ny_,
+            offset=int(fields["HEADER_BYTES"]),
+        ).reshape(ny_, nx_)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (workers may not have trx_spark on path)
         import gzip as _gz
@@ -733,9 +763,10 @@ def decode_image(
                 return "mar345"
             # EDF brace before the unbounded CBF-section search (a
             # CIF CBF never starts with '{'; saves an O(filesize)
-            # scan per EDF asset — see sniff_codec)
+            # scan per EDF asset — see sniff_codec). ADSC SMV shares
+            # the brace; its mandatory HEADER_BYTES key discriminates
             if buf.lstrip()[:1] == b"{":
-                return "edf"
+                return "adsc" if b"HEADER_BYTES" in buf[:512] else "edf"
             if cbf_section in buf:
                 return "cbf"
             raise ValueError("unrecognized image format (auto codec)")
@@ -759,6 +790,8 @@ def decode_image(
                     frames = [_parse_mar345(raw, _np).astype(float)]
                 elif fmt == "bruker":
                     frames = [_parse_bruker(raw, _np).astype(float)]
+                elif fmt == "adsc":
+                    frames = [_parse_adsc(raw, _np).astype(float)]
                 elif fmt in ("tiff", "marccd"):
                     # MarCCD pixels live in the TIFF container — the
                     # IFD walk is the authoritative decode for both
@@ -1320,6 +1353,76 @@ def encode_bruker(img: np.ndarray, *, npixelb: int = 2) -> bytes:
     if table:
         table = table.ljust(-(-len(table) // _SFRM_BLOCK) * _SFRM_BLOCK, b" ")
     return head + body + table
+
+
+# ---------------------------------------------------------------------
+# ADSC SMV codec (.img — the ADSC Quantum detector format, another
+# member of the reference's "whatever fabio reads" surface,
+# trx/azav.py:29-34). The format is public (the SMV "Super Marty View"
+# header convention, documented with the ADSC detectors and in every
+# open reader): an ASCII header "{\n KEY=value;\n ... }\f" padded with
+# NULs to HEADER_BYTES (512 by default; HEADER_BYTES is by convention
+# the first key), then SIZE1 x SIZE2 unsigned 16-bit pixels in
+# BYTE_ORDER endianness at the HEADER_BYTES offset, row-major with
+# SIZE1 the fast axis (so the array shape is (SIZE2, SIZE1)).
+# ---------------------------------------------------------------------
+
+_SMV_TYPES = {"unsigned_short": "u2", "unsigned_long": "u4", "signed_short": "i2"}
+
+
+def _smv_header(buf: bytes) -> dict[str, str]:
+    end = buf.index(b"}")
+    fields: dict[str, str] = {}
+    for line in buf[: end + 1].decode("ascii", "replace").strip("{} \r\n").splitlines():
+        line = line.strip().rstrip(";")
+        if "=" in line:
+            k, v = line.split("=", 1)
+            fields[k.strip()] = v.strip()
+    return fields
+
+
+def decode_adsc(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode an ADSC SMV blob → (2-D array shaped (SIZE2, SIZE1),
+    header dict)."""
+    if buf.lstrip()[:1] != b"{" or b"HEADER_BYTES" not in buf[:512]:
+        raise ValueError("not an ADSC SMV stream (missing HEADER_BYTES)")
+    fields = _smv_header(buf)
+    hdr_bytes = int(fields["HEADER_BYTES"])
+    nx = int(fields["SIZE1"])
+    ny = int(fields["SIZE2"])
+    order = "<" if fields.get("BYTE_ORDER", "little_endian") == "little_endian" else ">"
+    kind = _SMV_TYPES.get(fields.get("TYPE", "unsigned_short"))
+    if kind is None:
+        raise ValueError(f"unsupported SMV TYPE {fields.get('TYPE')!r}")
+    img = np.frombuffer(
+        buf, dtype=f"{order}{kind}", count=nx * ny, offset=hdr_bytes
+    )
+    return img.reshape(ny, nx), fields
+
+
+def encode_adsc(img: np.ndarray, *, byte_order: str = "<") -> bytes:
+    """Encode a 2-D array as an ADSC SMV blob (512-byte padded ASCII
+    header + raw pixels). The write side of the S1 seam for this
+    format and the tests' golden producer."""
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    smv_type = {v: k for k, v in _SMV_TYPES.items()}.get(img.dtype.str[1:])
+    if img.ndim != 2 or smv_type is None:
+        raise ValueError(
+            "SMV frames are 2-D unsigned_short/unsigned_long/signed_short"
+        )
+    ny, nx = img.shape
+    head = (
+        "{\nHEADER_BYTES= 512;\nDIM=2;\n"
+        f"BYTE_ORDER={'little_endian' if byte_order == '<' else 'big_endian'};\n"
+        f"TYPE={smv_type};\n"
+        f"SIZE1={nx};\nSIZE2={ny};\n"
+        "}\f"
+    ).encode("ascii")
+    if len(head) > 512:
+        raise ValueError("SMV header overflow")
+    payload = img.astype(img.dtype.newbyteorder(byte_order), copy=False).tobytes()
+    return head.ljust(512, b"\x00") + payload
 
 
 # ---------------------------------------------------------------------
