@@ -165,6 +165,9 @@ HEADLINE = [
     "readability_stats",
     "kn_bigram_stats",
     "wordpiece_encode",
+    "embedding_moment_stats",
+    "embedding_dim_quantiles",
+    "embedding_covariance",
 ]
 
 

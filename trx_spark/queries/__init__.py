@@ -19,6 +19,7 @@ from trx_spark.queries import (
     corpus,
     curation,
     curriculum,
+    embstats,
     lm,
     multimodalq,
     packing,
@@ -58,6 +59,7 @@ for mod in (
     ranking,
     bpe,
     wordpiece,
+    embstats,
     lm,
     classifier,
     multimodalq,
@@ -101,11 +103,11 @@ _R07_NEW = [
     # counts — each a new oracle-bearing operator, hashed in its
     # landing round
     "duplicate_ngram_spans", "readability_stats", "kn_bigram_stats",
-    "wordpiece_encode",
+    "wordpiece_encode", "embedding_moment_stats",
+    "embedding_dim_quantiles", "embedding_covariance",
     # remaining slots re-hash the oldest r05-row names for freshness
     "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
-    "contrastive_triples", "dedup_report", "bpe_merges", "bpe_encode",
-    "training_set_manifest", "knn_reciprocal_pairs",
+    "contrastive_triples", "bpe_merges", "bpe_encode",
 ]
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
