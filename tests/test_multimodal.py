@@ -985,3 +985,49 @@ def test_decode_adsc_distributed(spark, tmp_path):
         np.testing.assert_array_equal(
             sub["intensity"].to_numpy().reshape(8, 8), img
         )
+
+
+def test_new_codec_roundtrip_properties():
+    """Hypothesis: MarCCD, Bruker SFRM and ADSC SMV round-trip any
+    small unsigned image exactly, across byte orders / pixel widths —
+    including Bruker overflow-table traffic for values above the
+    per-pixel ceiling."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trx_spark.operators.multimodal import (
+        decode_adsc,
+        decode_bruker,
+        decode_marccd,
+        encode_adsc,
+        encode_bruker,
+        encode_marccd,
+        sniff_codec,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=0, max_value=10_000_000),
+        st.randoms(use_true_random=False),
+        st.sampled_from(["<", ">"]),
+        st.sampled_from([1, 2, 4]),
+    )
+    def roundtrip(ny, nx, spike, rnd, order, npixelb):
+        rng = np.random.default_rng(rnd.randrange(1 << 30))
+        img = rng.integers(0, 60000, (ny, nx)).astype("u4")
+        img[rng.integers(0, ny), rng.integers(0, nx)] = spike
+        # Bruker: any uint value (overflow table absorbs > ceiling)
+        back, _ = decode_bruker(encode_bruker(img, npixelb=npixelb))
+        np.testing.assert_array_equal(back, img.astype(np.int64))
+        assert sniff_codec(encode_bruker(img)) == "bruker"
+        # MarCCD/ADSC carry raw fixed-width pixels — clamp into range
+        img16 = (img % 65536).astype("u2")
+        back_m, _ = decode_marccd(encode_marccd(img16, byte_order=order))
+        np.testing.assert_array_equal(back_m, img16)
+        back_a, _ = decode_adsc(encode_adsc(img16, byte_order=order))
+        np.testing.assert_array_equal(back_a, img16)
+
+    roundtrip()
