@@ -168,6 +168,7 @@ HEADLINE = [
     "embedding_moment_stats",
     "embedding_dim_quantiles",
     "embedding_covariance",
+    "kcenter_coreset",
 ]
 
 

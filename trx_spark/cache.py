@@ -16,9 +16,21 @@ from __future__ import annotations
 
 def _all_caches() -> list[dict]:
     from trx_spark import tables
-    from trx_spark.queries import bpe, classifier, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
+    from trx_spark.queries import (
+        bpe,
+        classifier,
+        corpus,
+        curation,
+        lm,
+        similarity,
+        textdata,
+        trxdomain,
+        trxdomain3,
+        wordpiece,
+    )
 
     return [
+        wordpiece._WP_CACHE,
         tables._FAN_MEMO,
         classifier._FEATS_CACHE,
         trxdomain._DIFFS_CACHE,

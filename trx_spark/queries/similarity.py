@@ -1476,6 +1476,118 @@ norms AS MATERIALIZED (
     )
 
 
+# ---------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez 1985 farthest-point traversal; the
+# coreset selector of Sener & Savarese, "Active Learning for CNNs: A
+# Core-Set Approach", ICLR 2018) — the standard geometric data-pruning
+# selector: each round adds the point FARTHEST from the selected set,
+# giving a 2-approximation of the k-center cover. Distances are
+# squared Euclidean from the fixed-point dot family
+# (d² = |a|² + |c|² − 2·a·c), so the whole greedy loop unrolls into
+# oracle CTEs exactly like MMR.
+# ---------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, vec_id, min_dist2): the _KC_K-point farthest-point
+    traversal seeded at vec_id 0; min_dist2 is the point's distance²
+    to the selected set at pick time (NULL for the seed) — the
+    coverage-radius trace that makes the coreset auditable.
+
+    Per round: one broadcast join against the ≤k-row selected set, a
+    per-candidate MIN, one TakeOrderedAndProject(1) — the candidate
+    table never re-shuffles (the MMR/Lloyd/BPE/GD iterative
+    discipline)."""
+    emb = (
+        fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .withColumn("n1", _norm(F.col("embedding")))
+        .localCheckpoint()
+    )
+    seed = emb.filter(F.col("vec_id") == 0)
+    picks = [
+        seed.select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            F.lit(None).cast("double").alias("min_dist2"),
+        )
+    ]
+    selected = seed.select("vec_id", "embedding", "n1")
+    remaining = emb.filter(F.col("vec_id") != 0)
+    for rank in range(2, _KC_K + 1):
+        d2 = (
+            F.col("c.n1")
+            + F.col("s.n1")
+            - F.lit(2.0) * _dot(F.col("c.embedding"), F.col("s.embedding"))
+        )
+        mind = (
+            remaining.alias("c")
+            .join(F.broadcast(selected.alias("s")), F.lit(True))
+            .select(F.col("c.vec_id").alias("vec_id"), d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("min_dist2"))
+        )
+        pick = (
+            mind.orderBy(F.desc("min_dist2"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(pick.select(F.lit(rank).alias("rank"), "vec_id", "min_dist2"))
+        selected = selected.unionByName(
+            pick.select("vec_id").join(emb, "vec_id").select(
+                "vec_id", "embedding", "n1"
+            )
+        )
+        remaining = remaining.join(pick.select("vec_id"), "vec_id", "left_anti")
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out
+
+
+def _kcenter_sql() -> str:
+    parts = ["sel1 AS (SELECT vec_id FROM embeddings WHERE vec_id = 0)"]
+    for i in range(2, _KC_K + 1):
+        prev = i - 1
+        parts.append(f"""
+kp{i} AS MATERIALIZED (
+  SELECT a.vec_id, s.vec_id AS sid, {_fpsum_sql('a.x * b.x')} AS dot
+  FROM ex a JOIN sel{prev} s ON TRUE
+       JOIN ex b ON b.vec_id = s.vec_id AND b.pos = a.pos
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM sel{prev})
+  GROUP BY a.vec_id, s.vec_id
+),
+km{i} AS MATERIALIZED (
+  SELECT p.vec_id,
+         MIN(n.n1 + ns.n1 - CAST(2.0 AS DOUBLE) * p.dot) AS min_dist2
+  FROM kp{i} p JOIN norms n ON n.vec_id = p.vec_id
+             JOIN norms ns ON ns.vec_id = p.sid
+  GROUP BY p.vec_id
+),
+ks{i} AS MATERIALIZED (
+  SELECT vec_id, min_dist2 FROM km{i}
+  ORDER BY min_dist2 DESC, vec_id LIMIT 1
+),
+sel{i} AS (SELECT vec_id FROM sel{prev} UNION ALL SELECT vec_id FROM ks{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, min_dist2 FROM ks{i}"
+        for i in range(2, _KC_K + 1)
+    )
+    return (
+        "WITH " + _EX_CTE.replace("ex AS (", "ex AS MATERIALIZED (", 1) + """,
+norms AS MATERIALIZED (
+  SELECT vec_id, """ + _fpsum_sql("x * x") + """ AS n1 FROM ex GROUP BY vec_id
+),""" + ",".join(parts) + f"""
+SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist2
+FROM embeddings WHERE vec_id = 0
+UNION ALL
+{union}
+"""
+    )
+
+
 def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the kNN graph: per-node triangle count and
     local clustering coefficient 2T/(d(d−1)) — the standard density
@@ -1586,6 +1698,7 @@ QUERIES = {
     "contrastive_triples": contrastive_triples,
     "knn_reciprocal_pairs": knn_reciprocal_pairs,
     "mmr_diverse_topk": mmr_diverse_topk,
+    "kcenter_coreset": kcenter_coreset,
 }
 
 ORACLES = {
@@ -1604,4 +1717,5 @@ ORACLES = {
     "contrastive_triples": _CT_SQL,
     "knn_reciprocal_pairs": _RNN_SQL,
     "mmr_diverse_topk": _mmr_sql(),
+    "kcenter_coreset": _kcenter_sql(),
 }
