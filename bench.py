@@ -169,6 +169,7 @@ HEADLINE = [
     "embedding_dim_quantiles",
     "embedding_covariance",
     "kcenter_coreset",
+    "jl_projection",
 ]
 
 

@@ -105,9 +105,9 @@ _R07_NEW = [
     "duplicate_ngram_spans", "readability_stats", "kn_bigram_stats",
     "wordpiece_encode", "embedding_moment_stats",
     "embedding_dim_quantiles", "embedding_covariance",
-    "kcenter_coreset",
+    "kcenter_coreset", "jl_projection",
     # remaining slots re-hash the oldest r05-row names for freshness
-    "boilerplate_spans", "ann_ivfpq_topk", "simhash_neardup_pairs",
+    "ann_ivfpq_topk", "simhash_neardup_pairs",
     "bpe_merges", "bpe_encode",
 ]
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW

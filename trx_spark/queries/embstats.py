@@ -175,14 +175,73 @@ FROM d GROUP BY dim_i, dim_j
 """
 
 
+# ---------------------------------------------------------------------
+# Johnson-Lindenstrauss sparse random projection (Achlioptas,
+# "Database-friendly random projections", JCSS 2003): project 64-d
+# embeddings to _JL_DIMS dims with the sparse {+1, 0, -1} matrix drawn
+# w.p. {1/6, 2/3, 1/6} — here DERIVED from a deterministic affine-mod
+# formula over (in-dim, out-dim) so both engines materialize the
+# identical matrix with no stored state. The standard cheap
+# dimensionality reduction in front of ANN / clustering at scale.
+# ---------------------------------------------------------------------
+
+_JL_DIMS = 16
+# sign(i, j) over 1-based dims: h = (1664525·i + 1013904223·j) mod 6
+# → 0:+1, 1:-1, else 0 (the 1/6, 1/6, 2/3 Achlioptas masses)
+_JL_A, _JL_B = 1664525, 1013904223
+
+
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, out_dim, proj): the unscaled sparse JL projection
+    Σ_i s(i,j)·x_i as exact fixed-point sums (the √(3/k) factor is a
+    constant left to the consumer, keeping the gate integer-exact).
+    Entirely map-side: the per-vector fold runs inside one expression,
+    rows fan out ×_JL_DIMS with ZERO shuffle."""
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    projs = F.expr(
+        f"transform(sequence(1, {_JL_DIMS}), j -> named_struct("
+        f"'j', CAST(j AS BIGINT), "
+        f"'acc', aggregate(sequence(1, size(embedding)), 0L, (acc, i) -> "
+        f"acc + CAST(FLOOR((CAST(element_at(embedding, i) AS DOUBLE) * "
+        f"CAST(CASE (CAST({_JL_A} AS BIGINT) * i "
+        f"+ CAST({_JL_B} AS BIGINT) * j) % 6 "
+        f"WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS DOUBLE)) "
+        f"* {_EMB_SCALE!r}) AS BIGINT))))"
+    )
+    return emb.select("vec_id", F.explode(projs).alias("p")).select(
+        "vec_id",
+        F.col("p.j").alias("out_dim"),
+        (F.col("p.acc").cast("double") / F.lit(_EMB_SCALE)).alias("proj"),
+    )
+
+
+_JL_SQL = f"""
+WITH d AS (
+  SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT d.vec_id, CAST(j.j AS BIGINT) AS out_dim,
+  CAST(SUM(CAST(FLOOR((d.x *
+    CAST(CASE (CAST({_JL_A} AS BIGINT) * d.i
+               + CAST({_JL_B} AS BIGINT) * j.j) % 6
+         WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS DOUBLE))
+    * {_EMB_SCALE!r}) AS BIGINT)) AS DOUBLE) / {_EMB_SCALE!r} AS proj
+FROM d, UNNEST(generate_series(1, {_JL_DIMS})) AS j(j)
+GROUP BY d.vec_id, j.j
+"""
+
+
 QUERIES = {
     "embedding_moment_stats": embedding_moment_stats,
     "embedding_dim_quantiles": embedding_dim_quantiles,
     "embedding_covariance": embedding_covariance,
+    "jl_projection": jl_projection,
 }
 
 ORACLES = {
     "embedding_moment_stats": _MOMENTS_SQL,
     "embedding_dim_quantiles": _QTILES_SQL,
     "embedding_covariance": _COV_SQL,
+    "jl_projection": _JL_SQL,
 }
