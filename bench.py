@@ -170,6 +170,7 @@ HEADLINE = [
     "embedding_covariance",
     "kcenter_coreset",
     "jl_projection",
+    "shingle_minhash_recall",
 ]
 
 

@@ -105,10 +105,9 @@ _R07_NEW = [
     "duplicate_ngram_spans", "readability_stats", "kn_bigram_stats",
     "wordpiece_encode", "embedding_moment_stats",
     "embedding_dim_quantiles", "embedding_covariance",
-    "kcenter_coreset", "jl_projection",
+    "kcenter_coreset", "jl_projection", "shingle_minhash_recall",
     # remaining slots re-hash the oldest r05-row names for freshness
-    "ann_ivfpq_topk", "simhash_neardup_pairs",
-    "bpe_merges", "bpe_encode",
+    "ann_ivfpq_topk", "bpe_merges", "bpe_encode",
 ]
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)

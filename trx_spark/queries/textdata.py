@@ -610,6 +610,137 @@ WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {_ALLPAIRS_T!r}
 """
 
 # ---------------------------------------------------------------------
+# MinHash recall audit against complete exact truth. The LSH family's
+# recall is usually ESTIMATED from the S-curve; here it is MEASURED:
+# allpairs_jaccard_join is guaranteed-complete at the 3-shingle grain
+# (no false negatives), so banding a MinHash built over the SAME
+# shingle universe and checking which true pairs collide in >=1 band
+# yields the exact per-pair recall table — the audit that tells a
+# 100-TB dedup operator whether its banding parameters lose real
+# duplicates, computed entirely inside the engine.
+# ---------------------------------------------------------------------
+
+_SHMH_BANDS = 4  # 4 bands x 2 rows over the 8-permutation family
+
+
+def _shingle_ids_col():
+    """3-gram shingle set of a doc → char-fold id array (the _tok_hash
+    fold applied to shingle text; order-independent downstream since
+    MinHash takes a min over the set)."""
+    toks = _tokens_col()
+    n = F.size(toks)
+    sh = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ),
+    )
+    return F.transform(sh, _tok_hash)
+
+
+def shingle_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per TRUE pair (the complete AllPairs J ≥ 0.8 truth): how many
+    of the _SHMH_BANDS MinHash bands collide, and whether the banded
+    index would have surfaced the pair at all (``found``). Rows with
+    found = false are the banding's EXACT false negatives.
+
+    Scale shape: signatures are a zero-shuffle projection per doc (the
+    minhash_signatures plan over shingle ids); the audit joins the
+    truth table (proportional to true duplicates, not corpus²) against
+    the signature table on doc keys — two hash equi-joins."""
+    truth = allpairs_jaccard_join(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    ids = _shingle_ids_col()
+    def _affine(a, b):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % _P
+
+    aggs = [
+        F.array_min(F.transform(F.col("ids"), _affine(a, b))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MINHASH_COEF)
+    ]
+    sigs = (
+        docs.withColumn("ids", ids)
+        .filter(F.col("ids").isNotNull())
+        .select("doc_id", *aggs)
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)],
+    )
+    band_hits = [
+        F.when(
+            (F.col(f"a{2 * k}") == F.col(f"b{2 * k}"))
+            & (F.col(f"a{2 * k + 1}") == F.col(f"b{2 * k + 1}")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for k in range(_SHMH_BANDS)
+    ]
+    matched = band_hits[0]
+    for h in band_hits[1:]:
+        matched = matched + h
+    return (
+        truth.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            matched.cast("long").alias("bands_matched"),
+            (matched >= F.lit(1)).alias("found"),
+        )
+    )
+
+
+_SHMH_SELECT = ",\n    ".join(
+    f"list_min(list_transform(ids, x -> ({a} * x + {b}) % {_P})) AS mh{j}"
+    for j, (a, b) in enumerate(_MINHASH_COEF)
+)
+
+_SHMH_BAND_SUM = " + ".join(
+    f"(CASE WHEN a.mh{2 * k} = b.mh{2 * k} "
+    f"AND a.mh{2 * k + 1} = b.mh{2 * k + 1} THEN 1 ELSE 0 END)"
+    for k in range(_SHMH_BANDS)
+)
+
+_SHMH_RECALL_SQL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, jaccard FROM ({_ALLPAIRS_SQL}) tq
+),
+shids AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+           s -> {_tok_hash_sql('s')}) AS ids
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+    {_SHMH_SELECT}
+  FROM shids
+)
+SELECT t.doc_a, t.doc_b, t.jaccard,
+  CAST({_SHMH_BAND_SUM} AS BIGINT) AS bands_matched,
+  ({_SHMH_BAND_SUM}) >= 1 AS found
+FROM truth t
+JOIN sigs a ON a.doc_id = t.doc_a
+JOIN sigs b ON b.doc_id = t.doc_b
+"""
+
+
+# ---------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
 # the MOSS local fingerprinting algorithm)
 # ---------------------------------------------------------------------
@@ -1450,6 +1581,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "winnowing_fingerprints": winnowing_fingerprints,
     "allpairs_jaccard_join": allpairs_jaccard_join,
+    "shingle_minhash_recall": shingle_minhash_recall,
     "edit_distance_pairs": edit_distance_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "simhash16": simhash16,
@@ -1471,6 +1603,7 @@ ORACLES = {
     "doc_fingerprints": _FINGERPRINT_SQL,
     "winnowing_fingerprints": _WINNOW_SQL,
     "allpairs_jaccard_join": _ALLPAIRS_SQL,
+    "shingle_minhash_recall": _SHMH_RECALL_SQL,
     "edit_distance_pairs": _EDIT_PAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,
     "simhash16": _SIMHASH_SQL,
