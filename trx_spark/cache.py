@@ -46,6 +46,7 @@ def _all_caches() -> list[dict]:
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
         textdata._PAIR_STATS_CACHE,
+        textdata._ALLPAIRS_CACHE,
         similarity._KNN_CACHE,
         similarity._CELLS_ASSIGN_CACHE,
         bpe._BPE_CACHE,

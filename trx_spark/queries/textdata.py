@@ -443,8 +443,27 @@ _ALLPAIRS_KEY_CAP = 4096  # docs per prefix blocking key before the key
 # the dedup family, not an exact pairwise join.
 
 
+# memoized AllPairs result per (session, sf_dir, key_cap): the exact
+# pair table is the shared truth side of shingle_minhash_recall and a
+# bench sibling of edit-distance style verifies — build it once
+_ALLPAIRS_CACHE: dict = {}
+
+
 def allpairs_jaccard_join(
     spark: SparkSession, sf_dir: str, *, key_cap: int = _ALLPAIRS_KEY_CAP
+) -> DataFrame:
+    """Memoizing wrapper over :func:`_allpairs_jaccard_join_build`
+    (the algorithm and its guarantees are documented there)."""
+    key = (spark, sf_dir, key_cap)
+    if key not in _ALLPAIRS_CACHE:
+        _ALLPAIRS_CACHE[key] = _allpairs_jaccard_join_build(
+            spark, sf_dir, key_cap
+        ).localCheckpoint()
+    return _ALLPAIRS_CACHE[key]
+
+
+def _allpairs_jaccard_join_build(
+    spark: SparkSession, sf_dir: str, key_cap: int
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (AllPairs,
     Bayardo-Ma-Srikant) — the guaranteed-complete complement to the
