@@ -109,6 +109,13 @@ _R07_NEW = [
     # remaining slots re-hash the oldest r05-row names for freshness
     "ann_ivfpq_topk", "bpe_merges", "bpe_encode",
 ]
+# Round-8 rotation note: the freshness fillers displaced by this
+# round's new gate entries still carry r05-era rows —
+# boilerplate_spans, simhash_neardup_pairs, contrastive_triples,
+# dedup_report, training_set_manifest, knn_reciprocal_pairs,
+# minhash_containment, mmr_diverse_topk, source_overlap_matrix,
+# ngram_novelty — rotate them (plus any r8-touched names) into the r8
+# window alongside whatever r8 adds.
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
 _order = _R07_WINDOW + [n for n in QUERIES if n not in set(_R07_WINDOW)]
