@@ -171,6 +171,7 @@ HEADLINE = [
     "kcenter_coreset",
     "jl_projection",
     "shingle_minhash_recall",
+    "pca_leading_component",
 ]
 
 

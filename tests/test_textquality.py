@@ -120,3 +120,36 @@ def test_wordpiece_crafted(spark, tmp_path):
     assert rows[1]["n_tokens"] == 4 and rows[1]["n_pieces"] == 4
     assert rows[2]["n_tokens"] == 2 and rows[2]["n_pieces"] == 2
     assert rows[1]["n_unk"] == 0 and rows[2]["n_unk"] == 0
+
+
+def test_pca_leading_component_matches_numpy(spark, tmp_path):
+    """On a corpus with a DOMINANT principal direction (large spectral
+    gap → 12 power rounds converge to ~1e-9), the query's eigenvector
+    and Rayleigh quotient match numpy's eigh. (The driver's parity
+    gate covers the isotropic testdata, where both engines run the
+    identical 12 rounds regardless of convergence — this test instead
+    pins that the ALGORITHM finds the true component when one
+    exists.)"""
+    import numpy as np
+
+    from trx_spark.queries.embstats import _COV_DIMS, pca_leading_component
+
+    rng = np.random.default_rng(61)
+    u = rng.normal(size=16)
+    u /= np.linalg.norm(u)
+    data = (
+        rng.normal(size=(300, 1)) * 3.0 * u[None, :]
+        + rng.normal(size=(300, 16)) * 0.3
+    ).astype(np.float32)
+    d = tmp_path / "pca_sf"
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in data[i]], 0) for i in range(300)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    row = pca_leading_component(spark, str(d)).collect()[0]
+    v = np.array([row[f"v_{i}"] for i in range(1, _COV_DIMS + 1)])
+    cov = np.cov(data.astype(np.float64)[:, :_COV_DIMS], rowvar=False, bias=True)
+    wvals, wvecs = np.linalg.eigh(cov)
+    assert abs(abs(float(v @ wvecs[:, -1])) - 1.0) < 1e-6
+    assert abs(row["eigenvalue"] - float(wvals[-1])) < 1e-5
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9

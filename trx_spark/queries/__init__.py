@@ -106,8 +106,9 @@ _R07_NEW = [
     "wordpiece_encode", "embedding_moment_stats",
     "embedding_dim_quantiles", "embedding_covariance",
     "kcenter_coreset", "jl_projection", "shingle_minhash_recall",
+    "pca_leading_component",
     # remaining slots re-hash the oldest r05-row names for freshness
-    "ann_ivfpq_topk", "bpe_merges", "bpe_encode",
+    "bpe_merges", "bpe_encode",
 ]
 # Round-8 rotation note: the freshness fillers displaced by this
 # round's new gate entries still carry r05-era rows —

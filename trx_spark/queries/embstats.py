@@ -232,11 +232,159 @@ GROUP BY d.vec_id, j.j
 """
 
 
+# ---------------------------------------------------------------------
+# Leading principal component by power iteration (the PCA step behind
+# OPQ rotation / whitening decisions; von Mises iteration). The 6×6
+# covariance block reduces to ONE aggregate row (count + 6 + 21
+# fixed-point sums); the iteration then runs entirely in scalar IEEE
+# expressions on that single row — matrix-vector products and the
+# normalizing sqrt are EXPLICIT left-associated term chains (never a
+# SUM aggregate, whose accumulation order is engine-dependent), so
+# Spark and DuckDB walk bit-identical expression trees and the gate
+# hashes an actual eigenvector. Corpus size touches only the one
+# partial-aggregatable sum pass.
+#
+# Convergence caveat: power iteration closes on the principal
+# direction at rate (λ2/λ1)^k, so on near-isotropic data the
+# _PCA_ITERS-round vector is a deterministic (and gate-hashed)
+# APPROXIMATION; with a real dominant component it is converged to
+# ~1e-9 (tests/test_textquality.py pins this against numpy.eigh on a
+# gapped fixture). More rounds = longer unroll in BOTH engines —
+# constant cost in the data, linear in the expression text.
+# ---------------------------------------------------------------------
+
+_PCA_ITERS = 12
+
+
+def _pca_cov_expr(i: int, j: int, engine: str) -> str:
+    """cov(i,j) as a text expression over the named sum columns
+    (identical string for both engines — s_* and n are column refs)."""
+    a, b = min(i, j), max(i, j)
+    return (
+        f"(s_{a}_{b} / n - (s_{a} / n) * (s_{b} / n))"
+    )
+
+
+def _pca_round_exprs(d: int):
+    """(w exprs, norm expr, v exprs) as text over c_*_*, v_*."""
+    ws = {
+        i: " + ".join(f"c_{i}_{j} * v_{j}" for j in range(1, d + 1))
+        for i in range(1, d + 1)
+    }
+    norm = "sqrt(" + " + ".join(f"w_{i} * w_{i}" for i in range(1, d + 1)) + ")"
+    return ws, norm
+
+
+def pca_leading_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (iters, eigenvalue, v_1..v_6) — the leading
+    eigenvector of the _COV_DIMS covariance block after _PCA_ITERS
+    power-iteration rounds from e1, plus the Rayleigh quotient."""
+    d = _COV_DIMS
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    xs = {
+        i: F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)")
+        for i in range(1, d + 1)
+    }
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [dsum(xs[i], _EMB_SCALE).alias(f"s_{i}") for i in range(1, d + 1)]
+    aggs += [
+        dsum(xs[i] * xs[j], _EMB_SCALE).alias(f"s_{i}_{j}")
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    cur = emb.agg(*aggs)
+    ccols = [
+        F.expr(_pca_cov_expr(i, j, "spark")).alias(f"c_{i}_{j}")
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    ]
+    vcols = [
+        F.lit(1.0 if i == 1 else 0.0).alias(f"v_{i}") for i in range(1, d + 1)
+    ]
+    cur = cur.select(*ccols, *vcols)
+    cnames = [f"c_{i}_{j}" for i in range(1, d + 1) for j in range(1, d + 1)]
+    ws, norm = _pca_round_exprs(d)
+    for _ in range(_PCA_ITERS):
+        cur = cur.select(
+            *cnames, *[F.expr(ws[i]).alias(f"w_{i}") for i in range(1, d + 1)]
+        )
+        cur = cur.select(
+            *cnames,
+            *[
+                (F.col(f"w_{i}") / F.expr(norm)).alias(f"v_{i}")
+                for i in range(1, d + 1)
+            ],
+        )
+    # Rayleigh quotient of the final (unit) vector: λ = v · (C v)
+    cur = cur.select(
+        *cnames,
+        *[F.col(f"v_{i}") for i in range(1, d + 1)],
+        *[F.expr(ws[i]).alias(f"w_{i}") for i in range(1, d + 1)],
+    )
+    lam = " + ".join(f"v_{i} * w_{i}" for i in range(1, d + 1))
+    return cur.select(
+        F.lit(_PCA_ITERS).alias("iters"),
+        F.expr(lam).alias("eigenvalue"),
+        *[F.col(f"v_{i}") for i in range(1, d + 1)],
+    )
+
+
+def _pca_sql() -> str:
+    d = _COV_DIMS
+    s = _EMB_SCALE
+    fp = (
+        lambda e: f"CAST(SUM(CAST(FLOOR(({e}) * {s!r}) AS BIGINT)) AS DOUBLE)"
+        f" / {s!r}"
+    )
+    base_cols = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    base_cols += [f"{fp(f'x{i}')} AS s_{i}" for i in range(1, d + 1)]
+    base_cols += [
+        f"{fp(f'x{i} * x{j}')} AS s_{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    xsel = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, d + 1)
+    )
+    ccols = ", ".join(
+        f"{_pca_cov_expr(i, j, 'duckdb')} AS c_{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    )
+    vinit = ", ".join(
+        f"CAST({'1.0' if i == 1 else '0.0'} AS DOUBLE) AS v_{i}"
+        for i in range(1, d + 1)
+    )
+    cnames = ", ".join(
+        f"c_{i}_{j}" for i in range(1, d + 1) for j in range(1, d + 1)
+    )
+    ws, norm = _pca_round_exprs(d)
+    wsel = ", ".join(f"{ws[i]} AS w_{i}" for i in range(1, d + 1))
+    vsel = ", ".join(f"w_{i} / {norm} AS v_{i}" for i in range(1, d + 1))
+    rounds = []
+    prev = "p0"
+    for r in range(1, _PCA_ITERS + 1):
+        rounds.append(f"pw{r} AS (SELECT {cnames}, {wsel} FROM {prev})")
+        rounds.append(f"p{r} AS (SELECT {cnames}, {vsel} FROM pw{r})")
+        prev = f"p{r}"
+    vnames = ", ".join(f"v_{i}" for i in range(1, d + 1))
+    lam = " + ".join(f"v_{i} * w_{i}" for i in range(1, d + 1))
+    return f"""
+WITH x AS (SELECT {xsel} FROM embeddings),
+base AS (SELECT {", ".join(base_cols)} FROM x),
+p0 AS (SELECT {ccols}, {vinit} FROM base),
+{",".join(rounds)},
+fin AS (SELECT {cnames}, {vnames}, {wsel} FROM {prev})
+SELECT {_PCA_ITERS} AS iters, {lam} AS eigenvalue, {vnames} FROM fin
+"""
+
+
 QUERIES = {
     "embedding_moment_stats": embedding_moment_stats,
     "embedding_dim_quantiles": embedding_dim_quantiles,
     "embedding_covariance": embedding_covariance,
     "jl_projection": jl_projection,
+    "pca_leading_component": pca_leading_component,
 }
 
 ORACLES = {
@@ -244,4 +392,5 @@ ORACLES = {
     "embedding_dim_quantiles": _QTILES_SQL,
     "embedding_covariance": _COV_SQL,
     "jl_projection": _JL_SQL,
+    "pca_leading_component": _pca_sql(),
 }
