@@ -153,3 +153,117 @@ def test_pca_leading_component_matches_numpy(spark, tmp_path):
     assert abs(abs(float(v @ wvecs[:, -1])) - 1.0) < 1e-6
     assert abs(row["eigenvalue"] - float(wvals[-1])) < 1e-5
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+
+
+def test_textquality_random_corpora_match_python_reference(spark, tmp_path):
+    """Property: on random small-alphabet corpora (forcing window
+    collisions), duplicate_ngram_spans, kn_bigram_stats and
+    wordpiece_encode all match independent pure-Python brute-force
+    references — algorithmic assurance on inputs neither hand-crafted
+    nor engine-derived."""
+    import random
+    import re
+    from collections import Counter, defaultdict
+
+    from trx_spark.queries.lm import kn_bigram_stats
+    from trx_spark.queries.textquality import _DUP_W, duplicate_ngram_spans
+    from trx_spark.queries.wordpiece import (
+        _WP_MAXLEN,
+        _WP_VOCAB,
+        wordpiece_encode,
+    )
+
+    rng = random.Random(67)
+    words = ["aa", "ab", "ba", "bb", "abc", "longishwordhere"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 30))),
+         "s", "en", 0)
+        for i in range(1, 25)
+    ]
+    d = tmp_path / "prop_sf"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    toks = {i: re.findall("[a-z]+", t) for i, t, *_ in docs}
+
+    # --- duplicate_ngram_spans reference
+    grams = Counter()
+    for ts in toks.values():
+        for p in range(len(ts) - _DUP_W + 1):
+            grams[" ".join(ts[p : p + _DUP_W])] += 1
+    exp = {}
+    for i, ts in toks.items():
+        starts = [
+            p + 1
+            for p in range(len(ts) - _DUP_W + 1)
+            if grams[" ".join(ts[p : p + _DUP_W])] >= 2
+        ]
+        if not starts:
+            continue
+        spans = []
+        for p in starts:
+            if spans and p == spans[-1][1] + 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        exp[i] = (
+            len(starts),
+            len(spans),
+            sum(e - s + _DUP_W for s, e in spans),
+        )
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_tokens"])
+        for r in duplicate_ngram_spans(spark, str(d)).collect()
+    }
+    assert got == exp
+
+    # --- kn_bigram_stats reference
+    pair_counts = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            pair_counts[(a, b)] += 1
+    ctx = defaultdict(int)
+    rtypes = defaultdict(int)
+    lctx = defaultdict(int)
+    for (a, b), c in pair_counts.items():
+        ctx[a] += c
+        rtypes[a] += 1
+        lctx[b] += 1
+    vocab_all = set(ctx) | set(lctx)
+    ref = sorted(
+        ((w, ctx[w], rtypes[w], lctx[w]) for w in vocab_all),
+        key=lambda t: (-t[1], t[0]),
+    )[:200]
+    got_kn = [
+        (r["word"], r["c_context"], r["n_right_types"], r["n_left_contexts"])
+        for r in kn_bigram_stats(spark, str(d)).collect()
+    ]
+    assert sorted(got_kn, key=lambda t: (-t[1], t[0])) == ref
+
+    # --- wordpiece reference (vocab: top-_WP_VOCAB words + chars)
+    freq = Counter(t for ts in toks.values() for t in ts)
+    top = sorted(freq, key=lambda w: (-freq[w], w))[:_WP_VOCAB]
+    vocab = set(top) | set("abcdefghijklmnopqrstuvwxyz")
+
+    def pieces(word):
+        if len(word) > _WP_MAXLEN:
+            return 1
+        rem, np_ = word, 0
+        while rem:
+            best = max(
+                (v for v in vocab if rem.startswith(v)), key=len
+            )
+            rem = rem[len(best):]
+            np_ += 1
+        return np_
+
+    exp_wp = {
+        i: (len(ts), sum(pieces(t) for t in ts))
+        for i, ts in toks.items()
+        if ts
+    }
+    got_wp = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+        for r in wordpiece_encode(spark, str(d)).collect()
+    }
+    assert got_wp == exp_wp
