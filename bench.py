@@ -172,6 +172,9 @@ HEADLINE = [
     "jl_projection",
     "shingle_minhash_recall",
     "pca_leading_component",
+    "dedup_savings_report",
+    "minhash_estimate_calibration",
+    "embedding_standardized",
 ]
 
 

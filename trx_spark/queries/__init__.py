@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from trx_spark.queries import (
+    auditq,
     bpe,
     classifier,
     corpus,
@@ -60,6 +61,7 @@ for mod in (
     bpe,
     wordpiece,
     embstats,
+    auditq,
     lm,
     classifier,
     multimodalq,
@@ -116,7 +118,10 @@ _R07_NEW = [
 # dedup_report, training_set_manifest, knn_reciprocal_pairs,
 # minhash_containment, mmr_diverse_topk, source_overlap_matrix,
 # ngram_novelty — rotate them (plus any r8-touched names) into the r8
-# window alongside whatever r8 adds.
+# window alongside whatever r8 adds. The late-r7 additions beyond slot
+# 50 (dedup_savings_report, minhash_estimate_calibration,
+# embedding_standardized) have local oracle parity but no driver row
+# yet — they go first.
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
 _order = _R07_WINDOW + [n for n in QUERIES if n not in set(_R07_WINDOW)]

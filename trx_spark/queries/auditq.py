@@ -1,0 +1,168 @@
+"""Pipeline audit & preprocessing readouts (LLM-pipeline extension; no
+reference counterpart): the operational reports a 100-TB curation run
+publishes alongside its outputs.
+
+- ``dedup_savings_report`` — per source, how much the exact-dedup pass
+  actually saves (doc and character counts of the non-keeper copies) —
+  the ledger line every dedup stage owes its operators.
+- ``minhash_estimate_calibration`` — per verified near-dup pair, the
+  MinHash component-match count m (J-hat = m/8) next to the exact
+  Jaccard — the estimator-calibration table behind banding-parameter
+  choices (complements shingle_minhash_recall, which measures recall;
+  this measures estimator bias on the found pairs).
+- ``embedding_standardized`` — per (vec, dim) z-scores from the exact
+  fixed-point moments — the whitening/standardization preprocessing
+  step in front of clustering and ANN.
+
+Scale shapes: savings is two keyed groupBys (hash, then source);
+calibration joins the band-capped verified-pair table (bounded by the
+cap, not corpus²) against the zero-shuffle signature projection;
+standardization is a map-side explode joined against a 64-row
+broadcast of per-dimension stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.tables import fan_out_small_scan, load_table
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: (n_docs, n_dup_docs, chars_total, chars_dup) where
+    dup docs are exact-content copies beyond each group's min-doc_id
+    keeper (the dedup_exact keeper rule)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    flagged = docs.join(keep, "h").withColumn(
+        "is_dup", F.col("doc_id") != F.col("keeper")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum(F.when(F.col("is_dup"), F.col("n_chars")).otherwise(0)).alias(
+            "chars_dup"
+        ),
+    )
+
+
+_SAVINGS_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents
+),
+k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_docs,
+  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+  CAST(SUM(CASE WHEN d.doc_id <> k.keeper THEN d.n_chars ELSE 0 END)
+    AS BIGINT) AS chars_dup
+FROM d JOIN k USING (h)
+GROUP BY d.source
+"""
+
+
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per verified LSH pair: exact jaccard, MinHash component matches
+    m_match (0..8) and the estimator J-hat = m/8."""
+    from trx_spark.queries.textdata import lsh_pairs_verified, minhash_signatures
+
+    pairs = lsh_pairs_verified(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    sigs = minhash_signatures(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)],
+    )
+    m = None
+    for j in range(8):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        m = term if m is None else m + term
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            m.cast("long").alias("m_match"),
+            (m.cast("double") / F.lit(8.0)).alias("jaccard_est"),
+        )
+    )
+
+
+def _calibration_sql() -> str:
+    from trx_spark.queries.textdata import _LSH_VERIFIED_SQL, _MINHASH_SQL
+
+    msum = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    return f"""
+WITH v AS ({_LSH_VERIFIED_SQL}),
+sg AS (SELECT * FROM ({_MINHASH_SQL}) s)
+SELECT v.doc_a, v.doc_b, v.jaccard,
+  CAST({msum} AS BIGINT) AS m_match,
+  CAST({msum} AS DOUBLE) / CAST(8.0 AS DOUBLE) AS jaccard_est
+FROM v
+JOIN sg a ON a.doc_id = v.doc_a
+JOIN sg b ON b.doc_id = v.doc_b
+"""
+
+
+def embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, z): per-dimension z-scores from the exact
+    fixed-point moments (NULL where the dimension is constant)."""
+    from trx_spark.queries.embstats import _dims, embedding_moment_stats
+
+    stats = embedding_moment_stats(spark, sf_dir).select(
+        "dim", "mean", "std_pop"
+    )
+    d = _dims(spark, sf_dir)
+    return d.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(
+            F.col("std_pop") > 0,
+            (F.col("v") - F.col("mean")) / F.col("std_pop"),
+        ).alias("z"),
+    )
+
+
+def _standardized_sql() -> str:
+    from trx_spark.queries.embstats import _MOMENTS_SQL
+
+    return f"""
+WITH m AS ({_MOMENTS_SQL}),
+d AS (
+  SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT d.vec_id, d.dim,
+  CASE WHEN m.std_pop > 0 THEN (d.v - m.mean) / m.std_pop END AS z
+FROM d JOIN m ON m.dim = d.dim
+"""
+
+
+QUERIES = {
+    "dedup_savings_report": dedup_savings_report,
+    "minhash_estimate_calibration": minhash_estimate_calibration,
+    "embedding_standardized": embedding_standardized,
+}
+
+ORACLES = {
+    "dedup_savings_report": _SAVINGS_SQL,
+    "minhash_estimate_calibration": _calibration_sql(),
+    "embedding_standardized": _standardized_sql(),
+}
