@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_savings_report",
     "minhash_estimate_calibration",
     "embedding_standardized",
+    "ann_recall_audit",
 ]
 
 

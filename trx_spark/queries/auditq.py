@@ -155,14 +155,78 @@ FROM d JOIN m ON m.dim = d.dim
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per exact-top-k row (brute-force cosine, the ground truth):
+    whether the single-probe LSH top-k and the multi-probe top-k
+    surfaced it — the ANN family's measured-recall table (the
+    embedding-side sibling of shingle_minhash_recall). On isotropic
+    testdata single-probe recall is near zero BY THEORY (the
+    ann_topk_lsh docstring's measured note) — the audit is what makes
+    that visible as data instead of a docstring claim.
+
+    Scale shape: three already-bounded top-k tables (each ≤ k rows)
+    joined on vec_id — the audit costs nothing beyond the rankers it
+    audits."""
+    from trx_spark.queries.textdata import (
+        ann_cosine_topk,
+        ann_topk_lsh,
+        ann_topk_multiprobe,
+    )
+
+    truth = ann_cosine_topk(spark, sf_dir)
+    lsh = ann_topk_lsh(spark, sf_dir).select(
+        "vec_id", F.lit(True).alias("in_lsh_topk")
+    )
+    multi = ann_topk_multiprobe(spark, sf_dir).select(
+        "vec_id", F.lit(True).alias("in_multiprobe_topk")
+    )
+    return (
+        truth.join(lsh, "vec_id", "left")
+        .join(multi, "vec_id", "left")
+        .select(
+            "rank",
+            "vec_id",
+            "cos_sim",
+            F.coalesce(F.col("in_lsh_topk"), F.lit(False)).alias(
+                "in_lsh_topk"
+            ),
+            F.coalesce(F.col("in_multiprobe_topk"), F.lit(False)).alias(
+                "in_multiprobe_topk"
+            ),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    from trx_spark.queries.textdata import (
+        _ANN_SQL,
+        _ANN_TOPK_LSH_SQL,
+        _ANN_TOPK_MULTIPROBE_SQL,
+    )
+
+    return f"""
+WITH truth AS (SELECT * FROM ({_ANN_SQL}) a),
+l AS (SELECT vec_id FROM ({_ANN_TOPK_LSH_SQL}) b),
+m AS (SELECT vec_id FROM ({_ANN_TOPK_MULTIPROBE_SQL}) c)
+SELECT t.rank, t.vec_id, t.cos_sim,
+  (l.vec_id IS NOT NULL) AS in_lsh_topk,
+  (m.vec_id IS NOT NULL) AS in_multiprobe_topk
+FROM truth t
+LEFT JOIN l ON l.vec_id = t.vec_id
+LEFT JOIN m ON m.vec_id = t.vec_id
+"""
+
+
 QUERIES = {
     "dedup_savings_report": dedup_savings_report,
     "minhash_estimate_calibration": minhash_estimate_calibration,
     "embedding_standardized": embedding_standardized,
+    "ann_recall_audit": ann_recall_audit,
 }
 
 ORACLES = {
     "dedup_savings_report": _SAVINGS_SQL,
     "minhash_estimate_calibration": _calibration_sql(),
     "embedding_standardized": _standardized_sql(),
+    "ann_recall_audit": _ann_recall_sql(),
 }
