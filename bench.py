@@ -176,6 +176,7 @@ HEADLINE = [
     "minhash_estimate_calibration",
     "embedding_standardized",
     "ann_recall_audit",
+    "curation_funnel_report",
 ]
 
 

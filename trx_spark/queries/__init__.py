@@ -120,8 +120,8 @@ _R07_NEW = [
 # ngram_novelty — rotate them (plus any r8-touched names) into the r8
 # window alongside whatever r8 adds. The late-r7 additions beyond slot
 # 50 (dedup_savings_report, minhash_estimate_calibration,
-# embedding_standardized, ann_recall_audit) have local oracle parity
-# but no driver row yet — they go first.
+# embedding_standardized, ann_recall_audit, curation_funnel_report)
+# have local oracle parity but no driver row yet — they go first.
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
 _order = _R07_WINDOW + [n for n in QUERIES if n not in set(_R07_WINDOW)]

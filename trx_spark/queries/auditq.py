@@ -217,11 +217,83 @@ LEFT JOIN m ON m.vec_id = t.vec_id
 """
 
 
+_FUNNEL_STAGES = [
+    ("all_docs", None),
+    ("after_exact_dedup", "exact_keeper"),
+    ("after_neardup_canonical", "exact_and_canonical"),
+    ("after_quality_filter", "keep"),
+]
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain's survival ledger: docs and tokens remaining
+    after each cumulative stage of the keep-list pipeline (exact dedup
+    → near-dup canonical → quality filter) — the one-table funnel a
+    100-TB curation run reports to its operators. Composes the
+    memoized corpus_keep_list verdicts with the tokenized base; each
+    stage is a filtered aggregate over the same joined frame."""
+    from trx_spark.queries.corpus import corpus_keep_list
+    from trx_spark.queries.curation import _toks_base
+
+    kl = corpus_keep_list(spark, sf_dir).withColumn(
+        "exact_and_canonical", F.col("exact_keeper") & F.col("is_canonical")
+    )
+    nt = _toks_base(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("nt")
+    )
+    j = kl.join(nt, "doc_id")
+    parts = []
+    for ordn, (stage, flag) in enumerate(_FUNNEL_STAGES, start=1):
+        f = j if flag is None else j.filter(F.col(flag))
+        parts.append(
+            f.agg(
+                F.lit(ordn).alias("stage_ord"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("nt"), F.lit(0)).alias("n_tokens"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _funnel_sql() -> str:
+    from trx_spark.queries.corpus import _keep_list_sql
+
+    stage_sel = []
+    for ordn, (stage, flag) in enumerate(_FUNNEL_STAGES, start=1):
+        where = {
+            None: "TRUE",
+            "exact_keeper": "exact_keeper",
+            "exact_and_canonical": "exact_keeper AND is_canonical",
+            "keep": "keep",
+        }[flag]
+        stage_sel.append(
+            f"SELECT {ordn} AS stage_ord, '{stage}' AS stage, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens "
+            f"FROM j WHERE {where}"
+        )
+    return f"""
+WITH kl AS ({_keep_list_sql().strip()}),
+nt AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS nt
+  FROM documents
+),
+j AS (SELECT kl.*, nt.nt FROM kl JOIN nt USING (doc_id))
+{" UNION ALL ".join(stage_sel)}
+"""
+
+
 QUERIES = {
     "dedup_savings_report": dedup_savings_report,
     "minhash_estimate_calibration": minhash_estimate_calibration,
     "embedding_standardized": embedding_standardized,
     "ann_recall_audit": ann_recall_audit,
+    "curation_funnel_report": curation_funnel_report,
 }
 
 ORACLES = {
@@ -229,4 +301,5 @@ ORACLES = {
     "minhash_estimate_calibration": _calibration_sql(),
     "embedding_standardized": _standardized_sql(),
     "ann_recall_audit": _ann_recall_sql(),
+    "curation_funnel_report": _funnel_sql(),
 }
