@@ -23,6 +23,7 @@ _ONE_ROW_BUILD_OK = {
     "ann_ivf_trained_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_recall_audit",  # composes the three rankers above (1-row query-norm joins)
     "pq_codes",
     "embedding_neardup_pairs",
     "kmeans_cells",
