@@ -177,6 +177,9 @@ HEADLINE = [
     "embedding_standardized",
     "ann_recall_audit",
     "curation_funnel_report",
+    "cdc_chunks",
+    "zorder_layout_keys",
+    "zorder_skipping_stats",
 ]
 
 

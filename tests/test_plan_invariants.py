@@ -51,6 +51,8 @@ _ONE_ROW_BUILD_OK = {
     "cluster_topics",    # the cell-count scalar is a 1-row broadcast
     "user_rfm_segments", # the quartile-cut triple is a 1-row broadcast
     "copurchase_lift",   # the order-total scalar is a 1-row broadcast
+    "zorder_layout_keys",    # the min/max quantization frame is a 1-row broadcast
+    "zorder_skipping_stats", # same 1-row quantization frame
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

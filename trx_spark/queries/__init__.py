@@ -21,6 +21,7 @@ from trx_spark.queries import (
     curation,
     curriculum,
     embstats,
+    layout,
     lm,
     multimodalq,
     packing,
@@ -54,6 +55,7 @@ for mod in (
     curation,
     textquality,
     packing,
+    layout,
     temporal,
     curriculum,
     sketches,
@@ -120,7 +122,8 @@ _R07_NEW = [
 # ngram_novelty — rotate them (plus any r8-touched names) into the r8
 # window alongside whatever r8 adds. The late-r7 additions beyond slot
 # 50 (dedup_savings_report, minhash_estimate_calibration,
-# embedding_standardized, ann_recall_audit, curation_funnel_report)
+# embedding_standardized, ann_recall_audit, curation_funnel_report,
+# cdc_chunks, zorder_layout_keys, zorder_skipping_stats)
 # have local oracle parity but no driver row yet — they go first.
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)

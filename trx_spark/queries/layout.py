@@ -1,0 +1,172 @@
+"""Storage-layout operators: Z-order (Morton) multi-dimensional
+clustering keys and the data-skipping index they buy.
+
+At 100 TB the dominant cost of every selective query is the scan, and
+the scan is only as cheap as the layout lets it be: parquet row-group
+min/max pruning skips a file iff the filtered column is CLUSTERED in
+that file. A sort by one column gives perfect skipping on that column
+and none on any other; Z-ordering interleaves the bits of two (or
+more) quantized columns so that ranges of the interleaved key map to
+small rectangles in (x, y) space — every file then covers a narrow
+min/max band on BOTH dimensions, and filters on either prune files.
+This is the layout pass behind Delta/Iceberg ``OPTIMIZE ZORDER BY``
+re-expressed as a plain engine operator.
+
+Scale design notes (local[32] tests correctness; the plans target a
+1000-executor cluster):
+
+- ``zorder_layout_keys``: per-row column math (quantize + a fixed
+  16-term bit-interleave expression, whole-stage codegen) after a
+  single 1-row min/max scalar broadcast — zero data shuffles; the key
+  assignment of a 100 TB table is one scan. A real rewrite then
+  ``repartitionByRange(z_key)`` + write, which is the one unavoidable
+  layout shuffle and is exactly the shuffle the operator exists to
+  amortize across all future scans.
+- ``zorder_skipping_stats``: the per-file min/max index the layout
+  produces — one partial-aggregatable groupBy over the bucket key,
+  output rows ∝ number of files, never data-sized. The ``*_span``
+  columns ARE the data-skipping contract: narrow spans on both
+  dimensions mean a predicate on either prunes most buckets.
+
+All arithmetic is integer (fixed quantization grid, bit shifts), so
+the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.tables import fan_out_small_scan, load_table
+
+_ZBITS = 8  # bits per dimension -> 16-bit Morton key
+_ZBUCKET_SHIFT = 10  # z_key DIV 2^10 -> 64 target files
+
+
+def _interleave_expr(x: str, y: str) -> str:
+    """SQL text of the 2-D Morton interleave of two ``_ZBITS``-bit
+    ints: bit b of x lands at position 2b, bit b of y at 2b+1. The
+    same string parses in Spark SQL and DuckDB (both support ``&`` and
+    ``shiftright``-equivalent arithmetic via integer division)."""
+    terms = []
+    for b in range(_ZBITS):
+        terms.append(f"(({x} // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({y} // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def _zbase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows with quantized (user_id, ts_ns) grid coordinates and
+    the Morton key. Quantization is exact integer math against the
+    1-row global min/max frame (broadcast scalar, the allowlisted
+    pattern) — rank-free, so no global window anywhere."""
+    ev = fan_out_small_scan(
+        load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts_ns")
+    )
+    lims = ev.agg(
+        F.min("user_id").alias("ux0"),
+        F.max("user_id").alias("ux1"),
+        F.min("ts_ns").alias("ty0"),
+        F.max("ts_ns").alias("ty1"),
+    )
+    g = 1 << _ZBITS
+    q = ev.join(F.broadcast(lims)).select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        F.expr(f"CAST((user_id - ux0) * {g} DIV (ux1 - ux0 + 1) AS BIGINT)").alias("xq"),
+        F.expr(f"CAST((ts_ns - ty0) * {g} DIV (ty1 - ty0 + 1) AS BIGINT)").alias("yq"),
+    )
+    # Spark's // is not integer division on longs; the interleave expr
+    # uses DIV-via-floor semantics — rewrite // as DIV for Spark
+    z = _interleave_expr("xq", "yq").replace("//", "DIV")
+    return q.withColumn("z_key", F.expr(f"CAST({z} AS BIGINT)"))
+
+
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton layout key and target-file bucket per event row.
+
+    Output: (event_id, xq, yq, z_key, file_bucket) — ``file_bucket``
+    is the contiguous z-range a layout writer assigns to one file
+    (``repartitionByRange(z_key)`` at write time); consecutive buckets
+    tile (user, time) space in 2^{_ZBUCKET_SHIFT}-key squares."""
+    return _zbase(spark, sf_dir).select(
+        "event_id",
+        "xq",
+        "yq",
+        "z_key",
+        F.expr(f"CAST(z_key DIV {1 << _ZBUCKET_SHIFT} AS BIGINT)").alias("file_bucket"),
+    )
+
+
+def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping index of the Z-ordered layout: per file
+    bucket, row count and the min/max envelope of BOTH source
+    dimensions (quantized grid units). The span columns quantify the
+    skipping power — under Z-order every bucket's x-span and y-span
+    are ~sqrt(bucket_size) grid cells instead of the full axis, so a
+    point filter on either dimension prunes ~all other buckets."""
+    base = _zbase(spark, sf_dir).select(
+        F.expr(f"CAST(z_key DIV {1 << _ZBUCKET_SHIFT} AS BIGINT)").alias("file_bucket"),
+        "xq",
+        "yq",
+    )
+    return base.groupBy("file_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xq").alias("x_min"),
+        F.max("xq").alias("x_max"),
+        F.min("yq").alias("y_min"),
+        F.max("yq").alias("y_max"),
+        (F.max("xq") - F.min("xq") + 1).alias("x_span"),
+        (F.max("yq") - F.min("yq") + 1).alias("y_span"),
+    )
+
+
+_G = 1 << _ZBITS
+
+_ZBASE_SQL = f"""
+  SELECT event_id,
+    CAST((user_id - ux0) * {_G} // (ux1 - ux0 + 1) AS BIGINT) AS xq,
+    CAST((epoch_ns(ts) - ty0) * {_G} // (ty1 - ty0 + 1) AS BIGINT) AS yq
+  FROM events, (SELECT MIN(user_id) AS ux0, MAX(user_id) AS ux1,
+                       MIN(epoch_ns(ts)) AS ty0, MAX(epoch_ns(ts)) AS ty1
+                FROM events) lims
+"""
+
+_ZKEYS_SQL = f"""
+WITH q AS ({_ZBASE_SQL}),
+z AS (
+  SELECT event_id, xq, yq,
+         CAST({_interleave_expr("xq", "yq")} AS BIGINT) AS z_key
+  FROM q
+)
+SELECT event_id, xq, yq, z_key,
+       CAST(z_key // {1 << _ZBUCKET_SHIFT} AS BIGINT) AS file_bucket
+FROM z
+"""
+
+_ZSTATS_SQL = f"""
+WITH q AS ({_ZBASE_SQL}),
+z AS (
+  SELECT xq, yq,
+         CAST(({_interleave_expr("xq", "yq")}) // {1 << _ZBUCKET_SHIFT} AS BIGINT)
+           AS file_bucket
+  FROM q
+)
+SELECT file_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(xq) AS x_min, MAX(xq) AS x_max,
+       MIN(yq) AS y_min, MAX(yq) AS y_max,
+       MAX(xq) - MIN(xq) + 1 AS x_span,
+       MAX(yq) - MIN(yq) + 1 AS y_span
+FROM z GROUP BY file_bucket
+"""
+
+QUERIES = {
+    "zorder_layout_keys": zorder_layout_keys,
+    "zorder_skipping_stats": zorder_skipping_stats,
+}
+
+ORACLES = {
+    "zorder_layout_keys": _ZKEYS_SQL,
+    "zorder_skipping_stats": _ZSTATS_SQL,
+}

@@ -251,6 +251,113 @@ FROM e
 """
 
 # ---------------------------------------------------------------------
+# Content-defined chunking (LBFS / FastCDC-style rolling-hash cuts)
+# ---------------------------------------------------------------------
+#
+# Fixed-stride chunking (doc_chunks above) breaks under insertion: one
+# added token shifts every later boundary, so every downstream chunk
+# hash changes and chunk-level dedup misses everything after the edit.
+# Content-defined chunking cuts where a rolling hash of the LAST
+# _CDC_W tokens hits a divisor condition — boundaries are a function
+# of local content only, so an edit perturbs at most the chunks it
+# touches and all later chunk hashes are preserved (the LBFS anchoring
+# property; FastCDC adds min/max clamps, noted below). This is the
+# standard storage-dedup primitive applied at the token grain — the
+# right grain for near-duplicate training text where documents share
+# long verbatim runs (boilerplate, quotations, syndication).
+
+_CDC_W = 4  # rolling-hash horizon (tokens)
+_CDC_D = 8  # divisor: expected chunk length = _CDC_D tokens
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks per document: cut after token ``p`` when
+    the hash of tokens ``p-3..p`` ≡ 0 (mod ``_CDC_D``). Output one row
+    per (doc_id, chunk): start, length, and the content hash that
+    feeds chunk-level dedup.
+
+    Relational shape: posexplode → one per-doc ordered window carries
+    the 3 lagged token hashes (rolling hash = pure column math), a
+    second bounded-frame window turns cut flags into chunk ids
+    (running count of PRIOR cuts), then one groupBy rebuilds chunks —
+    two keyed window passes + one partial-aggregatable groupBy, no
+    self-join, linear in tokens. Production adds FastCDC min/max
+    chunk-size clamps (a second condition on ``p - last_cut``); the
+    gate keeps the pure divisor rule so the oracle is windowed SQL.
+    """
+    from trx_spark.queries.textdata import _tok_hash
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    t = docs.select("doc_id", F.posexplode(toks).alias("p", "t")).withColumn(
+        "th", _tok_hash(F.col("t"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    h = (
+        F.lag("th", 3).over(w) * (31 ** 3)
+        + F.lag("th", 2).over(w) * (31 ** 2)
+        + F.lag("th", 1).over(w) * 31
+        + F.col("th")
+    ) % _P
+    flagged = t.withColumn(
+        "cut",
+        F.when((F.col("p") >= _CDC_W - 1) & (h % _CDC_D == 0), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    prior = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("cut").over(prior), F.lit(0)).cast("long")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("t")))),
+        lambda s: s["t"],
+    )
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.min("p").cast("long").alias("start_tok"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(F.array_join(ordered, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+def _cdc_sql() -> str:
+    from trx_spark.queries.textdata import _tok_hash_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) - 1 AS p
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_RE}') AS l FROM documents) x
+),
+th AS (SELECT doc_id, p, t, {_tok_hash_sql('t')} AS th FROM toks),
+roll AS (
+  SELECT doc_id, p, t,
+    CASE WHEN p >= {_CDC_W - 1} THEN
+      (lag(th, 3) OVER w * {31 ** 3} + lag(th, 2) OVER w * {31 ** 2}
+       + lag(th, 1) OVER w * 31 + th) % {_P}
+    END AS h
+  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+flagged AS (
+  SELECT doc_id, p, t,
+    CASE WHEN h IS NOT NULL AND h % {_CDC_D} = 0 THEN 1 ELSE 0 END AS cut
+  FROM roll
+),
+chunked AS (
+  SELECT doc_id, p, t,
+    CAST(COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+  FROM flagged
+)
+SELECT doc_id, chunk_idx, CAST(MIN(p) AS BIGINT) AS start_tok,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  md5(string_agg(t, ' ' ORDER BY p)) AS chunk_hash
+FROM chunked GROUP BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------
 # Deterministic epoch shuffle
 # ---------------------------------------------------------------------
 
@@ -380,6 +487,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
     "doc_chunks": doc_chunks,
+    "cdc_chunks": cdc_chunks,
     "epoch_shuffle": epoch_shuffle,
     "training_set_manifest": training_set_manifest,
 }
@@ -388,6 +496,7 @@ ORACLES = {
     "pii_scrub": _PII_SQL,
     "pack_sequences": _PACK_SQL,
     "doc_chunks": _CHUNKS_SQL,
+    "cdc_chunks": _cdc_sql(),
     "epoch_shuffle": _SHUFFLE_SQL,
     "training_set_manifest": _manifest_sql(),
 }
