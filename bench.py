@@ -180,6 +180,9 @@ HEADLINE = [
     "cdc_chunks",
     "zorder_layout_keys",
     "zorder_skipping_stats",
+    "cdc_chunk_dedup",
+    "split_leakage_audit",
+    "url_dedup_keep",
 ]
 
 

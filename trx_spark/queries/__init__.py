@@ -34,6 +34,7 @@ from trx_spark.queries import (
     textdata,
     textquality,
     trxdomain,
+    weburl,
     wordpiece,
     trxdomain2,
     trxdomain3,
@@ -56,6 +57,7 @@ for mod in (
     textquality,
     packing,
     layout,
+    weburl,
     temporal,
     curriculum,
     sketches,
@@ -123,7 +125,8 @@ _R07_NEW = [
 # window alongside whatever r8 adds. The late-r7 additions beyond slot
 # 50 (dedup_savings_report, minhash_estimate_calibration,
 # embedding_standardized, ann_recall_audit, curation_funnel_report,
-# cdc_chunks, zorder_layout_keys, zorder_skipping_stats)
+# cdc_chunks, cdc_chunk_dedup, zorder_layout_keys,
+# zorder_skipping_stats, split_leakage_audit, url_dedup_keep)
 # have local oracle parity but no driver row yet — they go first.
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)

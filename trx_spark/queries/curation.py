@@ -1214,8 +1214,88 @@ FROM documents
 
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-split decontamination report — the check pipelines actually
+    get wrong: AFTER the holdout split, does any validation/test doc
+    share verbatim 8-token shingles with any TRAIN doc? (Benchmark
+    decontamination removes external eval sets; this audits the
+    pipeline's own holdout against near-duplicate leakage, the thing
+    that silently inflates validation scores.)
+
+    Output: one row per holdout doc — (doc_id, split,
+    n_leaked_shingles, n_train_docs, leaked); zero-overlap docs appear
+    with 0s so the report is a complete ledger, not a hit list.
+
+    Scale shape: the shingle⋈shingle equi-join keys on content; the
+    holdout side is ~2 % of the corpus so AQE broadcasts it against
+    the train side's scan. At 100 TB the bloom-prefilter pattern
+    (``decontam_bloom_flags``) cuts the train-side shuffle before the
+    exact join — same composition, same verdict."""
+    split = train_val_test_split(spark, sf_dir).select("doc_id", "split")
+    sh = _shingled(spark, sf_dir).join(split, "doc_id")
+    train = sh.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    holdout_sh = sh.where(F.col("split") != "train").select("doc_id", "shingle")
+    leak = (
+        holdout_sh.join(train, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_leaked_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    holdout = split.where(F.col("split") != "train")
+    return holdout.join(leak, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("n_leaked_shingles", F.lit(0)).cast("long").alias("n_leaked_shingles"),
+        F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+        (F.coalesce("n_leaked_shingles", F.lit(0)) > 0).alias("leaked"),
+    )
+
+
+_LEAKAGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0)),
+      i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))) AS s(shingle)
+),
+sp AS (
+  SELECT doc_id,
+    CASE
+      WHEN (doc_id % {_P} * {_SPLIT_A} + {_SPLIT_B}) % {_P} % 100 >= 99 THEN 'test'
+      WHEN (doc_id % {_P} * {_SPLIT_A} + {_SPLIT_B}) % {_P} % 100 >= 98 THEN 'validation'
+      ELSE 'train'
+    END AS split
+  FROM documents
+),
+leak AS (
+  SELECT c.doc_id,
+         CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_leaked_shingles,
+         CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs
+  FROM sh c
+  JOIN sp se ON se.doc_id = c.doc_id AND se.split <> 'train'
+  JOIN sh tr ON tr.shingle = c.shingle
+  JOIN sp st ON st.doc_id = tr.doc_id AND st.split = 'train'
+  GROUP BY c.doc_id
+)
+SELECT e.doc_id, e.split,
+  CAST(COALESCE(l.n_leaked_shingles, 0) AS BIGINT) AS n_leaked_shingles,
+  CAST(COALESCE(l.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+  COALESCE(l.n_leaked_shingles, 0) > 0 AS leaked
+FROM sp e LEFT JOIN leak l ON l.doc_id = e.doc_id
+WHERE e.split <> 'train'
+"""
+
+
 QUERIES = {
     "contamination_check": contamination_check,
+    "split_leakage_audit": split_leakage_audit,
     "ngram_novelty": ngram_novelty,
     "train_val_test_split": train_val_test_split,
     "decontaminated_docs": decontaminated_docs,
@@ -1236,6 +1316,7 @@ QUERIES = {
 
 ORACLES = {
     "ngram_novelty": _NOVELTY_SQL,
+    "split_leakage_audit": _LEAKAGE_SQL,
     "train_val_test_split": _SPLIT_SQL,
     "contamination_check": _CONTAMINATION_SQL,
     "decontaminated_docs": _DECONTAM_SQL,

@@ -357,6 +357,56 @@ FROM chunked GROUP BY doc_id, chunk_idx
 """
 
 
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-store ledger CDC exists for: rank every occurrence of
+    each chunk content (first by (doc_id, start_tok) is the keeper),
+    attribute duplicate occurrences to the source that contributed
+    them, and report per source how many tokens chunk-level dedup
+    eliminates. ``dup_ratio`` is one IEEE division of two exact
+    integer sums (identical expression trees in both engines).
+
+    Scale shape: one window partitioned by chunk_hash (group size =
+    occurrences of one content, bounded by duplication not corpus),
+    one groupBy source — both shuffles on high-cardinality keys.
+    """
+    chunks = cdc_chunks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "start_tok")
+    ranked = chunks.join(docs, "doc_id").withColumn("occ", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("occ") > 1, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_saved"),
+        (
+            F.sum(F.when(F.col("occ") > 1, F.col("n_tokens")).otherwise(0)).cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+def _cdc_dedup_sql() -> str:
+    return f"""
+WITH chunks AS ({_cdc_sql()}),
+ranked AS (
+  SELECT d.source, c.n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY c.chunk_hash
+                       ORDER BY c.doc_id, c.start_tok) AS occ
+  FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(SUM(CASE WHEN occ > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_saved,
+  CAST(SUM(CASE WHEN occ > 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(n_tokens) AS DOUBLE) AS dup_ratio
+FROM ranked GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------
 # Deterministic epoch shuffle
 # ---------------------------------------------------------------------
@@ -488,6 +538,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "doc_chunks": doc_chunks,
     "cdc_chunks": cdc_chunks,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "epoch_shuffle": epoch_shuffle,
     "training_set_manifest": training_set_manifest,
 }
@@ -497,6 +548,7 @@ ORACLES = {
     "pack_sequences": _PACK_SQL,
     "doc_chunks": _CHUNKS_SQL,
     "cdc_chunks": _cdc_sql(),
+    "cdc_chunk_dedup": _cdc_dedup_sql(),
     "epoch_shuffle": _SHUFFLE_SQL,
     "training_set_manifest": _manifest_sql(),
 }
