@@ -183,6 +183,7 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "split_leakage_audit",
     "url_dedup_keep",
+    "layout_scan_savings",
 ]
 
 

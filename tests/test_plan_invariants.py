@@ -53,6 +53,7 @@ _ONE_ROW_BUILD_OK = {
     "copurchase_lift",   # the order-total scalar is a 1-row broadcast
     "zorder_layout_keys",    # the min/max quantization frame is a 1-row broadcast
     "zorder_skipping_stats", # same 1-row quantization frame
+    "layout_scan_savings",   # same 1-row quantization frame
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

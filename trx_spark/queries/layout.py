@@ -122,6 +122,76 @@ def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# query rectangle for the scan-savings audit: a 32×32 window in
+# (user, time) grid space — one file-tile's worth of each dimension
+_QX0, _QX1 = 96, 127
+_QY0, _QY1 = 64, 95
+
+
+def layout_scan_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout decision, MEASURED instead of argued: under the same
+    rectangle predicate (user range × time range), how many files and
+    rows does min/max pruning actually skip in (a) the Z-ordered
+    layout vs (b) the conventional time-sorted layout (files = ranges
+    of the time axis, the default layout every append-only events
+    table already has)?
+
+    A file is scanned iff its min/max envelope intersects the
+    predicate on BOTH dimensions (exactly parquet row-group pruning).
+    Output: one row per layout — files scanned / total, rows scanned /
+    matching. The rows_scanned gap is the I/O the Z-order rewrite
+    buys; time-sorted prunes the time axis perfectly but must read
+    EVERY file whose time range matches regardless of user, so its
+    x-envelope is the full axis.
+
+    Plan shape: rides ``_zbase`` (scalar broadcast + column math),
+    two ≤64-group aggregates, and a 2-row union — audit cost is one
+    scan regardless of corpus size."""
+    base = _zbase(spark, sf_dir).select(
+        "xq",
+        "yq",
+        F.expr(f"CAST(z_key DIV {1 << _ZBUCKET_SHIFT} AS BIGINT)").alias("zbucket"),
+        # the time-sorted layout: 64 files of 4 consecutive time-grid
+        # cells each (same file count as the z layout, fair comparison)
+        F.expr("CAST(yq DIV 4 AS BIGINT)").alias("tbucket"),
+        (
+            (F.col("xq") >= _QX0)
+            & (F.col("xq") <= _QX1)
+            & (F.col("yq") >= _QY0)
+            & (F.col("yq") <= _QY1)
+        ).alias("hit"),
+    )
+
+    def _audit(df: DataFrame, bucket: str, layout: str) -> DataFrame:
+        per = df.groupBy(bucket).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xq").alias("x0"),
+            F.max("xq").alias("x1"),
+            F.min("yq").alias("y0"),
+            F.max("yq").alias("y1"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+        )
+        scanned = (
+            (F.col("x1") >= _QX0)
+            & (F.col("x0") <= _QX1)
+            & (F.col("y1") >= _QY0)
+            & (F.col("y0") <= _QY1)
+        )
+        return per.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(scanned.cast("long")).cast("long").alias("files_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_hits").cast("long").alias("rows_matching"),
+        )
+
+    return _audit(base, "zbucket", "zorder").unionByName(
+        _audit(base, "tbucket", "time_sorted")
+    )
+
+
 _G = 1 << _ZBITS
 
 _ZBASE_SQL = f"""
@@ -161,12 +231,57 @@ SELECT file_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM z GROUP BY file_bucket
 """
 
+_SAVINGS_SQL = f"""
+WITH q AS ({_ZBASE_SQL}),
+z AS (
+  SELECT xq, yq,
+    CAST(({_interleave_expr("xq", "yq")}) // {1 << _ZBUCKET_SHIFT} AS BIGINT)
+      AS zbucket,
+    CAST(yq // 4 AS BIGINT) AS tbucket,
+    (xq BETWEEN {_QX0} AND {_QX1} AND yq BETWEEN {_QY0} AND {_QY1}) AS hit
+  FROM q
+),
+zf AS (
+  SELECT zbucket, COUNT(*) AS n_rows, MIN(xq) AS x0, MAX(xq) AS x1,
+         MIN(yq) AS y0, MAX(yq) AS y1,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hits
+  FROM z GROUP BY zbucket
+),
+tf AS (
+  SELECT tbucket, COUNT(*) AS n_rows, MIN(xq) AS x0, MAX(xq) AS x1,
+         MIN(yq) AS y0, MAX(yq) AS y1,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hits
+  FROM z GROUP BY tbucket
+)
+SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(CASE WHEN x1 >= {_QX0} AND x0 <= {_QX1}
+                 AND y1 >= {_QY0} AND y0 <= {_QY1} THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_scanned,
+  CAST(SUM(CASE WHEN x1 >= {_QX0} AND x0 <= {_QX1}
+                 AND y1 >= {_QY0} AND y0 <= {_QY1} THEN n_rows ELSE 0 END) AS BIGINT)
+    AS rows_scanned,
+  CAST(SUM(n_hits) AS BIGINT) AS rows_matching
+FROM zf
+UNION ALL
+SELECT 'time_sorted' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(CASE WHEN x1 >= {_QX0} AND x0 <= {_QX1}
+                 AND y1 >= {_QY0} AND y0 <= {_QY1} THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_scanned,
+  CAST(SUM(CASE WHEN x1 >= {_QX0} AND x0 <= {_QX1}
+                 AND y1 >= {_QY0} AND y0 <= {_QY1} THEN n_rows ELSE 0 END) AS BIGINT)
+    AS rows_scanned,
+  CAST(SUM(n_hits) AS BIGINT) AS rows_matching
+FROM tf
+"""
+
 QUERIES = {
     "zorder_layout_keys": zorder_layout_keys,
     "zorder_skipping_stats": zorder_skipping_stats,
+    "layout_scan_savings": layout_scan_savings,
 }
 
 ORACLES = {
     "zorder_layout_keys": _ZKEYS_SQL,
     "zorder_skipping_stats": _ZSTATS_SQL,
+    "layout_scan_savings": _SAVINGS_SQL,
 }
