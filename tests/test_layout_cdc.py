@@ -76,6 +76,20 @@ def test_cdc_chunks_partition_tokens_exactly(spark, sf_dir):
             pos += c["n_tokens"]
 
 
+def test_zorder_scan_savings_dominate(spark, sf_dir):
+    """Both layouts return the same matching rows, and the Z-order
+    layout never reads more than the time-sorted one under the
+    rectangle predicate (on this data it reads strictly less)."""
+    from trx_spark.queries.layout import layout_scan_savings
+
+    rows = {r["layout"]: r for r in layout_scan_savings(spark, sf_dir).collect()}
+    z, t = rows["zorder"], rows["time_sorted"]
+    assert z["rows_matching"] == t["rows_matching"]
+    assert z["rows_scanned"] >= z["rows_matching"]
+    assert z["rows_scanned"] <= t["rows_scanned"]
+    assert z["files_scanned"] <= t["files_scanned"]
+
+
 def test_zorder_buckets_are_bounded_tiles(spark, sf_dir):
     stats = zorder_skipping_stats(spark, sf_dir).collect()
     assert len(stats) > 1
