@@ -184,6 +184,7 @@ HEADLINE = [
     "split_leakage_audit",
     "url_dedup_keep",
     "layout_scan_savings",
+    "padding_waste_audit",
 ]
 
 

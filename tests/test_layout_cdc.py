@@ -90,6 +90,20 @@ def test_zorder_scan_savings_dominate(spark, sf_dir):
     assert z["files_scanned"] <= t["files_scanned"]
 
 
+def test_length_bucketing_dominates_shuffled(spark, sf_dir):
+    """Both strategies batch the same corpus (equal real_tokens and
+    batch counts); length bucketing never pads more than hash-shuffled
+    order (on this data it pads strictly less)."""
+    from trx_spark.queries.packing import padding_waste_audit
+
+    rows = {r["strategy"]: r for r in padding_waste_audit(spark, sf_dir).collect()}
+    s, b = rows["shuffled"], rows["length_bucketed"]
+    assert s["real_tokens"] == b["real_tokens"]
+    assert s["n_batches"] == b["n_batches"]
+    assert b["padded_tokens"] <= s["padded_tokens"]
+    assert b["padded_tokens"] >= b["real_tokens"]
+
+
 def test_zorder_buckets_are_bounded_tiles(spark, sf_dir):
     stats = zorder_skipping_stats(spark, sf_dir).collect()
     assert len(stats) > 1

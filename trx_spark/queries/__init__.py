@@ -127,8 +127,8 @@ _R07_NEW = [
 # embedding_standardized, ann_recall_audit, curation_funnel_report,
 # cdc_chunks, cdc_chunk_dedup, zorder_layout_keys,
 # zorder_skipping_stats, layout_scan_savings, split_leakage_audit,
-# url_dedup_keep) have local oracle parity but no driver row yet —
-# they go first.
+# url_dedup_keep, padding_waste_audit) have local oracle parity but no
+# driver row yet — they go first.
 _R07_WINDOW = _R07_R04_ERA + _R07_NEW
 assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
 _order = _R07_WINDOW + [n for n in QUERIES if n not in set(_R07_WINDOW)]

@@ -478,6 +478,118 @@ FROM e
 
 
 # ---------------------------------------------------------------------
+# Padding-waste audit: length-bucketed vs shuffled batching
+# ---------------------------------------------------------------------
+#
+# For padded (non-packed) training batches, every batch costs
+# max_len × batch_size tokens of compute; tokens beyond a sequence's
+# length are padding. Length-bucketed batching (sort by length before
+# cutting batches — the bucketing every production dataloader does)
+# minimizes per-batch length spread; this audit MEASURES the padding
+# it saves against hash-shuffled batching on the same corpus, inside
+# the engine — the layout_scan_savings pattern applied to the batch
+# dimension.
+
+_BATCH_SIZE = 16
+_N_BATCH_SHARDS = 8
+
+
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two batching strategies over identical shards (shard = affine
+    hash % n_shards, the per-worker batching production uses
+    — no global sort anywhere): ``shuffled`` orders docs by the hash,
+    ``length_bucketed`` orders by token count; both cut _BATCH_SIZE-doc
+    batches in order. Output per strategy: batches, real vs padded
+    token totals, and the waste ratio (one IEEE division of two exact
+    integer sums).
+
+    Plan shape: one scan computes tokens + shard + both orderings;
+    each strategy is a per-shard window (partition = shard, bounded by
+    corpus/shards — the pack_sequences decomposition) + one
+    per-(shard, batch) groupBy + one global rollup to 1 row — shuffle
+    keys all high-cardinality until the final constant-size rollup."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast("long")
+    h = (F.col("doc_id") % _P * _SAMPLE_A + _SAMPLE_B) % _P
+    base = docs.select(
+        "doc_id", n_tok.alias("n_tokens"), h.alias("h"), (h % _N_BATCH_SHARDS).alias("shard")
+    )
+
+    def _strategy(order_cols: list, label: str) -> DataFrame:
+        w = Window.partitionBy("shard").orderBy(*order_cols)
+        batched = base.withColumn(
+            "batch", ((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("long")
+        )
+        per_batch = batched.groupBy("shard", "batch").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("real"),
+            (F.max("n_tokens") * F.count(F.lit(1))).alias("padded"),
+        )
+        return per_batch.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("real").cast("long").alias("real_tokens"),
+            F.sum("padded").cast("long").alias("padded_tokens"),
+            (
+                (F.sum("padded") - F.sum("real")).cast("double")
+                / F.sum("padded").cast("double")
+            ).alias("waste_ratio"),
+        )
+
+    return _strategy([F.col("h").asc(), F.col("doc_id").asc()], "shuffled").unionByName(
+        _strategy([F.col("n_tokens").asc(), F.col("doc_id").asc()], "length_bucketed")
+    )
+
+
+_PADDING_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens,
+    (doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} AS h,
+    (doc_id % {_P} * {_SAMPLE_A} + {_SAMPLE_B}) % {_P} % {_N_BATCH_SHARDS} AS shard
+  FROM documents
+),
+sb AS (
+  SELECT shard,
+    CAST((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)
+         // {_BATCH_SIZE} AS BIGINT) AS batch,
+    n_tokens
+  FROM base
+),
+lb AS (
+  SELECT shard,
+    CAST((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) - 1)
+         // {_BATCH_SIZE} AS BIGINT) AS batch,
+    n_tokens
+  FROM base
+),
+sper AS (
+  SELECT shard, batch, SUM(n_tokens) AS real,
+         MAX(n_tokens) * COUNT(*) AS padded
+  FROM sb GROUP BY shard, batch
+),
+lper AS (
+  SELECT shard, batch, SUM(n_tokens) AS real,
+         MAX(n_tokens) * COUNT(*) AS padded
+  FROM lb GROUP BY shard, batch
+)
+SELECT 'shuffled' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+  CAST(SUM(real) AS BIGINT) AS real_tokens,
+  CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+  CAST(SUM(padded) - SUM(real) AS DOUBLE) / CAST(SUM(padded) AS DOUBLE)
+    AS waste_ratio
+FROM sper
+UNION ALL
+SELECT 'length_bucketed' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+  CAST(SUM(real) AS BIGINT) AS real_tokens,
+  CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+  CAST(SUM(padded) - SUM(real) AS DOUBLE) / CAST(SUM(padded) AS DOUBLE)
+    AS waste_ratio
+FROM lper
+"""
+
+
+# ---------------------------------------------------------------------
 # Training-set manifest: the composed last mile
 # ---------------------------------------------------------------------
 
@@ -539,6 +651,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "cdc_chunks": cdc_chunks,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "padding_waste_audit": padding_waste_audit,
     "epoch_shuffle": epoch_shuffle,
     "training_set_manifest": training_set_manifest,
 }
@@ -549,6 +662,7 @@ ORACLES = {
     "doc_chunks": _CHUNKS_SQL,
     "cdc_chunks": _cdc_sql(),
     "cdc_chunk_dedup": _cdc_dedup_sql(),
+    "padding_waste_audit": _PADDING_SQL,
     "epoch_shuffle": _SHUFFLE_SQL,
     "training_set_manifest": _manifest_sql(),
 }
