@@ -816,8 +816,10 @@ def test_marccd_dim_disagreement_raises():
 
 def test_bruker_roundtrip_kernel():
     """decode_bruker(encode_bruker(img)) == img across NPIXELB widths
-    and through the ASCII overflow table (format-86 layout; reference
-    reads .sfrm through fabio, trx/azav.py:29-34)."""
+    through BOTH overflow layouts: the VERSION>=11 3-field NOVERFL
+    with binary 2-byte/4-byte tables (fabio brukerimage semantics)
+    and the legacy format-86 single-count ASCII table (reference reads
+    .sfrm through fabio, trx/azav.py:29-34)."""
     import numpy as np
 
     from trx_spark.operators.multimodal import (
@@ -829,24 +831,88 @@ def test_bruker_roundtrip_kernel():
 
     rng = np.random.default_rng(37)
     img = rng.integers(0, 250, (6, 9)).astype("u4")
-    img[2, 3] = 70_000  # above the 2-byte ceiling → overflow record
+    img[2, 3] = 70_000  # above the 2-byte ceiling → 4-byte table entry
     img[5, 8] = 1_000_000
-    for npixelb in (1, 2, 4):
-        blob = encode_bruker(img, npixelb=npixelb)
-        assert sniff_codec(blob) == "bruker"
-        back, hdr = decode_bruker(blob)
-        np.testing.assert_array_equal(back, img.astype(np.int64))
-        assert (hdr["nrows"], hdr["ncols"]) == (6, 9)
-        assert hdr["npixelb"] == npixelb
-        assert hdr["noverfl"] == (0 if npixelb == 4 else 2 if npixelb == 2 else 2)
-    # saturated-but-not-overflow pixel: value exactly at the ceiling
-    # stays literal (no overflow record consumed)
+    for version in (9, 11):
+        for npixelb in (1, 2, 4):
+            blob = encode_bruker(img, npixelb=npixelb, version=version)
+            assert sniff_codec(blob) == "bruker"
+            back, hdr = decode_bruker(blob)
+            np.testing.assert_array_equal(back, img.astype(np.int64))
+            assert (hdr["nrows"], hdr["ncols"]) == (6, 9)
+            assert hdr["npixelb"] == npixelb
+            assert hdr["version"] == version
+            if version >= 11:
+                assert hdr["noverfl"] == {
+                    1: [-1, 2, 2], 2: [-1, 0, 2], 4: [-1, 0, 0]
+                }[npixelb]
+            else:
+                assert hdr["noverfl"] == [0 if npixelb == 4 else 2]
+    # v11: a pixel exactly AT the ceiling is saturated and carries a
+    # table entry whose value equals the ceiling — it must roundtrip
     flat = np.full((3, 3), 255, dtype="u2")
     back, hdr = decode_bruker(encode_bruker(flat, npixelb=1))
-    assert hdr["noverfl"] == 0
+    assert hdr["noverfl"] == [-1, 9, 0]
+    np.testing.assert_array_equal(back, 255)
+    # legacy: at-ceiling stays literal, no ASCII record consumed
+    back, hdr = decode_bruker(encode_bruker(flat, npixelb=1, version=9))
+    assert hdr["noverfl"] == [0]
     np.testing.assert_array_equal(back, 255)
     via_any, _ = decode_any(encode_bruker(img))
     np.testing.assert_array_equal(via_any, img.astype(np.int64))
+
+
+def test_bruker_v11_overflow_layout():
+    """The v11 blob's NOVERFL record and table bytes follow the public
+    layout: '-1 n2 n4', binary tables 16-byte padded; a decoder that
+    misread the first field as a single count (range(-1) is empty)
+    would return saturated ceilings instead of true values.  Also: an
+    underflow table (NOVERFL[0] >= 0) is skipped by exactly its padded
+    size, and a v11 header with a single-field NOVERFL raises instead
+    of silently misreading."""
+    import numpy as np
+    import pytest
+
+    from trx_spark.operators.multimodal import decode_bruker, encode_bruker
+
+    img = np.zeros((4, 4), dtype="u4")
+    img[1, 2] = 300          # 2-byte table entry
+    img[3, 0] = 100_000      # 2-byte entry (65535) + 4-byte entry
+    blob = encode_bruker(img, npixelb=1)
+    head = blob[: 3 * 512].decode("ascii", "replace")
+    nov_line = next(
+        line for line in
+        (head[i : i + 80] for i in range(0, len(head), 80))
+        if line.startswith("NOVERFL")
+    )
+    assert nov_line[8:].split() == ["-1", "2", "1"]
+    # the 2-byte table holds (300, 65535) and the 4-byte table (100000)
+    tab = blob[3 * 512 + 16 :]
+    np.testing.assert_array_equal(
+        np.frombuffer(tab, "<u2", count=2), [300, 65535]
+    )
+    assert len(tab) % 16 == 0 and len(tab) == 32  # both tables padded
+    np.testing.assert_array_equal(
+        np.frombuffer(tab, "<u4", count=1, offset=16), [100_000]
+    )
+    back, _ = decode_bruker(blob)
+    np.testing.assert_array_equal(back, img.astype(np.int64))
+
+    # splice an 8-record underflow table in front of the 2-byte table
+    # and bump NOVERFL[0]: the decoder must skip its padded 16 bytes
+    patched = bytearray(blob)
+    off = blob.index(b"NOVERFL")
+    patched[off : off + 80] = f"{'NOVERFL':<7s}:{' 8 2 1':<72s}".encode()
+    patched[3 * 512 + 16 : 3 * 512 + 16] = b"\x07" * 8 + b"\x00" * 8
+    back, hdr = decode_bruker(bytes(patched))
+    np.testing.assert_array_equal(back, img.astype(np.int64))
+    assert hdr["noverfl"] == [8, 2, 1]
+
+    # v11 + single-field NOVERFL = the misread ADVICE flagged — raise
+    bad = bytearray(blob)
+    bad[off : off + 80] = f"{'NOVERFL':<7s}:{'3':<72s}".encode()
+    with pytest.raises(ValueError, match="3-field NOVERFL"):
+        decode_bruker(bytes(bad))
 
 
 def test_decode_marccd_bruker_distributed(spark, tmp_path):

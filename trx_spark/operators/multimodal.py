@@ -703,17 +703,56 @@ def decode_image(
         items = _items(hdrblks)
         nrows = int(items["NROWS"].split()[0])
         ncols = int(items["NCOLS"].split()[0])
-        npixelb = int(items["NPIXELB"].split()[0])
-        noverfl = int(items.get("NOVERFL", "0").split()[0])
+        npixelb_fields = [int(x) for x in items["NPIXELB"].split()]
+        npixelb = npixelb_fields[0]
+        version = int(items.get("VERSION", "0").split()[0])
+        nov = [int(x) for x in items.get("NOVERFL", "0").split()]
+        if int(items.get("WORDORD", "0").split()[0]) != 0:
+            raise ValueError("unsupported SFRM word order (little-endian only)")
         pos = hdrblks * 512
         n = nrows * ncols
         img = _np.frombuffer(
             buf, dtype=f"<u{npixelb}", count=n, offset=pos
         ).astype(_np.int64).reshape(nrows, ncols)
         pos += n * npixelb
-        for k in range(noverfl):
-            rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
-            img.flat[int(rec[9:16])] = int(rec[:9])
+        if version >= 11:
+            if len(nov) < 3:
+                raise ValueError(
+                    "SFRM VERSION>=11 requires a 3-field NOVERFL; got "
+                    + items.get("NOVERFL", "")
+                )
+            nunder, nov2, nov4 = nov[:3]
+            if npixelb > 2 and (nov2 > 0 or nov4 > 0):
+                raise ValueError("4-byte SFRM pixels cannot carry overflow tables")
+            if nunder >= 0:
+                ub = npixelb_fields[1] if len(npixelb_fields) > 1 else 1
+                pos += -(-(nunder * ub) // 16) * 16
+            flat = img.reshape(-1)
+            if nov2 > 0:
+                idx2 = (
+                    _np.flatnonzero(flat == 0xFF)
+                    if npixelb == 1
+                    else _np.array([], dtype=_np.int64)
+                )
+                if idx2.size != nov2:
+                    raise ValueError(
+                        f"SFRM 2-byte overflow count {nov2} does not match "
+                        f"{idx2.size} saturated pixels"
+                    )
+                flat[idx2] = _np.frombuffer(buf, dtype="<u2", count=nov2, offset=pos)
+                pos += -(-(2 * nov2) // 16) * 16
+            if nov4 > 0:
+                idx4 = _np.flatnonzero(flat == 0xFFFF)
+                if idx4.size != nov4:
+                    raise ValueError(
+                        f"SFRM 4-byte overflow count {nov4} does not match "
+                        f"{idx4.size} saturated pixels"
+                    )
+                flat[idx4] = _np.frombuffer(buf, dtype="<u4", count=nov4, offset=pos)
+        else:
+            for k in range(nov[0]):
+                rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
+                img.flat[int(rec[9:16])] = int(rec[:9])
         return img
 
     def _parse_adsc(buf, _np):
@@ -729,9 +768,11 @@ def decode_image(
         nx_ = int(fields["SIZE1"])
         ny_ = int(fields["SIZE2"])
         order = "<" if fields.get("BYTE_ORDER", "little_endian") == "little_endian" else ">"
-        kind = {"unsigned_short": "u2", "unsigned_long": "u4", "signed_short": "i2"}[
-            fields.get("TYPE", "unsigned_short")
-        ]
+        typ = fields.get("TYPE", "unsigned_short")
+        types = {"unsigned_short": "u2", "unsigned_long": "u4", "signed_short": "i2"}
+        if typ not in types:
+            raise ValueError(f"unsupported SMV TYPE {typ!r}")
+        kind = types[typ]
         return _np.frombuffer(
             buf, dtype=f"{order}{kind}", count=nx_ * ny_,
             offset=int(fields["HEADER_BYTES"]),
@@ -1254,11 +1295,23 @@ def encode_marccd(img: np.ndarray, *, byte_order: str = "<") -> bytes:
 # documentation; multiple independent open readers): a header of
 # HDRBLKS x 512 bytes made of 80-character records ``KEY____:value``
 # (7-char key, colon, 72-char value); then NROWS x NCOLS little-endian
-# unsigned pixels of NPIXELB bytes each, row-major; then (format 86)
-# the overflow table — NOVERFL records of 16 ASCII characters, a
-# %9d value followed by a %7d flat pixel offset, padded to a 512-byte
-# boundary. Saturated pixels (all-ones at NPIXELB width) carry their
-# true value in the overflow table, applied by offset.
+# unsigned pixels of NPIXELB bytes each, row-major; then the overflow
+# data, whose layout depends on the writer VERSION:
+#
+# - VERSION < 11 (legacy format 86): NOVERFL is a single count of
+#   16-ASCII-character records (%9d value, %7d flat pixel offset),
+#   padded to a 512-byte boundary; records are applied by offset.
+# - VERSION >= 11 (what SAINT writes today, and what fabio's
+#   brukerimage reads): NOVERFL carries THREE counts — underflow,
+#   2-byte overflow, 4-byte overflow, in that order — and the tables
+#   are binary, each padded to a 16-byte boundary: the underflow table
+#   (NOVERFL[0] records of NPIXELB[1] bytes; -1 means no baseline
+#   subtraction and no table), then NOVERFL[1] little-endian uint16
+#   values replacing the pixels saturated at the 1-byte ceiling in
+#   raster order, then NOVERFL[2] little-endian uint32 values
+#   replacing the pixels saturated at the 2-byte ceiling in raster
+#   order. A pixel AT the ceiling always has a table entry (whose
+#   value may equal the ceiling).
 # ---------------------------------------------------------------------
 
 _SFRM_BLOCK = 512
@@ -1275,6 +1328,44 @@ def _sfrm_header_items(buf: bytes, hdrblks: int) -> dict[str, str]:
     return items
 
 
+def _sfrm_apply_overflow(
+    img: np.ndarray, buf: bytes, pos: int, nov: list[int],
+    npixelb: int, under_bytes: int,
+) -> None:
+    """Apply the VERSION>=11 binary overflow tables in place.
+
+    ``nov`` is the 3-field NOVERFL (underflow, 2-byte, 4-byte counts);
+    the tables follow ``pos`` in that order, each padded to a 16-byte
+    boundary.  Saturated pixels are replaced in raster order: the
+    1-byte-ceiling pixels from the uint16 table, then the
+    2-byte-ceiling pixels from the uint32 table (fabio brukerimage
+    semantics).  The underflow table (baseline re-addition) is skipped,
+    not applied — no baseline-subtracted frames in this surface."""
+    nunder, nov2, nov4 = nov
+    if npixelb > 2 and (nov2 > 0 or nov4 > 0):
+        raise ValueError("4-byte SFRM pixels cannot carry overflow tables")
+    if nunder >= 0:
+        pos += -(-(nunder * under_bytes) // 16) * 16
+    flat = img.reshape(-1)
+    if nov2 > 0:
+        idx2 = np.flatnonzero(flat == 0xFF) if npixelb == 1 else np.array([], dtype=np.int64)
+        if idx2.size != nov2:
+            raise ValueError(
+                f"SFRM 2-byte overflow count {nov2} does not match "
+                f"{idx2.size} saturated pixels"
+            )
+        flat[idx2] = np.frombuffer(buf, dtype="<u2", count=nov2, offset=pos)
+        pos += -(-(2 * nov2) // 16) * 16
+    if nov4 > 0:
+        idx4 = np.flatnonzero(flat == 0xFFFF)
+        if idx4.size != nov4:
+            raise ValueError(
+                f"SFRM 4-byte overflow count {nov4} does not match "
+                f"{idx4.size} saturated pixels"
+            )
+        flat[idx4] = np.frombuffer(buf, dtype="<u4", count=nov4, offset=pos)
+
+
 def decode_bruker(buf: bytes) -> tuple[np.ndarray, dict]:
     """Decode a Bruker SFRM blob → (2-D int64 array, header dict)."""
     if buf[:7] != b"FORMAT " or buf[7:8] != b":":
@@ -1285,8 +1376,10 @@ def decode_bruker(buf: bytes) -> tuple[np.ndarray, dict]:
     items = _sfrm_header_items(buf, hdrblks)
     nrows = int(items["NROWS"].split()[0])
     ncols = int(items["NCOLS"].split()[0])
-    npixelb = int(items["NPIXELB"].split()[0])
-    noverfl = int(items.get("NOVERFL", "0").split()[0])
+    npixelb_fields = [int(x) for x in items["NPIXELB"].split()]
+    npixelb = npixelb_fields[0]
+    version = int(items.get("VERSION", "0").split()[0])
+    nov = [int(x) for x in items.get("NOVERFL", "0").split()]
     if int(items.get("WORDORD", "0").split()[0]) != 0:
         raise ValueError("unsupported SFRM word order (little-endian only)")
     pos = hdrblks * _SFRM_BLOCK
@@ -1295,28 +1388,44 @@ def decode_bruker(buf: bytes) -> tuple[np.ndarray, dict]:
         buf, dtype=f"<u{npixelb}", count=n, offset=pos
     ).astype(np.int64).reshape(nrows, ncols)
     pos += n * npixelb
-    # format-86 ASCII overflow table: 16-char records (%9d value,
-    # %7d offset), applied by explicit flat offset
-    for k in range(noverfl):
-        rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
-        img.flat[int(rec[9:16])] = int(rec[:9])
+    if version >= 11:
+        if len(nov) < 3:
+            raise ValueError(
+                "SFRM VERSION>=11 requires a 3-field NOVERFL "
+                "(underflow, 2-byte, 4-byte counts); got "
+                + items.get("NOVERFL", "")
+            )
+        under_bytes = npixelb_fields[1] if len(npixelb_fields) > 1 else 1
+        _sfrm_apply_overflow(img, buf, pos, nov[:3], npixelb, under_bytes)
+    else:
+        # legacy format-86 ASCII overflow table: 16-char records
+        # (%9d value, %7d offset), applied by explicit flat offset
+        for k in range(nov[0]):
+            rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
+            img.flat[int(rec[9:16])] = int(rec[:9])
     header = {
         "format": int(items.get("FORMAT", "86").split()[0]),
-        "version": int(items.get("VERSION", "11").split()[0]),
+        "version": version,
         "hdrblks": hdrblks,
         "nrows": nrows,
         "ncols": ncols,
         "npixelb": npixelb,
-        "noverfl": noverfl,
+        "noverfl": nov,
     }
     return img, header
 
 
-def encode_bruker(img: np.ndarray, *, npixelb: int = 2) -> bytes:
-    """Encode a 2-D non-negative integer image as a Bruker SFRM blob
-    (format-86 layout: 80-char header records in 512-byte blocks,
-    little-endian NPIXELB-byte pixels, ASCII overflow table for values
-    above the per-pixel ceiling)."""
+def _pad16(b: bytes) -> bytes:
+    return b.ljust(-(-len(b) // 16) * 16, b"\x00") if b else b
+
+
+def encode_bruker(img: np.ndarray, *, npixelb: int = 2, version: int = 11) -> bytes:
+    """Encode a 2-D non-negative integer image as a Bruker SFRM blob.
+
+    ``version >= 11`` (the default, matching what current SAINT writes
+    and the header this encoder stamps) emits the 3-field NOVERFL and
+    binary 16-byte-padded overflow tables; an earlier ``version``
+    emits the legacy format-86 single-count ASCII overflow table."""
     if img.ndim != 2 or img.dtype.kind not in "ui" or (
         img.dtype.kind == "i" and int(img.min()) < 0
     ):
@@ -1326,20 +1435,41 @@ def encode_bruker(img: np.ndarray, *, npixelb: int = 2) -> bytes:
     nrows, ncols = img.shape
     flat = img.astype(np.int64).ravel()
     ceil = (1 << (8 * npixelb)) - 1
-    over = np.flatnonzero(flat > ceil)
-    if over.size and (int(flat[over].max()) > 999_999_999 or flat.size > 9_999_999):
-        raise ValueError("overflow record exceeds the 16-char ASCII field")
+    if version >= 11:
+        if int(flat.max(initial=0)) > 0xFFFF_FFFF:
+            raise ValueError("SFRM overflow values exceed the uint32 table")
+        # a pixel AT the ceiling is saturated and gets a table entry
+        # (decode replaces ceiling pixels positionally, so every one
+        # of them must be accounted for)
+        over2 = np.flatnonzero(flat >= 0xFF) if npixelb == 1 else np.array([], dtype=np.int64)
+        over4 = np.flatnonzero(flat >= 0xFFFF) if npixelb <= 2 else np.array([], dtype=np.int64)
+        noverfl = f"-1 {over2.size} {over4.size}"
+        table = _pad16(
+            np.minimum(flat[over2], 0xFFFF).astype("<u2").tobytes()
+        ) + _pad16(flat[over4].astype("<u4").tobytes())
+    else:
+        over = np.flatnonzero(flat > ceil)
+        if over.size and (
+            int(flat[over].max()) > 999_999_999 or flat.size > 9_999_999
+        ):
+            raise ValueError("overflow record exceeds the 16-char ASCII field")
+        noverfl = str(int(over.size))
+        table = b"".join(
+            f"{int(flat[o]):9d}{int(o):7d}".encode("ascii") for o in over
+        )
+        if table:
+            table = table.ljust(-(-len(table) // _SFRM_BLOCK) * _SFRM_BLOCK, b" ")
     records = [
         ("FORMAT", "86"),
-        ("VERSION", "11"),
+        ("VERSION", str(version)),
         ("HDRBLKS", "3"),
         ("TYPE", "Synthetic frame"),
         ("NROWS", str(nrows)),
         ("NCOLS", str(ncols)),
         ("WORDORD", "0"),
         ("LONGORD", "0"),
-        ("NPIXELB", str(npixelb)),
-        ("NOVERFL", str(int(over.size))),
+        ("NPIXELB", f"{npixelb} 1" if version >= 11 else str(npixelb)),
+        ("NOVERFL", noverfl),
     ]
     head = b"".join(
         f"{k:<7s}:{v:<72s}".encode("ascii") for k, v in records
@@ -1347,11 +1477,6 @@ def encode_bruker(img: np.ndarray, *, npixelb: int = 2) -> bytes:
     hdrblks = 3
     head = head.ljust(hdrblks * _SFRM_BLOCK, b"\x1a")  # classic pad byte
     body = np.minimum(flat, ceil).astype(f"<u{npixelb}").tobytes()
-    table = b"".join(
-        f"{int(flat[o]):9d}{int(o):7d}".encode("ascii") for o in over
-    )
-    if table:
-        table = table.ljust(-(-len(table) // _SFRM_BLOCK) * _SFRM_BLOCK, b" ")
     return head + body + table
 
 

@@ -75,62 +75,52 @@ for mod in (
     ORACLES.update(mod.ORACLES)
 
 # The driver's correctness gate hashes the first 50 registry entries per
-# round.  The r01-r06 union covers all prior names (133/133 oracles
-# green), so rotation optimizes for CODE CURRENCY: every name whose
-# driver row predates the code that currently backs it gets re-hashed
-# first.  Round-7 window: the 36 names whose newest driver row is
-# r04-era (the last stale cohort — the sketch/ranking/graph/curriculum/
-# funnel/packing/contrastive waves; after this window every registry
-# name's newest driver row is r05+ code), then the round-7 gate entries
-# and queries whose code round 7 touched (36 + 14 = 50).
-_R07_R04_ERA = [
-    "ann_ivf_topk", "ann_ivf_trained_topk", "ann_pq_topk", "bm25_topk",
-    "cluster_balanced_sample", "cms_heavy_hitters", "cohort_retention",
-    "curriculum_phases", "doc_chunks", "doclen_quantiles",
-    "dsir_weights", "embedding_neardup_pairs", "epoch_shuffle",
-    "event_funnel", "events_range_join", "hashed_tf_features",
-    "hll_distinct_tokens", "kmeans_cells", "knn_graph", "knn_pagerank",
-    "mixture_sample", "pack_sequences", "per_source_sample",
-    "pii_scrub", "priority_sample", "quality_stratified_sample",
-    "semantic_dedup", "source_quality_rollup", "stratified_sample",
-    "streaming_attribution_join", "streaming_cms_cells",
-    "streaming_dedup_keys", "streaming_hll_registers",
-    "streaming_session_stats", "streaming_windowed_counts",
+# round.  The r01-r07 union covers every name that had a registry slot by
+# r7-close (all latest rows green), so rotation optimizes for CODE
+# CURRENCY: names with NO driver row ever go first, then names whose
+# newest driver row is oldest.  Round-8 window: the 13 late-r7 queries
+# that shipped after the r7 gate snapshot (local parity only — first
+# driver hash here), `pq_codes` (newest row was r04; everything else is
+# r05+), the 10 r05-era names queued by the r7 rotation note, then r8's
+# new gate entries, then the oldest remaining r05-row names as fillers.
+_R08_NEVER_CHECKED = [
+    "dedup_savings_report", "minhash_estimate_calibration",
+    "embedding_standardized", "ann_recall_audit",
+    "curation_funnel_report", "cdc_chunks", "cdc_chunk_dedup",
+    "zorder_layout_keys", "zorder_skipping_stats", "layout_scan_savings",
+    "split_leakage_audit", "url_dedup_keep", "padding_waste_audit",
+    # the one name the r7 rotation missed — its newest driver row is r04
+    "pq_codes",
 ]
-_R07_NEW = [
-    # round-7 additions + r7-touched code (allpairs gains the
-    # prefix-key skew cap this round)
-    "allpairs_jaccard_join",
-    # the GD trainer's round-1 fixed-point sufficient statistics —
-    # the driver now hashes the classifier's math
-    "classifier_gd_round_stats",
-    # round-7 gate entries: exact-substring span dedup (Lee et al.
-    # 2022), readability sufficient statistics, Kneser-Ney continuation
-    # counts — each a new oracle-bearing operator, hashed in its
-    # landing round
-    "duplicate_ngram_spans", "readability_stats", "kn_bigram_stats",
-    "wordpiece_encode", "embedding_moment_stats",
-    "embedding_dim_quantiles", "embedding_covariance",
-    "kcenter_coreset", "jl_projection", "shingle_minhash_recall",
-    "pca_leading_component",
-    # remaining slots re-hash the oldest r05-row names for freshness
-    "bpe_merges", "bpe_encode",
+_R08_QUEUED_R05 = [
+    "boilerplate_spans", "simhash_neardup_pairs", "contrastive_triples",
+    "dedup_report", "training_set_manifest", "knn_reciprocal_pairs",
+    "minhash_containment", "mmr_diverse_topk", "source_overlap_matrix",
+    "ngram_novelty",
 ]
-# Round-8 rotation note: the freshness fillers displaced by this
-# round's new gate entries still carry r05-era rows —
-# boilerplate_spans, simhash_neardup_pairs, contrastive_triples,
-# dedup_report, training_set_manifest, knn_reciprocal_pairs,
-# minhash_containment, mmr_diverse_topk, source_overlap_matrix,
-# ngram_novelty — rotate them (plus any r8-touched names) into the r8
-# window alongside whatever r8 adds. The late-r7 additions beyond slot
-# 50 (dedup_savings_report, minhash_estimate_calibration,
-# embedding_standardized, ann_recall_audit, curation_funnel_report,
-# cdc_chunks, cdc_chunk_dedup, zorder_layout_keys,
-# zorder_skipping_stats, layout_scan_savings, split_leakage_audit,
-# url_dedup_keep, padding_waste_audit) have local oracle parity but no
-# driver row yet — they go first.
-_R07_WINDOW = _R07_R04_ERA + _R07_NEW
-assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
-_order = _R07_WINDOW + [n for n in QUERIES if n not in set(_R07_WINDOW)]
+_R08_FILLERS_R05 = [
+    # oldest-row fillers (all r05); the no-oracle trio
+    # (compression_ratio, lm_perplexity, quality_classifier_scores) is
+    # excluded — a rows-only re-check wastes a hash slot.  Trailing
+    # fillers are swapped out as r8 adds new gate entries.
+    "ann_cosine_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
+    "asof_interp_per_user", "asof_interp_refs", "azint_1d", "azint_2d",
+    "chi2_filter_auto", "copurchase_lift", "dedup_exact",
+    "dezinger_flags", "doc_fingerprints", "event_rate_cusum",
+    "event_transition_matrix", "knn_triangles", "mad_outliers",
+    "minhash_lsh_pairs", "minhash_signatures", "monitor_norm",
+    "pricing_summary", "reflections_triclinic", "revenue_by_nation",
+    "rolling_active_users", "scanpoint_stats", "sessionize_events",
+    "simhash16",
+]
+# Round-9 rotation note: still carrying r05-era rows after this window —
+# streaming_incremental_stats, streaming_lsh_pairs,
+# streaming_pricing_summary, streaming_running_stats, tfidf_top_terms,
+# token_stats, topk_orders_per_customer, train_val_test_split,
+# user_rfm_segments (plus the by-design no-oracle trio).  Rotate them
+# (plus any r9-touched names) into the r9 window.
+_R08_WINDOW = _R08_NEVER_CHECKED + _R08_QUEUED_R05 + _R08_FILLERS_R05
+assert len(_R08_WINDOW) == 50, len(_R08_WINDOW)
+_order = _R08_WINDOW + [n for n in QUERIES if n not in set(_R08_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

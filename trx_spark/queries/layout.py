@@ -70,12 +70,20 @@ def _zbase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ns").alias("ty1"),
     )
     g = 1 << _ZBITS
+    # Quantize by a precomputed step = ceil(span / g) — divide BEFORE
+    # multiplying.  The naive (v - lo) * g DIV span form overflows
+    # int64 once the time axis spans > ~2^63/g ns (~417 days at g=256)
+    # and Spark (non-ANSI) would wrap silently while DuckDB errors; the
+    # step form never exceeds the input magnitude.  When span < g the
+    # occupied grid shrinks to [0, span-1] instead of stretching —
+    # harmless for skipping (cells are still monotone in the source
+    # value) and exact in both engines.
     q = ev.join(F.broadcast(lims)).select(
         "event_id",
         "user_id",
         "ts_ns",
-        F.expr(f"CAST((user_id - ux0) * {g} DIV (ux1 - ux0 + 1) AS BIGINT)").alias("xq"),
-        F.expr(f"CAST((ts_ns - ty0) * {g} DIV (ty1 - ty0 + 1) AS BIGINT)").alias("yq"),
+        F.expr(f"CAST((user_id - ux0) DIV ((ux1 - ux0 + {g}) DIV {g}) AS BIGINT)").alias("xq"),
+        F.expr(f"CAST((ts_ns - ty0) DIV ((ty1 - ty0 + {g}) DIV {g}) AS BIGINT)").alias("yq"),
     )
     # Spark's // is not integer division on longs; the interleave expr
     # uses DIV-via-floor semantics — rewrite // as DIV for Spark
@@ -122,9 +130,12 @@ def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# query rectangle for the scan-savings audit: a 32×32 window in
-# (user, time) grid space — one file-tile's worth of each dimension
-_QX0, _QX1 = 96, 127
+# query rectangle for the scan-savings audit: an 8×32 window in
+# (user, time) grid space.  The x range sits low because the
+# divide-first quantization occupies only [0, user_span-1] cells when
+# the user span is below the 256-cell grid (15 users at sf0.001) — a
+# low window intersects occupied space at every SF.
+_QX0, _QX1 = 4, 11
 _QY0, _QY1 = 64, 95
 
 
@@ -196,8 +207,8 @@ _G = 1 << _ZBITS
 
 _ZBASE_SQL = f"""
   SELECT event_id,
-    CAST((user_id - ux0) * {_G} // (ux1 - ux0 + 1) AS BIGINT) AS xq,
-    CAST((epoch_ns(ts) - ty0) * {_G} // (ty1 - ty0 + 1) AS BIGINT) AS yq
+    CAST((user_id - ux0) // ((ux1 - ux0 + {_G}) // {_G}) AS BIGINT) AS xq,
+    CAST((epoch_ns(ts) - ty0) // ((ty1 - ty0 + {_G}) // {_G}) AS BIGINT) AS yq
   FROM events, (SELECT MIN(user_id) AS ux0, MAX(user_id) AS ux1,
                        MIN(epoch_ns(ts)) AS ty0, MAX(epoch_ns(ts)) AS ty1
                 FROM events) lims

@@ -62,7 +62,12 @@ def _wp_fold_expr(vocab: list[str], word_col: str = "word") -> str:
         f"(acc, i) -> CASE WHEN acc.rem = '' THEN acc ELSE named_struct("
         f"'rem', substring(acc.rem, length({best}) + 1), "
         f"'np', acc.np + 1L) END, "
-        f"acc -> acc.np)"
+        # a word is segmented only if the fold consumed it fully; if no
+        # vocab piece ever prefixes the remainder the rounds stall with
+        # rem unchanged — emit NULL (the oracle's recursive CTE also
+        # never reaches rem = '' there, and SUM skips NULL in both
+        # engines), never a fake piece count
+        f"acc -> IF(acc.rem = '', acc.np, CAST(NULL AS BIGINT)))"
     )
 
 
@@ -82,9 +87,13 @@ def _wp_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
             .limit(_WP_VOCAB)
             .collect()
         )
-        _WP_CACHE[key] = sorted(
-            {r["token"] for r in top} | set(string.ascii_lowercase)
-        )
+        vocab = sorted({r["token"] for r in top} | set(string.ascii_lowercase))
+        # the no-match NULL in _wp_fold_expr is defensive; with the
+        # token alphabet fully covered by single-char pieces it is
+        # unreachable, and this guard keeps that true if _TOKEN_RE or
+        # the vocab construction ever changes
+        assert set(string.ascii_lowercase) <= set(vocab), "vocab must cover [a-z]"
+        _WP_CACHE[key] = vocab
     return _WP_CACHE[key]
 
 
@@ -105,9 +114,15 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("np", F.expr(_wp_fold_expr(vocab)))
     )
     joined = toks.join(dw, "word", "left")
+    # over-length words (absent from dw, np NULL) count 1 UNK piece;
+    # in-vocab-length words contribute their piece count, which is NULL
+    # only in the (guarded-unreachable) no-match case — SUM skips NULL
+    # identically in Spark and DuckDB, keeping the engines aligned
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.coalesce(F.col("np"), F.lit(1))).alias("n_pieces"),
+        F.sum(
+            F.when(F.length("word") > _WP_MAXLEN, F.lit(1)).otherwise(F.col("np"))
+        ).alias("n_pieces"),
         F.sum(
             F.when(F.length("word") > _WP_MAXLEN, F.lit(1)).otherwise(F.lit(0))
         ).alias("n_unk"),
