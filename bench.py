@@ -185,6 +185,8 @@ HEADLINE = [
     "url_dedup_keep",
     "layout_scan_savings",
     "padding_waste_audit",
+    # round-8 additions
+    "png_decode_stats",
 ]
 
 

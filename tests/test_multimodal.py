@@ -1097,3 +1097,174 @@ def test_new_codec_roundtrip_properties():
         np.testing.assert_array_equal(back_a, img16)
 
     roundtrip()
+
+
+def test_png_roundtrip_kernel():
+    """decode_png(encode_png(img)) == img across color types, bit
+    depths, palette expansion, and ALL FIVE scanline filters (the
+    encoder's vectorized forward filters and the decoder's sequential
+    unfilters are independent implementations of the W3C predictors,
+    so a roundtrip pins both)."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_any,
+        decode_png,
+        encode_png,
+        png_luma,
+        sniff_codec,
+    )
+
+    rng = np.random.default_rng(59)
+    gray = rng.integers(0, 256, (13, 17))
+    for f in (0, 1, 2, 3, 4, "cycle"):
+        back, hdr = decode_png(encode_png(gray, filters=f))
+        np.testing.assert_array_equal(back, gray)
+        assert (hdr["height"], hdr["width"]) == (13, 17)
+    gray16 = rng.integers(0, 65536, (9, 5))
+    back, hdr = decode_png(encode_png(gray16, filters="cycle"))
+    np.testing.assert_array_equal(back, gray16)
+    assert hdr["bit_depth"] == 16
+    for ch, ctype in ((2, 4), (3, 2), (4, 6)):
+        img = rng.integers(0, 256, (11, 7, ch))
+        blob = encode_png(img, filters="cycle")
+        assert sniff_codec(blob) == "png"
+        back, hdr = decode_png(blob)
+        np.testing.assert_array_equal(back, img)
+        assert hdr["color_type"] == ctype
+        assert png_luma(back).shape == (11, 7)
+    rgb16 = rng.integers(0, 65536, (6, 8, 3))
+    back, _ = decode_png(encode_png(rgb16, filters=4))
+    np.testing.assert_array_equal(back, rgb16)
+    # palette: indices through PLTE expand back to the exact colors
+    pimg = rng.integers(0, 4, (10, 10, 3)) * 50
+    blob = encode_png(pimg, palette=True, filters="cycle")
+    back, hdr = decode_png(blob)
+    np.testing.assert_array_equal(back, pimg)
+    assert hdr["color_type"] == 3
+    via_any, _ = decode_any(blob)
+    np.testing.assert_array_equal(via_any, pimg)
+
+
+def test_png_rejects_bad_inputs():
+    import numpy as np
+    import pytest as _pt
+
+    from trx_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.arange(64).reshape(8, 8) % 256
+    blob = encode_png(img)
+    with _pt.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + blob[4:])
+    # flip one IDAT payload byte → CRC mismatch must raise, not decode
+    idat = blob.index(b"IDAT")
+    corrupted = bytearray(blob)
+    corrupted[idat + 6] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupted))
+    # Adam7 interlace flag (IHDR byte 12) → explicit unsupported error
+    interlaced = bytearray(blob)
+    ihdr = blob.index(b"IHDR")
+    interlaced[ihdr + 4 + 12] = 1
+    import zlib
+
+    body = bytes(interlaced[ihdr : ihdr + 4 + 13])
+    interlaced[ihdr + 4 + 13 : ihdr + 4 + 17] = zlib.crc32(body).to_bytes(4, "big")
+    with _pt.raises(ValueError, match="interlace"):
+        decode_png(bytes(interlaced))
+    with _pt.raises(ValueError, match="bit depth"):
+        encode_png(np.full((2, 2), 70000), bit_depth=8)
+
+
+def test_png_real_world_golden():
+    """Decode a PNG written by an INDEPENDENT encoder (idle_16.png,
+    shipped with CPython — PSF-licensed, vendored as a fixture): a
+    16x16 palette PNG. The pinned sums were computed at vendoring
+    time; any unfilter/PLTE regression shifts them."""
+    import os
+
+    from trx_spark.operators.multimodal import decode_png, png_luma
+
+    path = os.path.join(os.path.dirname(__file__), "data", "idle_16.png")
+    img, hdr = decode_png(open(path, "rb").read())
+    assert (hdr["width"], hdr["height"], hdr["color_type"]) == (16, 16, 3)
+    assert img.shape == (16, 16, 3)
+    assert int(img.sum()) == 137046
+    lum = png_luma(img)
+    assert int(lum.sum()) == 46386
+    assert (int(lum[0, 0]), int(lum[8, 8])) == (183, 237)
+
+
+def test_decode_png_distributed(spark, tmp_path):
+    """REAL PNG decode through binaryFile → mapInPandas (auto-sniffed
+    mixed folder with an EDF neighbor and a gzip-wrapped PNG):
+    distributed luma ≡ local png_luma(decode_png(...)) exactly."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_png,
+        encode_edf,
+        encode_png,
+        png_luma,
+    )
+
+    rng = np.random.default_rng(61)
+    truth = {}
+    rgb = rng.integers(0, 256, (8, 8, 3))
+    truth["asset_0"] = png_luma(rgb).astype(float)
+    (tmp_path / "asset_0.png").write_bytes(encode_png(rgb, filters="cycle"))
+    g16 = rng.integers(0, 65536, (8, 8))
+    truth["asset_1"] = g16.astype(float)
+    (tmp_path / "asset_1.png.gz").write_bytes(
+        gzip.compress(encode_png(g16, filters=4))
+    )
+    edf = rng.integers(0, 1000, (8, 8)).astype("u2")
+    truth["asset_2"] = edf.astype(float)
+    (tmp_path / "asset_2.edf").write_bytes(encode_edf(edf))
+    assets = read_binary_assets(spark, str(tmp_path / "asset_*"), "image")
+    px = decode_image(assets, codec="auto").toPandas()
+    assert len(px) == 3 * 8 * 8
+    for stem, img in truth.items():
+        sub = px[px.file.str.contains(stem + ".")].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(8, 8), img
+        )
+
+
+def test_png_dhash_neardup_e2e(spark, tmp_path):
+    """The web-corpus pipeline end-to-end: PNG blobs → binaryFile →
+    real decode → dHash → near-dup groups. A brightness-rescaled
+    re-encode of the same photo groups with the original; a different
+    image stays alone."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        image_neardup_groups,
+        read_binary_assets,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = (
+        4 * xx + 2 * yy
+        + 120 * np.exp(-((xx - 20) ** 2 + (yy - 9) ** 2) / 18.0)
+    ).astype(np.int64)
+    scaled = base // 2  # gain-halved duplicate (dhash is gain-invariant)
+    other = (4 * xx[::-1] + 7 * yy).astype(np.int64)
+    blobs = {
+        "web_a.png": encode_png(base, filters="cycle"),
+        "web_b_dup.png": encode_png(scaled, filters=2),
+        "web_c.png": encode_png(other, filters=1),
+    }
+    for name, blob in blobs.items():
+        (tmp_path / name).write_bytes(blob)
+    assets = read_binary_assets(spark, str(tmp_path / "*.png"), "image")
+    pixels = decode_image(assets, shape=(32, 32), codec="png")
+    groups = image_neardup_groups(pixels, src_shape=(32, 32)).collect()
+    sizes = sorted(r["n_images"] for r in groups)
+    assert sizes == [1, 2]
+    dup_group = next(r for r in groups if r["n_images"] == 2)
+    assert dup_group["keeper_file"].endswith("web_a.png")

@@ -39,6 +39,7 @@ def _all_caches() -> list[dict]:
         curation._SHINGLED_CACHE,
         curation._BIGRAM_CACHE,
         curation._TOKEN_CACHE,
+        curation._BLOOM_WORDS_CACHE,
         corpus._SIGNALS_CACHE,
         similarity._CENTS_CACHE,
         similarity._PQ_CACHE,
@@ -89,6 +90,7 @@ def stage_cache_stats() -> dict[str, int]:
         "shingle_stream": len(curation._SHINGLED_CACHE),
         "bigram_stream": len(curation._BIGRAM_CACHE),
         "token_stream": len(curation._TOKEN_CACHE),
+        "bloom_filter_words": len(curation._BLOOM_WORDS_CACHE),
         "quality_signals": len(corpus._SIGNALS_CACHE),
         "coarse_codebook": len(similarity._CENTS_CACHE),
         "trained_scored": len(similarity._SCORED_CACHE),

@@ -5,10 +5,14 @@ structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages. The reference's detector format
 (EDF, read there via fabio, trx/azav.py:29-47) is decoded for REAL by a
 pure-numpy codec (:func:`decode_edf` — the public ESRF format is an
-ASCII header + raw pixel block, no library needed). Formats whose codec
-libraries are genuinely absent here (PIL/ffmpeg for web corpora) use
-the deterministic fake (``codec="fake"``, seeded by content hash) with
-the real schema, partitioning and batch shape.
+ASCII header + raw pixel block, no library needed), as are CBF, TIFF,
+mar345, MarCCD, Bruker SFRM, ADSC SMV, and — for the web-corpus leg —
+PNG (:func:`decode_png`: zlib inflate + per-scanline unfilter, the
+spec needs nothing beyond zlib + numpy). Only formats whose codec
+libraries are genuinely absent here (JPEG's DCT entropy coding via
+PIL; mp3/ogg via ffmpeg) use the deterministic fake (``codec="fake"``,
+seeded by content hash) with the real schema, partitioning and batch
+shape.
 
 Scale design: ``spark.read.format("binaryFile")`` gives (path, content)
 with pushdown on path globs; one input row fans out to H·W pixel rows
@@ -159,6 +163,8 @@ def sniff_codec(buf: bytes) -> str:
     gunzip first (:func:`maybe_gunzip`) so sniff sees the payload."""
     if buf[:2] == _GZIP_MAGIC:
         return "gzip"
+    if buf[:8] == _PNG_MAGIC:
+        return "png"
     if buf[:2] in (b"II", b"MM"):
         # MarCCD is a TIFF container distinguished by the frame-header
         # name tag at the canonical 1024+4 offset (fabio's detection)
@@ -210,6 +216,8 @@ def decode_any(buf: bytes) -> tuple[np.ndarray, dict]:
         return decode_bruker(buf)
     if fmt == "adsc":
         return decode_adsc(buf)
+    if fmt == "png":
+        return decode_png(buf)
     img, tags = decode_tiff(buf)
     return img, {str(k): v for k, v in tags.items()}
 
@@ -491,20 +499,24 @@ def decode_image(
       - ``"adsc"`` — REAL decode of the ADSC Quantum SMV format
         (padded ``{key=value;}`` ASCII header + raw uint16 pixels;
         fabio's adsc surface).
+      - ``"png"`` — REAL decode of PNG (pure numpy + zlib
+        :func:`decode_png`; color images reduce to the integer
+        Rec.601 luma plane, :func:`png_luma`) — the web-corpus image
+        format of the training-data brief.
       - ``"auto"`` — per-file magic-byte sniffing across the real
         formats (fabio's auto-detection behavior: a real beamline
         folder mixes formats).
       - ``"fake"`` (default) — deterministic intensity pattern seeded by
         the content hash: same schema/partitioning/batch shape, stable
-        golden values, for formats whose codec libraries (PIL/ffmpeg)
-        are not in this environment.
+        golden values, for the one image format whose codec genuinely
+        needs an absent library (JPEG via PIL).
     ``real_codec=True`` is the former spelling of ``codec="edf"``.
     """
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
     if codec not in (
         "edf", "cbf", "tiff", "mar345", "marccd", "bruker", "adsc",
-        "auto", "fake",
+        "png", "auto", "fake",
     ):
         raise ValueError(f"unknown codec {codec!r}")
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
@@ -778,17 +790,120 @@ def decode_image(
             offset=int(fields["HEADER_BYTES"]),
         ).reshape(ny_, nx_)
 
+    def _parse_png(buf, _np, _zlib):
+        # nested (pickled by value) twin of decode_png + png_luma — see
+        # _parse_edf for why worker kernels stay self-contained.
+        # Returns the 2-D integer luma plane (the pixel pipeline's
+        # intensity column is scalar per (y, x)).
+        pos, n_buf = 8, len(buf)
+        ihdr = None
+        plte = None
+        idat = []
+        while pos + 8 <= n_buf:
+            ln = int.from_bytes(buf[pos : pos + 4], "big")
+            typ = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + ln]
+            crc = int.from_bytes(buf[pos + 8 + ln : pos + 12 + ln], "big")
+            if _zlib.crc32(typ + data) != crc:
+                raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+            pos += 12 + ln
+            if typ == b"IHDR":
+                ihdr = (
+                    int.from_bytes(data[0:4], "big"),
+                    int.from_bytes(data[4:8], "big"),
+                    data[8], data[9], data[10], data[11], data[12],
+                )
+            elif typ == b"PLTE":
+                plte = _np.frombuffer(data, dtype=_np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR or IDAT")
+        width, height, depth, ctype, comp, filt, interlace = ihdr
+        if comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError("unsupported PNG compression/filter/interlace")
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        if ctype not in channels:
+            raise ValueError(f"unsupported PNG color type {ctype}")
+        if depth not in (8, 16) or (ctype == 3 and depth != 8):
+            raise ValueError(f"unsupported PNG bit depth {depth}")
+        ch = channels[ctype]
+        bpp = ch * (depth // 8)
+        stride = width * bpp
+        raw = _zlib.decompress(b"".join(idat))
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        out = _np.zeros((height, stride), dtype=_np.uint8)
+        p = 0
+        for r in range(height):
+            ft = raw[p]
+            line = _np.frombuffer(
+                raw, dtype=_np.uint8, count=stride, offset=p + 1
+            ).astype(_np.int64)
+            p += 1 + stride
+            prev = (
+                out[r - 1].astype(_np.int64)
+                if r
+                else _np.zeros(stride, dtype=_np.int64)
+            )
+            if ft == 0:
+                rec = line
+            elif ft == 1:
+                rec = line.copy()
+                for c in range(bpp):
+                    rec[c::bpp] = _np.cumsum(rec[c::bpp]) & 0xFF
+            elif ft == 2:
+                rec = (line + prev) & 0xFF
+            elif ft == 3:
+                rec = _np.empty(stride, dtype=_np.int64)
+                for i in range(stride):
+                    left = rec[i - bpp] if i >= bpp else 0
+                    rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:
+                rec = _np.empty(stride, dtype=_np.int64)
+                for i in range(stride):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pr) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            out[r] = rec.astype(_np.uint8)
+        if depth == 16:
+            pairs = out.reshape(height, width, ch, 2).astype(_np.int64)
+            img = (pairs[..., 0] << 8) | pairs[..., 1]
+        else:
+            img = out.reshape(height, width, ch).astype(_np.int64)
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            img = plte[img[..., 0]].astype(_np.int64)
+            ch = 3
+        if ch == 1:
+            return img[..., 0]
+        if ch == 2:
+            return img[..., 0]
+        return (299 * img[..., 0] + 587 * img[..., 1] + 114 * img[..., 2]) // 1000
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (workers may not have trx_spark on path)
         import gzip as _gz
         import hashlib as _hl
+        import zlib as _zl
 
         import numpy as _np
         import pandas as _pd
 
         def _sniff(buf):
-            # magic bytes: TIFF 'II*\0'/'MM\0*', CBF '###CBF', EDF
-            # header brace (possibly after whitespace/newline)
+            # magic bytes: PNG signature, TIFF 'II*\0'/'MM\0*', CBF
+            # '###CBF', EDF header brace (possibly after whitespace)
+            if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                return "png"
             if buf[:2] in (b"II", b"MM"):
                 if len(buf) > 4096 and buf[1028:1034] == b"MarCCD":
                     return "marccd"
@@ -833,6 +948,8 @@ def decode_image(
                     frames = [_parse_bruker(raw, _np).astype(float)]
                 elif fmt == "adsc":
                     frames = [_parse_adsc(raw, _np).astype(float)]
+                elif fmt == "png":
+                    frames = [_parse_png(raw, _np, _zl).astype(float)]
                 elif fmt in ("tiff", "marccd"):
                     # MarCCD pixels live in the TIFF container — the
                     # IFD walk is the authoritative decode for both
@@ -1548,6 +1665,252 @@ def encode_adsc(img: np.ndarray, *, byte_order: str = "<") -> bytes:
         raise ValueError("SMV header overflow")
     payload = img.astype(img.dtype.newbyteorder(byte_order), copy=False).tobytes()
     return head.ljust(512, b"\x00") + payload
+
+
+# ---------------------------------------------------------------------
+# PNG codec (the web-corpus image leg of the multimodal brief; the
+# reference's fabio surface is scientific formats only, so this has no
+# reference counterpart). The format is public (W3C PNG spec / RFC
+# 2083): an 8-byte signature, then chunks of (4-byte big-endian length,
+# 4-byte type, payload, CRC32 of type+payload). IHDR carries
+# (width, height, bit depth, color type, compression, filter,
+# interlace); the concatenated IDAT payloads are one zlib stream whose
+# inflated bytes are scanlines of (1 filter byte + width*bpp bytes),
+# unfiltered per the 5 standard predictors (None/Sub/Up/Average/Paeth);
+# PLTE maps color-type-3 indices to RGB. Everything needed is zlib +
+# numpy — the same dependency budget as the EDF codec. Supported:
+# bit depths 8/16, color types 0/2/3/4/6, no Adam7 interlace (raises).
+# ---------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int, _np=np) -> np.ndarray:
+    """Inflated IDAT scanlines → (height, stride) uint8 matrix of
+    reconstructed filtered bytes. Sub is a per-residue-class cumsum
+    (mod 256 distributes over the running sum); Up is fully
+    vectorized; Average/Paeth recur on the left neighbor and walk the
+    row."""
+    out = _np.zeros((height, stride), dtype=_np.uint8)
+    pos = 0
+    for r in range(height):
+        ft = raw[pos]
+        line = _np.frombuffer(
+            raw, dtype=_np.uint8, count=stride, offset=pos + 1
+        ).astype(_np.int64)
+        pos += 1 + stride
+        prev = out[r - 1].astype(_np.int64) if r else _np.zeros(stride, dtype=_np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub
+            rec = line.copy()
+            for c in range(bpp):
+                rec[c::bpp] = _np.cumsum(rec[c::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = _np.empty(stride, dtype=_np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = _np.empty(stride, dtype=_np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec.astype(_np.uint8)
+    return out
+
+
+def decode_png(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a PNG blob → (pixel array, header dict).
+
+    The array is int64: shape (H, W) for grayscale, (H, W, 2) for
+    gray+alpha, (H, W, 3) for RGB (palette images are expanded through
+    PLTE), (H, W, 4) for RGBA. Chunk CRCs are verified."""
+    import zlib
+
+    if buf[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, n_buf = 8, len(buf)
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= n_buf:
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(buf[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = (
+                int.from_bytes(data[0:4], "big"),
+                int.from_bytes(data[4:8], "big"),
+                data[8], data[9], data[10], data[11], data[12],
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        # ancillary chunks (tEXt, gAMA, tRNS, ...) are skipped
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG bit depth {depth} for color type {ctype}")
+    ch = _PNG_CHANNELS[ctype]
+    bpp = ch * (depth // 8)
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    mat = _png_unfilter(raw, height, stride, bpp)
+    if depth == 16:
+        # network byte order: high byte first within each sample
+        pairs = mat.reshape(height, width, ch, 2).astype(np.int64)
+        img = (pairs[..., 0] << 8) | pairs[..., 1]
+    else:
+        img = mat.reshape(height, width, ch).astype(np.int64)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        img = plte[img[..., 0]].astype(np.int64)
+        ch = 3
+    if ch == 1:
+        img = img[..., 0]
+    header = {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "color_type": ctype,
+        "channels": ch,
+    }
+    return img, header
+
+
+def png_luma(img: np.ndarray) -> np.ndarray:
+    """Deterministic 2-D intensity from a :func:`decode_png` array:
+    grayscale passes through, alpha is dropped, color reduces by the
+    classic integer Rec.601 luma (299 R + 587 G + 114 B) // 1000 —
+    integer math, so the distributed pixel pipeline is exact."""
+    if img.ndim == 2:
+        return img
+    if img.shape[2] == 2:  # gray + alpha
+        return img[..., 0]
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def encode_png(
+    img: np.ndarray, *, bit_depth: int | None = None,
+    palette: bool = False, filters: int | str = 0,
+) -> bytes:
+    """Encode an image as a spec-compliant PNG blob (the write side of
+    the seam and the tests' golden producer).
+
+    ``img``: 2-D (grayscale) or (H, W, 3|4) (RGB / RGBA), non-negative
+    integers. ``bit_depth`` defaults to 8, or 16 when any value exceeds
+    255. ``palette=True`` emits a color-type-3 PNG (RGB input, ≤256
+    distinct colors, depth 8). ``filters`` is a single predictor id
+    (0-4) or ``"cycle"`` to rotate through all five per row — the
+    test hook that exercises every unfilter path."""
+    import zlib
+
+    if img.ndim == 2:
+        arr = img[:, :, None]
+        ctype = 0
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        arr = img
+        ctype = {2: 4, 3: 2, 4: 6}[img.shape[2]]
+    else:
+        raise ValueError("PNG input must be 2-D or (H, W, 2|3|4)")
+    arr = arr.astype(np.int64)
+    if arr.min() < 0:
+        raise ValueError("PNG samples are non-negative")
+    if bit_depth is None:
+        bit_depth = 16 if int(arr.max(initial=0)) > 255 else 8
+    if bit_depth not in (8, 16) or int(arr.max(initial=0)) >= 1 << bit_depth:
+        raise ValueError(f"samples exceed bit depth {bit_depth}")
+    height, width, ch = arr.shape
+    chunks: list[tuple[bytes, bytes]] = []
+    if palette:
+        if ctype != 2 or bit_depth != 8:
+            raise ValueError("palette PNG requires RGB input at depth 8")
+        colors, inv = np.unique(
+            arr.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        if len(colors) > 256:
+            raise ValueError("palette PNG limited to 256 colors")
+        chunks.append((b"PLTE", colors.astype(np.uint8).tobytes()))
+        arr = inv.reshape(height, width, 1).astype(np.int64)
+        ctype, ch = 3, 1
+    if bit_depth == 16:
+        body = np.empty((height, width, ch, 2), dtype=np.uint8)
+        body[..., 0] = arr >> 8
+        body[..., 1] = arr & 0xFF
+        body = body.reshape(height, -1)
+    else:
+        body = arr.astype(np.uint8).reshape(height, -1)
+    bpp = ch * (bit_depth // 8)
+    lines = []
+    for r in range(height):
+        ft = (r % 5) if filters == "cycle" else int(filters)
+        cur = body[r].astype(np.int64)
+        up = body[r - 1].astype(np.int64) if r else np.zeros_like(cur)
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        ul = np.zeros_like(cur)
+        ul[bpp:] = up[:-bpp]
+        if ft == 0:
+            flt = cur
+        elif ft == 1:
+            flt = (cur - left) & 0xFF
+        elif ft == 2:
+            flt = (cur - up) & 0xFF
+        elif ft == 3:
+            flt = (cur - ((left + up) >> 1)) & 0xFF
+        elif ft == 4:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            flt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        lines.append(bytes([ft]) + flt.astype(np.uint8).tobytes())
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([bit_depth, ctype, 0, 0, 0])
+    )
+    chunks.insert(0, (b"IHDR", ihdr))
+    chunks.append((b"IDAT", zlib.compress(b"".join(lines), 9)))
+    chunks.append((b"IEND", b""))
+    out = [_PNG_MAGIC]
+    for typ, data in chunks:
+        out.append(len(data).to_bytes(4, "big"))
+        out.append(typ)
+        out.append(data)
+        out.append(zlib.crc32(typ + data).to_bytes(4, "big"))
+    return b"".join(out)
 
 
 # ---------------------------------------------------------------------

@@ -110,16 +110,24 @@ _R08_FILLERS_R05 = [
     "event_transition_matrix", "knn_triangles", "mad_outliers",
     "minhash_lsh_pairs", "minhash_signatures", "monitor_norm",
     "pricing_summary", "reflections_triclinic", "revenue_by_nation",
-    "rolling_active_users", "scanpoint_stats", "sessionize_events",
-    "simhash16",
+    "rolling_active_users",
+]
+_R08_TOUCHED = [
+    # r8-touched code re-hashed in its landing round: the wordpiece
+    # no-match sentinel, the memoized bloom-filter word table, and the
+    # new real-PNG decode gate
+    "wordpiece_encode", "decontam_bloom_flags", "png_decode_stats",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
-# streaming_incremental_stats, streaming_lsh_pairs,
-# streaming_pricing_summary, streaming_running_stats, tfidf_top_terms,
-# token_stats, topk_orders_per_customer, train_val_test_split,
-# user_rfm_segments (plus the by-design no-oracle trio).  Rotate them
-# (plus any r9-touched names) into the r9 window.
-_R08_WINDOW = _R08_NEVER_CHECKED + _R08_QUEUED_R05 + _R08_FILLERS_R05
+# scanpoint_stats, sessionize_events, simhash16, streaming_incremental_stats,
+# streaming_lsh_pairs, streaming_pricing_summary,
+# streaming_running_stats, tfidf_top_terms, token_stats,
+# topk_orders_per_customer, train_val_test_split, user_rfm_segments
+# (plus the by-design no-oracle trio).  Rotate them (plus any
+# r9-touched names) into the r9 window.
+_R08_WINDOW = (
+    _R08_NEVER_CHECKED + _R08_QUEUED_R05 + _R08_FILLERS_R05 + _R08_TOUCHED
+)
 assert len(_R08_WINDOW) == 50, len(_R08_WINDOW)
 _order = _R08_WINDOW + [n for n in QUERIES if n not in set(_R08_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}

@@ -160,12 +160,94 @@ FROM h GROUP BY afp
 """
 
 
+# ---------------------------------------------------------------------
+# PNG codec gate: the real decoder under the driver hash.
+#
+# The fixture is generated from a deterministic integer pixel pattern,
+# ENCODED to real PNG bytes driver-side (12 tiny blobs — bounded, the
+# reflection-list pattern), then decoded by the DISTRIBUTED pipeline
+# (binary column → mapInPandas → pixel rows). The oracle never decodes
+# PNG: it recomputes the same pattern arithmetically, so any defect in
+# the zlib framing, any of the five scanline unfilters (filters="cycle"
+# hits all of them), the 16-bit byte order, the RGB→luma reduction, or
+# the gzip unwrap (every third blob is gzip-wrapped) shifts the
+# position-weighted sums and fails the hash.
+# ---------------------------------------------------------------------
+
+_PNG_N = 12
+_PNG_H, _PNG_W = 16, 16
+
+
+def _png_assets(spark: SparkSession) -> DataFrame:
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_png
+
+    yy, xx = np.mgrid[0:_PNG_H, 0:_PNG_W]
+    rows = []
+    for k in range(_PNG_N):
+        base = (k * 997 + yy * 211 + xx * 53) % 1024
+        if k < _PNG_N // 2:
+            img = base  # 16-bit grayscale (max 1023 > 255)
+        else:
+            img = np.stack(
+                [base % 256, (base * 3) % 256, (base * 7) % 256], axis=-1
+            )
+        blob = encode_png(img, filters="cycle")
+        if k % 3 == 0:
+            blob = gzip.compress(blob, mtime=0)
+        rows.append((f"png_{k}", bytearray(blob)))
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per-file pixel-count, intensity sum and
+    position-weighted intensity sum of the REAL distributed PNG decode
+    over the generated fixture."""
+    from trx_spark.operators.multimodal import decode_image
+
+    px = decode_image(_png_assets(spark), codec="png")
+    w = F.col("y").cast("long") * _PNG_W + F.col("x").cast("long") + 1
+    return px.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum(F.col("intensity").cast("long")).alias("i_sum"),
+        F.sum(F.col("intensity").cast("long") * w).alias("i_wsum"),
+    )
+
+
+_PNG_DECODE_SQL = f"""
+WITH imgs AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_PNG_N}) t(k)),
+ys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_PNG_H}) t(v)),
+xs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_PNG_W}) t(v)),
+px AS (
+  SELECT k, y, x,
+    CASE WHEN k < {_PNG_N // 2}
+         THEN (k * 997 + y * 211 + x * 53) % 1024
+         ELSE (299 * (((k * 997 + y * 211 + x * 53) % 1024) % 256)
+             + 587 * ((((k * 997 + y * 211 + x * 53) % 1024) * 3) % 256)
+             + 114 * ((((k * 997 + y * 211 + x * 53) % 1024) * 7) % 256))
+              // 1000
+    END AS inten
+  FROM imgs, ys, xs
+)
+SELECT 'png_' || CAST(k AS VARCHAR) AS file,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(inten) AS BIGINT) AS i_sum,
+  CAST(SUM(inten * (y * {_PNG_W} + x + 1)) AS BIGINT) AS i_wsum
+FROM px GROUP BY k
+"""
+
+
 QUERIES = {
     "image_dedup_groups": image_dedup_groups,
     "audio_dedup_groups": audio_dedup_groups,
+    "png_decode_stats": png_decode_stats,
 }
 
 ORACLES = {
     "image_dedup_groups": _IMAGE_DEDUP_SQL,
     "audio_dedup_groups": _AUDIO_DEDUP_SQL,
+    "png_decode_stats": _PNG_DECODE_SQL,
 }
