@@ -54,6 +54,8 @@ _ONE_ROW_BUILD_OK = {
     "zorder_layout_keys",    # the min/max quantization frame is a 1-row broadcast
     "zorder_skipping_stats", # same 1-row quantization frame
     "layout_scan_savings",   # same 1-row quantization frame
+    "ann_opq_topk",          # the 1-row PCA rotation vector broadcast
+    "opq_recall_audit",      # composes the two PQ rankers above
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

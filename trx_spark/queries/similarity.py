@@ -681,13 +681,13 @@ _TOP_K_PQ = 10
 _PQ_SHORTLIST = 50
 
 
-def _pq_sql_parts() -> str:
+def _pq_sql_parts(src: str = "ex") -> str:
     ctes = []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_DIM, (m + 1) * _PQ_DIM
         ctes.append(f"""
 ex_{m} AS (
-  SELECT vec_id, x, pos - {lo} AS pos FROM ex WHERE pos > {lo} AND pos <= {hi}
+  SELECT vec_id, x, pos - {lo} AS pos FROM {src} WHERE pos > {lo} AND pos <= {hi}
 ),
 cents0_{m} AS (SELECT vec_id AS cid, pos, x AS c FROM ex_{m} WHERE vec_id < {_PQ_K}),
 cd0_{m} AS (
@@ -890,6 +890,255 @@ SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored) z
 WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------
+# OPQ-lite: Householder-rotated product quantization (the FAISS OPQ
+# preprocessing idea — Ge et al., "Optimized Product Quantization",
+# CVPR 2013 — reduced to a deterministic, oracle-checkable rotation).
+# The leading principal component v (embstats.pca_leading_component,
+# already bit-exact in both engines) is reflected onto e1 by the
+# Householder map H = I − 2uuᵀ with u = (v − e1)/‖v − e1‖, applied to
+# the leading _OPQ_D coordinates of every vector. That concentrates
+# the top-variance direction entirely inside PQ subspace 0 instead of
+# letting it straddle the subspace boundary — the whole point of OPQ's
+# rotation, in its cheapest closed form. The rotated vectors then ride
+# the EXISTING grouped-Lloyd PQ machinery unchanged; the final re-rank
+# is exact cosine over the ORIGINAL vectors (rotation preserves the
+# true similarity, so both PQ variants answer the same query and their
+# shortlist recalls are directly comparable — see opq_recall_audit).
+#
+# Exactness: u, the per-vector projection u·x, and each rotated
+# coordinate x_i − 2·u_i·(u·x) are scalar IEEE chains written as
+# IDENTICAL expression text in Spark and DuckDB (the
+# pca_leading_component pattern), so the rotated doubles — and
+# therefore every fixed-point floor downstream — agree bit-for-bit.
+#
+# Scale: the rotation is one broadcast of a 1-row vector + map-side
+# column math (zero shuffle; same cost class as jl_projection); the
+# training/encode cost is identical to plain PQ.
+# ---------------------------------------------------------------------
+
+_OPQ_D = 6  # rotation acts on the PCA'd leading block (embstats._COV_DIMS)
+_OPQ_CACHE: dict = {}
+
+
+def _opq_nrm_text() -> str:
+    terms = " + ".join(
+        "(v_1 - 1.0) * (v_1 - 1.0)" if i == 1 else f"v_{i} * v_{i}"
+        for i in range(1, _OPQ_D + 1)
+    )
+    return f"sqrt({terms})"
+
+
+def _opq_u_text(i: int) -> str:
+    num = "v_1 - 1.0" if i == 1 else f"v_{i}"
+    return f"CASE WHEN nrm = 0.0 THEN 0.0 ELSE ({num}) / nrm END"
+
+
+_OPQ_UD_TEXT = " + ".join(f"u_{i} * x_{i}" for i in range(1, _OPQ_D + 1))
+
+
+def _opq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding): double-array embeddings with the leading
+    _OPQ_D coordinates Householder-reflected so the principal
+    direction lands on axis 1. Memoized + checkpointed — the OPQ
+    training, encode and ADC table all ride one rotation pass."""
+    from trx_spark.queries.embstats import pca_leading_component
+
+    key = (spark, sf_dir)
+    if key in _OPQ_CACHE:
+        return _OPQ_CACHE[key][0]
+    v = pca_leading_component(spark, sf_dir).select(
+        *[F.col(f"v_{i}") for i in range(1, _OPQ_D + 1)]
+    )
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    j = emb.join(F.broadcast(v)).withColumn("nrm", F.expr(_opq_nrm_text()))
+    for i in range(1, _OPQ_D + 1):
+        j = j.withColumn(f"u_{i}", F.expr(_opq_u_text(i)))
+        j = j.withColumn(
+            f"x_{i}", F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)")
+        )
+    j = j.withColumn("ud", F.expr(_OPQ_UD_TEXT))
+    rot_head = F.array(
+        *[
+            F.expr(f"x_{i} - 2.0 * u_{i} * ud").alias(f"y_{i}")
+            for i in range(1, _OPQ_D + 1)
+        ]
+    )
+    tail = F.expr(
+        f"transform(slice(embedding, {_OPQ_D + 1}, size(embedding) - {_OPQ_D}), "
+        f"t -> CAST(t AS DOUBLE))"
+    )
+    rot = j.select(
+        "vec_id", F.concat(rot_head, tail).alias("embedding")
+    ).localCheckpoint()
+    _OPQ_CACHE[key] = (rot,)
+    return rot
+
+
+def _opq_train_encode(spark: SparkSession, sf_dir: str):
+    """OPQ twin of _pq_train_encode over the rotated vectors."""
+    key = (spark, sf_dir)
+    if key not in _OPQ_CACHE or len(_OPQ_CACHE[key]) == 1:
+        rot = _opq_rotated(spark, sf_dir)
+        sub = _pq_subspaces(rot)
+        cents = lloyd_centroids_grouped(
+            sub, k=_PQ_K, updates=1, group=["m"]
+        ).localCheckpoint()
+        codes = argmax_cell_grouped(
+            score_cells_grouped(sub, cents, ["m"]), ["m"]
+        ).localCheckpoint()
+        _OPQ_CACHE[key] = (rot, sub, cents, codes)
+    return _OPQ_CACHE[key][1:]
+
+
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ two-stage rank: ADC shortlist from the ROTATED codes table
+    (same _PQ_SHORTLIST budget as ann_pq_topk), exact cosine re-rank of
+    the shortlist over the original vectors — directly comparable with
+    the unrotated PQ path, which is exactly what opq_recall_audit
+    does."""
+    sub, cents, codes_df = _opq_train_encode(spark, sf_dir)
+    table = score_cells_grouped(
+        sub.filter(F.col("vec_id") == 0), cents, ["m"]
+    ).select(
+        "m",
+        F.col("cid").alias("code"),
+        F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
+    )
+    codes = codes_df.select("vec_id", "m", F.col("cid").alias("code"))
+    scored = (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("t_fp").cast("double") / F.lit(_PQ_TSCALE)).alias("adc_score"))
+    )
+    cand = (
+        scored.orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+
+
+def _opq_rot_ctes() -> str:
+    """The rotation as oracle CTEs: pca → u (1 row) → per-vector
+    rotated leading coordinates → exr (the rotated (vec_id, pos, x)
+    stream the PQ CTEs consume via src='exr')."""
+    from trx_spark.queries.embstats import _pca_sql
+
+    xsel = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x_{i}" for i in range(1, _OPQ_D + 1)
+    )
+    usel = ", ".join(f"{_opq_u_text(i)} AS u_{i}" for i in range(1, _OPQ_D + 1))
+    ysel = ", ".join(
+        f"x_{i} - 2.0 * u_{i} * ud AS y_{i}" for i in range(1, _OPQ_D + 1)
+    )
+    ucols = ", ".join(f"u_{i}" for i in range(1, _OPQ_D + 1))
+    xcols = ", ".join(f"x_{i}" for i in range(1, _OPQ_D + 1))
+    case = " ".join(
+        f"WHEN {i} THEN r.y_{i}" for i in range(1, _OPQ_D + 1)
+    )
+    return f"""
+pca AS (SELECT * FROM ({_pca_sql()}) pp),
+uu AS (SELECT {usel} FROM (SELECT *, {_opq_nrm_text()} AS nrm FROM pca) t),
+xw AS (SELECT vec_id, {xsel} FROM embeddings),
+rot AS (
+  SELECT vec_id, {ysel} FROM (
+    SELECT vec_id, {xcols}, {ucols}, {_OPQ_UD_TEXT} AS ud FROM xw, uu) t
+),
+exr AS (
+  SELECT e.vec_id, e.pos,
+         CASE e.pos {case} ELSE e.x END AS x
+  FROM ex e JOIN rot r USING (vec_id)
+)"""
+
+
+_OPQ_TOPK_SQL = f"""
+WITH {_EX_CTE},
+{_opq_rot_ctes()},
+{_pq_sql_parts(src="exr")},
+tbl AS ({' UNION ALL '.join(
+    f"SELECT CAST({m} AS BIGINT) AS m, cid AS code, "
+    f"CAST(FLOOR(dot * {_PQ_TSCALE!r}) AS BIGINT) AS t_fp FROM cd1_{m} WHERE vec_id = 0"
+    for m in range(_PQ_M))}),
+codes AS ({' UNION ALL '.join(
+    f"SELECT vec_id, CAST({m} AS BIGINT) AS m, cid AS code FROM a1_{m}"
+    for m in range(_PQ_M))}),
+adc AS (
+  SELECT c.vec_id,
+         CAST(SUM(t.t_fp) AS DOUBLE) / {_PQ_TSCALE!r} AS adc_score
+  FROM codes c JOIN tbl t USING (m, code)
+  GROUP BY c.vec_id
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_score DESC, vec_id) AS rn
+    FROM adc) t
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+exc AS (SELECT e.* FROM ex e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+q0 AS (SELECT pos, x AS y FROM ex WHERE vec_id = 0),
+per AS (
+  SELECT e.vec_id,
+    {_fpsum_sql('e.x * q.y')} AS dot,
+    {_fpsum_sql('e.x * e.x')} AS n1
+  FROM exc e JOIN q0 q USING (pos) GROUP BY e.vec_id
+),
+nq AS (SELECT n1 AS nq FROM per WHERE vec_id = 0),
+scored AS (SELECT vec_id, dot / SQRT(n1 * nq) AS cos_sim FROM per, nq
+          WHERE dot / SQRT(n1 * nq) IS NOT NULL)
+SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) z
+WHERE rank <= {_TOP_K_PQ}
+"""
+
+
+def opq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per exact-top-k row (brute-force cosine truth): did the plain-PQ
+    and the OPQ shortlists (same _PQ_SHORTLIST budget) surface it? The
+    measured-recall table for the quantized ANN family — the rotation
+    earns its place only if in_opq_topk covers at least what
+    in_pq_topk does (pinned by test at the gate SFs)."""
+    from trx_spark.queries.textdata import ann_cosine_topk
+
+    truth = ann_cosine_topk(spark, sf_dir)
+    pq = ann_pq_topk(spark, sf_dir).select(
+        "vec_id", F.lit(True).alias("in_pq_topk")
+    )
+    opq = ann_opq_topk(spark, sf_dir).select(
+        "vec_id", F.lit(True).alias("in_opq_topk")
+    )
+    return (
+        truth.join(pq, "vec_id", "left")
+        .join(opq, "vec_id", "left")
+        .select(
+            "rank",
+            "vec_id",
+            "cos_sim",
+            F.coalesce(F.col("in_pq_topk"), F.lit(False)).alias("in_pq_topk"),
+            F.coalesce(F.col("in_opq_topk"), F.lit(False)).alias("in_opq_topk"),
+        )
+    )
+
+
+def _opq_recall_sql() -> str:
+    from trx_spark.queries.textdata import _ANN_SQL
+
+    return f"""
+WITH truth AS (SELECT * FROM ({_ANN_SQL}) a),
+p AS (SELECT vec_id FROM ({_PQ_TOPK_SQL}) b),
+o AS (SELECT vec_id FROM ({_OPQ_TOPK_SQL}) c)
+SELECT t.rank, t.vec_id, t.cos_sim,
+  (p.vec_id IS NOT NULL) AS in_pq_topk,
+  (o.vec_id IS NOT NULL) AS in_opq_topk
+FROM truth t
+LEFT JOIN p ON p.vec_id = t.vec_id
+LEFT JOIN o ON o.vec_id = t.vec_id
 """
 
 
@@ -1699,6 +1948,8 @@ QUERIES = {
     "knn_reciprocal_pairs": knn_reciprocal_pairs,
     "mmr_diverse_topk": mmr_diverse_topk,
     "kcenter_coreset": kcenter_coreset,
+    "ann_opq_topk": ann_opq_topk,
+    "opq_recall_audit": opq_recall_audit,
 }
 
 ORACLES = {
@@ -1718,4 +1969,6 @@ ORACLES = {
     "knn_reciprocal_pairs": _RNN_SQL,
     "mmr_diverse_topk": _mmr_sql(),
     "kcenter_coreset": _kcenter_sql(),
+    "ann_opq_topk": _OPQ_TOPK_SQL,
+    "opq_recall_audit": _opq_recall_sql(),
 }
