@@ -300,3 +300,82 @@ def test_replay_of_folded_epoch_is_skipped(spark, tmp_path):
     )
     handler(batch2, 1)
     assert spark.read.parquet(band_store).count() > len(before)
+
+
+def test_compaction_z_clustering_prunes_files(spark, sf_dir, tmp_path):
+    """The z-clustered compaction's measured payoff: for a probe
+    batch's (_kb, _zc) key set, min/max file pruning on the _zc column
+    reads STRICTLY fewer files than the flat (unsorted, single file
+    per bucket) layout reads from the same touched _kb dirs — the
+    second pruning dimension the compaction exists to buy. Pruning is
+    emulated exactly as parquet does it (a file is scanned iff its
+    [min, max] envelope intersects a probe value), the
+    layout_scan_savings methodology over the stream's own state."""
+    from trx_spark.streaming.dedup_index import (
+        band_z_cell,
+        compact_band_store,
+        make_lsh_batch_handler,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bands")
+    handler = make_lsh_batch_handler(
+        store, str(tmp_path / "pairs"), key_cap=1_000_000
+    )
+    handler(docs.filter("doc_id % 3 != 2"), 1)
+    compact_band_store(spark, store, max_records_per_file=2)
+
+    # per-file z envelopes of the compacted store
+    files = (
+        spark.read.parquet(store)
+        .withColumn("f", F.input_file_name())
+        .groupBy("_kb", "f")
+        .agg(F.min("_zc").alias("z0"), F.max("_zc").alias("z1"))
+        .collect()
+    )
+    per_kb: dict = {}
+    for r in files:
+        per_kb.setdefault(r["_kb"], []).append((r["z0"], r["z1"]))
+    assert any(len(v) > 1 for v in per_kb.values()), "fixture must split files"
+    # z-sorted writes → files within a bucket do not overlap in z
+    for spans in per_kb.values():
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0
+
+    # probe: one later batch's touched (kb, zc) set
+    probe = (
+        band_keys(docs.filter("doc_id % 3 = 2"))
+        .withColumn(
+            "_kb", F.pmod(F.xxhash64("band", "hx", "hy"), F.lit(64))
+        )
+        .withColumn("_zc", band_z_cell())
+        .select("_kb", "_zc")
+        .distinct()
+        .collect()
+    )
+    probe_cells: dict = {}
+    for r in probe:
+        probe_cells.setdefault(r["_kb"], set()).add(r["_zc"])
+
+    scanned_z = sum(
+        1
+        for r in files
+        if r["_kb"] in probe_cells
+        and any(r["z0"] <= z <= r["z1"] for z in probe_cells[r["_kb"]])
+    )
+    scanned_flat = sum(1 for r in files if r["_kb"] in probe_cells)
+    assert scanned_z < scanned_flat, (scanned_z, scanned_flat)
+    assert scanned_z >= 1
+
+    # equivalence is untouched by the layout: the probe batch still
+    # finds exactly the batch pair set
+    handler(docs.filter("doc_id % 3 = 2"), 2)
+    got = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    assert {
+        (r["doc_a"], r["doc_b"]) for r in got.collect()
+    } == _batch_pairs(spark, docs)

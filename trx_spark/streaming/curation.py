@@ -49,6 +49,7 @@ from trx_spark.streaming.dedup_index import (
     _STREAM_KEY_CAP,
     _read_band_store,
     band_keys,
+    band_z_cell,
     drop_saturated_keys,
 )
 
@@ -125,13 +126,22 @@ def make_curation_batch_handler(
         ok = None
         seen = None
         if do_band:
-            new = band_keys(docs).withColumn("_kb", kb).localCheckpoint()
-            touched_kb = [r["_kb"] for r in new.select("_kb").distinct().collect()]
+            new = (
+                band_keys(docs)
+                .withColumn("_kb", kb)
+                .withColumn("_zc", band_z_cell())
+                .localCheckpoint()
+            )
+            trows = new.select("_kb", "_zc").distinct().collect()
+            touched_kb = sorted({r["_kb"] for r in trows})
+            touched_zc = sorted({r["_zc"] for r in trows})
             bstore = _read_band_store(spark, band_store)
             seen = (
                 bstore.filter(
-                    F.col("_kb").isin(touched_kb) & (F.col("_epoch") != e)
-                ).drop("_epoch", "_kb")
+                    F.col("_kb").isin(touched_kb)
+                    & F.col("_zc").isin(touched_zc)
+                    & (F.col("_epoch") != e)
+                ).drop("_epoch", "_kb", "_zc")
                 if bstore is not None
                 else None
             )

@@ -63,6 +63,30 @@ _STREAM_KEY_CAP = 64
 # raise for a cluster store).
 _STORE_PARTITIONS = 64
 
+# Z-order cell of a band key's (hx, hy) MinHash pair: both hashes are
+# uniform in [0, _P), quantized to _ZC_BITS each on that FIXED domain
+# (no min/max scan) and Morton-interleaved — the same bit-interleave
+# math as queries/layout.py, reused as the SECOND pruning dimension of
+# the band store. ``_kb`` (the partition dir) prunes which buckets a
+# batch reads; ``_zc`` (a DATA column the compaction clusters files
+# by) prunes WITHIN a touched bucket at parquet min/max level: a
+# z-clustered file covers a narrow (hx, hy) rectangle, so the
+# ``_zc IN (batch cells)`` pushdown skips most of a big bucket's
+# row groups where the flat layout reads all of them.
+_ZC_BITS = 8
+
+
+def band_z_cell() -> F.Column:
+    """Morton cell of (hx, hy) on the fixed [0, _P) hash domain."""
+    from trx_spark.queries.textdata import _P
+
+    step = -(-_P // (1 << _ZC_BITS))  # ceil(domain / 2^bits)
+    terms = []
+    for b in range(_ZC_BITS):
+        terms.append(f"((hx DIV {step} DIV {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((hy DIV {step} DIV {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+
 
 def band_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, band, hx, hy) for each document — the same signature
@@ -95,7 +119,12 @@ def _read_band_store(spark: SparkSession, band_store: str) -> DataFrame | None:
     would permanently lose those pairs: later batches never re-pair
     old docs against old docs)."""
     try:
-        return spark.read.parquet(band_store)
+        df = spark.read.parquet(band_store)
+        if {"hx", "hy"} <= set(df.columns) and "_zc" not in df.columns:
+            # store written before the z-cell column existed: derive it
+            # (pure function of (hx, hy)) so probes can filter uniformly
+            df = df.withColumn("_zc", band_z_cell())
+        return df
     except AnalysisException as exc:
         msg = str(exc)
         # UNABLE_TO_INFER_SCHEMA: the dir exists but holds no parquet —
@@ -188,22 +217,34 @@ def make_lsh_batch_handler(
         # curation handler, whose BOTH sinks feed state and therefore
         # gate per-store).
         spark = batch.sparkSession
-        new = band_keys(batch).withColumn("_kb", kb).localCheckpoint()
+        new = (
+            band_keys(batch)
+            .withColumn("_kb", kb)
+            .withColumn("_zc", band_z_cell())
+            .localCheckpoint()
+        )
 
-        # Prune the store read to the hash buckets this batch touches:
-        # ≤ store_partitions small ints, driver-side by design. Rows
-        # this epoch may have written in a FAILED earlier attempt are
+        # Prune the store read to the hash buckets this batch touches
+        # (dir-level on _kb) AND to the batch's z-cells (row-group-level
+        # min/max pushdown on the z-clustered _zc column — see
+        # band_z_cell / compact_band_store): ≤ store_partitions +
+        # ≤ 4^_ZC_BITS small ints, driver-side by design. Rows this
+        # epoch may have written in a FAILED earlier attempt are
         # excluded (filter on _epoch) so an at-least-once replay sees
         # the store exactly as the first attempt did — otherwise the
         # replay double-counts its own rows into the saturation totals
         # and can spuriously drop keys whose pairs the overwrite then
         # erases.
-        touched = [r["_kb"] for r in new.select("_kb").distinct().collect()]
+        touched_rows = new.select("_kb", "_zc").distinct().collect()
+        touched = sorted({r["_kb"] for r in touched_rows})
+        touched_zc = sorted({r["_zc"] for r in touched_rows})
         store = _read_band_store(spark, band_store)
         seen = (
             store.filter(
-                F.col("_kb").isin(touched) & (F.col("_epoch") != int(epoch_id))
-            ).drop("_epoch", "_kb")
+                F.col("_kb").isin(touched)
+                & F.col("_zc").isin(touched_zc)
+                & (F.col("_epoch") != int(epoch_id))
+            ).drop("_epoch", "_kb", "_zc")
             if store is not None
             else None
         )
@@ -252,12 +293,25 @@ def make_lsh_batch_handler(
 
 
 def compact_band_store(
-    spark: SparkSession, band_store: str, *, store_partitions: int = _STORE_PARTITIONS
+    spark: SparkSession,
+    band_store: str,
+    *,
+    store_partitions: int = _STORE_PARTITIONS,
+    max_records_per_file: int | None = None,
 ) -> int:
     """Fold all committed epochs of the band store into the single
     compacted generation ``_epoch=-1`` while PRESERVING the ``_kb``
     hash-bucket layout (the partition-pruning index the per-batch read
-    depends on — the generic ``sinks.compact_store`` would flatten it).
+    depends on — the generic ``sinks.compact_store`` would flatten it)
+    and Z-CLUSTERING each bucket's rows by the ``_zc`` Morton cell of
+    (hx, hy): files (and row groups) inside a bucket then carry narrow
+    ``_zc`` min/max envelopes, so the per-batch probe's
+    ``_zc IN (cells)`` filter prunes most of a large bucket instead of
+    scanning all of it — both key dimensions prune, the
+    queries/layout.py contract applied to the stream's own state.
+    ``max_records_per_file`` bounds file size so a hot bucket splits
+    into several z-narrow files (tests use a small value to make the
+    file-level pruning measurable).
 
     After thousands of micro-batches the store's file count, not its
     byte size, is what kills scan planning. A committed epoch can never
@@ -279,17 +333,19 @@ def compact_band_store(
 
     from trx_spark.sources.sinks import _COMPACT_MARKER, compacted_through
 
-    df = spark.read.parquet(band_store)
+    df = _read_band_store(spark, band_store)  # adds _zc to legacy stores
     row = df.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
     high = max(int(row) if row is not None else -1, compacted_through(band_store))
     tmp = band_store.rstrip("/") + "._compact_tmp"
-    (
+    writer = (
         df.withColumn("_epoch", F.lit(-1))
         .repartition("_kb")
+        .sortWithinPartitions("_kb", "_zc")
         .write.mode("overwrite")
-        .partitionBy("_epoch", "_kb")
-        .parquet(tmp)
     )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy("_epoch", "_kb").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     # the watermark rides inside the compacted copy so data and marker
     # swap in together: an epoch written-but-uncommitted at crash time
