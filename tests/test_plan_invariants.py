@@ -95,6 +95,96 @@ def test_no_cartesian_no_stray_nested_loop(spark, sf_dir, name):
         )
 
 
+def _walk(jnode):
+    yield jnode
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+    # AQE query stages (Shuffle/BroadcastQueryStage) and the adaptive
+    # root hide their input behind plan()/executedPlan(), not children()
+    for accessor in ("plan", "executedPlan"):
+        try:
+            yield from _walk(getattr(jnode, accessor)())
+        except Exception:
+            pass
+
+
+def _top_bench_names(n=10):
+    import json
+    import pathlib
+
+    detail = pathlib.Path(__file__).resolve().parents[1] / "BENCH_DETAIL.json"
+    if not detail.exists():
+        return []
+    timings = json.loads(detail.read_text()).get("queries", {})
+    return [
+        name
+        for name, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:n]
+        if name in QUERIES and name not in _SKIP
+    ]
+
+
+# subtree markers proving a broadcast build side is BOUNDED (an
+# aggregate, a limit/top-k, a literal/range generator, a checkpointed
+# memo, or a reuse of one) rather than data-proportional
+_BOUNDED_BUILD_MARKERS = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "Limit",
+    "LocalTableScan",
+    "Range",
+    "ExistingRDD",     # localCheckpoint'ed bounded memo
+    "ReusedExchange",
+    "Subquery",
+)
+
+
+@pytest.mark.parametrize("name", _top_bench_names() or ["pricing_summary"])
+def test_expensive_plans_audit(spark, sf_dir, name):
+    """The per-round manual plan audit of the bench's most expensive
+    queries, as a test (round-8): their executed plans must contain
+    (a) no Cartesian product, (b) no single-partition exchange feeding
+    a Window (the unpartitioned-window funnel), and (c) no
+    BroadcastExchange whose build subtree lacks every bounded-build
+    marker — i.e. nothing data-proportional is ever broadcast.
+
+    The plan is built with auto-broadcast DISABLED: at 100 TB the size
+    threshold never triggers, so the only broadcasts that survive a
+    scale-up are the EXPLICIT hints — exactly the ones (c) audits. A
+    threshold-chosen broadcast of a table that happens to be small at
+    the test SF is a planner artifact, not a declared plan choice."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+        plan_text = qe.executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    if name not in _CARTESIAN_OK:
+        assert "CartesianProduct" not in plan_text, name
+    for node in _walk(qe.executedPlan()):
+        nn = node.nodeName()
+        if nn == "Window":
+            # the first Exchange line in the window's subtree text is
+            # the exchange feeding it (subtrees print top-down and
+            # render through AQE query stages); SinglePartition there
+            # is the unpartitioned-window funnel
+            sub = node.toString()
+            feed = next(
+                (ln for ln in sub.splitlines() if "Exchange" in ln), ""
+            )
+            assert "SinglePartition" not in feed, (
+                f"{name}: Window over SinglePartition\n{sub[:1500]}"
+            )
+        if nn.startswith("BroadcastExchange"):
+            sub = node.toString()
+            assert any(m in sub for m in _BOUNDED_BUILD_MARKERS), (
+                f"{name}: data-proportional broadcast\n{sub[:1500]}"
+            )
+
+
 def test_global_stats_are_aggregates_not_windows(spark, sf_dir):
     """Round-3 de-globalization, pinned: the global median/MAD of
     filter_outlier_curves and SemDeDup's cell-size cap must plan with
