@@ -187,6 +187,7 @@ HEADLINE = [
     "padding_waste_audit",
     # round-8 additions
     "png_decode_stats",
+    "jpeg_decode_stats",
     "ann_opq_topk",
     "opq_recall_audit",
 ]

@@ -1268,3 +1268,138 @@ def test_png_dhash_neardup_e2e(spark, tmp_path):
     assert sizes == [1, 2]
     dup_group = next(r for r in groups if r["n_images"] == 2)
     assert dup_group["keeper_file"].endswith("web_a.png")
+
+
+def test_jpeg_constant_tiles_exact():
+    """Constant 8x8 blocks are EXACT fixed points of the baseline JPEG
+    pipeline with all-ones quantization (AC identically zero, DC the
+    integer 8·(v−128)) — the lossless corner the gate query hashes."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_any,
+        decode_jpeg,
+        encode_jpeg,
+        sniff_codec,
+    )
+
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(0, 256, (3, 4))
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    blob = encode_jpeg(img)
+    assert sniff_codec(blob) == "jpeg"
+    back, hdr = decode_jpeg(blob)
+    np.testing.assert_array_equal(back, img)
+    assert (hdr["height"], hdr["width"], hdr["n_components"]) == (24, 32, 1)
+    via_any, _ = decode_any(blob)
+    np.testing.assert_array_equal(via_any, img)
+
+
+def test_jpeg_roundtrip_tolerance():
+    """Smooth grayscale and random RGB roundtrip within the tight
+    bound the all-ones quantization implies (coefficient rounding
+    only); non-multiple-of-8 shapes exercise the edge padding."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:21, 0:37]
+    smooth = (100 + 40 * np.sin(xx / 7.0) + 30 * np.cos(yy / 5.0)).astype(
+        np.int64
+    )
+    back, hdr = decode_jpeg(encode_jpeg(smooth))
+    assert back.shape == smooth.shape
+    assert int(np.abs(back - smooth).max()) <= 2
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (17, 19, 3))
+    back, hdr = decode_jpeg(encode_jpeg(rgb))
+    assert hdr["n_components"] == 3 and back.shape == rgb.shape
+    assert int(np.abs(back - rgb).max()) <= 4  # + color-space rounding
+    # a coarser quant table degrades gracefully, stays in range
+    q = np.full(64, 16)
+    back, _ = decode_jpeg(encode_jpeg(smooth, quant=q))
+    assert int(np.abs(back - smooth).max()) <= 24
+
+
+def test_jpeg_real_world_golden():
+    """Decode a JPEG written by an INDEPENDENT encoder (the CPython
+    test suite's 16x16 Python-logo thumbnail — PSF-licensed, vendored):
+    baseline 4:2:0 with standard Annex K tables. The pinned sums were
+    computed at vendoring time; the logo's blue/yellow snake clusters
+    double-check the color path."""
+    import os
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_jpeg, png_luma
+
+    path = os.path.join(os.path.dirname(__file__), "data", "python_16.jpg")
+    img, hdr = decode_jpeg(open(path, "rb").read())
+    assert (hdr["width"], hdr["height"], hdr["n_components"]) == (16, 16, 3)
+    assert hdr["sampling"] == [(2, 2), (1, 1), (1, 1)]  # 4:2:0
+    assert int(img.sum()) == 70796
+    lum = png_luma(img)
+    assert int(lum.sum()) == 24966
+    assert (int(lum[0, 0]), int(lum[8, 8])) == (1, 221)
+    flat = img.reshape(-1, 3)
+    bluish = ((flat[:, 2] > flat[:, 0] + 30) & (flat[:, 2] > 100)).sum()
+    yellowish = (
+        (flat[:, 0] > 180) & (flat[:, 1] > 150) & (flat[:, 2] < 120)
+    ).sum()
+    assert bluish > 40 and yellowish > 40
+
+
+def test_jpeg_progressive_raises():
+    import numpy as np
+    import pytest as _pt
+
+    from trx_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.int64)))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # stamp progressive
+    with _pt.raises(ValueError, match="baseline only"):
+        decode_jpeg(bytes(blob))
+    with _pt.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_decode_jpeg_distributed(spark, tmp_path):
+    """REAL JPEG decode through binaryFile → mapInPandas (auto-sniffed
+    folder mixing JPEG, gzip-wrapped JPEG and a real 4:2:0 file):
+    distributed luma ≡ local decode exactly."""
+    import gzip
+    import os
+    import shutil
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        png_luma,
+    )
+
+    rng = np.random.default_rng(23)
+    truth = {}
+    tiles = rng.integers(0, 256, (1, 2))
+    g = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    truth["web_0"] = g.astype(float)
+    (tmp_path / "web_0.jpg").write_bytes(encode_jpeg(g))
+    rgbt = np.repeat(np.repeat(rng.integers(0, 256, (1, 2, 3)), 8, 0), 8, 1)
+    blob = encode_jpeg(rgbt)
+    truth["web_1"] = png_luma(decode_jpeg(blob)[0]).astype(float)
+    (tmp_path / "web_1.jpg.gz").write_bytes(gzip.compress(blob))
+    real = os.path.join(os.path.dirname(__file__), "data", "python_16.jpg")
+    shutil.copy(real, tmp_path / "web_2.jpg")
+    truth["web_2"] = png_luma(
+        decode_jpeg(open(real, "rb").read())[0]
+    ).astype(float)
+    assets = read_binary_assets(spark, str(tmp_path / "web_*"), "image")
+    px = decode_image(assets, codec="auto").toPandas()
+    assert len(px) == 2 * 8 * 16 + 16 * 16
+    for stem, img in truth.items():
+        sub = px[px.file.str.contains(stem + ".")].sort_values(["y", "x"])
+        np.testing.assert_array_equal(
+            sub["intensity"].to_numpy().reshape(img.shape), img
+        )

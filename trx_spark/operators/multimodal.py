@@ -7,12 +7,12 @@ Arrow-batched ``mapInPandas`` stages. The reference's detector format
 pure-numpy codec (:func:`decode_edf` — the public ESRF format is an
 ASCII header + raw pixel block, no library needed), as are CBF, TIFF,
 mar345, MarCCD, Bruker SFRM, ADSC SMV, and — for the web-corpus leg —
-PNG (:func:`decode_png`: zlib inflate + per-scanline unfilter, the
-spec needs nothing beyond zlib + numpy). Only formats whose codec
-libraries are genuinely absent here (JPEG's DCT entropy coding via
-PIL; mp3/ogg via ffmpeg) use the deterministic fake (``codec="fake"``,
-seeded by content hash) with the real schema, partitioning and batch
-shape.
+PNG (:func:`decode_png`: zlib inflate + per-scanline unfilter) and
+baseline JPEG (:func:`decode_jpeg`: Huffman + dequant + exact 8x8
+IDCT + BT.601, pure numpy per ITU-T T.81). Every image format is
+decoded for real; only compressed audio (mp3/ogg, which genuinely
+needs ffmpeg) keeps the deterministic fake (``codec="fake"``, seeded
+by content hash) with the real schema, partitioning and batch shape.
 
 Scale design: ``spark.read.format("binaryFile")`` gives (path, content)
 with pushdown on path globs; one input row fans out to H·W pixel rows
@@ -165,6 +165,8 @@ def sniff_codec(buf: bytes) -> str:
         return "gzip"
     if buf[:8] == _PNG_MAGIC:
         return "png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if buf[:2] in (b"II", b"MM"):
         # MarCCD is a TIFF container distinguished by the frame-header
         # name tag at the canonical 1024+4 offset (fabio's detection)
@@ -218,6 +220,8 @@ def decode_any(buf: bytes) -> tuple[np.ndarray, dict]:
         return decode_adsc(buf)
     if fmt == "png":
         return decode_png(buf)
+    if fmt == "jpeg":
+        return decode_jpeg(buf)
     img, tags = decode_tiff(buf)
     return img, {str(k): v for k, v in tags.items()}
 
@@ -503,20 +507,26 @@ def decode_image(
         :func:`decode_png`; color images reduce to the integer
         Rec.601 luma plane, :func:`png_luma`) — the web-corpus image
         format of the training-data brief.
+      - ``"jpeg"`` — REAL decode of baseline JPEG (pure numpy
+        :func:`decode_jpeg`: Huffman entropy decode, dequantize, exact
+        8x8 IDCT, chroma upsample, BT.601 color; 4:2:0/4:2:2/4:4:4 and
+        DRI restarts; progressive raises) — the other web-corpus
+        format. Every image format this engine claims is now decoded
+        for real.
       - ``"auto"`` — per-file magic-byte sniffing across the real
         formats (fabio's auto-detection behavior: a real beamline
         folder mixes formats).
       - ``"fake"`` (default) — deterministic intensity pattern seeded by
         the content hash: same schema/partitioning/batch shape, stable
-        golden values, for the one image format whose codec genuinely
-        needs an absent library (JPEG via PIL).
+        golden values, for schema-level plumbing tests and synthetic
+        benchmarks that need no codec at all.
     ``real_codec=True`` is the former spelling of ``codec="edf"``.
     """
     ny, nx = shape
     codec = codec or ("edf" if real_codec else "fake")
     if codec not in (
         "edf", "cbf", "tiff", "mar345", "marccd", "bruker", "adsc",
-        "png", "auto", "fake",
+        "png", "jpeg", "auto", "fake",
     ):
         raise ValueError(f"unknown codec {codec!r}")
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
@@ -890,6 +900,226 @@ def decode_image(
             return img[..., 0]
         return (299 * img[..., 0] + 587 * img[..., 1] + 114 * img[..., 2]) // 1000
 
+    def _parse_jpeg(buf, _np):
+        # nested (pickled by value) twin of decode_jpeg + png_luma —
+        # see _parse_edf for why worker kernels stay self-contained.
+        # Returns the 2-D integer luma plane.
+        zzo = _np.array([
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ])
+        basis = _np.array([
+            [(_np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+             * _np.cos((2 * x + 1) * u * _np.pi / 16.0) for x in range(8)]
+            for u in range(8)
+        ])
+
+        def canonical(bits, vals):
+            dec = {}
+            code = k = 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    dec[(length, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return dec
+
+        n = len(buf)
+        i = 2
+        qts, huffs = {}, {}
+        frame = None
+        dri = 0
+        scan = None
+        while i < n - 1:
+            if buf[i] != 0xFF:
+                i += 1
+                continue
+            m = buf[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m == 0xD9:
+                break
+            ln = int.from_bytes(buf[i + 2 : i + 4], "big")
+            seg = buf[i + 4 : i + 2 + ln]
+            if m == 0xDB:
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    if pq == 0:
+                        qts[tq] = _np.frombuffer(
+                            seg[p + 1 : p + 65], dtype=_np.uint8
+                        ).astype(_np.int64)
+                        p += 65
+                    else:
+                        qts[tq] = _np.frombuffer(
+                            seg[p + 1 : p + 129], dtype=">u2"
+                        ).astype(_np.int64)
+                        p += 129
+            elif m == 0xC4:
+                p = 0
+                while p < len(seg):
+                    cls, tid = seg[p] >> 4, seg[p] & 15
+                    bits = list(seg[p + 1 : p + 17])
+                    cnt = sum(bits)
+                    huffs[(cls, tid)] = canonical(
+                        bits, list(seg[p + 17 : p + 17 + cnt])
+                    )
+                    p += 17 + cnt
+            elif m in (0xC0, 0xC1):
+                hgt = int.from_bytes(seg[1:3], "big")
+                wid = int.from_bytes(seg[3:5], "big")
+                comps = [
+                    (seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                     seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                    for c in range(seg[5])
+                ]
+                frame = (hgt, wid, comps)
+            elif 0xC2 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                raise ValueError(
+                    f"unsupported JPEG SOF marker 0xff{m:02x} (baseline only)"
+                )
+            elif m == 0xDD:
+                dri = int.from_bytes(seg[:2], "big")
+            elif m == 0xDA:
+                smap = {
+                    seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(seg[0])
+                }
+                scan = (smap, i + 2 + ln)
+                break
+            i += 2 + ln
+        if frame is None or scan is None:
+            raise ValueError("JPEG missing SOF/SOS")
+        hgt, wid, comps = frame
+        smap, dpos = scan
+        data = bytearray()
+        rst_at = []
+        j = dpos
+        while j < n:
+            b = buf[j]
+            if b == 0xFF:
+                nxt = buf[j + 1] if j + 1 < n else 0
+                if nxt == 0x00:
+                    data.append(0xFF)
+                    j += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    rst_at.append(len(data))
+                    j += 2
+                    continue
+                break
+            data.append(b)
+            j += 1
+        data = bytes(data)
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux, mcuy = -(-wid // (8 * hmax)), -(-hgt // (8 * vmax))
+        planes = [
+            _np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), dtype=_np.float64)
+            for c in comps
+        ]
+        pos = [0, 0, 0]  # byte index, bit accumulator, bits held
+
+        def bit():
+            if pos[2] == 0:
+                if pos[0] >= len(data):
+                    raise ValueError("JPEG entropy stream truncated")
+                pos[1] = data[pos[0]]
+                pos[0] += 1
+                pos[2] = 8
+            pos[2] -= 1
+            return (pos[1] >> pos[2]) & 1
+
+        def bits(k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | bit()
+            return v
+
+        def huff(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | bit()
+                if (length, code) in table:
+                    return table[(length, code)]
+            raise ValueError("invalid JPEG huffman code")
+
+        def extend(v, s):
+            return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        preds = [0] * len(comps)
+        rk = 0
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    pos[2] = 0
+                    if rk < len(rst_at):
+                        pos[0] = rst_at[rk]
+                        rk += 1
+                    preds = [0] * len(comps)
+                for ci, (cid, chh, cvv, ctq) in enumerate(comps):
+                    dct_t = huffs[(0, smap[cid][0])]
+                    act_t = huffs[(1, smap[cid][1])]
+                    q = qts[ctq]
+                    for bv in range(cvv):
+                        for bh in range(chh):
+                            zz = _np.zeros(64, dtype=_np.int64)
+                            s = huff(dct_t)
+                            preds[ci] += extend(bits(s), s)
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = huff(act_t)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                zz[k] = extend(bits(s), s)
+                                k += 1
+                            coef = _np.zeros(64, dtype=_np.float64)
+                            coef[zzo] = (zz * q).astype(_np.float64)
+                            blk = basis.T @ coef.reshape(8, 8) @ basis + 128.0
+                            y0 = (my * cvv + bv) * 8
+                            x0 = (mx * chh + bh) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                mcu_count += 1
+        ups = []
+        for ci, (cid, chh, cvv, ctq) in enumerate(comps):
+            p = _np.repeat(
+                _np.repeat(planes[ci], vmax // cvv, axis=0), hmax // chh, axis=1
+            )
+            ups.append(p[:hgt, :wid])
+        if len(comps) == 1:
+            return _np.clip(_np.rint(ups[0]), 0, 255).astype(_np.int64)
+        y, cb, cr = ups
+        rgb = _np.clip(
+            _np.rint(
+                _np.stack(
+                    [
+                        y + 1.402 * (cr - 128.0),
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                        y + 1.772 * (cb - 128.0),
+                    ],
+                    axis=-1,
+                )
+            ),
+            0,
+            255,
+        ).astype(_np.int64)
+        return (
+            299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+        ) // 1000
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # closure-self-contained (workers may not have trx_spark on path)
         import gzip as _gz
@@ -900,10 +1130,12 @@ def decode_image(
         import pandas as _pd
 
         def _sniff(buf):
-            # magic bytes: PNG signature, TIFF 'II*\0'/'MM\0*', CBF
-            # '###CBF', EDF header brace (possibly after whitespace)
+            # magic bytes: PNG/JPEG signatures, TIFF 'II*\0'/'MM\0*',
+            # CBF '###CBF', EDF header brace (possibly after whitespace)
             if buf[:8] == b"\x89PNG\r\n\x1a\n":
                 return "png"
+            if buf[:3] == b"\xff\xd8\xff":
+                return "jpeg"
             if buf[:2] in (b"II", b"MM"):
                 if len(buf) > 4096 and buf[1028:1034] == b"MarCCD":
                     return "marccd"
@@ -950,6 +1182,8 @@ def decode_image(
                     frames = [_parse_adsc(raw, _np).astype(float)]
                 elif fmt == "png":
                     frames = [_parse_png(raw, _np, _zl).astype(float)]
+                elif fmt == "jpeg":
+                    frames = [_parse_jpeg(raw, _np).astype(float)]
                 elif fmt in ("tiff", "marccd"):
                     # MarCCD pixels live in the TIFF container — the
                     # IFD walk is the authoritative decode for both
@@ -1911,6 +2145,425 @@ def encode_png(
         out.append(data)
         out.append(zlib.crc32(typ + data).to_bytes(4, "big"))
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------
+# JPEG codec (baseline DCT, the other web-corpus image format; public
+# ITU-T T.81 spec — no reference counterpart). Decode: marker walk
+# (DQT/DHT/SOF0/DRI/SOS), canonical-Huffman entropy decode with FF00
+# unstuffing and restart-marker resync, dequantize, dezigzag, exact
+# 8x8 float IDCT (orthonormal basis matrix product), chroma
+# upsampling by replication, BT.601 YCbCr→RGB. Baseline sequential
+# only (SOF0/SOF1); progressive (SOF2) raises. Encode: 4:4:4 (or
+# grayscale) with caller-supplied quantization tables and a trivial
+# fixed-length canonical Huffman table pair — valid per spec, favors
+# simplicity over compression.
+#
+# Lossless fixed points: with all-ones quantization (the encoder
+# default) a constant 8x8 block is EXACT through the whole lossy
+# pipeline — its AC coefficients are identically zero and its DC is
+# the integer 8·(v−128) — which is what lets the jpeg gate query hash
+# the decoder bit-for-bit against an arithmetic oracle.
+# ---------------------------------------------------------------------
+
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal 8x8 DCT-II basis: A[u, x] = C(u)/2 · cos((2x+1)uπ/16)
+_JPEG_A = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+# trivial valid canonical tables for the encoder: all 12 DC size
+# symbols at code length 4; AC run/size symbols 0..254 at length 9 and
+# symbol 255 at length 10 (DHT BITS counts are single bytes, so one
+# symbol spills to the next length)
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = list(range(256))
+
+
+def _jpeg_canonical(bits, vals, *, invert=False):
+    """Canonical Huffman assignment; ``invert=False`` gives
+    symbol → (code, length) for the encoder, ``invert=True`` gives
+    (length, code) → symbol for the decoder."""
+    enc, dec = {}, {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            dec[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return dec if invert else enc
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_mag(v: int) -> tuple[int, int]:
+    """(size, appended-bits code) of a DC diff / AC value (T.81
+    F.1.2.1: negative values store v + 2^size − 1)."""
+    a = abs(int(v))
+    s = a.bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg(
+    img: np.ndarray, *, quant=None, quant_chroma=None
+) -> bytes:
+    """Encode 2-D grayscale or (H, W, 3) RGB as baseline JPEG (4:4:4,
+    8-bit). ``quant`` defaults to all-ones (near-lossless; constant
+    blocks are exactly lossless — the gate fixture's property)."""
+    img = np.asarray(img)
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
+        raise ValueError("JPEG input must be 2-D grayscale or (H, W, 3) RGB")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    quant = (
+        np.ones(64, dtype=np.int64)
+        if quant is None
+        else np.asarray(quant, dtype=np.int64).reshape(64)
+    )
+    qc = (
+        quant
+        if quant_chroma is None
+        else np.asarray(quant_chroma, dtype=np.int64).reshape(64)
+    )
+    if gray:
+        planes = [img.astype(np.float64)]
+        qids = [0]
+        qts = {0: quant}
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qids = [0, 1, 1]
+        qts = {0: quant, 1: qc}
+    dc_code = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_code = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    bw = _JpegBitWriter()
+    preds = [0] * len(planes)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, p in enumerate(padded):
+                q = qts[qids[ci]][_JPEG_ZZ].reshape(8, 8)  # natural order
+                blk = p[by : by + 8, bx : bx + 8] - 128.0
+                coef = np.rint(_JPEG_A @ blk @ _JPEG_A.T / q).astype(np.int64)
+                zz = coef.reshape(-1)[_JPEG_ZZ]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s, code = _jpeg_mag(diff)
+                c, ln = dc_code[s]
+                bw.write(c, ln)
+                if s:
+                    bw.write(code, s)
+                nz = np.flatnonzero(zz[1:])
+                last = nz[-1] + 1 if nz.size else 0
+                run, k = 0, 1
+                while k <= last:
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_code[0xF0]  # ZRL
+                        bw.write(c, ln)
+                        run -= 16
+                    s, code = _jpeg_mag(v)
+                    c, ln = ac_code[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(code, s)
+                    run, k = 0, k + 1
+                if last < 63:
+                    c, ln = ac_code[0x00]  # EOB
+                    bw.write(c, ln)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    for qid, qt in qts.items():
+        if int(qt.max()) > 255 or int(qt.min()) < 1:
+            raise ValueError("quantization entries must be in [1, 255]")
+        out += _jpeg_seg(0xDB, bytes([qid]) + bytes(int(x) for x in qt))
+    nc = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += _jpeg_seg(0xC0, sof)
+    for cls, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += _jpeg_seg(0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            self._acc = self.d[self.i]
+            self.i += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG huffman code")
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a baseline JPEG blob → (int64 pixel array, header dict):
+    (H, W) for grayscale, (H, W, 3) RGB otherwise. Supports arbitrary
+    h/v sampling factors (4:4:4, 4:2:0, 4:2:2, ...), multiple
+    DQT/DHT segments, FF00 stuffing, and DRI restart markers;
+    progressive/hierarchical SOF markers raise."""
+    if buf[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    n = len(buf)
+    i = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict = {}
+    frame = None
+    dri = 0
+    scan = None
+    while i < n - 1:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        m = buf[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(buf[i + 2 : i + 4], "big")
+        seg = buf[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        seg[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 65
+                else:  # 16-bit precision tables
+                    qts[tq] = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 129
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                huffs[(cls, tid)] = _jpeg_canonical(
+                    bits, list(seg[p + 17 : p + 17 + cnt]), invert=True
+                )
+                p += 17 + cnt
+        elif m in (0xC0, 0xC1):
+            hgt = int.from_bytes(seg[1:3], "big")
+            wid = int.from_bytes(seg[3:5], "big")
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "h": seg[7 + 3 * c] >> 4,
+                    "v": seg[7 + 3 * c] & 15,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(seg[5])
+            ]
+            frame = (hgt, wid, comps)
+        elif 0xC2 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                f"unsupported JPEG SOF marker 0xff{m:02x} (baseline only)"
+            )
+        elif m == 0xDD:
+            dri = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:
+            smap = {
+                seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(seg[0])
+            }
+            scan = (smap, i + 2 + ln)
+            break
+        i += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    hgt, wid, comps = frame
+    smap, dpos = scan
+    # unstuff the entropy stream; record restart-marker byte positions
+    data = bytearray()
+    rst_at = []
+    j = dpos
+    while j < n:
+        b = buf[j]
+        if b == 0xFF:
+            nxt = buf[j + 1] if j + 1 < n else 0
+            if nxt == 0x00:
+                data.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_at.append(len(data))
+                j += 2
+                continue
+            break
+        data.append(b)
+        j += 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = -(-wid // (8 * hmax)), -(-hgt // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+    br = _JpegBitReader(bytes(data))
+    preds = [0] * len(comps)
+    rk = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.align()
+                if rk < len(rst_at):
+                    br.i = rst_at[rk]
+                    rk += 1
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct_t = huffs[(0, smap[c["id"]][0])]
+                act_t = huffs[(1, smap[c["id"]][1])]
+                q = qts[c["tq"]]
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = br.huff(dct_t)
+                        preds[ci] += _jpeg_extend(br.bits(s), s)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(act_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _jpeg_extend(br.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZZ] = (zz * q).astype(np.float64)
+                        blk = _JPEG_A.T @ coef.reshape(8, 8) @ _JPEG_A + 128.0
+                        y0 = (my * c["v"] + bv) * 8
+                        x0 = (mx * c["h"] + bh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu_count += 1
+    ups = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0),
+            hmax // c["h"],
+            axis=1,
+        )
+        ups.append(p[:hgt, :wid])
+    if len(comps) == 1:
+        img = np.clip(np.rint(ups[0]), 0, 255).astype(np.int64)
+    else:
+        y, cb, cr = ups
+        img = np.clip(
+            np.rint(
+                np.stack(
+                    [
+                        y + 1.402 * (cr - 128.0),
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                        y + 1.772 * (cb - 128.0),
+                    ],
+                    axis=-1,
+                )
+            ),
+            0,
+            255,
+        ).astype(np.int64)
+    header = {
+        "width": wid,
+        "height": hgt,
+        "n_components": len(comps),
+        "sampling": [(c["h"], c["v"]) for c in comps],
+        "restart_interval": dri,
+    }
+    return img, header
 
 
 # ---------------------------------------------------------------------

@@ -240,14 +240,87 @@ FROM px GROUP BY k
 """
 
 
+# ---------------------------------------------------------------------
+# JPEG codec gate: the real baseline-JPEG decoder under the driver
+# hash, through the LOSSY pipeline's exact fixed points. With all-ones
+# quantization a constant 8x8 block is bit-exact end to end (its AC
+# coefficients are identically zero and its DC is the integer
+# 8·(v−128)), so a fixture of per-block constant tiles survives
+# Huffman encode → entropy decode → dequantize → IDCT unchanged — and
+# the oracle can recompute the tile pattern arithmetically while the
+# Spark side decodes real JPEG bytes. Every third blob is
+# gzip-wrapped; the position-weighted sum pins block placement.
+# ---------------------------------------------------------------------
+
+_JPG_N = 10
+_JPG_BY, _JPG_BX = 2, 3  # blocks per image → 16 x 24 px
+
+
+def _jpeg_assets(spark: SparkSession) -> DataFrame:
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_jpeg
+
+    rows = []
+    for k in range(_JPG_N):
+        tiles = np.array(
+            [
+                [(k * 131 + by * 17 + bx * 29) % 256 for bx in range(_JPG_BX)]
+                for by in range(_JPG_BY)
+            ]
+        )
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        blob = encode_jpeg(img)
+        if k % 3 == 0:
+            blob = gzip.compress(blob, mtime=0)
+        rows.append((f"jpg_{k}", bytearray(blob)))
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per-file pixel-count, intensity sum and
+    position-weighted intensity sum of the REAL distributed baseline
+    JPEG decode over the constant-tile fixture."""
+    from trx_spark.operators.multimodal import decode_image
+
+    px = decode_image(_jpeg_assets(spark), codec="jpeg")
+    w = F.col("y").cast("long") * (_JPG_BX * 8) + F.col("x").cast("long") + 1
+    return px.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum(F.col("intensity").cast("long")).alias("i_sum"),
+        F.sum(F.col("intensity").cast("long") * w).alias("i_wsum"),
+    )
+
+
+_JPEG_DECODE_SQL = f"""
+WITH imgs AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_JPG_N}) t(k)),
+ys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_JPG_BY * 8}) t(v)),
+xs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_JPG_BX * 8}) t(v)),
+px AS (
+  SELECT k, y, x,
+    (k * 131 + (y // 8) * 17 + (x // 8) * 29) % 256 AS inten
+  FROM imgs, ys, xs
+)
+SELECT 'jpg_' || CAST(k AS VARCHAR) AS file,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(inten) AS BIGINT) AS i_sum,
+  CAST(SUM(inten * (y * {_JPG_BX * 8} + x + 1)) AS BIGINT) AS i_wsum
+FROM px GROUP BY k
+"""
+
+
 QUERIES = {
     "image_dedup_groups": image_dedup_groups,
     "audio_dedup_groups": audio_dedup_groups,
     "png_decode_stats": png_decode_stats,
+    "jpeg_decode_stats": jpeg_decode_stats,
 }
 
 ORACLES = {
     "image_dedup_groups": _IMAGE_DEDUP_SQL,
     "audio_dedup_groups": _AUDIO_DEDUP_SQL,
     "png_decode_stats": _PNG_DECODE_SQL,
+    "jpeg_decode_stats": _JPEG_DECODE_SQL,
 }
