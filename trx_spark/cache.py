@@ -43,6 +43,7 @@ def _all_caches() -> list[dict]:
         corpus._SIGNALS_CACHE,
         similarity._CENTS_CACHE,
         similarity._PQ_CACHE,
+        similarity._OPQ_CACHE,
         similarity._SCORED_CACHE,
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
@@ -95,6 +96,7 @@ def stage_cache_stats() -> dict[str, int]:
         "coarse_codebook": len(similarity._CENTS_CACHE),
         "trained_scored": len(similarity._SCORED_CACHE),
         "pq_codebooks": len(similarity._PQ_CACHE),
+        "opq_rotation": len(similarity._OPQ_CACHE),
         "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),
         "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),
         "pair_token_stats": len(textdata._PAIR_STATS_CACHE),
