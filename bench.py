@@ -188,6 +188,7 @@ HEADLINE = [
     # round-8 additions
     "png_decode_stats",
     "jpeg_decode_stats",
+    "video_decode_stats",
     "ann_opq_topk",
     "opq_recall_audit",
 ]

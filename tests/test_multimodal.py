@@ -1403,3 +1403,83 @@ def test_decode_jpeg_distributed(spark, tmp_path):
         np.testing.assert_array_equal(
             sub["intensity"].to_numpy().reshape(img.shape), img
         )
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """encode_avi_mjpeg(frames) walks back out of decode_avi_frames as
+    the identical JPEG blobs, and constant-tile frames decode EXACTLY
+    (the JPEG fixed-point property lifted to video)."""
+    import numpy as np
+    import pytest as _pt
+
+    from trx_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_jpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    tiles = [
+        np.repeat(np.repeat(rng.integers(0, 256, (2, 2)), 8, 0), 8, 1)
+        for _ in range(5)
+    ]
+    blob = encode_avi_mjpeg(tiles, fps=5)
+    frames, hdr = decode_avi_frames(blob)
+    assert (hdr["n_frames"], hdr["width"], hdr["height"]) == (5, 16, 16)
+    assert hdr["compression"] == "MJPG"
+    assert len(frames) == 5
+    for f, t in zip(frames, tiles):
+        back, _ = decode_jpeg(f)
+        np.testing.assert_array_equal(back, t)
+    with _pt.raises(ValueError, match="not an AVI"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # a non-MJPG fourcc in strf is refused, not misdecoded
+    bad = bytearray(blob)
+    i = blob.index(b"MJPG", blob.index(b"strf"))
+    bad[i : i + 4] = b"H264"
+    with _pt.raises(ValueError, match="unsupported AVI compression"):
+        decode_avi_frames(bytes(bad))
+
+
+def test_decode_video_distributed_sampling(spark, tmp_path):
+    """REAL distributed video decode: MJPEG AVI blobs → container-level
+    frame sampling (every_n / max_frames BEFORE entropy decode) → JPEG
+    path → pixel rows keyed by the ORIGINAL frame index; gzip wrapping
+    included. Values ≡ the local decode of the same sampled frames."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_video,
+        encode_avi_mjpeg,
+        read_binary_assets,
+    )
+
+    rng = np.random.default_rng(31)
+    clips = {}
+    for k in range(2):
+        frames = [
+            np.repeat(np.repeat(rng.integers(0, 256, (1, 2)), 8, 0), 8, 1)
+            for _ in range(7)
+        ]
+        clips[f"clip_{k}"] = frames
+        blob = encode_avi_mjpeg(frames)
+        if k == 1:
+            blob = gzip.compress(blob)
+        ext = "avi.gz" if k == 1 else "avi"
+        (tmp_path / f"clip_{k}.{ext}").write_bytes(blob)
+    assets = read_binary_assets(spark, str(tmp_path / "clip_*"), "video")
+    px = decode_video(assets, every_n=3, max_frames=2).toPandas()
+    # frames 0 and 3 of each clip, 8x16 px each
+    assert len(px) == 2 * 2 * 8 * 16
+    assert set(px["frame"]) == {0, 3}
+    for k, frames in clips.items():
+        for fi in (0, 3):
+            sub = px[
+                px.file.str.contains(k + ".") & (px.frame == fi)
+            ].sort_values(["y", "x"])
+            np.testing.assert_array_equal(
+                sub["intensity"].to_numpy().reshape(8, 16),
+                frames[fi].astype(float),
+            )

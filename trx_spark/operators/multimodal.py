@@ -2567,6 +2567,204 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
 
 
 # ---------------------------------------------------------------------
+# AVI / Motion-JPEG codec (the VIDEO leg of the multimodal brief; no
+# reference counterpart). The container is public (Microsoft RIFF/AVI
+# documentation, the same RIFF framing as WAV): 'RIFF'+'AVI ' holding
+# a 'hdrl' LIST (avih main header + one 'strl' per stream with
+# strh/strf) and a 'movi' LIST whose '00dc' chunks each carry one
+# compressed frame — for the MJPG fourcc, one complete baseline JPEG,
+# which :func:`decode_jpeg` already reads. So real video decode is
+# container walk + the existing JPEG path; frame sampling (every_n /
+# max_frames) happens at the CONTAINER level, before any entropy
+# decode — the cheap seek a production frame-sampler does.
+# ---------------------------------------------------------------------
+
+
+def _avi_chunks(buf: bytes, start: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) of RIFF subchunks
+    in buf[start:end]; chunk payloads are word-aligned."""
+    i = start
+    while i + 8 <= end:
+        fcc = buf[i : i + 4]
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        yield fcc, i + 8, size
+        i += 8 + size + (size & 1)
+
+
+def decode_avi_frames(buf: bytes) -> tuple[list[bytes], dict]:
+    """Decode an AVI blob → (list of per-frame JPEG byte strings,
+    header dict). Only the MJPG fourcc is supported — each '00dc'
+    movi chunk is then a standalone baseline JPEG."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    header: dict = {}
+    frames: list[bytes] = []
+    compression = None
+    for fcc, p, sz in _avi_chunks(buf, 12, len(buf)):
+        if fcc != b"LIST":
+            continue
+        ltype = buf[p : p + 4]
+        if ltype == b"hdrl":
+            for f2, p2, s2 in _avi_chunks(buf, p + 4, p + sz):
+                if f2 == b"avih":
+                    header = {
+                        "n_frames": int.from_bytes(buf[p2 + 16 : p2 + 20], "little"),
+                        "n_streams": int.from_bytes(buf[p2 + 24 : p2 + 28], "little"),
+                        "width": int.from_bytes(buf[p2 + 32 : p2 + 36], "little"),
+                        "height": int.from_bytes(buf[p2 + 36 : p2 + 40], "little"),
+                    }
+                elif f2 == b"LIST" and buf[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _avi_chunks(buf, p2 + 4, p2 + s2):
+                        if f3 == b"strf" and s3 >= 20:
+                            compression = buf[p3 + 16 : p3 + 20]
+        elif ltype == b"movi":
+            for f2, p2, s2 in _avi_chunks(buf, p + 4, p + sz):
+                if f2[2:4] in (b"dc", b"db"):
+                    frames.append(buf[p2 : p2 + s2])
+    if compression is not None and compression.upper() not in (b"MJPG", b"JPEG"):
+        raise ValueError(
+            f"unsupported AVI compression {compression!r} (MJPG only)"
+        )
+    if not frames:
+        raise ValueError("AVI has no movi frames")
+    header["compression"] = "MJPG"
+    return frames, header
+
+
+def encode_avi_mjpeg(frames, *, fps: int = 10, quant=None) -> bytes:
+    """Encode a sequence of 2-D grayscale / (H, W, 3) RGB arrays as a
+    Motion-JPEG AVI (the write side of the video seam and the tests'
+    golden producer). Each frame is one :func:`encode_jpeg` blob in a
+    '00dc' movi chunk."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = [encode_jpeg(f, quant=quant) for f in frames]
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    u4 = lambda v: int(v).to_bytes(4, "little")
+    maxb = max(len(b) for b in blobs)
+    avih = (
+        u4(1_000_000 // fps) + u4(maxb * fps) + u4(0) + u4(0x10)  # HASINDEX off
+        + u4(len(blobs)) + u4(0) + u4(1) + u4(maxb)
+        + u4(w) + u4(h) + u4(0) * 4
+    )
+    strh = (
+        b"vids" + b"MJPG" + u4(0) + u4(0) + u4(0)
+        + u4(1) + u4(fps) + u4(0) + u4(len(blobs)) + u4(maxb)
+        + (0xFFFFFFFF).to_bytes(4, "little") + u4(0)
+        + (0).to_bytes(2, "little") * 2
+        + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    )
+    strf = (
+        u4(40) + u4(w) + u4(h) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + b"MJPG" + u4(w * h * 3)
+        + u4(0) + u4(0) + u4(0) + u4(0)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_video(
+    assets: DataFrame,
+    *,
+    every_n: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Real distributed video decode: AVI/MJPEG blobs → sampled pixel
+    rows (PIXEL_SCHEMA, ``frame`` = the frame's ORIGINAL index in the
+    stream). Frame selection (``every_n``, ``max_frames`` — the
+    frame_sample schedule) runs on the container walk BEFORE any
+    entropy decode, so skipped frames cost nothing but the chunk seek;
+    each selected frame then rides the standard JPEG decode path
+    (mapInPandas; 1 frame → H·W rows; no shuffle)."""
+    sep = "\x1f"  # unit separator: cannot collide with a path char
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure-self-contained (see _parse_edf)
+        import gzip as _gz
+
+        import pandas as _pd
+
+        def walk(buf, start, end):
+            i = start
+            while i + 8 <= end:
+                fcc = buf[i : i + 4]
+                size = int.from_bytes(buf[i + 4 : i + 8], "little")
+                yield fcc, i + 8, size
+                i += 8 + size + (size & 1)
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                raw = bytes(row["content"])
+                if raw[:2] == b"\x1f\x8b":
+                    raw = _gz.decompress(raw)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                    raise ValueError("not an AVI stream")
+                comp = None
+                k = 0
+                for fcc, p, sz in walk(raw, 12, len(raw)):
+                    if fcc != b"LIST":
+                        continue
+                    ltype = raw[p : p + 4]
+                    if ltype == b"hdrl":
+                        for f2, p2, s2 in walk(raw, p + 4, p + sz):
+                            if f2 == b"LIST" and raw[p2 : p2 + 4] == b"strl":
+                                for f3, p3, s3 in walk(raw, p2 + 4, p2 + s2):
+                                    if f3 == b"strf" and s3 >= 20:
+                                        comp = raw[p3 + 16 : p3 + 20]
+                    elif ltype == b"movi":
+                        for f2, p2, s2 in walk(raw, p + 4, p + sz):
+                            if f2[2:4] not in (b"dc", b"db"):
+                                continue
+                            if comp is not None and comp.upper() not in (
+                                b"MJPG", b"JPEG",
+                            ):
+                                raise ValueError(
+                                    f"unsupported AVI compression {comp!r}"
+                                )
+                            take = (k % every_n == 0) and (
+                                max_frames is None
+                                or k // every_n < max_frames
+                            )
+                            if take:
+                                out.append(
+                                    (
+                                        f"{row['path']}{sep}{k}",
+                                        bytearray(raw[p2 : p2 + s2]),
+                                    )
+                                )
+                            k += 1
+            yield _pd.DataFrame(out, columns=["path", "content"])
+
+    frames = assets.select("path", "content").mapInPandas(
+        extract, schema="path string, content binary"
+    )
+    px = decode_image(frames, codec="jpeg")
+    return px.select(
+        F.split_part(F.col("file"), F.lit(sep), F.lit(1)).alias("file"),
+        F.split_part(F.col("file"), F.lit(sep), F.lit(2)).cast("int").alias("frame"),
+        "y",
+        "x",
+        "intensity",
+    )
+
+
+# ---------------------------------------------------------------------
 # WAV codec (RIFF PCM — the audio leg of the multimodal brief). The
 # format is public and simple: 'RIFF' + size + 'WAVE', then chunks;
 # 'fmt ' carries (audio_format, n_channels, sample_rate, bits); 'data'

@@ -311,11 +311,98 @@ FROM px GROUP BY k
 """
 
 
+# ---------------------------------------------------------------------
+# Video codec gate: REAL distributed MJPEG/AVI decode with
+# container-level frame sampling under the driver hash. Same lossless
+# fixed-point trick as the JPEG gate (constant 8x8 tiles, all-ones
+# quantization), lifted to a multi-frame container: the oracle
+# recomputes the (clip, frame, tile) pattern arithmetically FOR THE
+# SAMPLED FRAMES ONLY, so both the per-frame JPEG decode and the
+# every_n / max_frames schedule are hashed.
+# ---------------------------------------------------------------------
+
+_VID_N = 6       # clips
+_VID_F = 6       # frames per clip
+_VID_EVERY = 2   # sample every 2nd frame ...
+_VID_MAX = 3     # ... up to 3 frames -> original indexes {0, 2, 4}
+_VID_B = 2       # 2x2 blocks of 8 -> 16x16 px frames
+
+
+def _video_assets(spark: SparkSession) -> DataFrame:
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import encode_avi_mjpeg
+
+    rows = []
+    for k in range(_VID_N):
+        frames = []
+        for j in range(_VID_F):
+            tiles = np.array(
+                [
+                    [
+                        (k * 101 + j * 37 + by * 17 + bx * 29) % 256
+                        for bx in range(_VID_B)
+                    ]
+                    for by in range(_VID_B)
+                ]
+            )
+            frames.append(np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1))
+        blob = encode_avi_mjpeg(frames)
+        if k % 3 == 0:
+            blob = gzip.compress(blob, mtime=0)
+        rows.append((f"vid_{k}", bytearray(blob)))
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per (clip, original frame index) pixel-count,
+    intensity sum and position-weighted sum of the REAL distributed
+    MJPEG decode, through the every_n/max_frames sampling schedule."""
+    from trx_spark.operators.multimodal import decode_video
+
+    px = decode_video(
+        _video_assets(spark), every_n=_VID_EVERY, max_frames=_VID_MAX
+    )
+    w = F.col("y").cast("long") * (_VID_B * 8) + F.col("x").cast("long") + 1
+    return px.groupBy("file", "frame").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum(F.col("intensity").cast("long")).alias("i_sum"),
+        F.sum(F.col("intensity").cast("long") * w).alias("i_wsum"),
+    ).select(
+        "file", F.col("frame").cast("long").alias("frame"),
+        "n_px", "i_sum", "i_wsum",
+    )
+
+
+_VIDEO_DECODE_SQL = f"""
+WITH clips AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_VID_N}) t(k)),
+fr AS (
+  SELECT CAST(j AS BIGINT) AS j FROM range(0, {_VID_F}) t(j)
+  WHERE j % {_VID_EVERY} = 0 AND j // {_VID_EVERY} < {_VID_MAX}
+),
+ys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_VID_B * 8}) t(v)),
+xs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_VID_B * 8}) t(v)),
+px AS (
+  SELECT k, j, y, x,
+    (k * 101 + j * 37 + (y // 8) * 17 + (x // 8) * 29) % 256 AS inten
+  FROM clips, fr, ys, xs
+)
+SELECT 'vid_' || CAST(k AS VARCHAR) AS file, j AS frame,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(inten) AS BIGINT) AS i_sum,
+  CAST(SUM(inten * (y * {_VID_B * 8} + x + 1)) AS BIGINT) AS i_wsum
+FROM px GROUP BY k, j
+"""
+
+
 QUERIES = {
     "image_dedup_groups": image_dedup_groups,
     "audio_dedup_groups": audio_dedup_groups,
     "png_decode_stats": png_decode_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
+    "video_decode_stats": video_decode_stats,
 }
 
 ORACLES = {
@@ -323,4 +410,5 @@ ORACLES = {
     "audio_dedup_groups": _AUDIO_DEDUP_SQL,
     "png_decode_stats": _PNG_DECODE_SQL,
     "jpeg_decode_stats": _JPEG_DECODE_SQL,
+    "video_decode_stats": _VIDEO_DECODE_SQL,
 }
