@@ -191,6 +191,7 @@ HEADLINE = [
     "video_decode_stats",
     "ann_opq_topk",
     "opq_recall_audit",
+    "hybrid_rank_rrf",
 ]
 
 

@@ -417,3 +417,28 @@ def test_cluster_balanced_sample_structure(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     # every non-empty cell is represented — the diversity guarantee
     assert set(per_cell) == set(assign.values())
+
+
+def test_hybrid_rank_rrf_properties(spark, sf_dir):
+    """RRF invariants: every fused row came from at least one input
+    ranking; ranks are dense 1..n; a doc surfaced by BOTH rankers
+    outranks any doc surfaced by only one at an equal-or-worse
+    position (1/(K+a)+1/(K+b) > max single term at those positions)."""
+    from trx_spark.queries import QUERIES
+
+    rows = {r["doc_id"]: r for r in QUERIES["hybrid_rank_rrf"](spark, sf_dir).collect()}
+    sparse = {r["doc_id"] for r in QUERIES["bm25_topk"](spark, sf_dir).collect()}
+    dense = {r["vec_id"] for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()}
+    assert set(rows) == sparse | dense
+    assert sorted(r["fused_rank"] for r in rows.values()) == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows.values():
+        assert (r["bm25_rank"] is not None) or (r["dense_rank"] is not None)
+        both = r["bm25_rank"] is not None and r["dense_rank"] is not None
+        if both:
+            for s in rows.values():
+                single = (s["bm25_rank"] is None) != (s["dense_rank"] is None)
+                pos = s["bm25_rank"] if s["bm25_rank"] is not None else s["dense_rank"]
+                if single and pos >= max(r["bm25_rank"], r["dense_rank"]):
+                    assert r["rrf_score"] > s["rrf_score"]

@@ -108,7 +108,6 @@ _R08_FILLERS_R05 = [
     "chi2_filter_auto", "copurchase_lift", "dedup_exact",
     "dezinger_flags", "doc_fingerprints", "event_rate_cusum",
     "event_transition_matrix", "knn_triangles", "mad_outliers",
-    "minhash_lsh_pairs",
 ]
 _R08_TOUCHED = [
     # r8-touched code and new gate entries, hashed in their landing
@@ -118,11 +117,11 @@ _R08_TOUCHED = [
     # stores gained the z-cell probe column
     "wordpiece_encode", "decontam_bloom_flags", "png_decode_stats",
     "jpeg_decode_stats", "video_decode_stats",
-    "ann_opq_topk", "opq_recall_audit",
+    "ann_opq_topk", "opq_recall_audit", "hybrid_rank_rrf",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
-# minhash_signatures, monitor_norm, pricing_summary,
+# minhash_lsh_pairs, minhash_signatures, monitor_norm, pricing_summary,
 # reflections_triclinic, revenue_by_nation, rolling_active_users,
 # scanpoint_stats, sessionize_events, simhash16,
 # streaming_incremental_stats, streaming_pricing_summary,

@@ -362,11 +362,100 @@ tf AS (
     )
 
 
+# ---------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+# SIGIR 2009) of the sparse and dense rankers — the standard fusion
+# step of a RAG retrieval pipeline. RRF needs only the RANKS, never
+# the incomparable raw scores: fused(d) = Σ_r 1/(K + rank_r(d)) over
+# the rankers that surfaced d. With two rankers each term is one exact
+# IEEE division and the sum is a single fixed-order addition, so the
+# fused scores are bit-portable without any fixed-point machinery.
+#
+# Scale shape: both input rankings are already bounded top-k tables
+# (≤20 and ≤10 rows); the fusion is a full outer join of two tiny
+# frames + a window over ≤30 rows — costs nothing beyond the rankers
+# it fuses (the recall-audit precedent).
+# ---------------------------------------------------------------------
+
+_RRF_K = 60  # the constant the RRF paper fixes; dampens top-rank dominance
+
+
+def hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused ranking of the BM25 top-20 (sparse, over ``documents``)
+    and the brute-force cosine top-10 (dense, over the aligned
+    ``embeddings`` ids): (doc_id, bm25_rank, dense_rank, rrf_score,
+    fused_rank), missing-ranker membership contributing nothing."""
+    from pyspark.sql import Window
+
+    from trx_spark.queries.textdata import ann_cosine_topk
+
+    sparse = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    dense = ann_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("bm25_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("dense_rank")), F.lit(0.0)
+        ),
+    )
+    return fused.select(
+        "doc_id",
+        "bm25_rank",
+        "dense_rank",
+        "rrf_score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("fused_rank"),
+    )
+
+
+def _rrf_sql() -> str:
+    from trx_spark.queries.textdata import _ANN_SQL
+
+    return f"""
+WITH sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS BIGINT)
+           AS bm25_rank
+  FROM ({_BM25_SQL}) b
+),
+dense AS (
+  SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS dense_rank
+  FROM ({_ANN_SQL}) a
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.bm25_rank, d.dense_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / (CAST({float(_RRF_K)!r} AS DOUBLE) + s.bm25_rank),
+                  CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / (CAST({float(_RRF_K)!r} AS DOUBLE) + d.dense_rank),
+                    CAST(0.0 AS DOUBLE)) AS rrf_score
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, bm25_rank, dense_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+"""
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "hashed_tf_features": hashed_tf_features,
     "tfidf_top_terms": tfidf_top_terms,
     "cluster_topics": cluster_topics,
+    "hybrid_rank_rrf": hybrid_rank_rrf,
 }
 
 ORACLES = {
@@ -374,4 +463,5 @@ ORACLES = {
     "hashed_tf_features": _fh_sql(),
     "tfidf_top_terms": _TFIDF_SQL,
     "cluster_topics": _cluster_topics_sql(),
+    "hybrid_rank_rrf": _rrf_sql(),
 }
