@@ -1483,3 +1483,114 @@ def test_decode_video_distributed_sampling(spark, tmp_path):
                 sub["intensity"].to_numpy().reshape(8, 16),
                 frames[fi].astype(float),
             )
+
+
+def test_wav_g711_companded_roundtrip():
+    """G.711 µ-law / A-law decode (ITU-T G.711 reconstruction tables):
+    known anchor codes, nearest-level quantization through
+    encode_wav_g711, and monotone decode within each sign half."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_ulaw_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    ut, at = _g711_ulaw_table(), _g711_alaw_table()
+    # spec anchors: µ-law 0xFF decodes to 0; A-law 0xD5 (0x80^0x55) to +8
+    assert ut[0xFF] == 0 and ut[0x7F] == 0
+    assert int(np.abs(ut).max()) == 8031 * 4  # 32124, the µ-law max level
+    assert at[0xD5] == 8 and at[0x55] == -8
+    assert int(np.abs(at).max()) == 504 << 6  # 32256, the A-law max level
+    # codes 0x80..0xFF are the positive µ-law half, descending level
+    assert all(np.diff(ut[0x80:0x100]) < 0) and all(ut[0x80:0x100] >= 0)
+
+    rng = np.random.default_rng(17)
+    x = np.clip(rng.normal(0, 0.2, 400), -1, 1)
+    for law in ("ulaw", "alaw"):
+        blob = encode_wav_g711(x, rate=8000, law=law)
+        back, rate = decode_wav(blob)
+        assert rate == 8000 and back.shape == (400, 1)
+        got = back[:, 0] * 32768.0
+        lin = np.clip(np.round(x * 32768.0), -32768, 32767)
+        tab = np.sort((ut if law == "ulaw" else at))
+        # each decoded value is the nearest reconstruction level
+        for g, l in zip(got, lin):
+            i = np.searchsorted(tab, l)
+            cands = tab[max(0, i - 1) : i + 1]
+            assert abs(g - l) == np.abs(cands - l).min()
+
+
+def test_wav_g711_distributed(spark, tmp_path):
+    """Companded WAV through the distributed audio feature path: the
+    nested twin's G.711 tables match the module tables exactly."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        audio_frame_features,
+        decode_wav,
+        encode_wav_g711,
+        read_binary_assets,
+    )
+
+    rng = np.random.default_rng(19)
+    x = np.clip(np.sin(np.arange(2048) / 20.0) * 0.5 + rng.normal(0, 0.05, 2048), -1, 1)
+    for law in ("ulaw", "alaw"):
+        (tmp_path / f"clip_{law}.wav").write_bytes(
+            encode_wav_g711(x, rate=8000, law=law)
+        )
+    assets = read_binary_assets(spark, str(tmp_path / "clip_*.wav"), "audio")
+    feats = audio_frame_features(assets, frame=512, hop=512, codec="wav").toPandas()
+    assert len(feats) == 2 * 4
+    for law in ("ulaw", "alaw"):
+        mono = decode_wav(
+            (tmp_path / f"clip_{law}.wav").read_bytes()
+        )[0][:, 0]
+        sub = feats[feats.file.str.contains(law)].sort_values("frame_idx")
+        want = [
+            float(np.sqrt(np.mean(mono[i : i + 512] ** 2)))
+            for i in range(0, 2048, 512)
+        ]
+        np.testing.assert_allclose(sub["rms"].to_numpy(), want, rtol=1e-12)
+
+
+def test_tiff_packbits_roundtrip_and_distributed(spark, tmp_path):
+    """PackBits TIFF (compression 32773): codec-level roundtrip on
+    run-heavy and literal-heavy images, plus the distributed decode
+    path; a compressed strip must be smaller on the run-heavy image."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(29)
+    # byte-level property: arbitrary buffers roundtrip
+    for _ in range(20):
+        raw = bytes(rng.integers(0, 4, rng.integers(0, 300)).astype("u1"))
+        assert _packbits_decode(_packbits_encode(raw)) == raw
+    flat = np.zeros((16, 16), dtype="u2")
+    flat[4:8, :] = 7000
+    blob = encode_tiff(flat, compression=32773)
+    assert len(blob) < len(encode_tiff(flat, compression=1))
+    back, tags = decode_tiff(blob)
+    np.testing.assert_array_equal(back, flat)
+    assert tags[259][0] == 32773
+    noisy = rng.integers(0, 60000, (9, 13)).astype("u2")
+    for order in ("<", ">"):
+        back, _ = decode_tiff(
+            encode_tiff(noisy, byte_order=order, compression=32773)
+        )
+        np.testing.assert_array_equal(back, noisy)
+    # distributed: the nested twin decompresses identically
+    (tmp_path / "pb_0.tif").write_bytes(encode_tiff(noisy, compression=32773))
+    assets = read_binary_assets(spark, str(tmp_path / "pb_*.tif"), "image")
+    px = decode_image(assets, codec="tiff").toPandas().sort_values(["y", "x"])
+    np.testing.assert_array_equal(
+        px["intensity"].to_numpy().reshape(9, 13), noisy.astype(float)
+    )

@@ -699,12 +699,30 @@ def decode_image(
                 body = buf[off : off + size]
             w = tiff_type_size.get(typ, 1)
             tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
-        if tags.get(259, [1])[0] != 1:
+        comp = tags.get(259, [1])[0]
+        if comp not in (1, 32773):
             raise ValueError("unsupported TIFF compression")
         nx_, ny_ = tags[256][0], tags[257][0]
         bits = tags.get(258, [8])[0]
         kind = {1: "u", 2: "i", 3: "f"}[tags.get(339, [1])[0]]
-        data = b"".join(buf[o : o + c] for o, c in zip(tags[273], tags[279]))
+        strips = [buf[o : o + c] for o, c in zip(tags[273], tags[279])]
+        if comp == 32773:  # PackBits (twin of _packbits_decode)
+            dec = []
+            for s in strips:
+                out_b = bytearray()
+                i2, n2 = 0, len(s)
+                while i2 < n2:
+                    cb = s[i2]
+                    i2 += 1
+                    if cb < 128:
+                        out_b += s[i2 : i2 + cb + 1]
+                        i2 += cb + 1
+                    elif cb > 128:
+                        out_b += s[i2 : i2 + 1] * (257 - cb)
+                        i2 += 1
+                dec.append(bytes(out_b))
+            strips = dec
+        data = b"".join(strips)
         return _np.frombuffer(
             data, dtype=_np.dtype(f"{bo}{kind}{bits // 8}"), count=nx_ * ny_
         ).reshape(ny_, nx_)
@@ -1248,31 +1266,88 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
         body = raw[:size] if raw is not None else buf[off : off + size]
         w = _TIFF_TYPE_SIZE.get(typ, 1)
         tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
-    if tags.get(259, [1])[0] != 1:
-        raise ValueError("unsupported TIFF compression (baseline only)")
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 32773):
+        raise ValueError(
+            "unsupported TIFF compression (baseline + PackBits only)"
+        )
     nx, ny = tags[256][0], tags[257][0]
     bits = tags.get(258, [8])[0]
     sfmt = tags.get(339, [1])[0]
     kind = {1: "u", 2: "i", 3: "f"}[sfmt]
     dt = np.dtype(f"{bo}{kind}{bits // 8}")
-    data = b"".join(
-        buf[o : o + c] for o, c in zip(tags[273], tags[279])
-    )
+    strips = [buf[o : o + c] for o, c in zip(tags[273], tags[279])]
+    if comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
+    data = b"".join(strips)
     img = np.frombuffer(data, dtype=dt, count=nx * ny)
     return img.reshape(ny, nx), tags
 
 
-def encode_tiff(img: np.ndarray, *, byte_order: str = "<") -> bytes:
-    """Encode a 2-D array as a single-strip baseline TIFF (the write
-    side of the S1 seam and the tests' golden producer)."""
+def _packbits_decode(s: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773, public TIFF 6.0
+    §9): control n in 0..127 copies n+1 literals, 129..255 repeats the
+    next byte 257−n times, 128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        i += 1
+        if c < 128:
+            out += s[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += s[i : i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(s: bytes) -> bytes:
+    """PackBits writer (runs ≥3 bytes become repeats; the tests'
+    golden producer)."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        j = i
+        while j + 1 < n and s[j + 1] == s[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:  # run of (j - i + 1) identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(s[i])
+            i = j + 1
+            continue
+        # literal stretch up to the next ≥3-run or 128 bytes
+        k = i + 1
+        while (
+            k < n
+            and k - i < 128
+            and not (k + 2 < n and s[k] == s[k + 1] == s[k + 2])
+        ):
+            k += 1
+        out.append(k - i - 1)
+        out += s[i:k]
+        i = k
+    return bytes(out)
+
+
+def encode_tiff(
+    img: np.ndarray, *, byte_order: str = "<", compression: int = 1
+) -> bytes:
+    """Encode a 2-D array as a single-strip TIFF — uncompressed
+    (``compression=1``) or PackBits RLE (``32773``); the write side of
+    the S1 seam and the tests' golden producer."""
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
+    if compression not in (1, 32773):
+        raise ValueError("compression must be 1 or 32773 (PackBits)")
     end = "little" if byte_order == "<" else "big"
     kind = img.dtype.kind
     if kind not in "uif":
         raise ValueError(f"unsupported dtype {img.dtype}")
     sfmt = {"u": 1, "i": 2, "f": 3}[kind]
     payload = img.astype(img.dtype.newbyteorder(byte_order), copy=False).tobytes()
+    if compression == 32773:
+        payload = _packbits_encode(payload)
     ny, nx = img.shape
     # layout: 8-byte header | pixel strip | IFD
     strip_off = 8
@@ -1281,7 +1356,7 @@ def encode_tiff(img: np.ndarray, *, byte_order: str = "<") -> bytes:
         (256, 3, 1, nx),
         (257, 3, 1, ny),
         (258, 3, 1, img.dtype.itemsize * 8),
-        (259, 3, 1, 1),
+        (259, 3, 1, compression),
         (262, 3, 1, 1),  # BlackIsZero
         (273, 4, 1, strip_off),
         (277, 3, 1, 1),
@@ -2774,9 +2849,29 @@ def decode_video(
 # ---------------------------------------------------------------------
 
 
+def _g711_ulaw_table(_np=np) -> np.ndarray:
+    """All 256 µ-law reconstruction levels (ITU-T G.711 / the classic
+    ulaw2linear): int16 linear values indexed by code byte."""
+    c = _np.arange(256)
+    m = (~c) & 0xFF
+    t = (((m & 0x0F) << 3) + 0x84) << ((m >> 4) & 0x07)
+    return _np.where(m & 0x80, 0x84 - t, t - 0x84).astype(_np.int64)
+
+
+def _g711_alaw_table(_np=np) -> np.ndarray:
+    """All 256 A-law reconstruction levels (G.711 alaw2linear)."""
+    c = _np.arange(256) ^ 0x55
+    seg = (c & 0x70) >> 4
+    t = (c & 0x0F) << 4
+    t = _np.where(seg == 0, t + 8, ((t + 0x108) << _np.maximum(seg - 1, 0)))
+    # A-law: SET sign bit means positive
+    return _np.where(c & 0x80, t, -t).astype(_np.int64)
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE blob → (float64 samples [n, channels] in
-    [-1, 1], sample_rate)."""
+    [-1, 1], sample_rate). PCM16/PCM8, IEEE float32, and the G.711
+    companded formats (A-law = format 6, µ-law = format 7) decode."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, data = 12, None, None
@@ -2803,6 +2898,12 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         samples = (np.frombuffer(data, dtype="u1").astype(np.float64) - 128.0) / 128.0
     elif afmt == 3 and bits == 32:
         samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif afmt == 6 and bits == 8:  # G.711 A-law
+        codes = np.frombuffer(data, dtype="u1")
+        samples = _g711_alaw_table()[codes].astype(np.float64) / 32768.0
+    elif afmt == 7 and bits == 8:  # G.711 µ-law
+        codes = np.frombuffer(data, dtype="u1")
+        samples = _g711_ulaw_table()[codes].astype(np.float64) / 32768.0
     else:
         raise ValueError(f"unsupported WAV format ({afmt}, {bits} bit)")
     n = len(samples) // nch
@@ -2830,6 +2931,46 @@ def encode_wav(samples: np.ndarray, *, rate: int = 16000) -> bytes:
     )
     chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def encode_wav_g711(
+    samples: np.ndarray, *, rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Encode float samples in [-1, 1] as a G.711-companded RIFF/WAVE
+    (format 7 = µ-law, 6 = A-law). Each sample maps to its NEAREST
+    reconstruction level (ties to the lower code), which is exactly
+    what makes decode(encode(x)) the closest-level quantization the
+    companding defines."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    nch = arr.shape[1]
+    lin = np.clip(np.round(arr * 32768.0), -32768, 32767).reshape(-1)
+    table = _g711_ulaw_table() if law == "ulaw" else _g711_alaw_table()
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.float64)
+    idx = np.searchsorted(levels, lin)
+    idx = np.clip(idx, 1, len(levels) - 1)
+    lo, hi = levels[idx - 1], levels[idx]
+    pick = np.where(lin - lo <= hi - lin, idx - 1, idx)
+    codes = order[pick].astype("u1")
+    afmt = 7 if law == "ulaw" else 6
+    fmt = (
+        afmt.to_bytes(2, "little")
+        + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * nch).to_bytes(4, "little")
+        + nch.to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    data = codes.tobytes()
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunks += b"\x00"
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
@@ -2888,6 +3029,18 @@ def audio_frame_features(
                 s = (_np.frombuffer(data, dtype="u1").astype(_np.float64) - 128.0) / 128.0
             elif afmt == 3 and bits == 32:
                 s = _np.frombuffer(data, dtype="<f4").astype(_np.float64)
+            elif afmt == 6 and bits == 8:  # G.711 A-law (twin of module table)
+                c = _np.arange(256) ^ 0x55
+                seg = (c & 0x70) >> 4
+                t = (c & 0x0F) << 4
+                t = _np.where(seg == 0, t + 8, ((t + 0x108) << _np.maximum(seg - 1, 0)))
+                tab = _np.where(c & 0x80, t, -t).astype(_np.int64)
+                s = tab[_np.frombuffer(data, dtype="u1")].astype(_np.float64) / 32768.0
+            elif afmt == 7 and bits == 8:  # G.711 µ-law (twin of module table)
+                m = (~_np.arange(256)) & 0xFF
+                t = (((m & 0x0F) << 3) + 0x84) << ((m >> 4) & 0x07)
+                tab = _np.where(m & 0x80, 0x84 - t, t - 0x84).astype(_np.int64)
+                s = tab[_np.frombuffer(data, dtype="u1")].astype(_np.float64) / 32768.0
             else:
                 raise ValueError(f"unsupported WAV format ({afmt}, {bits} bit)")
             n = len(s) // nch
