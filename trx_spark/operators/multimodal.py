@@ -167,6 +167,8 @@ def sniff_codec(buf: bytes) -> str:
         return "png"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
     if buf[:2] in (b"II", b"MM"):
         # MarCCD is a TIFF container distinguished by the frame-header
         # name tag at the canonical 1024+4 offset (fabio's detection)
@@ -222,6 +224,10 @@ def decode_any(buf: bytes) -> tuple[np.ndarray, dict]:
         return decode_png(buf)
     if fmt == "jpeg":
         return decode_jpeg(buf)
+    if fmt == "avi":
+        frames, hdr = decode_avi_frames(buf)
+        img, _ = decode_jpeg(frames[0])
+        return img, hdr
     img, tags = decode_tiff(buf)
     return img, {str(k): v for k, v in tags.items()}
 
