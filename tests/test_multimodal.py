@@ -1594,3 +1594,57 @@ def test_tiff_packbits_roundtrip_and_distributed(spark, tmp_path):
     np.testing.assert_array_equal(
         px["intensity"].to_numpy().reshape(9, 13), noisy.astype(float)
     )
+
+
+def test_tiff_lzw_roundtrip_and_distributed(spark, tmp_path):
+    """TIFF LZW (compression 5, TIFF 6.0 §13) with the early-change
+    width rule: a HAND-PACKED 9-bit spec vector pins the decoder
+    independently of the encoder; roundtrips cross the 9→10→11 bit
+    boundaries and the KwKwK self-reference; predictor 2 (horizontal
+    differencing) roundtrips and actually compresses a smooth ramp;
+    the distributed twin decodes identically."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    # [Clear=256, 'A'=65, 'B'=66, EOI=257] at 9 bits, MSB-first
+    bits = "100000000" + "001000001" + "001000010" + "100000001"
+    bits += "0" * (-len(bits) % 8)
+    blob = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    assert _lzw_decode(blob) == b"AB"
+
+    rng = np.random.default_rng(7)
+    for n in (10, 2000, 60000):  # 60000 crosses into 12-bit codes
+        for hi in (8, 256):
+            raw = bytes(rng.integers(0, hi, n).astype("u1"))
+            assert _lzw_decode(_lzw_encode(raw)) == raw
+    kwk = b"ABABABABABABAB" * 50  # exercises code == len(table)
+    assert _lzw_decode(_lzw_encode(kwk)) == kwk
+
+    img = rng.integers(0, 60000, (40, 50)).astype("u2")
+    for pred in (1, 2):
+        for order in ("<", ">"):
+            back, tags = decode_tiff(
+                encode_tiff(img, byte_order=order, compression=5, predictor=pred)
+            )
+            np.testing.assert_array_equal(back, img)
+            assert tags[259][0] == 5 and tags[317][0] == pred
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = (1000 + 30 * xx + 17 * yy).astype("u2")
+    l2 = len(encode_tiff(smooth, compression=5, predictor=2))
+    assert l2 < len(encode_tiff(smooth, compression=5))
+    assert l2 < smooth.nbytes  # differencing makes the ramp compressible
+
+    (tmp_path / "lzw_0.tif").write_bytes(
+        encode_tiff(img, compression=5, predictor=2)
+    )
+    assets = read_binary_assets(spark, str(tmp_path / "lzw_*.tif"), "image")
+    px = decode_image(assets, codec="tiff").toPandas().sort_values(["y", "x"])
+    np.testing.assert_array_equal(
+        px["intensity"].to_numpy().reshape(40, 50), img.astype(float)
+    )

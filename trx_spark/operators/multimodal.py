@@ -706,7 +706,7 @@ def decode_image(
             w = tiff_type_size.get(typ, 1)
             tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 32773):
+        if comp not in (1, 5, 32773):
             raise ValueError("unsupported TIFF compression")
         nx_, ny_ = tags[256][0], tags[257][0]
         bits = tags.get(258, [8])[0]
@@ -728,10 +728,59 @@ def decode_image(
                         i2 += 1
                 dec.append(bytes(out_b))
             strips = dec
+        elif comp == 5:  # TIFF LZW (twin of _lzw_decode)
+            dec = []
+            for s in strips:
+                out_b = bytearray()
+                acc = nb = pos2 = 0
+                width = 9
+                tab = [bytes([i]) for i in range(256)] + [b"", b""]
+                prev = None
+                while True:
+                    while nb < width:
+                        if pos2 >= len(s):
+                            break
+                        acc = (acc << 8) | s[pos2]
+                        pos2 += 1
+                        nb += 8
+                    if nb < width:
+                        break
+                    code = (acc >> (nb - width)) & ((1 << width) - 1)
+                    nb -= width
+                    if code == 256:
+                        tab = [bytes([i]) for i in range(256)] + [b"", b""]
+                        width = 9
+                        prev = None
+                        continue
+                    if code == 257:
+                        break
+                    if prev is None:
+                        entry = tab[code]
+                    elif code < len(tab):
+                        entry = tab[code]
+                        tab.append(prev + entry[:1])
+                    elif code == len(tab):
+                        entry = prev + prev[:1]
+                        tab.append(entry)
+                    else:
+                        raise ValueError("corrupt TIFF LZW stream")
+                    out_b += entry
+                    prev = entry
+                    if len(tab) >= (1 << width) - 2 and width < 12:
+                        width += 1
+                dec.append(bytes(out_b))
+            strips = dec
         data = b"".join(strips)
-        return _np.frombuffer(
+        img_t = _np.frombuffer(
             data, dtype=_np.dtype(f"{bo}{kind}{bits // 8}"), count=nx_ * ny_
         ).reshape(ny_, nx_)
+        if tags.get(317, [1])[0] == 2:
+            if kind != "u":
+                raise ValueError("TIFF predictor 2 supported for unsigned only")
+            img_t = (
+                _np.cumsum(img_t.astype(_np.int64), axis=1) % (1 << bits)
+            ).astype(img_t.dtype)
+        return img_t
 
     def _parse_bruker(buf, _np):
         # nested (pickled by value) twin of decode_bruker — see
@@ -1273,9 +1322,9 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
         w = _TIFF_TYPE_SIZE.get(typ, 1)
         tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            "unsupported TIFF compression (baseline + PackBits only)"
+            "unsupported TIFF compression (baseline, LZW, PackBits only)"
         )
     nx, ny = tags[256][0], tags[257][0]
     bits = tags.get(258, [8])[0]
@@ -1285,9 +1334,115 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     strips = [buf[o : o + c] for o, c in zip(tags[273], tags[279])]
     if comp == 32773:
         strips = [_packbits_decode(s) for s in strips]
+    elif comp == 5:
+        strips = [_lzw_decode(s) for s in strips]
     data = b"".join(strips)
-    img = np.frombuffer(data, dtype=dt, count=nx * ny)
-    return img.reshape(ny, nx), tags
+    img = np.frombuffer(data, dtype=dt, count=nx * ny).reshape(ny, nx)
+    if tags.get(317, [1])[0] == 2:  # horizontal differencing predictor
+        if kind != "u":
+            raise ValueError("TIFF predictor 2 supported for unsigned only")
+        img = (np.cumsum(img.astype(np.int64), axis=1) % (1 << bits)).astype(dt)
+    return img, tags
+
+
+def _lzw_decode(s: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first variable-width codes
+    starting at 9 bits, ClearCode 256 / EOI 257, and the TIFF "early
+    change" — the code width increments when the NEXT table entry
+    would be the last representable code (at 510/1022/2046 entries),
+    one code earlier than classic GIF LZW."""
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    n = len(s)
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # stream ends without EOI: accept
+            acc = (acc << 8) | s[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # ClearCode
+            reset()
+            continue
+        if code == 257:  # EOI
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        # early change (TIFF 6.0 §13): the decoder's table lags the
+        # encoder's by one entry, so it widens at 2^w − 2 entries —
+        # one code earlier than the encoder's 2^w − 1
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(s: bytes) -> bytes:
+    """TIFF-variant LZW writer (the tests' golden producer), emitting
+    ClearCode first and honoring the early-change width rule."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)
+    cur = b""
+    for b in s:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        # encoder widens once the next assignable code no longer fits
+        # the current width minus the reserved top code (2^w − 1)
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # keep headroom, emit Clear (libtiff habit)
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+    put(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _packbits_decode(s: bytes) -> bytes:
@@ -1337,23 +1492,36 @@ def _packbits_encode(s: bytes) -> bytes:
 
 
 def encode_tiff(
-    img: np.ndarray, *, byte_order: str = "<", compression: int = 1
+    img: np.ndarray, *, byte_order: str = "<", compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
     """Encode a 2-D array as a single-strip TIFF — uncompressed
-    (``compression=1``) or PackBits RLE (``32773``); the write side of
-    the S1 seam and the tests' golden producer."""
+    (``compression=1``), LZW (``5``) or PackBits RLE (``32773``),
+    optionally with the horizontal-differencing ``predictor=2``; the
+    write side of the S1 seam and the tests' golden producer."""
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
-    if compression not in (1, 32773):
-        raise ValueError("compression must be 1 or 32773 (PackBits)")
+    if compression not in (1, 5, 32773):
+        raise ValueError("compression must be 1, 5 (LZW) or 32773 (PackBits)")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
     end = "little" if byte_order == "<" else "big"
     kind = img.dtype.kind
     if kind not in "uif":
         raise ValueError(f"unsupported dtype {img.dtype}")
+    if predictor == 2:
+        if kind != "u":
+            raise ValueError("TIFF predictor 2 supported for unsigned only")
+        bits_ = img.dtype.itemsize * 8
+        diff = img.astype(np.int64)
+        diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+        img = (diff % (1 << bits_)).astype(img.dtype)
     sfmt = {"u": 1, "i": 2, "f": 3}[kind]
     payload = img.astype(img.dtype.newbyteorder(byte_order), copy=False).tobytes()
     if compression == 32773:
         payload = _packbits_encode(payload)
+    elif compression == 5:
+        payload = _lzw_encode(payload)
     ny, nx = img.shape
     # layout: 8-byte header | pixel strip | IFD
     strip_off = 8
@@ -1368,6 +1536,7 @@ def encode_tiff(
         (277, 3, 1, 1),
         (278, 3, 1, ny),
         (279, 4, 1, len(payload)),
+        (317, 3, 1, predictor),
         (339, 3, 1, sfmt),
     ]
     ifd = len(entries).to_bytes(2, end)
