@@ -29,6 +29,7 @@ _ONE_ROW_BUILD_OK = {
     "kmeans_cells",
     "cluster_balanced_sample",  # rides the trained-codebook scoring (1-row scalar joins)
     "bm25_topk",  # corpus scalars (N, avgdl) are a 1-row broadcast
+    "hybrid_rank_rrf",  # composes bm25_topk + ann_cosine_topk (1-row scalars)
     "knn_pagerank",  # the node-count scalar is a 1-row broadcast per round
     "curriculum_phases",  # the two percentile cuts are a 1-row broadcast
     "contrastive_triples",  # rides the trained-codebook scoring (1-row scalar joins)
