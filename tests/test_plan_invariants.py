@@ -261,3 +261,38 @@ def test_compute_bound_bases_fan_out(spark):
     many = load_table(spark, sf, "documents").repartition(64)
     assert fan_out_small_scan(many) is many
     clear_stage_caches(spark)
+
+
+def test_approx_percentile_production_switch_is_bounded(spark, sf_dir):
+    """PLANS.md names approx_percentile (t-digest, partial-
+    aggregatable) as the production switch for every exact-percentile
+    gate query — this measures the claim instead of asserting it: at
+    each gated quantile, the approx answer's RANK error over the real
+    data is within the documented accuracy bound, so switching the
+    spelling at 100 TB changes a buffered per-group sort into a
+    mergeable sketch without moving the answers materially."""
+    from pyspark.sql import functions as F
+
+    from trx_spark.tables import fan_out_small_scan, load_table
+
+    acc = 10_000  # default accuracy parameter: rank error <= n / acc
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    vals = sorted(
+        r["n_chars"] for r in docs.select("n_chars").collect()
+    )
+    n = len(vals)
+    row = docs.agg(
+        *[
+            F.expr(f"approx_percentile(n_chars, {q!r}, {acc})").alias(f"a{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75, 0.95))
+        ]
+    ).collect()[0]
+    import bisect
+
+    for i, q in enumerate((0.25, 0.5, 0.75, 0.95)):
+        got = row[f"a{i}"]
+        # rank window the accuracy contract allows
+        lo = max(0, int(q * n) - max(1, n // acc) - 1)
+        hi = min(n - 1, int(q * n) + max(1, n // acc) + 1)
+        pos = bisect.bisect_left(vals, got)
+        assert lo <= pos <= hi + 1, (q, got, pos, lo, hi)

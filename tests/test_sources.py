@@ -390,3 +390,41 @@ def test_spec_file_reader(spark, tmp_path):
 
     with pytest.raises(ValueError, match="scan 9"):
         read_spec_scan(spark, str(p), scan=9)
+
+
+def test_versioned_snapshot_store(spark, tmp_path):
+    """Snapshot semantics: immutable versions, atomic promotion, time
+    travel, rollback without data moves, and lineage in the manifest."""
+    import pytest as _pt
+
+    from trx_spark.sources import sinks
+
+    p = str(tmp_path / "store")
+    v0 = sinks.save_snapshot(
+        spark.range(0, 100).withColumnRenamed("id", "k"), p, note="initial"
+    )
+    v1 = sinks.save_snapshot(
+        spark.range(0, 40).withColumnRenamed("id", "k"), p, note="filtered"
+    )
+    assert (v0, v1) == (0, 1)
+    assert sinks.load_snapshot(spark, p).count() == 40  # current = v1
+    assert sinks.load_snapshot(spark, p, version=0).count() == 100  # time travel
+    hist = sinks.snapshot_history(p)
+    assert hist["current"] == 1
+    assert hist["versions"]["0"] == {"rows": 100, "note": "initial"}
+    sinks.rollback_snapshot(p, 0)
+    assert sinks.load_snapshot(spark, p).count() == 100
+    # newer version stays readable by id after rollback
+    assert sinks.load_snapshot(spark, p, version=1).count() == 40
+    # append after rollback allocates the next id, never rewrites v1
+    v2 = sinks.save_snapshot(
+        spark.range(0, 7).withColumnRenamed("id", "k"), p, note="post-rollback"
+    )
+    assert v2 == 2
+    assert sinks.load_snapshot(spark, p, version=1).count() == 40
+    with _pt.raises(ValueError, match="no snapshot version"):
+        sinks.load_snapshot(spark, p, version=9)
+    with _pt.raises(ValueError, match="no snapshot version"):
+        sinks.rollback_snapshot(p, 9)
+    with _pt.raises(ValueError, match="no snapshot version"):
+        sinks.load_snapshot(spark, str(tmp_path / "missing"))

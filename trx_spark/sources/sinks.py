@@ -302,3 +302,83 @@ def export_shards(
     with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+# ---------------------------------------------------------------------
+# Versioned snapshot store (the Delta/Iceberg snapshot idea reduced to
+# its engine-level core): every write is an IMMUTABLE snapshot
+# directory plus an atomically-renamed manifest naming the current
+# version — readers see a consistent snapshot even mid-write, any
+# historical version stays readable (time travel), and rollback is a
+# manifest write, not a data move. At 100 TB this is the difference
+# between "overwrite and pray" and reproducible training-set lineage:
+# a manifest pin in a training run's config names the EXACT bytes it
+# saw (the training_set_manifest capstone composes directly).
+# ---------------------------------------------------------------------
+
+_VERSIONS_MANIFEST = "_trx_versions.json"
+
+
+def _read_versions(path: str) -> dict:
+    try:
+        with open(os.path.join(path, _VERSIONS_MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, NotADirectoryError):
+        return {"current": -1, "versions": {}}
+
+
+def save_snapshot(df: DataFrame, path: str, *, note: str = "") -> int:
+    """Write ``df`` as the next immutable snapshot of ``path`` and
+    atomically promote it to current. Returns the new version id.
+
+    Layout: ``path/v=<N>/`` parquet dirs (never rewritten) + the
+    ``_trx_versions.json`` manifest (``current`` + per-version row
+    counts and notes), written to a temp file and ``os.rename``d into
+    place — readers either see the old manifest or the new one, never
+    a torn state (on an object store, substitute a conditional PUT)."""
+    os.makedirs(path, exist_ok=True)
+    meta = _read_versions(path)
+    # next id = highest EVER written + 1 (after a rollback, current can
+    # be older than existing versions — ids are never reused)
+    v = max((int(k) for k in meta["versions"]), default=-1) + 1
+    vdir = os.path.join(path, f"v={v}")
+    df.write.mode("errorifexists").parquet(vdir)
+    n = df.sparkSession.read.parquet(vdir).count()
+    meta["versions"][str(v)] = {"rows": int(n), "note": note}
+    meta["current"] = v
+    tmp = os.path.join(path, _VERSIONS_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+    os.rename(tmp, os.path.join(path, _VERSIONS_MANIFEST))
+    return v
+
+
+def load_snapshot(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or any historical ``version`` (time
+    travel). Raises on an unknown or never-written version."""
+    meta = _read_versions(path)
+    v = int(meta["current"]) if version is None else int(version)
+    if v < 0 or str(v) not in meta["versions"]:
+        raise ValueError(f"no snapshot version {version!r} at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def rollback_snapshot(path: str, version: int) -> None:
+    """Repoint ``current`` at an existing older version — a manifest
+    write; no data moves, newer snapshots stay readable by id."""
+    meta = _read_versions(path)
+    if str(int(version)) not in meta["versions"]:
+        raise ValueError(f"no snapshot version {version} at {path}")
+    meta["current"] = int(version)
+    tmp = os.path.join(path, _VERSIONS_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+    os.rename(tmp, os.path.join(path, _VERSIONS_MANIFEST))
+
+
+def snapshot_history(path: str) -> dict:
+    """The manifest as a dict: {'current': N, 'versions': {id: {rows,
+    note}}} — the lineage a training-run config pins."""
+    return _read_versions(path)
