@@ -192,6 +192,7 @@ HEADLINE = [
     "ann_opq_topk",
     "opq_recall_audit",
     "hybrid_rank_rrf",
+    "source_token_drift",
 ]
 
 

@@ -107,7 +107,7 @@ _R08_FILLERS_R05 = [
     "asof_interp_per_user", "asof_interp_refs", "azint_1d", "azint_2d",
     "chi2_filter_auto", "copurchase_lift", "dedup_exact",
     "dezinger_flags", "doc_fingerprints", "event_rate_cusum",
-    "event_transition_matrix", "knn_triangles", "mad_outliers",
+    "event_transition_matrix", "knn_triangles",
 ]
 _R08_TOUCHED = [
     # r8-touched code and new gate entries, hashed in their landing
@@ -118,10 +118,12 @@ _R08_TOUCHED = [
     "wordpiece_encode", "decontam_bloom_flags", "png_decode_stats",
     "jpeg_decode_stats", "video_decode_stats",
     "ann_opq_topk", "opq_recall_audit", "hybrid_rank_rrf",
+    "source_token_drift",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
-# minhash_lsh_pairs, minhash_signatures, monitor_norm, pricing_summary,
+# mad_outliers, minhash_lsh_pairs, minhash_signatures, monitor_norm,
+# pricing_summary,
 # reflections_triclinic, revenue_by_nation, rolling_active_users,
 # scanpoint_stats, sessionize_events, simhash16,
 # streaming_incremental_stats, streaming_pricing_summary,

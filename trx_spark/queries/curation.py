@@ -1317,7 +1317,147 @@ WHERE e.split <> 'train'
 """
 
 
+# ---------------------------------------------------------------------
+# Per-source token-distribution drift (the data-quality monitor every
+# production corpus pipeline runs): how far does each source's token
+# distribution sit from the corpus baseline? The standard spelling is
+# PSI / KL (transcendental — not oracle-safe); Pearson's χ² over a
+# bounded vocabulary measures the same drift with RATIONAL arithmetic:
+# χ²(s) = Σ_b (obs_sb − exp_sb)² / exp_sb with exp from the corpus
+# distribution, summed as fixed-point integers so the gate hashes it
+# bit-for-bit. A spam/boilerplate source (token distribution collapsed
+# onto few tokens) scores orders of magnitude above organic ones —
+# the triage signal quality_filter acts on per doc, surfaced per
+# SOURCE.
+#
+# Scale: two partial-aggregatable token groupBys, a ≤_DRIFT_V-row
+# vocab broadcast, and a bounded sources×buckets grid (zero-observed
+# buckets still contribute their expectation — the grid makes the χ²
+# complete). Nothing data-sized shuffles beyond the token counts.
+# ---------------------------------------------------------------------
+
+_DRIFT_V = 32       # vocabulary buckets; the rest fold into <other>
+_DRIFT_SCALE = 1e6  # fixed-point scale for the χ² term sum
+
+
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, chisq, top_token, top_term): per-source χ²
+    drift against the corpus token distribution over the top-_DRIFT_V
+    vocabulary (+ <other>), with the largest-contributing bucket."""
+    ts = _token_stream(spark, sf_dir)
+    counts = ts.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(_DRIFT_V)
+        .select("token")
+        .withColumn("_v", F.lit(1))
+    )
+    bucketed = ts.join(F.broadcast(vocab), "token", "left").select(
+        "source",
+        F.when(F.col("_v").isNotNull(), F.col("token"))
+        .otherwise(F.lit("<other>"))
+        .alias("bucket"),
+    )
+    corpus = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    tot = corpus.agg(F.sum("c_cnt").alias("c_tot"))
+    obs = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    stot = bucketed.groupBy("source").agg(F.count(F.lit(1)).alias("s_tot"))
+    grid = (
+        stot.crossJoin(F.broadcast(corpus))  # bounded: sources × ≤V+1
+        .join(obs, ["source", "bucket"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    exp = (
+        F.col("s_tot").cast("double")
+        * F.col("c_cnt").cast("double")
+        / F.col("c_tot").cast("double")
+    )
+    term = (
+        (F.col("obs").cast("double") - exp)
+        * (F.col("obs").cast("double") - exp)
+        / exp
+    )
+    g = grid.withColumn(
+        "term_fp", F.floor(term * F.lit(_DRIFT_SCALE)).cast("long")
+    )
+    return g.groupBy("source").agg(
+        F.max("s_tot").alias("n_tokens"),
+        (F.sum("term_fp").cast("double") / F.lit(_DRIFT_SCALE)).alias("chisq"),
+        F.max(F.struct(F.col("term_fp"), F.col("bucket"))).getField("bucket")
+        .alias("top_token"),
+        (
+            F.max(F.struct(F.col("term_fp"), F.col("bucket"))).getField(
+                "term_fp"
+            ).cast("double")
+            / F.lit(_DRIFT_SCALE)
+        ).alias("top_term"),
+    )
+
+
+_DRIFT_SQL = f"""
+WITH ts AS (
+  SELECT doc_id, source, s.token
+  FROM (SELECT doc_id, source,
+               regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+        FROM documents) t, UNNEST(toks) AS s(token)
+),
+counts AS (SELECT token, COUNT(*) AS c FROM ts GROUP BY token),
+vocab AS (
+  SELECT token FROM counts ORDER BY c DESC, token LIMIT {_DRIFT_V}
+),
+bucketed AS (
+  SELECT ts.source,
+         CASE WHEN v.token IS NOT NULL THEN ts.token
+              ELSE '<other>' END AS bucket
+  FROM ts LEFT JOIN vocab v ON v.token = ts.token
+),
+corpus AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_cnt
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_tot FROM corpus),
+obs AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM bucketed GROUP BY source, bucket
+),
+stot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS s_tot
+  FROM bucketed GROUP BY source
+),
+grid AS (
+  SELECT s.source, c.bucket, s.s_tot, c.c_cnt, t.c_tot,
+         COALESCE(o.obs, 0) AS obs
+  FROM stot s CROSS JOIN corpus c CROSS JOIN tot t
+  LEFT JOIN obs o ON o.source = s.source AND o.bucket = c.bucket
+),
+terms AS (
+  SELECT source, bucket, s_tot,
+    CAST(FLOOR(
+      ((CAST(obs AS DOUBLE)
+        - CAST(s_tot AS DOUBLE) * CAST(c_cnt AS DOUBLE) / CAST(c_tot AS DOUBLE))
+       * (CAST(obs AS DOUBLE)
+          - CAST(s_tot AS DOUBLE) * CAST(c_cnt AS DOUBLE) / CAST(c_tot AS DOUBLE))
+       / (CAST(s_tot AS DOUBLE) * CAST(c_cnt AS DOUBLE) / CAST(c_tot AS DOUBLE)))
+      * {_DRIFT_SCALE!r}) AS BIGINT) AS term_fp
+  FROM grid
+)
+SELECT source, MAX(s_tot) AS n_tokens,
+  CAST(SUM(term_fp) AS DOUBLE) / {_DRIFT_SCALE!r} AS chisq,
+  (MAX(ROW(term_fp, bucket)::STRUCT(term_fp BIGINT, bucket VARCHAR))).bucket
+    AS top_token,
+  CAST((MAX(ROW(term_fp, bucket)::STRUCT(term_fp BIGINT, bucket VARCHAR))).term_fp
+    AS DOUBLE) / {_DRIFT_SCALE!r} AS top_term
+FROM terms GROUP BY source
+"""
+
+
 QUERIES = {
+    "source_token_drift": source_token_drift,
     "contamination_check": contamination_check,
     "split_leakage_audit": split_leakage_audit,
     "ngram_novelty": ngram_novelty,
@@ -1339,6 +1479,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_token_drift": _DRIFT_SQL,
     "ngram_novelty": _NOVELTY_SQL,
     "split_leakage_audit": _LEAKAGE_SQL,
     "train_val_test_split": _SPLIT_SQL,
