@@ -64,6 +64,7 @@ _ONE_ROW_BUILD_OK = {
 # fan-out per probe row is constant — linear, never corpus-quadratic
 _TINY_DIM_BUILD_OK = {
     "rolling_active_users",  # ≤|days|-row day dim; each row meets ≤7 days
+    "source_token_drift",    # ≤(V+1)-row bucket dim + 1-row total broadcast
 }
 _ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 
