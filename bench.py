@@ -193,6 +193,10 @@ HEADLINE = [
     "opq_recall_audit",
     "hybrid_rank_rrf",
     "source_token_drift",
+    "tokenizer_fertility",
+    "dictionary_tag_spans",
+    "table_profile",
+    "ewma_anomaly",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Property tests for the data-operations queries (queries/dataops.py):
+brute-force recomputation of the dictionary tagger and EWMA baseline,
+plus the profiler/fertility invariants the oracle-parity check cannot
+express (cross-row semantics rather than cell equality)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from trx_spark.queries.dataops import (
+    _DICT_TERMS,
+    _EWMA_MIN_DEN,
+    _EWMA_W,
+    dictionary_tag_spans,
+    ewma_anomaly,
+    table_profile,
+    tokenizer_fertility,
+)
+from trx_spark.tables import load_table
+
+
+def test_dictionary_tags_match_bruteforce(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    got = {r["doc_id"]: r for r in dictionary_tag_spans(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    terms = set(_DICT_TERMS)
+    for doc_id, text in docs.items():
+        toks = re.findall("[a-z]+", text)
+        hits = [
+            (i + 1, f"{toks[i]} {toks[i + 1]}")
+            for i in range(len(toks) - 1)
+            if f"{toks[i]} {toks[i + 1]}" in terms
+        ]
+        row = got[doc_id]
+        assert row["n_tags"] == len(hits)
+        assert row["n_terms"] == len({t for _, t in hits})
+        assert row["first_pos"] == (min(p for p, _ in hits) if hits else None)
+        want_terms = ",".join(sorted({t for _, t in hits}))
+        assert row["terms"] == want_terms
+
+
+def test_ewma_matches_bruteforce(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts_ns").collect()
+    counts: Counter = Counter()
+    for r in ev:
+        counts[(r["event_type"], (r["ts_ns"] // 1000) // 86_400_000_000)] += 1
+    got = {(r["event_type"], r["day"]): r for r in ewma_anomaly(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    by_type: dict = {}
+    for (et, day), n in sorted(counts.items()):
+        by_type.setdefault(et, []).append((day, n))
+    # den is a prefix sum of the weight vector — gaps in days don't
+    # matter because the recurrence runs over observed buckets
+    allowed_dens = {sum(_EWMA_W[:k]) for k in range(len(_EWMA_W) + 1)}
+    for et, series in by_type.items():
+        for i, (day, n) in enumerate(series):
+            hist = series[max(0, i - len(_EWMA_W)) : i][::-1]  # most recent first
+            num = sum(w * c for w, (_, c) in zip(_EWMA_W, hist))
+            den = sum(w for w, _ in zip(_EWMA_W, hist))
+            row = got[(et, day)]
+            assert row["n_events"] == n
+            assert row["baseline_num"] == num
+            assert row["baseline_den"] == den
+            assert den in allowed_dens
+            if den >= _EWMA_MIN_DEN:
+                assert row["is_anomaly"] == int(n * den > 2 * num)
+            else:
+                assert row["is_anomaly"] is None
+
+
+def test_table_profile_invariants(spark, sf_dir):
+    rows = {r["column_name"]: r for r in table_profile(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "orders").count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority",
+    }
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+    # primary key: all distinct, no nulls
+    assert rows["o_orderkey"]["n_distinct"] == n
+    assert rows["o_orderkey"]["n_nulls"] == 0
+    assert rows["o_orderkey"]["min_num"] <= rows["o_orderkey"]["max_num"]
+    # string columns carry string bounds, numeric carry numeric
+    assert rows["o_orderstatus"]["min_num"] is None
+    assert rows["o_orderstatus"]["min_str"] <= rows["o_orderstatus"]["max_str"]
+    assert rows["o_totalprice"]["min_str"] is None
+
+
+def test_fertility_bounds(spark, sf_dir):
+    rows = tokenizer_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every whitespace word yields >= 1 BPE-ish token
+        assert r["n_bpe_tokens"] >= r["n_ws_tokens"] > 0
+        assert r["fertility_fp"] >= 1_000_000
+        # fixed-point ratio is floor((a * 1e6) / b) of the sums
+        assert r["fertility_fp"] == (r["n_bpe_tokens"] * 1_000_000) // r["n_ws_tokens"]
+        assert (
+            r["bytes_per_token_fp"]
+            == (r["n_chars"] * 1_000_000) // r["n_bpe_tokens"]
+        )

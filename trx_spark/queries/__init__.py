@@ -38,6 +38,7 @@ from trx_spark.queries import (
     wordpiece,
     trxdomain2,
     trxdomain3,
+    dataops,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -70,6 +71,7 @@ for mod in (
     classifier,
     multimodalq,
     streamingq,
+    dataops,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -106,8 +108,7 @@ _R08_FILLERS_R05 = [
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
     "asof_interp_per_user", "asof_interp_refs", "azint_1d", "azint_2d",
     "chi2_filter_auto", "copurchase_lift", "dedup_exact",
-    "dezinger_flags", "doc_fingerprints", "event_rate_cusum",
-    "event_transition_matrix", "knn_triangles",
+    "dezinger_flags",
 ]
 _R08_TOUCHED = [
     # r8-touched code and new gate entries, hashed in their landing
@@ -119,9 +120,13 @@ _R08_TOUCHED = [
     "jpeg_decode_stats", "video_decode_stats",
     "ann_opq_topk", "opq_recall_audit", "hybrid_rank_rrf",
     "source_token_drift",
+    "tokenizer_fertility", "dictionary_tag_spans", "table_profile",
+    "ewma_anomaly",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
+# doc_fingerprints, event_rate_cusum, event_transition_matrix,
+# knn_triangles (displaced r8 fillers),
 # mad_outliers, minhash_lsh_pairs, minhash_signatures, monitor_norm,
 # pricing_summary,
 # reflections_triclinic, revenue_by_nation, rolling_active_users,
