@@ -197,6 +197,10 @@ HEADLINE = [
     "dictionary_tag_spans",
     "table_profile",
     "ewma_anomaly",
+    "volume_shipping",
+    "national_market_share",
+    "promo_revenue_share",
+    "cheapest_supplier_per_part",
 ]
 
 

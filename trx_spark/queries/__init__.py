@@ -39,6 +39,7 @@ from trx_spark.queries import (
     trxdomain2,
     trxdomain3,
     dataops,
+    relational2,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -48,6 +49,7 @@ ORACLES: dict[str, str] = {}
 
 for mod in (
     relational,
+    relational2,
     trxdomain,
     trxdomain2,
     trxdomain3,
@@ -107,8 +109,6 @@ _R08_FILLERS_R05 = [
     # fillers are swapped out as r8 adds new gate entries.
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
     "asof_interp_per_user", "asof_interp_refs", "azint_1d", "azint_2d",
-    "chi2_filter_auto", "copurchase_lift", "dedup_exact",
-    "dezinger_flags",
 ]
 _R08_TOUCHED = [
     # r8-touched code and new gate entries, hashed in their landing
@@ -122,9 +122,12 @@ _R08_TOUCHED = [
     "source_token_drift",
     "tokenizer_fertility", "dictionary_tag_spans", "table_profile",
     "ewma_anomaly",
+    "volume_shipping", "national_market_share", "promo_revenue_share",
+    "cheapest_supplier_per_part",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
+# chi2_filter_auto, copurchase_lift, dedup_exact, dezinger_flags,
 # doc_fingerprints, event_rate_cusum, event_transition_matrix,
 # knn_triangles (displaced r8 fillers),
 # mad_outliers, minhash_lsh_pairs, minhash_signatures, monitor_norm,
