@@ -201,6 +201,8 @@ HEADLINE = [
     "national_market_share",
     "promo_revenue_share",
     "cheapest_supplier_per_part",
+    "jsonl_ingest_stats",
+    "csv_ingest_stats",
 ]
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 def _all_caches() -> list[dict]:
     from trx_spark import tables
+    from trx_spark.sources import textio
     from trx_spark.queries import (
         bpe,
         classifier,
@@ -54,6 +55,7 @@ def _all_caches() -> list[dict]:
         bpe._BPE_CACHE,
         lm._LM_CACHE,
         classifier._CLF_CACHE,
+        textio._STAGE_CACHE,
     ]
 
 

@@ -41,6 +41,7 @@ from trx_spark.queries import (
     dataops,
     relational2,
 )
+from trx_spark.sources import textio
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -74,6 +75,7 @@ for mod in (
     multimodalq,
     streamingq,
     dataops,
+    textio,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -108,7 +110,7 @@ _R08_FILLERS_R05 = [
     # excluded — a rows-only re-check wastes a hash slot.  Trailing
     # fillers are swapped out as r8 adds new gate entries.
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
-    "asof_interp_per_user", "asof_interp_refs", "azint_1d", "azint_2d",
+    "asof_interp_per_user", "asof_interp_refs",
 ]
 _R08_TOUCHED = [
     # r8-touched code and new gate entries, hashed in their landing
@@ -124,9 +126,11 @@ _R08_TOUCHED = [
     "ewma_anomaly",
     "volume_shipping", "national_market_share", "promo_revenue_share",
     "cheapest_supplier_per_part",
+    "jsonl_ingest_stats", "csv_ingest_stats",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
+# azint_1d, azint_2d,
 # chi2_filter_auto, copurchase_lift, dedup_exact, dezinger_flags,
 # doc_fingerprints, event_rate_cusum, event_transition_matrix,
 # knn_triangles (displaced r8 fillers),
