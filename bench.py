@@ -203,6 +203,8 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "jsonl_ingest_stats",
     "csv_ingest_stats",
+    "event_type_correlation",
+    "trimmed_length_stats",
 ]
 
 

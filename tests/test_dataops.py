@@ -15,9 +15,11 @@ from trx_spark.queries.dataops import (
     _EWMA_MIN_DEN,
     _EWMA_W,
     dictionary_tag_spans,
+    event_type_correlation,
     ewma_anomaly,
     table_profile,
     tokenizer_fertility,
+    trimmed_length_stats,
 )
 from trx_spark.tables import load_table
 
@@ -95,6 +97,49 @@ def test_table_profile_invariants(spark, sf_dir):
     assert rows["o_orderstatus"]["min_num"] is None
     assert rows["o_orderstatus"]["min_str"] <= rows["o_orderstatus"]["max_str"]
     assert rows["o_totalprice"]["min_str"] is None
+
+
+def test_correlation_matrix_shape_and_range(spark, sf_dir):
+    rows = event_type_correlation(spark, sf_dir).collect()
+    types = {r["type_a"] for r in rows} | {r["type_b"] for r in rows}
+    k = len(types)
+    # complete upper triangle, canonical orientation, r in [-1, 1]
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert -1.0 <= r["corr"] <= 1.0
+        assert r["n_days"] >= 1
+
+
+def test_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from trx_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts_ns").collect()
+    counts: Counter = Counter()
+    for r in ev:
+        counts[(r["event_type"], (r["ts_ns"] // 1000) // 86_400_000_000)] += 1
+    days = sorted({d for _, d in counts})
+    types = sorted({t for t, _ in counts})
+    series = {t: np.array([counts.get((t, d), 0) for d in days], float) for t in types}
+    got = {
+        (r["type_a"], r["type_b"]): r["corr"]
+        for r in event_type_correlation(spark, sf_dir).collect()
+    }
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            want = np.corrcoef(series[a], series[b])[0, 1]
+            assert got[(a, b)] == pytest.approx(want, abs=1e-9)
+
+
+def test_trimmed_stats_bounds(spark, sf_dir):
+    for r in trimmed_length_stats(spark, sf_dir).collect():
+        assert r["lo"] <= r["hi"]
+        # the winsorized sum is squeezed into the clamp envelope
+        assert r["n_docs"] * r["lo"] <= r["trimmed_sum"] <= r["n_docs"] * r["hi"]
+        assert r["trimmed_mean_fp"] == (r["trimmed_sum"] * 1_000_000) // r["n_docs"]
+        assert r["raw_mean_fp"] == (r["raw_sum"] * 1_000_000) // r["n_docs"]
 
 
 def test_fertility_bounds(spark, sf_dir):

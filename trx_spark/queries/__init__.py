@@ -110,7 +110,6 @@ _R08_FILLERS_R05 = [
     # excluded — a rows-only re-check wastes a hash slot.  Trailing
     # fillers are swapped out as r8 adds new gate entries.
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
-    "asof_interp_per_user", "asof_interp_refs",
 ]
 _R08_TOUCHED = [
     # r8-touched code and new gate entries, hashed in their landing
@@ -127,10 +126,11 @@ _R08_TOUCHED = [
     "volume_shipping", "national_market_share", "promo_revenue_share",
     "cheapest_supplier_per_part",
     "jsonl_ingest_stats", "csv_ingest_stats",
+    "event_type_correlation", "trimmed_length_stats",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
-# azint_1d, azint_2d,
+# asof_interp_per_user, asof_interp_refs, azint_1d, azint_2d,
 # chi2_filter_auto, copurchase_lift, dedup_exact, dezinger_flags,
 # doc_fingerprints, event_rate_cusum, event_transition_matrix,
 # knn_triangles (displaced r8 fillers),

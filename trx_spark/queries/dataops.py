@@ -355,11 +355,165 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------
+# Pearson correlation matrix between event-type day series
+# ---------------------------------------------------------------------
+#
+# The co-movement monitor: which event streams rise and fall together
+# day-over-day. Sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) are
+# exact BIGINTs over the COMPLETE day x type grid (absent buckets count
+# as zero — a day a type went silent is signal, not a missing row);
+# the final r is two IEEE sqrt calls and one division over those exact
+# integers, so both engines agree to the last bit. The grid build is a
+# |days| x |types| broadcast nested loop — bounded by the type
+# cardinality, never corpus-quadratic (allowlisted like
+# rolling_active_users' day dim); the pair join is day-keyed with
+# |types|^2 fan-out per day.
+
+
+def event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily event counts per type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    days = counts.select("day").distinct()
+    types = counts.select("event_type").distinct()
+    full = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        .localCheckpoint()
+    )
+    a, b = full.alias("a"), full.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    stats = pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("a.c")).alias("sx"),
+        F.sum(F.col("b.c")).alias("sy"),
+        F.sum(F.col("a.c") * F.col("a.c")).alias("sxx"),
+        F.sum(F.col("b.c") * F.col("b.c")).alias("syy"),
+        F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "type_a", "type_b", "n_days", "sx", "sy", "sxy",
+        (
+            num.cast("double")
+            / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        ).alias("corr"),
+    )
+
+
+_CORR_SQL = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // {_DAY_US}
+),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT day FROM counts) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+),
+stats AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(a.c) AS BIGINT) AS sx,
+    CAST(SUM(b.c) AS BIGINT) AS sy,
+    CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+    CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+    CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+  FROM grid a JOIN grid b
+    ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_days, sx, sy, sxy,
+  CAST(n_days * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS corr
+FROM stats
+"""
+
+# ---------------------------------------------------------------------
+# Winsorized (trimmed) doc-length statistics per source
+# ---------------------------------------------------------------------
+#
+# The robust-mean the quality dashboard wants when a source has a few
+# pathological giants: clamp n_chars into [floor(p10), ceil(p90)]
+# before averaging. Exact percentile is the gate choice
+# (quantile_cont bit-equality, the repo-wide contract);
+# approx_percentile is the production switch. The integer floor/ceil
+# of the cuts keeps the clamped sum an exact BIGINT.
+
+
+def trimmed_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: raw vs 10-90% winsorized mean doc length (1e-6
+    fixed point), with the integer clamp bounds."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    cuts = docs.groupBy("source").agg(
+        F.floor(F.expr("percentile(n_chars, 0.1)")).alias("lo"),
+        F.ceil(F.expr("percentile(n_chars, 0.9)")).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("n_chars")))
+    return (
+        docs.join(cuts, "source")
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("raw_sum"),
+            F.sum(clamped).alias("trimmed_sum"),
+        )
+        .select(
+            "source", "lo", "hi", "n_docs", "raw_sum", "trimmed_sum",
+            F.expr(f"(raw_sum * {_FP}) DIV n_docs").alias("raw_mean_fp"),
+            F.expr(f"(trimmed_sum * {_FP}) DIV n_docs").alias(
+                "trimmed_mean_fp"
+            ),
+        )
+    )
+
+
+_TRIMMED_SQL = f"""
+WITH cuts AS (
+  SELECT source,
+    CAST(floor(quantile_cont(n_chars, 0.1)) AS BIGINT) AS lo,
+    CAST(ceil(quantile_cont(n_chars, 0.9)) AS BIGINT) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.source, lo, hi,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS raw_sum,
+  CAST(SUM(greatest(lo, least(hi, n_chars))) AS BIGINT) AS trimmed_sum,
+  CAST((SUM(n_chars) * {_FP}) // COUNT(*) AS BIGINT) AS raw_mean_fp,
+  CAST((SUM(greatest(lo, least(hi, n_chars))) * {_FP}) // COUNT(*) AS BIGINT)
+    AS trimmed_mean_fp
+FROM documents d JOIN cuts USING (source)
+GROUP BY d.source, lo, hi
+"""
+
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "dictionary_tag_spans": dictionary_tag_spans,
     "table_profile": table_profile,
     "ewma_anomaly": ewma_anomaly,
+    "event_type_correlation": event_type_correlation,
+    "trimmed_length_stats": trimmed_length_stats,
 }
 
 ORACLES = {
@@ -367,4 +521,6 @@ ORACLES = {
     "dictionary_tag_spans": _dict_sql(),
     "table_profile": _profile_sql(),
     "ewma_anomaly": _ewma_sql(),
+    "event_type_correlation": _CORR_SQL,
+    "trimmed_length_stats": _TRIMMED_SQL,
 }
