@@ -205,6 +205,8 @@ HEADLINE = [
     "csv_ingest_stats",
     "event_type_correlation",
     "trimmed_length_stats",
+    "record_linkage_pairs",
+    "ccnet_quality_buckets",
 ]
 
 

@@ -9,6 +9,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from trx_spark.queries.dataops import (
     _DICT_TERMS,
@@ -140,6 +141,36 @@ def test_trimmed_stats_bounds(spark, sf_dir):
         assert r["n_docs"] * r["lo"] <= r["trimmed_sum"] <= r["n_docs"] * r["hi"]
         assert r["trimmed_mean_fp"] == (r["trimmed_sum"] * 1_000_000) // r["n_docs"]
         assert r["raw_mean_fp"] == (r["raw_sum"] * 1_000_000) // r["n_docs"]
+
+
+def test_record_linkage_every_dirty_row_resolves(spark, sf_dir):
+    from trx_spark.queries.linkage import record_linkage_pairs
+
+    rows = record_linkage_pairs(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n
+    for r in rows:
+        # the true counterpart shares the block key by construction, so
+        # it is always among the candidates and always verifies at 1
+        assert r["matched_key"] == r["d_key"]
+        assert r["match_dist"] == 1
+        assert 1 <= r["n_verified"] <= r["n_candidates"]
+
+
+def test_ccnet_buckets_partition_the_corpus(spark, sf_dir):
+    from trx_spark.queries.dataops import ccnet_quality_buckets
+
+    rows = ccnet_quality_buckets(spark, sf_dir).collect()
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+    total = sum(r["n_docs"] for r in rows)
+    # every doc with >= 2 tokens is scored and lands in exactly one tier
+    docs = load_table(spark, sf_dir, "documents")
+    n_scorable = docs.filter(
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")) >= 2
+    ).count()
+    assert total == n_scorable
+    for r in rows:
+        assert r["score_min"] <= r["score_max"]
 
 
 def test_fertility_bounds(spark, sf_dir):

@@ -57,6 +57,7 @@ _ONE_ROW_BUILD_OK = {
     "layout_scan_savings",   # same 1-row quantization frame
     "ann_opq_topk",          # the 1-row PCA rotation vector broadcast
     "opq_recall_audit",      # composes the two PQ rankers above
+    "ccnet_quality_buckets", # the 33/67 percentile cuts are a 1-row broadcast
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

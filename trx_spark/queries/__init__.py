@@ -40,6 +40,7 @@ from trx_spark.queries import (
     trxdomain3,
     dataops,
     relational2,
+    linkage,
 )
 from trx_spark.sources import textio
 
@@ -76,6 +77,7 @@ for mod in (
     streamingq,
     dataops,
     textio,
+    linkage,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -109,7 +111,7 @@ _R08_FILLERS_R05 = [
     # (compression_ratio, lm_perplexity, quality_classifier_scores) is
     # excluded — a rows-only re-check wastes a hash slot.  Trailing
     # fillers are swapped out as r8 adds new gate entries.
-    "ann_cosine_topk", "ann_ivfpq_topk", "ann_lsh_buckets",
+    "ann_cosine_topk",
 ]
 _R08_TOUCHED = [
     # r8-touched code and new gate entries, hashed in their landing
@@ -127,9 +129,11 @@ _R08_TOUCHED = [
     "cheapest_supplier_per_part",
     "jsonl_ingest_stats", "csv_ingest_stats",
     "event_type_correlation", "trimmed_length_stats",
+    "record_linkage_pairs", "ccnet_quality_buckets",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: still carrying r05-era rows after this window —
+# ann_ivfpq_topk, ann_lsh_buckets,
 # asof_interp_per_user, asof_interp_refs, azint_1d, azint_2d,
 # chi2_filter_auto, copurchase_lift, dedup_exact, dezinger_flags,
 # doc_fingerprints, event_rate_cusum, event_transition_matrix,

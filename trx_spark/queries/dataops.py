@@ -58,7 +58,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trx_spark.queries.curation import _BPE_RE, _TOKEN_RE, _toks_base
+from trx_spark.queries.curation import (
+    _BPE_RE,
+    _RARITY_SCALE,
+    _TOKEN_RE,
+    _bigram_stream,
+    _toks_base,
+)
 from trx_spark.tables import load_table
 
 _FP = 1_000_000  # 1e6 fixed-point scale for ratio outputs
@@ -507,6 +513,100 @@ GROUP BY d.source, lo, hi
 """
 
 
+# ---------------------------------------------------------------------
+# CCNet-style quality tiers (head / middle / tail)
+# ---------------------------------------------------------------------
+#
+# CCNet (Wenzek et al. 2019, public) buckets a crawl into head/middle/
+# tail thirds by LM perplexity and trains preferentially on the head.
+# The repo's oracle-exact perplexity proxy is the mean inverse bigram
+# frequency (bigram_rarity's integer score: common phrasing scores
+# low = "head"); the cuts are the exact 33/67 percentiles of that
+# score. One global 1-row cut frame broadcasts into the scored stream
+# (the curriculum_phases pattern); everything else is the shared
+# bigram-stream memo plus two keyed aggs.
+
+
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, head|middle|tail): doc count and the integer score
+    span, with tiers cut at the exact global 33/67 percentiles of the
+    mean-inverse-bigram-frequency score."""
+    db = _bigram_stream(spark, sf_dir)
+    freqs = db.groupBy("ngram").agg(F.count(F.lit(1)).alias("freq"))
+    inv = F.floor(
+        F.lit(float(_RARITY_SCALE)) / F.col("freq").cast("double")
+    ).cast("long")
+    scored = (
+        db.join(freqs, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(inv).alias("rarity_fp"),
+        )
+        .select(
+            "doc_id", F.expr("rarity_fp DIV nb").alias("score")
+        )
+    )
+    cuts = scored.agg(
+        F.expr("percentile(score, 0.33)").alias("p33"),
+        F.expr("percentile(score, 0.67)").alias("p67"),
+    )
+    bucket = (
+        F.when(F.col("score").cast("double") <= F.col("p33"), "head")
+        .when(F.col("score").cast("double") <= F.col("p67"), "middle")
+        .otherwise("tail")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .join(docs, "doc_id")
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("score_min"),
+            F.max("score").alias("score_max"),
+        )
+    )
+
+
+_CCNET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+db AS (
+  SELECT doc_id, b.ngram
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i+1])) AS b(ngram)
+),
+freqs AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq FROM db GROUP BY ngram
+),
+scored AS (
+  SELECT db.doc_id,
+    CAST(SUM(CAST(FLOOR(CAST({_RARITY_SCALE} AS DOUBLE)
+                        / CAST(freq AS DOUBLE)) AS BIGINT)) AS BIGINT)
+      // CAST(COUNT(*) AS BIGINT) AS score
+  FROM db JOIN freqs USING (ngram)
+  GROUP BY db.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(score, 0.33) AS p33,
+         quantile_cont(score, 0.67) AS p67
+  FROM scored
+)
+SELECT source,
+  CASE WHEN CAST(score AS DOUBLE) <= p33 THEN 'head'
+       WHEN CAST(score AS DOUBLE) <= p67 THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(score) AS BIGINT) AS score_min,
+  CAST(MAX(score) AS BIGINT) AS score_max
+FROM scored CROSS JOIN cuts JOIN documents USING (doc_id)
+GROUP BY source, bucket
+"""
+
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "dictionary_tag_spans": dictionary_tag_spans,
@@ -514,6 +614,7 @@ QUERIES = {
     "ewma_anomaly": ewma_anomaly,
     "event_type_correlation": event_type_correlation,
     "trimmed_length_stats": trimmed_length_stats,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
 }
 
 ORACLES = {
@@ -523,4 +624,5 @@ ORACLES = {
     "ewma_anomaly": _ewma_sql(),
     "event_type_correlation": _CORR_SQL,
     "trimmed_length_stats": _TRIMMED_SQL,
+    "ccnet_quality_buckets": _CCNET_SQL,
 }
