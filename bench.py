@@ -207,6 +207,8 @@ HEADLINE = [
     "trimmed_length_stats",
     "record_linkage_pairs",
     "ccnet_quality_buckets",
+    "event_trend_robust",
+    "bootstrap_replica_means",
 ]
 
 

@@ -173,6 +173,52 @@ def test_ccnet_buckets_partition_the_corpus(spark, sf_dir):
         assert r["score_min"] <= r["score_max"]
 
 
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    import statistics
+
+    from trx_spark.queries.dataops import event_trend_robust
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts_ns").collect()
+    counts: Counter = Counter()
+    for r in ev:
+        counts[(r["event_type"], (r["ts_ns"] // 1000) // 86_400_000_000)] += 1
+    days = sorted({d for _, d in counts})
+    types = sorted({t for t, _ in counts})
+    got = {r["event_type"]: r for r in event_trend_robust(spark, sf_dir).collect()}
+    for t in types:
+        series = [counts.get((t, d), 0) for d in days]
+        slopes = [
+            (series[j] - series[i]) / (days[j] - days[i])
+            for i in range(len(days))
+            for j in range(i + 1, len(days))
+        ]
+        assert got[t]["n_pairs"] == len(slopes)
+        assert got[t]["trend_slope"] == pytest.approx(
+            statistics.median(slopes), abs=1e-12
+        )
+
+
+def test_bootstrap_replicas_are_genuine_resamples(spark, sf_dir):
+    from trx_spark.queries.dataops import _BOOT_B, bootstrap_replica_means
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    true_sum = docs.agg(F.sum("n_chars")).first()[0]
+    rows = bootstrap_replica_means(spark, sf_dir).collect()
+    assert len(rows) == _BOOT_B
+    means = [r["mean_fp"] for r in rows]
+    for r in rows:
+        # with-replacement sampling keeps the slot count at n
+        assert r["n_sampled"] == n
+    # replicas differ from each other and from the point estimate
+    # (a permutation-resample bug would collapse every mean to truth)
+    assert len(set(means)) > 1
+    assert any(r["sum_chars"] != true_sum for r in rows)
+    # and they bracket the point estimate
+    point = (true_sum * 1_000_000) // n
+    assert min(means) <= point <= max(means)
+
+
 def test_fertility_bounds(spark, sf_dir):
     rows = tokenizer_fertility(spark, sf_dir).collect()
     assert rows

@@ -67,6 +67,8 @@ _TINY_DIM_BUILD_OK = {
     "rolling_active_users",  # ≤|days|-row day dim; each row meets ≤7 days
     "source_token_drift",    # ≤(V+1)-row bucket dim + 1-row total broadcast
     "event_type_correlation",  # ≤|types|-row type dim × day dim grid build
+    "event_trend_robust",      # same bounded day×type grid build
+    "bootstrap_replica_means", # the doc-count scalar is a 1-row broadcast
 }
 _ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 

@@ -132,7 +132,10 @@ _R08_TOUCHED = [
     "record_linkage_pairs", "ccnet_quality_buckets",
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
-# Round-9 rotation note: still carrying r05-era rows after this window —
+# Round-9 rotation note: (a) late-r8 queries with local parity but no
+# driver row yet — event_trend_robust, bootstrap_replica_means (the r8
+# window was already full with the verdict-mandated rotation when they
+# landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,
 # asof_interp_per_user, asof_interp_refs, azint_1d, azint_2d,
 # chi2_filter_auto, copurchase_lift, dedup_exact, dezinger_flags,

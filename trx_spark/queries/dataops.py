@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from trx_spark.queries.curation import (
     _BPE_RE,
+    _P,
     _RARITY_SCALE,
     _TOKEN_RE,
     _bigram_stream,
@@ -607,6 +608,163 @@ GROUP BY source, bucket
 """
 
 
+# ---------------------------------------------------------------------
+# Theil–Sen robust trend per event-type day series
+# ---------------------------------------------------------------------
+#
+# The robust slope estimator (median of pairwise slopes — Theil 1950 /
+# Sen 1968, public): immune to the outlier days that wreck a
+# least-squares trend. Day-pair enumeration is bounded by |days|² per
+# type — a dimension-table product, never event-volume-quadratic; the
+# slopes are exact integer differences divided once (IEEE double), and
+# the median is the repo's exact-percentile contract.
+
+
+def event_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: Theil–Sen slope (events/day per day) of the
+    daily count series over the complete day grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    days = counts.select("day").distinct()
+    types = counts.select("event_type").distinct()
+    full = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        .localCheckpoint()
+    )
+    a, b = full.alias("a"), full.alias("b")
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("a.day") < F.col("b.day"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.c") - F.col("a.c")).cast("double")
+                / (F.col("b.day") - F.col("a.day")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("trend_slope"),
+    )
+
+
+_TREND_SQL = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // {_DAY_US}
+),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT day FROM counts) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+),
+slopes AS (
+  SELECT a.event_type,
+    CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM grid a JOIN grid b
+    ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  quantile_cont(slope, 0.5) AS trend_slope
+FROM slopes GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------
+# Deterministic multinomial bootstrap (replica means)
+# ---------------------------------------------------------------------
+#
+# Bootstrap uncertainty for a corpus statistic, shaped for an engine:
+# replica r's sample is slot s -> doc ((s+1)(r+7)·2654435761 mod P
+# mod n) — sampling WITH replacement through an arithmetic mix both
+# engines evaluate identically, so every replica mean is
+# oracle-hashable. n docs arrive as a 1-row broadcast; the grid is a
+# constant B-way map-side explode (never data×data); the resample is
+# one equi-join on doc_id. At 100 TB the standard spelling is the
+# POISSON bootstrap (per-row Poisson(1) replica weights — no dense-id
+# requirement, no join); this multinomial twin is the exact-gate
+# variant, and the mix would move to 128-bit modmul at huge n.
+
+_BOOT_B = 32
+_BOOT_MIX = 2_654_435_761  # Knuth multiplicative-hash constant
+
+
+def bootstrap_replica_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B=32 bootstrap replicas of mean doc length: per replica, the
+    resampled doc count and the 1e-6 fixed-point mean of n_chars."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n1 = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        docs.select(F.col("doc_id").alias("slot"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "slot",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias(
+                "rep_i"
+            ),
+        )
+        .select(
+            F.col("rep_i").cast("long").alias("replica"),
+            "slot",
+            "n",
+        )
+        .select(
+            "replica",
+            (
+                (F.col("slot") + 1)
+                * (F.col("replica") + 7)
+                * F.lit(_BOOT_MIX)
+                % F.lit(_P)
+                % F.col("n")
+            ).alias("chosen"),
+        )
+    )
+    return (
+        grid.join(docs, grid.chosen == docs.doc_id)
+        .groupBy("replica")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "replica",
+            "n_sampled",
+            "sum_chars",
+            F.expr(f"(sum_chars * {_FP}) DIV n_sampled").alias("mean_fp"),
+        )
+    )
+
+
+_BOOT_SQL = f"""
+WITH n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+grid AS (
+  SELECT r.replica,
+    ((d.doc_id + 1) * (r.replica + 7) * {_BOOT_MIX}) % {_P} % n1.n AS chosen
+  FROM documents d
+  CROSS JOIN n1
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {_BOOT_B - 1})) AS replica) r
+)
+SELECT replica,
+  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST((SUM(n_chars) * {_FP}) // COUNT(*) AS BIGINT) AS mean_fp
+FROM grid JOIN documents ON chosen = doc_id
+GROUP BY replica
+"""
+
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "dictionary_tag_spans": dictionary_tag_spans,
@@ -615,6 +773,8 @@ QUERIES = {
     "event_type_correlation": event_type_correlation,
     "trimmed_length_stats": trimmed_length_stats,
     "ccnet_quality_buckets": ccnet_quality_buckets,
+    "event_trend_robust": event_trend_robust,
+    "bootstrap_replica_means": bootstrap_replica_means,
 }
 
 ORACLES = {
@@ -625,4 +785,6 @@ ORACLES = {
     "event_type_correlation": _CORR_SQL,
     "trimmed_length_stats": _TRIMMED_SQL,
     "ccnet_quality_buckets": _CCNET_SQL,
+    "event_trend_robust": _TREND_SQL,
+    "bootstrap_replica_means": _BOOT_SQL,
 }
