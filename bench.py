@@ -209,6 +209,7 @@ HEADLINE = [
     "ccnet_quality_buckets",
     "event_trend_robust",
     "bootstrap_replica_means",
+    "lm_next_token_accuracy",
 ]
 
 

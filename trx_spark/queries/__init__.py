@@ -133,7 +133,8 @@ _R08_TOUCHED = [
     "streaming_lsh_pairs", "streaming_curation_keep",
 ]
 # Round-9 rotation note: (a) late-r8 queries with local parity but no
-# driver row yet — event_trend_robust, bootstrap_replica_means (the r8
+# driver row yet — event_trend_robust, bootstrap_replica_means,
+# lm_next_token_accuracy (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

@@ -261,13 +261,106 @@ ORDER BY c_context DESC, word ASC LIMIT 200
 """
 
 
+# ---------------------------------------------------------------------
+# LM eval: next-token top-1 accuracy of the bigram model
+# ---------------------------------------------------------------------
+#
+# The integer-exact LM eval gate: for every context token, the model's
+# top-1 prediction is the most frequent continuation (deterministic
+# tie-break: smallest token among count ties — argmax spelled as
+# max-count join-back + MIN, because both engines' arg_max have
+# nondeterministic ties); accuracy is the fraction of corpus bigrams
+# whose actual next token equals the prediction, rolled up per source.
+# This is the training-set top-1 accuracy every LM report includes —
+# and unlike perplexity (libm log), it is bit-exact across engines.
+#
+# Plan: the shared bigram-stream memo feeds one (prev, next) count agg
+# (vocab²-bounded output regardless of corpus size), the per-context
+# argmax is two vocab-bounded aggs, and the occurrence join is keyed
+# on prev — the only corpus-scale stages are the memoized explode and
+# that one equi-join.
+
+
+def lm_next_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: corpus bigram count, top-1-correct count, and the
+    1e-6 fixed-point next-token accuracy of the bigram LM."""
+    from trx_spark.queries.curation import _bigram_stream
+    from trx_spark.tables import load_table
+
+    db = _bigram_stream(spark, sf_dir)
+    pairs = db.select(
+        "doc_id",
+        F.split(F.col("ngram"), " ")[0].alias("prev"),
+        F.split(F.col("ngram"), " ")[1].alias("nxt"),
+    )
+    counts = pairs.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    mc = counts.groupBy("prev").agg(F.max("c").alias("mc"))
+    predicted = (
+        counts.join(mc, "prev")
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("prev")
+        .agg(F.min("nxt").alias("predicted"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(docs, "doc_id")
+        .join(predicted, "prev")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("nxt") == F.col("predicted")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_correct",
+            F.expr("(n_correct * 1000000) DIV n_bigrams").alias("acc_fp"),
+        )
+    )
+
+
+_NEXT_TOKEN_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id, toks[i.pos] AS prev, toks[i.pos + 1] AS nxt
+  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS i(pos)
+),
+counts AS (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY prev, nxt
+),
+mc AS (SELECT prev, MAX(c) AS mc FROM counts GROUP BY prev),
+predicted AS (
+  SELECT counts.prev, MIN(nxt) AS predicted
+  FROM counts JOIN mc ON counts.prev = mc.prev AND counts.c = mc.mc
+  GROUP BY counts.prev
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  CAST((SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) * 1000000)
+       // COUNT(*) AS BIGINT) AS acc_fp
+FROM pairs
+JOIN documents USING (doc_id)
+JOIN predicted USING (prev)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "lm_perplexity": lm_perplexity,
     "lm_bigram_counts": lm_bigram_counts,
     "kn_bigram_stats": kn_bigram_stats,
+    "lm_next_token_accuracy": lm_next_token_accuracy,
 }
 
 ORACLES: dict[str, str] = {
     "lm_bigram_counts": _BIGRAM_COUNTS_SQL,
     "kn_bigram_stats": _KN_STATS_SQL,
+    "lm_next_token_accuracy": _NEXT_TOKEN_SQL,
 }
