@@ -210,6 +210,8 @@ HEADLINE = [
     "event_trend_robust",
     "bootstrap_replica_means",
     "lm_next_token_accuracy",
+    "xml_ingest_stats",
+    "orc_roundtrip_stats",
 ]
 
 

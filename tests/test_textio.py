@@ -11,11 +11,16 @@ from pyspark.sql import functions as F
 from trx_spark.sources.textio import (
     _CORRUPT_CSV,
     _CORRUPT_JSONL,
+    _CORRUPT_XML,
     _staged,
     read_csv,
     read_jsonl,
+    read_orc,
+    read_xml,
     write_csv,
     write_jsonl,
+    write_orc,
+    write_xml,
 )
 from trx_spark.tables import load_table
 
@@ -46,16 +51,30 @@ def test_csv_roundtrip_lossless(spark, sf_dir, tmp_path):
     assert _docs_rows(back.drop("_corrupt_record")) == _docs_rows(docs)
 
 
+def test_xml_and_orc_roundtrip_lossless(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    for fmt, writer, reader in (
+        ("xml", write_xml, read_xml),
+        ("orc", write_orc, read_orc),
+    ):
+        path = str(tmp_path / f"docs_{fmt}")
+        writer(docs, path, n_shards=3)
+        back = reader(spark, path).localCheckpoint()
+        assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+        assert _docs_rows(back.drop("_corrupt_record")) == _docs_rows(docs)
+
+
 def test_corrupt_lines_quarantined_not_dropped(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
-    for fmt, writer, reader, corrupt in (
-        ("jsonl", write_jsonl, read_jsonl, _CORRUPT_JSONL),
-        ("csv", write_csv, read_csv, _CORRUPT_CSV),
+    for fmt, writer, reader, corrupt, fname in (
+        ("jsonl", write_jsonl, read_jsonl, _CORRUPT_JSONL, "part-corrupt.txt"),
+        ("csv", write_csv, read_csv, _CORRUPT_CSV, "part-corrupt.txt"),
+        ("xml", write_xml, read_xml, _CORRUPT_XML, "part-corrupt.xml"),
     ):
         path = str(tmp_path / f"q_{fmt}")
         writer(docs, path, n_shards=2)
-        with open(os.path.join(path, "part-corrupt.txt"), "w") as fh:
+        with open(os.path.join(path, fname), "w") as fh:
             fh.write(corrupt)
         back = reader(spark, path).localCheckpoint()
         assert back.count() == n + 1

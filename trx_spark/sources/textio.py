@@ -84,6 +84,51 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_xml(df: DataFrame, path: str, n_shards: int | None = None) -> None:
+    """Export as XML (<docs><doc>...</doc></docs> per shard) — the
+    enterprise drop format, native in Spark 4."""
+    if n_shards is not None:
+        df = df.repartition(n_shards)
+    (
+        df.select(*_DOC_COLS)
+        .write.mode("overwrite")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(path)
+    )
+
+
+def read_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-enforced XML ingest, same quarantine contract."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(DOC_SCHEMA)
+        .load(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str, n_shards: int | None = None) -> None:
+    """Export as ORC — the columnar interchange sibling of parquet
+    (predicate pushdown + column pruning come from the native reader)."""
+    if n_shards is not None:
+        df = df.repartition(n_shards)
+    df.select(*_DOC_COLS).write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read, padded with a NULL `_corrupt_record` so the ingest
+    stats contract is uniform across formats (ORC is self-describing
+    binary — a malformed file fails the read, it cannot yield a
+    quarantine row)."""
+    return spark.read.orc(path).withColumn(
+        "_corrupt_record", F.lit(None).cast("string")
+    )
+
+
 # ---------------------------------------------------------------------
 # Gate queries: roundtrip documents through each format + quarantine
 # ---------------------------------------------------------------------
@@ -92,6 +137,7 @@ _STAGE_CACHE: dict = {}
 
 _CORRUPT_JSONL = '{"doc_id": 9999999, "text": "truncated...\n'
 _CORRUPT_CSV = "not-a-bigint,only,two\n"
+_CORRUPT_XML = "<docs><doc><doc_id>not-a-bigint</doc_id></doc></docs>\n"
 
 
 def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
@@ -104,14 +150,17 @@ def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             tempfile.gettempdir(), "trx_spark_textio", f"{tag}_{fmt}"
         )
         docs = load_table(spark, sf_dir, "documents")
-        if fmt == "jsonl":
-            write_jsonl(docs, path, n_shards=4)
-            corrupt = _CORRUPT_JSONL
-        else:
-            write_csv(docs, path, n_shards=4)
-            corrupt = _CORRUPT_CSV
-        with open(os.path.join(path, "part-corrupt.txt"), "w") as fh:
-            fh.write(corrupt)
+        writers = {
+            "jsonl": (write_jsonl, _CORRUPT_JSONL, "part-corrupt.txt"),
+            "csv": (write_csv, _CORRUPT_CSV, "part-corrupt.txt"),
+            "xml": (write_xml, _CORRUPT_XML, "part-corrupt.xml"),
+            "orc": (write_orc, None, None),
+        }
+        writer, corrupt, fname = writers[fmt]
+        writer(docs, path, n_shards=4)
+        if corrupt is not None:
+            with open(os.path.join(path, fname), "w") as fh:
+                fh.write(corrupt)
         _STAGE_CACHE[key] = path
     return _STAGE_CACHE[key]
 
@@ -155,6 +204,19 @@ def csv_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ingest_stats(read_csv(spark, _staged(spark, sf_dir, "csv")))
 
 
+def xml_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML twin of :func:`jsonl_ingest_stats` (Spark-4 native XML
+    source; the malformed <doc> quarantines like a malformed line)."""
+    return _ingest_stats(read_xml(spark, _staged(spark, sf_dir, "xml")))
+
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip: documents → ORC shards → native read → the same
+    per-source stats, no quarantine row (binary self-describing
+    format — corruption fails the read instead of yielding rows)."""
+    return _ingest_stats(read_orc(spark, _staged(spark, sf_dir, "orc")))
+
+
 # The oracle recomputes what a lossless roundtrip must produce: the
 # per-source stats straight off the documents view, plus the constant
 # quarantine row (source NULL, one corrupt record, no data columns).
@@ -172,12 +234,28 @@ SELECT NULL, 1, NULL, 0, NULL, NULL, 1
 """
 
 
+# the ORC oracle is the clean half alone: no quarantine row
+_ORC_SQL = """
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+  CAST(SUM(len(text)) AS BIGINT) AS text_len_sum,
+  CAST(0 AS BIGINT) AS n_corrupt
+FROM documents GROUP BY source
+"""
+
 QUERIES = {
     "jsonl_ingest_stats": jsonl_ingest_stats,
     "csv_ingest_stats": csv_ingest_stats,
+    "xml_ingest_stats": xml_ingest_stats,
+    "orc_roundtrip_stats": orc_roundtrip_stats,
 }
 
 ORACLES = {
     "jsonl_ingest_stats": _INGEST_SQL,
     "csv_ingest_stats": _INGEST_SQL,
+    "xml_ingest_stats": _INGEST_SQL,
+    "orc_roundtrip_stats": _ORC_SQL,
 }
