@@ -212,6 +212,8 @@ HEADLINE = [
     "lm_next_token_accuracy",
     "xml_ingest_stats",
     "orc_roundtrip_stats",
+    "table_expectations_audit",
+    "scd2_customer_versions",
 ]
 
 

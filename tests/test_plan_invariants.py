@@ -58,6 +58,7 @@ _ONE_ROW_BUILD_OK = {
     "ann_opq_topk",          # the 1-row PCA rotation vector broadcast
     "opq_recall_audit",      # composes the two PQ rankers above
     "ccnet_quality_buckets", # the 33/67 percentile cuts are a 1-row broadcast
+    "table_expectations_audit",  # the n_checked scalar is a 1-row broadcast
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

@@ -41,6 +41,7 @@ from trx_spark.queries import (
     dataops,
     relational2,
     linkage,
+    contracts,
 )
 from trx_spark.sources import textio
 
@@ -78,6 +79,7 @@ for mod in (
     dataops,
     textio,
     linkage,
+    contracts,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -134,7 +136,8 @@ _R08_TOUCHED = [
 ]
 # Round-9 rotation note: (a) late-r8 queries with local parity but no
 # driver row yet — event_trend_robust, bootstrap_replica_means,
-# lm_next_token_accuracy, xml_ingest_stats, orc_roundtrip_stats (the r8
+# lm_next_token_accuracy, xml_ingest_stats, orc_roundtrip_stats,
+# table_expectations_audit, scd2_customer_versions (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

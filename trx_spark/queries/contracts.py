@@ -1,0 +1,240 @@
+"""Data contracts: declarative expectations auditing and the SCD2
+dimension merge — the warehouse-side operations a 100 TB platform runs
+on every drop before and after it reaches the lake.
+
+- ``table_expectations_audit``: the Great-Expectations / dbt-test idea
+  (public knowledge) as one query — each expectation (not-null,
+  uniqueness, accepted values, range, referential integrity) evaluates
+  to a (checked, violations) row, so the contract result is DATA the
+  pipeline can gate on, alert from, and trend.
+- ``scd2_customer_versions``: the type-2 slowly-changing-dimension
+  merge (Kimball, public): apply an update batch to a dimension while
+  preserving history — close the superseded version, open the new one,
+  append inserts. Spelled as ONE full outer join plus a union of
+  classified legs (the MERGE pattern without a table format; Delta/
+  Iceberg MERGE INTO compiles to the same join shape).
+
+Scale notes: every expectation leg is a single-pass aggregate over one
+scan except referential integrity, which is one LEFT ANTI join
+(broadcast when the dimension is small, shuffle otherwise — no hint,
+AQE decides); the SCD2 merge is one full outer join on the business
+key plus map-side classification — history never re-shuffles, and at
+100 TB the join key is the dimension's bucket/cluster key so the
+exchange is elided on the dimension side.
+
+The update batch derives deterministically from ``customer`` (same
+trick as the record-linkage dirty roster): custkey % 10 == 3 rows get
+a changed acctbal, custkey % 10 == 7 rows reappear keyed +1_000_000 as
+inserts — both engines build the identical batch from pure expressions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.tables import load_table
+
+# ---------------------------------------------------------------------
+# Expectations audit
+# ---------------------------------------------------------------------
+
+_ACCEPTED_STATUS = ("F", "O", "P")
+
+
+def table_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five contract checks over ``orders`` → one row per check:
+    (check_name, n_checked, n_violations, passed)."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    # single-pass legs: one scan, four aggregates
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.sum(
+            (~F.col("o_orderstatus").isin(*_ACCEPTED_STATUS)).cast("long")
+        ).alias("bad_status"),
+        F.sum((~(F.col("o_totalprice") > 0)).cast("long")).alias("bad_price"),
+    )
+    legs = [
+        base.select(
+            F.lit("orderkey_not_null").alias("check_name"),
+            F.col("n").alias("n_checked"),
+            F.col("nn_key").alias("n_violations"),
+        ),
+        base.select(
+            F.lit("orderkey_unique").alias("check_name"),
+            F.col("n").alias("n_checked"),
+            (F.col("n") - F.col("nd_key")).alias("n_violations"),
+        ),
+        base.select(
+            F.lit("orderstatus_accepted_values").alias("check_name"),
+            F.col("n").alias("n_checked"),
+            F.col("bad_status").alias("n_violations"),
+        ),
+        base.select(
+            F.lit("totalprice_positive").alias("check_name"),
+            F.col("n").alias("n_checked"),
+            F.col("bad_price").alias("n_violations"),
+        ),
+    ]
+    # referential integrity: the one join-shaped expectation
+    fk = (
+        o.join(cust, o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(base.select(F.col("n").alias("n_checked"))))
+        .select(
+            F.lit("custkey_references_customer").alias("check_name"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    audit = reduce(DataFrame.unionByName, legs + [fk])
+    return audit.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )
+
+
+def _expectations_sql() -> str:
+    accepted = ", ".join(f"'{s}'" for s in _ACCEPTED_STATUS)
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn_key,
+    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ({accepted})
+             THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+    CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+      AS bad_price
+  FROM orders
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+audit AS (
+  SELECT 'orderkey_not_null' AS check_name, n AS n_checked,
+         nn_key AS n_violations FROM base
+  UNION ALL
+  SELECT 'orderkey_unique', n, n - nd_key FROM base
+  UNION ALL
+  SELECT 'orderstatus_accepted_values', n, bad_status FROM base
+  UNION ALL
+  SELECT 'totalprice_positive', n, bad_price FROM base
+  UNION ALL
+  SELECT 'custkey_references_customer', base.n, fk.n_violations
+  FROM base CROSS JOIN fk
+)
+SELECT check_name, n_checked, n_violations,
+  CAST(n_violations = 0 AS INTEGER) AS passed
+FROM audit
+"""
+
+
+# ---------------------------------------------------------------------
+# SCD2 merge
+# ---------------------------------------------------------------------
+
+_SCD_NEW_KEY_OFFSET = 1_000_000
+_SCD_BAL_DELTA = 100.0
+
+
+def _update_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        F.col("c_custkey").alias("b_key"),
+        (F.col("c_acctbal") + F.lit(_SCD_BAL_DELTA)).alias("b_acctbal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + F.lit(_SCD_NEW_KEY_OFFSET)).alias("b_key"),
+        F.col("c_acctbal").alias("b_acctbal"),
+    )
+    return updates.unionByName(inserts)
+
+
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 merge of the deterministic update batch into the customer
+    dimension: one full outer join, three classified legs."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("acctbal")
+    )
+    batch = _update_batch(spark, sf_dir)
+    j = dim.join(batch, dim.key == batch.b_key, "full_outer").localCheckpoint()
+    unchanged = j.filter(F.col("b_key").isNull()).select(
+        "key",
+        "acctbal",
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit("unchanged").alias("change_type"),
+    )
+    closed = j.filter(F.col("key").isNotNull() & F.col("b_key").isNotNull()).select(
+        "key",
+        "acctbal",
+        F.lit(1).alias("valid_from"),
+        F.lit(2).alias("valid_to"),
+        F.lit("superseded").alias("change_type"),
+    )
+    opened = j.filter(F.col("key").isNotNull() & F.col("b_key").isNotNull()).select(
+        "key",
+        F.col("b_acctbal").alias("acctbal"),
+        F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit("updated").alias("change_type"),
+    )
+    inserted = j.filter(F.col("key").isNull()).select(
+        F.col("b_key").alias("key"),
+        F.col("b_acctbal").alias("acctbal"),
+        F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit("inserted").alias("change_type"),
+    )
+    return reduce(
+        DataFrame.unionByName, [unchanged, closed, opened, inserted]
+    )
+
+
+_SCD2_SQL = f"""
+WITH batch AS (
+  SELECT c_custkey AS b_key, c_acctbal + {_SCD_BAL_DELTA} AS b_acctbal
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey + {_SCD_NEW_KEY_OFFSET}, c_acctbal
+  FROM customer WHERE c_custkey % 10 = 7
+),
+j AS (
+  SELECT d.c_custkey AS key, d.c_acctbal AS acctbal, b.b_key, b.b_acctbal
+  FROM customer d FULL OUTER JOIN batch b ON d.c_custkey = b.b_key
+)
+SELECT key, acctbal, 1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to,
+       'unchanged' AS change_type
+FROM j WHERE b_key IS NULL
+UNION ALL
+SELECT key, acctbal, 1, 2, 'superseded'
+FROM j WHERE key IS NOT NULL AND b_key IS NOT NULL
+UNION ALL
+SELECT key, b_acctbal, 2, CAST(NULL AS INTEGER), 'updated'
+FROM j WHERE key IS NOT NULL AND b_key IS NOT NULL
+UNION ALL
+SELECT b_key, b_acctbal, 2, CAST(NULL AS INTEGER), 'inserted'
+FROM j WHERE key IS NULL
+"""
+
+
+QUERIES = {
+    "table_expectations_audit": table_expectations_audit,
+    "scd2_customer_versions": scd2_customer_versions,
+}
+
+ORACLES = {
+    "table_expectations_audit": _expectations_sql(),
+    "scd2_customer_versions": _SCD2_SQL,
+}
