@@ -214,6 +214,8 @@ HEADLINE = [
     "orc_roundtrip_stats",
     "table_expectations_audit",
     "scd2_customer_versions",
+    "cdc_apply_changes",
+    "ab_test_zscore",
 ]
 
 

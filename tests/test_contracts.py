@@ -56,6 +56,51 @@ def test_expectations_detect_injected_violations(spark, sf_dir):
     assert broken.count() == n + 1
 
 
+def test_cdc_apply_last_write_wins(spark, sf_dir):
+    from trx_spark.queries.contracts import _CDC_INS_OFFSET, cdc_apply_changes
+
+    dim = load_table(spark, sf_dir, "customer")
+    base = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in dim.select("c_custkey", "c_acctbal").collect()
+    }
+    got = {r["key"]: r for r in cdc_apply_changes(spark, sf_dir).collect()}
+    for k, bal in base.items():
+        if k % 4 == 2:
+            assert k not in got  # deleted
+        elif k % 4 == 1:
+            # TWO updates landed; the seq-2 one must win
+            assert got[k]["val"] == bal + 20.0
+            assert got[k]["last_seq"] == 2
+        else:
+            assert got[k]["val"] == bal
+            assert got[k]["last_seq"] == 0
+        if k % 4 == 3:
+            assert got[k + _CDC_INS_OFFSET]["val"] == bal
+    n_del = sum(1 for k in base if k % 4 == 2)
+    n_ins = sum(1 for k in base if k % 4 == 3)
+    assert len(got) == len(base) - n_del + n_ins
+
+
+def test_ab_zscore_matches_closed_form(spark, sf_dir):
+    import math
+
+    from trx_spark.queries.contracts import ab_test_zscore
+
+    r = ab_test_zscore(spark, sf_dir).first()
+    p_a, p_b = r["conv_a"] / r["n_a"], r["conv_b"] / r["n_b"]
+    pool = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
+    se = math.sqrt(pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"]))
+    if se == 0.0:
+        # degenerate arm (every/no user converted): z is IEEE 0/0 or
+        # x/0 — both engines agree (that agreement IS the parity gate);
+        # the closed form just confirms the degeneracy
+        assert math.isnan(r["z_score"]) or math.isinf(r["z_score"])
+    else:
+        assert r["z_score"] == (p_b - p_a) / se
+    assert r["n_a"] > 0 and r["n_b"] > 0
+
+
 def test_scd2_merge_invariants(spark, sf_dir):
     dim = load_table(spark, sf_dir, "customer")
     n = dim.count()

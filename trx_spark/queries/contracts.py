@@ -229,12 +229,205 @@ FROM j WHERE key IS NULL
 """
 
 
+# ---------------------------------------------------------------------
+# CDC apply (last-write-wins upsert/delete merge)
+# ---------------------------------------------------------------------
+#
+# The change-data-capture apply every lakehouse runs on a Debezium-style
+# change log: per key, the HIGHEST-sequence operation wins; a final
+# delete removes the key, anything else upserts its value. Spelled as
+# union(base-as-seq-0 ⊎ log) → one partitioned window (row_number by
+# seq desc) → filter. The log derives deterministically from customer:
+# keys %4==1 get two successive updates (pinning last-write-wins, not
+# first), %4==2 a delete, and a +2M-offset insert wave. One keyed
+# shuffle for the window; at 100 TB the log is tiny relative to the
+# base and the same plan applies per micro-batch.
+
+_CDC_INS_OFFSET = 2_000_000
+
+
+def _change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    upd1 = cust.filter(F.col("c_custkey") % 4 == 1).select(
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("c_custkey").alias("key"),
+        (F.col("c_acctbal") + F.lit(10.0)).alias("val"),
+    )
+    upd2 = cust.filter(F.col("c_custkey") % 4 == 1).select(
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("c_custkey").alias("key"),
+        (F.col("c_acctbal") + F.lit(20.0)).alias("val"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 4 == 2).select(
+        F.lit(1).alias("seq"),
+        F.lit("D").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 4 == 3).select(
+        F.lit(2).alias("seq"),
+        F.lit("I").alias("op"),
+        (F.col("c_custkey") + F.lit(_CDC_INS_OFFSET)).alias("key"),
+        F.col("c_acctbal").alias("val"),
+    )
+    return reduce(DataFrame.unionByName, [upd1, upd2, dels, ins])
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the deterministic change log over customer with
+    last-write-wins semantics; returns the resulting current table."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("val"),
+    )
+    log = _change_log(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        base.unionByName(log)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "key", "val", F.col("seq").alias("last_seq"), F.col("op").alias("last_op")
+    )
+
+
+_CDC_SQL = f"""
+WITH log AS (
+  SELECT 1 AS seq, 'U' AS op, c_custkey AS key, c_acctbal + 10.0 AS val
+  FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT 2, 'U', c_custkey, c_acctbal + 20.0
+  FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL
+  SELECT 1, 'D', c_custkey, CAST(NULL AS DOUBLE)
+  FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL
+  SELECT 2, 'I', c_custkey + {_CDC_INS_OFFSET}, c_acctbal
+  FROM customer WHERE c_custkey % 4 = 3
+),
+allrows AS (
+  SELECT 0 AS seq, 'I' AS op, c_custkey AS key, c_acctbal AS val FROM customer
+  UNION ALL
+  SELECT * FROM log
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM allrows
+)
+SELECT key, val, seq AS last_seq, op AS last_op
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+# ---------------------------------------------------------------------
+# A/B experiment analysis (two-proportion z-score)
+# ---------------------------------------------------------------------
+#
+# The product-analytics staple: deterministic hash assignment of users
+# to arms, a conversion predicate, and the pooled two-proportion
+# z-statistic. Conversion = "heavy purchaser" (>= _AB_CONV_MIN purchase
+# events) — the synthetic feed gives every user ~13 purchases, so a
+# >=1 predicate is degenerate (pool=1, se=0); the 14 cut splits the
+# population near 50 % at every SF. Counts are exact integers from ONE
+# per-user collapse of the event stream; the z is pure IEEE arithmetic
+# (one sqrt) over those integers — bit-portable, unlike a p-value
+# (erf is libm). The whole query is two aggregations; nothing scales
+# beyond the first groupBy.
+
+_AB_CONV_MIN = 14
+
+
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: per-arm user and conversion counts plus the pooled
+    two-proportion z-score of arm B vs arm A."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            >= _AB_CONV_MIN
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    arms = per_user.select(
+        (F.col("user_id") % 2).alias("arm"), "conv"
+    ).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            1 / F.col("n_a").cast("double")
+            + 1 / F.col("n_b").cast("double")
+        )
+    )
+    return arms.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        ((p_b - p_a) / se).alias("z_score"),
+    )
+
+
+_AB_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              >= {_AB_CONV_MIN} AS INTEGER) AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT)
+      AS conv_b
+  FROM per_user
+)
+SELECT n_a, conv_a, n_b, conv_b,
+  (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+   - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+  / sqrt(
+      (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      * (1 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))
+    ) AS z_score
+FROM arms
+"""
+
+
 QUERIES = {
     "table_expectations_audit": table_expectations_audit,
     "scd2_customer_versions": scd2_customer_versions,
+    "cdc_apply_changes": cdc_apply_changes,
+    "ab_test_zscore": ab_test_zscore,
 }
 
 ORACLES = {
     "table_expectations_audit": _expectations_sql(),
     "scd2_customer_versions": _SCD2_SQL,
+    "cdc_apply_changes": _CDC_SQL,
+    "ab_test_zscore": _AB_SQL,
 }
