@@ -216,6 +216,8 @@ HEADLINE = [
     "scd2_customer_versions",
     "cdc_apply_changes",
     "ab_test_zscore",
+    "moving_median_counts",
+    "seasonality_profile",
 ]
 
 

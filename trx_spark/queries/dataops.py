@@ -765,6 +765,122 @@ GROUP BY replica
 """
 
 
+# ---------------------------------------------------------------------
+# Moving median + day-of-week seasonality over the event day series
+# ---------------------------------------------------------------------
+#
+# The two remaining monitoring companions to ewma_anomaly /
+# event_trend_robust: a 7-day trailing MEDIAN (robust smoother — the
+# windowed exact-percentile shape, deterministic because (type, day)
+# rows are unique) and the day-of-week profile (seasonality baseline:
+# per (type, dow) mean and the peak flag). Both run entirely on the
+# pre-collapsed (type, day) grid — bounded by types × days, never
+# event volume.
+
+
+def moving_median_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): the daily count and its trailing 7-row
+    exact median (including the current day)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return counts.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.expr("percentile(n_events, 0.5)").over(w).alias("median_7d"),
+    )
+
+
+_MOVING_MEDIAN_SQL = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, epoch_us(ts) // {_DAY_US}
+)
+SELECT event_type, day, n_events,
+  quantile_cont(n_events, 0.5) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS median_7d
+FROM counts
+"""
+
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day-of-week): observed days, total and 1e-6
+    fixed-point mean daily count, and whether this is the type's peak
+    weekday (deterministic min-dow tie-break)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    prof = counts.groupBy(
+        "event_type", (F.col("day") % 7).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("total_events"),
+    ).select(
+        "event_type",
+        "dow",
+        "n_days",
+        "total_events",
+        F.expr(f"(total_events * {_FP}) DIV n_days").alias("mean_fp"),
+    )
+    # peak weekday: portable argmax (max join-back + MIN dow tie-break)
+    peak = (
+        prof.groupBy("event_type")
+        .agg(F.max("mean_fp").alias("max_mean"))
+        .join(prof, "event_type")
+        .filter(F.col("mean_fp") == F.col("max_mean"))
+        .groupBy("event_type")
+        .agg(F.min("dow").alias("peak_dow"))
+    )
+    return prof.join(peak, "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        "total_events",
+        "mean_fp",
+        (F.col("dow") == F.col("peak_dow")).cast("int").alias("is_peak"),
+    )
+
+
+_SEASONALITY_SQL = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, epoch_us(ts) // {_DAY_US}
+),
+prof AS (
+  SELECT event_type, day % 7 AS dow,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(n_events) AS BIGINT) AS total_events,
+    CAST((SUM(n_events) * {_FP}) // COUNT(*) AS BIGINT) AS mean_fp
+  FROM counts GROUP BY event_type, day % 7
+),
+mx AS (SELECT event_type, MAX(mean_fp) AS max_mean FROM prof GROUP BY event_type),
+peak AS (
+  SELECT prof.event_type, MIN(dow) AS peak_dow
+  FROM prof JOIN mx ON prof.event_type = mx.event_type
+                   AND prof.mean_fp = mx.max_mean
+  GROUP BY prof.event_type
+)
+SELECT prof.event_type, dow, n_days, total_events, mean_fp,
+  CAST(dow = peak_dow AS INTEGER) AS is_peak
+FROM prof JOIN peak ON prof.event_type = peak.event_type
+"""
+
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "dictionary_tag_spans": dictionary_tag_spans,
@@ -775,6 +891,8 @@ QUERIES = {
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "event_trend_robust": event_trend_robust,
     "bootstrap_replica_means": bootstrap_replica_means,
+    "moving_median_counts": moving_median_counts,
+    "seasonality_profile": seasonality_profile,
 }
 
 ORACLES = {
@@ -787,4 +905,6 @@ ORACLES = {
     "ccnet_quality_buckets": _CCNET_SQL,
     "event_trend_robust": _TREND_SQL,
     "bootstrap_replica_means": _BOOT_SQL,
+    "moving_median_counts": _MOVING_MEDIAN_SQL,
+    "seasonality_profile": _SEASONALITY_SQL,
 }
