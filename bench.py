@@ -218,6 +218,7 @@ HEADLINE = [
     "ab_test_zscore",
     "moving_median_counts",
     "seasonality_profile",
+    "ops_health_report",
 ]
 
 

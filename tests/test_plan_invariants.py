@@ -59,6 +59,7 @@ _ONE_ROW_BUILD_OK = {
     "opq_recall_audit",      # composes the two PQ rankers above
     "ccnet_quality_buckets", # the 33/67 percentile cuts are a 1-row broadcast
     "table_expectations_audit",  # the n_checked scalar is a 1-row broadcast
+    "ops_health_report",         # composes the expectations audit above
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

@@ -100,3 +100,20 @@ def test_column_pruning_parser_trap_is_pinned(spark, sf_dir):
     assert (
         full.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     )
+
+
+def test_ingest_stats_quarantine_survives_downstream_pruning(spark, sf_dir):
+    """Regression: a consumer that aggregates ONLY n_corrupt from the
+    ingest stats (like ops_health_report) must still see the corrupt
+    row — the checkpoint barrier inside the gate queries makes the
+    quarantine projection-independent. Without it, Catalyst prunes
+    doc_id out of the CSV/XML parse and the malformed line passes."""
+    from trx_spark.sources.textio import (
+        csv_ingest_stats,
+        jsonl_ingest_stats,
+        xml_ingest_stats,
+    )
+
+    for fn in (jsonl_ingest_stats, csv_ingest_stats, xml_ingest_stats):
+        total = fn(spark, sf_dir).agg(F.sum("n_corrupt")).first()[0]
+        assert total == 1, fn.__name__

@@ -138,7 +138,8 @@ _R08_TOUCHED = [
 # driver row yet — event_trend_robust, bootstrap_replica_means,
 # lm_next_token_accuracy, xml_ingest_stats, orc_roundtrip_stats,
 # table_expectations_audit, scd2_customer_versions, cdc_apply_changes,
-# ab_test_zscore, moving_median_counts, seasonality_profile (the r8
+# ab_test_zscore, moving_median_counts, seasonality_profile,
+# ops_health_report (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

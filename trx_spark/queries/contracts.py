@@ -418,11 +418,126 @@ FROM arms
 """
 
 
+# ---------------------------------------------------------------------
+# Ops health report (capstone composition)
+# ---------------------------------------------------------------------
+#
+# The one-table pipeline-health dashboard an operator reads first:
+# every r8 monitoring/contract signal reduced to one (metric, value)
+# row — EWMA spike count, failed expectations, per-format quarantined
+# ingest rows, unresolved linkage records, declining event series.
+# Pure composition: each leg is ONE aggregate over an already-gated
+# (and where applicable memoized) query; the oracle inlines the same
+# component SQLs as subqueries, so the report is exactly as trusted as
+# its parts.
+
+
+def ops_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven (metric, value) health rows composed from the gated
+    monitoring, contract, ingest, and linkage queries."""
+    from trx_spark.queries.dataops import (
+        event_trend_robust,
+        ewma_anomaly,
+    )
+    from trx_spark.queries.linkage import record_linkage_pairs
+    from trx_spark.sources.textio import (
+        csv_ingest_stats,
+        jsonl_ingest_stats,
+        xml_ingest_stats,
+    )
+
+    def leg(metric: str, df: DataFrame, value) -> DataFrame:
+        return df.agg(
+            F.lit(metric).alias("metric"),
+            F.coalesce(value, F.lit(0)).cast("long").alias("value"),
+        )
+
+    legs = [
+        leg(
+            "ewma_anomalies",
+            ewma_anomaly(spark, sf_dir),
+            F.sum(F.coalesce(F.col("is_anomaly"), F.lit(0))),
+        ),
+        leg(
+            "failed_expectations",
+            table_expectations_audit(spark, sf_dir),
+            F.sum(1 - F.col("passed")),
+        ),
+        leg(
+            "corrupt_jsonl_rows",
+            jsonl_ingest_stats(spark, sf_dir),
+            F.sum("n_corrupt"),
+        ),
+        leg(
+            "corrupt_csv_rows",
+            csv_ingest_stats(spark, sf_dir),
+            F.sum("n_corrupt"),
+        ),
+        leg(
+            "corrupt_xml_rows",
+            xml_ingest_stats(spark, sf_dir),
+            F.sum("n_corrupt"),
+        ),
+        leg(
+            "linkage_unmatched",
+            record_linkage_pairs(spark, sf_dir),
+            F.sum(F.col("matched_key").isNull().cast("long")),
+        ),
+        leg(
+            "declining_series",
+            event_trend_robust(spark, sf_dir),
+            F.sum((F.col("trend_slope") < 0).cast("long")),
+        ),
+    ]
+    return reduce(DataFrame.unionByName, legs)
+
+
+def _health_sql() -> str:
+    from trx_spark.queries.dataops import _TREND_SQL, _ewma_sql
+    from trx_spark.queries.linkage import _LINKAGE_SQL
+    from trx_spark.sources.textio import _INGEST_SQL
+
+    def scalar(inner: str, value_expr: str) -> str:
+        return (
+            f"(SELECT COALESCE(CAST({value_expr} AS BIGINT), 0)"
+            f" FROM ({inner}))"
+        )
+
+    legs = [
+        ("ewma_anomalies", scalar(_ewma_sql(), "SUM(COALESCE(is_anomaly, 0))")),
+        (
+            "failed_expectations",
+            scalar(_expectations_sql(), "SUM(1 - passed)"),
+        ),
+        ("corrupt_jsonl_rows", scalar(_INGEST_SQL, "SUM(n_corrupt)")),
+        ("corrupt_csv_rows", scalar(_INGEST_SQL, "SUM(n_corrupt)")),
+        ("corrupt_xml_rows", scalar(_INGEST_SQL, "SUM(n_corrupt)")),
+        (
+            "linkage_unmatched",
+            scalar(
+                _LINKAGE_SQL,
+                "SUM(CASE WHEN matched_key IS NULL THEN 1 ELSE 0 END)",
+            ),
+        ),
+        (
+            "declining_series",
+            scalar(
+                _TREND_SQL,
+                "SUM(CASE WHEN trend_slope < 0 THEN 1 ELSE 0 END)",
+            ),
+        ),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{m}' AS metric, {s} AS value" for m, s in legs
+    )
+
+
 QUERIES = {
     "table_expectations_audit": table_expectations_audit,
     "scd2_customer_versions": scd2_customer_versions,
     "cdc_apply_changes": cdc_apply_changes,
     "ab_test_zscore": ab_test_zscore,
+    "ops_health_report": ops_health_report,
 }
 
 ORACLES = {
@@ -430,4 +545,5 @@ ORACLES = {
     "scd2_customer_versions": _SCD2_SQL,
     "cdc_apply_changes": _CDC_SQL,
     "ab_test_zscore": _AB_SQL,
+    "ops_health_report": _health_sql(),
 }

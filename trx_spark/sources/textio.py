@@ -170,13 +170,17 @@ def _ingest_stats(df: DataFrame) -> DataFrame:
     # 1. Data sums run over CLEAN rows only — PERMISSIVE mode keeps
     #    partially-parsed fields alongside _corrupt_record, and a
     #    quarantined line must never leak into data statistics.
-    # 2. EVERY schema column is referenced (doc_id/lang included), and
-    #    that is load-bearing: Spark's text parsers validate only the
-    #    columns the query actually reads (column pruning reaches the
-    #    parser), so a line whose malformation lives in a pruned column
-    #    — e.g. an unparseable doc_id when only source/n_chars survive
-    #    the projection — would otherwise pass as clean. Touching all
-    #    columns pins full-row validation without a checkpoint barrier.
+    # 2. The input is CHECKPOINTED by the gate queries before reaching
+    #    this aggregate, and that is load-bearing: Spark's text parsers
+    #    validate only the columns the surviving projection reads
+    #    (column pruning reaches the parser), so a line whose
+    #    malformation lives in a pruned column — e.g. an unparseable
+    #    doc_id when a downstream consumer aggregates only n_corrupt —
+    #    would silently pass as clean. The checkpoint is the parse
+    #    barrier that makes quarantine projection-independent no matter
+    #    how this frame is consumed; referencing every column below is
+    #    belt-and-braces (and the stats are useful). The trap is pinned
+    #    by tests/test_textio.py.
     clean = F.col("_corrupt_record").isNull()
     return df.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -196,18 +200,21 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSONL shards → schema-enforced re-ingest → per-source
     stats; the injected malformed line must surface as the NULL-source
     quarantine row, never as data and never as a job failure."""
-    return _ingest_stats(read_jsonl(spark, _staged(spark, sf_dir, "jsonl")))
+    df = read_jsonl(spark, _staged(spark, sf_dir, "jsonl"))
+    return _ingest_stats(df.localCheckpoint())
 
 
 def csv_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV twin of :func:`jsonl_ingest_stats`."""
-    return _ingest_stats(read_csv(spark, _staged(spark, sf_dir, "csv")))
+    df = read_csv(spark, _staged(spark, sf_dir, "csv"))
+    return _ingest_stats(df.localCheckpoint())
 
 
 def xml_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML twin of :func:`jsonl_ingest_stats` (Spark-4 native XML
     source; the malformed <doc> quarantines like a malformed line)."""
-    return _ingest_stats(read_xml(spark, _staged(spark, sf_dir, "xml")))
+    df = read_xml(spark, _staged(spark, sf_dir, "xml"))
+    return _ingest_stats(df.localCheckpoint())
 
 
 def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
