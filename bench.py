@@ -219,6 +219,15 @@ HEADLINE = [
     "moving_median_counts",
     "seasonality_profile",
     "ops_health_report",
+    "ks_two_sample",
+    "mannwhitney_u",
+    "order_priority_check",
+    "linestatus_priority",
+    "customer_order_distribution",
+    "sales_opportunity_by_nation",
+    "bucketed_join_stats",
+    "knn_label_agreement",
+    "image_patch_stats",
 ]
 
 

@@ -60,6 +60,7 @@ _ONE_ROW_BUILD_OK = {
     "ccnet_quality_buckets", # the 33/67 percentile cuts are a 1-row broadcast
     "table_expectations_audit",  # the n_checked scalar is a 1-row broadcast
     "ops_health_report",         # composes the expectations audit above
+    "sales_opportunity_by_nation",  # the Q22 avg-balance scalar is a 1-row broadcast
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

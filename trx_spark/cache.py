@@ -19,6 +19,7 @@ def _all_caches() -> list[dict]:
     from trx_spark.sources import textio
     from trx_spark.queries import (
         bpe,
+        bucketing,
         classifier,
         corpus,
         curation,
@@ -56,6 +57,7 @@ def _all_caches() -> list[dict]:
         lm._LM_CACHE,
         classifier._CLF_CACHE,
         textio._STAGE_CACHE,
+        bucketing._BUCKETED_CACHE,
     ]
 
 
@@ -84,7 +86,18 @@ def clear_stage_caches(spark=None) -> int:
 
 def stage_cache_stats() -> dict[str, int]:
     """Entry counts per cache (for diagnostics/monitoring)."""
-    from trx_spark.queries import bpe, classifier, corpus, curation, lm, similarity, textdata, trxdomain, trxdomain3
+    from trx_spark.queries import (
+        bpe,
+        bucketing,
+        classifier,
+        corpus,
+        curation,
+        lm,
+        similarity,
+        textdata,
+        trxdomain,
+        trxdomain3,
+    )
 
     return {
         "events_diff_bank": len(trxdomain._DIFFS_CACHE),
@@ -108,4 +121,5 @@ def stage_cache_stats() -> dict[str, int]:
         "lm_model": len(lm._LM_CACHE),
         "quality_classifier": len(classifier._CLF_CACHE),
         "classifier_features": len(classifier._FEATS_CACHE),
+        "bucketed_tables": len(bucketing._BUCKETED_CACHE),
     }

@@ -40,8 +40,11 @@ from trx_spark.queries import (
     trxdomain3,
     dataops,
     relational2,
+    relational3,
     linkage,
     contracts,
+    driftstats,
+    bucketing,
 )
 from trx_spark.sources import textio
 
@@ -80,6 +83,9 @@ for mod in (
     textio,
     linkage,
     contracts,
+    relational3,
+    driftstats,
+    bucketing,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -139,7 +145,10 @@ _R08_TOUCHED = [
 # lm_next_token_accuracy, xml_ingest_stats, orc_roundtrip_stats,
 # table_expectations_audit, scd2_customer_versions, cdc_apply_changes,
 # ab_test_zscore, moving_median_counts, seasonality_profile,
-# ops_health_report (the r8
+# ops_health_report, ks_two_sample, mannwhitney_u, order_priority_check,
+# linestatus_priority, customer_order_distribution,
+# sales_opportunity_by_nation, bucketed_join_stats,
+# knn_label_agreement, image_patch_stats (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

@@ -1,0 +1,174 @@
+"""Distribution-drift statistics, integer-exact: two-sample
+Kolmogorov–Smirnov and Mann–Whitney U over the events stream.
+
+A 100-TB training pipeline monitors *distribution* drift, not just
+mean drift (the EWMA/CUSUM monitors in :mod:`temporal` cover means).
+The two classical nonparametric two-sample tests are exactly
+computable in 64-bit integers once the metric is quantized, so they
+fit the repo's bit-exact oracle gate:
+
+- **KS**: ``D = max_x |F1(x) − F2(x)|``. With cumulative per-sample
+  counts ``cum1, cum2`` and totals ``n1, n2``, the numerator
+  ``max |cum1·n2 − cum2·n1|`` is an exact BIGINT; ``D`` itself is ONE
+  double division of two BIGINTs — bit-identical across engines.
+- **Mann–Whitney U**: ``U1 = Σ_pairs 1[x>y] + ½·1[x=y]``. Per distinct
+  value ``v`` with counts ``c1(v), c2(v)`` and the strictly-below
+  cumulative ``cless2(v)``, ``2·U1 = Σ_v c1·(2·cless2 + c2)`` — an
+  exact BIGINT (the ½-tie weight cleared by the factor 2). The
+  common-language effect size (= AUC) is again one double division.
+
+Scale design: both statistics aggregate the raw stream down to ONE row
+per distinct quantized value FIRST (a map-side-combining groupBy on a
+domain bounded by the quantization step — here cents, ≤ ~33k cells; at
+100 TB you choose the bin width to bound the domain, exactly like a
+histogram sketch). The single-partition window then runs over that
+bounded per-bin aggregate, never over raw events — the same
+bounded-domain contract as ``event_rate_cusum``. No joins, one shuffle
+(the groupBy), one 1-row result.
+
+Reference analogue: trx filters scan points by χ²-style statistics
+(dataReduction.py:200 chi2Filter); these are the corpus-level
+two-sample versions a data-curation pipeline runs between sources or
+time slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.tables import load_table
+
+_DRIFT_A = "click"  # sample 1
+_DRIFT_B = "view"  # sample 2
+_QUANT = 100  # cents: value has 2 decimals; floor(v*100) is exact
+
+
+def _per_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct quantized value: counts in each sample plus
+    running (cumulative) and total counts. The window input is the
+    per-bin aggregate — bounded by the quantization domain, not by the
+    event count."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_DRIFT_A, _DRIFT_B)
+    )
+    per_v = ev.groupBy(
+        F.floor(F.col("value") * _QUANT).cast("long").alias("v")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == _DRIFT_A, F.lit(1)).otherwise(F.lit(0))
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col("event_type") == _DRIFT_B, F.lit(1)).otherwise(F.lit(0))
+        ).alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_v.withColumn("cum1", F.sum("c1").over(w_cum))
+        .withColumn("cum2", F.sum("c2").over(w_cum))
+        .withColumn("n1", F.sum("c1").over(w_all))
+        .withColumn("n2", F.sum("c2").over(w_all))
+    )
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types. One row: sample sizes, the exact
+    integer numerator ``max |cum1·n2 − cum2·n1|``, and the KS distance
+    as one double division."""
+    c = _per_value_counts(spark, sf_dir)
+    d_num = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return c.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(d_num).alias("d_num"),
+    ).select(
+        "n1",
+        "n2",
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_d"),
+    )
+
+
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (with midrank tie handling) between the value
+    distributions of two event types. One row: sample sizes, the exact
+    integer ``2·U1``, and the common-language effect size (AUC) as one
+    double division."""
+    c = _per_value_counts(spark, sf_dir)
+    cless2 = F.col("cum2") - F.col("c2")
+    term = F.col("c1") * (F.lit(2) * cless2 + F.col("c2"))
+    return c.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(term).alias("u1_x2"),
+    ).select(
+        "n1",
+        "n2",
+        "u1_x2",
+        (
+            F.col("u1_x2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+_COUNTS_CTE = f"""
+per_v AS (
+  SELECT CAST(FLOOR(value * {_QUANT}) AS BIGINT) AS v,
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('{_DRIFT_A}', '{_DRIFT_B}')
+  GROUP BY 1
+),
+cum AS (
+  SELECT v, c1, c2,
+    CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+    CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+  FROM per_v
+)"""
+
+_KS_SQL = f"""
+WITH {_COUNTS_CTE}
+SELECT n1, n2, d_num,
+  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+FROM (
+  SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+    CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+  FROM cum
+)
+"""
+
+_MWU_SQL = f"""
+WITH {_COUNTS_CTE}
+SELECT n1, n2, u1_x2,
+  CAST(u1_x2 AS DOUBLE)
+    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+FROM (
+  SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+    CAST(SUM(c1 * (2 * (cum2 - c2) + c2)) AS BIGINT) AS u1_x2
+  FROM cum
+)
+"""
+
+QUERIES = {
+    "ks_two_sample": ks_two_sample,
+    "mannwhitney_u": mannwhitney_u,
+}
+
+ORACLES = {
+    "ks_two_sample": _KS_SQL,
+    "mannwhitney_u": _MWU_SQL,
+}

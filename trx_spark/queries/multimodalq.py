@@ -397,12 +397,76 @@ FROM px GROUP BY k, j
 """
 
 
+# ---------------------------------------------------------------------
+# ViT-style patch extraction over the real PNG decode path
+# ---------------------------------------------------------------------
+
+_PATCH = 4  # 4×4 patches over the 16×16 fixture → 16 patches per image
+
+
+def image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-transformer data prep: patchify each decoded image into
+    non-overlapping ``_PATCH×_PATCH`` tiles and emit per-patch integer
+    statistics (count, sum, min, max) — the tokenization step a
+    multimodal training pipeline runs before projecting patches into
+    the embedding space.
+
+    Runs on the REAL distributed PNG decode (the same fixture as
+    ``png_decode_stats``): the patch grouping is a pure integer-div
+    projection on the decoded pixel rows, so the whole operator is one
+    mapInPandas decode + one map-side-combining groupBy — no joins, no
+    window. At 100 TB the group key (file, patch) partitions evenly by
+    construction (every image contributes every patch id). The oracle
+    never decodes PNG: it recomputes the deterministic pixel pattern
+    arithmetically, so any decode defect shifts the per-patch sums."""
+    from trx_spark.operators.multimodal import decode_image
+
+    px = decode_image(_png_assets(spark), codec="png")
+    patch = (
+        (F.col("y").cast("long") / _PATCH).cast("long") * (_PNG_W // _PATCH)
+        + (F.col("x").cast("long") / _PATCH).cast("long")
+    )
+    inten = F.col("intensity").cast("long")
+    return px.groupBy(F.col("file"), patch.alias("patch")).agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum(inten).alias("i_sum"),
+        F.min(inten).alias("i_min"),
+        F.max(inten).alias("i_max"),
+    )
+
+
+_PATCH_SQL = f"""
+WITH imgs AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_PNG_N}) t(k)),
+ys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_PNG_H}) t(v)),
+xs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_PNG_W}) t(v)),
+px AS (
+  SELECT k, y, x,
+    CASE WHEN k < {_PNG_N // 2}
+         THEN (k * 997 + y * 211 + x * 53) % 1024
+         ELSE (299 * (((k * 997 + y * 211 + x * 53) % 1024) % 256)
+             + 587 * ((((k * 997 + y * 211 + x * 53) % 1024) * 3) % 256)
+             + 114 * ((((k * 997 + y * 211 + x * 53) % 1024) * 7) % 256))
+              // 1000
+    END AS inten
+  FROM imgs, ys, xs
+)
+SELECT 'png_' || CAST(k AS VARCHAR) AS file,
+  CAST((y // {_PATCH}) * {_PNG_W // _PATCH} + (x // {_PATCH}) AS BIGINT)
+    AS patch,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(inten) AS BIGINT) AS i_sum,
+  CAST(MIN(inten) AS BIGINT) AS i_min,
+  CAST(MAX(inten) AS BIGINT) AS i_max
+FROM px GROUP BY 1, 2
+"""
+
 QUERIES = {
     "image_dedup_groups": image_dedup_groups,
     "audio_dedup_groups": audio_dedup_groups,
     "png_decode_stats": png_decode_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
     "video_decode_stats": video_decode_stats,
+    "image_patch_stats": image_patch_stats,
 }
 
 ORACLES = {
@@ -411,4 +475,5 @@ ORACLES = {
     "png_decode_stats": _PNG_DECODE_SQL,
     "jpeg_decode_stats": _JPEG_DECODE_SQL,
     "video_decode_stats": _VIDEO_DECODE_SQL,
+    "image_patch_stats": _PATCH_SQL,
 }

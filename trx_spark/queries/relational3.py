@@ -1,0 +1,215 @@
+"""TPC-H-shaped relational queries, third wave: the remaining classic
+shapes not yet exercised — an EXISTS-driven priority census (Q4), a
+conditional-count pivot on a line attribute (Q12), a left-outer
+histogram-of-counts (Q13), and a scalar-subquery + anti-join screen
+(Q22). Columns the synthetic schema lacks (l_commitdate, l_shipmode,
+c_phone) are substituted with equivalents that keep the plan shape
+(documented per query).
+
+Scale design notes (local[32] tests correctness; plans target a
+1000-executor cluster):
+
+- ``order_priority_check``: the EXISTS is a LEFT SEMI equi-join on
+  orderkey — the late-line predicate is pushed below the join, so the
+  semi-join's build side is only the late lines, and the orderdate
+  window prunes the probe side at the scan. No DISTINCT, no COUNT
+  over a joined fan-out.
+- ``linestatus_priority``: one scan of each table, one equi-join, and
+  the high/low split is a conditional SUM in the SAME aggregate pass —
+  never two scans or a pivot shuffle.
+- ``customer_order_distribution``: the Q13 double-aggregate. The first
+  groupBy(custkey) runs on the orders side BEFORE the join, so the
+  left-outer join against customer is agg-sized (one row per customer
+  with orders), and COALESCE supplies the zero bucket. The second
+  groupBy is over ≤ max-order-count distinct keys — tiny.
+- ``sales_opportunity_by_nation``: Q22's scalar average is ONE 1-row
+  broadcast cross join (the repo's audited scalar pattern), the
+  "no orders" screen is a LEFT ANTI equi-join, and the nation name
+  arrives via a broadcast of the fixed 25-row dim.
+
+Money sums use the fixed-point contract (:mod:`trx_spark.exact`); the
+Q22 threshold is a single double division compared with identical
+expression trees on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.exact import dsum, sql_dsum
+from trx_spark.tables import load_table
+
+# Q4 window: one quarter of order dates; a line is "late" when it ships
+# more than _LATE_DAYS after the order date (the schema has no
+# l_commitdate/l_receiptdate — shipdate lag keeps the EXISTS shape).
+_Q4_LO, _Q4_HI = "1995-01-01", "1995-04-01"
+_LATE_DAYS = 75
+
+_HIGH_PRio = ("1-URGENT", "2-HIGH")
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders in one
+    quarter have at least one late line (EXISTS → left-semi join)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q4_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}'
+  AND o_orderdate < TIMESTAMP '{_Q4_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status (standing in for l_shipmode),
+    how many 1995-shipped lines belong to high- vs low-priority orders
+    — both counts in one aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*_HIGH_PRio)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1))).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_Q12_SQL = f"""
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the histogram of per-customer open-order
+    counts, zero bucket included (aggregate-before-join + left outer +
+    COALESCE + second aggregate)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT COALESCE(o.c_count, 0) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+    FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_custkey
+  ) o ON c_custkey = o.o_custkey
+)
+GROUP BY c_count
+"""
+
+
+def sales_opportunity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, count and total balance of
+    above-average-balance customers who have never ordered (scalar
+    subquery → 1-row broadcast; NOT EXISTS → left-anti join). The
+    schema has no c_phone, so the country grouping is the real nation
+    dim instead of phone-prefix country codes."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("nk"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = f"""
+WITH avg_bal AS (
+  SELECT {sql_dsum('c_acctbal')} / CAST(COUNT(*) AS BIGINT) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg_bal FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+QUERIES = {
+    "order_priority_check": order_priority_check,
+    "linestatus_priority": linestatus_priority,
+    "customer_order_distribution": customer_order_distribution,
+    "sales_opportunity_by_nation": sales_opportunity_by_nation,
+}
+
+ORACLES = {
+    "order_priority_check": _Q4_SQL,
+    "linestatus_priority": _Q12_SQL,
+    "customer_order_distribution": _Q13_SQL,
+    "sales_opportunity_by_nation": _Q22_SQL,
+}

@@ -1931,6 +1931,63 @@ FROM deg d LEFT JOIN tn t USING (vec_id)
 """
 
 
+# ---------------------------------------------------------------------
+# Label-noise detection: k-NN label agreement
+# ---------------------------------------------------------------------
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening (Confident-Learning style, the k-NN
+    variant): for every vector, how many of its k nearest neighbors
+    share its label. Rows whose neighborhood out-votes their own label
+    (``n_same·2 < k_eff``) are the mislabel candidates a curation
+    pipeline routes to re-annotation.
+
+    Rides the memoized LSH-blocked :func:`knn_graph` (no new pair
+    generation); the two label lookups are equi-joins against the
+    narrow (vec_id, label) projection, and the per-vector verdict is
+    one integer aggregate — all counts exact, no floats."""
+    g = knn_graph(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nbr_lab = lab.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+    )
+    return (
+        g.join(lab, "vec_id")
+        .join(nbr_lab, "nbr_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(
+                F.when(F.col("nbr_label") == F.col("label"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_same"),
+        )
+        .withColumn(
+            "suspect",
+            F.when(F.col("n_same") * 2 < F.col("k_eff"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+    )
+
+
+_KNN_LABEL_SQL = f"""
+WITH knn AS ({_KNN_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT k.vec_id, l.label,
+  CAST(COUNT(*) AS BIGINT) AS k_eff,
+  CAST(SUM(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_same,
+  CAST(CASE WHEN SUM(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) * 2
+            < COUNT(*) THEN 1 ELSE 0 END AS INTEGER) AS suspect
+FROM knn k
+JOIN lab l ON l.vec_id = k.vec_id
+JOIN lab nl ON nl.vec_id = k.nbr_id
+GROUP BY k.vec_id, l.label
+"""
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1950,6 +2007,7 @@ QUERIES = {
     "kcenter_coreset": kcenter_coreset,
     "ann_opq_topk": ann_opq_topk,
     "opq_recall_audit": opq_recall_audit,
+    "knn_label_agreement": knn_label_agreement,
 }
 
 ORACLES = {
@@ -1971,4 +2029,5 @@ ORACLES = {
     "kcenter_coreset": _kcenter_sql(),
     "ann_opq_topk": _OPQ_TOPK_SQL,
     "opq_recall_audit": _opq_recall_sql(),
+    "knn_label_agreement": _KNN_LABEL_SQL,
 }
