@@ -228,6 +228,9 @@ HEADLINE = [
     "bucketed_join_stats",
     "knn_label_agreement",
     "image_patch_stats",
+    "returned_item_revenue",
+    "small_qty_order_revenue",
+    "pmi_collocations",
 ]
 
 

@@ -148,7 +148,8 @@ _R08_TOUCHED = [
 # ops_health_report, ks_two_sample, mannwhitney_u, order_priority_check,
 # linestatus_priority, customer_order_distribution,
 # sales_opportunity_by_nation, bucketed_join_stats,
-# knn_label_agreement, image_patch_stats (the r8
+# knn_label_agreement, image_patch_stats, returned_item_revenue,
+# small_qty_order_revenue, pmi_collocations (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

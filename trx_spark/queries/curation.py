@@ -1456,6 +1456,87 @@ FROM terms GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------
+# PMI collocation mining over the memoized bigram stream
+# ---------------------------------------------------------------------
+#
+# The classic collocation statistic: rank bigrams by pointwise mutual
+# information against the bigram-position marginals — p(w1 w2) /
+# (p(w1 ·) p(· w2)).  log() isn't cross-engine bit-stable, but PMI is
+# a monotone transform of the LIFT c12·n / (c1·c2), which is ONE
+# double division of two exact BIGINT products — so the ranking (and
+# the gate value) is bit-portable.  Plan: one groupBy over the
+# memoized bigram stream for the pair counts, two partial-aggregated
+# marginal groupBys joined back on w1/w2 (equi-joins, no broadcast
+# hint — marginal tables grow with vocabulary), the total-count scalar
+# as the audited 1-row broadcast, TakeOrderedAndProject top-k.  Min
+# support keeps the degenerate rare-pair PMI spikes out (the standard
+# collocation-mining move), and cuts the join-back input.
+
+_PMI_K = 20
+_PMI_MIN_SUPPORT = 5
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by PMI lift (exact integer counts; lift
+    is one int64→double division)."""
+    bg = _bigram_stream(spark, sf_dir).select(
+        F.split(F.col("ngram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("ngram"), " ").getItem(1).alias("w2"),
+    )
+    pair = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_SUPPORT)
+    )
+    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = bg.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    return (
+        pair.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (
+                (F.col("c12") * F.col("n_bigrams")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_K)
+    )
+
+
+_PMI_SQL = f"""
+WITH t AS (
+  SELECT regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents
+),
+bg AS (
+  SELECT split_part(b.ngram, ' ', 1) AS w1, split_part(b.ngram, ' ', 2) AS w2
+  FROM t, UNNEST(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i+1])) AS b(ngram)
+),
+pair AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bg GROUP BY w1, w2
+  HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}
+),
+m1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+m2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bg)
+SELECT w1, w2, c12, c1, c2,
+  CAST(c12 * n_bigrams AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS lift
+FROM pair JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN total
+ORDER BY lift DESC, w1 ASC, w2 ASC
+LIMIT {_PMI_K}
+"""
+
 QUERIES = {
     "source_token_drift": source_token_drift,
     "contamination_check": contamination_check,
@@ -1465,6 +1546,7 @@ QUERIES = {
     "decontaminated_docs": decontaminated_docs,
     "stratified_sample": stratified_sample,
     "topk_ngrams": topk_ngrams,
+    "pmi_collocations": pmi_collocations,
     "bigram_rarity": bigram_rarity,
     "vocab_coverage": vocab_coverage,
     "cms_heavy_hitters": cms_heavy_hitters,
@@ -1487,6 +1569,7 @@ ORACLES = {
     "decontaminated_docs": _DECONTAM_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
+    "pmi_collocations": _PMI_SQL,
     "bigram_rarity": _RARITY_SQL,
     "vocab_coverage": _VOCAB_SQL,
     "cms_heavy_hitters": _cms_sql(),

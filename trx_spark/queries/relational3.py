@@ -200,11 +200,111 @@ WHERE c_acctbal > (SELECT avg_bal FROM avg_bal)
 GROUP BY n_name
 """
 
+_Q10_LO, _Q10_HI = "1995-01-01", "1995-07-01"
+_Q10_K = 20
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the top customers by revenue lost to returned
+    lineitems in a half-year window — join through orders to customer,
+    broadcast nation name, TakeOrderedAndProject top-k (per-partition
+    top-k, never a global sort). Ordering key is the exact fixed-point
+    revenue (bit-identical across engines); ties break on custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("nk"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(_Q10_K)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o_orderdate < TIMESTAMP '{_Q10_HI}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {_Q10_K}
+"""
+
+_Q17_BRANDS = ("Brand#1", "Brand#2", "Brand#3")
+_Q17_FRAC = 0.2
+
+
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per brand, revenue and line count of lineitems
+    whose quantity is below ``0.2 × avg quantity for that part`` — the
+    correlated scalar subquery re-expressed as an aggregate + join-back
+    on partkey. The per-part average is one exact-sum/count division
+    and the 0.2× threshold one IEEE multiply — identical expression
+    trees on both engines, so the < comparison is bit-portable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*_Q17_BRANDS)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.lit(_Q17_FRAC) * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+    {sql_dsum('l_quantity')} / CAST(COUNT(*) AS BIGINT) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+  {sql_dsum('l_extendedprice')} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand IN {_Q17_BRANDS!r}
+  AND l_quantity < CAST({_Q17_FRAC} AS DOUBLE) * avg_qty
+GROUP BY p_brand
+"""
+
 QUERIES = {
     "order_priority_check": order_priority_check,
     "linestatus_priority": linestatus_priority,
     "customer_order_distribution": customer_order_distribution,
     "sales_opportunity_by_nation": sales_opportunity_by_nation,
+    "returned_item_revenue": returned_item_revenue,
+    "small_qty_order_revenue": small_qty_order_revenue,
 }
 
 ORACLES = {
@@ -212,4 +312,6 @@ ORACLES = {
     "linestatus_priority": _Q12_SQL,
     "customer_order_distribution": _Q13_SQL,
     "sales_opportunity_by_nation": _Q22_SQL,
+    "returned_item_revenue": _Q10_SQL,
+    "small_qty_order_revenue": _Q17_SQL,
 }
