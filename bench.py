@@ -231,6 +231,8 @@ HEADLINE = [
     "returned_item_revenue",
     "small_qty_order_revenue",
     "pmi_collocations",
+    "knn_label_propagation",
+    "image_augment_stats",
 ]
 
 

@@ -149,7 +149,8 @@ _R08_TOUCHED = [
 # linestatus_priority, customer_order_distribution,
 # sales_opportunity_by_nation, bucketed_join_stats,
 # knn_label_agreement, image_patch_stats, returned_item_revenue,
-# small_qty_order_revenue, pmi_collocations (the r8
+# small_qty_order_revenue, pmi_collocations, knn_label_propagation,
+# image_augment_stats (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

@@ -460,6 +460,86 @@ SELECT 'png_' || CAST(k AS VARCHAR) AS file,
 FROM px GROUP BY 1, 2
 """
 
+# ---------------------------------------------------------------------
+# Deterministic image augmentation over the real PNG decode path
+# ---------------------------------------------------------------------
+
+
+def image_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data augmentation: horizontal flip and 90°-clockwise
+    rotation of every decoded image, verified through the
+    position-weighted intensity sum (which is NOT invariant under
+    either transform, so a wrong coordinate map shifts the hash).
+
+    The transforms are pure integer coordinate projections on the
+    decoded pixel rows — ``flip: x → W−1−x``; ``rot90cw: (y,x) →
+    (x, H−1−y)`` — so the whole operator is the mapInPandas decode
+    plus one explode-free select and a map-side-combining groupBy.
+    Augmentation at 100 TB is exactly this shape: a per-row projection
+    with no shuffle beyond the verification aggregate (production
+    writes the transformed tensors instead of aggregating them).
+    Oracle: recomputes the pattern arithmetically with the transformed
+    coordinates — it never decodes PNG."""
+    from trx_spark.operators.multimodal import decode_image
+
+    px = decode_image(_png_assets(spark), codec="png")
+    y, x = F.col("y").cast("long"), F.col("x").cast("long")
+    inten = F.col("intensity").cast("long")
+    variants = F.array(
+        F.struct(
+            F.lit("orig").alias("aug"),
+            (y * _PNG_W + x).alias("pos"),
+        ),
+        F.struct(
+            F.lit("hflip").alias("aug"),
+            (y * _PNG_W + (_PNG_W - 1 - x)).alias("pos"),
+        ),
+        F.struct(
+            # (y,x) → (y'=x, x'=H−1−y) on the W×H rotated canvas
+            F.lit("rot90").alias("aug"),
+            (x * _PNG_H + (_PNG_H - 1 - y)).alias("pos"),
+        ),
+    )
+    return (
+        px.select("file", inten.alias("inten"), F.explode(variants).alias("v"))
+        .groupBy("file", F.col("v.aug").alias("aug"))
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.sum(F.col("inten")).alias("i_sum"),
+            F.sum(F.col("inten") * (F.col("v.pos") + 1)).alias("i_wsum"),
+        )
+    )
+
+
+_AUGMENT_SQL = f"""
+WITH imgs AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_PNG_N}) t(k)),
+ys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_PNG_H}) t(v)),
+xs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_PNG_W}) t(v)),
+px AS (
+  SELECT k, y, x,
+    CASE WHEN k < {_PNG_N // 2}
+         THEN (k * 997 + y * 211 + x * 53) % 1024
+         ELSE (299 * (((k * 997 + y * 211 + x * 53) % 1024) % 256)
+             + 587 * ((((k * 997 + y * 211 + x * 53) % 1024) * 3) % 256)
+             + 114 * ((((k * 997 + y * 211 + x * 53) % 1024) * 7) % 256))
+              // 1000
+    END AS inten
+  FROM imgs, ys, xs
+),
+aug AS (
+  SELECT k, inten, 'orig' AS aug, y * {_PNG_W} + x AS pos FROM px
+  UNION ALL
+  SELECT k, inten, 'hflip', y * {_PNG_W} + ({_PNG_W} - 1 - x) FROM px
+  UNION ALL
+  SELECT k, inten, 'rot90', x * {_PNG_H} + ({_PNG_H} - 1 - y) FROM px
+)
+SELECT 'png_' || CAST(k AS VARCHAR) AS file, aug,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(inten) AS BIGINT) AS i_sum,
+  CAST(SUM(inten * (pos + 1)) AS BIGINT) AS i_wsum
+FROM aug GROUP BY 1, 2
+"""
+
 QUERIES = {
     "image_dedup_groups": image_dedup_groups,
     "audio_dedup_groups": audio_dedup_groups,
@@ -467,6 +547,7 @@ QUERIES = {
     "jpeg_decode_stats": jpeg_decode_stats,
     "video_decode_stats": video_decode_stats,
     "image_patch_stats": image_patch_stats,
+    "image_augment_stats": image_augment_stats,
 }
 
 ORACLES = {
@@ -476,4 +557,5 @@ ORACLES = {
     "jpeg_decode_stats": _JPEG_DECODE_SQL,
     "video_decode_stats": _VIDEO_DECODE_SQL,
     "image_patch_stats": _PATCH_SQL,
+    "image_augment_stats": _AUGMENT_SQL,
 }

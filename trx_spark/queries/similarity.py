@@ -1988,6 +1988,96 @@ JOIN lab nl ON nl.vec_id = k.nbr_id
 GROUP BY k.vec_id, l.label
 """
 
+# ---------------------------------------------------------------------
+# Semi-supervised label propagation over the kNN graph
+# ---------------------------------------------------------------------
+
+_LP_ROUNDS = 2
+_LP_SEED_MOD = 4  # labels observed only for vec_id % 4 == 0
+
+
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised labeling: seed labels are observed only for a
+    quarter of the corpus (``vec_id % 4 == 0``); each round, every
+    still-unlabeled vector adopts the MAJORITY label among its already
+    labeled kNN neighbors (ties → smallest label; no labeled neighbor →
+    stays unlabeled). Seeds are clamped. ``_LP_ROUNDS`` rounds, exactly
+    the Zhu–Ghahramani hard-label iteration a curation pipeline uses to
+    extend a small annotation budget across a 100-TB corpus.
+
+    Plan per round: one equi-join of the (memoized, LSH-blocked) edge
+    list against the current label frame on the neighbor side, one
+    anti-join to restrict to unlabeled vectors, one integer groupBy,
+    and the portable argmax (max struct (cnt, −label) — bit-free of
+    engine tie order). Round count is the knob; each round's cost is
+    one keyed shuffle of the edge list, independent of rounds before it.
+
+    Output: (vec_id, label, rnd) — rnd 0 for seeds, r for round-r
+    adoptions; never-reached vectors are absent (the oracle agrees)."""
+    g = knn_graph(spark, sf_dir).select("vec_id", "nbr_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labeled = emb.filter(F.col("vec_id") % _LP_SEED_MOD == 0).select(
+        "vec_id", "label", F.lit(0).cast("int").alias("rnd")
+    )
+    for r in range(1, _LP_ROUNDS + 1):
+        nbr_lab = labeled.select(
+            F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+        )
+        votes = (
+            g.join(nbr_lab, "nbr_id")
+            .join(labeled.select("vec_id"), "vec_id", "left_anti")
+            .groupBy("vec_id", "nbr_label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        adopted = (
+            votes.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                (-F.col("best.neg")).cast("int").alias("label"),
+                F.lit(r).cast("int").alias("rnd"),
+            )
+        )
+        labeled = labeled.unionByName(adopted).localCheckpoint()
+    return labeled
+
+
+def _lp_sql() -> str:
+    rounds = []
+    prev = "seeds"
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"""
+r{r}cand AS (
+  SELECT k.vec_id, s.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM knn k JOIN {prev} s ON s.vec_id = k.nbr_id
+  WHERE k.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY k.vec_id, s.label
+),
+r{r} AS (
+  SELECT vec_id, label, CAST({r} AS INTEGER) AS rnd FROM (
+    SELECT vec_id, label,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cnt DESC, label ASC)
+        AS rk
+    FROM r{r}cand) z WHERE rk = 1
+),
+l{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM r{r})"""
+        )
+        prev = f"l{r}"
+    return f"""
+WITH knn AS ({_KNN_SQL}),
+seeds AS (
+  SELECT vec_id, label, CAST(0 AS INTEGER) AS rnd
+  FROM embeddings WHERE vec_id % {_LP_SEED_MOD} = 0
+),{",".join(rounds)}
+SELECT vec_id, label, rnd FROM {prev}
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -2008,6 +2098,7 @@ QUERIES = {
     "ann_opq_topk": ann_opq_topk,
     "opq_recall_audit": opq_recall_audit,
     "knn_label_agreement": knn_label_agreement,
+    "knn_label_propagation": knn_label_propagation,
 }
 
 ORACLES = {
@@ -2030,4 +2121,5 @@ ORACLES = {
     "ann_opq_topk": _OPQ_TOPK_SQL,
     "opq_recall_audit": _opq_recall_sql(),
     "knn_label_agreement": _KNN_LABEL_SQL,
+    "knn_label_propagation": _lp_sql(),
 }
