@@ -233,6 +233,9 @@ HEADLINE = [
     "pmi_collocations",
     "knn_label_propagation",
     "image_augment_stats",
+    "stratified_kfold_assign",
+    "unimax_language_sampling",
+    "k_anonymity_audit",
 ]
 
 

@@ -62,6 +62,7 @@ _ONE_ROW_BUILD_OK = {
     "ops_health_report",         # composes the expectations audit above
     "sales_opportunity_by_nation",  # the Q22 avg-balance scalar is a 1-row broadcast
     "pmi_collocations",  # the total-bigram-count scalar is a 1-row broadcast
+    "unimax_language_sampling",  # the water-filling threshold is a 1-row broadcast
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

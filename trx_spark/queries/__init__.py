@@ -45,6 +45,7 @@ from trx_spark.queries import (
     contracts,
     driftstats,
     bucketing,
+    mlops,
 )
 from trx_spark.sources import textio
 
@@ -86,6 +87,7 @@ for mod in (
     relational3,
     driftstats,
     bucketing,
+    mlops,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -150,7 +152,8 @@ _R08_TOUCHED = [
 # sales_opportunity_by_nation, bucketed_join_stats,
 # knn_label_agreement, image_patch_stats, returned_item_revenue,
 # small_qty_order_revenue, pmi_collocations, knn_label_propagation,
-# image_augment_stats (the r8
+# image_augment_stats, stratified_kfold_assign, unimax_language_sampling,
+# k_anonymity_audit (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

@@ -1,0 +1,235 @@
+"""Training-run operations: exact stratified k-fold assignment,
+UNIMAX multilingual budget allocation, and a k-anonymity audit —
+the governance/allocation layer a 100-TB training pipeline runs
+between curation and the trainer.
+
+Scale design notes:
+
+- ``stratified_kfold_assign``: EXACT stratification (each fold gets
+  every k-th document of every stratum) via one row_number window
+  partitioned by source — thousands of independent per-source
+  partitions, no global sort, no random() (reproducible across
+  engines, retries and repartitionings). The gate aggregates the
+  assignment to per-(source, fold) counts so the driver hash pins
+  every single fold decision without hashing row-level output.
+- ``unimax_language_sampling``: the UNIMAX water-filling allocation
+  (Chung et al. 2023, public): give every language an equal share of
+  the training budget, capped at what the language actually has; the
+  spare from low-resource languages is re-spread over the rest. The
+  closed form over languages sorted by availability — threshold
+  ``t = (B − cum_below) / n_remaining`` at the first position where
+  ``t ≤ avail`` — needs ONE window pass over the ≤|languages|-row
+  aggregate and a 1-row threshold broadcast (the audited scalar
+  pattern). All counts are exact BIGINTs; the threshold, allocation
+  and sampling rate are each one IEEE division/min with identical
+  expression trees on both engines.
+- ``k_anonymity_audit``: the data-governance gate — group sizes over
+  the quasi-identifier tuple, rows in groups smaller than k are
+  re-identifiable. One map-side-combining groupBy + one 1-row
+  summary; the share is one int64→double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trx_spark.tables import load_table
+
+_N_FOLDS = 5
+
+
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, fold) census of the exact stratified k-fold
+    assignment: fold = rank-within-source mod k (rank ordered by
+    doc_id — deterministic, engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    fold = ((F.row_number().over(w) - 1) % _N_FOLDS).cast("int")
+    return (
+        docs.withColumn("fold", fold)
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_KFOLD_SQL = f"""
+SELECT source, fold,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM (
+  SELECT doc_id, source, n_chars,
+    CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+         % {_N_FOLDS} AS INTEGER) AS fold
+  FROM documents
+)
+GROUP BY source, fold
+"""
+
+# UNIMAX budget: half the corpus (in characters — the token proxy the
+# other curation queries use); exact integer halving.
+_UNIMAX_BUDGET_DEN = 2
+
+
+def unimax_language_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language UNIMAX allocation: available characters, the
+    water-filled allocation against a budget of total/2, and the
+    per-language sampling rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("avail_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w_all = Window.orderBy("avail_chars", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("avail_chars", "lang").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = (
+        avail.withColumn("total", F.sum("avail_chars").over(w_all))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_all))
+        .withColumn("i", F.row_number().over(Window.orderBy("avail_chars", "lang")))
+        .withColumn(
+            "cum_below", F.sum("avail_chars").over(w_cum) - F.col("avail_chars")
+        )
+        .withColumn(
+            # integer DIV on both engines (double/2 then cast would
+            # round in DuckDB but truncate in Spark)
+            "budget", F.expr(f"total DIV {_UNIMAX_BUDGET_DEN}")
+        )
+        .withColumn(
+            "t_cand",
+            (F.col("budget") - F.col("cum_below")).cast("double")
+            / (F.col("n_langs") - F.col("i") + 1).cast("double"),
+        )
+    )
+    thresh = (
+        staged.filter(F.col("t_cand") <= F.col("avail_chars").cast("double"))
+        .orderBy("i")
+        .limit(1)
+        .select(F.col("t_cand").alias("t"))
+    )
+    return (
+        staged.crossJoin(F.broadcast(thresh))
+        .select(
+            "lang",
+            "n_docs",
+            "avail_chars",
+            F.least(F.col("avail_chars").cast("double"), F.col("t")).alias(
+                "alloc_chars"
+            ),
+            (
+                F.least(F.col("avail_chars").cast("double"), F.col("t"))
+                / F.col("avail_chars").cast("double")
+            ).alias("sampling_rate"),
+        )
+    )
+
+
+_UNIMAX_SQL = f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS avail_chars,
+    CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+staged AS (
+  SELECT lang, n_docs, avail_chars,
+    CAST(SUM(avail_chars) OVER () AS BIGINT) AS total,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+    ROW_NUMBER() OVER (ORDER BY avail_chars, lang) AS i,
+    CAST(SUM(avail_chars) OVER (ORDER BY avail_chars, lang
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) - avail_chars AS cum_below
+  FROM avail
+),
+staged2 AS (
+  SELECT *,
+    CAST((total // {_UNIMAX_BUDGET_DEN}) - cum_below AS DOUBLE)
+      / CAST(n_langs - i + 1 AS DOUBLE) AS t_cand
+  FROM staged
+),
+thresh AS (
+  SELECT t_cand AS t FROM staged2
+  WHERE t_cand <= CAST(avail_chars AS DOUBLE)
+  ORDER BY i LIMIT 1
+)
+SELECT lang, n_docs, avail_chars,
+  LEAST(CAST(avail_chars AS DOUBLE), t) AS alloc_chars,
+  LEAST(CAST(avail_chars AS DOUBLE), t) / CAST(avail_chars AS DOUBLE)
+    AS sampling_rate
+FROM staged2 CROSS JOIN thresh
+"""
+
+_KANON_K = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row k-anonymity report over the customer quasi-identifier
+    tuple (nationkey, mktsegment): group count, groups below k, rows
+    re-identifiable (in sub-k groups), the achieved anonymity (the
+    smallest group), and the at-risk share."""
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            F.when(F.col("gsz") < _KANON_K, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_small_groups"),
+        F.sum(
+            F.when(F.col("gsz") < _KANON_K, F.col("gsz")).otherwise(F.lit(0))
+        ).alias("rows_at_risk"),
+        F.min("gsz").alias("anonymity_k"),
+        F.sum("gsz").alias("n_rows"),
+    ).select(
+        "n_groups",
+        "n_small_groups",
+        "rows_at_risk",
+        "anonymity_k",
+        "n_rows",
+        (
+            F.col("rows_at_risk").cast("double") / F.col("n_rows").cast("double")
+        ).alias("at_risk_share"),
+    )
+
+
+_KANON_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gsz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN gsz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_small_groups,
+  CAST(SUM(CASE WHEN gsz < {_KANON_K} THEN gsz ELSE 0 END) AS BIGINT)
+    AS rows_at_risk,
+  CAST(MIN(gsz) AS BIGINT) AS anonymity_k,
+  CAST(SUM(gsz) AS BIGINT) AS n_rows,
+  CAST(CAST(SUM(CASE WHEN gsz < {_KANON_K} THEN gsz ELSE 0 END) AS BIGINT)
+       AS DOUBLE)
+    / CAST(CAST(SUM(gsz) AS BIGINT) AS DOUBLE) AS at_risk_share
+FROM groups
+"""
+
+QUERIES = {
+    "stratified_kfold_assign": stratified_kfold_assign,
+    "unimax_language_sampling": unimax_language_sampling,
+    "k_anonymity_audit": k_anonymity_audit,
+}
+
+ORACLES = {
+    "stratified_kfold_assign": _KFOLD_SQL,
+    "unimax_language_sampling": _UNIMAX_SQL,
+    "k_anonymity_audit": _KANON_SQL,
+}
