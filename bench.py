@@ -236,6 +236,9 @@ HEADLINE = [
     "stratified_kfold_assign",
     "unimax_language_sampling",
     "k_anonymity_audit",
+    "forecast_revenue_change",
+    "suppliers_kept_waiting",
+    "schema_evolution_stats",
 ]
 
 

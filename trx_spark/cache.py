@@ -20,6 +20,7 @@ def _all_caches() -> list[dict]:
     from trx_spark.queries import (
         bpe,
         bucketing,
+        evolution,
         classifier,
         corpus,
         curation,
@@ -58,6 +59,7 @@ def _all_caches() -> list[dict]:
         classifier._CLF_CACHE,
         textio._STAGE_CACHE,
         bucketing._BUCKETED_CACHE,
+        evolution._EVO_CACHE,
     ]
 
 
@@ -92,6 +94,7 @@ def stage_cache_stats() -> dict[str, int]:
         classifier,
         corpus,
         curation,
+        evolution,
         lm,
         similarity,
         textdata,
@@ -122,4 +125,5 @@ def stage_cache_stats() -> dict[str, int]:
         "quality_classifier": len(classifier._CLF_CACHE),
         "classifier_features": len(classifier._FEATS_CACHE),
         "bucketed_tables": len(bucketing._BUCKETED_CACHE),
+        "schema_evo_generations": len(evolution._EVO_CACHE),
     }

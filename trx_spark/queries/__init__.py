@@ -46,6 +46,7 @@ from trx_spark.queries import (
     driftstats,
     bucketing,
     mlops,
+    evolution,
 )
 from trx_spark.sources import textio
 
@@ -88,6 +89,7 @@ for mod in (
     driftstats,
     bucketing,
     mlops,
+    evolution,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -153,7 +155,8 @@ _R08_TOUCHED = [
 # knn_label_agreement, image_patch_stats, returned_item_revenue,
 # small_qty_order_revenue, pmi_collocations, knn_label_propagation,
 # image_augment_stats, stratified_kfold_assign, unimax_language_sampling,
-# k_anonymity_audit (the r8
+# k_anonymity_audit, forecast_revenue_change, suppliers_kept_waiting,
+# schema_evolution_stats (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

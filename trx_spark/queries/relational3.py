@@ -298,6 +298,109 @@ WHERE p_brand IN {_Q17_BRANDS!r}
 GROUP BY p_brand
 """
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue of discounts in a band —
+    ONE scan, every predicate pushed to parquet (`PushedFilters` shows
+    all three), one 1-row aggregate. The canonical
+    scan-efficiency probe: no join, no window, nothing to shuffle but
+    the partial sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q6_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+_Q21_K = 10
+
+
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier in a
+    multi-supplier order — the double-correlated EXISTS / NOT EXISTS,
+    re-expressed as one left-semi (another supplier participated) and
+    one left-anti (no other supplier was late) over the distinct
+    (order, supplier) frames. "Late" is the Q4 shipdate-lag predicate
+    (the schema has no commit/receipt dates). Top-k suppliers by
+    blocked-order count, tie-broken on name."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    participants = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    blocked = l1.join(
+        participants,
+        (participants.l_orderkey == l1.ok) & (participants.l_suppkey != l1.sk),
+        "left_semi",
+    ).join(
+        late.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+        ),
+        (F.col("ok2") == F.col("ok")) & (F.col("sk2") != F.col("sk")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blocked.join(supp, F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(_Q21_K)
+    )
+
+
+_Q21_SQL = f"""
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+),
+participants AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM participants p
+    WHERE p.l_orderkey = l1.l_orderkey AND p.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {_Q21_K}
+"""
+
 QUERIES = {
     "order_priority_check": order_priority_check,
     "linestatus_priority": linestatus_priority,
@@ -305,6 +408,8 @@ QUERIES = {
     "sales_opportunity_by_nation": sales_opportunity_by_nation,
     "returned_item_revenue": returned_item_revenue,
     "small_qty_order_revenue": small_qty_order_revenue,
+    "forecast_revenue_change": forecast_revenue_change,
+    "suppliers_kept_waiting": suppliers_kept_waiting,
 }
 
 ORACLES = {
@@ -314,4 +419,6 @@ ORACLES = {
     "sales_opportunity_by_nation": _Q22_SQL,
     "returned_item_revenue": _Q10_SQL,
     "small_qty_order_revenue": _Q17_SQL,
+    "forecast_revenue_change": _Q6_SQL,
+    "suppliers_kept_waiting": _Q21_SQL,
 }
