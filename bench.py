@@ -239,6 +239,8 @@ HEADLINE = [
     "forecast_revenue_change",
     "suppliers_kept_waiting",
     "schema_evolution_stats",
+    "embedding_int8_quantization",
+    "cuped_adjusted_ab",
 ]
 
 

@@ -532,11 +532,137 @@ def _health_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------
+#
+# CUPED (Deng et al. 2013, public): adjust each unit's experiment
+# metric by its PRE-period covariate — adj = post − θ·(pre − mean(pre))
+# with θ = cov(pre, post)/var(pre) — which removes the between-user
+# variance the randomization already balanced. Everything here is
+# exact: the per-user pre/post metrics are INTEGER unit sums
+# (floor(value) — units, not cents, so Σx² stays far inside int64 at
+# 100× SF), θ and the adjusted means are IEEE arithmetic over those
+# exact integers with identical expression trees on both engines.
+# Arms are the same deterministic user_id % 2 as ab_test_zscore.
+
+_CUPED_CUTOFF = "2024-01-15"  # pre-period strictly before; post on/after
+
+
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: per-arm unit counts and exact pre/post sums, the CUPED
+    θ, and the adjusted per-arm means + adjusted difference."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    is_pre = F.col("ts") < F.lit(_CUPED_CUTOFF)
+    unit = F.floor(F.col("value")).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_pre, unit).otherwise(F.lit(0))).alias("pre"),
+        F.sum(F.when(~is_pre, unit).otherwise(F.lit(0))).alias("post"),
+    )
+    d = F.col  # shorthand
+    stats = per_user.select((d("user_id") % 2).alias("arm"), "pre", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("s_pre"),
+        F.sum("post").alias("s_post"),
+        F.sum(d("pre") * d("pre")).alias("s_pre2"),
+        F.sum(d("pre") * d("post")).alias("s_prepost"),
+        F.sum(F.when(d("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(d("arm") == 0, d("pre")).otherwise(0)).alias("pre_a"),
+        F.sum(F.when(d("arm") == 0, d("post")).otherwise(0)).alias("post_a"),
+        F.sum(F.when(d("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(d("arm") == 1, d("pre")).otherwise(0)).alias("pre_b"),
+        F.sum(F.when(d("arm") == 1, d("post")).otherwise(0)).alias("post_b"),
+    )
+    nd = d("n").cast("double")
+    theta = (
+        nd * d("s_prepost").cast("double")
+        - d("s_pre").cast("double") * d("s_post").cast("double")
+    ) / (
+        nd * d("s_pre2").cast("double")
+        - d("s_pre").cast("double") * d("s_pre").cast("double")
+    )
+    pre_mean = d("s_pre").cast("double") / nd
+
+    def adj(post_s, pre_s, n_s):
+        nn = d(n_s).cast("double")
+        return d(post_s).cast("double") / nn - d("theta") * (
+            d(pre_s).cast("double") / nn - d("pre_mean")
+        )
+
+    return (
+        stats.withColumn("theta", theta)
+        .withColumn("pre_mean", pre_mean)
+        .select(
+            "n_a",
+            "n_b",
+            d("pre_a").cast("long").alias("pre_a"),
+            d("post_a").cast("long").alias("post_a"),
+            d("pre_b").cast("long").alias("pre_b"),
+            d("post_b").cast("long").alias("post_b"),
+            "theta",
+            adj("post_a", "pre_a", "n_a").alias("adj_mean_a"),
+            adj("post_b", "pre_b", "n_b").alias("adj_mean_b"),
+            (
+                adj("post_b", "pre_b", "n_b") - adj("post_a", "pre_a", "n_a")
+            ).alias("adj_diff"),
+        )
+    )
+
+
+_CUPED_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+             THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+             THEN 0 ELSE CAST(FLOOR(value) AS BIGINT) END) AS BIGINT) AS post
+  FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(pre) AS BIGINT) AS s_pre,
+    CAST(SUM(post) AS BIGINT) AS s_post,
+    CAST(SUM(pre * pre) AS BIGINT) AS s_pre2,
+    CAST(SUM(pre * post) AS BIGINT) AS s_prepost,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN pre ELSE 0 END) AS BIGINT) AS pre_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN post ELSE 0 END) AS BIGINT) AS post_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN pre ELSE 0 END) AS BIGINT) AS pre_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN post ELSE 0 END) AS BIGINT) AS post_b
+  FROM per_user
+),
+withtheta AS (
+  SELECT *,
+    (CAST(n AS DOUBLE) * CAST(s_prepost AS DOUBLE)
+       - CAST(s_pre AS DOUBLE) * CAST(s_post AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(s_pre2 AS DOUBLE)
+       - CAST(s_pre AS DOUBLE) * CAST(s_pre AS DOUBLE)) AS theta,
+    CAST(s_pre AS DOUBLE) / CAST(n AS DOUBLE) AS pre_mean
+  FROM stats
+)
+SELECT n_a, n_b, pre_a, post_a, pre_b, post_b, theta,
+  CAST(post_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+    - theta * (CAST(pre_a AS DOUBLE) / CAST(n_a AS DOUBLE) - pre_mean)
+    AS adj_mean_a,
+  CAST(post_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+    - theta * (CAST(pre_b AS DOUBLE) / CAST(n_b AS DOUBLE) - pre_mean)
+    AS adj_mean_b,
+  (CAST(post_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+    - theta * (CAST(pre_b AS DOUBLE) / CAST(n_b AS DOUBLE) - pre_mean))
+  - (CAST(post_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+    - theta * (CAST(pre_a AS DOUBLE) / CAST(n_a AS DOUBLE) - pre_mean))
+    AS adj_diff
+FROM withtheta
+"""
+
 QUERIES = {
     "table_expectations_audit": table_expectations_audit,
     "scd2_customer_versions": scd2_customer_versions,
     "cdc_apply_changes": cdc_apply_changes,
     "ab_test_zscore": ab_test_zscore,
+    "cuped_adjusted_ab": cuped_adjusted_ab,
     "ops_health_report": ops_health_report,
 }
 
@@ -545,5 +671,6 @@ ORACLES = {
     "scd2_customer_versions": _SCD2_SQL,
     "cdc_apply_changes": _CDC_SQL,
     "ab_test_zscore": _AB_SQL,
+    "cuped_adjusted_ab": _CUPED_SQL,
     "ops_health_report": _health_sql(),
 }

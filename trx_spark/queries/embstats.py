@@ -379,12 +379,91 @@ SELECT {_PCA_ITERS} AS iters, {lam} AS eigenvalue, {vnames} FROM fin
 """
 
 
+# ---------------------------------------------------------------------
+# Affine int8 quantization (per-dim scale/zero-point)
+# ---------------------------------------------------------------------
+
+
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine uint8 quantization of the embedding corpus
+    — the storage format a 100-TB vector store actually persists (4×
+    smaller than float32, reconstructed as v̂ = vmin + code·scale).
+
+    Per dim: range [vmin, vmax] → scale (vmax−vmin)/255, code =
+    ⌊(v−vmin)/scale + ½⌋ clamped to [0,255] (round-half-up spelled as
+    floor(+0.5) — bankers' rounding differs between engines, floor
+    does not). A constant dimension (scale 0) codes to 0. The gate
+    aggregates the full code stream per dim (count, sum, min, max) so
+    every single code is pinned without hashing row-level output.
+
+    Plan: one bounded min/max groupBy over the exploded dim stream, a
+    broadcast join of the ≤|dims|-row range frame back onto the
+    stream, and one census groupBy — two bounded shuffles, map-side
+    everything else."""
+    d = _dims(spark, sf_dir)
+    ranges = d.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    code = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / F.lit(255.0))
+                    + F.lit(0.5)
+                ).cast("int"),
+            ),
+        )
+    )
+    return (
+        d.join(F.broadcast(ranges), "dim")
+        .select("dim", "vmin", "vmax", code.alias("code"))
+        .groupBy("dim", "vmin", "vmax")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("code").cast("long")).alias("code_sum"),
+            F.min("code").alias("code_min"),
+            F.max("code").alias("code_max"),
+        )
+    )
+
+
+_INT8_SQL = """
+WITH d AS (
+  SELECT u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+ranges AS (
+  SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax FROM d GROUP BY dim
+),
+codes AS (
+  SELECT d.dim, vmin, vmax,
+    CASE WHEN vmax = vmin THEN 0
+         ELSE GREATEST(0, LEAST(255, CAST(FLOOR(
+           (v - vmin) / ((vmax - vmin) / CAST(255.0 AS DOUBLE))
+           + CAST(0.5 AS DOUBLE)) AS INTEGER)))
+    END AS code
+  FROM d JOIN ranges USING (dim)
+)
+SELECT CAST(dim AS BIGINT) AS dim, vmin, vmax,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(code) AS BIGINT) AS code_sum,
+  CAST(MIN(code) AS INTEGER) AS code_min,
+  CAST(MAX(code) AS INTEGER) AS code_max
+FROM codes GROUP BY dim, vmin, vmax
+"""
+
 QUERIES = {
     "embedding_moment_stats": embedding_moment_stats,
     "embedding_dim_quantiles": embedding_dim_quantiles,
     "embedding_covariance": embedding_covariance,
     "jl_projection": jl_projection,
     "pca_leading_component": pca_leading_component,
+    "embedding_int8_quantization": embedding_int8_quantization,
 }
 
 ORACLES = {
@@ -393,4 +472,5 @@ ORACLES = {
     "embedding_covariance": _COV_SQL,
     "jl_projection": _JL_SQL,
     "pca_leading_component": _pca_sql(),
+    "embedding_int8_quantization": _INT8_SQL,
 }
