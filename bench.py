@@ -241,6 +241,7 @@ HEADLINE = [
     "schema_evolution_stats",
     "embedding_int8_quantization",
     "cuped_adjusted_ab",
+    "conversion_latency_quantiles",
 ]
 
 

@@ -163,12 +163,85 @@ FROM (
 )
 """
 
+# ---------------------------------------------------------------------
+# Funnel conversion latency: first view → first purchase
+# ---------------------------------------------------------------------
+#
+# The product-analytics companion to event_funnel: not just WHO
+# converts but HOW FAST. Latency is integer seconds from the ns
+# ordering key (integer DIV — no float time math), and the report is
+# the exact percentile bridge (Spark ``percentile`` ≡ DuckDB
+# ``quantile_cont``, the repo-wide contract). One per-user collapse
+# (the only data-scale stage: min-aggregates, map-side combined), one
+# 1-row summary.
+
+_CONV_FROM, _CONV_TO = "view", "purchase"
+
+
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: users seen, users converted (first purchase after
+    first view), and p50/p90/p99/max of the conversion latency in
+    whole seconds."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CONV_FROM, _CONV_TO)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == _CONV_FROM, F.col("ts_ns"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == _CONV_TO, F.col("ts_ns"))
+        ).alias("t_buy"),
+    )
+    lat = per_user.withColumn(
+        "latency_s",
+        F.when(
+            F.col("t_buy") > F.col("t_view"),
+            F.expr("(t_buy - t_view) DIV 1000000000"),
+        ),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("latency_s").alias("n_converted"),
+        F.expr("percentile(latency_s, 0.5D)").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.9D)").alias("p90_s"),
+        F.expr("percentile(latency_s, 0.99D)").alias("p99_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+_CONV_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = '{_CONV_FROM}' THEN epoch_ns(ts) END) AS t_view,
+    MIN(CASE WHEN event_type = '{_CONV_TO}' THEN epoch_ns(ts) END) AS t_buy
+  FROM events
+  WHERE event_type IN ('{_CONV_FROM}', '{_CONV_TO}')
+  GROUP BY user_id
+),
+lat AS (
+  SELECT *, CASE WHEN t_buy > t_view
+                 THEN (t_buy - t_view) // 1000000000 END AS latency_s
+  FROM per_user
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(COUNT(latency_s) AS BIGINT) AS n_converted,
+  quantile_cont(latency_s, CAST(0.5 AS DOUBLE)) AS p50_s,
+  quantile_cont(latency_s, CAST(0.9 AS DOUBLE)) AS p90_s,
+  quantile_cont(latency_s, CAST(0.99 AS DOUBLE)) AS p99_s,
+  CAST(MAX(latency_s) AS BIGINT) AS max_s
+FROM lat
+"""
+
 QUERIES = {
     "ks_two_sample": ks_two_sample,
     "mannwhitney_u": mannwhitney_u,
+    "conversion_latency_quantiles": conversion_latency_quantiles,
 }
 
 ORACLES = {
     "ks_two_sample": _KS_SQL,
     "mannwhitney_u": _MWU_SQL,
+    "conversion_latency_quantiles": _CONV_SQL,
 }
