@@ -242,6 +242,7 @@ HEADLINE = [
     "embedding_int8_quantization",
     "cuped_adjusted_ab",
     "conversion_latency_quantiles",
+    "inverted_index_stats",
 ]
 
 

@@ -1537,8 +1537,66 @@ ORDER BY lift DESC, w1 ASC, w2 ASC
 LIMIT {_PMI_K}
 """
 
+# ---------------------------------------------------------------------
+# Inverted-index posting-list census
+# ---------------------------------------------------------------------
+
+_IDX_K = 20
+
+
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build statistics of an inverted index (the structure behind
+    BM25/sparse retrieval at corpus scale): per token the document
+    frequency (posting-list length), collection frequency, and the
+    maximum within-doc term frequency — for the top-k tokens by
+    collection frequency (bounded output; tie-break on the token).
+
+    Plan: the memoized token stream collapses to (doc, token) term
+    frequencies in one map-side-combining groupBy (exactly the shuffle
+    an index build pays to co-locate postings), then one per-token
+    aggregate and a TakeOrderedAndProject — never a global sort. At
+    100 TB the (doc, token) aggregate IS the index build; the census is
+    a free side output."""
+    tf = (
+        _token_stream(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .orderBy(F.desc("cf"), F.asc("token"))
+        .limit(_IDX_K)
+    )
+
+
+_IDX_SQL = f"""
+WITH ts AS (
+  SELECT doc_id, s.token
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+        FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ts GROUP BY doc_id, token
+)
+SELECT token,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(tf) AS BIGINT) AS cf,
+  CAST(MAX(tf) AS BIGINT) AS max_tf
+FROM tf GROUP BY token
+ORDER BY cf DESC, token ASC
+LIMIT {_IDX_K}
+"""
+
 QUERIES = {
     "source_token_drift": source_token_drift,
+    "inverted_index_stats": inverted_index_stats,
     "contamination_check": contamination_check,
     "split_leakage_audit": split_leakage_audit,
     "ngram_novelty": ngram_novelty,
@@ -1562,6 +1620,7 @@ QUERIES = {
 
 ORACLES = {
     "source_token_drift": _DRIFT_SQL,
+    "inverted_index_stats": _IDX_SQL,
     "ngram_novelty": _NOVELTY_SQL,
     "split_leakage_audit": _LEAKAGE_SQL,
     "train_val_test_split": _SPLIT_SQL,
