@@ -243,6 +243,7 @@ HEADLINE = [
     "cuped_adjusted_ab",
     "conversion_latency_quantiles",
     "inverted_index_stats",
+    "image_hist_equalization",
 ]
 
 

@@ -540,6 +540,109 @@ SELECT 'png_' || CAST(k AS VARCHAR) AS file, aug,
 FROM aug GROUP BY 1, 2
 """
 
+# ---------------------------------------------------------------------
+# Histogram equalization over the real PNG decode path
+# ---------------------------------------------------------------------
+
+_HEQ_L = 1024  # output levels (the 16-bit fixture's value domain)
+_HEQ_N = _PNG_H * _PNG_W  # pixels per image
+
+
+def image_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic histogram equalization, integer-exact: per image the
+    intensity CDF remaps each pixel to
+    ``(cdf(v) − cdf_min) · (L−1) DIV (n − cdf_min)`` — contrast
+    normalization, the standard photometric preprocessing before
+    training-vision augmentation. Verified through the
+    position-weighted sum of the REMAPPED image (any histogram, CDF or
+    rounding defect shifts it).
+
+    Plan: one per-(image, value) histogram groupBy (bounded by the
+    value domain), a per-image cumulative window over ≤L rows, an
+    equi-join of the CDF table back onto the pixel stream, one census
+    groupBy. Per-image partitions — embarrassingly parallel at 100 TB."""
+    from pyspark.sql import Window
+
+    from trx_spark.operators.multimodal import decode_image
+
+    px = decode_image(_png_assets(spark), codec="png").select(
+        "file",
+        F.col("intensity").cast("long").alias("v"),
+        (F.col("y").cast("long") * _PNG_W + F.col("x").cast("long") + 1).alias(
+            "pos"
+        ),
+    )
+    hist = px.groupBy("file", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("file").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("file").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = hist.withColumn("cdf", F.sum("cnt").over(w_cum)).withColumn(
+        "cdf_min", F.min(F.col("cdf")).over(w_all)
+    )
+    remap = F.when(
+        F.lit(_HEQ_N) > F.col("cdf_min"),
+        F.expr(f"((cdf - cdf_min) * {_HEQ_L - 1}) DIV ({_HEQ_N} - cdf_min)"),
+    ).otherwise(F.lit(0))
+    return (
+        px.join(cdf, ["file", "v"])
+        .select("file", "pos", remap.alias("out"))
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.sum("out").alias("eq_sum"),
+            F.sum(F.col("out") * F.col("pos")).alias("eq_wsum"),
+            F.max("out").alias("eq_max"),
+        )
+    )
+
+
+_HEQ_SQL = f"""
+WITH imgs AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_PNG_N}) t(k)),
+ys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_PNG_H}) t(v)),
+xs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_PNG_W}) t(v)),
+px AS (
+  SELECT k, y * {_PNG_W} + x + 1 AS pos,
+    CASE WHEN k < {_PNG_N // 2}
+         THEN (k * 997 + y * 211 + x * 53) % 1024
+         ELSE (299 * (((k * 997 + y * 211 + x * 53) % 1024) % 256)
+             + 587 * ((((k * 997 + y * 211 + x * 53) % 1024) * 3) % 256)
+             + 114 * ((((k * 997 + y * 211 + x * 53) % 1024) * 7) % 256))
+              // 1000
+    END AS v
+  FROM imgs, ys, xs
+),
+hist AS (
+  SELECT k, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM px GROUP BY k, v
+),
+cdf AS (
+  SELECT k, v,
+    CAST(SUM(cnt) OVER (PARTITION BY k ORDER BY v
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf
+  FROM hist
+),
+cdf2 AS (
+  SELECT k, v, cdf,
+    CAST(MIN(cdf) OVER (PARTITION BY k) AS BIGINT) AS cdf_min
+  FROM cdf
+),
+remapped AS (
+  SELECT p.k, p.pos,
+    CASE WHEN {_HEQ_N} > c.cdf_min
+         THEN ((c.cdf - c.cdf_min) * {_HEQ_L - 1}) // ({_HEQ_N} - c.cdf_min)
+         ELSE 0 END AS out
+  FROM px p JOIN cdf2 c ON c.k = p.k AND c.v = p.v
+)
+SELECT 'png_' || CAST(k AS VARCHAR) AS file,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(out) AS BIGINT) AS eq_sum,
+  CAST(SUM(out * pos) AS BIGINT) AS eq_wsum,
+  CAST(MAX(out) AS BIGINT) AS eq_max
+FROM remapped GROUP BY k
+"""
+
 QUERIES = {
     "image_dedup_groups": image_dedup_groups,
     "audio_dedup_groups": audio_dedup_groups,
@@ -548,6 +651,7 @@ QUERIES = {
     "video_decode_stats": video_decode_stats,
     "image_patch_stats": image_patch_stats,
     "image_augment_stats": image_augment_stats,
+    "image_hist_equalization": image_hist_equalization,
 }
 
 ORACLES = {
@@ -558,4 +662,5 @@ ORACLES = {
     "video_decode_stats": _VIDEO_DECODE_SQL,
     "image_patch_stats": _PATCH_SQL,
     "image_augment_stats": _AUGMENT_SQL,
+    "image_hist_equalization": _HEQ_SQL,
 }
