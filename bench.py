@@ -244,6 +244,8 @@ HEADLINE = [
     "conversion_latency_quantiles",
     "inverted_index_stats",
     "image_hist_equalization",
+    "disjunctive_discount_revenue",
+    "parts_supplier_relationship",
 ]
 
 

@@ -158,7 +158,8 @@ _R08_TOUCHED = [
 # k_anonymity_audit, forecast_revenue_change, suppliers_kept_waiting,
 # schema_evolution_stats, embedding_int8_quantization, cuped_adjusted_ab,
 # conversion_latency_quantiles, inverted_index_stats,
-# image_hist_equalization (the r8
+# image_hist_equalization, disjunctive_discount_revenue,
+# parts_supplier_relationship (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

@@ -401,6 +401,90 @@ ORDER BY numwait DESC, s_name ASC
 LIMIT {_Q21_K}
 """
 
+def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand × size-band × quantity-band). The part-side
+    conjuncts reach the part scan and the common quantity bound reaches
+    the lineitem scan (Catalyst factors the disjunction's common
+    terms); the join is a plain partkey equi-join with the residual
+    disjunction evaluated post-join. One row out."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(pred).agg(
+        dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+_Q19_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, size),
+    excluding "complained-about" suppliers (negative account balance —
+    the schema has no comment column) via a left-anti join BEFORE the
+    distinct count, and excluding one brand at the part scan. The
+    count-distinct funnels through the (brand, size, suppkey) distinct
+    — partial-aggregatable — never a global set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#5"
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_size
+"""
+
 QUERIES = {
     "order_priority_check": order_priority_check,
     "linestatus_priority": linestatus_priority,
@@ -410,6 +494,8 @@ QUERIES = {
     "small_qty_order_revenue": small_qty_order_revenue,
     "forecast_revenue_change": forecast_revenue_change,
     "suppliers_kept_waiting": suppliers_kept_waiting,
+    "disjunctive_discount_revenue": disjunctive_discount_revenue,
+    "parts_supplier_relationship": parts_supplier_relationship,
 }
 
 ORACLES = {
@@ -421,4 +507,6 @@ ORACLES = {
     "small_qty_order_revenue": _Q17_SQL,
     "forecast_revenue_change": _Q6_SQL,
     "suppliers_kept_waiting": _Q21_SQL,
+    "disjunctive_discount_revenue": _Q19_SQL,
+    "parts_supplier_relationship": _Q16_SQL,
 }
