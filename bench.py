@@ -246,6 +246,9 @@ HEADLINE = [
     "image_hist_equalization",
     "disjunctive_discount_revenue",
     "parts_supplier_relationship",
+    "product_type_profit",
+    "large_volume_customers",
+    "event_path_trigrams",
 ]
 
 

@@ -485,6 +485,93 @@ WHERE p_brand <> 'Brand#5'
 GROUP BY p_brand, p_size
 """
 
+_Q9_COST_FRAC = 0.8  # synthetic supply cost: 0.8 × retail price
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per ship year over
+    the 4-way lineitem⋈part⋈supplier⋈nation join. The schema has no
+    partsupp, so supply cost is the deterministic 0.8 × p_retailprice
+    (one IEEE multiply — identical trees). Profit folds to fixed-point
+    BIGINTs in the same aggregate pass; nation is the explicit 25-row
+    broadcast; the only corpus-scale shuffles are the two fact
+    equi-joins and the final 2-key groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("a")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        _Q9_COST_FRAC
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("nk"))
+        .groupBy(
+            "n_name", F.year("l_shipdate").cast("long").alias("o_year")
+        )
+        .agg(dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+  {sql_dsum(f'l_extendedprice * (1 - l_discount) - {_Q9_COST_FRAC} * p_retailprice * l_quantity')}
+    AS sum_profit,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+_Q18_MIN_QTY = 150.0
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (the HAVING-filtered IN-subquery), joined back to the
+    customer. The big-order set is an aggregate (partial-combined on
+    orderkey) filtered BEFORE any join, so the customer join input is
+    threshold-sized, not corpus-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "total_qty", "o_totalprice"
+        )
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, total_qty, o_totalprice
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  ) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > {_Q18_MIN_QTY}
+"""
+
 QUERIES = {
     "order_priority_check": order_priority_check,
     "linestatus_priority": linestatus_priority,
@@ -496,6 +583,8 @@ QUERIES = {
     "suppliers_kept_waiting": suppliers_kept_waiting,
     "disjunctive_discount_revenue": disjunctive_discount_revenue,
     "parts_supplier_relationship": parts_supplier_relationship,
+    "product_type_profit": product_type_profit,
+    "large_volume_customers": large_volume_customers,
 }
 
 ORACLES = {
@@ -509,4 +598,6 @@ ORACLES = {
     "suppliers_kept_waiting": _Q21_SQL,
     "disjunctive_discount_revenue": _Q19_SQL,
     "parts_supplier_relationship": _Q16_SQL,
+    "product_type_profit": _Q9_SQL,
+    "large_volume_customers": _Q18_SQL,
 }

@@ -610,8 +610,63 @@ FROM r WHERE delta = 1 GROUP BY day
 """
 
 
+# ---------------------------------------------------------------------
+# Clickstream path mining: top event-type trigram paths
+# ---------------------------------------------------------------------
+
+_PATH_K = 20
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k length-3 event-type paths across per-user event sequences
+    (the sequence-mining census behind funnel design and behavioral
+    training features — extends event_transition_matrix's bigrams to
+    trigrams). Ordering inside a user is (ts_ns, event_id) — total and
+    deterministic. One per-user window pass (two leads), one
+    map-side-combining path groupBy, TakeOrderedAndProject top-k with
+    a path tie-break."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_ns", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    paths = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("t2"), F.col("t3")
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(_PATH_K)
+    )
+
+
+_PATH_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      ORDER BY epoch_ns(ts), event_id) AS t2,
+    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      ORDER BY epoch_ns(ts), event_id) AS t3
+  FROM events
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+  CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path ASC
+LIMIT {_PATH_K}
+"""
+
 QUERIES = {
     "events_range_join": events_range_join,
+    "event_path_trigrams": event_path_trigrams,
     "concurrent_sessions_peak": concurrent_sessions_peak,
     "event_funnel": event_funnel,
     "cohort_retention": cohort_retention,
@@ -622,6 +677,7 @@ QUERIES = {
 }
 ORACLES = {
     "events_range_join": _RANGE_JOIN_SQL,
+    "event_path_trigrams": _PATH_SQL,
     "concurrent_sessions_peak": _CONCURRENT_SQL,
     "event_funnel": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
