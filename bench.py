@@ -249,6 +249,7 @@ HEADLINE = [
     "product_type_profit",
     "large_volume_customers",
     "event_path_trigrams",
+    "snapshot_diff_stats",
 ]
 
 

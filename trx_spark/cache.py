@@ -60,6 +60,7 @@ def _all_caches() -> list[dict]:
         textio._STAGE_CACHE,
         bucketing._BUCKETED_CACHE,
         evolution._EVO_CACHE,
+        evolution._SNAP_CACHE,
     ]
 
 
@@ -126,4 +127,5 @@ def stage_cache_stats() -> dict[str, int]:
         "classifier_features": len(classifier._FEATS_CACHE),
         "bucketed_tables": len(bucketing._BUCKETED_CACHE),
         "schema_evo_generations": len(evolution._EVO_CACHE),
+        "snapshot_store": len(evolution._SNAP_CACHE),
     }

@@ -89,5 +89,125 @@ SELECT source,
 FROM merged GROUP BY source
 """
 
-QUERIES = {"schema_evolution_stats": schema_evolution_stats}
-ORACLES = {"schema_evolution_stats": _EVO_SQL}
+# ---------------------------------------------------------------------
+# Snapshot time-travel diff: the versioned store under the gate
+# ---------------------------------------------------------------------
+
+_SNAP_CACHE: dict = {}
+
+
+def _staged_snapshots(spark: SparkSession, sf_dir: str) -> str:
+    """Write two customer snapshots into a versioned store (memoized):
+    v0 drops every 10th key; v1 drops every 7th key and doubles the
+    balance of every 3rd — a deterministic add/remove/change mix."""
+    from trx_spark.sources.sinks import save_snapshot
+
+    key = (spark, sf_dir)
+    if key in _SNAP_CACHE:
+        return _SNAP_CACHE[key]
+    base = tempfile.mkdtemp(prefix="trx_snap_store_")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    v0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    v1 = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") * 2.0
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    save_snapshot(v0, base, note="initial load")
+    save_snapshot(v1, base, note="monthly refresh")
+    _SNAP_CACHE[key] = base
+    return base
+
+
+def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: the census of a snapshot-to-snapshot diff read back
+    via TIME TRAVEL from the versioned store (v0 vs current) — keys
+    added, removed, value-changed and unchanged, plus the exact
+    balance delta. Any row or value not surviving the snapshot
+    write→read roundtrip, or a manifest pointing at the wrong version,
+    breaks the hash (the oracle recomputes both versions' membership
+    rules straight from the source table — it never reads the store)."""
+    from trx_spark.exact import dsum
+    from trx_spark.sources.sinks import load_snapshot
+
+    base = _staged_snapshots(spark, sf_dir)
+    v0 = load_snapshot(spark, base, version=0).select(
+        F.col("c_custkey").alias("k0"), F.col("c_acctbal").alias("bal0")
+    )
+    v1 = load_snapshot(spark, base).select(
+        F.col("c_custkey").alias("k1"), F.col("c_acctbal").alias("bal1")
+    )
+    j = v0.join(v1, v0.k0 == v1.k1, "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("k0").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_added"),
+        F.sum(
+            F.when(F.col("k1").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("k0").isNotNull()
+                & F.col("k1").isNotNull()
+                & (F.col("bal0") != F.col("bal1")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_changed"),
+        F.sum(
+            F.when(
+                F.col("k0").isNotNull()
+                & F.col("k1").isNotNull()
+                & (F.col("bal0") == F.col("bal1")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_unchanged"),
+        dsum(
+            F.when(
+                F.col("k0").isNotNull() & F.col("k1").isNotNull(),
+                F.col("bal1") - F.col("bal0"),
+            ).otherwise(F.lit(0.0))
+        ).alias("bal_delta"),
+    )
+
+
+def _snap_sql() -> str:
+    from trx_spark.exact import sql_dsum
+
+    return f"""
+WITH v0 AS (
+  SELECT c_custkey AS k0, c_acctbal AS bal0
+  FROM customer WHERE c_custkey % 10 <> 0
+),
+v1 AS (
+  SELECT c_custkey AS k1,
+    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2.0
+         ELSE c_acctbal END AS bal1
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+j AS (SELECT * FROM v0 FULL OUTER JOIN v1 ON k0 = k1)
+SELECT
+  CAST(SUM(CASE WHEN k0 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
+            AND bal0 <> bal1 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
+            AND bal0 = bal1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+  {sql_dsum("CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL THEN bal1 - bal0 ELSE 0.0 END")}
+    AS bal_delta
+FROM j
+"""
+
+
+QUERIES = {
+    "schema_evolution_stats": schema_evolution_stats,
+    "snapshot_diff_stats": snapshot_diff_stats,
+}
+ORACLES = {
+    "schema_evolution_stats": _EVO_SQL,
+    "snapshot_diff_stats": _snap_sql(),
+}
