@@ -250,6 +250,7 @@ HEADLINE = [
     "large_volume_customers",
     "event_path_trigrams",
     "snapshot_diff_stats",
+    "ols_trend_stats",
 ]
 
 

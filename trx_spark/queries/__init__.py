@@ -160,8 +160,8 @@ _R08_TOUCHED = [
 # conversion_latency_quantiles, inverted_index_stats,
 # image_hist_equalization, disjunctive_discount_revenue,
 # parts_supplier_relationship, product_type_profit,
-# large_volume_customers, event_path_trigrams, snapshot_diff_stats
-# (the r8
+# large_volume_customers, event_path_trigrams, snapshot_diff_stats,
+# ols_trend_stats (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

@@ -881,8 +881,92 @@ FROM prof JOIN peak ON prof.event_type = peak.event_type
 """
 
 
+# ---------------------------------------------------------------------
+# Classical OLS trend per event series (the Theil–Sen companion)
+# ---------------------------------------------------------------------
+
+
+def ols_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: ordinary-least-squares slope and intercept of
+    the daily count series, from exact integer sufficient statistics
+    (n, Σx, Σy, Σx², Σxy over (day_index, daily_count) — all BIGINTs),
+    with the slope/intercept as IEEE arithmetic over those integers.
+    Paired with ``event_trend_robust`` (Theil–Sen) this gives the
+    classical + robust trend pair every monitoring stack carries; a
+    large gap between the two flags outlier days.
+
+    Plan: one (type, day) collapse of the stream (the only data-scale
+    stage), one per-type aggregate over the bounded day grid — no
+    joins, no window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    base = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+        F.sum(F.col("day") * F.col("c")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    slope = num / den
+    return base.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / nd
+        ).alias("intercept"),
+    )
+
+
+_OLS_SQL = f"""
+WITH counts AS (
+  SELECT event_type, epoch_ns(ts) // 1000 // {_DAY_US} AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(day) AS BIGINT) AS sx,
+    CAST(SUM(c) AS BIGINT) AS sy,
+    CAST(SUM(day * day) AS BIGINT) AS sxx,
+    CAST(SUM(day * c) AS BIGINT) AS sxy
+  FROM counts GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxx, sxy,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+  (CAST(sy AS DOUBLE)
+   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+     * CAST(sx AS DOUBLE))
+  / CAST(n AS DOUBLE) AS intercept
+FROM base
+"""
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
+    "ols_trend_stats": ols_trend_stats,
     "dictionary_tag_spans": dictionary_tag_spans,
     "table_profile": table_profile,
     "ewma_anomaly": ewma_anomaly,
@@ -904,6 +988,7 @@ ORACLES = {
     "trimmed_length_stats": _TRIMMED_SQL,
     "ccnet_quality_buckets": _CCNET_SQL,
     "event_trend_robust": _TREND_SQL,
+    "ols_trend_stats": _OLS_SQL,
     "bootstrap_replica_means": _BOOT_SQL,
     "moving_median_counts": _MOVING_MEDIAN_SQL,
     "seasonality_profile": _SEASONALITY_SQL,
