@@ -288,7 +288,81 @@ j AS (SELECT kl.*, nt.nt FROM kl JOIN nt USING (doc_id))
 """
 
 
+# ---------------------------------------------------------------------
+# Modality alignment audit: documents ↔ embeddings coverage
+# ---------------------------------------------------------------------
+
+
+def modality_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the join-coverage census between the text corpus and
+    its embedding table (doc_id ↔ vec_id) — matched rows, text-only
+    docs (missing embeddings: the backfill queue), orphaned vectors
+    (stale embeddings: the GC queue), and the coverage ratio. The
+    data-integrity gate every multimodal/RAG pipeline runs before
+    training: a silent join-coverage drop is how a corpus loses a
+    modality without anyone noticing.
+
+    Plan: two narrow key projections, one full-outer equi-join, one
+    1-row census — the join is the only data-scale stage."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("d_id")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v_id")
+    )
+    j = docs.join(vecs, docs.d_id == vecs.v_id, "full_outer")
+    matched = F.sum(
+        F.when(
+            F.col("d_id").isNotNull() & F.col("v_id").isNotNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return j.agg(
+        F.sum(
+            F.when(F.col("d_id").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_docs"),
+        F.sum(
+            F.when(F.col("v_id").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_vecs"),
+        matched.alias("n_matched"),
+        F.sum(
+            F.when(F.col("v_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_doc_only"),
+        F.sum(
+            F.when(F.col("d_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_vec_only"),
+    ).select(
+        "n_docs",
+        "n_vecs",
+        "n_matched",
+        "n_doc_only",
+        "n_vec_only",
+        (
+            F.col("n_matched").cast("double") / F.col("n_docs").cast("double")
+        ).alias("coverage"),
+    )
+
+
+_ALIGN_SQL = """
+WITH j AS (
+  SELECT d.doc_id AS d_id, v.vec_id AS v_id
+  FROM documents d FULL OUTER JOIN embeddings v ON d.doc_id = v.vec_id
+)
+SELECT
+  CAST(SUM(CASE WHEN d_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN v_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN d_id IS NOT NULL AND v_id IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+  CAST(SUM(CASE WHEN v_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+  CAST(SUM(CASE WHEN d_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only,
+  CAST(SUM(CASE WHEN d_id IS NOT NULL AND v_id IS NOT NULL
+            THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN d_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    AS coverage
+FROM j
+"""
+
 QUERIES = {
+    "modality_alignment_audit": modality_alignment_audit,
     "dedup_savings_report": dedup_savings_report,
     "minhash_estimate_calibration": minhash_estimate_calibration,
     "embedding_standardized": embedding_standardized,
@@ -297,6 +371,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "modality_alignment_audit": _ALIGN_SQL,
     "dedup_savings_report": _SAVINGS_SQL,
     "minhash_estimate_calibration": _calibration_sql(),
     "embedding_standardized": _standardized_sql(),
