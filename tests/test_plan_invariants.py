@@ -120,7 +120,7 @@ def _walk(jnode):
             pass
 
 
-def _top_bench_names(n=10):
+def _top_bench_names(n=15):
     import json
     import pathlib
 
