@@ -161,9 +161,10 @@ _R08_TOUCHED = [
 # image_hist_equalization, disjunctive_discount_revenue,
 # parts_supplier_relationship, product_type_profit,
 # large_volume_customers, event_path_trigrams, snapshot_diff_stats,
-# ols_trend_stats, modality_alignment_audit — the last of these is
-# registry-only this round (landed after the final committed bench;
-# add it to HEADLINE in r9) (the r8
+# ols_trend_stats, modality_alignment_audit, welch_t_stats,
+# source_concentration — the last three are registry-only this round
+# (landed after the final committed bench; add them to HEADLINE in r9)
+# (the r8
 # window was already full with the verdict-mandated rotation when they
 # landed); (b) still carrying r05-era rows after this window —
 # ann_ivfpq_topk, ann_lsh_buckets,

@@ -234,14 +234,158 @@ SELECT
 FROM lat
 """
 
+# ---------------------------------------------------------------------
+# Welch's t: unequal-variance mean comparison from exact integer sums
+# ---------------------------------------------------------------------
+
+
+def welch_t_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: per-sample exact integer sufficient statistics (n, Σx,
+    Σx² over floor(value) units) for the two event-type samples, and
+    Welch's t — means, sample variances and the t statistic as IEEE
+    arithmetic (one sqrt) over those integers. The parametric
+    complement to ``mannwhitney_u``/``ks_two_sample`` for mean drift
+    with unequal variances."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_DRIFT_A, _DRIFT_B)
+    )
+    unit = F.floor(F.col("value")).cast("long")
+    is_a = F.col("event_type") == _DRIFT_A
+    s = ev.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_a, unit).otherwise(0)).alias("s1"),
+        F.sum(F.when(is_a, unit * unit).otherwise(0)).alias("q1"),
+        F.sum(F.when(is_a, 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(is_a, 0).otherwise(unit)).alias("s2"),
+        F.sum(F.when(is_a, 0).otherwise(unit * unit)).alias("q2"),
+    )
+
+    def _mv(n, sx, qx):
+        nd = F.col(n).cast("double")
+        m = F.col(sx).cast("double") / nd
+        v = (F.col(qx).cast("double") - F.col(sx).cast("double") * m) / (
+            nd - F.lit(1.0)
+        )
+        return m, v, nd
+
+    m1, v1, n1d = _mv("n1", "s1", "q1")
+    m2, v2, n2d = _mv("n2", "s2", "q2")
+    return s.select(
+        "n1",
+        "s1",
+        "q1",
+        "n2",
+        "s2",
+        "q2",
+        ((m1 - m2) / F.sqrt(v1 / n1d + v2 / n2d)).alias("t_welch"),
+    )
+
+
+_WELCH_SQL = f"""
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_A}'
+             THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_A}'
+             THEN CAST(FLOOR(value) AS BIGINT) * CAST(FLOOR(value) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS q1,
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_A}' THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_A}'
+             THEN 0 ELSE CAST(FLOOR(value) AS BIGINT) END) AS BIGINT) AS s2,
+    CAST(SUM(CASE WHEN event_type = '{_DRIFT_A}'
+             THEN 0 ELSE CAST(FLOOR(value) AS BIGINT) * CAST(FLOOR(value) AS BIGINT)
+             END) AS BIGINT) AS q2
+  FROM events WHERE event_type IN ('{_DRIFT_A}', '{_DRIFT_B}')
+)
+SELECT n1, s1, q1, n2, s2, q2,
+  ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+   / SQRT(
+      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+          * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+    + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+          * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)))
+  AS t_welch
+FROM s
+"""
+
+
+def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: corpus-balance concentration indices over the source
+    distribution — the Herfindahl–Hirschman index Σ share² and Gini
+    impurity 1 − HHI (log-free diversity measures, unlike entropy), on
+    both document and character mass. The monitoring number behind
+    mixture rebalancing: HHI → 1 means one source dominates."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_chars").alias("nc")
+    )
+    # HHI = Σ n_i² / (Σ n_i)² — EXACT integer numerator and
+    # denominator (a float Σ share² would accumulate order-dependently
+    # and break cross-engine bit equality), ONE double division each
+    s = per.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("nd") * F.col("nd")).alias("sq_d"),
+        F.sum("nd").alias("tot_d"),
+        F.sum(F.col("nc") * F.col("nc")).alias("sq_c"),
+        F.sum("nc").alias("tot_c"),
+    )
+    hhi_d = F.col("sq_d").cast("double") / (
+        F.col("tot_d").cast("double") * F.col("tot_d").cast("double")
+    )
+    hhi_c = F.col("sq_c").cast("double") / (
+        F.col("tot_c").cast("double") * F.col("tot_c").cast("double")
+    )
+    return s.select(
+        "n_sources",
+        hhi_d.alias("hhi_docs"),
+        hhi_c.alias("hhi_chars"),
+        (F.lit(1.0) - hhi_d).alias("gini_docs"),
+        (F.lit(1.0) - hhi_c).alias("gini_chars"),
+    )
+
+
+_CONC_SQL = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+    CAST(SUM(n_chars) AS BIGINT) AS nc
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+    CAST(SUM(nd * nd) AS BIGINT) AS sq_d,
+    CAST(SUM(nd) AS BIGINT) AS tot_d,
+    CAST(SUM(nc * nc) AS BIGINT) AS sq_c,
+    CAST(SUM(nc) AS BIGINT) AS tot_c
+  FROM per
+)
+SELECT n_sources,
+  CAST(sq_d AS DOUBLE) / (CAST(tot_d AS DOUBLE) * CAST(tot_d AS DOUBLE))
+    AS hhi_docs,
+  CAST(sq_c AS DOUBLE) / (CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))
+    AS hhi_chars,
+  1.0 - CAST(sq_d AS DOUBLE) / (CAST(tot_d AS DOUBLE) * CAST(tot_d AS DOUBLE))
+    AS gini_docs,
+  1.0 - CAST(sq_c AS DOUBLE) / (CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))
+    AS gini_chars
+FROM s
+"""
+
 QUERIES = {
     "ks_two_sample": ks_two_sample,
     "mannwhitney_u": mannwhitney_u,
     "conversion_latency_quantiles": conversion_latency_quantiles,
+    "welch_t_stats": welch_t_stats,
+    "source_concentration": source_concentration,
 }
 
 ORACLES = {
     "ks_two_sample": _KS_SQL,
     "mannwhitney_u": _MWU_SQL,
     "conversion_latency_quantiles": _CONV_SQL,
+    "welch_t_stats": _WELCH_SQL,
+    "source_concentration": _CONC_SQL,
 }
