@@ -1321,6 +1321,41 @@ def test_jpeg_roundtrip_tolerance():
     assert int(np.abs(back - smooth).max()) <= 24
 
 
+def test_jpeg_nonuniform_quant_roundtrip():
+    """NON-uniform quantization tables roundtrip within the bound the
+    table implies (~max_entry/2 per coefficient plus rounding).  Pins
+    the encoder's zigzag→natural conversion: the DQT bytes are zigzag
+    order, so the natural-order divisor is the INVERSE scatter
+    qnat[ZZ[k]] = qt[k] — applying the permutation the wrong way round
+    (qt[ZZ]) is invisible under the uniform tables the other tests use
+    but put ~164 levels of error on this fixture before the r9 fix."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    smooth = (100 + 40 * np.sin(xx / 7.0) + 30 * np.cos(yy / 5.0)).astype(
+        np.int64
+    )
+    q = np.array([1] * 32 + [3] * 32)  # zigzag order: fine low, coarse high
+    back, _ = decode_jpeg(encode_jpeg(smooth, quant=q))
+    assert int(np.abs(back - smooth).max()) <= 6
+    # a frequency-ramped table (Annex-K-shaped) also stays bounded
+    qk = np.minimum(1 + np.arange(64) // 4, 255)
+    back, _ = decode_jpeg(encode_jpeg(smooth, quant=qk))
+    assert int(np.abs(back - smooth).max()) <= 16
+    # constant tiles stay EXACT whenever the DC entry is 1, no matter
+    # how coarse the AC entries are (AC coefficients are identically 0)
+    tiles = np.repeat(np.repeat(np.arange(6).reshape(2, 3) * 40, 8, 0), 8, 1)
+    back, _ = decode_jpeg(encode_jpeg(tiles, quant=np.array([1] + [200] * 63)))
+    np.testing.assert_array_equal(back, tiles)
+    # RGB with distinct luma/chroma tables exercises both qnat entries
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (16, 16, 3))
+    back, _ = decode_jpeg(encode_jpeg(rgb, quant=q, quant_chroma=qk))
+    assert int(np.abs(back - rgb).max()) <= 40  # random image, coarse AC
+
+
 def test_jpeg_real_world_golden():
     """Decode a JPEG written by an INDEPENDENT encoder (the CPython
     test suite's 16x16 Python-logo thumbnail — PSF-licensed, vendored):

@@ -196,6 +196,58 @@ def test_band_store_compaction_preserves_index(spark, sf_dir, tmp_path):
     assert after > before
 
 
+def test_mixed_generation_band_store_reads_legacy_rows(spark, sf_dir, tmp_path):
+    """A store holding pre-upgrade epochs (written before the _zc
+    column existed) next to new epochs must still pair new docs against
+    the LEGACY rows: the read recomputes _zc for them (pure function of
+    (hx, hy)) instead of letting schema-merge NULLs fall out of the
+    probe's `_zc IN (...)` filter — which would permanently lose those
+    cross-batch pairs with no error."""
+    import os
+
+    from trx_spark.streaming.dedup_index import (
+        compact_band_store,
+        make_lsh_batch_handler,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bands")
+    handler = make_lsh_batch_handler(
+        store, str(tmp_path / "pairs"), key_cap=1_000_000
+    )
+    handler(docs.filter("doc_id % 3 = 0"), 0)
+    # strip _zc from epoch 0's files in place: the pre-r8 on-disk layout
+    stripped = 0
+    for root, _dirs, files in os.walk(os.path.join(store, "_epoch=0")):
+        for f in files:
+            p = os.path.join(root, f)
+            if f.startswith(".") and f.endswith(".crc"):
+                os.remove(p)  # stale Hadoop local-FS checksum sidecars
+                continue
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(p)
+            assert "_zc" in t.column_names
+            pq.write_table(t.drop(["_zc"]), p)
+            stripped += 1
+    assert stripped > 0
+    handler(docs.filter("doc_id % 3 = 1"), 1)  # probes the all-legacy store
+    handler(docs.filter("doc_id % 3 = 2"), 2)  # probes the MIXED store
+    got = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    assert pairs == _batch_pairs(spark, docs)
+    # compaction folds the mixed store and re-materializes _zc for
+    # every row — the legacy generation disappears
+    compact_band_store(spark, store)
+    folded = spark.read.parquet(store)
+    assert folded.filter(F.col("_zc").isNull()).count() == 0
+    assert folded.count() == band_keys(docs).count()
+
+
 def test_first_batch_fully_saturated_then_recovers(spark, tmp_path):
     """A first micro-batch whose every key saturates writes an empty
     store (dir with only _SUCCESS); the next batch must treat it as

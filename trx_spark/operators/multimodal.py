@@ -2526,6 +2526,15 @@ def encode_jpeg(
         qts = {0: quant, 1: qc}
     dc_code = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_code = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    # quant tables are given (and written to DQT) in ZIGZAG order; the
+    # natural-order divisor table is the INVERSE scatter
+    # qnat[_JPEG_ZZ[k]] = qt[k] (qt[_JPEG_ZZ] applies the permutation
+    # the wrong way round — identical only for uniform tables)
+    qnat = {}
+    for qid, qt in qts.items():
+        t = np.empty(64, dtype=np.int64)
+        t[_JPEG_ZZ] = qt
+        qnat[qid] = t.reshape(8, 8)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
     bw = _JpegBitWriter()
@@ -2533,7 +2542,7 @@ def encode_jpeg(
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             for ci, p in enumerate(padded):
-                q = qts[qids[ci]][_JPEG_ZZ].reshape(8, 8)  # natural order
+                q = qnat[qids[ci]]
                 blk = p[by : by + 8, bx : bx + 8] - 128.0
                 coef = np.rint(_JPEG_A @ blk @ _JPEG_A.T / q).astype(np.int64)
                 zz = coef.reshape(-1)[_JPEG_ZZ]

@@ -150,7 +150,8 @@ class DetectorImageReader(DataSourceReader):
             sniff_codec,
         )
 
-        buf = maybe_gunzip(open(partition.path, "rb").read())
+        with open(partition.path, "rb") as fh:
+            buf = maybe_gunzip(fh.read())
         fmt = sniff_codec(buf) if self.codec == "auto" else self.codec
         if fmt == "avi":
             blobs, _ = decode_avi_frames(buf)

@@ -51,6 +51,7 @@ from trx_spark.streaming.dedup_index import (
     band_keys,
     band_z_cell,
     drop_saturated_keys,
+    zc_probe,
 )
 
 
@@ -137,10 +138,11 @@ def make_curation_batch_handler(
             touched_zc = sorted({r["_zc"] for r in trows})
             bstore = _read_band_store(spark, band_store)
             seen = (
-                bstore.filter(
-                    F.col("_kb").isin(touched_kb)
-                    & F.col("_zc").isin(touched_zc)
-                    & (F.col("_epoch") != e)
+                zc_probe(
+                    bstore.filter(
+                        F.col("_kb").isin(touched_kb) & (F.col("_epoch") != e)
+                    ),
+                    touched_zc,
                 ).drop("_epoch", "_kb", "_zc")
                 if bstore is not None
                 else None

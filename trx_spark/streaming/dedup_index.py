@@ -119,10 +119,18 @@ def _read_band_store(spark: SparkSession, band_store: str) -> DataFrame | None:
     would permanently lose those pairs: later batches never re-pair
     old docs against old docs)."""
     try:
-        df = spark.read.parquet(band_store)
+        # mergeSchema so a MIXED-generation store (pre-upgrade epochs
+        # without _zc next to new epochs with it) always surfaces the
+        # column, regardless of which file Spark's single-file schema
+        # inference would have picked.
+        df = spark.read.option("mergeSchema", "true").parquet(band_store)
         if {"hx", "hy"} <= set(df.columns) and "_zc" not in df.columns:
-            # store written before the z-cell column existed: derive it
-            # (pure function of (hx, hy)) so probes can filter uniformly
+            # all-legacy store: derive the z-cell (a pure function of
+            # (hx, hy)) so probes can filter uniformly.  In a MIXED
+            # store the merged schema carries _zc and legacy rows read
+            # it as NULL — left as-is here; probes go through zc_probe
+            # (null-tolerant + recompute) and the compaction coalesces,
+            # so the NULLs can never silently drop rows.
             df = df.withColumn("_zc", band_z_cell())
         return df
     except AnalysisException as exc:
@@ -137,6 +145,24 @@ def _read_band_store(spark: SparkSession, band_store: str) -> DataFrame | None:
         ):
             return None
         raise
+
+
+def zc_probe(df: DataFrame, touched_zc: list) -> DataFrame:
+    """Filter a band store to a probe batch's z-cells, tolerating
+    legacy rows (pre-upgrade epochs without a stored ``_zc``) that the
+    merged-schema read surfaces as NULL.  The pushdown-friendly
+    ``IN ... OR IS NULL`` disjunction stays on the STORED column, so
+    parquet keeps both prunings: min/max envelopes skip z-disjoint row
+    groups of new-generation files AND their zero null-counts prune
+    the IsNull arm entirely; only legacy files (no z stats) are read
+    in full.  Their cell is then recomputed (pure function of
+    (hx, hy)) and the exact filter re-applied post-scan — a legacy row
+    on a touched cell can never be silently dropped."""
+    return (
+        df.filter(F.col("_zc").isin(touched_zc) | F.col("_zc").isNull())
+        .withColumn("_zc", F.coalesce(F.col("_zc"), band_z_cell()))
+        .filter(F.col("_zc").isin(touched_zc))
+    )
 
 
 def drop_saturated_keys(
@@ -240,10 +266,12 @@ def make_lsh_batch_handler(
         touched_zc = sorted({r["_zc"] for r in touched_rows})
         store = _read_band_store(spark, band_store)
         seen = (
-            store.filter(
-                F.col("_kb").isin(touched)
-                & F.col("_zc").isin(touched_zc)
-                & (F.col("_epoch") != int(epoch_id))
+            zc_probe(
+                store.filter(
+                    F.col("_kb").isin(touched)
+                    & (F.col("_epoch") != int(epoch_id))
+                ),
+                touched_zc,
             ).drop("_epoch", "_kb", "_zc")
             if store is not None
             else None
@@ -334,6 +362,10 @@ def compact_band_store(
     from trx_spark.sources.sinks import _COMPACT_MARKER, compacted_through
 
     df = _read_band_store(spark, band_store)  # adds _zc to legacy stores
+    if "_zc" in df.columns:
+        # mixed-generation stores read pre-upgrade rows with NULL _zc:
+        # re-materialize it so every folded row carries a real cell
+        df = df.withColumn("_zc", F.coalesce(F.col("_zc"), band_z_cell()))
     row = df.agg(F.max("_epoch").alias("m")).collect()[0]["m"]
     high = max(int(row) if row is not None else -1, compacted_through(band_store))
     tmp = band_store.rstrip("/") + "._compact_tmp"
