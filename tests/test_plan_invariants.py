@@ -36,6 +36,8 @@ _ONE_ROW_BUILD_OK = {
     "bpe_merges",  # per-round best-pair is a 1-row broadcast into the rewrite
     "quality_classifier_scores",  # the bias and n_docs scalars are 1-row broadcasts
     "bpe_encode",  # same trained state, plus the K-row vocab broadcast
+    "wordpiece_merges",  # likelihood trainer: same 1-row rewrite loop
+    "wordpiece_trained_encode",  # trained state + K-row vocab broadcast
     "semantic_dedup",
     "vocab_coverage",
     "mixture_sample",

@@ -34,6 +34,7 @@ def _all_caches() -> list[dict]:
 
     return [
         wordpiece._WP_CACHE,
+        wordpiece._WPT_CACHE,
         tables._FAN_MEMO,
         classifier._FEATS_CACHE,
         trxdomain._DIFFS_CACHE,
@@ -97,6 +98,7 @@ def stage_cache_stats() -> dict[str, int]:
         curation,
         evolution,
         lm,
+        wordpiece,
         similarity,
         textdata,
         trxdomain,
@@ -122,6 +124,7 @@ def stage_cache_stats() -> dict[str, int]:
         "knn_edges": len(similarity._KNN_CACHE),
         "ivf_cells": len(similarity._CELLS_ASSIGN_CACHE),
         "bpe_trained": len(bpe._BPE_CACHE),
+        "wordpiece_trained": len(wordpiece._WPT_CACHE),
         "lm_model": len(lm._LM_CACHE),
         "quality_classifier": len(classifier._CLF_CACHE),
         "classifier_features": len(classifier._FEATS_CACHE),

@@ -173,10 +173,236 @@ GROUP BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------
+# WordPiece TRAINING (Schuster & Nakajima, "Japanese and Korean voice
+# search", ICASSP 2012; the BERT wordpiece trainer): same merge loop as
+# BPE but the pair picked each round maximizes the likelihood score
+# count(ab) / (count(a) * count(b)) instead of the raw pair count.
+# The score is a ratio of exact integers, so both engines compute the
+# identical IEEE double and the argmax (tie-broken on (l, r)) is
+# deterministic — the merge table's integer sufficient statistics
+# (pair/unigram counts) are driver-hashed exactly, the
+# classifier_gd_round_stats pattern applied to a tokenizer trainer.
+#
+# Scale design matches bpe.py: one corpus-scale word-frequency pass,
+# then every round runs over the ≤256-row word dictionary (pair counts
+# + unigram counts + a 3-way join on that tiny table + a 1-row
+# broadcast rewrite). Unigram counts are dictionary-weighted (freq-
+# weighted symbol occurrences over the current segmentation) — the
+# trainer's standard corpus statistics restricted to the top-K dict,
+# the same scoping as the BPE twin.
+# ---------------------------------------------------------------------
+
+_WPT_MERGES = 6  # likelihood merge rounds (static unroll, mirrored in SQL)
+
+# trained state memo per (session, sf_dir): (merges_df, words_df)
+_WPT_CACHE: dict = {}
+
+
+def _sym_counts(words: DataFrame) -> DataFrame:
+    """(sym, c): freq-weighted symbol occurrences over the current
+    segmentation of the word dictionary."""
+    from trx_spark.queries.bpe import _SEP
+
+    return (
+        words.select(
+            "freq", F.explode(F.split(F.col("seq"), _SEP)).alias("sym")
+        )
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def _wpt_train(spark: SparkSession, sf_dir: str):
+    from trx_spark.queries.bpe import _APPLY_MERGE_EXPR, _word_freq, _pair_counts
+
+    key = (spark, sf_dir)
+    if key in _WPT_CACHE:
+        return _WPT_CACHE[key]
+    words = _word_freq(spark, sf_dir).select(
+        "word",
+        "freq",
+        F.expr(
+            "substring(regexp_replace(word, '(.)', '$1\x1f'), 1, "
+            "2 * length(word) - 1)"
+        ).alias("seq"),
+    ).localCheckpoint()
+    merge_rows = []
+    for rank in range(1, _WPT_MERGES + 1):
+        pairs = _pair_counts(words)
+        syms = _sym_counts(words)
+        ul = syms.select(F.col("sym").alias("l"), F.col("c").alias("cl"))
+        ur = syms.select(F.col("sym").alias("r"), F.col("c").alias("cr"))
+        # checkpointed: the 1-row argmax feeds BOTH the merge table and
+        # the rewrite join — one dictionary-scale job per round
+        best = (
+            pairs.join(ul, "l")
+            .join(ur, "r")
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (F.col("cl").cast("double") * F.col("cr").cast("double")),
+            )
+            .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+                F.col("cl").alias("left_count"),
+                F.col("cr").alias("right_count"),
+                F.col("score"),
+            )
+        )
+        # LEFT join so an exhausted trainer no-ops (see bpe._train);
+        # 1-row build side keeps this a broadcast loop join by design
+        words = (
+            words.join(
+                F.broadcast(best.select("l", "r")), F.lit(True), "left"
+            )
+            .select(
+                "word",
+                "freq",
+                F.when(F.col("l").isNull(), F.col("seq"))
+                .otherwise(F.expr(_APPLY_MERGE_EXPR))
+                .alias("seq"),
+            )
+            .localCheckpoint()
+        )
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionByName(m)
+    _WPT_CACHE[key] = (merges.localCheckpoint(), words)
+    return _WPT_CACHE[key]
+
+
+def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The likelihood-trained merge table: (merge_rank, left_sym,
+    right_sym, pair_count, left_count, right_count, score), one row per
+    round in training order; the integer counts are the round's exact
+    sufficient statistics and score = pair/(l*r) in IEEE double."""
+    merges, _ = _wpt_train(spark, sf_dir)
+    return merges
+
+
+def wordpiece_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document with the LIKELIHOOD-trained vocab (the
+    final segmentation of the top-K dictionary): per doc (n_tokens,
+    n_pieces, pieces_per_token); out-of-dictionary words fall back to
+    character segmentation — same open-vocabulary contract as
+    bpe_encode, different trainer."""
+    from trx_spark.queries.bpe import _SEP
+    from trx_spark.queries.curation import _toks_base
+
+    _, words = _wpt_train(spark, sf_dir)
+    vocab = words.select(
+        "word",
+        F.size(F.split(F.col("seq"), _SEP)).cast("long").alias("wp"),
+    )
+    toks = _toks_base(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("word")
+    )
+    pieces = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        F.coalesce(F.col("wp"), F.length("word").cast("long")).alias("np"),
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("np").alias("n_pieces"),
+        (
+            F.sum("np").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("pieces_per_token"),
+    )
+
+
+def _wpt_round_ctes(i: int) -> str:
+    # MATERIALIZED: each round references w{i-1} FOUR times (pair
+    # counts, both unigram legs, the rewrite) — DuckDB inlines plain
+    # CTEs, which blows up 4^rounds without it
+    prev, cur = f"w{i - 1}", f"w{i}"
+    return f"""
+p{i} AS MATERIALIZED (
+  SELECT t.s[g.j] AS l, t.s[g.j + 1] AS r, CAST(SUM(t.freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(seq, chr(31)) AS s FROM {prev}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.s) - 1)) AS j) g
+  GROUP BY t.s[g.j], t.s[g.j + 1]
+),
+u{i} AS MATERIALIZED (
+  SELECT x AS sym, CAST(SUM(freq) AS BIGINT) AS c
+  FROM (SELECT freq, unnest(string_split(seq, chr(31))) AS x FROM {prev})
+  GROUP BY x
+),
+b{i} AS MATERIALIZED (
+  SELECT p.l, p.r, p.cnt, ul.c AS cl, ur.c AS cr,
+         CAST(p.cnt AS DOUBLE) / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE))
+           AS score
+  FROM p{i} p JOIN u{i} ul ON p.l = ul.sym JOIN u{i} ur ON p.r = ur.sym
+  ORDER BY score DESC, p.l, p.r LIMIT 1
+),
+{cur} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         CASE WHEN b.l IS NULL THEN w.seq
+              ELSE list_reduce(string_split(w.seq, chr(31)),
+                     (acc, x) -> CASE WHEN x = b.r AND (acc = b.l
+                                   OR ends_with(acc, chr(31) || b.l))
+                                 THEN acc || x
+                                 ELSE acc || chr(31) || x END)
+         END AS seq
+  FROM {prev} w LEFT JOIN b{i} b ON TRUE
+)"""
+
+
+def _wpt_train_ctes() -> str:
+    from trx_spark.queries.bpe import _W0_CTE
+
+    base = _W0_CTE.replace(" AS (", " AS MATERIALIZED (")
+    return base + "," + ",".join(
+        _wpt_round_ctes(i) for i in range(1, _WPT_MERGES + 1)
+    )
+
+
+_WPT_MERGES_SQL = (
+    "WITH " + _wpt_train_ctes() + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"cnt AS pair_count, cl AS left_count, cr AS right_count, score "
+        f"FROM b{i}"
+        for i in range(1, _WPT_MERGES + 1)
+    )
+)
+
+_WPT_ENCODE_SQL = (
+    "WITH " + _wpt_train_ctes() + f""",
+vocab AS (
+  SELECT word, CAST(len(string_split(seq, chr(31))) AS BIGINT) AS wp
+  FROM w{_WPT_MERGES}
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+  FROM documents
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(COALESCE(v.wp, length(t.word))) AS BIGINT) AS n_pieces,
+  CAST(SUM(COALESCE(v.wp, length(t.word))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS pieces_per_token
+FROM tok t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+)
+
 QUERIES = {
     "wordpiece_encode": wordpiece_encode,
+    "wordpiece_merges": wordpiece_merges,
+    "wordpiece_trained_encode": wordpiece_trained_encode,
 }
 
 ORACLES = {
     "wordpiece_encode": _WP_SQL,
+    "wordpiece_merges": _WPT_MERGES_SQL,
+    "wordpiece_trained_encode": _WPT_ENCODE_SQL,
 }
