@@ -258,6 +258,7 @@ HEADLINE = [
     "source_concentration",
     "wordpiece_merges",
     "wordpiece_trained_encode",
+    "web_image_census",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

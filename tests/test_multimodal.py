@@ -1146,6 +1146,39 @@ def test_png_roundtrip_kernel():
     np.testing.assert_array_equal(via_any, pimg)
 
 
+def test_png_adam7_roundtrip():
+    """Adam7 interlace roundtrips bit-exactly across shapes (including
+    dims smaller than one 8x8 pass cell, where several passes are
+    empty), depths, channel counts, palette, and every filter id."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 17), (16, 16, 3),
+                  (9, 11, 4), (5, 2, 2)]:
+        for depth in (8, 16):
+            img = rng.integers(0, 1 << depth, shape)
+            for filt in (0, 4, "cycle"):
+                back, hdr = decode_png(
+                    encode_png(img, bit_depth=depth, filters=filt,
+                               interlace=True)
+                )
+                assert hdr["interlace"] == 1
+                np.testing.assert_array_equal(back, img)
+    pal = rng.integers(0, 5, (10, 13)) * 40
+    rgb = np.stack([pal, 255 - pal, pal // 2], axis=-1)
+    back, hdr = decode_png(
+        encode_png(rgb, palette=True, interlace=True, filters="cycle")
+    )
+    np.testing.assert_array_equal(back, rgb)
+    # sequential output is unchanged by the refactor
+    img = rng.integers(0, 256, (12, 7))
+    back, hdr = decode_png(encode_png(img, filters="cycle"))
+    assert hdr["interlace"] == 0
+    np.testing.assert_array_equal(back, img)
+
+
 def test_png_rejects_bad_inputs():
     import numpy as np
     import pytest as _pt
@@ -1162,16 +1195,22 @@ def test_png_rejects_bad_inputs():
     corrupted[idat + 6] ^= 0xFF
     with _pt.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(corrupted))
-    # Adam7 interlace flag (IHDR byte 12) → explicit unsupported error
-    interlaced = bytearray(blob)
-    ihdr = blob.index(b"IHDR")
-    interlaced[ihdr + 4 + 12] = 1
+    # an unknown interlace METHOD (2) → explicit unsupported error;
+    # a falsely-stamped Adam7 flag on sequential scanlines fails loudly
+    # too — the 7-pass layout misreads a pixel byte as a filter id or
+    # ends with a byte-count mismatch
     import zlib
 
-    body = bytes(interlaced[ihdr : ihdr + 4 + 13])
-    interlaced[ihdr + 4 + 13 : ihdr + 4 + 17] = zlib.crc32(body).to_bytes(4, "big")
-    with _pt.raises(ValueError, match="interlace"):
-        decode_png(bytes(interlaced))
+    ihdr = blob.index(b"IHDR")
+    for flag, msg in ((2, "interlace"), (1, "filter type|size mismatch")):
+        stamped = bytearray(blob)
+        stamped[ihdr + 4 + 12] = flag
+        body = bytes(stamped[ihdr : ihdr + 4 + 13])
+        stamped[ihdr + 4 + 13 : ihdr + 4 + 17] = zlib.crc32(body).to_bytes(
+            4, "big"
+        )
+        with _pt.raises(ValueError, match=msg):
+            decode_png(bytes(stamped))
     with _pt.raises(ValueError, match="bit depth"):
         encode_png(np.full((2, 2), 70000), bit_depth=8)
 
@@ -1384,7 +1423,7 @@ def test_jpeg_real_world_golden():
     assert bluish > 40 and yellowish > 40
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_unsupported_sof_raises():
     import numpy as np
     import pytest as _pt
 
@@ -1392,11 +1431,90 @@ def test_jpeg_progressive_raises():
 
     blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.int64)))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # stamp progressive
-    with _pt.raises(ValueError, match="baseline only"):
+    blob[sof + 1] = 0xC3  # lossless sequential: genuinely unsupported
+    with _pt.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(blob))
     with _pt.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_progressive_matches_baseline():
+    """The progressive decoder (SOF2: spectral selection + successive
+    approximation over a persistent coefficient store) reconstructs
+    EXACTLY the baseline decode of the same coefficients — the two
+    entropy orderings carry identical data. Constant tiles stay exact
+    end-to-end (the gate's lossless corner), and both encoder modes
+    (spectral-only; DC/AC successive approximation with refinement
+    scans) roundtrip gray and RGB, uniform and ramped quant tables."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_any,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        sniff_codec,
+    )
+
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(0, 256, (3, 4))
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    for succ in (False, True):
+        blob = encode_jpeg_progressive(img, successive=succ)
+        assert sniff_codec(blob) == "jpeg"
+        back, hdr = decode_jpeg(blob)
+        assert hdr["progressive"] is True
+        np.testing.assert_array_equal(back, img)
+        via_any, _ = decode_any(blob)
+        np.testing.assert_array_equal(via_any, img)
+
+    yy, xx = np.mgrid[0:21, 0:37]
+    smooth = (100 + 40 * np.sin(xx / 7.0) + 30 * np.cos(yy / 5.0)).astype(
+        np.int64
+    )
+    rgb = rng.integers(0, 256, (17, 19, 3))
+    q = np.array([1] * 32 + [3] * 32)
+    qk = np.minimum(1 + np.arange(64) // 4, 255)
+    for im, kw in [
+        (smooth, {}),
+        (rgb, {}),
+        (smooth, dict(quant=q)),
+        (rgb, dict(quant=q, quant_chroma=qk)),
+        (rng.integers(0, 256, (24, 16, 3)), dict(quant=qk)),
+    ]:
+        base, _ = decode_jpeg(encode_jpeg(im, **kw))
+        for succ in (False, True):
+            prog, hdr = decode_jpeg(
+                encode_jpeg_progressive(im, successive=succ, **kw)
+            )
+            np.testing.assert_array_equal(prog, base)
+    # coarse quantization → sparse bands → EOB-runs and long
+    # zero-history runs (ZRL) in the refinement scans
+    coarse = np.full(64, 64)
+    coarse[0] = 1
+    sparse = rng.integers(120, 136, (32, 32))
+    base, _ = decode_jpeg(encode_jpeg(sparse, quant=coarse))
+    for succ in (False, True):
+        prog, _ = decode_jpeg(
+            encode_jpeg_progressive(sparse, quant=coarse, successive=succ)
+        )
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_truncation_raises():
+    import numpy as np
+    import pytest as _pt
+
+    from trx_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16))
+    blob = encode_jpeg_progressive(img, successive=True)
+    with _pt.raises(ValueError):
+        decode_jpeg(blob[: len(blob) * 2 // 3])
 
 
 def test_decode_jpeg_distributed(spark, tmp_path):

@@ -2163,11 +2163,31 @@ def encode_adsc(img: np.ndarray, *, byte_order: str = "<") -> bytes:
 # unfiltered per the 5 standard predictors (None/Sub/Up/Average/Paeth);
 # PLTE maps color-type-3 indices to RGB. Everything needed is zlib +
 # numpy — the same dependency budget as the EDF codec. Supported:
-# bit depths 8/16, color types 0/2/3/4/6, no Adam7 interlace (raises).
+# bit depths 8/16, color types 0/2/3/4/6, both interlace methods
+# (Adam7 is 7 independently-filtered sub-images scattered on a fixed
+# 8x8 grid — a deterministic pixel permutation over the same
+# unfilter).
 # ---------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_rows_to_samples(
+    mat: np.ndarray, height: int, width: int, ch: int, depth: int
+) -> np.ndarray:
+    """(height, width*ch*(depth//8)) reconstructed bytes → (height,
+    width, ch) int64 samples (16-bit is network byte order)."""
+    if depth == 16:
+        pairs = mat.reshape(height, width, ch, 2).astype(np.int64)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
+    return mat.reshape(height, width, ch).astype(np.int64)
 
 
 def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int, _np=np) -> np.ndarray:
@@ -2254,8 +2274,8 @@ def decode_png(buf: bytes) -> tuple[np.ndarray, dict]:
     width, height, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if depth not in (8, 16) or (ctype == 3 and depth != 8):
@@ -2264,15 +2284,33 @@ def decode_png(buf: bytes) -> tuple[np.ndarray, dict]:
     bpp = ch * (depth // 8)
     stride = width * bpp
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    mat = _png_unfilter(raw, height, stride, bpp)
-    if depth == 16:
-        # network byte order: high byte first within each sample
-        pairs = mat.reshape(height, width, ch, 2).astype(np.int64)
-        img = (pairs[..., 0] << 8) | pairs[..., 1]
+    if interlace == 1:
+        # Adam7: 7 sub-images, each its own filtered scanline run
+        # (filters never reach across passes), scattered on the fixed
+        # 8x8 grid; empty passes contribute zero scanlines
+        img = np.zeros((height, width, ch), dtype=np.int64)
+        pos = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG pixel data size mismatch")
+            pmat = _png_unfilter(raw[pos : pos + need], ph, pstride, bpp)
+            pos += need
+            img[y0::dy, x0::dx] = _png_rows_to_samples(
+                pmat, ph, pw, ch, depth
+            )
+        if pos != len(raw):
+            raise ValueError("PNG pixel data size mismatch")
     else:
-        img = mat.reshape(height, width, ch).astype(np.int64)
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        mat = _png_unfilter(raw, height, stride, bpp)
+        img = _png_rows_to_samples(mat, height, width, ch, depth)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -2286,6 +2324,7 @@ def decode_png(buf: bytes) -> tuple[np.ndarray, dict]:
         "bit_depth": depth,
         "color_type": ctype,
         "channels": ch,
+        "interlace": interlace,
     }
     return img, header
 
@@ -2303,9 +2342,57 @@ def png_luma(img: np.ndarray) -> np.ndarray:
     return (299 * r + 587 * g + 114 * b) // 1000
 
 
+def _png_filter_rows(
+    body: np.ndarray, bpp: int, filters: int | str
+) -> list[bytes]:
+    """Filter a (rows, stride) uint8 byte matrix into PNG scanlines
+    (1 filter byte + filtered bytes per row). One independent run per
+    image — or per Adam7 pass, whose filters never see another pass."""
+    lines: list[bytes] = []
+    for r in range(body.shape[0]):
+        ft = (r % 5) if filters == "cycle" else int(filters)
+        cur = body[r].astype(np.int64)
+        up = body[r - 1].astype(np.int64) if r else np.zeros_like(cur)
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        ul = np.zeros_like(cur)
+        ul[bpp:] = up[:-bpp]
+        if ft == 0:
+            flt = cur
+        elif ft == 1:
+            flt = (cur - left) & 0xFF
+        elif ft == 2:
+            flt = (cur - up) & 0xFF
+        elif ft == 3:
+            flt = (cur - ((left + up) >> 1)) & 0xFF
+        elif ft == 4:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            flt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        lines.append(bytes([ft]) + flt.astype(np.uint8).tobytes())
+    return lines
+
+
+def _png_samples_to_rows(arr: np.ndarray, bit_depth: int) -> np.ndarray:
+    """(h, w, ch) int64 samples → (h, w*ch*(depth//8)) uint8 bytes."""
+    height, width, ch = arr.shape
+    if bit_depth == 16:
+        body = np.empty((height, width, ch, 2), dtype=np.uint8)
+        body[..., 0] = arr >> 8
+        body[..., 1] = arr & 0xFF
+        return body.reshape(height, -1)
+    return arr.astype(np.uint8).reshape(height, -1)
+
+
 def encode_png(
     img: np.ndarray, *, bit_depth: int | None = None,
     palette: bool = False, filters: int | str = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an image as a spec-compliant PNG blob (the write side of
     the seam and the tests' golden producer).
@@ -2315,7 +2402,8 @@ def encode_png(
     255. ``palette=True`` emits a color-type-3 PNG (RGB input, ≤256
     distinct colors, depth 8). ``filters`` is a single predictor id
     (0-4) or ``"cycle"`` to rotate through all five per row — the
-    test hook that exercises every unfilter path."""
+    test hook that exercises every unfilter path. ``interlace=True``
+    emits Adam7 (7 independently filtered passes)."""
     import zlib
 
     if img.ndim == 2:
@@ -2346,44 +2434,25 @@ def encode_png(
         chunks.append((b"PLTE", colors.astype(np.uint8).tobytes()))
         arr = inv.reshape(height, width, 1).astype(np.int64)
         ctype, ch = 3, 1
-    if bit_depth == 16:
-        body = np.empty((height, width, ch, 2), dtype=np.uint8)
-        body[..., 0] = arr >> 8
-        body[..., 1] = arr & 0xFF
-        body = body.reshape(height, -1)
-    else:
-        body = arr.astype(np.uint8).reshape(height, -1)
     bpp = ch * (bit_depth // 8)
-    lines = []
-    for r in range(height):
-        ft = (r % 5) if filters == "cycle" else int(filters)
-        cur = body[r].astype(np.int64)
-        up = body[r - 1].astype(np.int64) if r else np.zeros_like(cur)
-        left = np.zeros_like(cur)
-        left[bpp:] = cur[:-bpp]
-        ul = np.zeros_like(cur)
-        ul[bpp:] = up[:-bpp]
-        if ft == 0:
-            flt = cur
-        elif ft == 1:
-            flt = (cur - left) & 0xFF
-        elif ft == 2:
-            flt = (cur - up) & 0xFF
-        elif ft == 3:
-            flt = (cur - ((left + up) >> 1)) & 0xFF
-        elif ft == 4:
-            p = left + up - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines.extend(
+                _png_filter_rows(
+                    _png_samples_to_rows(sub, bit_depth), bpp, filters
+                )
             )
-            flt = (cur - pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        lines.append(bytes([ft]) + flt.astype(np.uint8).tobytes())
+    else:
+        lines = _png_filter_rows(
+            _png_samples_to_rows(arr, bit_depth), bpp, filters
+        )
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
-        + bytes([bit_depth, ctype, 0, 0, 0])
+        + bytes([bit_depth, ctype, 0, 0, int(interlace)])
     )
     chunks.insert(0, (b"IHDR", ihdr))
     chunks.append((b"IDAT", zlib.compress(b"".join(lines), 9)))
@@ -2599,6 +2668,208 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray, *, quant=None, quant_chroma=None,
+    successive: bool = False,
+) -> bytes:
+    """Encode 2-D grayscale or (H, W, 3) RGB as PROGRESSIVE JPEG
+    (SOF2, 4:4:4, 8-bit) — the write side of the wild-web decode seam
+    and the tests' golden producer.
+
+    ``successive=False``: spectral selection only — one interleaved DC
+    scan (Al=0) then one full AC 1–63 scan per component.
+    ``successive=True``: adds successive approximation — DC at Al=1
+    plus a DC refinement scan, AC at Al=1 plus an AC refinement scan
+    per component — exercising all four decoder block procedures
+    (including EOB-runs, ZRL-with-history and correction bits)."""
+    img = np.asarray(img)
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
+        raise ValueError("JPEG input must be 2-D grayscale or (H, W, 3) RGB")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    quant = (
+        np.ones(64, dtype=np.int64)
+        if quant is None
+        else np.asarray(quant, dtype=np.int64).reshape(64)
+    )
+    qc = (
+        quant
+        if quant_chroma is None
+        else np.asarray(quant_chroma, dtype=np.int64).reshape(64)
+    )
+    if gray:
+        planes = [img.astype(np.float64)]
+        qids = [0]
+        qts = {0: quant}
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qids = [0, 1, 1]
+        qts = {0: quant, 1: qc}
+    qnat = {}
+    for qid, qt in qts.items():
+        t = np.empty(64, dtype=np.int64)
+        t[_JPEG_ZZ] = qt  # DQT bytes are zigzag order; invert to natural
+        qnat[qid] = t.reshape(8, 8)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nby, nbx = ph // 8, pw // 8
+    # forward transform once: per-component zigzag coefficient store
+    coefs = []
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        arr = np.empty((nby, nbx, 64), dtype=np.int64)
+        q = qnat[qids[ci]]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint(_JPEG_A @ blk @ _JPEG_A.T / q).astype(np.int64)
+                arr[by, bx] = coef.reshape(-1)[_JPEG_ZZ]
+        coefs.append(arr)
+    dc_code = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_code = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def sos(comp_ids, ss, se, ah, al, bw):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        bw.flush()
+        return _jpeg_seg(0xDA, seg) + bytes(bw.out)
+
+    def dc_first_scan(al):
+        bw = _JpegBitWriter()
+        preds = [0] * len(planes)
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(len(planes)):
+                    v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s, code = _jpeg_mag(diff)
+                    c, ln = dc_code[s]
+                    bw.write(c, ln)
+                    if s:
+                        bw.write(code, s)
+        return sos([ci + 1 for ci in range(len(planes))], 0, 0, 0, al, bw)
+
+    def dc_refine_scan(ah):
+        bw = _JpegBitWriter()
+        al = ah - 1
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(len(planes)):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        return sos([ci + 1 for ci in range(len(planes))], 0, 0, ah, al, bw)
+
+    def ac_first_scan(ci, al):
+        bw = _JpegBitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by, bx]
+                # AC point transform is a MAGNITUDE shift (T.81 A.4)
+                t = [
+                    (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> al)
+                    for k in range(64)
+                ]
+                nz = [k for k in range(1, 64) if t[k]]
+                last = nz[-1] if nz else 0
+                run, k = 0, 1
+                while k <= last:
+                    v = t[k]
+                    if v == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_code[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    s, code = _jpeg_mag(v)
+                    c, ln = ac_code[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(code, s)
+                    run, k = 0, k + 1
+                if last < 63:
+                    c, ln = ac_code[0x00]  # EOB0 (eobrun = 1)
+                    bw.write(c, ln)
+        return sos([ci + 1], 1, 63, 0, al, bw)
+
+    def ac_refine_scan(ci, ah):
+        al = ah - 1
+        bw = _JpegBitWriter()
+
+        def flush_br(br):
+            for bit in br:
+                bw.write(bit, 1)
+            br.clear()
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by, bx]
+                run, br = 0, []
+                for k in range(1, 64):
+                    t = abs(int(zz[k])) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    # the ZRL check runs at EVERY nonzero position —
+                    # BEFORE the history branch — so each flushed
+                    # correction batch covers exactly the positions the
+                    # decoder's matching advance walks (T.81 G.1.2.3)
+                    while run > 15:
+                        c, ln = ac_code[0xF0]
+                        bw.write(c, ln)
+                        flush_br(br)
+                        run -= 16
+                    if t > 1:
+                        br.append(t & 1)  # history coeff: correction bit
+                        continue
+                    # newly nonzero at this precision (magnitude == 1)
+                    c, ln = ac_code[(run << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(1 if zz[k] > 0 else 0, 1)  # sign bit
+                    flush_br(br)
+                    run = 0
+                if run > 0 or br:
+                    c, ln = ac_code[0x00]  # EOB0, then pending corrections
+                    bw.write(c, ln)
+                    flush_br(br)
+        return sos([ci + 1], 1, 63, ah, al, bw)
+
+    out = bytearray(b"\xff\xd8")
+    for qid, qt in qts.items():
+        if int(qt.max()) > 255 or int(qt.min()) < 1:
+            raise ValueError("quantization entries must be in [1, 255]")
+        out += _jpeg_seg(0xDB, bytes([qid]) + bytes(int(x) for x in qt))
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += _jpeg_seg(0xC2, sof)
+    for cls, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += _jpeg_seg(0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals))
+    if successive:
+        out += dc_first_scan(1)
+        out += dc_refine_scan(1)
+        for ci in range(nc):
+            out += ac_first_scan(ci, 1)
+        for ci in range(nc):
+            out += ac_refine_scan(ci, 1)
+    else:
+        out += dc_first_scan(0)
+        for ci in range(nc):
+            out += ac_first_scan(ci, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _JpegBitReader:
     def __init__(self, data: bytes):
         self.d = data
@@ -2636,6 +2907,73 @@ class _JpegBitReader:
 
 def _jpeg_extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_entropy_segment(buf: bytes, dpos: int):
+    """Unstuff one entropy-coded segment starting at ``dpos``: returns
+    (data bytes with FF00 unstuffed, restart-marker byte positions
+    within data, position of the terminating marker in ``buf``)."""
+    n = len(buf)
+    data = bytearray()
+    rst_at: list[int] = []
+    j = dpos
+    while j < n:
+        b = buf[j]
+        if b == 0xFF:
+            nxt = buf[j + 1] if j + 1 < n else 0
+            if nxt == 0x00:
+                data.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_at.append(len(data))
+                j += 2
+                continue
+            break
+        data.append(b)
+        j += 1
+    return bytes(data), rst_at, j
+
+
+def _jpeg_finish(planes, comps, hgt, wid, hmax, vmax, dri, *, progressive=False):
+    """Upsample component planes by replication, BT.601 convert when
+    3-component, clip to [0, 255] — the shared tail of the baseline
+    and progressive decoders."""
+    ups = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0),
+            hmax // c["h"],
+            axis=1,
+        )
+        ups.append(p[:hgt, :wid])
+    if len(comps) == 1:
+        img = np.clip(np.rint(ups[0]), 0, 255).astype(np.int64)
+    else:
+        y, cb, cr = ups
+        img = np.clip(
+            np.rint(
+                np.stack(
+                    [
+                        y + 1.402 * (cr - 128.0),
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                        y + 1.772 * (cb - 128.0),
+                    ],
+                    axis=-1,
+                )
+            ),
+            0,
+            255,
+        ).astype(np.int64)
+    header = {
+        "width": wid,
+        "height": hgt,
+        "n_components": len(comps),
+        "sampling": [(c["h"], c["v"]) for c in comps],
+        "restart_interval": dri,
+        "progressive": progressive,
+    }
+    return img, header
 
 
 def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
@@ -2702,9 +3040,15 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
                 for c in range(seg[5])
             ]
             frame = (hgt, wid, comps)
-        elif 0xC2 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+        elif m == 0xC2:
+            # progressive DCT: its own scan loop (spectral selection +
+            # successive approximation over a persistent coefficient
+            # store), restarted from the top of the stream
+            return _decode_jpeg_progressive(buf)
+        elif 0xC3 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
             raise ValueError(
-                f"unsupported JPEG SOF marker 0xff{m:02x} (baseline only)"
+                f"unsupported JPEG SOF marker 0xff{m:02x} "
+                "(baseline/progressive only)"
             )
         elif m == 0xDD:
             dri = int.from_bytes(seg[:2], "big")
@@ -2720,25 +3064,7 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("JPEG missing SOF/SOS")
     hgt, wid, comps = frame
     smap, dpos = scan
-    # unstuff the entropy stream; record restart-marker byte positions
-    data = bytearray()
-    rst_at = []
-    j = dpos
-    while j < n:
-        b = buf[j]
-        if b == 0xFF:
-            nxt = buf[j + 1] if j + 1 < n else 0
-            if nxt == 0x00:
-                data.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                rst_at.append(len(data))
-                j += 2
-                continue
-            break
-        data.append(b)
-        j += 1
+    data, rst_at, _ = _jpeg_entropy_segment(buf, dpos)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux, mcuy = -(-wid // (8 * hmax)), -(-hgt // (8 * vmax))
@@ -2789,40 +3115,301 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
                         x0 = (mx * c["h"] + bh) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
-    ups = []
-    for ci, c in enumerate(comps):
-        p = np.repeat(
-            np.repeat(planes[ci], vmax // c["v"], axis=0),
-            hmax // c["h"],
-            axis=1,
-        )
-        ups.append(p[:hgt, :wid])
-    if len(comps) == 1:
-        img = np.clip(np.rint(ups[0]), 0, 255).astype(np.int64)
-    else:
-        y, cb, cr = ups
-        img = np.clip(
-            np.rint(
-                np.stack(
-                    [
-                        y + 1.402 * (cr - 128.0),
-                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                        y + 1.772 * (cb - 128.0),
-                    ],
-                    axis=-1,
+    return _jpeg_finish(planes, comps, hgt, wid, hmax, vmax, dri)
+
+
+def _decode_jpeg_progressive(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a progressive JPEG (SOF2) blob → (int64 pixels, header).
+
+    Full T.81 progressive model: every SOS is a spectral band
+    [Ss, Se] at successive-approximation precision (Ah, Al) updating a
+    persistent per-block zigzag coefficient store — DC first/refine
+    (interleaved or single-component), AC first with EOB-run coding,
+    AC refinement with correction bits; DRI restarts resync each scan.
+    Reconstruction (dequantize → IDCT → upsample → BT.601) is shared
+    with the baseline decoder."""
+    if buf[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    n = len(buf)
+    i = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict = {}
+    frame = None
+    dri = 0
+    coefs: list[np.ndarray] = []
+    nat_blocks: list[tuple[int, int]] = []  # per-comp non-interleaved dims
+    saw_scan = False
+
+    while i < n - 1:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        m = buf[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(buf[i + 2 : i + 4], "big")
+        seg = buf[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        seg[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 65
+                else:
+                    qts[tq] = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 129
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                huffs[(cls, tid)] = _jpeg_canonical(
+                    bits, list(seg[p + 17 : p + 17 + cnt]), invert=True
                 )
-            ),
-            0,
-            255,
-        ).astype(np.int64)
-    header = {
-        "width": wid,
-        "height": hgt,
-        "n_components": len(comps),
-        "sampling": [(c["h"], c["v"]) for c in comps],
-        "restart_interval": dri,
-    }
-    return img, header
+                p += 17 + cnt
+        elif m == 0xC2:
+            hgt = int.from_bytes(seg[1:3], "big")
+            wid = int.from_bytes(seg[3:5], "big")
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "h": seg[7 + 3 * c] >> 4,
+                    "v": seg[7 + 3 * c] & 15,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(seg[5])
+            ]
+            frame = (hgt, wid, comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux, mcuy = -(-wid // (8 * hmax)), -(-hgt // (8 * vmax))
+            for c in comps:
+                # full (interleaved-padded) store; non-interleaved
+                # scans only touch the ceil(component/8) prefix
+                coefs.append(
+                    np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    )
+                )
+                cw = -(-wid * c["h"] // hmax)
+                chh = -(-hgt * c["v"] // vmax)
+                nat_blocks.append((-(-chh // 8), -(-cw // 8)))
+        elif (0xC0 <= m <= 0xCF) and m not in (0xC2, 0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                f"unexpected JPEG SOF marker 0xff{m:02x} in progressive stream"
+            )
+        elif m == 0xDD:
+            dri = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            data, rst_at, dend = _jpeg_entropy_segment(buf, i + 2 + ln)
+            _jpeg_progressive_scan(
+                frame, coefs, nat_blocks, huffs, scomps, ss, se, ah, al,
+                data, rst_at, dri,
+            )
+            saw_scan = True
+            i = dend
+            continue
+        i += 2 + ln
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    hgt, wid, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qts[c["tq"]]
+        bh, bw = coefs[ci].shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[..., _JPEG_ZZ] = (coefs[ci] * q).astype(np.float64)
+        blocks = np.einsum(
+            "ij,xyjk,kl->xyil",
+            _JPEG_A.T,
+            nat.reshape(bh, bw, 8, 8),
+            _JPEG_A,
+        ) + 128.0
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _jpeg_finish(
+        planes, comps, hgt, wid, hmax, vmax, dri, progressive=True
+    )
+
+
+def _jpeg_progressive_scan(
+    frame, coefs, nat_blocks, huffs, scomps, ss, se, ah, al,
+    data, rst_at, dri,
+):
+    """Decode ONE progressive entropy-coded segment into the
+    coefficient store (T.81 G.2): the four block procedures are DC
+    first / DC refine / AC first (EOB-run) / AC refine (correction
+    bits)."""
+    hgt, wid, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = -(-wid // (8 * hmax)), -(-hgt // (8 * vmax))
+    cidx = {c["id"]: k for k, c in enumerate(comps)}
+    br = _JpegBitReader(data)
+    rk = 0
+    preds = {cid: 0 for cid, _, _ in scomps}
+    state = {"eobrun": 0}
+
+    def dc_first(cf, cid, dct):
+        s = br.huff(dct)
+        preds[cid] += _jpeg_extend(br.bits(s), s)
+        cf[0] = preds[cid] << al
+
+    def dc_refine(cf):
+        if br.bit():
+            cf[0] |= 1 << al
+
+    def ac_first(cf, act):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            cf[k] = _jpeg_extend(br.bits(s), s) << al
+            k += 1
+
+    def _correct(cf, k, p1, m1):
+        if br.bit() and (cf[k] & p1) == 0:
+            cf[k] += p1 if cf[k] >= 0 else m1
+
+    def ac_refine(cf, act):
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.huff(act)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.bits(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    if cf[k] != 0:
+                        _correct(cf, k, p1, m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG AC refine overflow")
+                    cf[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if cf[k] != 0:
+                    _correct(cf, k, p1, m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def resync(unit):
+        nonlocal rk
+        if dri and unit and unit % dri == 0:
+            br.align()
+            if rk < len(rst_at):
+                br.i = rst_at[rk]
+                rk += 1
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:
+        # DC scan: interleaved MCU order (or single-component raster)
+        if se != 0:
+            raise ValueError("JPEG DC scan must have Se = 0")
+        if len(scomps) > 1:
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    resync(unit)
+                    for cid, td, _ta in scomps:
+                        ci = cidx[cid]
+                        c = comps[ci]
+                        for bv in range(c["v"]):
+                            for bh_ in range(c["h"]):
+                                cf = coefs[ci][
+                                    my * c["v"] + bv, mx * c["h"] + bh_
+                                ]
+                                if ah == 0:
+                                    dc_first(cf, cid, huffs[(0, td)])
+                                else:
+                                    dc_refine(cf)
+                    unit += 1
+        else:
+            cid, td, _ta = scomps[0]
+            ci = cidx[cid]
+            nbh, nbw = nat_blocks[ci]
+            unit = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    resync(unit)
+                    cf = coefs[ci][by, bx]
+                    if ah == 0:
+                        dc_first(cf, cid, huffs[(0, td)])
+                    else:
+                        dc_refine(cf)
+                    unit += 1
+    else:
+        # AC scan: always single-component, component raster order
+        if len(scomps) != 1:
+            raise ValueError("JPEG progressive AC scan must be 1-component")
+        cid, _td, ta = scomps[0]
+        ci = cidx[cid]
+        act = huffs[(1, ta)]
+        nbh, nbw = nat_blocks[ci]
+        unit = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                resync(unit)
+                cf = coefs[ci][by, bx]
+                if ah == 0:
+                    ac_first(cf, act)
+                else:
+                    ac_refine(cf, act)
+                unit += 1
 
 
 # ---------------------------------------------------------------------
@@ -3156,6 +3743,83 @@ def encode_wav_g711(
     if len(data) & 1:
         chunks += b"\x00"
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def image_census(assets: DataFrame) -> DataFrame:
+    """Crawl-shaped image ingest census: one VERDICT row per file and
+    NO exceptions — the text-ingest ``_corrupt_record`` contract
+    applied to binary image columns. Each (path, content) blob is
+    gunzipped, sniffed and decoded with the REAL codecs
+    (:func:`decode_any`: every detector format plus sequential/Adam7
+    PNG and baseline/progressive JPEG); any decode failure —
+    truncation, CRC mismatch, unknown magic — becomes
+    ``verdict='corrupt'`` DATA instead of a thrown task, so a wild-web
+    batch with a bad file still yields complete per-file results.
+
+    Output: (file, fmt, verdict, width, height, n_px, i_sum, i_wsum),
+    sums over the integer Rec.601 luma plane, position-weighted by
+    (y·width + x + 1) — the codec-gate exactness contract, so the
+    census is oracle-hashable end to end.
+
+    Scale: map-only (mapInPandas over the binary column, ONE row out
+    per file, no shuffle, no pixel fan-out). The kernel imports the
+    real codec module on the worker — call
+    :func:`trx_spark.sources.imageds.ensure_executor_package` (or ship
+    --py-files) so executors resolve it from any driver cwd."""
+
+    def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from trx_spark.operators.multimodal import (
+            decode_any,
+            maybe_gunzip,
+            png_luma,
+            sniff_codec,
+        )
+
+        cols = [
+            "file", "fmt", "verdict", "width", "height",
+            "n_px", "i_sum", "i_wsum",
+        ]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                name = row["path"]
+                fmt = "unknown"
+                # broad catch BY CONTRACT: a census turns every decode
+                # failure into a 'corrupt' verdict row — never a
+                # thrown task that kills the batch
+                try:
+                    buf = maybe_gunzip(bytes(row["content"]))
+                    fmt = sniff_codec(buf)
+                except Exception:
+                    rows.append((name, fmt, "corrupt", 0, 0, 0, 0, 0))
+                    continue
+                try:
+                    img, _hdr = decode_any(buf)
+                    lum = png_luma(img) if img.ndim == 3 else img
+                    h, w = int(lum.shape[0]), int(lum.shape[1])
+                    wts = (
+                        _np.arange(h, dtype=_np.int64)[:, None] * w
+                        + _np.arange(w, dtype=_np.int64)[None, :]
+                        + 1
+                    )
+                    rows.append((
+                        name, fmt, "ok", w, h, h * w,
+                        int(lum.sum()), int((lum * wts).sum()),
+                    ))
+                except Exception:
+                    rows.append((name, fmt, "corrupt", 0, 0, 0, 0, 0))
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(
+        census,
+        schema=(
+            "file string, fmt string, verdict string, width long, "
+            "height long, n_px long, i_sum long, i_wsum long"
+        ),
+    )
 
 
 def audio_frame_features(

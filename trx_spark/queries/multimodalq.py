@@ -643,6 +643,148 @@ SELECT 'png_' || CAST(k AS VARCHAR) AS file,
 FROM remapped GROUP BY k
 """
 
+# ---------------------------------------------------------------------
+# Wild-web image census gate: a crawl-shaped MIXED fixture — baseline
+# JPEG, progressive JPEG (spectral-selection AND successive-
+# approximation), sequential PNG, Adam7-interlaced PNG, plus a
+# truncated JPEG, a CRC-corrupted PNG, a truncated PNG and plain
+# garbage bytes — through the REAL decoders with the quarantine
+# contract: every file yields a verdict row, no exceptions. The
+# decodable files use the codec gates' exact fixed points (constant
+# JPEG tiles at all-ones quant; lossless PNG), so the oracle recomputes
+# their luma sums arithmetically and pins the corrupt files' verdict
+# rows as literals.
+# ---------------------------------------------------------------------
+
+_WEB_JPG_N = 8   # files 0-3 baseline, 4-5 progressive, 6-7 successive
+_WEB_G16_N = 2   # files 8-9: sequential 16-bit grayscale PNG
+_WEB_RGB_N = 2   # files 10-11: Adam7-interlaced RGB PNG
+_WEB_H, _WEB_W = 16, 16          # PNG fixture dims
+_WEB_JBY, _WEB_JBX = 2, 3        # JPEG 8x8 blocks → 16 x 24 px
+
+
+def _web_assets(spark: SparkSession) -> DataFrame:
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_png,
+    )
+
+    def jpeg_img(k):
+        tiles = np.array(
+            [
+                [(k * 131 + by * 17 + bx * 29) % 256 for bx in range(_WEB_JBX)]
+                for by in range(_WEB_JBY)
+            ]
+        )
+        return np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+
+    yy, xx = np.mgrid[0:_WEB_H, 0:_WEB_W]
+
+    def png_base(k):
+        return (k * 997 + yy * 211 + xx * 53) % 1024
+
+    rows = []
+    for k in range(_WEB_JPG_N + _WEB_G16_N + _WEB_RGB_N + 4):
+        if k < 4:
+            blob = encode_jpeg(jpeg_img(k))
+        elif k < 6:
+            blob = encode_jpeg_progressive(jpeg_img(k))
+        elif k < 8:
+            blob = encode_jpeg_progressive(jpeg_img(k), successive=True)
+        elif k < 10:
+            blob = encode_png(png_base(k), filters="cycle")  # 16-bit gray
+        elif k < 12:
+            base = png_base(k)
+            rgb = np.stack(
+                [base % 256, (base * 3) % 256, (base * 7) % 256], axis=-1
+            )
+            blob = encode_png(rgb, filters="cycle", interlace=True)
+        elif k == 12:  # truncated progressive JPEG
+            blob = encode_jpeg_progressive(jpeg_img(k), successive=True)
+            blob = blob[: len(blob) * 3 // 5]
+        elif k == 13:  # CRC-corrupted PNG (one flipped IDAT byte)
+            b = bytearray(encode_png(png_base(k) % 256))
+            b[b.index(b"IDAT") + 6] ^= 0xFF
+            blob = bytes(b)
+        elif k == 14:  # truncated PNG (cut inside the IDAT chunk)
+            blob = encode_png(png_base(k) % 256)
+            blob = blob[: len(blob) // 2]
+        else:  # k == 15: crawl junk, no known magic
+            blob = b"this is not an image, just crawl junk bytes\x00\x01"
+        if k % 5 == 0:
+            blob = gzip.compress(blob, mtime=0)
+        rows.append((f"web_{k}", bytearray(blob)))
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def web_image_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per-file verdict census of the mixed crawl fixture
+    through the REAL decoders (operators/multimodal.py image_census) —
+    decodable files carry exact luma sums, broken files carry
+    verdict='corrupt' rows instead of exceptions."""
+    from trx_spark.operators.multimodal import image_census
+    from trx_spark.sources.imageds import ensure_executor_package
+
+    ensure_executor_package(spark)
+    return image_census(_web_assets(spark))
+
+
+_WEB_CENSUS_SQL = f"""
+WITH jb AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, {_WEB_JPG_N}) t(k)),
+jys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_WEB_JBY * 8}) t(v)),
+jxs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_WEB_JBX * 8}) t(v)),
+jpx AS (
+  SELECT k, y, x,
+    (k * 131 + (y // 8) * 17 + (x // 8) * 29) % 256 AS l
+  FROM jb, jys, jxs
+),
+gb AS (
+  SELECT CAST(k AS BIGINT) AS k FROM range({_WEB_JPG_N},
+    {_WEB_JPG_N + _WEB_G16_N + _WEB_RGB_N}) t(k)
+),
+pys AS (SELECT CAST(v AS BIGINT) AS y FROM range(0, {_WEB_H}) t(v)),
+pxs AS (SELECT CAST(v AS BIGINT) AS x FROM range(0, {_WEB_W}) t(v)),
+ppx AS (
+  SELECT k, y, x,
+    CASE WHEN k < {_WEB_JPG_N + _WEB_G16_N}
+         THEN (k * 997 + y * 211 + x * 53) % 1024
+         ELSE (299 * (((k * 997 + y * 211 + x * 53) % 1024) % 256)
+             + 587 * ((((k * 997 + y * 211 + x * 53) % 1024) * 3) % 256)
+             + 114 * ((((k * 997 + y * 211 + x * 53) % 1024) * 7) % 256))
+              // 1000
+    END AS l
+  FROM gb, pys, pxs
+)
+SELECT 'web_' || CAST(k AS VARCHAR) AS file, 'jpeg' AS fmt, 'ok' AS verdict,
+  CAST({_WEB_JBX * 8} AS BIGINT) AS width,
+  CAST({_WEB_JBY * 8} AS BIGINT) AS height,
+  CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(l) AS BIGINT) AS i_sum,
+  CAST(SUM(l * (y * {_WEB_JBX * 8} + x + 1)) AS BIGINT) AS i_wsum
+FROM jpx GROUP BY k
+UNION ALL
+SELECT 'web_' || CAST(k AS VARCHAR), 'png', 'ok',
+  CAST({_WEB_W} AS BIGINT), CAST({_WEB_H} AS BIGINT),
+  CAST(COUNT(*) AS BIGINT), CAST(SUM(l) AS BIGINT),
+  CAST(SUM(l * (y * {_WEB_W} + x + 1)) AS BIGINT)
+FROM ppx GROUP BY k
+UNION ALL
+SELECT * FROM (VALUES
+  ('web_12', 'jpeg', 'corrupt', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('web_13', 'png', 'corrupt', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('web_14', 'png', 'corrupt', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('web_15', 'unknown', 'corrupt', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) c(file, fmt, verdict, width, height, n_px, i_sum, i_wsum)
+"""
+
 QUERIES = {
     "image_dedup_groups": image_dedup_groups,
     "audio_dedup_groups": audio_dedup_groups,
@@ -652,9 +794,11 @@ QUERIES = {
     "image_patch_stats": image_patch_stats,
     "image_augment_stats": image_augment_stats,
     "image_hist_equalization": image_hist_equalization,
+    "web_image_census": web_image_census,
 }
 
 ORACLES = {
+    "web_image_census": _WEB_CENSUS_SQL,
     "image_dedup_groups": _IMAGE_DEDUP_SQL,
     "audio_dedup_groups": _AUDIO_DEDUP_SQL,
     "png_decode_stats": _PNG_DECODE_SQL,

@@ -226,10 +226,18 @@ def _package_zip() -> str:
     return out
 
 
+def ensure_executor_package(spark) -> None:
+    """Ship the trx_spark package zip to this session's executors
+    (``addPyFile`` — the --py-files path on a real cluster), so worker
+    kernels may ``import trx_spark`` regardless of the driver cwd.
+    Idempotent per session: the zip path is stable per process."""
+    spark.sparkContext.addPyFile(_package_zip())
+
+
 def register_image_datasource(spark) -> None:
     """Register the ``detector_image`` format on this session, enable
     Python-source filter pushdown (off by default in 4.1), and ship
     the package to executors (``addPyFile`` — the --py-files path)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.sparkContext.addPyFile(_package_zip())
+    ensure_executor_package(spark)
     spark.dataSource.register(DetectorImageDataSource)
