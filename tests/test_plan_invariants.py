@@ -122,7 +122,7 @@ def _walk(jnode):
             pass
 
 
-def _top_bench_names(n=15):
+def _top_bench_names(n=30):
     import json
     import pathlib
 
@@ -229,6 +229,55 @@ def test_no_global_lit1_window_in_source():
         if "partitionBy(F.lit(1))" in src or "partitionBy(lit(1))" in src:
             offenders.append(str(p))
     assert offenders == []
+
+
+# Every unpartitioned Window.orderBy in the tree, with the bound that
+# justifies it (file → exact occurrence count). The INPUT of each site
+# is bounded by construction — dictionary/top-k/bucket tables or
+# per-run file lists — never corpus-proportional data; the one
+# deliberate data-global window is slice_skip_first_last, kept for
+# P6/O3 coverage and documented in relational.py. A new global window
+# (or a removed one) fails the count and must be justified here.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # group-less API fallback of the as-of reference frames: every
+    # corpus-scale caller passes a run/scan group; group-less serves
+    # single-run (bounded per-file log) reductions
+    "operators/reduction.py": 3,
+    # ring-histogram smoothing: ≤|bins| rows (fixed radial binning)
+    "operators/fits.py": 1,
+    # log-file line slicing: per-run log/file lists (1e3-1e6 names),
+    # never the pixel data
+    "sources/logfile.py": 1,
+    # files⋈log acquisition index, group-less fallback (same contract
+    # as reduction.py)
+    "pipeline.py": 1,
+    # UNIMAX water-filling: ≤|langs| rows
+    "queries/mlops.py": 3,
+    # slice_skip_first_last: THE documented data-global window (P6/O3)
+    "queries/relational.py": 1,
+    # moving-median trend: ≤|day buckets| rows
+    "queries/temporal.py": 1,
+    # RRF fusion: two bounded top-k tables (≤k rows each)
+    "queries/ranking.py": 2,
+    # KS/ECDF statistics: ≤|distinct values of the compared columns|
+    "queries/driftstats.py": 2,
+}
+
+
+def test_global_windows_are_allowlisted():
+    """Closes the r8 audit seam: every unpartitioned ``Window.orderBy``
+    in the tree must be on the bounded-input allowlist above, at its
+    exact count — adding a global window anywhere else (or changing an
+    allowlisted file's count) fails until the bound is re-justified."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "trx_spark"
+    found: dict[str, int] = {}
+    for p in root.rglob("*.py"):
+        cnt = p.read_text().count("Window.orderBy(")
+        if cnt:
+            found[str(p.relative_to(root))] = cnt
+    assert found == _GLOBAL_WINDOW_ALLOWLIST
 
 
 def test_spec_reader_windows_are_per_file(spark, tmp_path):
