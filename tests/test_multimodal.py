@@ -1501,6 +1501,54 @@ def test_jpeg_progressive_matches_baseline():
         np.testing.assert_array_equal(prog, base)
 
 
+def test_image_census_mixed_formats_and_quarantine(spark):
+    """image_census yields one verdict row per file across DETECTOR
+    formats (EDF, gzipped CBF), web formats (Adam7 PNG, progressive
+    JPEG), and broken inputs (truncated EDF, gzip-wrapped junk) — the
+    quarantine contract: complete results, no thrown task."""
+    import gzip
+
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        encode_cbf,
+        encode_edf,
+        encode_jpeg_progressive,
+        encode_png,
+        image_census,
+    )
+    from trx_spark.sources.imageds import ensure_executor_package
+
+    ensure_executor_package(spark)
+    rng = np.random.default_rng(21)
+    edf = encode_edf(rng.integers(0, 1000, (6, 5)).astype(np.uint16))
+    cbf = gzip.compress(
+        encode_cbf(rng.integers(0, 900, (4, 7)).astype(np.int64)), mtime=0
+    )
+    png = encode_png(rng.integers(0, 256, (9, 4, 3)), interlace=True)
+    jpg = encode_jpeg_progressive(
+        rng.integers(0, 256, (8, 16)), successive=True
+    )
+    rows = [
+        ("a.edf", bytearray(edf)),
+        ("b.cbf.gz", bytearray(cbf)),
+        ("c.png", bytearray(png)),
+        ("d.jpg", bytearray(jpg)),
+        ("e.edf", bytearray(edf[: len(edf) // 2])),  # truncated
+        ("f.bin", bytearray(gzip.compress(b"junk", mtime=0))),
+    ]
+    assets = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["file"]: r for r in image_census(assets).collect()}
+    assert len(got) == 6
+    assert {got[k]["verdict"] for k in ("a.edf", "b.cbf.gz", "c.png", "d.jpg")} == {"ok"}
+    assert (got["a.edf"]["width"], got["a.edf"]["height"]) == (5, 6)
+    assert got["c.png"]["n_px"] == 9 * 4
+    assert got["e.edf"]["verdict"] == "corrupt"
+    assert got["e.edf"]["fmt"] == "edf"  # sniffed before the failure
+    assert got["f.bin"]["verdict"] == "corrupt"
+    assert got["f.bin"]["fmt"] == "unknown"
+
+
 def test_jpeg_progressive_truncation_raises():
     import numpy as np
     import pytest as _pt
