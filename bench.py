@@ -294,9 +294,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    def run_pass(
-        cold: bool, steady: dict[str, float] | None = None
-    ) -> dict[str, float]:
+    def run_pass(cold: bool) -> dict[str, float]:
         from trx_spark.cache import clear_stage_caches
 
         timings: dict[str, float] = {}
@@ -310,19 +308,6 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-            if steady is not None:
-                # steady-state run: same plan, second execution in the
-                # same session — whole-stage-codegen compilation and
-                # memo builds are paid, so this is the number a
-                # long-lived session sees per query.  The amortized map
-                # conflates plan cost with per-session compile cost
-                # (~2 s on small queries), which generated false
-                # round-over-round "regression" flags (decontam r7).
-                t1 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                steady[name] = round(time.perf_counter() - t1, 3)
         return timings
 
     # ambient-load stamps: the driver's run and the committed clean run
@@ -330,10 +315,7 @@ def main() -> None:
     # recording loadavg + wall timestamps around each pass makes a
     # contaminated run self-identifying from the artifact
     load = {"start": list(os.getloadavg()), "t_start": round(time.time(), 1)}
-    steady: dict[str, float] | None = (
-        {} if os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1") != "0" else None
-    )
-    timings = run_pass(cold=False, steady=steady)
+    timings = run_pass(cold=False)
     load["after_amortized"] = list(os.getloadavg())
     load["t_after_amortized"] = round(time.time(), 1)
     total = round(sum(timings.values()), 3)
@@ -346,7 +328,17 @@ def main() -> None:
         "n": len(HEADLINE),
         "detail": "BENCH_DETAIL.json",
     }
-    if steady is not None:
+    if os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1") != "0":
+        # STEADY-STATE pass: a SEPARATE second sweep (memos and
+        # whole-stage-codegen already paid), so each number is what a
+        # long-lived session sees per query.  Kept out of the amortized
+        # pass on purpose: the amortized map is the round-over-round
+        # comparable headline, and interleaving a second execution
+        # after every query measurably inflates it (r9: +15 % on the
+        # iterative trainers).  The steady map is what separates plan
+        # cost from per-session compile cost — the r6→r8
+        # decontam/simhash/cms "regressions" were compile noise.
+        steady = run_pass(cold=False)
         detail["queries_steady"] = steady
         out["steady_total"] = round(sum(steady.values()), 3)
         detail["steady_total"] = out["steady_total"]
