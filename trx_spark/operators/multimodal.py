@@ -7,9 +7,11 @@ Arrow-batched ``mapInPandas`` stages. The reference's detector format
 pure-numpy codec (:func:`decode_edf` — the public ESRF format is an
 ASCII header + raw pixel block, no library needed), as are CBF, TIFF,
 mar345, MarCCD, Bruker SFRM, ADSC SMV, and — for the web-corpus leg —
-PNG (:func:`decode_png`: zlib inflate + per-scanline unfilter) and
-baseline JPEG (:func:`decode_jpeg`: Huffman + dequant + exact 8x8
-IDCT + BT.601, pure numpy per ITU-T T.81). Every image format is
+PNG (:func:`decode_png`: zlib inflate + per-scanline unfilter, both
+sequential and Adam7-interlaced) and JPEG (:func:`decode_jpeg`:
+Huffman + dequant + exact 8x8 IDCT + BT.601, pure numpy per ITU-T
+T.81 — baseline AND progressive/SOF2 incl. successive
+approximation). Every image format is
 decoded for real; only compressed audio (mp3/ogg, which genuinely
 needs ffmpeg) keeps the deterministic fake (``codec="fake"``, seeded
 by content hash) with the real schema, partitioning and batch shape.
@@ -2547,24 +2549,13 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)
 
 
-def _jpeg_mag(v: int) -> tuple[int, int]:
-    """(size, appended-bits code) of a DC diff / AC value (T.81
-    F.1.2.1: negative values store v + 2^size − 1)."""
-    a = abs(int(v))
-    s = a.bit_length()
-    return s, (v if v >= 0 else v + (1 << s) - 1)
-
-
-def _jpeg_seg(marker: int, payload: bytes) -> bytes:
-    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-
-def encode_jpeg(
-    img: np.ndarray, *, quant=None, quant_chroma=None
-) -> bytes:
-    """Encode 2-D grayscale or (H, W, 3) RGB as baseline JPEG (4:4:4,
-    8-bit). ``quant`` defaults to all-ones (near-lossless; constant
-    blocks are exactly lossless — the gate fixture's property)."""
+def _jpeg_encode_setup(img, quant, quant_chroma):
+    """Shared encoder front end (baseline + progressive): validate the
+    input, split into Y / YCbCr planes, normalize the zigzag-order
+    quant tables, and build the natural-order divisor tables by the
+    INVERSE scatter qnat[_JPEG_ZZ[k]] = qt[k] (qt[_JPEG_ZZ] applies
+    the permutation the wrong way round — identical only for uniform
+    tables).  Returns (gray, h, w, planes, qids, qts, qnat)."""
     img = np.asarray(img)
     if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
         raise ValueError("JPEG input must be 2-D grayscale or (H, W, 3) RGB")
@@ -2593,17 +2584,37 @@ def encode_jpeg(
         ]
         qids = [0, 1, 1]
         qts = {0: quant, 1: qc}
-    dc_code = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_code = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    # quant tables are given (and written to DQT) in ZIGZAG order; the
-    # natural-order divisor table is the INVERSE scatter
-    # qnat[_JPEG_ZZ[k]] = qt[k] (qt[_JPEG_ZZ] applies the permutation
-    # the wrong way round — identical only for uniform tables)
     qnat = {}
     for qid, qt in qts.items():
         t = np.empty(64, dtype=np.int64)
         t[_JPEG_ZZ] = qt
         qnat[qid] = t.reshape(8, 8)
+    return gray, h, w, planes, qids, qts, qnat
+
+
+def _jpeg_mag(v: int) -> tuple[int, int]:
+    """(size, appended-bits code) of a DC diff / AC value (T.81
+    F.1.2.1: negative values store v + 2^size − 1)."""
+    a = abs(int(v))
+    s = a.bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg(
+    img: np.ndarray, *, quant=None, quant_chroma=None
+) -> bytes:
+    """Encode 2-D grayscale or (H, W, 3) RGB as baseline JPEG (4:4:4,
+    8-bit). ``quant`` defaults to all-ones (near-lossless; constant
+    blocks are exactly lossless — the gate fixture's property)."""
+    gray, h, w, planes, qids, qts, qnat = _jpeg_encode_setup(
+        img, quant, quant_chroma
+    )
+    dc_code = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_code = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
     bw = _JpegBitWriter()
@@ -2682,39 +2693,9 @@ def encode_jpeg_progressive(
     plus a DC refinement scan, AC at Al=1 plus an AC refinement scan
     per component — exercising all four decoder block procedures
     (including EOB-runs, ZRL-with-history and correction bits)."""
-    img = np.asarray(img)
-    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
-        raise ValueError("JPEG input must be 2-D grayscale or (H, W, 3) RGB")
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    quant = (
-        np.ones(64, dtype=np.int64)
-        if quant is None
-        else np.asarray(quant, dtype=np.int64).reshape(64)
+    gray, h, w, planes, qids, qts, qnat = _jpeg_encode_setup(
+        img, quant, quant_chroma
     )
-    qc = (
-        quant
-        if quant_chroma is None
-        else np.asarray(quant_chroma, dtype=np.int64).reshape(64)
-    )
-    if gray:
-        planes = [img.astype(np.float64)]
-        qids = [0]
-        qts = {0: quant}
-    else:
-        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
-        qids = [0, 1, 1]
-        qts = {0: quant, 1: qc}
-    qnat = {}
-    for qid, qt in qts.items():
-        t = np.empty(64, dtype=np.int64)
-        t[_JPEG_ZZ] = qt  # DQT bytes are zigzag order; invert to natural
-        qnat[qid] = t.reshape(8, 8)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     nby, nbx = ph // 8, pw // 8
     # forward transform once: per-component zigzag coefficient store
@@ -2909,6 +2890,57 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_parse_dqt(seg: bytes, qts: dict) -> None:
+    """Parse one DQT segment (8- or 16-bit precision tables, several
+    tables per segment) into ``qts`` — shared by the baseline and
+    progressive marker walks."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 15
+        if pq == 0:
+            qts[tq] = np.frombuffer(
+                seg[p + 1 : p + 65], dtype=np.uint8
+            ).astype(np.int64)
+            p += 65
+        else:  # 16-bit precision tables
+            qts[tq] = np.frombuffer(
+                seg[p + 1 : p + 129], dtype=">u2"
+            ).astype(np.int64)
+            p += 129
+
+
+def _jpeg_parse_dht(seg: bytes, huffs: dict) -> None:
+    """Parse one DHT segment (several tables per segment) into the
+    decoder-direction canonical maps in ``huffs`` — shared by the
+    baseline and progressive marker walks."""
+    p = 0
+    while p < len(seg):
+        cls, tid = seg[p] >> 4, seg[p] & 15
+        bits = list(seg[p + 1 : p + 17])
+        cnt = sum(bits)
+        huffs[(cls, tid)] = _jpeg_canonical(
+            bits, list(seg[p + 17 : p + 17 + cnt]), invert=True
+        )
+        p += 17 + cnt
+
+
+def _jpeg_parse_sof_components(seg: bytes):
+    """(height, width, component dicts) from an SOF payload — shared
+    by the baseline and progressive marker walks."""
+    hgt = int.from_bytes(seg[1:3], "big")
+    wid = int.from_bytes(seg[3:5], "big")
+    comps = [
+        {
+            "id": seg[6 + 3 * c],
+            "h": seg[7 + 3 * c] >> 4,
+            "v": seg[7 + 3 * c] & 15,
+            "tq": seg[8 + 3 * c],
+        }
+        for c in range(seg[5])
+    ]
+    return hgt, wid, comps
+
+
 def _jpeg_entropy_segment(buf: bytes, dpos: int):
     """Unstuff one entropy-coded segment starting at ``dpos``: returns
     (data bytes with FF00 unstuffed, restart-marker byte positions
@@ -2977,11 +3009,13 @@ def _jpeg_finish(planes, comps, hgt, wid, hmax, vmax, dri, *, progressive=False)
 
 
 def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a baseline JPEG blob → (int64 pixel array, header dict):
+    """Decode a JPEG blob → (int64 pixel array, header dict):
     (H, W) for grayscale, (H, W, 3) RGB otherwise. Supports arbitrary
     h/v sampling factors (4:4:4, 4:2:0, 4:2:2, ...), multiple
-    DQT/DHT segments, FF00 stuffing, and DRI restart markers;
-    progressive/hierarchical SOF markers raise."""
+    DQT/DHT segments, FF00 stuffing, and DRI restart markers. A
+    progressive stream (SOF2) dispatches to
+    :func:`_decode_jpeg_progressive`; the non-DCT SOF markers
+    (lossless/hierarchical/arithmetic) raise."""
     if buf[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG stream")
     n = len(buf)
@@ -3004,41 +3038,11 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
         ln = int.from_bytes(buf[i + 2 : i + 4], "big")
         seg = buf[i + 4 : i + 2 + ln]
         if m == 0xDB:
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq == 0:
-                    qts[tq] = np.frombuffer(
-                        seg[p + 1 : p + 65], dtype=np.uint8
-                    ).astype(np.int64)
-                    p += 65
-                else:  # 16-bit precision tables
-                    qts[tq] = np.frombuffer(
-                        seg[p + 1 : p + 129], dtype=">u2"
-                    ).astype(np.int64)
-                    p += 129
+            _jpeg_parse_dqt(seg, qts)
         elif m == 0xC4:
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 15
-                bits = list(seg[p + 1 : p + 17])
-                cnt = sum(bits)
-                huffs[(cls, tid)] = _jpeg_canonical(
-                    bits, list(seg[p + 17 : p + 17 + cnt]), invert=True
-                )
-                p += 17 + cnt
+            _jpeg_parse_dht(seg, huffs)
         elif m in (0xC0, 0xC1):
-            hgt = int.from_bytes(seg[1:3], "big")
-            wid = int.from_bytes(seg[3:5], "big")
-            comps = [
-                {
-                    "id": seg[6 + 3 * c],
-                    "h": seg[7 + 3 * c] >> 4,
-                    "v": seg[7 + 3 * c] & 15,
-                    "tq": seg[8 + 3 * c],
-                }
-                for c in range(seg[5])
-            ]
+            hgt, wid, comps = _jpeg_parse_sof_components(seg)
             frame = (hgt, wid, comps)
         elif m == 0xC2:
             # progressive DCT: its own scan loop (spectral selection +
@@ -3153,41 +3157,11 @@ def _decode_jpeg_progressive(buf: bytes) -> tuple[np.ndarray, dict]:
         ln = int.from_bytes(buf[i + 2 : i + 4], "big")
         seg = buf[i + 4 : i + 2 + ln]
         if m == 0xDB:
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq == 0:
-                    qts[tq] = np.frombuffer(
-                        seg[p + 1 : p + 65], dtype=np.uint8
-                    ).astype(np.int64)
-                    p += 65
-                else:
-                    qts[tq] = np.frombuffer(
-                        seg[p + 1 : p + 129], dtype=">u2"
-                    ).astype(np.int64)
-                    p += 129
+            _jpeg_parse_dqt(seg, qts)
         elif m == 0xC4:
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 15
-                bits = list(seg[p + 1 : p + 17])
-                cnt = sum(bits)
-                huffs[(cls, tid)] = _jpeg_canonical(
-                    bits, list(seg[p + 17 : p + 17 + cnt]), invert=True
-                )
-                p += 17 + cnt
+            _jpeg_parse_dht(seg, huffs)
         elif m == 0xC2:
-            hgt = int.from_bytes(seg[1:3], "big")
-            wid = int.from_bytes(seg[3:5], "big")
-            comps = [
-                {
-                    "id": seg[6 + 3 * c],
-                    "h": seg[7 + 3 * c] >> 4,
-                    "v": seg[7 + 3 * c] & 15,
-                    "tq": seg[8 + 3 * c],
-                }
-                for c in range(seg[5])
-            ]
+            hgt, wid, comps = _jpeg_parse_sof_components(seg)
             frame = (hgt, wid, comps)
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)

@@ -103,47 +103,10 @@ for mod in (
 # driver hash here), `pq_codes` (newest row was r04; everything else is
 # r05+), the 10 r05-era names queued by the r7 rotation note, then r8's
 # new gate entries, then the oldest remaining r05-row names as fillers.
-_R08_NEVER_CHECKED = [
-    "dedup_savings_report", "minhash_estimate_calibration",
-    "embedding_standardized", "ann_recall_audit",
-    "curation_funnel_report", "cdc_chunks", "cdc_chunk_dedup",
-    "zorder_layout_keys", "zorder_skipping_stats", "layout_scan_savings",
-    "split_leakage_audit", "url_dedup_keep", "padding_waste_audit",
-    # the one name the r7 rotation missed — its newest driver row is r04
-    "pq_codes",
-]
-_R08_QUEUED_R05 = [
-    "boilerplate_spans", "simhash_neardup_pairs", "contrastive_triples",
-    "dedup_report", "training_set_manifest", "knn_reciprocal_pairs",
-    "minhash_containment", "mmr_diverse_topk", "source_overlap_matrix",
-    "ngram_novelty",
-]
-_R08_FILLERS_R05 = [
-    # oldest-row fillers (all r05); the no-oracle trio
-    # (compression_ratio, lm_perplexity, quality_classifier_scores) is
-    # excluded — a rows-only re-check wastes a hash slot.  Trailing
-    # fillers are swapped out as r8 adds new gate entries.
-    "ann_cosine_topk",
-]
-_R08_TOUCHED = [
-    # r8-touched code and new gate entries, hashed in their landing
-    # round: the wordpiece no-match sentinel, the memoized bloom-filter
-    # word table, the real PNG / baseline-JPEG / MJPEG-video decode
-    # gates, the OPQ pair, and the two streaming gates whose band
-    # stores gained the z-cell probe column
-    "wordpiece_encode", "decontam_bloom_flags", "png_decode_stats",
-    "jpeg_decode_stats", "video_decode_stats",
-    "ann_opq_topk", "opq_recall_audit", "hybrid_rank_rrf",
-    "source_token_drift",
-    "tokenizer_fertility", "dictionary_tag_spans", "table_profile",
-    "ewma_anomaly",
-    "volume_shipping", "national_market_share", "promo_revenue_share",
-    "cheapest_supplier_per_part",
-    "jsonl_ingest_stats", "csv_ingest_stats",
-    "event_type_correlation", "trimmed_length_stats",
-    "record_linkage_pairs", "ccnet_quality_buckets",
-    "streaming_lsh_pairs", "streaming_curation_keep",
-]
+# (The r8 window itself — 14 never-checked + 10 queued-r05 +
+# ann_cosine_topk + 25 r8-touched names — is recorded in
+# CORRECTNESS_r08.json; the list literals were dropped once _order
+# stopped reading them.)
 # Round-9 rotation note: (a) late-r8 queries with local parity but no
 # driver row yet — event_trend_robust, bootstrap_replica_means,
 # lm_next_token_accuracy, xml_ingest_stats, orc_roundtrip_stats,
@@ -181,11 +144,6 @@ _R08_TOUCHED = [
 # topk_orders_per_customer, train_val_test_split, user_rfm_segments
 # (plus the by-design no-oracle trio).  Rotate them (plus any
 # r9-touched names) into the r9 window.
-_R08_WINDOW = (
-    _R08_NEVER_CHECKED + _R08_QUEUED_R05 + _R08_FILLERS_R05 + _R08_TOUCHED
-)
-assert len(_R08_WINDOW) == 50, len(_R08_WINDOW)
-
 # Round-9 window: ALL 47 never-driver-checked late-r8 names (the full
 # rotation-note list — their first driver rows) plus r9's 3 new gate
 # entries, landed BEFORE the gate snapshot so they get rows in their

@@ -362,6 +362,11 @@ def compact_band_store(
     from trx_spark.sources.sinks import _COMPACT_MARKER, compacted_through
 
     df = _read_band_store(spark, band_store)  # adds _zc to legacy stores
+    if df is None:
+        # nothing written yet (a scheduled compaction racing the first
+        # micro-batch): clean no-op, not an AttributeError
+        logger.warning("compact_band_store: %s does not exist yet", band_store)
+        return 0
     if "_zc" in df.columns:
         # mixed-generation stores read pre-upgrade rows with NULL _zc:
         # re-materialize it so every folded row carries a real cell
