@@ -1549,6 +1549,35 @@ def test_image_census_mixed_formats_and_quarantine(spark):
     assert got["f.bin"]["fmt"] == "unknown"
 
 
+def test_jpeg_progressive_restart_resync():
+    """DRI restart markers inside progressive scans: the decoder must
+    resync (bit-align, jump to the recorded marker position, reset DC
+    predictors and EOB-run state) in every scan kind — DC first/refine
+    and AC first/refine — and still reconstruct exactly the baseline
+    decode of the same data, for gray and RGB at several intervals."""
+    import numpy as np
+
+    from trx_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(16, 16), (24, 32), (17, 19, 3)]:
+        img = rng.integers(0, 256, shape)
+        base, _ = decode_jpeg(encode_jpeg(img))
+        for succ in (False, True):
+            for dri in (1, 3, 5):
+                prog, hdr = decode_jpeg(
+                    encode_jpeg_progressive(
+                        img, successive=succ, restart_interval=dri
+                    )
+                )
+                assert hdr["restart_interval"] == dri
+                np.testing.assert_array_equal(prog, base)
+
+
 def test_jpeg_progressive_truncation_raises():
     import numpy as np
     import pytest as _pt

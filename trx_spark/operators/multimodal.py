@@ -2681,7 +2681,7 @@ def encode_jpeg(
 
 def encode_jpeg_progressive(
     img: np.ndarray, *, quant=None, quant_chroma=None,
-    successive: bool = False,
+    successive: bool = False, restart_interval: int = 0,
 ) -> bytes:
     """Encode 2-D grayscale or (H, W, 3) RGB as PROGRESSIVE JPEG
     (SOF2, 4:4:4, 8-bit) — the write side of the wild-web decode seam
@@ -2692,7 +2692,10 @@ def encode_jpeg_progressive(
     ``successive=True``: adds successive approximation — DC at Al=1
     plus a DC refinement scan, AC at Al=1 plus an AC refinement scan
     per component — exercising all four decoder block procedures
-    (including EOB-runs, ZRL-with-history and correction bits)."""
+    (including EOB-runs, ZRL-with-history and correction bits).
+    ``restart_interval``: emit a DRI segment and RSTn markers every
+    that many data units in every scan (DC predictors and EOB-run
+    state reset at each marker) — the decoder resync path."""
     gray, h, w, planes, qids, qts, qnat = _jpeg_encode_setup(
         img, quant, quant_chroma
     )
@@ -2721,11 +2724,33 @@ def encode_jpeg_progressive(
         bw.flush()
         return _jpeg_seg(0xDA, seg) + bytes(bw.out)
 
+    def restart_stepper(bw, reset=None):
+        """Per-scan unit counter: every ``restart_interval`` data
+        units, pad-flush the bit stream, emit the cycling RSTn marker
+        (raw — markers are never byte-stuffed), and reset the scan's
+        predictor state. Call once BEFORE each unit."""
+        cnt = {"u": 0, "rk": 0}
+
+        def step():
+            if restart_interval and cnt["u"] and cnt["u"] % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (cnt["rk"] & 7)])
+                cnt["rk"] += 1
+                if reset is not None:
+                    reset()
+            cnt["u"] += 1
+
+        return step
+
     def dc_first_scan(al):
         bw = _JpegBitWriter()
         preds = [0] * len(planes)
+        step = restart_stepper(
+            bw, lambda: preds.__setitem__(slice(None), [0] * len(planes))
+        )
         for by in range(nby):
             for bx in range(nbx):
+                step()
                 for ci in range(len(planes)):
                     v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift
                     diff = v - preds[ci]
@@ -2740,16 +2765,20 @@ def encode_jpeg_progressive(
     def dc_refine_scan(ah):
         bw = _JpegBitWriter()
         al = ah - 1
+        step = restart_stepper(bw)
         for by in range(nby):
             for bx in range(nbx):
+                step()
                 for ci in range(len(planes)):
                     bw.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
         return sos([ci + 1 for ci in range(len(planes))], 0, 0, ah, al, bw)
 
     def ac_first_scan(ci, al):
         bw = _JpegBitWriter()
+        step = restart_stepper(bw)  # per-block EOB0: no cross-unit state
         for by in range(nby):
             for bx in range(nbx):
+                step()
                 zz = coefs[ci][by, bx]
                 # AC point transform is a MAGNITUDE shift (T.81 A.4)
                 t = [
@@ -2782,6 +2811,7 @@ def encode_jpeg_progressive(
     def ac_refine_scan(ci, ah):
         al = ah - 1
         bw = _JpegBitWriter()
+        step = restart_stepper(bw)  # per-block flush: no cross-unit state
 
         def flush_br(br):
             for bit in br:
@@ -2790,6 +2820,7 @@ def encode_jpeg_progressive(
 
         for by in range(nby):
             for bx in range(nbx):
+                step()
                 zz = coefs[ci][by, bx]
                 run, br = 0, []
                 for k in range(1, 64):
@@ -2831,6 +2862,8 @@ def encode_jpeg_progressive(
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, qids[ci]])
     out += _jpeg_seg(0xC2, sof)
+    if restart_interval:
+        out += _jpeg_seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     for cls, bits, vals in (
         (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
         (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
