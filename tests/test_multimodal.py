@@ -1272,6 +1272,38 @@ def test_decode_png_distributed(spark, tmp_path):
         )
 
 
+def test_decode_png_distributed_adam7(spark):
+    """decode_image's self-contained PNG twin decodes Adam7-interlaced
+    blobs too (parity with decode_png / the census path): sequential
+    and interlaced encodings of the same pixels give identical
+    distributed luma sums."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trx_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        png_luma,
+    )
+
+    rng = np.random.default_rng(31)
+    rows, expect = [], {}
+    for k in range(4):
+        base = rng.integers(0, 256, (11, 13, 3))
+        blob = encode_png(base, filters="cycle", interlace=(k % 2 == 0))
+        rows.append((f"f{k}.png", bytearray(blob)))
+        expect[f"f{k}.png"] = int(png_luma(base).sum())
+    assets = spark.createDataFrame(rows, "path string, content binary")
+    got = {
+        r["file"]: r["s"]
+        for r in decode_image(assets, codec="png")
+        .groupBy("file")
+        .agg(F.sum(F.col("intensity").cast("long")).alias("s"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_png_dhash_neardup_e2e(spark, tmp_path):
     """The web-corpus pipeline end-to-end: PNG blobs → binaryFile →
     real decode → dHash → near-dup groups. A brightness-rescaled

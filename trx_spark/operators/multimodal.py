@@ -907,7 +907,7 @@ def decode_image(
         if ihdr is None or not idat:
             raise ValueError("PNG missing IHDR or IDAT")
         width, height, depth, ctype, comp, filt, interlace = ihdr
-        if comp != 0 or filt != 0 or interlace != 0:
+        if comp != 0 or filt != 0 or interlace not in (0, 1):
             raise ValueError("unsupported PNG compression/filter/interlace")
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
         if ctype not in channels:
@@ -916,54 +916,84 @@ def decode_image(
             raise ValueError(f"unsupported PNG bit depth {depth}")
         ch = channels[ctype]
         bpp = ch * (depth // 8)
-        stride = width * bpp
         raw = _zlib.decompress(b"".join(idat))
-        if len(raw) != height * (stride + 1):
-            raise ValueError("PNG pixel data size mismatch")
-        out = _np.zeros((height, stride), dtype=_np.uint8)
-        p = 0
-        for r in range(height):
-            ft = raw[p]
-            line = _np.frombuffer(
-                raw, dtype=_np.uint8, count=stride, offset=p + 1
-            ).astype(_np.int64)
-            p += 1 + stride
-            prev = (
-                out[r - 1].astype(_np.int64)
-                if r
-                else _np.zeros(stride, dtype=_np.int64)
-            )
-            if ft == 0:
-                rec = line
-            elif ft == 1:
-                rec = line.copy()
-                for c in range(bpp):
-                    rec[c::bpp] = _np.cumsum(rec[c::bpp]) & 0xFF
-            elif ft == 2:
-                rec = (line + prev) & 0xFF
-            elif ft == 3:
-                rec = _np.empty(stride, dtype=_np.int64)
-                for i in range(stride):
-                    left = rec[i - bpp] if i >= bpp else 0
-                    rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif ft == 4:
-                rec = _np.empty(stride, dtype=_np.int64)
-                for i in range(stride):
-                    a = rec[i - bpp] if i >= bpp else 0
-                    b = prev[i]
-                    c = prev[i - bpp] if i >= bpp else 0
-                    pp = a + b - c
-                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[i] = (line[i] + pr) & 0xFF
-            else:
-                raise ValueError(f"bad PNG filter type {ft}")
-            out[r] = rec.astype(_np.uint8)
-        if depth == 16:
-            pairs = out.reshape(height, width, ch, 2).astype(_np.int64)
-            img = (pairs[..., 0] << 8) | pairs[..., 1]
+
+        def unfilter(seg, hgt, strd):
+            out = _np.zeros((hgt, strd), dtype=_np.uint8)
+            p = 0
+            for r in range(hgt):
+                ft = seg[p]
+                line = _np.frombuffer(
+                    seg, dtype=_np.uint8, count=strd, offset=p + 1
+                ).astype(_np.int64)
+                p += 1 + strd
+                prev = (
+                    out[r - 1].astype(_np.int64)
+                    if r
+                    else _np.zeros(strd, dtype=_np.int64)
+                )
+                if ft == 0:
+                    rec = line
+                elif ft == 1:
+                    rec = line.copy()
+                    for c in range(bpp):
+                        rec[c::bpp] = _np.cumsum(rec[c::bpp]) & 0xFF
+                elif ft == 2:
+                    rec = (line + prev) & 0xFF
+                elif ft == 3:
+                    rec = _np.empty(strd, dtype=_np.int64)
+                    for i in range(strd):
+                        left = rec[i - bpp] if i >= bpp else 0
+                        rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+                elif ft == 4:
+                    rec = _np.empty(strd, dtype=_np.int64)
+                    for i in range(strd):
+                        a = rec[i - bpp] if i >= bpp else 0
+                        b = prev[i]
+                        c = prev[i - bpp] if i >= bpp else 0
+                        pp = a + b - c
+                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                        pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        rec[i] = (line[i] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+                out[r] = rec.astype(_np.uint8)
+            return out
+
+        def to_samples(mat, hgt, wdt):
+            if depth == 16:
+                pairs = mat.reshape(hgt, wdt, ch, 2).astype(_np.int64)
+                return (pairs[..., 0] << 8) | pairs[..., 1]
+            return mat.reshape(hgt, wdt, ch).astype(_np.int64)
+
+        if interlace == 1:
+            # Adam7: 7 independently-filtered sub-images on the fixed
+            # 8x8 grid (twin of decode_png's pass loop)
+            img = _np.zeros((height, width, ch), dtype=_np.int64)
+            pos2 = 0
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                pw = -(-(width - x0) // dx) if width > x0 else 0
+                phh = -(-(height - y0) // dy) if height > y0 else 0
+                if pw <= 0 or phh <= 0:
+                    continue
+                need = phh * (pw * bpp + 1)
+                if pos2 + need > len(raw):
+                    raise ValueError("PNG pixel data size mismatch")
+                img[y0::dy, x0::dx] = to_samples(
+                    unfilter(raw[pos2 : pos2 + need], phh, pw * bpp),
+                    phh, pw,
+                )
+                pos2 += need
+            if pos2 != len(raw):
+                raise ValueError("PNG pixel data size mismatch")
         else:
-            img = out.reshape(height, width, ch).astype(_np.int64)
+            stride = width * bpp
+            if len(raw) != height * (stride + 1):
+                raise ValueError("PNG pixel data size mismatch")
+            img = to_samples(unfilter(raw, height, stride), height, width)
         if ctype == 3:
             if plte is None:
                 raise ValueError("palette PNG missing PLTE chunk")
