@@ -1610,6 +1610,45 @@ def test_jpeg_progressive_restart_resync():
                 np.testing.assert_array_equal(prog, base)
 
 
+def test_decode_jpeg_distributed_progressive(spark):
+    """decode_image(codec='auto') decodes progressive JPEGs in the
+    distributed pixel pipeline too: the twin's SOF2 branch imports the
+    real decoder via the shipped package zip, so baseline and
+    progressive blobs of the same image give identical luma sums."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trx_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        png_luma,
+    )
+
+    rng = np.random.default_rng(41)
+    rows, expect = [], {}
+    for k in range(4):
+        img = rng.integers(0, 256, (16, 16, 3))
+        if k % 2 == 0:
+            blob = encode_jpeg_progressive(
+                img, successive=(k == 2), restart_interval=2
+            )
+        else:
+            blob = encode_jpeg(img)
+        rows.append((f"j{k}.jpg", bytearray(blob)))
+        expect[f"j{k}.jpg"] = int(png_luma(decode_jpeg(blob)[0]).sum())
+    assets = spark.createDataFrame(rows, "path string, content binary")
+    got = {
+        r["file"]: r["s"]
+        for r in decode_image(assets, codec="auto")
+        .groupBy("file")
+        .agg(F.sum(F.col("intensity").cast("long")).alias("s"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_jpeg_progressive_truncation_raises():
     import numpy as np
     import pytest as _pt

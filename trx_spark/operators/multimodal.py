@@ -518,7 +518,8 @@ def decode_image(
       - ``"jpeg"`` — REAL decode of baseline JPEG (pure numpy
         :func:`decode_jpeg`: Huffman entropy decode, dequantize, exact
         8x8 IDCT, chroma upsample, BT.601 color; 4:2:0/4:2:2/4:4:4 and
-        DRI restarts; progressive raises) — the other web-corpus
+        DRI restarts; progressive/SOF2 rides the real module via the
+        shipped package zip) — the other web-corpus
         format. Every image format this engine claims is now decoded
         for real.
       - ``"auto"`` — per-file magic-byte sniffing across the real
@@ -537,6 +538,13 @@ def decode_image(
         "png", "jpeg", "auto", "fake",
     ):
         raise ValueError(f"unknown codec {codec!r}")
+    if codec in ("jpeg", "auto"):
+        # real-module escape hatch for the one format without a
+        # self-contained twin (progressive JPEG): ship the package zip
+        # once per context so the twin's SOF2 branch can import it
+        from trx_spark.sources.imageds import ensure_executor_package
+
+        ensure_executor_package(assets.sparkSession)
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
     cbf_elem_types = dict(_CBF_ELEM_TYPES)
@@ -1083,9 +1091,33 @@ def decode_image(
                     for c in range(seg[5])
                 ]
                 frame = (hgt, wid, comps)
-            elif 0xC2 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            elif m == 0xC2:
+                # progressive: no self-contained twin (the scan loop
+                # is ~200 lines) — use the real decoder, importable on
+                # executors because decode_image ships the package zip
+                # (ensure_executor_package / --py-files); the twin
+                # keeps handling the baseline path so it stays
+                # exercised
+                try:
+                    from trx_spark.operators.multimodal import (
+                        _decode_jpeg_progressive,
+                    )
+                except ImportError:
+                    raise ValueError(
+                        "progressive JPEG needs the trx_spark package "
+                        "on executors (addPyFile / --py-files)"
+                    )
+                img, _hdr = _decode_jpeg_progressive(bytes(buf))
+                if img.ndim == 2:
+                    return img
+                return (
+                    299 * img[..., 0] + 587 * img[..., 1]
+                    + 114 * img[..., 2]
+                ) // 1000
+            elif 0xC3 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
                 raise ValueError(
-                    f"unsupported JPEG SOF marker 0xff{m:02x} (baseline only)"
+                    f"unsupported JPEG SOF marker 0xff{m:02x} "
+                    "(baseline/progressive only)"
                 )
             elif m == 0xDD:
                 dri = int.from_bytes(seg[:2], "big")
@@ -2505,7 +2537,8 @@ def encode_png(
 # unstuffing and restart-marker resync, dequantize, dezigzag, exact
 # 8x8 float IDCT (orthonormal basis matrix product), chroma
 # upsampling by replication, BT.601 YCbCr→RGB. Baseline sequential
-# only (SOF0/SOF1); progressive (SOF2) raises. Encode: 4:4:4 (or
+# (SOF0/SOF1) and progressive (SOF2: spectral selection + successive
+# approximation, _decode_jpeg_progressive). Encode: 4:4:4 (or
 # grayscale) with caller-supplied quantization tables and a trivial
 # fixed-length canonical Huffman table pair — valid per spec, favors
 # simplicity over compression.

@@ -226,12 +226,20 @@ def _package_zip() -> str:
     return out
 
 
+_SHIPPED_CONTEXTS: set = set()  # SparkContext ids already carrying the zip
+
+
 def ensure_executor_package(spark) -> None:
     """Ship the trx_spark package zip to this session's executors
     (``addPyFile`` — the --py-files path on a real cluster), so worker
     kernels may ``import trx_spark`` regardless of the driver cwd.
-    Idempotent per session: the zip path is stable per process."""
-    spark.sparkContext.addPyFile(_package_zip())
+    Idempotent per SparkContext (memoized: re-adding the same path per
+    call would only spam addPyFile warnings)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED_CONTEXTS.add(id(sc))
 
 
 def register_image_datasource(spark) -> None:
