@@ -1649,6 +1649,37 @@ def test_decode_jpeg_distributed_progressive(spark):
     assert got == expect
 
 
+def test_decode_image_ships_package_for_jpeg(spark, monkeypatch):
+    """decode_image(codec='jpeg'/'auto') must invoke the executor
+    package shipping (the SOF2 escape hatch depends on it) — local-mode
+    workers resolve `import trx_spark` from the cwd, so the distributed
+    progressive test alone cannot catch a dropped shipping call."""
+    import numpy as np
+
+    from trx_spark.operators import multimodal
+    from trx_spark.sources import imageds
+
+    calls = []
+    monkeypatch.setattr(
+        imageds, "ensure_executor_package", lambda s: calls.append(s)
+    )
+    assets = spark.createDataFrame(
+        [("a.jpg", bytearray(multimodal.encode_jpeg(np.zeros((8, 8)))))],
+        "path string, content binary",
+    )
+    for codec, expected in (("jpeg", 1), ("auto", 2), ("png", 2)):
+        multimodal.decode_image(assets, codec=codec)
+        assert len(calls) == expected, codec
+    # restart_interval validation: clear errors, not OverflowError
+    import pytest as _pt
+
+    for bad in (-1, 70000, 0.5):
+        with _pt.raises(ValueError, match="restart_interval"):
+            multimodal.encode_jpeg_progressive(
+                np.zeros((8, 8)), restart_interval=bad
+            )
+
+
 def test_jpeg_progressive_truncation_raises():
     import numpy as np
     import pytest as _pt

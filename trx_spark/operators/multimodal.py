@@ -541,10 +541,17 @@ def decode_image(
     if codec in ("jpeg", "auto"):
         # real-module escape hatch for the one format without a
         # self-contained twin (progressive JPEG): ship the package zip
-        # once per context so the twin's SOF2 branch can import it
+        # once per context so the twin's SOF2 branch can import it.
+        # Best-effort on purpose: an environment without a classic
+        # SparkContext (Spark Connect) keeps the twins' full baseline
+        # coverage, and only a progressive file hits the SOF2 branch's
+        # instructive error.
         from trx_spark.sources.imageds import ensure_executor_package
 
-        ensure_executor_package(assets.sparkSession)
+        try:
+            ensure_executor_package(assets.sparkSession)
+        except Exception:
+            pass
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
     cbf_elem_types = dict(_CBF_ELEM_TYPES)
@@ -2759,6 +2766,11 @@ def encode_jpeg_progressive(
     ``restart_interval``: emit a DRI segment and RSTn markers every
     that many data units in every scan (DC predictors and EOB-run
     state reset at each marker) — the decoder resync path."""
+    if restart_interval != int(restart_interval) or not (
+        0 <= int(restart_interval) <= 0xFFFF
+    ):
+        raise ValueError("restart_interval must be an int in [0, 65535]")
+    restart_interval = int(restart_interval)
     gray, h, w, planes, qids, qts, qnat = _jpeg_encode_setup(
         img, quant, quant_chroma
     )
@@ -2808,9 +2820,11 @@ def encode_jpeg_progressive(
     def dc_first_scan(al):
         bw = _JpegBitWriter()
         preds = [0] * len(planes)
-        step = restart_stepper(
-            bw, lambda: preds.__setitem__(slice(None), [0] * len(planes))
-        )
+
+        def reset_preds():
+            preds[:] = [0] * len(planes)
+
+        step = restart_stepper(bw, reset_preds)
         for by in range(nby):
             for bx in range(nbx):
                 step()

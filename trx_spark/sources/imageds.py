@@ -226,20 +226,23 @@ def _package_zip() -> str:
     return out
 
 
-_SHIPPED_CONTEXTS: set = set()  # SparkContext ids already carrying the zip
+_SHIPPED_CONTEXTS: set = set()  # applicationIds already carrying the zip
 
 
 def ensure_executor_package(spark) -> None:
     """Ship the trx_spark package zip to this session's executors
     (``addPyFile`` — the --py-files path on a real cluster), so worker
     kernels may ``import trx_spark`` regardless of the driver cwd.
-    Idempotent per SparkContext (memoized: re-adding the same path per
-    call would only spam addPyFile warnings)."""
+    Idempotent per SparkContext (memoized on the applicationId — unique
+    per context, unlike ``id()``, which CPython recycles after a
+    context restart; re-adding the same path per call would only spam
+    addPyFile warnings)."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_CONTEXTS:
+    app = sc.applicationId
+    if app in _SHIPPED_CONTEXTS:
         return
     sc.addPyFile(_package_zip())
-    _SHIPPED_CONTEXTS.add(id(sc))
+    _SHIPPED_CONTEXTS.add(app)
 
 
 def register_image_datasource(spark) -> None:
