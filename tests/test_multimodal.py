@@ -1673,11 +1673,18 @@ def test_decode_image_ships_package_for_jpeg(spark, monkeypatch):
     # restart_interval validation: clear errors, not OverflowError
     import pytest as _pt
 
-    for bad in (-1, 70000, 0.5):
+    for bad in (-1, 70000, 0.5, True, False, "4", None):
         with _pt.raises(ValueError, match="restart_interval"):
             multimodal.encode_jpeg_progressive(
                 np.zeros((8, 8)), restart_interval=bad
             )
+    # numpy integer scalars are accepted like plain ints
+    hdr = multimodal.decode_jpeg(
+        multimodal.encode_jpeg_progressive(
+            np.zeros((8, 8)), restart_interval=np.int64(1)
+        )
+    )[1]
+    assert hdr["restart_interval"] == 1
 
 
 def test_jpeg_progressive_truncation_raises():
@@ -1692,8 +1699,33 @@ def test_jpeg_progressive_truncation_raises():
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (16, 16))
     blob = encode_jpeg_progressive(img, successive=True)
+    # EVERY cut position from just-past-SOI to just-before-EOI must
+    # either raise ValueError (never IndexError from the bit reader or
+    # a truncated SOS header — the documented decode contract) or
+    # return a valid partial render (a cut at a scan boundary is a
+    # legitimate progressive stream missing its later scans)
+    raised = 0
+    for cut in range(4, len(blob) - 1):
+        try:
+            px, hdr = decode_jpeg(blob[:cut])
+        except ValueError:
+            raised += 1
+        else:
+            assert px.shape == (16, 16) and hdr["progressive"]
+    assert raised > 0
     with _pt.raises(ValueError):
         decode_jpeg(blob[: len(blob) * 2 // 3])
+    # the baseline (SOF0) scan loop honors the same contract
+    from trx_spark.operators.multimodal import encode_jpeg
+
+    base = encode_jpeg(img)
+    for cut in range(4, len(base) - 1):
+        try:
+            px, hdr = decode_jpeg(base[:cut])
+        except ValueError:
+            pass
+        else:
+            assert px.shape == (16, 16) and not hdr["progressive"]
 
 
 def test_decode_jpeg_distributed(spark, tmp_path):

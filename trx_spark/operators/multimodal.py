@@ -550,8 +550,22 @@ def decode_image(
 
         try:
             ensure_executor_package(assets.sparkSession)
-        except Exception:
+        except AttributeError:
+            # Spark Connect: no classic ``sparkContext`` on the session
+            # (pyspark.errors.PySparkAttributeError subclasses
+            # AttributeError) — twins keep full baseline coverage.
             pass
+        except Exception as exc:  # pragma: no cover - cluster-only path
+            # A genuine shipping failure (zip build error, addPyFile
+            # permission) must stay diagnosable instead of resurfacing
+            # later as the SOF2 branch's "package missing" error.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "executor package shipping failed (progressive-JPEG "
+                "decode will need trx_spark importable on executors): %s",
+                exc,
+            )
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
     cbf_elem_types = dict(_CBF_ELEM_TYPES)
@@ -2766,8 +2780,10 @@ def encode_jpeg_progressive(
     ``restart_interval``: emit a DRI segment and RSTn markers every
     that many data units in every scan (DC predictors and EOB-run
     state reset at each marker) — the decoder resync path."""
-    if restart_interval != int(restart_interval) or not (
-        0 <= int(restart_interval) <= 0xFFFF
+    if (
+        isinstance(restart_interval, bool)
+        or not isinstance(restart_interval, (int, np.integer))
+        or not 0 <= int(restart_interval) <= 0xFFFF
     ):
         raise ValueError("restart_interval must be an int in [0, 65535]")
     restart_interval = int(restart_interval)
@@ -3028,6 +3044,8 @@ def _jpeg_parse_dht(seg: bytes, huffs: dict) -> None:
         cls, tid = seg[p] >> 4, seg[p] & 15
         bits = list(seg[p + 1 : p + 17])
         cnt = sum(bits)
+        if len(bits) < 16 or len(seg) < p + 17 + cnt:
+            raise ValueError("truncated JPEG DHT segment")
         huffs[(cls, tid)] = _jpeg_canonical(
             bits, list(seg[p + 17 : p + 17 + cnt]), invert=True
         )
@@ -3039,15 +3057,18 @@ def _jpeg_parse_sof_components(seg: bytes):
     by the baseline and progressive marker walks."""
     hgt = int.from_bytes(seg[1:3], "big")
     wid = int.from_bytes(seg[3:5], "big")
-    comps = [
-        {
-            "id": seg[6 + 3 * c],
-            "h": seg[7 + 3 * c] >> 4,
-            "v": seg[7 + 3 * c] & 15,
-            "tq": seg[8 + 3 * c],
-        }
-        for c in range(seg[5])
-    ]
+    try:
+        comps = [
+            {
+                "id": seg[6 + 3 * c],
+                "h": seg[7 + 3 * c] >> 4,
+                "v": seg[7 + 3 * c] & 15,
+                "tq": seg[8 + 3 * c],
+            }
+            for c in range(seg[5])
+        ]
+    except IndexError as exc:
+        raise ValueError("truncated JPEG SOF header") from exc
     return hgt, wid, comps
 
 
@@ -3167,10 +3188,16 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, dict]:
         elif m == 0xDD:
             dri = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:
-            smap = {
-                seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                for c in range(seg[0])
-            }
+            try:
+                smap = {
+                    seg[1 + 2 * c]: (
+                        seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 15,
+                    )
+                    for c in range(seg[0])
+                }
+            except IndexError as exc:
+                raise ValueError("truncated JPEG SOS header") from exc
             scan = (smap, i + 2 + ln)
             break
         i += 2 + ln
@@ -3296,18 +3323,31 @@ def _decode_jpeg_progressive(buf: bytes) -> tuple[np.ndarray, dict]:
         elif m == 0xDA:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            ns = seg[0]
-            scomps = [
-                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                for c in range(ns)
-            ]
-            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
-            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            try:
+                ns = seg[0]
+                scomps = [
+                    (
+                        seg[1 + 2 * c],
+                        seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 15,
+                    )
+                    for c in range(ns)
+                ]
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            except IndexError as exc:
+                raise ValueError("truncated JPEG SOS header") from exc
             data, rst_at, dend = _jpeg_entropy_segment(buf, i + 2 + ln)
-            _jpeg_progressive_scan(
-                frame, coefs, nat_blocks, huffs, scomps, ss, se, ah, al,
-                data, rst_at, dri,
-            )
+            try:
+                _jpeg_progressive_scan(
+                    frame, coefs, nat_blocks, huffs, scomps, ss, se, ah,
+                    al, data, rst_at, dri,
+                )
+            except IndexError as exc:
+                # a truncated entropy segment can surface as a raw
+                # sequence IndexError deep in the block procedures;
+                # callers are documented to see ValueError
+                raise ValueError("truncated JPEG entropy data") from exc
             saw_scan = True
             i = dend
             continue
