@@ -259,6 +259,10 @@ HEADLINE = [
     "wordpiece_merges",
     "wordpiece_trained_encode",
     "web_image_census",
+    # round-10 additions: the unigram-LM (SentencePiece-style) trainer
+    # completes the tokenizer-trainer family (BPE / WordPiece / unigram)
+    "unigram_em_round_stats",
+    "unigram_trained_encode",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -65,6 +65,8 @@ _ONE_ROW_BUILD_OK = {
     "sales_opportunity_by_nation",  # the Q22 avg-balance scalar is a 1-row broadcast
     "pmi_collocations",  # the total-bigram-count scalar is a 1-row broadcast
     "unimax_language_sampling",  # the water-filling threshold is a 1-row broadcast
+    "unigram_em_round_stats",  # per-round piece-prob map + total are 1-row broadcasts
+    "unigram_trained_encode",  # the trained piece-prob map is a 1-row broadcast
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

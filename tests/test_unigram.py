@@ -1,0 +1,169 @@
+"""The distributed unigram-LM (SentencePiece-style) hard-EM trainer
+must reproduce the classic loop exactly: seed vocab = top-K substrings
+plus single chars, then per round a Viterbi E-step (max product of
+piece probabilities, first-maximum tie-break over ascending start
+position) and an M-step of +1-smoothed freq-weighted piece counts —
+and the trained model must shift probability mass onto real multi-char
+pieces (that's the whole point of EM over the seed statistics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from trx_spark.queries import unigram
+
+
+def _ref_unigram(word_freq: dict[str, int], rounds: int):
+    """Pure-Python reference trainer mirroring the engine contract:
+    identical IEEE arithmetic (single division for probs, ascending
+    left-fold products for scores, strict-> first-max argmax)."""
+    # seed: substring counts up to _UG_MAXP chars
+    seedcnt: dict[str, int] = {}
+    for w, f in word_freq.items():
+        if len(w) > unigram._UG_MAXW:
+            continue
+        for i in range(len(w)):
+            for l in range(1, min(unigram._UG_MAXP, len(w) - i) + 1):
+                p = w[i : i + l]
+                seedcnt[p] = seedcnt.get(p, 0) + f
+    multi = sorted(
+        ((p, c) for p, c in seedcnt.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: unigram._UG_SEED]
+    vocab = dict(multi) | {p: c for p, c in seedcnt.items() if len(p) == 1}
+
+    def viterbi(w: str, probs: dict[str, float]):
+        best = [(1.0, [])]  # (score, seg) for prefix length k
+        for j in range(1, len(w) + 1):
+            cur = (-1.0, [])
+            for i in range(max(1, j - unigram._UG_MAXP + 1), j + 1):
+                piece = w[i - 1 : j]
+                sc_prev = best[i - 1][0]
+                if sc_prev > 0.0 and piece in probs:
+                    sc = sc_prev * probs[piece]
+                    if sc > cur[0]:
+                        cur = (sc, best[i - 1][1] + [piece])
+            best.append(cur)
+        return best[len(w)][1] if best[len(w)][0] > 0.0 else None
+
+    per_round = []
+    for _ in range(rounds):
+        tot = sum(vocab.values())
+        probs = {p: c / float(tot) for p, c in vocab.items()}
+        counts = {p: 0 for p in vocab}
+        for w, f in word_freq.items():
+            if len(w) > unigram._UG_MAXW:
+                continue
+            seg = viterbi(w, probs)
+            if seg:
+                for piece in seg:
+                    counts[piece] += f
+        vocab = {p: 1 + c for p, c in counts.items()}
+        per_round.append(dict(vocab))
+    return per_round, vocab
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark, tmp_path_factory):
+    """A corpus whose token stream (regex [a-z]+) is fully known; the
+    repeated stems give EM real multi-char pieces to converge on, and
+    the 13-char word exceeds _UG_MAXW to pin the fallback path."""
+    d = tmp_path_factory.mktemp("ug_sf")
+    docs = [
+        (1, "scanning scanning scanner window window", "s1", "en", 39),
+        (2, "windowpane scanning window quest quest", "s1", "en", 38),
+        (3, "quest scanner windowpane scanning", "s2", "en", 33),
+        (4, "interferometry scanning window quest", "s2", "en", 36),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+_TINY_FREQ = {
+    "scanning": 5,
+    "scanner": 2,
+    "window": 4,
+    "windowpane": 2,
+    "quest": 4,
+    "interferometry": 1,  # 14 chars > _UG_MAXW: excluded from training
+}
+
+
+def test_unigram_round_stats_match_reference(spark, tiny_corpus):
+    per_round, _ = _ref_unigram(_TINY_FREQ, unigram._UG_ROUNDS)
+    got = {
+        (r["em_round"], r["piece"]): r["piece_count"]
+        for r in unigram.unigram_em_round_stats(spark, tiny_corpus).collect()
+    }
+    want = {
+        (rnd + 1, p): c
+        for rnd, counts in enumerate(per_round)
+        for p, c in counts.items()
+    }
+    assert got == want
+
+
+def test_unigram_em_moves_mass_to_multichar_pieces(spark, tiny_corpus):
+    """After round 1 the Viterbi segmentations must actually USE
+    multi-char pieces (count > 1 means freq-weighted wins, not just
+    the +1 smoothing floor)."""
+    rows = unigram.unigram_em_round_stats(spark, tiny_corpus).collect()
+    last = max(r["em_round"] for r in rows)
+    winners = {
+        r["piece"]: r["piece_count"]
+        for r in rows
+        if r["em_round"] == last and len(r["piece"]) >= 2
+        and r["piece_count"] > 1
+    }
+    assert winners, "EM never picked a multi-char piece"
+    # probabilities are a distribution per round
+    for rnd in range(1, last + 1):
+        s = sum(r["piece_prob"] for r in rows if r["em_round"] == rnd)
+        assert abs(s - 1.0) < 1e-9
+
+
+def test_unigram_trained_encode_bounds_and_fallback(spark, tiny_corpus):
+    """Per doc: n_tokens ≤ n_pieces ≤ total chars; the over-length word
+    ('interferometry', doc 4) contributes exactly len(word) pieces."""
+    rows = {
+        r["doc_id"]: r
+        for r in unigram.unigram_trained_encode(spark, tiny_corpus).collect()
+    }
+    docs = {
+        1: "scanning scanning scanner window window",
+        2: "windowpane scanning window quest quest",
+        3: "quest scanner windowpane scanning",
+        4: "interferometry scanning window quest",
+    }
+    for did, text in docs.items():
+        words = text.split()
+        r = rows[did]
+        assert r["n_tokens"] == len(words)
+        assert len(words) <= r["n_pieces"] <= sum(len(w) for w in words)
+        assert r["pieces_per_token"] == r["n_pieces"] / float(r["n_tokens"])
+    # doc 4's encode must charge the over-length word at char count:
+    # recompute doc 4 from the reference segmentation of its short words
+    per_round, final_vocab = _ref_unigram(_TINY_FREQ, unigram._UG_ROUNDS)
+    tot = sum(final_vocab.values())
+    probs = {p: c / float(tot) for p, c in final_vocab.items()}
+
+    def np_of(w):
+        if len(w) > unigram._UG_MAXW:
+            return len(w)
+        # reuse the reference Viterbi via _ref_unigram's inner logic
+        best = [(1.0, 0)]
+        for j in range(1, len(w) + 1):
+            cur = (-1.0, 0)
+            for i in range(max(1, j - unigram._UG_MAXP + 1), j + 1):
+                piece = w[i - 1 : j]
+                if best[i - 1][0] > 0.0 and piece in probs:
+                    sc = best[i - 1][0] * probs[piece]
+                    if sc > cur[0]:
+                        cur = (sc, best[i - 1][1] + 1)
+            best.append(cur)
+        return best[len(w)][1] if best[len(w)][0] > 0.0 else len(w)
+
+    want4 = sum(np_of(w) for w in docs[4].split())
+    assert rows[4]["n_pieces"] == want4

@@ -29,12 +29,14 @@ def _all_caches() -> list[dict]:
         textdata,
         trxdomain,
         trxdomain3,
+        unigram,
         wordpiece,
     )
 
     return [
         wordpiece._WP_CACHE,
         wordpiece._WPT_CACHE,
+        unigram._UG_CACHE,
         tables._FAN_MEMO,
         classifier._FEATS_CACHE,
         trxdomain._DIFFS_CACHE,
@@ -98,6 +100,7 @@ def stage_cache_stats() -> dict[str, int]:
         curation,
         evolution,
         lm,
+        unigram,
         wordpiece,
         similarity,
         textdata,
@@ -125,6 +128,7 @@ def stage_cache_stats() -> dict[str, int]:
         "ivf_cells": len(similarity._CELLS_ASSIGN_CACHE),
         "bpe_trained": len(bpe._BPE_CACHE),
         "wordpiece_trained": len(wordpiece._WPT_CACHE),
+        "unigram_trained": len(unigram._UG_CACHE),
         "lm_model": len(lm._LM_CACHE),
         "quality_classifier": len(classifier._CLF_CACHE),
         "classifier_features": len(classifier._FEATS_CACHE),

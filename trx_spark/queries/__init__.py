@@ -34,6 +34,7 @@ from trx_spark.queries import (
     textdata,
     textquality,
     trxdomain,
+    unigram,
     weburl,
     wordpiece,
     trxdomain2,
@@ -75,6 +76,7 @@ for mod in (
     ranking,
     bpe,
     wordpiece,
+    unigram,
     embstats,
     auditq,
     lm,
@@ -107,96 +109,51 @@ for mod in (
 # ann_cosine_topk + 25 r8-touched names — is recorded in
 # CORRECTNESS_r08.json; the list literals were dropped once _order
 # stopped reading them.)
-# Round-9 rotation note: (a) late-r8 queries with local parity but no
-# driver row yet — event_trend_robust, bootstrap_replica_means,
-# lm_next_token_accuracy, xml_ingest_stats, orc_roundtrip_stats,
-# table_expectations_audit, scd2_customer_versions, cdc_apply_changes,
-# ab_test_zscore, moving_median_counts, seasonality_profile,
-# ops_health_report, ks_two_sample, mannwhitney_u, order_priority_check,
-# linestatus_priority, customer_order_distribution,
-# sales_opportunity_by_nation, bucketed_join_stats,
-# knn_label_agreement, image_patch_stats, returned_item_revenue,
-# small_qty_order_revenue, pmi_collocations, knn_label_propagation,
-# image_augment_stats, stratified_kfold_assign, unimax_language_sampling,
-# k_anonymity_audit, forecast_revenue_change, suppliers_kept_waiting,
-# schema_evolution_stats, embedding_int8_quantization, cuped_adjusted_ab,
-# conversion_latency_quantiles, inverted_index_stats,
-# image_hist_equalization, disjunctive_discount_revenue,
-# parts_supplier_relationship, product_type_profit,
-# large_volume_customers, event_path_trigrams, snapshot_diff_stats,
-# ols_trend_stats, modality_alignment_audit, welch_t_stats,
-# source_concentration — the last three are registry-only this round
-# (landed after the final committed bench; add them to HEADLINE in r9)
-# (the r8
-# window was already full with the verdict-mandated rotation when they
-# landed); (b) still carrying r05-era rows after this window —
-# ann_ivfpq_topk, ann_lsh_buckets,
-# asof_interp_per_user, asof_interp_refs, azint_1d, azint_2d,
-# chi2_filter_auto, copurchase_lift, dedup_exact, dezinger_flags,
-# doc_fingerprints, event_rate_cusum, event_transition_matrix,
-# knn_triangles (displaced r8 fillers),
-# mad_outliers, minhash_lsh_pairs, minhash_signatures, monitor_norm,
-# pricing_summary,
-# reflections_triclinic, revenue_by_nation, rolling_active_users,
-# scanpoint_stats, sessionize_events, simhash16,
-# streaming_incremental_stats, streaming_pricing_summary,
-# streaming_running_stats, tfidf_top_terms, token_stats,
-# topk_orders_per_customer, train_val_test_split, user_rfm_segments
-# (plus the by-design no-oracle trio).  Rotate them (plus any
-# r9-touched names) into the r9 window.
-# Round-9 window: ALL 47 never-driver-checked late-r8 names (the full
-# rotation-note list — their first driver rows) plus r9's 3 new gate
-# entries, landed BEFORE the gate snapshot so they get rows in their
-# own round (the growth cap the r8 verdict mandated: new oracle-gate
-# names per round ≤ window slack after rotation; this round 47+3=50
-# exactly). r9 therefore closes with ZERO never-checked names.
-_R09_NEVER_CHECKED = [
-    "event_trend_robust", "bootstrap_replica_means",
-    "lm_next_token_accuracy", "xml_ingest_stats", "orc_roundtrip_stats",
-    "table_expectations_audit", "scd2_customer_versions",
-    "cdc_apply_changes", "ab_test_zscore", "moving_median_counts",
-    "seasonality_profile", "ops_health_report", "ks_two_sample",
-    "mannwhitney_u", "order_priority_check", "linestatus_priority",
-    "customer_order_distribution", "sales_opportunity_by_nation",
-    "bucketed_join_stats", "knn_label_agreement", "image_patch_stats",
-    "returned_item_revenue", "small_qty_order_revenue",
-    "pmi_collocations", "knn_label_propagation", "image_augment_stats",
-    "stratified_kfold_assign", "unimax_language_sampling",
-    "k_anonymity_audit", "forecast_revenue_change",
-    "suppliers_kept_waiting", "schema_evolution_stats",
-    "embedding_int8_quantization", "cuped_adjusted_ab",
-    "conversion_latency_quantiles", "inverted_index_stats",
-    "image_hist_equalization", "disjunctive_discount_revenue",
-    "parts_supplier_relationship", "product_type_profit",
-    "large_volume_customers", "event_path_trigrams",
-    "snapshot_diff_stats", "ols_trend_stats", "modality_alignment_audit",
-    "welch_t_stats", "source_concentration",
+# (The r9 window — all 47 never-checked late-r8 names + the 3 r9 gate
+# entries — is recorded in CORRECTNESS_r09.json; r9 closed with zero
+# never-driver-checked names, so rotation is pure code-currency now.)
+# Round-10 window, executing the r9 verdict's rotation note exactly:
+# (a) the no-oracle trio — their only driver rows ever are r5-era
+# no_oracle errs; a current rows+schema row removes the last
+# never-green ledger entries; (b) the 33 names still carrying r05-era
+# rows; (c) r10-touched names: the two unigram-LM trainer gate entries
+# (new this round — 2 new entries, well under the ~14 cap) plus the
+# three decode gates riding the r10 JPEG-truncation/SOS/DHT parser
+# hardening; (d) fillers = the alphabetically-first 9 of the oldest
+# remaining rows (r06-era).
+_R10_TRIO = [
+    "compression_ratio", "lm_perplexity", "quality_classifier_scores",
 ]
-_R09_NEW = [
-    # r9 gate entries (all in bench.HEADLINE): the WordPiece likelihood
-    # trainer + its trained-vocab encode, and the wild-web image census
-    # (Adam7 PNG + progressive JPEG + quarantine verdicts)
-    "wordpiece_merges", "wordpiece_trained_encode", "web_image_census",
+_R10_STALE_R05 = [
+    "ann_ivfpq_topk", "ann_lsh_buckets", "asof_interp_per_user",
+    "asof_interp_refs", "azint_1d", "azint_2d", "chi2_filter_auto",
+    "copurchase_lift", "dedup_exact", "dezinger_flags",
+    "doc_fingerprints", "event_rate_cusum", "event_transition_matrix",
+    "knn_triangles", "mad_outliers", "minhash_lsh_pairs",
+    "minhash_signatures", "monitor_norm", "pricing_summary",
+    "reflections_triclinic", "revenue_by_nation", "rolling_active_users",
+    "scanpoint_stats", "sessionize_events", "simhash16",
+    "streaming_incremental_stats", "streaming_pricing_summary",
+    "streaming_running_stats", "tfidf_top_terms", "token_stats",
+    "topk_orders_per_customer", "train_val_test_split",
+    "user_rfm_segments",
 ]
-# Round-10 rotation note: (a) the no-oracle trio — compression_ratio,
-# lm_perplexity, quality_classifier_scores — now that the never-checked
-# backlog is clear, give each a rows+schema slot (their last driver
-# rows are r5-era no_oracle errs; a current "runs clean, right shape"
-# row removes the only never-green ledger rows); (b) names still
-# carrying r05-era rows — ann_ivfpq_topk, ann_lsh_buckets,
-# asof_interp_per_user, asof_interp_refs, azint_1d, azint_2d,
-# chi2_filter_auto, copurchase_lift, dedup_exact, dezinger_flags,
-# doc_fingerprints, event_rate_cusum, event_transition_matrix,
-# knn_triangles, mad_outliers, minhash_lsh_pairs, minhash_signatures,
-# monitor_norm, pricing_summary, reflections_triclinic,
-# revenue_by_nation, rolling_active_users, scanpoint_stats,
-# sessionize_events, simhash16, streaming_incremental_stats,
-# streaming_pricing_summary, streaming_running_stats, tfidf_top_terms,
-# token_stats, topk_orders_per_customer, train_val_test_split,
-# user_rfm_segments; (c) any r10-touched names. Cap r10's new gate
-# entries at the slack this leaves (~14).
-_R09_WINDOW = _R09_NEVER_CHECKED + _R09_NEW
-assert len(_R09_WINDOW) == 50, len(_R09_WINDOW)
-_order = _R09_WINDOW + [n for n in QUERIES if n not in set(_R09_WINDOW)]
+_R10_TOUCHED = [
+    "unigram_em_round_stats", "unigram_trained_encode",
+    "jpeg_decode_stats", "video_decode_stats", "web_image_census",
+]
+_R10_FILLERS_R06 = [
+    "ann_topk_lsh", "ann_topk_multiprobe", "audio_dedup_groups",
+    "azint_qlims", "bigram_rarity", "cluster_topics",
+    "concurrent_sessions_peak", "contamination_check", "corpus_keep_list",
+]
+# Round-11 rotation note: continue code-currency — the remaining
+# r06-era rows (delay_codec, curves_*, customers_without_orders,
+# decontaminated_docs, dedup_clusters, ... — everything the ledger
+# shows at r06 after this window lands) plus any r11-touched names;
+# new gate entries capped at the window slack after that rotation.
+_R10_WINDOW = _R10_TRIO + _R10_STALE_R05 + _R10_TOUCHED + _R10_FILLERS_R06
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+_order = _R10_WINDOW + [n for n in QUERIES if n not in set(_R10_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
