@@ -401,6 +401,33 @@ def main() -> None:
     out["load_gate"] = gate
     detail["load_gate"] = gate
     detail["loadavg"] = load
+    # registry-currency telemetry (r9 verdict task 8): window health is
+    # observable from the committed artifact instead of rotation-note
+    # comments — per-name newest driver row from the CORRECTNESS_r*.json
+    # ledger union
+    try:
+        import glob as _glob
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        newest: dict[str, int] = {}
+        for fpath in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+            rnd = int(re.search(r"_r(\d+)", fpath).group(1))
+            for qname in json.load(open(fpath)):
+                newest[qname] = max(rnd, newest.get(qname, 0))
+        names = list(QUERIES)
+        rows = sorted(newest[n] for n in names if n in newest)
+        detail["registry"] = {
+            "n_queries": len(names),
+            "n_benched": len(set(HEADLINE) | set(STREAMING)),
+            "gate_window": 50,
+            "never_checked": sum(1 for n in names if n not in newest),
+            "oldest_row_round": rows[0] if rows else None,
+            "rows_by_round": {
+                str(r): rows.count(r) for r in sorted(set(rows))
+            },
+        }
+    except Exception:
+        pass
     # stamp the source tree the numbers were recorded against, so a
     # committed BENCH_DETAIL that predates later commits is detectable
     # from the artifact alone (r9 closed with a 6-commit gap)
