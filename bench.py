@@ -410,8 +410,12 @@ def main() -> None:
 
         repo = os.path.dirname(os.path.abspath(__file__))
         newest: dict[str, int] = {}
+        from trx_spark.queries import GATE_WINDOW
+
         for fpath in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-            rnd = int(re.search(r"_r(\d+)", fpath).group(1))
+            # basename only: an ancestor directory containing '_r<n>'
+            # must not shadow the ledger filename's round number
+            rnd = int(re.search(r"_r(\d+)", os.path.basename(fpath)).group(1))
             for qname in json.load(open(fpath)):
                 newest[qname] = max(rnd, newest.get(qname, 0))
         names = list(QUERIES)
@@ -419,7 +423,7 @@ def main() -> None:
         detail["registry"] = {
             "n_queries": len(names),
             "n_benched": len(set(HEADLINE) | set(STREAMING)),
-            "gate_window": 50,
+            "gate_window": GATE_WINDOW,
             "never_checked": sum(1 for n in names if n not in newest),
             "oldest_row_round": rows[0] if rows else None,
             "rows_by_round": {

@@ -548,24 +548,26 @@ def decode_image(
         # instructive error.
         from trx_spark.sources.imageds import ensure_executor_package
 
-        try:
-            ensure_executor_package(assets.sparkSession)
-        except AttributeError:
-            # Spark Connect: no classic ``sparkContext`` on the session
-            # (pyspark.errors.PySparkAttributeError subclasses
-            # AttributeError) — twins keep full baseline coverage.
-            pass
-        except Exception as exc:  # pragma: no cover - cluster-only path
-            # A genuine shipping failure (zip build error, addPyFile
-            # permission) must stay diagnosable instead of resurfacing
-            # later as the SOF2 branch's "package missing" error.
-            import logging
+        # Spark Connect has no classic sparkContext (accessing it raises
+        # PySparkAttributeError, an AttributeError subclass, so getattr
+        # returns the default) — twins keep full baseline coverage
+        # there.  With a classic context, ANY shipping failure (zip
+        # build error, addPyFile permission — including bugs that
+        # themselves raise AttributeError) must stay diagnosable
+        # instead of resurfacing later as the SOF2 branch's "package
+        # missing" error.
+        if getattr(assets.sparkSession, "sparkContext", None) is not None:
+            try:
+                ensure_executor_package(assets.sparkSession)
+            except Exception as exc:  # pragma: no cover - cluster-only
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "executor package shipping failed (progressive-JPEG "
-                "decode will need trx_spark importable on executors): %s",
-                exc,
-            )
+                logging.getLogger(__name__).warning(
+                    "executor package shipping failed (progressive-JPEG "
+                    "decode will need trx_spark importable on "
+                    "executors): %s",
+                    exc,
+                )
     tiff_type_size = dict(_TIFF_TYPE_SIZE)
     edf_dtypes = dict(_EDF_DTYPES)  # plain dict → pickled by value
     cbf_elem_types = dict(_CBF_ELEM_TYPES)

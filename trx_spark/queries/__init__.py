@@ -153,7 +153,10 @@ _R10_FILLERS_R06 = [
 # shows at r06 after this window lands) plus any r11-touched names;
 # new gate entries capped at the window slack after that rotation.
 _R10_WINDOW = _R10_TRIO + _R10_STALE_R05 + _R10_TOUCHED + _R10_FILLERS_R06
-assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+# the driver hashes this many leading registry entries per round; the
+# bench telemetry stamps it so committed artifacts track resizes
+GATE_WINDOW = 50
+assert len(_R10_WINDOW) == GATE_WINDOW, len(_R10_WINDOW)
 _order = _R10_WINDOW + [n for n in QUERIES if n not in set(_R10_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

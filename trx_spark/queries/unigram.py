@@ -67,7 +67,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_UG_DICT = 256  # words in the training dictionary (top-K by freq)
+from trx_spark.queries.bpe import _BPE_VOCAB
+from trx_spark.queries.curation import _TOKEN_RE
+
+# the Spark twin's dictionary comes from bpe._word_freq, so the oracle
+# MUST interpolate the same limit and token regex — shared constants,
+# not redeclared literals (they would silently drift apart)
+_UG_DICT = _BPE_VOCAB  # words in the training dictionary (top-K by freq)
 _UG_MAXP = 4  # max piece length considered
 _UG_SEED = 48  # multi-char seed pieces kept (plus all single chars)
 _UG_ROUNDS = 4  # hard-EM rounds (static unroll, mirrored in the oracle)
@@ -79,10 +85,16 @@ _UG_CACHE: dict = {}
 # Viterbi DP over one word as a single Spark SQL expression: acc[k] =
 # best (score, segmentation) for the prefix of length k-1; step j
 # extends acc[i] (i in the trailing _UG_MAXP window) by piece
-# word[i..j].  Guards: only reachable states (sc > 0) extend, and
-# try_element_at (NULL on missing key, ANSI-safe) gates vocab
-# membership.  Returns the 1-best segmentation, or NULL when the word
-# is not segmentable under the map (char not in vocab / underflow).
+# word[i..j].  The candidate stage binds each substring and its
+# broadcast-map probe ONCE (Catalyst does no common-subexpression
+# elimination inside higher-order-function lambdas, and try_element_at
+# is the ANSI-safe NULL-on-missing probe): a missing piece yields a
+# NULL product, and NULL > sentinel is NULL, so it never wins the
+# fold; unreachable previous states (sc ≤ 0) are filtered out first.
+# The final fold keeps the FIRST maximum over ascending start
+# position (strict >), matching the oracle's ROW_NUMBER tie-break.
+# Returns the 1-best segmentation, or NULL when the word is not
+# segmentable under the map (char not in vocab / underflow).
 _UG_DP_EXPR = f"""
 aggregate(
   sequence(1, length(word)),
@@ -90,20 +102,18 @@ aggregate(
                      'seg', CAST(array() AS array<string>))),
   (acc, j) -> acc || array(
     aggregate(
-      sequence(greatest(1, j - {_UG_MAXP - 1}), j),
+      transform(
+        filter(
+          transform(sequence(greatest(1, j - {_UG_MAXP - 1}), j),
+                    i -> named_struct(
+                      'i', i, 'pc', substring(word, i, j - i + 1))),
+          c -> element_at(acc, c.i).sc > CAST(0.0 AS DOUBLE)),
+        c -> named_struct(
+          'sc', element_at(acc, c.i).sc * try_element_at(m, c.pc),
+          'seg', element_at(acc, c.i).seg || array(c.pc))),
       named_struct('sc', CAST(-1.0 AS DOUBLE),
                    'seg', CAST(array() AS array<string>)),
-      (b, i) -> CASE
-        WHEN element_at(acc, i).sc > CAST(0.0 AS DOUBLE)
-         AND try_element_at(m, substring(word, i, j - i + 1)) IS NOT NULL
-         AND element_at(acc, i).sc
-             * try_element_at(m, substring(word, i, j - i + 1)) > b.sc
-        THEN named_struct(
-          'sc', element_at(acc, i).sc
-                * try_element_at(m, substring(word, i, j - i + 1)),
-          'seg', element_at(acc, i).seg
-                 || array(substring(word, i, j - i + 1)))
-        ELSE b END)),
+      (b, c) -> CASE WHEN c.sc > b.sc THEN c ELSE b END)),
   acc -> IF(element_at(acc, length(word) + 1).sc > CAST(0.0 AS DOUBLE),
             element_at(acc, length(word) + 1).seg,
             CAST(NULL AS array<string>)))
@@ -278,7 +288,7 @@ dict AS MATERIALIZED (
   SELECT word, freq FROM (
     SELECT word, freq FROM (
       SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS t
+      FROM (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS t
             FROM documents)
       GROUP BY t)
     ORDER BY freq DESC, word LIMIT {_UG_DICT}) topk
@@ -398,7 +408,7 @@ vp{_UG_ROUNDS} AS MATERIALIZED (
   FROM v{_UG_ROUNDS}
 ),
 tok AS MATERIALIZED (
-  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS word
   FROM documents
 ),
 dwords AS MATERIALIZED (
