@@ -105,6 +105,50 @@ def test_unigram_round_stats_match_reference(spark, tiny_corpus):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [3, 17])
+def test_unigram_random_corpus_matches_reference(spark, tmp_path, seed):
+    """Randomized parity against the pure-Python trainer: tiny
+    alphabets make Viterbi score ties and repeated-char words common,
+    stressing the first-maximum tie-break and the +1-smoothing floor
+    on both engines' fold order."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    alphabet = "abc" if seed % 2 else "abcd"
+    words = sorted(
+        {
+            "".join(rng.choice(list(alphabet), size=rng.integers(1, 9)))
+            for _ in range(14)
+        }
+    )
+    # one word over _UG_MAXW: excluded from training, fallback at encode
+    words.append(alphabet[0] * (unigram._UG_MAXW + 2))
+    freqs = {w: int(rng.integers(1, 9)) for w in words}
+    text_parts = [w for w, f in freqs.items() for _ in range(f)]
+    rng.shuffle(text_parts)
+    docs = [
+        (i + 1, " ".join(text_parts[i::3]), "s1", "en", 10)
+        for i in range(3)
+    ]
+    d = tmp_path / "rand_sf"
+    d.mkdir()
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    per_round, _ = _ref_unigram(freqs, unigram._UG_ROUNDS)
+    got = {
+        (r["em_round"], r["piece"]): r["piece_count"]
+        for r in unigram.unigram_em_round_stats(spark, str(d)).collect()
+    }
+    want = {
+        (rnd + 1, p): c
+        for rnd, counts in enumerate(per_round)
+        for p, c in counts.items()
+    }
+    assert got == want
+
+
 def test_unigram_em_moves_mass_to_multichar_pieces(spark, tiny_corpus):
     """After round 1 the Viterbi segmentations must actually USE
     multi-char pieces (count > 1 means freq-weighted wins, not just
