@@ -447,7 +447,9 @@ def main() -> None:
         ).stdout.strip()
         detail["git_dirty"] = bool(
             subprocess.run(
-                ["git", "status", "--porcelain"],
+                # tracked files only: scratch logs/caches in the tree
+                # must not brand a clean-source run as dirty
+                ["git", "status", "--porcelain", "-uno"],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 capture_output=True,
                 text=True,
