@@ -263,6 +263,10 @@ HEADLINE = [
     # completes the tokenizer-trainer family (BPE / WordPiece / unigram)
     "unigram_em_round_stats",
     "unigram_trained_encode",
+    # round-10 wave 2: retrieval-quality eval (MRR/hit@k) + the FIM
+    # transform ledger
+    "retrieval_mrr_audit",
+    "fim_split_stats",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -78,6 +78,9 @@ _TINY_DIM_BUILD_OK = {
     "event_type_correlation",  # ≤|types|-row type dim × day dim grid build
     "event_trend_robust",      # same bounded day×type grid build
     "bootstrap_replica_means", # the doc-count scalar is a 1-row broadcast
+    "retrieval_mrr_audit",  # bounded eval-query sample (n/97 rows)
+    # broadcast into the brute-force ranking fan-out; the 100 TB path
+    # ranks IVF/LSH shortlists instead (see the module docstring)
 }
 _ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 

@@ -147,11 +147,14 @@ _R10_FILLERS_R06 = [
     "azint_qlims", "bigram_rarity", "cluster_topics",
     "concurrent_sessions_peak", "contamination_check", "corpus_keep_list",
 ]
-# Round-11 rotation note: continue code-currency — the remaining
-# r06-era rows (delay_codec, curves_*, customers_without_orders,
-# decontaminated_docs, dedup_clusters, ... — everything the ledger
-# shows at r06 after this window lands) plus any r11-touched names;
-# new gate entries capped at the window slack after that rotation.
+# Round-11 rotation note: (a) the two r10-wave-2 queries that landed
+# AFTER the window was sealed — retrieval_mrr_audit, fim_split_stats
+# (local parity only; first driver rows in r11); (b) continue
+# code-currency — the remaining r06-era rows (delay_codec, curves_*,
+# customers_without_orders, decontaminated_docs, dedup_clusters, ... —
+# everything the ledger shows at r06 after this window lands) plus any
+# r11-touched names; new gate entries capped at the window slack after
+# that rotation.
 _R10_WINDOW = _R10_TRIO + _R10_STALE_R05 + _R10_TOUCHED + _R10_FILLERS_R06
 # the driver hashes this many leading registry entries per round; the
 # bench telemetry stamps it so committed artifacts track resizes

@@ -645,6 +645,113 @@ FROM base GROUP BY shard
 """
 
 
+
+# ---------------------------------------------------------------------
+# Fill-in-the-middle transform audit (Bavarian et al., "Efficient
+# Training of Language Models to Fill in the Middle", 2022): the PSM
+# split at deterministic token boundaries — prefix = tokens
+# [1, n DIV 3], middle = (n DIV 3, 2n DIV 3], suffix = the rest.
+# Docs under _FIM_MIN_TOKENS pass through untransformed (no middle to
+# infill). Integer DIV on both engines (double-then-cast would round
+# in DuckDB but truncate in Spark).
+# ---------------------------------------------------------------------
+
+_FIM_MIN_TOKENS = 3
+
+
+def fim_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source FIM transform ledger: how many docs split, the token
+    mass of each PSM segment, the passthrough mass, and the realized
+    middle fraction (one IEEE division of exact integer sums) — the
+    audit a code-model data pipeline runs before committing an infill
+    mix. Map-only scan → one partial-aggregatable groupBy on source."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast(
+        "long"
+    )
+    base = docs.select("source", n.alias("n_tokens")).select(
+        "source",
+        "n_tokens",
+        F.expr("n_tokens DIV 3").alias("p_n"),
+        (F.expr("(2 * n_tokens) DIV 3") - F.expr("n_tokens DIV 3")).alias(
+            "m_n"
+        ),
+        (F.col("n_tokens") - F.expr("(2 * n_tokens) DIV 3")).alias("s_n"),
+        (F.col("n_tokens") >= _FIM_MIN_TOKENS).alias("fim"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("fim"), 1).otherwise(0)).cast("long").alias(
+            "n_fim_docs"
+        ),
+        F.sum(F.when(F.col("fim"), F.col("p_n")).otherwise(0))
+        .cast("long")
+        .alias("prefix_tokens"),
+        F.sum(F.when(F.col("fim"), F.col("m_n")).otherwise(0))
+        .cast("long")
+        .alias("middle_tokens"),
+        F.sum(F.when(F.col("fim"), F.col("s_n")).otherwise(0))
+        .cast("long")
+        .alias("suffix_tokens"),
+        F.sum(F.when(~F.col("fim"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("passthrough_tokens"),
+    )
+    total = (
+        F.col("prefix_tokens") + F.col("middle_tokens") + F.col("suffix_tokens")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_fim_docs",
+        "prefix_tokens",
+        "middle_tokens",
+        "suffix_tokens",
+        "passthrough_tokens",
+        F.when(
+            total > 0,
+            F.col("middle_tokens").cast("double") / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0).cast("double"))
+        .alias("middle_frac"),
+    )
+
+
+_FIM_SQL = f"""
+WITH base AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+seg AS (
+  SELECT source, n_tokens,
+    n_tokens // 3 AS p_n,
+    (2 * n_tokens) // 3 - n_tokens // 3 AS m_n,
+    n_tokens - (2 * n_tokens) // 3 AS s_n,
+    n_tokens >= {_FIM_MIN_TOKENS} AS fim
+  FROM base
+),
+agg AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN fim THEN 1 ELSE 0 END) AS BIGINT) AS n_fim_docs,
+    CAST(SUM(CASE WHEN fim THEN p_n ELSE 0 END) AS BIGINT) AS prefix_tokens,
+    CAST(SUM(CASE WHEN fim THEN m_n ELSE 0 END) AS BIGINT) AS middle_tokens,
+    CAST(SUM(CASE WHEN fim THEN s_n ELSE 0 END) AS BIGINT) AS suffix_tokens,
+    CAST(SUM(CASE WHEN NOT fim THEN n_tokens ELSE 0 END) AS BIGINT)
+      AS passthrough_tokens
+  FROM seg GROUP BY source
+)
+SELECT source, n_docs, n_fim_docs, prefix_tokens, middle_tokens,
+  suffix_tokens, passthrough_tokens,
+  CASE WHEN prefix_tokens + middle_tokens + suffix_tokens > 0
+       THEN CAST(middle_tokens AS DOUBLE)
+            / CAST(prefix_tokens + middle_tokens + suffix_tokens AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS middle_frac
+FROM agg
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences,
@@ -652,6 +759,7 @@ QUERIES = {
     "cdc_chunks": cdc_chunks,
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "padding_waste_audit": padding_waste_audit,
+    "fim_split_stats": fim_split_stats,
     "epoch_shuffle": epoch_shuffle,
     "training_set_manifest": training_set_manifest,
 }
@@ -663,6 +771,7 @@ ORACLES = {
     "cdc_chunks": _cdc_sql(),
     "cdc_chunk_dedup": _cdc_dedup_sql(),
     "padding_waste_audit": _PADDING_SQL,
+    "fim_split_stats": _FIM_SQL,
     "epoch_shuffle": _SHUFFLE_SQL,
     "training_set_manifest": _manifest_sql(),
 }

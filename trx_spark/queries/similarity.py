@@ -2099,6 +2099,122 @@ SELECT vec_id, label, rnd FROM {prev}
 """
 
 
+# ---------------------------------------------------------------------
+# Retrieval-quality audit (RAG-eval): MRR / hit@k of embedding
+# retrieval against same-label relevance judgments — the ranking-
+# quality complement to ann_recall_audit's shortlist-coverage metric.
+# ---------------------------------------------------------------------
+
+_MRR_QMOD = 97  # eval-query sample: vec_id % _MRR_QMOD == 0
+_MRR_K = 10  # hit@k cutoff
+
+
+def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval query (vec_id % _MRR_QMOD == 0): rank every OTHER
+    vector by exact cosine and score the ranking against same-label
+    relevance — (query_id, label, n_relevant, first_rel_rank,
+    reciprocal_rank, hit_at_10).  The reciprocal rank is one exact
+    rational (1 / first relevant rank), so the gate hashes the whole
+    eval table; aggregate MRR is a fixed-point mean away downstream.
+
+    Scale shape: the query sample is a BOUNDED dimension (n / _MRR_QMOD
+    rows) broadcast across the corpus — the brute-force eval leg, the
+    same discipline as shingle_minhash_recall's truth build; the 100 TB
+    path shortlists per query via the IVF/LSH rankers first and ranks
+    only the shortlist (ann_recall_audit measures exactly that
+    coverage)."""
+    emb = (
+        fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding", "label")
+        .withColumn("n1", _norm(F.col("embedding")))
+    )
+    q = emb.filter(F.col("vec_id") % _MRR_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("n1").alias("qn1"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).withColumn(
+        "sim",
+        _dot(F.col("embedding"), F.col("qe"))
+        / F.sqrt(F.col("n1") * F.col("qn1")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    rel = F.col("label") == F.col("qlabel")
+    per_q = ranked.groupBy("qid", "qlabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_relevant"),
+        F.min(F.when(rel, F.col("rank"))).cast("long").alias("first_rel_rank"),
+        F.sum(F.when(rel & (F.col("rank") <= _MRR_K), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_in_top_k"),
+    )
+    return per_q.select(
+        F.col("qid").alias("query_id"),
+        F.col("qlabel").alias("label"),
+        "n_relevant",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.lit(1.0).cast("double") / F.col("first_rel_rank").cast("double"),
+        )
+        .otherwise(F.lit(0.0).cast("double"))
+        .alias("reciprocal_rank"),
+        F.when(F.col("rel_in_top_k") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hit_at_10"),
+    )
+
+
+_MRR_SQL = f"""
+WITH {_EX_CTE},
+norms AS MATERIALIZED (
+  SELECT vec_id, {_fpsum_sql("x * x")} AS n1 FROM ex GROUP BY vec_id
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, label AS qlabel
+  FROM embeddings WHERE vec_id % {_MRR_QMOD} = 0
+),
+dots AS MATERIALIZED (
+  SELECT a.vec_id, s.qid, {_fpsum_sql("a.x * b.x")} AS dot
+  FROM ex a JOIN q s ON a.vec_id <> s.qid
+       JOIN ex b ON b.vec_id = s.qid AND b.pos = a.pos
+  GROUP BY a.vec_id, s.qid
+),
+ranked AS MATERIALIZED (
+  SELECT d.qid, s.qlabel, e.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.qid
+           ORDER BY d.dot / SQRT(nc.n1 * nq.n1) DESC, d.vec_id) AS rank
+  FROM dots d
+  JOIN q s ON s.qid = d.qid
+  JOIN embeddings e ON e.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.qid
+),
+per_q AS (
+  SELECT qid, qlabel,
+    CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_relevant,
+    CAST(MIN(CASE WHEN label = qlabel THEN rank END) AS BIGINT)
+      AS first_rel_rank,
+    CAST(SUM(CASE WHEN label = qlabel AND rank <= {_MRR_K}
+             THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_top_k
+  FROM ranked GROUP BY qid, qlabel
+)
+SELECT qid AS query_id, qlabel AS label, n_relevant, first_rel_rank,
+  CASE WHEN first_rel_rank IS NOT NULL
+       THEN CAST(1.0 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS reciprocal_rank,
+  CAST(CASE WHEN rel_in_top_k > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS hit_at_10
+FROM per_q
+"""
+
+
 QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -2120,6 +2236,7 @@ QUERIES = {
     "opq_recall_audit": opq_recall_audit,
     "knn_label_agreement": knn_label_agreement,
     "knn_label_propagation": knn_label_propagation,
+    "retrieval_mrr_audit": retrieval_mrr_audit,
 }
 
 ORACLES = {
@@ -2143,4 +2260,5 @@ ORACLES = {
     "opq_recall_audit": _opq_recall_sql(),
     "knn_label_agreement": _KNN_LABEL_SQL,
     "knn_label_propagation": _lp_sql(),
+    "retrieval_mrr_audit": _MRR_SQL,
 }
