@@ -1728,6 +1728,57 @@ def test_jpeg_progressive_truncation_raises():
             assert px.shape == (16, 16) and not hdr["progressive"]
 
 
+def test_all_codec_truncation_contract():
+    """EVERY decoder honors the wild-input contract at EVERY cut
+    position: ValueError (or a successfully-parsed partial result) —
+    never KeyError/IndexError/TypeError/struct.error leaking from the
+    parse layer. The JPEG family is pinned separately
+    (test_jpeg_progressive_truncation_raises); this sweeps the
+    detector + web + audio formats."""
+    import numpy as np
+
+    from trx_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 1000, (6, 5)).astype(np.uint16)
+    sq = rng.integers(0, 1000, (8, 8)).astype(np.int64)
+    frames = [np.full((8, 8), v, dtype=np.int64) for v in (10, 200)]
+    cases = {
+        "edf": (M.encode_edf(img16), M.decode_edf),
+        "cbf": (M.encode_cbf(sq), M.decode_cbf),
+        "tiff": (
+            M.encode_tiff(rng.integers(0, 255, (5, 4)).astype(np.uint8)),
+            M.decode_tiff,
+        ),
+        "mar345": (M.encode_mar345(sq), M.decode_mar345),
+        "marccd": (M.encode_marccd(img16), M.decode_marccd),
+        "bruker": (M.encode_bruker(sq), M.decode_bruker),
+        "adsc": (M.encode_adsc(img16), M.decode_adsc),
+        "png": (M.encode_png(rng.integers(0, 256, (6, 5))), M.decode_png),
+        "png_adam7": (
+            M.encode_png(rng.integers(0, 256, (9, 4, 3)), interlace=True),
+            M.decode_png,
+        ),
+        "avi": (M.encode_avi_mjpeg(frames), M.decode_avi_frames),
+        "wav": (
+            M.encode_wav(rng.integers(-1000, 1000, 64).astype(np.int16)),
+            M.decode_wav,
+        ),
+        "wav_g711": (
+            M.encode_wav_g711(rng.integers(-1000, 1000, 64).astype(np.int16)),
+            M.decode_wav,
+        ),
+    }
+    for name, (blob, dec) in cases.items():
+        for cut in range(0, len(blob)):
+            try:
+                dec(bytes(blob[:cut]))
+            except ValueError:
+                pass  # the documented contract
+        # the untruncated blob still decodes (guards didn't over-reach)
+        dec(bytes(blob))
+
+
 def test_decode_jpeg_distributed(spark, tmp_path):
     """REAL JPEG decode through binaryFile → mapInPandas (auto-sniffed
     folder mixing JPEG, gzip-wrapped JPEG and a real 4:2:0 file):

@@ -1393,43 +1393,48 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
     if bo is None or int.from_bytes(buf[2:4], "little" if bo == "<" else "big") != 42:
         raise ValueError("not a TIFF stream")
-    end = "little" if bo == "<" else "big"
-    ifd_off = int.from_bytes(buf[4:8], end)
-    n = int.from_bytes(buf[ifd_off : ifd_off + 2], end)
-    tags: dict[int, list[int]] = {}
-    for k in range(n):
-        e = ifd_off + 2 + 12 * k
-        tag = int.from_bytes(buf[e : e + 2], end)
-        typ = int.from_bytes(buf[e + 2 : e + 4], end)
-        cnt = int.from_bytes(buf[e + 4 : e + 8], end)
-        size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
-        raw = buf[e + 8 : e + 12] if size <= 4 else None
-        off = int.from_bytes(buf[e + 8 : e + 12], end)
-        body = raw[:size] if raw is not None else buf[off : off + size]
-        w = _TIFF_TYPE_SIZE.get(typ, 1)
-        tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
-    comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 32773):
-        raise ValueError(
-            "unsupported TIFF compression (baseline, LZW, PackBits only)"
-        )
-    nx, ny = tags[256][0], tags[257][0]
-    bits = tags.get(258, [8])[0]
-    sfmt = tags.get(339, [1])[0]
-    kind = {1: "u", 2: "i", 3: "f"}[sfmt]
-    dt = np.dtype(f"{bo}{kind}{bits // 8}")
-    strips = [buf[o : o + c] for o, c in zip(tags[273], tags[279])]
-    if comp == 32773:
-        strips = [_packbits_decode(s) for s in strips]
-    elif comp == 5:
-        strips = [_lzw_decode(s) for s in strips]
-    data = b"".join(strips)
-    img = np.frombuffer(data, dtype=dt, count=nx * ny).reshape(ny, nx)
-    if tags.get(317, [1])[0] == 2:  # horizontal differencing predictor
-        if kind != "u":
-            raise ValueError("TIFF predictor 2 supported for unsigned only")
-        img = (np.cumsum(img.astype(np.int64), axis=1) % (1 << bits)).astype(dt)
-    return img, tags
+    try:
+        end = "little" if bo == "<" else "big"
+        ifd_off = int.from_bytes(buf[4:8], end)
+        n = int.from_bytes(buf[ifd_off : ifd_off + 2], end)
+        tags: dict[int, list[int]] = {}
+        for k in range(n):
+            e = ifd_off + 2 + 12 * k
+            tag = int.from_bytes(buf[e : e + 2], end)
+            typ = int.from_bytes(buf[e + 2 : e + 4], end)
+            cnt = int.from_bytes(buf[e + 4 : e + 8], end)
+            size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+            raw = buf[e + 8 : e + 12] if size <= 4 else None
+            off = int.from_bytes(buf[e + 8 : e + 12], end)
+            body = raw[:size] if raw is not None else buf[off : off + size]
+            w = _TIFF_TYPE_SIZE.get(typ, 1)
+            tags[tag] = [int.from_bytes(body[i : i + w], end) for i in range(0, size, w)]
+        comp = tags.get(259, [1])[0]
+        if comp not in (1, 5, 32773):
+            raise ValueError(
+                "unsupported TIFF compression (baseline, LZW, PackBits only)"
+            )
+        nx, ny = tags[256][0], tags[257][0]
+        bits = tags.get(258, [8])[0]
+        sfmt = tags.get(339, [1])[0]
+        kind = {1: "u", 2: "i", 3: "f"}[sfmt]
+        dt = np.dtype(f"{bo}{kind}{bits // 8}")
+        strips = [buf[o : o + c] for o, c in zip(tags[273], tags[279])]
+        if comp == 32773:
+            strips = [_packbits_decode(s) for s in strips]
+        elif comp == 5:
+            strips = [_lzw_decode(s) for s in strips]
+        data = b"".join(strips)
+        img = np.frombuffer(data, dtype=dt, count=nx * ny).reshape(ny, nx)
+        if tags.get(317, [1])[0] == 2:  # horizontal differencing predictor
+            if kind != "u":
+                raise ValueError("TIFF predictor 2 supported for unsigned only")
+            img = (np.cumsum(img.astype(np.int64), axis=1) % (1 << bits)).astype(dt)
+        return img, tags
+    except (KeyError, IndexError, TypeError) as exc:
+        # parse-layer errors on truncated/garbled input surface as
+        # the documented decode contract, cause chain preserved
+        raise ValueError("truncated or invalid TIFF stream") from exc
 
 
 def _lzw_decode(s: bytes) -> bytes:
@@ -1794,30 +1799,35 @@ def decode_mar345(buf: bytes) -> tuple[np.ndarray, dict]:
             break
     else:
         raise ValueError("not a mar345 stream (missing 1234 sentinel)")
-    words = np.frombuffer(buf, dtype=f"{order}i4", count=6)
-    size, nhigh, fmt = int(words[1]), int(words[2]), int(words[3])
-    if fmt != 1:
-        raise ValueError(f"unsupported mar345 format word {fmt} (packed=1 only)")
-    header = {
-        "size": size,
-        "nhigh": nhigh,
-        "format": fmt,
-        "mode": int(words[4]),
-        "pixels": int(words[5]),
-        "byte_order": order,
-    }
-    pos = 4096
-    high = np.frombuffer(buf, dtype=f"{order}i4", count=2 * nhigh, offset=pos).reshape(
-        nhigh, 2
-    )
-    pos += 8 * nhigh
-    marker = (_PCK_MARKER_FMT % (size, size)).encode("ascii")
-    mark = buf.index(marker, pos)
-    diffs = _pck_unpack_diffs(buf[mark + len(marker) :], size * size)
-    img = _pck_predictions_apply(diffs, size)
-    for addr, val in high:
-        img.flat[int(addr) - 1] = int(val)  # addresses are 1-based
-    return img, header
+    try:
+        words = np.frombuffer(buf, dtype=f"{order}i4", count=6)
+        size, nhigh, fmt = int(words[1]), int(words[2]), int(words[3])
+        if fmt != 1:
+            raise ValueError(f"unsupported mar345 format word {fmt} (packed=1 only)")
+        header = {
+            "size": size,
+            "nhigh": nhigh,
+            "format": fmt,
+            "mode": int(words[4]),
+            "pixels": int(words[5]),
+            "byte_order": order,
+        }
+        pos = 4096
+        high = np.frombuffer(buf, dtype=f"{order}i4", count=2 * nhigh, offset=pos).reshape(
+            nhigh, 2
+        )
+        pos += 8 * nhigh
+        marker = (_PCK_MARKER_FMT % (size, size)).encode("ascii")
+        mark = buf.index(marker, pos)
+        diffs = _pck_unpack_diffs(buf[mark + len(marker) :], size * size)
+        img = _pck_predictions_apply(diffs, size)
+        for addr, val in high:
+            img.flat[int(addr) - 1] = int(val)  # addresses are 1-based
+        return img, header
+    except (KeyError, IndexError, TypeError) as exc:
+        # parse-layer errors on truncated/garbled input surface as
+        # the documented decode contract, cause chain preserved
+        raise ValueError("truncated or invalid mar345 stream") from exc
 
 
 def encode_mar345(img: np.ndarray, *, byte_order: str = "<") -> bytes:
@@ -2059,48 +2069,53 @@ def decode_bruker(buf: bytes) -> tuple[np.ndarray, dict]:
     if buf[:7] != b"FORMAT " or buf[7:8] != b":":
         raise ValueError("not a Bruker SFRM stream (missing FORMAT record)")
     # HDRBLKS lives inside the first block — parse that, then the rest
-    first = _sfrm_header_items(buf, 1)
-    hdrblks = int(first.get("HDRBLKS", "3").split()[0])
-    items = _sfrm_header_items(buf, hdrblks)
-    nrows = int(items["NROWS"].split()[0])
-    ncols = int(items["NCOLS"].split()[0])
-    npixelb_fields = [int(x) for x in items["NPIXELB"].split()]
-    npixelb = npixelb_fields[0]
-    version = int(items.get("VERSION", "0").split()[0])
-    nov = [int(x) for x in items.get("NOVERFL", "0").split()]
-    if int(items.get("WORDORD", "0").split()[0]) != 0:
-        raise ValueError("unsupported SFRM word order (little-endian only)")
-    pos = hdrblks * _SFRM_BLOCK
-    n = nrows * ncols
-    img = np.frombuffer(
-        buf, dtype=f"<u{npixelb}", count=n, offset=pos
-    ).astype(np.int64).reshape(nrows, ncols)
-    pos += n * npixelb
-    if version >= 11:
-        if len(nov) < 3:
-            raise ValueError(
-                "SFRM VERSION>=11 requires a 3-field NOVERFL "
-                "(underflow, 2-byte, 4-byte counts); got "
-                + items.get("NOVERFL", "")
-            )
-        under_bytes = npixelb_fields[1] if len(npixelb_fields) > 1 else 1
-        _sfrm_apply_overflow(img, buf, pos, nov[:3], npixelb, under_bytes)
-    else:
-        # legacy format-86 ASCII overflow table: 16-char records
-        # (%9d value, %7d offset), applied by explicit flat offset
-        for k in range(nov[0]):
-            rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
-            img.flat[int(rec[9:16])] = int(rec[:9])
-    header = {
-        "format": int(items.get("FORMAT", "86").split()[0]),
-        "version": version,
-        "hdrblks": hdrblks,
-        "nrows": nrows,
-        "ncols": ncols,
-        "npixelb": npixelb,
-        "noverfl": nov,
-    }
-    return img, header
+    try:
+        first = _sfrm_header_items(buf, 1)
+        hdrblks = int(first.get("HDRBLKS", "3").split()[0])
+        items = _sfrm_header_items(buf, hdrblks)
+        nrows = int(items["NROWS"].split()[0])
+        ncols = int(items["NCOLS"].split()[0])
+        npixelb_fields = [int(x) for x in items["NPIXELB"].split()]
+        npixelb = npixelb_fields[0]
+        version = int(items.get("VERSION", "0").split()[0])
+        nov = [int(x) for x in items.get("NOVERFL", "0").split()]
+        if int(items.get("WORDORD", "0").split()[0]) != 0:
+            raise ValueError("unsupported SFRM word order (little-endian only)")
+        pos = hdrblks * _SFRM_BLOCK
+        n = nrows * ncols
+        img = np.frombuffer(
+            buf, dtype=f"<u{npixelb}", count=n, offset=pos
+        ).astype(np.int64).reshape(nrows, ncols)
+        pos += n * npixelb
+        if version >= 11:
+            if len(nov) < 3:
+                raise ValueError(
+                    "SFRM VERSION>=11 requires a 3-field NOVERFL "
+                    "(underflow, 2-byte, 4-byte counts); got "
+                    + items.get("NOVERFL", "")
+                )
+            under_bytes = npixelb_fields[1] if len(npixelb_fields) > 1 else 1
+            _sfrm_apply_overflow(img, buf, pos, nov[:3], npixelb, under_bytes)
+        else:
+            # legacy format-86 ASCII overflow table: 16-char records
+            # (%9d value, %7d offset), applied by explicit flat offset
+            for k in range(nov[0]):
+                rec = buf[pos + 16 * k : pos + 16 * (k + 1)].decode("ascii")
+                img.flat[int(rec[9:16])] = int(rec[:9])
+        header = {
+            "format": int(items.get("FORMAT", "86").split()[0]),
+            "version": version,
+            "hdrblks": hdrblks,
+            "nrows": nrows,
+            "ncols": ncols,
+            "npixelb": npixelb,
+            "noverfl": nov,
+        }
+        return img, header
+    except (KeyError, IndexError, TypeError) as exc:
+        # parse-layer errors on truncated/garbled input surface as
+        # the documented decode contract, cause chain preserved
+        raise ValueError("truncated or invalid Bruker SFRM stream") from exc
 
 
 def _pad16(b: bytes) -> bytes:
