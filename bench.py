@@ -267,6 +267,11 @@ HEADLINE = [
     # transform ledger
     "retrieval_mrr_audit",
     "fim_split_stats",
+    # round-10 wave 3: iterative graph propagation (fixed-point integer
+    # PageRank — the family dedup_clusters' min-label contraction did
+    # not cover) and the l-diversity half of the privacy-audit pair
+    "pagerank_copurchase",
+    "l_diversity_audit",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -48,6 +48,7 @@ from trx_spark.queries import (
     bucketing,
     mlops,
     evolution,
+    graphq,
 )
 from trx_spark.sources import textio
 
@@ -92,6 +93,7 @@ for mod in (
     bucketing,
     mlops,
     evolution,
+    graphq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -147,8 +149,9 @@ _R10_FILLERS_R06 = [
     "azint_qlims", "bigram_rarity", "cluster_topics",
     "concurrent_sessions_peak", "contamination_check", "corpus_keep_list",
 ]
-# Round-11 rotation note: (a) the two r10-wave-2 queries that landed
-# AFTER the window was sealed — retrieval_mrr_audit, fim_split_stats
+# Round-11 rotation note: (a) the r10 wave-2/3 queries that landed
+# AFTER the window was sealed — retrieval_mrr_audit, fim_split_stats,
+# pagerank_copurchase, l_diversity_audit
 # (local parity only; first driver rows in r11); (b) continue
 # code-currency — the remaining r06-era rows (delay_codec, curves_*,
 # customers_without_orders, decontaminated_docs, dedup_clusters, ... —

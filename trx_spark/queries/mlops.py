@@ -27,6 +27,10 @@ Scale design notes:
   the quasi-identifier tuple, rows in groups smaller than k are
   re-identifiable. One map-side-combining groupBy + one 1-row
   summary; the share is one int64→double division.
+- ``l_diversity_audit``: the complement gate (Machanavajjhala et al.
+  2007) — a k-large group whose members all share one sensitive value
+  still leaks it; requires ≥ l distinct sensitive values per group.
+  Same aggregation shape as k-anonymity plus one COUNT(DISTINCT).
 """
 
 from __future__ import annotations
@@ -222,14 +226,88 @@ SELECT
 FROM groups
 """
 
+_LDIV_L = 3  # require ≥ l distinct sensitive values per QI group
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row l-diversity report (Machanavajjhala et al. 2007,
+    distinct-l-diversity) over the same customer quasi-identifier tuple
+    as ``k_anonymity_audit``: a QI group whose members all share one
+    sensitive value leaks that value even when the group is k-large.
+    Sensitive attribute: the account-balance band floor(acctbal/1000)
+    (bands make the attribute categorical, the setting l-diversity is
+    defined for).  Reports the achieved l (min distinct bands per
+    group), groups and rows below ``_LDIV_L``, and the at-risk share.
+
+    Scale shape: two map-side-combining aggregations — (QI, band)
+    distinct-ify, then per-QI distinct count — and a 1-row summary.
+    No window, no join; identical expression trees on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("band"),
+    )
+    per_group = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("gsz"),
+            F.countDistinct("band").alias("ldiv"),
+        )
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("ldiv").alias("diversity_l"),
+        F.sum(
+            F.when(F.col("ldiv") < _LDIV_L, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_low_div_groups"),
+        F.sum(
+            F.when(F.col("ldiv") < _LDIV_L, F.col("gsz")).otherwise(F.lit(0))
+        ).alias("rows_at_risk"),
+        F.sum("gsz").alias("n_rows"),
+    ).select(
+        "n_groups",
+        "diversity_l",
+        "n_low_div_groups",
+        "rows_at_risk",
+        "n_rows",
+        (
+            F.col("rows_at_risk").cast("double") / F.col("n_rows").cast("double")
+        ).alias("at_risk_share"),
+    )
+
+
+_LDIV_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS gsz,
+    CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+         AS BIGINT) AS ldiv
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(MIN(ldiv) AS BIGINT) AS diversity_l,
+  CAST(SUM(CASE WHEN ldiv < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_low_div_groups,
+  CAST(SUM(CASE WHEN ldiv < {_LDIV_L} THEN gsz ELSE 0 END) AS BIGINT)
+    AS rows_at_risk,
+  CAST(SUM(gsz) AS BIGINT) AS n_rows,
+  CAST(CAST(SUM(CASE WHEN ldiv < {_LDIV_L} THEN gsz ELSE 0 END) AS BIGINT)
+       AS DOUBLE)
+    / CAST(CAST(SUM(gsz) AS BIGINT) AS DOUBLE) AS at_risk_share
+FROM groups
+"""
+
 QUERIES = {
     "stratified_kfold_assign": stratified_kfold_assign,
     "unimax_language_sampling": unimax_language_sampling,
     "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
 }
 
 ORACLES = {
     "stratified_kfold_assign": _KFOLD_SQL,
     "unimax_language_sampling": _UNIMAX_SQL,
     "k_anonymity_audit": _KANON_SQL,
+    "l_diversity_audit": _LDIV_SQL,
 }
