@@ -272,6 +272,9 @@ HEADLINE = [
     # not cover) and the l-diversity half of the privacy-audit pair
     "pagerank_copurchase",
     "l_diversity_audit",
+    # Bradley-Terry MM fit over pairwise duels — the preference-data
+    # aggregation primitive (reward-model / leaderboard prep)
+    "bradley_terry_strengths",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -49,6 +49,7 @@ from trx_spark.queries import (
     mlops,
     evolution,
     graphq,
+    preference,
 )
 from trx_spark.sources import textio
 
@@ -94,6 +95,7 @@ for mod in (
     mlops,
     evolution,
     graphq,
+    preference,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -151,7 +153,7 @@ _R10_FILLERS_R06 = [
 ]
 # Round-11 rotation note: (a) the r10 wave-2/3 queries that landed
 # AFTER the window was sealed — retrieval_mrr_audit, fim_split_stats,
-# pagerank_copurchase, l_diversity_audit
+# pagerank_copurchase, l_diversity_audit, bradley_terry_strengths
 # (local parity only; first driver rows in r11); (b) continue
 # code-currency — the remaining r06-era rows (delay_codec, curves_*,
 # customers_without_orders, decontaminated_docs, dedup_clusters, ... —
