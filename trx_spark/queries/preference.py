@@ -177,15 +177,22 @@ def bt_fit(pk: DataFrame, rounds: int = _BT_ROUNDS) -> DataFrame:
     )
 
 
+_PK_CACHE: dict = {}
+
+
 def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``_BT_TOPK`` items of the fixed-point Bradley–Terry fit over
     co-purchase duels after ``_BT_ROUNDS`` MM rounds.
 
     Columns: item, n_duels, wins, losses, strength_fp (BIGINT at
-    _BT_SCALE, total mass normalized to K·S each round)."""
-    pk = _duel_pairs(spark, sf_dir).localCheckpoint()
+    _BT_SCALE, total mass normalized to K·S each round).  The duel
+    table (the only data-sized work) is memoized per (session, sf_dir)
+    like the other derived structures; the MM rounds re-run."""
+    key = (spark, sf_dir)
+    if key not in _PK_CACHE:
+        _PK_CACHE[key] = _duel_pairs(spark, sf_dir).localCheckpoint()
     return (
-        bt_fit(pk)
+        bt_fit(_PK_CACHE[key])
         .orderBy(F.desc("strength_fp"), F.asc("item"))
         .limit(_BT_TOPK)
     )
