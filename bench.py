@@ -275,6 +275,9 @@ HEADLINE = [
     # Bradley-Terry MM fit over pairwise duels — the preference-data
     # aggregation primitive (reward-model / leaderboard prep)
     "bradley_terry_strengths",
+    # KMV theta sketches: distinct set operations (union/intersection/
+    # Jaccard between sources) — the estimator family HLL can't do
+    "kmv_source_overlap",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

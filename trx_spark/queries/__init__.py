@@ -153,7 +153,8 @@ _R10_FILLERS_R06 = [
 ]
 # Round-11 rotation note: (a) the r10 wave-2/3 queries that landed
 # AFTER the window was sealed — retrieval_mrr_audit, fim_split_stats,
-# pagerank_copurchase, l_diversity_audit, bradley_terry_strengths
+# pagerank_copurchase, l_diversity_audit, bradley_terry_strengths,
+# kmv_source_overlap
 # (local parity only; first driver rows in r11); (b) continue
 # code-currency — the remaining r06-era rows (delay_codec, curves_*,
 # customers_without_orders, decontaminated_docs, dedup_clusters, ... —

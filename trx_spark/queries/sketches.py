@@ -322,12 +322,253 @@ FROM sk JOIN exact USING (source)
 """
 
 
+# ---------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketches: distinct SET OPERATIONS
+# (Bar-Yossef et al. 2002; Beyer et al., "On synopses for distinct-
+# value estimation under multiset operations", SIGMOD 2007 — the
+# Apache DataSketches theta family).  HLL answers "how many distinct",
+# but cannot intersect two sketches without inclusion-exclusion error
+# blow-up; a KMV sketch supports union, intersection and Jaccard
+# directly: keep the K smallest distinct hash values per set, combine
+# pairs by re-taking the K smallest of the union (theta = the K-th
+# smallest), estimate |union| = (K-1)·P/theta and Jaccard = (members
+# of both sketches among those K) / K.
+#
+# Scale shape: the per-source sketch build is the one vocabulary-sized
+# stage (distinct (source, h) then the K smallest per source — the
+# same shuffle the exact distinct pays; a production build replaces it
+# with per-partition K-truncated merges, which need a custom JVM
+# aggregator).  Everything pairwise then runs on O(sources · K) rows —
+# the quadratic is in the number of SOURCES, each pair costing K, no
+# matter how many tokens fed the sketches.  The exact columns exist to
+# exhibit the estimator error (the hll_distinct_tokens pattern).
+# ---------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_A, _KMV_B = 16807, 17  # Lehmer spread of the token id into [0, P)
+_KMV_UNION_NUM = float((_KMV_K - 1) * _P)  # (K-1)·P, exact in a double
+
+_BIGRAM_SRC_CACHE: dict = {}
+
+
+def _source_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, bigram) table, memoized per (session, sf_dir):
+    the only corpus-sized stage of the KMV query — ~sources·vocab rows
+    after the distinct, so everything downstream is bounded."""
+    key = (spark, sf_dir)
+    if key not in _BIGRAM_SRC_CACHE:
+        from trx_spark.queries.curation import _toks_base
+
+        base = _toks_base(spark, sf_dir)
+        n = F.size(F.col("toks"))
+        # gated on n >= 2 — sequence(1, 0) descends in Spark (the
+        # _shingled footgun); DuckDB's range(1, n) is empty there
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
+            ),
+        )
+        _BIGRAM_SRC_CACHE[key] = (
+            base.select("source", F.explode(bigrams).alias("token"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return _BIGRAM_SRC_CACHE[key]
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-BIGRAM overlap between document sources from
+    K-minimum-values sketches, next to the exact overlap.  Bigrams
+    rather than unigrams so the value space (~700 distinct per source
+    here) actually fills the K=128 sketches and the estimator branch
+    is exercised; the construction is value-space-agnostic.
+
+    Output per source pair (src_a < src_b): k_used, theta, n_common
+    (sketch members in both sets), union_est / jaccard_est / inter_est
+    (the KMV estimators; exact when the combined sketch is not full),
+    exact_union, exact_jaccard."""
+    toks = _source_bigrams(spark, sf_dir)
+    sh = toks.select(
+        "source",
+        ((_tok_hash(F.col("token")) * _KMV_A + _KMV_B) % _P).alias("h"),
+    ).distinct()
+    wk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sh.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+        .localCheckpoint()  # O(sources·K) rows feed every pair below
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("x")
+        .join(srcs.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+    )
+    ra = pairs.join(
+        sk.withColumnRenamed("source", "src_a"), "src_a"
+    ).select("src_a", "src_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    rb = pairs.join(
+        sk.withColumnRenamed("source", "src_b"), "src_b"
+    ).select("src_a", "src_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    u = (
+        ra.unionAll(rb)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    kept = u.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    sp = kept.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("theta"),
+        F.sum(
+            F.when((F.col("ia") == 1) & (F.col("ib") == 1), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_common"),
+    )
+    union_est = F.when(
+        F.col("k_used") == _KMV_K,
+        F.lit(_KMV_UNION_NUM) / F.col("theta").cast("double"),
+    ).otherwise(F.col("k_used").cast("double"))
+    jac_est = F.col("n_common").cast("double") / F.col("k_used").cast("double")
+    # exact side: per-source distinct counts + pairwise common tokens
+    ecnt = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ea, eb = toks.alias("ea"), toks.alias("eb")
+    ecommon = (
+        ea.join(
+            eb,
+            (F.col("ea.token") == F.col("eb.token"))
+            & (F.col("ea.source") < F.col("eb.source")),
+        )
+        .groupBy(
+            F.col("ea.source").alias("src_a"),
+            F.col("eb.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common_exact"))
+    )
+    na = ecnt.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = ecnt.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("nce")
+    return (
+        sp.withColumn("union_est", union_est)
+        .withColumn("jaccard_est", jac_est)
+        .withColumn("inter_est", F.col("jaccard_est") * F.col("union_est"))
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .join(F.broadcast(ecommon), ["src_a", "src_b"], "left")
+        .withColumn("nce", F.coalesce(F.col("n_common_exact"), F.lit(0)))
+        .select(
+            "src_a",
+            "src_b",
+            "k_used",
+            "theta",
+            "n_common",
+            "union_est",
+            "jaccard_est",
+            "inter_est",
+            exact_union.alias("exact_union"),
+            (
+                F.col("nce").cast("double") / exact_union.cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+_KMV_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT source, b AS token FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS b
+    FROM (SELECT source, regexp_extract_all(text, '{_TOKEN_RE}') AS t
+          FROM documents)
+  )
+),
+sh AS (
+  SELECT DISTINCT source, ({_tok_hash_sql('token')} * {_KMV_A} + {_KMV_B})
+         % {_P} AS h
+  FROM toks
+),
+sk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh
+  ) WHERE rn <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT x.source AS src_a, y.source AS src_b
+  FROM srcs x JOIN srcs y ON x.source < y.source
+),
+u AS (
+  SELECT src_a, src_b, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+    SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN sk s ON s.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+    FROM pairs p JOIN sk s ON s.source = p.src_b
+  ) GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT u.*,
+           ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {_KMV_K}
+),
+sp AS (
+  SELECT src_a, src_b,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX(h) AS BIGINT) AS theta,
+         CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common
+  FROM kept GROUP BY 1, 2
+),
+ecnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+ecommon AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common_exact
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sp.src_a, sp.src_b, sp.k_used, sp.theta, sp.n_common,
+  CASE WHEN sp.k_used = {_KMV_K}
+       THEN CAST({dlit(_KMV_UNION_NUM)} AS DOUBLE) / CAST(sp.theta AS DOUBLE)
+       ELSE CAST(sp.k_used AS DOUBLE) END AS union_est,
+  CAST(sp.n_common AS DOUBLE) / CAST(sp.k_used AS DOUBLE) AS jaccard_est,
+  (CAST(sp.n_common AS DOUBLE) / CAST(sp.k_used AS DOUBLE))
+    * (CASE WHEN sp.k_used = {_KMV_K}
+            THEN CAST({dlit(_KMV_UNION_NUM)} AS DOUBLE)
+                   / CAST(sp.theta AS DOUBLE)
+            ELSE CAST(sp.k_used AS DOUBLE) END) AS inter_est,
+  ca.n + cb.n - COALESCE(e.n_common_exact, 0) AS exact_union,
+  CAST(COALESCE(e.n_common_exact, 0) AS DOUBLE)
+    / CAST(ca.n + cb.n - COALESCE(e.n_common_exact, 0) AS DOUBLE)
+    AS exact_jaccard
+FROM sp
+JOIN ecnt ca ON sp.src_a = ca.source
+JOIN ecnt cb ON sp.src_b = cb.source
+LEFT JOIN ecommon e ON sp.src_a = e.src_a AND sp.src_b = e.src_b
+"""
+
+
 QUERIES = {
     "hll_distinct_tokens": hll_distinct_tokens,
     "doclen_quantiles": doclen_quantiles,
+    "kmv_source_overlap": kmv_source_overlap,
 }
 
 ORACLES = {
     "hll_distinct_tokens": _HLL_SQL,
     "doclen_quantiles": _DOCLEN_SQL,
+    "kmv_source_overlap": _KMV_SQL,
 }
