@@ -267,9 +267,10 @@ HEADLINE = [
     # transform ledger
     "retrieval_mrr_audit",
     "fim_split_stats",
-    # round-10 wave 3: iterative graph propagation (fixed-point integer
-    # PageRank — the family dedup_clusters' min-label contraction did
-    # not cover) and the l-diversity half of the privacy-audit pair
+    # round-10 wave 3: end-to-end-integer PageRank over the co-purchase
+    # graph (the gate hashes the BIGINT rank column itself, unlike
+    # knn_pagerank's double ranks) and the l-diversity half of the
+    # privacy-audit pair
     "pagerank_copurchase",
     "l_diversity_audit",
     # Bradley-Terry MM fit over pairwise duels — the preference-data
@@ -278,6 +279,9 @@ HEADLINE = [
     # KMV theta sketches: distinct set operations (union/intersection/
     # Jaccard between sources) — the estimator family HLL can't do
     "kmv_source_overlap",
+    # nDCG@10 on the shared retrieval-eval ranking (integer fixed-point
+    # discount table, the _LC_TABLE discipline for log2)
+    "ndcg_retrieval_audit",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -4,9 +4,15 @@ Page et al., "The PageRank Citation Ranking", 1999).
 
 ``pagerank_copurchase`` ranks parts by PageRank over the symmetric
 co-purchase graph (two parts are linked when they appear in the same
-order basket).  This fills the iterative-graph-propagation family the
-registry previously lacked: ``dedup_clusters`` contracts components
-(min-label convergence) but nothing propagated *mass* along edges.
+order basket).  Relation to ``knn_pagerank`` (similarity.py): that one
+ranks the capped LSH k-NN graph with double-typed ranks and fixed-point
+transfer sums (the lost-mass variant, in-degree bounded by the bucket
+cap); this one is the END-TO-END-INTEGER formulation — ranks never
+leave BIGINT, so the gate hashes the rank column itself rather than a
+derived transfer sum, and the symmetric closure guarantees no dangling
+mass by construction.  The ``pagerank_fixed_point`` helper is the
+reusable form (any (src, dst, outdeg) frame), pinned by a pure-Python
+integer twin in tests.
 
 Exactness design — the same discipline as ``wordpiece_merges`` /
 ``classifier_gd_round_stats``: gate the rounds' INTEGER state, never a

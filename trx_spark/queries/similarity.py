@@ -11,6 +11,8 @@ multiset → same sum), with no UDF and no per-element shuffle.
 
 from __future__ import annotations
 
+import math as _pymath
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2106,23 +2108,19 @@ SELECT vec_id, label, rnd FROM {prev}
 # ---------------------------------------------------------------------
 
 _MRR_QMOD = 97  # eval-query sample: vec_id % _MRR_QMOD == 0
-_MRR_K = 10  # hit@k cutoff
+_MRR_K = 10  # hit@k / ndcg@k cutoff
+
+_RANKED_EVAL_CACHE: dict = {}
 
 
-def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per eval query (vec_id % _MRR_QMOD == 0): rank every OTHER
-    vector by exact cosine and score the ranking against same-label
-    relevance — (query_id, label, n_relevant, first_rel_rank,
-    reciprocal_rank, hit_at_10).  The reciprocal rank is one exact
-    rational (1 / first relevant rank), so the gate hashes the whole
-    eval table; aggregate MRR is a fixed-point mean away downstream.
-
-    Scale shape: the query sample is a BOUNDED dimension (n / _MRR_QMOD
-    rows) broadcast across the corpus — the brute-force eval leg, the
-    same discipline as shingle_minhash_recall's truth build; the 100 TB
-    path shortlists per query via the IVF/LSH rankers first and ranks
-    only the shortlist (ann_recall_audit measures exactly that
-    coverage)."""
+def _ranked_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared retrieval-eval ranking (qid, qlabel, label, rank):
+    every non-query vector ranked by exact cosine per sampled query.
+    Memoized per (session, sf_dir) — MRR and nDCG score the same
+    ranking, so the brute-force leg runs once."""
+    key = (spark, sf_dir)
+    if key in _RANKED_EVAL_CACHE:
+        return _RANKED_EVAL_CACHE[key]
     emb = (
         fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", "embedding", "label")
@@ -2142,7 +2140,29 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.col("n1") * F.col("qn1")),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    ranked = scored.withColumn("rank", F.row_number().over(w))
+    _RANKED_EVAL_CACHE[key] = (
+        scored.select(
+            "qid", "qlabel", "label", F.row_number().over(w).alias("rank")
+        ).localCheckpoint()
+    )
+    return _RANKED_EVAL_CACHE[key]
+
+
+def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval query (vec_id % _MRR_QMOD == 0): rank every OTHER
+    vector by exact cosine and score the ranking against same-label
+    relevance — (query_id, label, n_relevant, first_rel_rank,
+    reciprocal_rank, hit_at_10).  The reciprocal rank is one exact
+    rational (1 / first relevant rank), so the gate hashes the whole
+    eval table; aggregate MRR is a fixed-point mean away downstream.
+
+    Scale shape: the query sample is a BOUNDED dimension (n / _MRR_QMOD
+    rows) broadcast across the corpus — the brute-force eval leg, the
+    same discipline as shingle_minhash_recall's truth build; the 100 TB
+    path shortlists per query via the IVF/LSH rankers first and ranks
+    only the shortlist (ann_recall_audit measures exactly that
+    coverage)."""
+    ranked = _ranked_eval(spark, sf_dir)
     rel = F.col("label") == F.col("qlabel")
     per_q = ranked.groupBy("qid", "qlabel").agg(
         F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_relevant"),
@@ -2169,8 +2189,7 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MRR_SQL = f"""
-WITH {_EX_CTE},
+_RANKED_EVAL_CTES = f"""{_EX_CTE},
 norms AS MATERIALIZED (
   SELECT vec_id, {_fpsum_sql("x * x")} AS n1 FROM ex GROUP BY vec_id
 ),
@@ -2194,7 +2213,10 @@ ranked AS MATERIALIZED (
   JOIN embeddings e ON e.vec_id = d.vec_id
   JOIN norms nc ON nc.vec_id = d.vec_id
   JOIN norms nq ON nq.vec_id = d.qid
-),
+)"""
+
+_MRR_SQL = f"""
+WITH {_RANKED_EVAL_CTES},
 per_q AS (
   SELECT qid, qlabel,
     CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
@@ -2211,6 +2233,99 @@ SELECT qid AS query_id, qlabel AS label, n_relevant, first_rel_rank,
        ELSE CAST(0.0 AS DOUBLE) END AS reciprocal_rank,
   CAST(CASE WHEN rel_in_top_k > 0 THEN 1 ELSE 0 END AS BIGINT)
     AS hit_at_10
+FROM per_q
+"""
+
+
+# nDCG@k on the same ranking (Järvelin & Kekäläinen 2002, binary
+# gains).  The log2 discounts are the one transcendental — so, the
+# _LC_TABLE discipline: a k-entry CONSTANT table of fixed-point
+# integer discounts round(2^40 / log2(i+1)) precomputed in Python and
+# embedded verbatim in both engines.  Per-query DCG is then a SUM of
+# BIGINTs (order-independent, unlike a float sum of discounts), the
+# ideal DCG an indexed prefix-sum constant, and nDCG one final double
+# division of exact integers.
+
+_NDCG_DISC_FP = [
+    round((1 << 40) / _pymath.log2(i + 1)) for i in range(1, _MRR_K + 1)
+]
+_NDCG_IDCG_FP = [
+    sum(_NDCG_DISC_FP[: m + 1]) for m in range(_MRR_K)
+]
+_NDCG_DISC_SQL = "[" + ", ".join(str(v) for v in _NDCG_DISC_FP) + "]"
+_NDCG_IDCG_SQL = "[" + ", ".join(str(v) for v in _NDCG_IDCG_FP) + "]"
+
+
+def ndcg_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval query: binary-gain nDCG@10 of the exact-cosine ranking
+    against same-label relevance — (query_id, label, n_relevant,
+    dcg_fp, idcg_fp, ndcg_at_10).  Shares the memoized ranking with
+    retrieval_mrr_audit; DCG accumulates integer fixed-point discounts
+    so the gate hashes the sums exactly, and the ideal DCG is the
+    prefix-sum table indexed at min(n_relevant, k)."""
+    ranked = _ranked_eval(spark, sf_dir)
+    rel = F.col("label") == F.col("qlabel")
+    disc = F.array(*[F.lit(v).cast("long") for v in _NDCG_DISC_FP])
+    idcg = F.array(*[F.lit(v).cast("long") for v in _NDCG_IDCG_FP])
+    per_q = ranked.groupBy("qid", "qlabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_relevant"),
+        F.sum(
+            F.when(
+                rel & (F.col("rank") <= _MRR_K),
+                F.element_at(disc, F.col("rank").cast("int")),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("dcg_fp"),
+    )
+    return (
+        per_q.withColumn(
+            "idcg_fp",
+            F.when(
+                F.col("n_relevant") > 0,
+                F.element_at(
+                    idcg,
+                    F.least(F.col("n_relevant"), F.lit(_MRR_K).cast("long"))
+                    .cast("int"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").alias("label"),
+            "n_relevant",
+            "dcg_fp",
+            "idcg_fp",
+            F.when(
+                F.col("idcg_fp") > 0,
+                F.col("dcg_fp").cast("double") / F.col("idcg_fp").cast("double"),
+            )
+            .otherwise(F.lit(0.0).cast("double"))
+            .alias("ndcg_at_10"),
+        )
+    )
+
+
+_NDCG_SQL = f"""
+WITH {_RANKED_EVAL_CTES},
+per_q AS (
+  SELECT qid, qlabel,
+    CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_relevant,
+    CAST(SUM(CASE WHEN label = qlabel AND rank <= {_MRR_K}
+             THEN ({_NDCG_DISC_SQL})[rank] ELSE 0 END) AS BIGINT) AS dcg_fp
+  FROM ranked GROUP BY qid, qlabel
+)
+SELECT qid AS query_id, qlabel AS label, n_relevant, dcg_fp,
+  CAST(CASE WHEN n_relevant > 0
+       THEN ({_NDCG_IDCG_SQL})[LEAST(n_relevant, {_MRR_K})]
+       ELSE 0 END AS BIGINT) AS idcg_fp,
+  CASE WHEN n_relevant > 0
+       THEN CAST(dcg_fp AS DOUBLE)
+            / CAST(({_NDCG_IDCG_SQL})[LEAST(n_relevant, {_MRR_K})] AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS ndcg_at_10
 FROM per_q
 """
 
@@ -2237,6 +2352,7 @@ QUERIES = {
     "knn_label_agreement": knn_label_agreement,
     "knn_label_propagation": knn_label_propagation,
     "retrieval_mrr_audit": retrieval_mrr_audit,
+    "ndcg_retrieval_audit": ndcg_retrieval_audit,
 }
 
 ORACLES = {
@@ -2261,4 +2377,5 @@ ORACLES = {
     "knn_label_agreement": _KNN_LABEL_SQL,
     "knn_label_propagation": _lp_sql(),
     "retrieval_mrr_audit": _MRR_SQL,
+    "ndcg_retrieval_audit": _NDCG_SQL,
 }
