@@ -81,6 +81,8 @@ _TINY_DIM_BUILD_OK = {
     "retrieval_mrr_audit",  # bounded eval-query sample (n/97 rows)
     # broadcast into the brute-force ranking fan-out; the 100 TB path
     # ranks IVF/LSH shortlists instead (see the module docstring)
+    "kmv_source_overlap",  # ≤|sources|-row distinct-source dim paired
+    # with itself (src_a < src_b) — all downstream work is O(sources·K)
 }
 _ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 
