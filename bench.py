@@ -282,6 +282,10 @@ HEADLINE = [
     # nDCG@10 on the shared retrieval-eval ranking (integer fixed-point
     # discount table, the _LC_TABLE discipline for log2)
     "ndcg_retrieval_audit",
+    # Hilbert-curve layout keys + the measured three-way pruning
+    # comparison under equal-row file cuts (hilbert < zorder < time)
+    "hilbert_layout_keys",
+    "hilbert_scan_savings",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -268,6 +268,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "queries/ranking.py": 2,
     # KS/ECDF statistics: ≤|distinct values of the compared columns|
     "queries/driftstats.py": 2,
+    # equal-row file-cut map: cumulative sum over the curve-key
+    # HISTOGRAM — ≤ 4^_ZBITS (65,536) rows by construction, the grid
+    # size, never the data size
+    "queries/layout.py": 1,
 }
 
 
