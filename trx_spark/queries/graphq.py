@@ -91,17 +91,23 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         .drop("_bs")
     )
     a, b = items.alias("a"), items.alias("b")
-    pairs = (
+    # dedup only the a<b half, then mirror: the symmetric closure is
+    # cheaper as a union of the deduped half than a distinct over both
+    # directions (half the rows cross the dedup shuffle)
+    half = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+    )
+    pairs = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = (
         pairs.groupBy("src")
