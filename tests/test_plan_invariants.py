@@ -56,6 +56,8 @@ _ONE_ROW_BUILD_OK = {
     "copurchase_lift",   # the order-total scalar is a 1-row broadcast
     "zorder_layout_keys",    # the min/max quantization frame is a 1-row broadcast
     "zorder_skipping_stats", # same 1-row quantization frame
+    "hilbert_layout_keys",   # same 1-row quantization frame
+    "hilbert_scan_savings",  # quantization frame + 1-row row-count total
     "layout_scan_savings",   # same 1-row quantization frame
     "ann_opq_topk",          # the 1-row PCA rotation vector broadcast
     "opq_recall_audit",      # composes the two PQ rankers above

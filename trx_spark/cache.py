@@ -24,8 +24,11 @@ def _all_caches() -> list[dict]:
         classifier,
         corpus,
         curation,
+        graphq,
         lm,
+        preference,
         similarity,
+        sketches,
         textdata,
         trxdomain,
         trxdomain3,
@@ -64,6 +67,10 @@ def _all_caches() -> list[dict]:
         bucketing._BUCKETED_CACHE,
         evolution._EVO_CACHE,
         evolution._SNAP_CACHE,
+        graphq._GRAPH_CACHE,
+        preference._PK_CACHE,
+        similarity._RANKED_EVAL_CACHE,
+        sketches._BIGRAM_SRC_CACHE,
     ]
 
 
