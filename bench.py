@@ -309,6 +309,9 @@ STREAMING = [
     "streaming_hll_registers",
     "streaming_session_stats",
     "streaming_windowed_counts",
+    # r10 wave 3: the third mergeable sketch family (K-min order
+    # statistic), streamed through the same partial/compaction harness
+    "streaming_kmv_sketch",
 ]
 
 

@@ -159,6 +159,52 @@ def test_hll_multiwave_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) <= _HLL_M
 
 
+def test_kmv_multiwave_equals_batch_and_compacts(spark, sf_dir, tmp_path):
+    """KMV twin: the K smallest distinct values per source across waves
+    equal the batch K-min sketch (order-statistic mergeability), the
+    per-epoch partials are bounded at sources·K rows, and compaction
+    preserves the merged sketch."""
+    from trx_spark.queries.sketches import _KMV_K
+    from trx_spark.streaming.sketch import (
+        _batch_kmv_partial,
+        compact_kmv_store,
+        merged_kmv_sketch,
+        run_kmv_catchup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    pdf = docs.toPandas()
+    thirds = [pdf.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    waves = _write_waves(tmp_path, thirds)
+
+    sketch_dir = str(tmp_path / "sketch")
+    merged = run_kmv_catchup(
+        spark,
+        landing_dir=str(waves),
+        schema="doc_id BIGINT, source STRING, text STRING",
+        sketch_dir=sketch_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    want = {(r["source"], r["h"]) for r in _batch_kmv_partial(docs).collect()}
+    got = {(r["source"], r["h"]) for r in merged.collect()}
+    assert got == want
+
+    # per-epoch bound: ≤ sources·K rows per partial
+    store = spark.read.parquet(sketch_dir)
+    n_src = docs.select("source").distinct().count()
+    for r in store.groupBy("_epoch").count().collect():
+        assert r["count"] <= n_src * _KMV_K
+
+    before = {(r["source"], r["h"]) for r in merged_kmv_sketch(spark, sketch_dir).collect()}
+    compact_kmv_store(spark, sketch_dir)
+    after = {(r["source"], r["h"]) for r in merged_kmv_sketch(spark, sketch_dir).collect()}
+    assert after == before == want
+    assert spark.read.parquet(sketch_dir).count() <= n_src * _KMV_K
+
+
 def test_matview_multiwave_equals_batch(spark, sf_dir, tmp_path):
     """Incremental view maintenance: per-epoch mergeable partials of
     the pricing aggregation, drained over 3 waves, equal the batch

@@ -357,6 +357,69 @@ FROM rr GROUP BY reg
 """
 
 
+def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV theta sketch over the documents feed
+    (availableNow): per-epoch K-min partials (≤ sources·K rows each),
+    merged as the K smallest distinct values per source — a mergeable
+    order statistic, so the streamed sketch EQUALS the batch per-source
+    sketch of kmv_source_overlap and carries a full DuckDB oracle.
+    Output pins the whole sketch content: per source, k_used, theta
+    (the K-th smallest) and the sum of sketch values."""
+    from trx_spark.streaming.sketch import run_kmv_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_kmv_stream_")
+    out = run_kmv_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="documents.parquet",
+        schema=schema,
+        sketch_dir=os.path.join(work, "sketch"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("theta"),
+        F.sum("h").alias("h_sum"),
+    )
+
+
+def _kmv_sketch_oracle_sql() -> str:
+    from trx_spark.queries.sketches import _KMV_A, _KMV_B, _KMV_K
+    from trx_spark.queries.textdata import _P, _TOKEN_RE, _tok_hash_sql
+
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT source, b AS token FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS b
+    FROM (SELECT source, regexp_extract_all(text, '{_TOKEN_RE}') AS t
+          FROM documents)
+  )
+),
+sh AS (
+  SELECT DISTINCT source, ({_tok_hash_sql('token')} * {_KMV_A} + {_KMV_B})
+         % {_P} AS h
+  FROM toks
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh
+  ) WHERE rn <= {_KMV_K}
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(MAX(h) AS BIGINT) AS theta,
+       CAST(SUM(h) AS BIGINT) AS h_sum
+FROM sk GROUP BY source
+"""
+
+
 def streaming_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: the flagship pricing aggregation
     maintained as mergeable per-epoch partials (streaming/matview.py).
@@ -557,6 +620,7 @@ QUERIES = {
     "streaming_attribution_join": streaming_attribution_join,
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_hll_registers": streaming_hll_registers,
+    "streaming_kmv_sketch": streaming_kmv_sketch,
     "streaming_pricing_summary": streaming_pricing_summary,
     "streaming_running_stats": streaming_running_stats,
     "streaming_lsh_pairs": streaming_lsh_pairs,
@@ -570,6 +634,7 @@ ORACLES: dict[str, str] = {
     "streaming_attribution_join": _ATTRIBUTION_SQL,
     "streaming_cms_cells": _cms_cells_oracle_sql(),
     "streaming_hll_registers": _hll_registers_oracle_sql(),
+    "streaming_kmv_sketch": _kmv_sketch_oracle_sql(),
     # the SAME oracle as the batch query — the merged view is bit-equal
     "streaming_pricing_summary": _PRICING_SQL,
     "streaming_running_stats": _RUNNING_STATS_SQL,

@@ -214,3 +214,79 @@ def run_hll_catchup(spark: SparkSession, **kw) -> DataFrame:
     return _run_catchup(
         spark, partial_fn=_batch_hll_registers, merge_fn=merged_hll_registers, **kw
     )
+
+
+# ---------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch: the third mergeable family.
+# Keeping the K smallest distinct hash values is a mergeable order
+# statistic — the K smallest of the UNION of per-epoch K-min partials
+# equals the K smallest over everything ingested, so the streamed
+# sketch EQUALS the batch sketch (queries/sketches.kmv_source_overlap's
+# per-source construction) and carries a full DuckDB oracle.  Each
+# epoch's partial is ≤ sources·K rows BY CONSTRUCTION; compaction folds
+# the epoch history back to one K-min list per source.
+# ---------------------------------------------------------------------
+
+
+def _batch_kmv_partial(batch: DataFrame) -> DataFrame:
+    """(source, h) K-min partial of one micro-batch's bigram stream —
+    the SAME hash/bigram construction as the batch KMV query, so the
+    streaming twin cannot drift from the gate-checked batch sketch."""
+    from pyspark.sql import Window
+
+    from trx_spark.queries.sketches import _KMV_A, _KMV_B, _KMV_K
+    from trx_spark.queries.textdata import _P, _TOKEN_RE, _tok_hash
+
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    )
+    sh = (
+        batch.select("source", F.explode(bigrams).alias("token"))
+        .select(
+            "source",
+            ((_tok_hash(F.col("token")) * _KMV_A + _KMV_B) % _P).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+
+
+def merged_kmv_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Per-source K smallest distinct h across all epoch partials — by
+    the order-statistic merge property this equals the batch K-min
+    sketch of everything ingested so far."""
+    from pyspark.sql import Window
+
+    from trx_spark.queries.sketches import _KMV_K
+
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        spark.read.parquet(sketch_dir)
+        .select("source", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+
+
+def compact_kmv_store(spark: SparkSession, sketch_dir: str) -> None:
+    compact_store(spark, sketch_dir, merged_kmv_sketch)
+
+
+def run_kmv_catchup(spark: SparkSession, **kw) -> DataFrame:
+    """KMV catch-up: merged per-source (source, h) K-min sketch."""
+    return _run_catchup(
+        spark, partial_fn=_batch_kmv_partial, merge_fn=merged_kmv_sketch, **kw
+    )
