@@ -286,6 +286,8 @@ HEADLINE = [
     # comparison under equal-row file cuts (hilbert < zorder < time)
     "hilbert_layout_keys",
     "hilbert_scan_savings",
+    # S-stemmer (Harman 1991) rule census over corpus-root-derived words
+    "sstem_rule_census",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -156,7 +156,8 @@ _R10_FILLERS_R06 = [
 # pagerank_copurchase, l_diversity_audit, bradley_terry_strengths,
 # kmv_source_overlap, ndcg_retrieval_audit (retrieval_mrr_audit rides
 # the r10 _ranked_eval refactor and should rotate with it),
-# hilbert_layout_keys, hilbert_scan_savings, streaming_kmv_sketch
+# hilbert_layout_keys, hilbert_scan_savings, streaming_kmv_sketch,
+# sstem_rule_census
 # (local parity only; first driver rows in r11); (b) continue
 # code-currency — the remaining r06-era rows (delay_codec, curves_*,
 # customers_without_orders, decontaminated_docs, dedup_clusters, ... —

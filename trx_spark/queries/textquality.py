@@ -210,12 +210,98 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------
+# S-stemmer vocabulary folding (Harman, "How effective is suffixing?",
+# JASIS 1991): the three ordered plural-stripping rules, each with its
+# exception list; only the first APPLICABLE rule fires (a rule whose
+# exception blocks it falls through — the paper's reading).  The whole
+# stemmer is ONE shared CASE/LIKE/substr expression string (no
+# lookbehind — DuckDB's RE2 has none, so regex is avoided entirely),
+# parsed identically by Spark SQL and DuckDB.
+# ---------------------------------------------------------------------
+
+_SSTEM_EXPR = """CASE
+  WHEN {w} LIKE '%ies' AND {w} NOT LIKE '%eies' AND {w} NOT LIKE '%aies'
+    THEN substr({w}, 1, length({w}) - 3) || 'y'
+  WHEN {w} LIKE '%es' AND {w} NOT LIKE '%aes' AND {w} NOT LIKE '%ees'
+       AND {w} NOT LIKE '%oes'
+    THEN substr({w}, 1, length({w}) - 1)
+  WHEN {w} LIKE '%s' AND {w} NOT LIKE '%us' AND {w} NOT LIKE '%ss'
+    THEN substr({w}, 1, length({w}) - 1)
+  ELSE {w} END"""
+
+
+# the corpus vocabulary carries no plural morphology (31 root words, no
+# s-endings), so the gate stems a DERIVED word table instead: corpus
+# roots × a fixed suffix set covering every rule and every exception —
+# the HLL "gate checks the CONSTRUCTION bit-exactly" precedent.  The
+# bounded generator (|vocab| × 8 literal suffixes) is the _CARTESIAN_OK
+# fixture shape, never data⨯data.
+_SSTEM_SUFFIXES = ("", "s", "es", "ies", "ss", "us", "oes", "aies")
+
+
+def sstem_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-stemmer rule census over corpus-root × suffix derived words:
+    per suffix, how many derived words exist, how many the stemmer
+    changed, how many distinct stems result, and how many fold back to
+    their bare root — pinning the fire/block behavior of every rule
+    and every exception against real vocabulary roots.
+
+    Scale shape: one vocabulary-sized distinct (the shuffle every
+    vocab statistic pays), then a map-side explode of an 8-element
+    literal suffix array and one partial-aggregatable groupBy."""
+    from trx_spark.queries.curation import _token_stream
+
+    roots = _token_stream(spark, sf_dir).select("token").distinct()
+    sufs = F.array(*[F.lit(s) for s in _SSTEM_SUFFIXES])
+    words = roots.select(
+        F.col("token").alias("root"), F.explode(sufs).alias("suffix")
+    ).withColumn("word", F.concat(F.col("root"), F.col("suffix")))
+    stem = F.expr(_SSTEM_EXPR.format(w="word"))
+    scored = words.withColumn("stem", stem)
+    return scored.groupBy("suffix").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum((F.col("stem") != F.col("word")).cast("long")).alias("n_changed"),
+        F.countDistinct("stem").alias("n_stems"),
+        F.sum((F.col("stem") == F.col("root")).cast("long")).alias(
+            "n_folded_to_root"
+        ),
+    )
+
+
+_SSTEM_SUFFIX_SQL = "[" + ", ".join(f"'{s}'" for s in _SSTEM_SUFFIXES) + "]"
+
+_SSTEM_SQL = f"""
+WITH roots AS (
+  SELECT DISTINCT t AS root FROM (
+    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS t FROM documents
+  )
+),
+words AS (
+  SELECT root, suffix, root || suffix AS word
+  FROM roots, (SELECT unnest({_SSTEM_SUFFIX_SQL}) AS suffix)
+),
+scored AS (
+  SELECT root, suffix, word, ({_SSTEM_EXPR.format(w="word")}) AS stem
+  FROM words
+)
+SELECT suffix, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(CASE WHEN stem <> word THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(COUNT(DISTINCT stem) AS BIGINT) AS n_stems,
+  CAST(SUM(CASE WHEN stem = root THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_folded_to_root
+FROM scored GROUP BY suffix
+"""
+
+
 QUERIES = {
     "duplicate_ngram_spans": duplicate_ngram_spans,
     "readability_stats": readability_stats,
+    "sstem_rule_census": sstem_rule_census,
 }
 
 ORACLES = {
     "duplicate_ngram_spans": _DUP_SPANS_SQL,
     "readability_stats": _READABILITY_SQL,
+    "sstem_rule_census": _SSTEM_SQL,
 }
