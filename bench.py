@@ -473,16 +473,23 @@ def main() -> None:
             text=True,
             timeout=10,
         ).stdout.strip()
+        porcelain = subprocess.run(
+            # tracked files only: scratch logs/caches in the tree
+            # must not brand a clean-source run as dirty
+            ["git", "status", "--porcelain", "-uno"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout
         detail["git_dirty"] = bool(
-            subprocess.run(
-                # tracked files only: scratch logs/caches in the tree
-                # must not brand a clean-source run as dirty
-                ["git", "status", "--porcelain", "-uno"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True,
-                text=True,
-                timeout=10,
-            ).stdout.strip()
+            [
+                ln
+                for ln in porcelain.splitlines()
+                # the bench's own output artifact: a previous run's
+                # uncommitted BENCH_DETAIL.json is not source drift
+                if ln.strip() and not ln.endswith("BENCH_DETAIL.json")
+            ]
         )
     except Exception:
         pass
