@@ -163,6 +163,26 @@ _BOUNDED_BUILD_MARKERS = (
 )
 
 
+# TPC-H fixes nation at 25 rows and region at 5 AT EVERY SF — a scan of
+# these is a constant-size build at 100 TB, unlike every other table.
+# A broadcast subtree is const-dim-bounded only if it scans NOTHING
+# data-proportional alongside them.
+_CONST_DIM_SCANS = ("nation.parquet", "region.parquet")
+_DATA_SIZED_SCANS = (
+    "lineitem.parquet", "orders.parquet", "customer.parquet",
+    "part.parquet", "supplier.parquet", "events.parquet",
+    "documents.parquet", "embeddings.parquet",
+)
+
+# SinglePartition-fed windows whose INPUT is bounded by construction
+# (these sites are also in _GLOBAL_WINDOW_ALLOWLIST with the bound):
+_BOUNDED_WINDOW_FEED_OK = {
+    # equal-row file-cut map: cumsum over the curve-key histogram,
+    # ≤ 4^_ZBITS (65,536) rows regardless of data size
+    "hilbert_scan_savings",
+}
+
+
 @pytest.mark.parametrize("name", _top_bench_names() or ["pricing_summary"])
 def test_expensive_plans_audit(spark, sf_dir, name):
     """The per-round manual plan audit of the bench's most expensive
@@ -197,14 +217,18 @@ def test_expensive_plans_audit(spark, sf_dir, name):
             feed = next(
                 (ln for ln in sub.splitlines() if "Exchange" in ln), ""
             )
-            assert "SinglePartition" not in feed, (
-                f"{name}: Window over SinglePartition\n{sub[:1500]}"
-            )
+            if name not in _BOUNDED_WINDOW_FEED_OK:
+                assert "SinglePartition" not in feed, (
+                    f"{name}: Window over SinglePartition\n{sub[:1500]}"
+                )
         if nn.startswith("BroadcastExchange"):
             sub = node.toString()
-            assert any(m in sub for m in _BOUNDED_BUILD_MARKERS), (
-                f"{name}: data-proportional broadcast\n{sub[:1500]}"
-            )
+            const_dim_build = any(
+                t in sub for t in _CONST_DIM_SCANS
+            ) and not any(t in sub for t in _DATA_SIZED_SCANS)
+            assert const_dim_build or any(
+                m in sub for m in _BOUNDED_BUILD_MARKERS
+            ), f"{name}: data-proportional broadcast\n{sub[:1500]}"
 
 
 def test_global_stats_are_aggregates_not_windows(spark, sf_dir):
