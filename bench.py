@@ -312,6 +312,10 @@ HEADLINE = [
     "supplier_revenue",
     "times_to_info",
     "value_gradient",
+    # round-11: the fourth mergeable sketch family — quantiles via
+    # hash-level sampling (the KLL sampler component); its streaming
+    # twin rides the STREAMING pass below
+    "quantile_sketch_events",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch
@@ -338,6 +342,9 @@ STREAMING = [
     # r10 wave 3: the third mergeable sketch family (K-min order
     # statistic), streamed through the same partial/compaction harness
     "streaming_kmv_sketch",
+    # r11: the fourth mergeable sketch family (quantiles via hash-level
+    # sampling — the KLL sampler component), same harness
+    "streaming_quantile_sketch",
 ]
 
 

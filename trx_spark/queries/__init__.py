@@ -151,24 +151,48 @@ _R10_FILLERS_R06 = [
     "azint_qlims", "bigram_rarity", "cluster_topics",
     "concurrent_sessions_peak", "contamination_check", "corpus_keep_list",
 ]
-# Round-11 rotation note: (a) the r10 wave-2/3 queries that landed
-# AFTER the window was sealed — retrieval_mrr_audit, fim_split_stats,
-# pagerank_copurchase, l_diversity_audit, bradley_terry_strengths,
-# kmv_source_overlap, ndcg_retrieval_audit (retrieval_mrr_audit rides
-# the r10 _ranked_eval refactor and should rotate with it),
-# hilbert_layout_keys, hilbert_scan_savings, streaming_kmv_sketch,
-# sstem_rule_census
-# (local parity only; first driver rows in r11); (b) continue
-# code-currency — the remaining r06-era rows (delay_codec, curves_*,
-# customers_without_orders, decontaminated_docs, dedup_clusters, ... —
-# everything the ledger shows at r06 after this window lands) plus any
-# r11-touched names; new gate entries capped at the window slack after
-# that rotation.
+# (The r10 window — trio + 33 r05-era + 5 r10-touched + 9 r06 fillers —
+# is recorded in CORRECTNESS_r10.json; kept below only as history.)
 _R10_WINDOW = _R10_TRIO + _R10_STALE_R05 + _R10_TOUCHED + _R10_FILLERS_R06
+# Round-11 window, executing the r10 verdict's rotation note exactly:
+# (a) the 11 r10 wave-2/3 queries that landed AFTER the r10 window
+# sealed (local parity + the judge's own sf0.01 driver-sim 11/11 —
+# first driver rows here); (b) ALL 38 names whose newest driver row is
+# r06-era (the full remainder of the code-currency backlog — after
+# this window no oracle-bearing name's newest row predates r07);
+# (c) the one slot of slack goes to the r11 quantile-sketch batch gate
+# (its streaming twin + the other r11 gate entries queue for r12).
+_R11_WAVE3 = [
+    "retrieval_mrr_audit", "ndcg_retrieval_audit", "sstem_rule_census",
+    "fim_split_stats", "hilbert_layout_keys", "hilbert_scan_savings",
+    "kmv_source_overlap", "streaming_kmv_sketch", "l_diversity_audit",
+    "pagerank_copurchase", "bradley_terry_strengths",
+]
+_R11_STALE_R06 = [
+    "curves_chi2_per_shot", "curves_scan_stats", "customers_without_orders",
+    "decontaminated_docs", "dedup_clusters", "delay_codec",
+    "diffs_plus_ref", "distinct_scan_points", "edit_distance_pairs",
+    "events_pivot_counts", "filter_outlier_curves", "global_curve_stats",
+    "image_dedup_groups", "lang_id", "lm_bigram_counts",
+    "lsh_pairs_verified", "monitor_qwindow_median", "ngram_jaccard_pairs",
+    "normalized_docs", "parts_with_orders", "polygon_mask_flags",
+    "pricing_rollup", "quality_filter", "rebin_nearest",
+    "reflections_cubic_si", "repetition_stats", "running_order_totals",
+    "salted_skewjoin_stats", "shipping_priority", "slice_skip_first_last",
+    "span_dedup", "supplier_revenue", "times_to_info", "token_count_bpe",
+    "topk_ngrams", "value_gradient", "vocab_coverage",
+    "winnowing_fingerprints",
+]
+_R11_NEW = ["quantile_sketch_events"]
+# Round-12 rotation note: (a) r11 gate entries that missed this window —
+# streaming_quantile_sketch (verified vs its oracle at sf0.001+sf0.01
+# in-session) and any later r11 additions; (b) code-currency: the r07-era
+# rows become the oldest cohort once this window lands.
+_R11_WINDOW = _R11_WAVE3 + _R11_STALE_R06 + _R11_NEW
 # the driver hashes this many leading registry entries per round; the
 # bench telemetry stamps it so committed artifacts track resizes
 GATE_WINDOW = 50
-assert len(_R10_WINDOW) == GATE_WINDOW, len(_R10_WINDOW)
-_order = _R10_WINDOW + [n for n in QUERIES if n not in set(_R10_WINDOW)]
+assert len(_R11_WINDOW) == GATE_WINDOW, len(_R11_WINDOW)
+_order = _R11_WINDOW + [n for n in QUERIES if n not in set(_R11_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

@@ -561,14 +561,294 @@ LEFT JOIN ecommon e ON sp.src_a = e.src_a AND sp.src_b = e.src_b
 """
 
 
+# ---------------------------------------------------------------------
+# Mergeable QUANTILE sketch: deterministic hash-level sampling (the
+# sampler component of KLL — Karnin/Lang/Liberty, FOCS 2016 — in the
+# Gibbons distinct-sampling discipline).  Each row's LEVEL is the
+# trailing-zero count of a deterministic hash of its unique key, so
+# P(level ≥ j) ≈ 2^-j; the sketch at level L is every row whose level
+# ≥ L (each standing for 2^L rows), and the kept level is the SMALLEST
+# L whose survivor count fits the capacity K.  Rank of value v is then
+# estimated as 2^L · |{kept ≤ v}|.
+#
+# Why this member of the KLL/t-digest family: the kept set is a pure
+# function of the input MULTISET — S_{L'} ⊆ S_L for L' ≥ L, so merging
+# per-partition sketches (union the survivors, re-select the level
+# starting at max of the partial levels) yields BIT-FOR-BIT the
+# one-shot sketch of the concatenated data.  A compactor-chain KLL or a
+# t-digest is insertion-order-dependent, which the engine's oracle
+# discipline (streamed ≡ batch ≡ DuckDB, hash-checked) cannot admit.
+# The price is the sampler's O(n/√K) rank error instead of KLL's
+# O(n/K) — exhibited, not hidden: the gate output carries the measured
+# rank error next to the exact quantiles, and the rank-error-bound test
+# pins it under 4·√(n·2^L).
+#
+# Scale shape: the level histogram is partially aggregatable (≤ 32 rows
+# per group per partition cross the shuffle); level selection is a
+# ≤ 32-row-per-group fold; the survivor filter is a map with a
+# broadcast ≤|groups|-row level table.  The kept set is ≤ K rows per
+# group BY CONSTRUCTION, so every downstream window is bounded.  The
+# EXACT side (the error exhibit, as in hll_distinct_tokens) pays the
+# per-(group, value) histogram — the shuffle the sketch avoids.
+# Capacity note for 100 TB: h < 2^31 caps the level at 31, so one group
+# overflows K=256 only past K·2^31 ≈ 5·10^11 rows; production raises
+# the hash width (the construction is width-agnostic).
+# ---------------------------------------------------------------------
+
+_QS_K = 256
+_QS_A, _QS_B = 69621, 113  # Lehmer multiplier (public constant) + offset
+_QS_JMAX = 31              # h = 0 sentinel level (h < 2^31 → tzc ≤ 30)
+_QS_PS = (0.5, 0.9, 0.99)
+
+# trailing-zero count via the lowest-set-bit trick: h & -h isolates the
+# lowest set bit, whose minimal-binary length minus one is the count —
+# bin() prints minimal binary in BOTH engines (asserted by the HLL
+# tests above)
+_QS_TZC_SQL = (
+    f"CASE WHEN h = 0 THEN {_QS_JMAX} "
+    f"ELSE LEAST(length(bin(h & -h)) - 1, {_QS_JMAX}) END"
+)
+
+
+def qs_rows(df: DataFrame, key_col, value_col, group_col) -> DataFrame:
+    """(g, cv, h, tzc) projection — the single definition of the
+    hash/level construction, shared by the batch gate, the streaming
+    partial (streaming/sketch.py) and the merge, so they cannot
+    drift.  ``cv`` must already be an integer rank-space value.
+
+    The key routes through the shared char-fold string hash before the
+    affine spread (the HLL/KMV discipline): an affine map alone is
+    LINEAR in the key until the modulus wraps, so keys in an
+    arithmetic progression would share low-bit structure and starve
+    whole levels (pinned by the synthetic-frame test)."""
+    h = (
+        _tok_hash(key_col.cast("string")) * F.lit(_QS_A) + F.lit(_QS_B)
+    ) % F.lit(_P)
+    return df.select(
+        group_col.alias("g"), value_col.alias("cv"), h.alias("h")
+    ).withColumn("tzc", F.expr(_QS_TZC_SQL))
+
+
+def qs_select_level(rows: DataFrame, floor_df: DataFrame | None = None) -> DataFrame:
+    """Per-group smallest level whose survivor count ≤ K: (g, lvl).
+
+    ``floor_df`` (g, lfloor) starts the scan at a floor level — the
+    MERGE path passes max of the partial levels, where the candidate
+    union's counts above the floor equal the full data's counts, which
+    is what makes merge ≡ one-shot exact (pinned by the tests)."""
+    hist = rows.groupBy("g", "tzc").agg(F.count(F.lit(1)).alias("c"))
+    wdesc = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("tzc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cge = hist.withColumn("cge", F.sum("c").over(wdesc))
+    lvl = F.coalesce(
+        F.max(F.when(F.col("cge") > _QS_K, F.col("tzc") + 1)), F.lit(0).cast("long")
+    )
+    sel = cge.groupBy("g").agg(lvl.cast("long").alias("lvl"))
+    if floor_df is not None:
+        sel = sel.join(F.broadcast(floor_df), "g").select(
+            "g", F.greatest("lvl", "lfloor").alias("lvl")
+        )
+    return sel
+
+
+def qs_kept(rows: DataFrame, floor_df: DataFrame | None = None) -> DataFrame:
+    """Survivor set (g, lvl, cv, h): ≤ K rows per group by
+    construction, each standing for 2^lvl input rows."""
+    sel = qs_select_level(rows, floor_df)
+    return rows.join(F.broadcast(sel), "g").filter(
+        F.col("tzc") >= F.col("lvl")
+    ).select("g", "lvl", "cv", "h")
+
+
+def _qs_weight():
+    return F.expr("shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
+
+
+def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (integer cents) from the
+    hash-level sampling sketch, next to the exact rank quantiles and
+    the sketch's MEASURED rank error.
+
+    Output per event_type: n (exact count), level, k_used, n_est
+    (= k_used·2^level), and for p ∈ {50, 90, 99}: p{q}_est (sketch),
+    p{q}_exact (exact lower quantile), p{q}_rank_err
+    (|rank(p_est) − ⌈p·n⌉|, the estimator's true rank miss)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = qs_rows(
+        ev,
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type"),
+    ).localCheckpoint()  # one scan feeds sketch + exact branches
+    kept = qs_kept(rows)
+    kc = kept.groupBy("g", "lvl", "cv").agg(F.count(F.lit(1)).alias("kc"))
+    wval = (
+        Window.partitionBy("g")
+        .orderBy("cv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kcum = kc.withColumn("cumk", F.sum("kc").over(wval))
+    ksum = kc.groupBy("g").agg(F.sum("kc").alias("k_used"))
+    kj = kcum.join(F.broadcast(ksum), "g").withColumn(
+        "n_est", F.col("k_used") * _qs_weight()
+    )
+    est_aggs = [
+        F.max("lvl").alias("level"),
+        F.max("k_used").alias("k_used"),
+        F.max("n_est").alias("n_est"),
+    ]
+    for p in _QS_PS:
+        tag = str(int(p * 100))
+        tgt = F.ceil(F.lit(p) * F.col("n_est").cast("double")).cast("long")
+        est_aggs.append(
+            F.min(
+                F.when(F.col("cumk") * _qs_weight() >= tgt, F.col("cv"))
+            ).alias(f"p{tag}_est")
+        )
+    est = kj.groupBy("g").agg(*est_aggs)
+    eh = rows.groupBy("g", "cv").agg(F.count(F.lit(1)).alias("ec"))
+    ecum = eh.withColumn("cume", F.sum("ec").over(wval))
+    tot = rows.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ej = ecum.join(F.broadcast(tot), "g")
+    exact_aggs = [F.max("n").alias("n")]
+    for p in _QS_PS:
+        tag = str(int(p * 100))
+        tgt = F.ceil(F.lit(p) * F.col("n").cast("double")).cast("long")
+        exact_aggs.append(
+            F.min(F.when(F.col("cume") >= tgt, F.col("cv"))).alias(
+                f"p{tag}_exact"
+            )
+        )
+    exact = ej.groupBy("g").agg(*exact_aggs)
+    rk_aggs = [
+        F.max(
+            F.when(F.col("cv") == F.col(f"p{int(p * 100)}_est"), F.col("cume"))
+        ).alias(f"r{int(p * 100)}")
+        for p in _QS_PS
+    ]
+    rk = ej.join(F.broadcast(est), "g").groupBy("g").agg(*rk_aggs)
+    out_cols = [
+        F.col("g").alias("event_type"),
+        F.col("n"),
+        F.col("level"),
+        F.col("k_used"),
+        F.col("n_est"),
+    ]
+    for p in _QS_PS:
+        tag = str(int(p * 100))
+        tgt = F.ceil(F.lit(p) * F.col("n").cast("double")).cast("long")
+        out_cols += [
+            F.col(f"p{tag}_est"),
+            F.col(f"p{tag}_exact"),
+            F.abs(F.col(f"r{tag}") - tgt).alias(f"p{tag}_rank_err"),
+        ]
+    return (
+        est.join(F.broadcast(exact), "g").join(F.broadcast(rk), "g").select(*out_cols)
+    )
+
+
+def _qs_ceil_sql(p: float, n_expr: str) -> str:
+    return (
+        f"CAST(CEIL(CAST({p!r} AS DOUBLE) * CAST({n_expr} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+_QSKETCH_SQL = f"""
+WITH rows_ AS (
+  SELECT event_type AS g,
+         CAST(ROUND(value * 100) AS BIGINT) AS cv,
+         ({_tok_hash_sql("CAST(event_id AS VARCHAR)")} * {_QS_A}
+          + {_QS_B}) % {_P} AS h
+  FROM events
+),
+lv AS (
+  SELECT g, cv, h, {_QS_TZC_SQL} AS tzc FROM rows_
+),
+hist AS (SELECT g, tzc, CAST(COUNT(*) AS BIGINT) AS c FROM lv GROUP BY 1, 2),
+cge AS (
+  SELECT g, tzc,
+         SUM(c) OVER (PARTITION BY g ORDER BY tzc DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+  FROM hist
+),
+lsel AS (
+  SELECT g,
+         CAST(COALESCE(MAX(CASE WHEN cge > {_QS_K} THEN tzc + 1 END), 0)
+              AS BIGINT) AS lvl
+  FROM cge GROUP BY g
+),
+kept AS (
+  SELECT lv.g, lsel.lvl, lv.cv
+  FROM lv JOIN lsel ON lv.g = lsel.g
+  WHERE lv.tzc >= lsel.lvl
+),
+kc AS (
+  SELECT g, lvl, cv, CAST(COUNT(*) AS BIGINT) AS kc FROM kept GROUP BY 1, 2, 3
+),
+kcum AS (
+  SELECT g, lvl, cv, kc,
+         CAST(SUM(kc) OVER (PARTITION BY g ORDER BY cv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumk
+  FROM kc
+),
+ksum AS (SELECT g, CAST(SUM(kc) AS BIGINT) AS k_used FROM kc GROUP BY g),
+kj AS (
+  SELECT kcum.g, kcum.cv, kcum.cumk, kcum.lvl, ksum.k_used,
+         ksum.k_used * (CAST(1 AS BIGINT) << CAST(kcum.lvl AS INTEGER)) AS n_est
+  FROM kcum JOIN ksum ON kcum.g = ksum.g
+),
+est AS (
+  SELECT g, MAX(lvl) AS level, MAX(k_used) AS k_used, MAX(n_est) AS n_est,
+         {', '.join(
+            f"MIN(CASE WHEN cumk * (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER))"
+            f" >= {_qs_ceil_sql(p, 'n_est')} THEN cv END) AS p{int(p * 100)}_est"
+            for p in _QS_PS)}
+  FROM kj GROUP BY g
+),
+eh AS (SELECT g, cv, CAST(COUNT(*) AS BIGINT) AS ec FROM lv GROUP BY 1, 2),
+ecum AS (
+  SELECT g, cv, CAST(SUM(ec) OVER (PARTITION BY g ORDER BY cv
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume
+  FROM eh
+),
+tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM lv GROUP BY g),
+ej AS (SELECT ecum.g, ecum.cv, ecum.cume, tot.n FROM ecum JOIN tot ON ecum.g = tot.g),
+exact AS (
+  SELECT g, MAX(n) AS n,
+         {', '.join(
+            f"MIN(CASE WHEN cume >= {_qs_ceil_sql(p, 'n')} THEN cv END)"
+            f" AS p{int(p * 100)}_exact" for p in _QS_PS)}
+  FROM ej GROUP BY g
+),
+rk AS (
+  SELECT ej.g,
+         {', '.join(
+            f"MAX(CASE WHEN ej.cv = est.p{int(p * 100)}_est THEN ej.cume END)"
+            f" AS r{int(p * 100)}" for p in _QS_PS)}
+  FROM ej JOIN est ON ej.g = est.g GROUP BY ej.g
+)
+SELECT est.g AS event_type, exact.n, est.level, est.k_used, est.n_est,
+       {', '.join(
+          f"est.p{int(p * 100)}_est, exact.p{int(p * 100)}_exact, "
+          f"ABS(rk.r{int(p * 100)} - {_qs_ceil_sql(p, 'exact.n')})"
+          f" AS p{int(p * 100)}_rank_err" for p in _QS_PS)}
+FROM est JOIN exact ON est.g = exact.g JOIN rk ON est.g = rk.g
+"""
+
+
 QUERIES = {
     "hll_distinct_tokens": hll_distinct_tokens,
     "doclen_quantiles": doclen_quantiles,
     "kmv_source_overlap": kmv_source_overlap,
+    "quantile_sketch_events": quantile_sketch_events,
 }
 
 ORACLES = {
     "hll_distinct_tokens": _HLL_SQL,
     "doclen_quantiles": _DOCLEN_SQL,
     "kmv_source_overlap": _KMV_SQL,
+    "quantile_sketch_events": _QSKETCH_SQL,
 }

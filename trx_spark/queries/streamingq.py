@@ -420,6 +420,90 @@ FROM sk GROUP BY source
 """
 
 
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch (hash-level sampling, the KLL sampler
+    component) over the events feed (availableNow): per-epoch survivor
+    partials (≤ groups·K rows each) merged by union + level
+    re-selection at the max partial level — the nesting S_{L'} ⊆ S_L
+    makes the streamed sketch EQUAL the one-shot batch sketch
+    (quantile_sketch_events' construction), so this carries a full
+    DuckDB oracle.  Output pins the whole sketch content: per
+    event_type, the level, survivor count, estimated total and the
+    survivor hash/value sums."""
+    from trx_spark.streaming.sketch import run_qsketch_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_qsketch_stream_")
+    out = run_qsketch_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="events.parquet",
+        schema=schema,
+        sketch_dir=os.path.join(work, "sketch"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return (
+        out.groupBy(F.col("g").alias("event_type"))
+        .agg(
+            F.max("lvl").alias("level"),
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum("h").alias("h_sum"),
+            F.sum("cv").alias("cv_sum"),
+        )
+        .withColumn(
+            "n_est",
+            F.col("k_used")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))"),
+        )
+        .select("event_type", "level", "k_used", "n_est", "h_sum", "cv_sum")
+    )
+
+
+def _qsketch_oracle_sql() -> str:
+    from trx_spark.queries.sketches import _QS_A, _QS_B, _QS_K, _QS_TZC_SQL
+    from trx_spark.queries.textdata import _P, _tok_hash_sql
+
+    return f"""
+WITH rows_ AS (
+  SELECT event_type AS g,
+         CAST(ROUND(value * 100) AS BIGINT) AS cv,
+         ({_tok_hash_sql("CAST(event_id AS VARCHAR)")} * {_QS_A}
+          + {_QS_B}) % {_P} AS h
+  FROM events
+),
+lv AS (SELECT g, cv, h, {_QS_TZC_SQL} AS tzc FROM rows_),
+hist AS (SELECT g, tzc, CAST(COUNT(*) AS BIGINT) AS c FROM lv GROUP BY 1, 2),
+cge AS (
+  SELECT g, tzc,
+         SUM(c) OVER (PARTITION BY g ORDER BY tzc DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+  FROM hist
+),
+lsel AS (
+  SELECT g,
+         CAST(COALESCE(MAX(CASE WHEN cge > {_QS_K} THEN tzc + 1 END), 0)
+              AS BIGINT) AS lvl
+  FROM cge GROUP BY g
+),
+kept AS (
+  SELECT lv.g, lsel.lvl, lv.cv, lv.h
+  FROM lv JOIN lsel ON lv.g = lsel.g
+  WHERE lv.tzc >= lsel.lvl
+)
+SELECT g AS event_type,
+       CAST(MAX(lvl) AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(COUNT(*) AS BIGINT)
+         * (CAST(1 AS BIGINT) << CAST(MAX(lvl) AS INTEGER)) AS n_est,
+       CAST(SUM(h) AS BIGINT) AS h_sum,
+       CAST(SUM(cv) AS BIGINT) AS cv_sum
+FROM kept GROUP BY g
+"""
+
+
 def streaming_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: the flagship pricing aggregation
     maintained as mergeable per-epoch partials (streaming/matview.py).
@@ -621,6 +705,7 @@ QUERIES = {
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_hll_registers": streaming_hll_registers,
     "streaming_kmv_sketch": streaming_kmv_sketch,
+    "streaming_quantile_sketch": streaming_quantile_sketch,
     "streaming_pricing_summary": streaming_pricing_summary,
     "streaming_running_stats": streaming_running_stats,
     "streaming_lsh_pairs": streaming_lsh_pairs,
@@ -635,6 +720,7 @@ ORACLES: dict[str, str] = {
     "streaming_cms_cells": _cms_cells_oracle_sql(),
     "streaming_hll_registers": _hll_registers_oracle_sql(),
     "streaming_kmv_sketch": _kmv_sketch_oracle_sql(),
+    "streaming_quantile_sketch": _qsketch_oracle_sql(),
     # the SAME oracle as the batch query — the merged view is bit-equal
     "streaming_pricing_summary": _PRICING_SQL,
     "streaming_running_stats": _RUNNING_STATS_SQL,

@@ -290,3 +290,65 @@ def run_kmv_catchup(spark: SparkSession, **kw) -> DataFrame:
     return _run_catchup(
         spark, partial_fn=_batch_kmv_partial, merge_fn=merged_kmv_sketch, **kw
     )
+
+
+# ---------------------------------------------------------------------
+# Quantile sketch (hash-level sampling, the KLL sampler component):
+# the fourth mergeable family.  A row survives at level L iff the
+# trailing-zero count of its key hash is ≥ L, and each partial records
+# the smallest level whose survivors fit the capacity K — so the merge
+# (union the partials' survivors, re-select the level starting at the
+# MAX of the partial levels) equals the one-shot sketch of everything
+# ingested BIT-FOR-BIT (tests/test_qsketch.py pins it), and the
+# streamed gate carries a full DuckDB oracle.  Each epoch's partial is
+# ≤ groups·K rows BY CONSTRUCTION; compaction folds the epoch history
+# back to one survivor set per group.
+# ---------------------------------------------------------------------
+
+
+def _batch_qsketch_partial(batch: DataFrame) -> DataFrame:
+    """(g, lvl, cv, h) survivor partial of one micro-batch of the
+    events feed — the SAME hash/level/selection construction as the
+    batch gate (`queries/sketches.qs_rows` / `qs_kept`), so the
+    streaming twin cannot drift from the gate-checked batch sketch."""
+    from trx_spark.queries.sketches import qs_kept, qs_rows
+
+    rows = qs_rows(
+        batch,
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type"),
+    )
+    return qs_kept(rows)
+
+
+def merged_qsketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Survivor union re-selected at (floor = max partial level) — by
+    the level-filter nesting S_{L'} ⊆ S_L this equals the one-shot
+    sketch of everything ingested so far, bit-for-bit."""
+    from trx_spark.queries.sketches import _QS_TZC_SQL, qs_kept
+
+    store = spark.read.parquet(sketch_dir)
+    floor = store.groupBy("g").agg(F.max("lvl").alias("lfloor"))
+    cand = (
+        store.select("g", "cv", "h")
+        .distinct()  # replayed epochs must not double-count survivors
+        .withColumn("tzc", F.expr(_QS_TZC_SQL))
+        .join(F.broadcast(floor), "g")
+        .filter(F.col("tzc") >= F.col("lfloor"))
+    )
+    # above the floor the candidate union's level counts equal the full
+    # data's (every row with tzc ≥ floor survived its own partial), so
+    # re-selection lands on the one-shot level exactly
+    return qs_kept(cand.select("g", "cv", "h", "tzc"), floor)
+
+
+def compact_qsketch_store(spark: SparkSession, sketch_dir: str) -> None:
+    compact_store(spark, sketch_dir, merged_qsketch)
+
+
+def run_qsketch_catchup(spark: SparkSession, **kw) -> DataFrame:
+    """Quantile-sketch catch-up: merged per-group survivor set."""
+    return _run_catchup(
+        spark, partial_fn=_batch_qsketch_partial, merge_fn=merged_qsketch, **kw
+    )
