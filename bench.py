@@ -316,6 +316,10 @@ HEADLINE = [
     # hash-level sampling (the KLL sampler component); its streaming
     # twin rides the STREAMING pass below
     "quantile_sketch_events",
+    # round-11: first-fit-decreasing whole-doc sequence packing
+    # (applyInPandas greedy per shard, recursive-CTE oracle) + manifest
+    "ffd_pack_assignments",
+    "ffd_pack_stats",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -1,0 +1,74 @@
+"""First-fit-decreasing sequence packing: assignment validity (no bin
+over budget, every eligible doc packed exactly once), the classic
+first-fit structural guarantee (at most one bin under half full per
+shard), and the r10-verdict dominance claim — FFD's measured waste
+beats the length-bucketed batching baseline padding_waste_audit
+measures, on the same corpus."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from trx_spark.queries.packing import (
+    _SEQ_BUDGET,
+    ffd_pack_assignments,
+    ffd_pack_stats,
+    padding_waste_audit,
+)
+
+
+def test_ffd_assignment_validity(spark, sf_dir):
+    rows = ffd_pack_assignments(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    loads: dict = defaultdict(int)
+    for r in rows:
+        assert 1 <= r["n_tokens"] <= _SEQ_BUDGET
+        assert r["doc_id"] not in seen
+        seen.add(r["doc_id"])
+        loads[(r["shard"], r["bin_id"])] += r["n_tokens"]
+    assert all(v <= _SEQ_BUDGET for v in loads.values())
+    # bin ids are dense per shard (0..n_bins-1, no gaps)
+    by_shard = defaultdict(set)
+    for s, b in loads:
+        by_shard[s].add(b)
+    for s, bins in by_shard.items():
+        assert bins == set(range(len(bins))), s
+
+    # first-fit structural guarantee: no TWO bins in a shard below half
+    # capacity — the second one's docs would have fit the first
+    for s, bins in by_shard.items():
+        under_half = [
+            b for b in bins if loads[(s, b)] < _SEQ_BUDGET / 2
+        ]
+        assert len(under_half) <= 1, (s, under_half)
+
+
+def test_ffd_stats_consistency_and_dominance(spark, sf_dir):
+    stats = {r["shard"]: r for r in ffd_pack_stats(spark, sf_dir).collect()}
+    rows = ffd_pack_assignments(spark, sf_dir).collect()
+    per_shard = defaultdict(lambda: [0, 0, set()])
+    for r in rows:
+        acc = per_shard[r["shard"]]
+        acc[0] += 1
+        acc[1] += r["n_tokens"]
+        acc[2].add(r["bin_id"])
+    for s, (n_docs, toks, bins) in per_shard.items():
+        st = stats[s]
+        assert st["n_docs_packed"] == n_docs
+        assert st["packed_tokens"] == toks
+        assert st["n_bins"] == len(bins)
+        assert st["capacity_tokens"] == st["n_bins"] * _SEQ_BUDGET
+        # packing lower bound: can't use fewer bins than the token mass
+        assert st["n_bins"] >= -(-toks // _SEQ_BUDGET)
+
+    cap = sum(st["capacity_tokens"] for st in stats.values())
+    real = sum(st["packed_tokens"] for st in stats.values())
+    ffd_waste = 1.0 - real / cap
+    pw = {
+        r["strategy"]: r["waste_ratio"]
+        for r in padding_waste_audit(spark, sf_dir).collect()
+    }
+    # the dominance claim: whole-doc FFD packing wastes less compute
+    # than the best padded-batching strategy (~4 % vs ~16 % here)
+    assert ffd_waste < pw["length_bucketed"], (ffd_waste, pw)

@@ -647,6 +647,191 @@ FROM base GROUP BY shard
 
 
 # ---------------------------------------------------------------------
+# First-fit-decreasing bin packing (the T5/FlanT5-style "pack examples
+# into fixed-length sequences without splitting" step; Johnson 1973
+# proves FFD ≤ 11/9·OPT + 1 bins).  pack_sequences above is
+# concat-and-chunk (docs may straddle sequence boundaries);
+# padding_waste_audit measures 16 % padding waste for length-BUCKETED
+# batching.  FFD closes the loop: whole docs, no straddling, measured
+# waste below the bucketed baseline (the dominance test in
+# tests/test_ffd_pack.py).
+#
+# Execution shape: the greedy is inherently sequential PER SHARD, so it
+# runs as an Arrow-batched applyInPandas over the same doc_id-mod
+# shards as pack_sequences — one shuffle on the shard key, then pure
+# per-shard Python over (n_tokens, doc_id) pairs only (never the
+# text).  A deployment sizes n_shards ∝ corpus so docs-per-shard stays
+# one task's working set; packing quality is per-shard by design (the
+# same locality every production packer accepts).  The DuckDB oracle
+# replays the identical greedy as a recursive CTE carrying each
+# shard's bin-load list, so the assignment is hash-checked end-to-end.
+# Docs with 0 tokens or > _SEQ_BUDGET tokens are ineligible (empty
+# docs pack nothing; oversized docs belong to the chunking path) and
+# are ledgered by ffd_pack_stats instead of silently dropped.
+# ---------------------------------------------------------------------
+
+
+def _ffd_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_PACK_SHARDS).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+
+
+def ffd_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc FFD bin assignment: within each shard, docs sorted by
+    (n_tokens DESC, doc_id ASC) go to the lowest-numbered open bin
+    with room, else open a new bin. Output: (doc_id, shard, n_tokens,
+    bin_id) for every eligible doc (1 ≤ n_tokens ≤ _SEQ_BUDGET)."""
+    base = _ffd_eligible(spark, sf_dir).filter(
+        (F.col("n_tokens") >= 1) & (F.col("n_tokens") <= _SEQ_BUDGET)
+    )
+    budget = _SEQ_BUDGET
+
+    def pack(pdf):
+        # closure-self-contained (workers may not have the repo cwd)
+        import pandas as pd  # noqa: F401 (re-import inside the worker)
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        bins: list[int] = []
+        for length in pdf["n_tokens"]:
+            for i in range(len(loads)):
+                if loads[i] + length <= budget:
+                    loads[i] += int(length)
+                    bins.append(i)
+                    break
+            else:
+                bins.append(len(loads))
+                loads.append(int(length))
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tokens", "bin_id"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, n_tokens long, bin_id long"
+    )
+
+
+def _ffd_sql_core() -> str:
+    """Recursive-CTE replay of the identical greedy (rnk-by-rnk per
+    shard, bin loads carried as a list)."""
+    return f"""base AS (
+  SELECT doc_id, CAST(doc_id % {_N_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+elig AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
+              ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM base WHERE n_tokens >= 1 AND n_tokens <= {_SEQ_BUDGET}
+),
+packer AS (
+  SELECT shard, CAST(0 AS BIGINT) AS rnk, CAST([] AS BIGINT[]) AS loads,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS BIGINT) AS bin_id
+  FROM (SELECT DISTINCT shard FROM elig)
+  UNION ALL
+  SELECT e.shard, e.rnk,
+         CASE WHEN fit.idx IS NULL THEN list_append(p.loads, e.n_tokens)
+              ELSE list_transform(range(1, len(p.loads) + 1),
+                     i -> CASE WHEN i = fit.idx THEN p.loads[i] + e.n_tokens
+                               ELSE p.loads[i] END)
+         END AS loads,
+         e.doc_id, e.n_tokens,
+         CASE WHEN fit.idx IS NULL THEN CAST(len(p.loads) AS BIGINT)
+              ELSE CAST(fit.idx - 1 AS BIGINT) END AS bin_id
+  FROM packer p
+  JOIN elig e ON e.shard = p.shard AND e.rnk = p.rnk + 1,
+  LATERAL (SELECT list_filter(range(1, len(p.loads) + 1),
+                              i -> p.loads[i] + e.n_tokens <= {_SEQ_BUDGET})[1]
+           AS idx) fit
+)"""
+
+
+_FFD_ASSIGN_SQL = f"""
+WITH RECURSIVE {_ffd_sql_core()}
+SELECT doc_id, shard, n_tokens, bin_id FROM packer WHERE doc_id IS NOT NULL
+"""
+
+
+def ffd_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing manifest a training job consumes, per shard: docs
+    and bins packed, token fill vs bin capacity, the waste ratio (one
+    IEEE division of exact integer sums — the padding_waste_audit
+    framing), and the ineligible ledger (empty + oversized docs with
+    their token mass)."""
+    assigned = ffd_pack_assignments(spark, sf_dir)
+    packed = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs_packed"),
+        (F.max("bin_id") + 1).alias("n_bins"),
+        F.sum("n_tokens").alias("packed_tokens"),
+    )
+    all_docs = _ffd_eligible(spark, sf_dir)
+    ledger = all_docs.groupBy("shard").agg(
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+        F.sum(F.when(F.col("n_tokens") > _SEQ_BUDGET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize"),
+        F.sum(F.when(F.col("n_tokens") > _SEQ_BUDGET, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("oversize_tokens"),
+    )
+    cap = F.col("n_bins") * _SEQ_BUDGET
+    return (
+        packed.join(ledger, "shard")
+        .withColumn("capacity_tokens", cap)
+        .withColumn(
+            "waste_ratio",
+            (cap - F.col("packed_tokens")).cast("double") / cap.cast("double"),
+        )
+        .select(
+            "shard",
+            "n_docs_packed",
+            "n_bins",
+            "packed_tokens",
+            "capacity_tokens",
+            "waste_ratio",
+            "n_empty",
+            "n_oversize",
+            "oversize_tokens",
+        )
+    )
+
+
+_FFD_STATS_SQL = f"""
+WITH RECURSIVE {_ffd_sql_core()},
+packed AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_packed,
+         CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+         CAST(SUM(n_tokens) AS BIGINT) AS packed_tokens
+  FROM packer WHERE doc_id IS NOT NULL GROUP BY shard
+),
+ledger AS (
+  SELECT shard,
+    CAST(SUM(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+    CAST(SUM(CASE WHEN n_tokens > {_SEQ_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_oversize,
+    CAST(SUM(CASE WHEN n_tokens > {_SEQ_BUDGET} THEN n_tokens ELSE 0 END)
+         AS BIGINT) AS oversize_tokens
+  FROM base GROUP BY shard
+)
+SELECT p.shard, p.n_docs_packed, p.n_bins, p.packed_tokens,
+  p.n_bins * {_SEQ_BUDGET} AS capacity_tokens,
+  CAST(p.n_bins * {_SEQ_BUDGET} - p.packed_tokens AS DOUBLE)
+    / CAST(p.n_bins * {_SEQ_BUDGET} AS DOUBLE) AS waste_ratio,
+  l.n_empty, l.n_oversize, l.oversize_tokens
+FROM packed p JOIN ledger l ON p.shard = l.shard
+"""
+
+
+# ---------------------------------------------------------------------
 # Fill-in-the-middle transform audit (Bavarian et al., "Efficient
 # Training of Language Models to Fill in the Middle", 2022): the PSM
 # split at deterministic token boundaries — prefix = tokens
@@ -759,6 +944,8 @@ QUERIES = {
     "cdc_chunks": cdc_chunks,
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "padding_waste_audit": padding_waste_audit,
+    "ffd_pack_assignments": ffd_pack_assignments,
+    "ffd_pack_stats": ffd_pack_stats,
     "fim_split_stats": fim_split_stats,
     "epoch_shuffle": epoch_shuffle,
     "training_set_manifest": training_set_manifest,
@@ -771,6 +958,8 @@ ORACLES = {
     "cdc_chunks": _cdc_sql(),
     "cdc_chunk_dedup": _cdc_dedup_sql(),
     "padding_waste_audit": _PADDING_SQL,
+    "ffd_pack_assignments": _FFD_ASSIGN_SQL,
+    "ffd_pack_stats": _FFD_STATS_SQL,
     "fim_split_stats": _FIM_SQL,
     "epoch_shuffle": _SHUFFLE_SQL,
     "training_set_manifest": _manifest_sql(),
