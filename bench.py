@@ -320,6 +320,9 @@ HEADLINE = [
     # (applyInPandas greedy per shard, recursive-CTE oracle) + manifest
     "ffd_pack_assignments",
     "ffd_pack_stats",
+    # round-11: trained NB char-bigram language-ID (fixed-point integer
+    # log2 scoring) — the curation-grade replacement for heuristic lang_id
+    "lang_id_trained",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

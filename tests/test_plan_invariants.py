@@ -85,6 +85,9 @@ _TINY_DIM_BUILD_OK = {
     # ranks IVF/LSH shortlists instead (see the module docstring)
     "kmv_source_overlap",  # ≤|sources|-row distinct-source dim paired
     # with itself (src_a < src_b) — all downstream work is O(sources·K)
+    "lang_id_trained",  # ≤|langs|-row class dim (per-class denominator/
+    # prior scalars) broadcast across the per-doc grid; 1-row vocab and
+    # doc-count scalars inside its build
 }
 _ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 

@@ -50,6 +50,7 @@ from trx_spark.queries import (
     evolution,
     graphq,
     preference,
+    langid,
 )
 from trx_spark.sources import textio
 
@@ -96,6 +97,7 @@ for mod in (
     evolution,
     graphq,
     preference,
+    langid,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
