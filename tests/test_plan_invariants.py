@@ -168,14 +168,10 @@ _BOUNDED_BUILD_MARKERS = (
 
 # TPC-H fixes nation at 25 rows and region at 5 AT EVERY SF — a scan of
 # these is a constant-size build at 100 TB, unlike every other table.
-# A broadcast subtree is const-dim-bounded only if it scans NOTHING
-# data-proportional alongside them.
+# A broadcast subtree is const-dim-bounded only if EVERY file it scans
+# is one of these (default-deny: a scan of any other table — including
+# tables added later — disqualifies the exemption).
 _CONST_DIM_SCANS = ("nation.parquet", "region.parquet")
-_DATA_SIZED_SCANS = (
-    "lineitem.parquet", "orders.parquet", "customer.parquet",
-    "part.parquet", "supplier.parquet", "events.parquet",
-    "documents.parquet", "embeddings.parquet",
-)
 
 # SinglePartition-fed windows whose INPUT is bounded by construction
 # (these sites are also in _GLOBAL_WINDOW_ALLOWLIST with the bound):
@@ -226,9 +222,14 @@ def test_expensive_plans_audit(spark, sf_dir, name):
                 )
         if nn.startswith("BroadcastExchange"):
             sub = node.toString()
-            const_dim_build = any(
-                t in sub for t in _CONST_DIM_SCANS
-            ) and not any(t in sub for t in _DATA_SIZED_SCANS)
+            # default-deny: every parquet file the build subtree scans
+            # must be a constant-size dimension table
+            import re as _re
+
+            scanned = set(_re.findall(r"[\w.-]*?(\w+\.parquet)", sub))
+            const_dim_build = bool(scanned) and scanned <= set(
+                _CONST_DIM_SCANS
+            )
             assert const_dim_build or any(
                 m in sub for m in _BOUNDED_BUILD_MARKERS
             ), f"{name}: data-proportional broadcast\n{sub[:1500]}"

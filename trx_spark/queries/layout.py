@@ -205,14 +205,22 @@ def layout_scan_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _G = 1 << _ZBITS
 
-_ZBASE_SQL = f"""
-  SELECT event_id,
+def _zbase_sql(proj: str = "event_id,") -> str:
+    """Quantized (xq, yq) base CTE; ``proj`` prepends extra projected
+    columns (the _HSAVE_SQL variant drops event_id by passing "") —
+    a parameter instead of string-replacing generated SQL, so
+    rewording the projection cannot silently no-op downstream."""
+    return f"""
+  SELECT {proj}
     CAST((user_id - ux0) // ((ux1 - ux0 + {_G}) // {_G}) AS BIGINT) AS xq,
     CAST((epoch_ns(ts) - ty0) // ((ty1 - ty0 + {_G}) // {_G}) AS BIGINT) AS yq
   FROM events, (SELECT MIN(user_id) AS ux0, MAX(user_id) AS ux1,
                        MIN(epoch_ns(ts)) AS ty0, MAX(epoch_ns(ts)) AS ty1
                 FROM events) lims
 """
+
+
+_ZBASE_SQL = _zbase_sql()
 
 _ZKEYS_SQL = f"""
 WITH q AS ({_ZBASE_SQL}),
@@ -482,7 +490,7 @@ FROM h{_ZBITS}
 """
 
 _HSAVE_SQL = f"""
-WITH q0 AS ({_ZBASE_SQL.replace("SELECT event_id,", "SELECT")}),
+WITH q0 AS ({_zbase_sql(proj="")}),
 q AS (
   SELECT xq, yq,
          CAST({_interleave_expr("xq", "yq")} AS BIGINT) AS z_key

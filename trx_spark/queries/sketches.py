@@ -345,7 +345,15 @@ FROM sk JOIN exact USING (source)
 # ---------------------------------------------------------------------
 
 _KMV_K = 128
-_KMV_A, _KMV_B = 16807, 17  # Lehmer spread of the token id into [0, P)
+# Lehmer spread of the token id into [0, P).  Collision assumption: the
+# not-full-sketch branch treats k_used (distinct hash count) as the
+# EXACT union, which is off by one per hash collision between distinct
+# bigrams under the affine map into P = 2^31−1.  Safe while the
+# distinct-value count per source pair stays ≪ √P ≈ 46k (birthday
+# bound; current SFs have ~10³ distinct bigrams per source, collision
+# probability < 10⁻⁵ — tests/test_kmv.py's equality assert relies on
+# this).  At vocabularies approaching √P, widen the hash instead.
+_KMV_A, _KMV_B = 16807, 17
 _KMV_UNION_NUM = float((_KMV_K - 1) * _P)  # (K-1)·P, exact in a double
 
 _BIGRAM_SRC_CACHE: dict = {}
