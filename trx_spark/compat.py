@@ -517,3 +517,107 @@ def doFolder_online(
     from trx_spark.streaming.incremental import incremental_pipeline
 
     return incremental_pipeline(spark, poll_seconds=poll_seconds, **stream_kw)
+
+
+class FolderPoller:
+    """trx/id9.py:305-335 online loop at the RAW-FILE grain (SURVEY
+    E3/ST2): each :meth:`poll` re-scans the acquisition folder, azavs
+    only the files not yet in the curve store via :func:`doFolder` on a
+    ``{a.edf,b.edf}`` brace glob, and appends their curves; after
+    ``retry_max`` CONSECUTIVE empty polls :attr:`done` is True — the
+    reference's retryMax give-up.  Per-file integration is independent
+    across files, so the accumulated bank is BIT-FOR-BIT the batch
+    ``doFolder`` of the final folder (pinned by the online compat
+    journey test).
+
+    Idempotency/restart: the store is partitioned by ``file`` with
+    dynamic partition overwrite, so re-processing a file (crash between
+    write and bookkeeping, or a restarted poller re-listing the folder)
+    rewrites its own partition instead of duplicating curves; the
+    processed set is re-derived from the store's partition names on
+    construction.  Folder listing uses local-filesystem glob — the
+    reference's own ``os.listdir`` semantics (its acquisition folder is
+    beamline-local); the streaming-source variant above is the DFS
+    path.  Detector basenames must not contain ``{},`` (the brace-glob
+    alternation metacharacters) — true of every format the reader
+    supports."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        folder: str,
+        *,
+        store_dir: str,
+        files: str = "*.edf*",
+        retry_max: int = 20,
+        **doFolder_kw,
+    ) -> None:
+        import glob as _glob
+        import os as _os
+
+        self._spark = spark
+        self._folder = folder.rstrip("/")
+        self._store = store_dir
+        self._files = files
+        self._retry_max = int(retry_max)
+        self._kw = doFolder_kw
+        self._glob = _glob
+        self._os = _os
+        self.empty_polls = 0
+        self.n_polls = 0
+        self._processed: set[str] = set()
+        try:
+            self._processed = {
+                r["file"]
+                for r in spark.read.parquet(store_dir).select("file").distinct().collect()
+            }
+        except Exception:
+            pass  # no store yet — fresh start
+
+    @property
+    def done(self) -> bool:
+        return self.empty_polls >= self._retry_max
+
+    def poll(self) -> int:
+        """One folder re-scan; returns how many NEW files were azav'd
+        (0 increments the consecutive-empty counter)."""
+        self.n_polls += 1
+        names = sorted(
+            self._os.path.basename(p)
+            for p in self._glob.glob(f"{self._folder}/{self._files}")
+        )
+        new = [n for n in names if n not in self._processed]
+        if not new:
+            self.empty_polls += 1
+            return 0
+        self.empty_polls = 0
+        curves = doFolder(
+            self._spark,
+            self._folder,
+            files="{" + ",".join(new) + "}",
+            **self._kw,
+        )
+        (
+            curves.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("file")
+            .parquet(self._store)
+        )
+        self._processed.update(new)
+        return len(new)
+
+    def bank(self) -> DataFrame:
+        """The accumulated curve bank (≡ batch doFolder of everything
+        processed so far)."""
+        return self._spark.read.parquet(self._store)
+
+    def run(self, *, poll_seconds: float = 30.0, max_polls: int | None = None) -> None:
+        """The reference-faithful loop: poll, sleep, give up after
+        retry_max consecutive empty polls (tests drive :meth:`poll`
+        directly instead)."""
+        import time as _time
+
+        while not self.done and (max_polls is None or self.n_polls < max_polls):
+            self.poll()
+            if not self.done:
+                _time.sleep(poll_seconds)
