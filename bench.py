@@ -323,6 +323,10 @@ HEADLINE = [
     # round-11: trained NB char-bigram language-ID (fixed-point integer
     # log2 scoring) — the curation-grade replacement for heuristic lang_id
     "lang_id_trained",
+    # round-11 wave 2: t-closeness completes the privacy-audit trio;
+    # dataset cartography over the balanced fixed-point batch perceptron
+    "t_closeness_audit",
+    "training_dynamics_map",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -88,6 +88,9 @@ _TINY_DIM_BUILD_OK = {
     "lang_id_trained",  # ≤|langs|-row class dim (per-class denominator/
     # prior scalars) broadcast across the per-doc grid; 1-row vocab and
     # doc-count scalars inside its build
+    "t_closeness_audit",  # ≤|bands|-row global-distribution dim crossed
+    # with the ≤|QI|-row group dim, plus the 1-row (n_total, m_bands)
+    # scalar — all aggregate outputs, the grid is |QI|·|bands| rows
 }
 _ONE_ROW_BUILD_OK |= _TINY_DIM_BUILD_OK
 

@@ -186,10 +186,14 @@ _R11_STALE_R06 = [
     "winnowing_fingerprints",
 ]
 _R11_NEW = ["quantile_sketch_events"]
-# Round-12 rotation note: (a) r11 gate entries that missed this window —
-# streaming_quantile_sketch (verified vs its oracle at sf0.001+sf0.01
-# in-session) and any later r11 additions; (b) code-currency: the r07-era
-# rows become the oldest cohort once this window lands.
+# Round-12 rotation note: (a) the r11 gate entries that missed this
+# window — streaming_quantile_sketch, ffd_pack_assignments,
+# ffd_pack_stats, lang_id_trained, t_closeness_audit,
+# training_dynamics_map (each verified vs its DuckDB oracle at BOTH
+# sf0.001 and sf0.01 in-session before landing); (b)
+# code-currency: the 49 r07-era rows become the oldest cohort once
+# this window lands — they plus (a) exceed one window, so split r07 by
+# age-within-round/alphabet and queue the remainder for r13.
 _R11_WINDOW = _R11_WAVE3 + _R11_STALE_R06 + _R11_NEW
 # the driver hashes this many leading registry entries per round; the
 # bench telemetry stamps it so committed artifacts track resizes

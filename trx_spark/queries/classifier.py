@@ -252,11 +252,297 @@ FROM quant GROUP BY dim
 """
 
 
+# ---------------------------------------------------------------------
+# Dataset cartography (Swayamdipta et al., EMNLP 2020): map every
+# training example by its dynamics ACROSS training rounds — examples
+# the model gets right from the start ("easy"), never ("hard"), or
+# inconsistently ("ambiguous" — the band cartography says to keep).
+# The sigmoid GD trainer above can't carry an oracle (exp is
+# engine-specific), so the dynamics run over a FULL-BATCH PERCEPTRON
+# in fixed point: margins are exact BIGINT dot products, the update is
+# the integer-normalized sum of misclassified examples' features, and
+# every round is deterministic and order-independent — so the per-doc
+# margin trajectory is hash-checkable end-to-end (the PageRank/MM
+# unrolled-rounds discipline).
+#
+# Certified bounds (load-bearing, DuckDB raises on int64 overflow):
+# |qx| ≤ S = 10^6 (L1-normalized features); each round's CLASS-BALANCED
+# update sign-safe-DIVs each class sum by its class size, so
+# |upd| ≤ 2·S and |w_r| ≤ 2r·S ≤ 10^7; a margin sums ≤ _FH_DIM+1 = 65
+# terms of |qx·w| ≤ 10^6·10^7 → |margin| ≤ 6.5·10^14 ≪ 2^63,
+# independent of corpus size.  The pre-DIV class sums are ≤ n_docs·S —
+# inside int64 to ~9·10^12 docs.
+# Variability is the exact (max − min) margin spread: an integer-sum
+# of squares would overflow and a float variance would be
+# order-dependent, but MIN/MAX are order-independent and exact.
+#
+# Scale shape: one corpus-sized margin join + one keyed gradient agg
+# per round against a broadcast ≤65-row weight table (the GD/kmeans
+# harness); the misclassified-set join is doc-keyed.  The per-round
+# margin frames union into one groupBy(doc_id) at the end.
+# ---------------------------------------------------------------------
+
+_PCT_ROUNDS = 5
+_PCT_SCALE = 1e6
+
+
+def _signdiv(s: str, n: str, op: str = "DIV") -> str:
+    """Integer division applied to a POSITIVE operand with the sign
+    re-applied — negative integer-division conventions differ between
+    engines, so only magnitudes ever divide.  ``op`` is the dialect
+    spelling: Spark ``DIV``, DuckDB ``//`` (the fim_split precedent)."""
+    return (
+        f"CASE WHEN ({s}) >= 0 THEN ({s}) {op} ({n}) "
+        f"ELSE -((-({s})) {op} ({n})) END"
+    )
+
+
+def perceptron_dynamics(base: DataFrame) -> DataFrame:
+    """The cartography core over a quantized feature frame
+    (doc_id, dim, qx, yy with yy ∈ {−1, +1}) — factored so tests can
+    feed a separable fixture where the easy/hard extremes actually
+    occur (the gate corpus's self-supervised labels are only weakly
+    separable, so its map sits in the oscillating band)."""
+    # class sizes for the BALANCED update (the target class is ~5 % of
+    # the corpus; an unbalanced batch perceptron would let the majority
+    # class swamp every update and the map degenerates to
+    # easy-if-negative) — two bounded scalars
+    cls = {
+        r["yy"]: r["n"]
+        for r in base.select("doc_id", "yy")
+        .distinct()
+        .groupBy("yy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_pos = max(int(cls.get(1, 0)), 1)
+    n_neg = max(int(cls.get(-1, 0)), 1)
+
+    # margins[0] is the pre-update all-zero round: it seeds the first
+    # misclassified set (everything) but is EXCLUDED from the map —
+    # yy·0 ≤ 0 for every doc, so counting it would make the 'easy'
+    # category unreachable by construction
+    docs0 = base.select("doc_id", "yy").distinct()
+    margins = [docs0.withColumn("m", F.lit(0).cast("long"))]
+    w = None  # (dim, w) — absent means all-zero
+    for _ in range(_PCT_ROUNDS):
+        miscl = margins[-1].filter(F.col("yy") * F.col("m") <= 0).select("doc_id")
+        upd = (
+            base.join(miscl, "doc_id")
+            .groupBy("dim")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("yy") == 1, F.col("qx"))),
+                    F.lit(0).cast("long"),
+                ).alias("sp"),
+                F.coalesce(
+                    F.sum(F.when(F.col("yy") == -1, F.col("qx"))),
+                    F.lit(0).cast("long"),
+                ).alias("sn"),
+            )
+            .select(
+                "dim",
+                (
+                    F.expr(_signdiv("sp", str(n_pos)))
+                    - F.expr(_signdiv("sn", str(n_neg)))
+                ).alias("u"),
+            )
+        )
+        if w is None:
+            w = upd.select("dim", F.col("u").alias("w"))
+        else:
+            w = (
+                w.join(upd, "dim", "full")
+                .select(
+                    "dim",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0).cast("long"))
+                        + F.coalesce(F.col("u"), F.lit(0).cast("long"))
+                    ).alias("w"),
+                )
+            )
+        w = w.localCheckpoint()  # ≤ dim+1 rows; cuts per-round lineage
+        m = (
+            base.join(F.broadcast(w), "dim", "left")
+            .groupBy("doc_id", "yy")
+            .agg(
+                F.sum(
+                    F.col("qx") * F.coalesce(F.col("w"), F.lit(0).cast("long"))
+                ).alias("m")
+            )
+        )
+        margins.append(m)
+
+    allm = margins[1]
+    for m in margins[2:]:
+        allm = allm.unionByName(m)
+    cart = allm.groupBy("doc_id", "yy").agg(
+        F.min("m").alias("margin_min"),
+        F.max("m").alias("margin_max"),
+        F.sum("m").alias("margin_sum"),
+        F.sum(
+            F.when(F.col("yy") * F.col("m") > 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_correct"),
+    )
+    category = (
+        F.when(F.col("n_correct") == _PCT_ROUNDS, F.lit("easy"))
+        .when(F.col("n_correct") == 0, F.lit("hard"))
+        .otherwise(F.lit("ambiguous"))
+    )
+    return cart.select(
+        "doc_id",
+        F.col("yy").alias("label"),
+        "margin_min",
+        "margin_max",
+        "margin_sum",
+        (F.col("margin_max") - F.col("margin_min")).alias("margin_spread"),
+        "n_correct",
+        category.alias("category"),
+    )
+
+
+def training_dynamics_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc training-dynamics map over ``_PCT_ROUNDS`` balanced
+    full-batch perceptron rounds on the quality-classifier features:
+    (doc_id, label, margin_min, margin_max, margin_sum, margin_spread,
+    n_correct, category) with category easy / hard / ambiguous à la
+    dataset cartography."""
+    from trx_spark.exact import fint
+
+    feats = _features(spark, sf_dir)
+    base = feats.select(
+        "doc_id",
+        "dim",
+        fint(F.col("x"), _PCT_SCALE).alias("qx"),
+        (F.lit(2.0) * F.col("y") - F.lit(1.0)).cast("long").alias("yy"),
+    ).localCheckpoint()
+    return perceptron_dynamics(base)
+
+
+def _dynamics_sql() -> str:
+    """Unrolled-rounds oracle: the identical perceptron replayed as
+    chained CTEs (w1..w4, m1..m5) over the shared feats construction."""
+    from trx_spark.exact import sql_fint
+    from trx_spark.queries.curation import _DSIR_TARGET_SOURCE
+    from trx_spark.queries.ranking import _FH_DIM, _FH_SIGN_A, _FH_SIGN_B, _TOKEN_RE
+    from trx_spark.queries.textdata import _P, _tok_hash_sql
+
+    tid = _tok_hash_sql("token")
+    q = sql_fint("x", _PCT_SCALE)
+    sp = "COALESCE(SUM(CASE WHEN b.yy = 1 THEN b.qx END), 0)"
+    sn = "COALESCE(SUM(CASE WHEN b.yy = -1 THEN b.qx END), 0)"
+    sd = (
+        f"{_signdiv(sp, 'cls.np', op='//')} - {_signdiv(sn, 'cls.nn', op='//')}"
+    )
+    parts = [f"""
+WITH ts AS (
+  SELECT doc_id, s.token
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks FROM documents) t,
+       UNNEST(toks) AS s(token)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST({tid} % {_FH_DIM} AS BIGINT) AS dim,
+         CAST(CASE WHEN (({_FH_SIGN_A} * {tid} + {_FH_SIGN_B}) % {_P}) % 2 = 0
+                   THEN 1 ELSE -1 END AS BIGINT) AS s
+  FROM ts
+),
+tf AS (
+  SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS value
+  FROM hashed GROUP BY doc_id, dim
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(ABS(value)) AS BIGINT) AS n1
+  FROM tf GROUP BY doc_id
+  HAVING CAST(SUM(ABS(value)) AS BIGINT) > 0
+),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN source = '{_DSIR_TARGET_SOURCE}'
+              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  FROM documents
+),
+feats AS (
+  SELECT t.doc_id, t.dim,
+         CAST(t.value AS DOUBLE) / CAST(n.n1 AS DOUBLE) AS x, l.y
+  FROM tf t JOIN norms n USING (doc_id) JOIN labels l USING (doc_id)
+  UNION ALL
+  SELECT DISTINCT t.doc_id, CAST({_BIAS_DIM} AS BIGINT) AS dim,
+         CAST(1 AS DOUBLE) AS x, l.y
+  FROM tf t JOIN norms n USING (doc_id) JOIN labels l USING (doc_id)
+),
+base AS (
+  SELECT doc_id, dim, {q} AS qx, CAST(2.0 * y - 1.0 AS BIGINT) AS yy
+  FROM feats
+),
+cls AS (
+  SELECT CAST(GREATEST(COUNT(DISTINCT CASE WHEN yy = 1 THEN doc_id END), 1)
+              AS BIGINT) AS np,
+         CAST(GREATEST(COUNT(DISTINCT CASE WHEN yy = -1 THEN doc_id END), 1)
+              AS BIGINT) AS nn
+  FROM base
+),
+m1 AS (SELECT DISTINCT doc_id, yy, CAST(0 AS BIGINT) AS m FROM base)"""]
+    prev_w = None
+    for r in range(1, _PCT_ROUNDS + 1):
+        upd = f"""
+u{r} AS (
+  SELECT b.dim, CAST({sd} AS BIGINT) AS u
+  FROM base b
+  JOIN m{r} ON b.doc_id = m{r}.doc_id, cls
+  WHERE m{r}.yy * m{r}.m <= 0
+  GROUP BY b.dim, cls.np, cls.nn
+)"""
+        if prev_w is None:
+            wcte = f"w{r} AS (SELECT dim, u AS w FROM u{r})"
+        else:
+            wcte = f"""
+w{r} AS (
+  SELECT COALESCE({prev_w}.dim, u{r}.dim) AS dim,
+         COALESCE({prev_w}.w, 0) + COALESCE(u{r}.u, 0) AS w
+  FROM {prev_w} FULL JOIN u{r} ON {prev_w}.dim = u{r}.dim
+)"""
+        mcte = f"""
+m{r + 1} AS (
+  SELECT b.doc_id, b.yy,
+         CAST(SUM(b.qx * COALESCE(w{r}.w, 0)) AS BIGINT) AS m
+  FROM base b LEFT JOIN w{r} ON b.dim = w{r}.dim
+  GROUP BY b.doc_id, b.yy
+)"""
+        parts += [upd, wcte, mcte]
+        prev_w = f"w{r}"
+    # m1 (pre-update zeros) seeds u1 but stays OUT of the map — see the
+    # Spark twin's comment
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{r}" for r in range(2, _PCT_ROUNDS + 2)
+    )
+    tail = f""",
+allm AS ({union}),
+cart AS (
+  SELECT doc_id, yy,
+         CAST(MIN(m) AS BIGINT) AS margin_min,
+         CAST(MAX(m) AS BIGINT) AS margin_max,
+         CAST(SUM(m) AS BIGINT) AS margin_sum,
+         CAST(SUM(CASE WHEN yy * m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM allm GROUP BY doc_id, yy
+)
+SELECT doc_id, yy AS label, margin_min, margin_max, margin_sum,
+       margin_max - margin_min AS margin_spread, n_correct,
+       CASE WHEN n_correct = {_PCT_ROUNDS} THEN 'easy'
+            WHEN n_correct = 0 THEN 'hard'
+            ELSE 'ambiguous' END AS category
+FROM cart"""
+    return ",".join(parts) + tail
+
+
 QUERIES = {
     "quality_classifier_scores": quality_classifier_scores,
     "classifier_gd_round_stats": classifier_gd_round_stats,
+    "training_dynamics_map": training_dynamics_map,
 }
 
 ORACLES: dict[str, str] = {
     "classifier_gd_round_stats": _gd_stats_sql(),
+    "training_dynamics_map": _dynamics_sql(),
 }

@@ -107,6 +107,11 @@ def nb_lang_scores(docs: DataFrame, langs: tuple = _LANGS) -> DataFrame:
                 + Σ_bg cnt·L2(count(c,bg)+1) − m_d·L2(total_c+V)
     — all terms the fixed-point integer log2 above, so the BIGINT
     scores (and the argmax) are engine-independent."""
+    # NOTE: the bigram explode runs twice (docbg and model) on purpose —
+    # deriving the model from docbg⋈labels would re-shuffle the
+    # corpus-sized bigram table on doc_id, while both consumers here are
+    # map-side extractions whose groupBys partially aggregate before
+    # anything crosses the wire (model collapses to langs·charset² rows)
     bg = docs.withColumn("cs", F.split(F.col("text"), "")).select(
         "doc_id", "lang", F.explode(F.expr(_BG_EXPR)).alias("bg")
     )

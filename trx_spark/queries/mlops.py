@@ -298,11 +298,176 @@ SELECT
 FROM groups
 """
 
+# ---------------------------------------------------------------------
+# t-closeness (Li, Li, Venkatasubramanian, ICDE 2007): the third leg of
+# the privacy-audit trio.  k-anonymity bounds group size, l-diversity
+# bounds distinct sensitive values, but a group whose sensitive
+# DISTRIBUTION skews far from the table's global distribution still
+# leaks (the "skewness attack").  t-closeness requires the Earth
+# Mover's Distance between each QI group's sensitive distribution and
+# the global one to stay ≤ t.  For the ORDERED band attribute the EMD
+# has the closed form (1/(m−1))·Σ_i |Σ_{j≤i} (p_j − q_j)| — and with
+# p_j = c_gj/g, q_j = C_j/N every cumulative term is the exact integer
+# N·cum_c_g − g·cum_C over the common denominator g·N, so the per-group
+# EMD numerator is a BIGINT and the only float op is one final IEEE
+# division.  Overflow bound: |N·cum_c_g| ≤ N·g — inside int64 while
+# N·max_group < 2^63 (certified far above audit scale; the PageRank
+# mass-bound discipline).
+#
+# Plan shape: one (QI, band) count groupBy (partial-aggregatable), one
+# (band) global count, one QI-group count — all bounded outputs
+# (|QI grid| × |bands|); the group×band grid is a broadcast cross join
+# of two aggregate dims (≤125 × ≤13 rows); the cumulative sum windows
+# partition by QI group over ≤|bands| rows.  Nothing data-sized past
+# the first aggregation.
+# ---------------------------------------------------------------------
+
+_TCLOSE_T = 0.2  # the paper's working threshold
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row t-closeness report over the same customer QI tuple and
+    acctbal-band sensitive attribute as the k-anonymity / l-diversity
+    audits: the achieved t (max ordered-EMD over groups), groups and
+    rows beyond ``_TCLOSE_T``, and the at-risk share."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("band"),
+    )
+    gb = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gsz = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    glob = cust.groupBy("band").agg(F.count(F.lit(1)).alias("gc"))
+    nm = glob.agg(
+        F.sum("gc").alias("n_total"), F.count(F.lit(1)).alias("m_bands")
+    )
+    grid = (
+        gsz.crossJoin(F.broadcast(glob))
+        .join(gb, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "gsz",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("gc").over(w).alias("cum_gc"),
+    )
+    per_group = (
+        cums.crossJoin(F.broadcast(nm))
+        .groupBy("c_nationkey", "c_mktsegment", "gsz", "n_total", "m_bands")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_total") * F.col("cum_c")
+                    - F.col("gsz") * F.col("cum_gc")
+                )
+            ).alias("emd_num")
+        )
+        .withColumn(
+            "emd",
+            F.col("emd_num").cast("double")
+            / (
+                F.col("gsz") * F.col("n_total") * (F.col("m_bands") - 1)
+            ).cast("double"),
+        )
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("emd").alias("closeness_t"),
+        F.sum(
+            F.when(F.col("emd") > _TCLOSE_T, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_far_groups"),
+        F.sum(
+            F.when(F.col("emd") > _TCLOSE_T, F.col("gsz")).otherwise(F.lit(0))
+        ).alias("rows_at_risk"),
+        F.sum("gsz").alias("n_rows"),
+    ).select(
+        "n_groups",
+        "closeness_t",
+        "n_far_groups",
+        "rows_at_risk",
+        "n_rows",
+        (
+            F.col("rows_at_risk").cast("double") / F.col("n_rows").cast("double")
+        ).alias("at_risk_share"),
+    )
+
+
+_TCLOSE_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+  FROM customer
+),
+gb AS (
+  SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cust GROUP BY 1, 2, 3
+),
+gsz AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gsz
+  FROM cust GROUP BY 1, 2
+),
+gband AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gc FROM cust GROUP BY 1),
+nm AS (
+  SELECT CAST(SUM(gc) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS m_bands
+  FROM gband
+),
+grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.gsz, b.band, b.gc,
+         COALESCE(x.c, 0) AS c
+  FROM gsz g CROSS JOIN gband b
+  LEFT JOIN gb x ON x.c_nationkey = g.c_nationkey
+    AND x.c_mktsegment = g.c_mktsegment AND x.band = b.band
+),
+cums AS (
+  SELECT c_nationkey, c_mktsegment, gsz,
+    CAST(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+    CAST(SUM(gc) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_gc
+  FROM grid
+),
+per_group AS (
+  SELECT c_nationkey, c_mktsegment, gsz, n_total, m_bands,
+         CAST(SUM(ABS(n_total * cum_c - gsz * cum_gc)) AS BIGINT) AS emd_num
+  FROM cums CROSS JOIN nm
+  GROUP BY 1, 2, 3, 4, 5
+),
+emds AS (
+  SELECT *, CAST(emd_num AS DOUBLE)
+           / CAST(gsz * n_total * (m_bands - 1) AS DOUBLE) AS emd
+  FROM per_group
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  MAX(emd) AS closeness_t,
+  CAST(SUM(CASE WHEN emd > {_TCLOSE_T!r} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_far_groups,
+  CAST(SUM(CASE WHEN emd > {_TCLOSE_T!r} THEN gsz ELSE 0 END) AS BIGINT)
+    AS rows_at_risk,
+  CAST(SUM(gsz) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN emd > {_TCLOSE_T!r} THEN gsz ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(gsz) AS DOUBLE) AS at_risk_share
+FROM emds
+"""
+
 QUERIES = {
     "stratified_kfold_assign": stratified_kfold_assign,
     "unimax_language_sampling": unimax_language_sampling,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
+    "t_closeness_audit": t_closeness_audit,
 }
 
 ORACLES = {
@@ -310,4 +475,5 @@ ORACLES = {
     "unimax_language_sampling": _UNIMAX_SQL,
     "k_anonymity_audit": _KANON_SQL,
     "l_diversity_audit": _LDIV_SQL,
+    "t_closeness_audit": _TCLOSE_SQL,
 }
