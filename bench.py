@@ -327,6 +327,12 @@ HEADLINE = [
     # dataset cartography over the balanced fixed-point batch perceptron
     "t_closeness_audit",
     "training_dynamics_map",
+    # round-11 wave 3: statistical data-quality audits — Benford
+    # conformance, HBOS density outliers (fixed-point log2), Neyman
+    # stratified allocation
+    "benford_first_digit_audit",
+    "hbos_outlier_scores",
+    "neyman_allocation",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

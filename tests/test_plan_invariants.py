@@ -69,6 +69,9 @@ _ONE_ROW_BUILD_OK = {
     "unimax_language_sampling",  # the water-filling threshold is a 1-row broadcast
     "unigram_em_round_stats",  # per-round piece-prob map + total are 1-row broadcasts
     "unigram_trained_encode",  # the trained piece-prob map is a 1-row broadcast
+    "benford_first_digit_audit",  # the digit-count total is a 1-row broadcast
+    "hbos_outlier_scores",  # the event-count total is a 1-row broadcast
+    "neyman_allocation",  # the (n_total, sum NhSh) pair is a 1-row broadcast
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded

@@ -51,6 +51,7 @@ from trx_spark.queries import (
     graphq,
     preference,
     langid,
+    stataudit,
 )
 from trx_spark.sources import textio
 
@@ -98,6 +99,7 @@ for mod in (
     graphq,
     preference,
     langid,
+    stataudit,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -189,7 +191,8 @@ _R11_NEW = ["quantile_sketch_events"]
 # Round-12 rotation note: (a) the r11 gate entries that missed this
 # window — streaming_quantile_sketch, ffd_pack_assignments,
 # ffd_pack_stats, lang_id_trained, t_closeness_audit,
-# training_dynamics_map (each verified vs its DuckDB oracle at BOTH
+# training_dynamics_map, benford_first_digit_audit, hbos_outlier_scores,
+# neyman_allocation (each verified vs its DuckDB oracle at BOTH
 # sf0.001 and sf0.01 in-session before landing); (b)
 # code-currency: the 49 r07-era rows become the oldest cohort once
 # this window lands — they plus (a) exceed one window, so split r07 by
