@@ -25,6 +25,7 @@ def _all_caches() -> list[dict]:
         corpus,
         curation,
         graphq,
+        langid,
         lm,
         preference,
         similarity,
@@ -71,6 +72,7 @@ def _all_caches() -> list[dict]:
         preference._PK_CACHE,
         similarity._RANKED_EVAL_CACHE,
         sketches._BIGRAM_SRC_CACHE,
+        langid._NB_CACHE,
     ]
 
 

@@ -97,6 +97,14 @@ _BG_SQL = (
 )
 
 
+# trained model memo per (session, docs-plan, langs): the (lang, bg)
+# likelihood table and the per-lang denominator/prior row are BOUNDED
+# (langs·charset² and |langs| rows), so checkpointing them follows the
+# trained-state discipline of the BPE/WordPiece/classifier caches —
+# a steady-state caller pays only the scoring pass, not the re-train
+_NB_CACHE: dict = {}
+
+
 def nb_lang_scores(docs: DataFrame, langs: tuple = _LANGS) -> DataFrame:
     """Train multinomial NB (Laplace-smoothed char bigrams) on
     ``docs`` (doc_id, lang, text) and score every doc against every
@@ -123,26 +131,37 @@ def nb_lang_scores(docs: DataFrame, langs: tuple = _LANGS) -> DataFrame:
     priors = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("d"))
     ndocs = docs.agg(F.count(F.lit(1)).alias("nd"))
 
-    # per observed (lang, bg): the fixed-point log numerator
-    ml = model.withColumn("l2c", F.expr(_l2fix_spark("c + 1")))
+    # per observed (lang, bg): the fixed-point log numerator; per lang:
+    # the per-token denominator and the prior term — both bounded
+    # trained state, checkpointed + memoized per (session, docs, langs)
+    key = (docs.sparkSession, docs.semanticHash(), langs)
+    if key in _NB_CACHE:
+        ml, lden = _NB_CACHE[key]
+    else:
+        ml = (
+            model.withColumn("l2c", F.expr(_l2fix_spark("c + 1")))
+            .select("lang", "bg", "l2c")
+            .localCheckpoint()
+        )
+        lden = (
+            totals.join(F.broadcast(vocab))
+            .join(F.broadcast(priors), "lang")
+            .join(F.broadcast(ndocs))
+            .select(
+                "lang",
+                F.expr(_l2fix_spark("t + v")).alias("l2den"),
+                (
+                    F.expr(_l2fix_spark("d + 1"))
+                    - F.expr(_l2fix_spark(f"nd + {len(langs)}"))
+                ).alias("prior_fix"),
+            )
+            .localCheckpoint()
+        )
+        _NB_CACHE[key] = (ml, lden)
     obs = (
-        docbg.join(F.broadcast(ml.select("lang", "bg", "l2c")), "bg")
+        docbg.join(F.broadcast(ml), "bg")
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("cnt") * F.col("l2c")).alias("num"))
-    )
-    # per lang: the per-token denominator and the prior term
-    lden = (
-        totals.join(F.broadcast(vocab))
-        .join(F.broadcast(priors), "lang")
-        .join(F.broadcast(ndocs))
-        .select(
-            "lang",
-            F.expr(_l2fix_spark("t + v")).alias("l2den"),
-            (
-                F.expr(_l2fix_spark("d + 1"))
-                - F.expr(_l2fix_spark(f"nd + {len(langs)}"))
-            ).alias("prior_fix"),
-        )
     )
     # (doc × lang) grid via a ≤|langs|-row broadcast cross join, LEFT
     # joined to the observed numerators: a doc whose bigrams never
