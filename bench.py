@@ -333,6 +333,9 @@ HEADLINE = [
     "benford_first_digit_audit",
     "hbos_outlier_scores",
     "neyman_allocation",
+    # round-11 wave 4: LSH banding auto-tuner over the measured
+    # pair-similarity histogram (S-curve constants, dsum folds)
+    "lsh_tuning_curve",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch
