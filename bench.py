@@ -334,8 +334,10 @@ HEADLINE = [
     "hbos_outlier_scores",
     "neyman_allocation",
     # round-11 wave 4: LSH banding auto-tuner over the measured
-    # pair-similarity histogram (S-curve constants, dsum folds)
+    # pair-similarity histogram (S-curve constants, dsum folds); the
+    # hash-checkable fixed-point surprisal twin of lm_perplexity
     "lsh_tuning_curve",
+    "lm_surprisal_fix",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

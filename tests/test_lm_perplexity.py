@@ -82,3 +82,21 @@ def test_noise_scores_higher_perplexity(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
     got = {r["doc_id"]: r["perplexity"] for r in lm_perplexity(spark, str(d)).collect()}
     assert got[3] > got[1]
+
+
+def test_surprisal_fix_agrees_with_libm_perplexity(spark, sf_dir):
+    """The hash-checkable fixed-point surprisal twin tracks the libm
+    lm_perplexity within the log2 table tolerance (≤ 0.02 bits/term):
+    avg_surprisal_bits ≈ −avg_log2p on every doc — the cross-check
+    that makes the golden-only perplexity gate independently
+    corroborated by an oracle-checked query."""
+    from trx_spark.queries.lm import lm_perplexity, lm_surprisal_fix
+
+    fx = {r["doc_id"]: r for r in lm_surprisal_fix(spark, sf_dir).collect()}
+    pp = {r["doc_id"]: r for r in lm_perplexity(spark, sf_dir).collect()}
+    assert set(fx) == set(pp)
+    for d in fx:
+        assert fx[d]["n_bigrams"] == pp[d]["n_bigrams"]
+        assert abs(
+            fx[d]["avg_surprisal_bits"] - (-pp[d]["avg_log2p"])
+        ) <= 0.02, d

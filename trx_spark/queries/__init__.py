@@ -194,7 +194,8 @@ _R11_NEW = ["quantile_sketch_events"]
 # window — streaming_quantile_sketch, ffd_pack_assignments,
 # ffd_pack_stats, lang_id_trained, t_closeness_audit,
 # training_dynamics_map, benford_first_digit_audit, hbos_outlier_scores,
-# neyman_allocation, lsh_tuning_curve (each verified vs its DuckDB
+# neyman_allocation, lsh_tuning_curve, lm_surprisal_fix (each
+# verified vs its DuckDB
 # oracle at BOTH
 # sf0.001 and sf0.01 in-session before landing); (b)
 # code-currency: the 49 r07-era rows become the oldest cohort once
