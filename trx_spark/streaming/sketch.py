@@ -330,9 +330,14 @@ def merged_qsketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
 
     store = spark.read.parquet(sketch_dir)
     floor = store.groupBy("g").agg(F.max("lvl").alias("lfloor"))
+    # NO distinct here: the batch one-shot keeps duplicate (g, cv, h)
+    # rows (two events colliding on the key hash each survive), so a
+    # distinct would make streamed ≠ batch exactly in that corner.
+    # Replay never duplicates rows anyway — each epoch rewrites its own
+    # partition (dynamic overwrite) and compaction watermarks absorbed
+    # epochs, the same idempotency contract as the CMS/HLL/KMV stores.
     cand = (
         store.select("g", "cv", "h")
-        .distinct()  # replayed epochs must not double-count survivors
         .withColumn("tzc", F.expr(_QS_TZC_SQL))
         .join(F.broadcast(floor), "g")
         .filter(F.col("tzc") >= F.col("lfloor"))
