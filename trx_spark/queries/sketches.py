@@ -410,9 +410,13 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # O(sources·K) rows feed every pair below
     )
     srcs = sk.select("source").distinct()
+    # explicit broadcast: the ≤|sources|-row dim self-pairs on an
+    # inequality — without the hint an auto-broadcast-off planner (the
+    # 100 TB regime the plan audit simulates) degrades this to a
+    # CartesianProduct of two exchanges instead of a tiny nested loop
     pairs = (
         srcs.alias("x")
-        .join(srcs.alias("y"), F.col("x.source") < F.col("y.source"))
+        .join(F.broadcast(srcs.alias("y")), F.col("x.source") < F.col("y.source"))
         .select(
             F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
         )
