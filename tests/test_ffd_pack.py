@@ -72,3 +72,60 @@ def test_ffd_stats_consistency_and_dominance(spark, sf_dir):
     # the dominance claim: whole-doc FFD packing wastes less compute
     # than the best padded-batching strategy (~4 % vs ~16 % here)
     assert ffd_waste < pw["length_bucketed"], (ffd_waste, pw)
+
+
+def test_ffd_greedy_matches_local_replay_on_random_lengths(spark):
+    """The applyInPandas greedy on randomized (but seeded) lengths
+    matches a local replay exactly — shard grouping, the
+    (n_tokens DESC, doc_id ASC) order, and first-fit bin choice pinned
+    beyond the fixed corpus distribution."""
+    import random
+
+    rng = random.Random(1234)
+    rows = [(i, i % 8, rng.randint(1, _SEQ_BUDGET)) for i in range(2000)]
+    base = spark.createDataFrame(rows, "doc_id long, shard long, n_tokens long")
+
+    budget = _SEQ_BUDGET
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads, bins = [], []
+        for length in pdf["n_tokens"]:
+            for i in range(len(loads)):
+                if loads[i] + length <= budget:
+                    loads[i] += int(length)
+                    bins.append(i)
+                    break
+            else:
+                bins.append(len(loads))
+                loads.append(int(length))
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tokens", "bin_id"]]
+
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in base.groupBy("shard").applyInPandas(
+            pack, "doc_id long, shard long, n_tokens long, bin_id long"
+        ).collect()
+    }
+
+    want = {}
+    for s in range(8):
+        items = sorted(
+            ((n, d) for d, sh, n in rows if sh == s), key=lambda x: (-x[0], x[1])
+        )
+        loads = []
+        for n, d in items:
+            for i in range(len(loads)):
+                if loads[i] + n <= _SEQ_BUDGET:
+                    loads[i] += n
+                    want[d] = i
+                    break
+            else:
+                want[d] = len(loads)
+                loads.append(n)
+    assert got == want

@@ -22,6 +22,7 @@ from trx_spark.queries.textdata import _P
 from trx_spark.streaming.sketch import (
     _batch_qsketch_partial,
     compact_qsketch_store,
+    make_partial_handler,
     merged_qsketch,
     run_qsketch_catchup,
 )
@@ -76,6 +77,45 @@ def test_qsketch_multiwave_equals_batch_and_compacts(spark, sf_dir, tmp_path):
     # the folded store is one survivor set, not 3 epochs of history
     folded = spark.read.parquet(str(tmp_path / "sketch"))
     assert [r["_epoch"] for r in folded.select("_epoch").distinct().collect()] == [-1]
+
+
+def test_qsketch_compact_then_continue_and_replay(spark, sf_dir, tmp_path):
+    """After compaction the store holds ONE folded survivor set at its
+    own level; further epochs must merge against that floor to the
+    one-shot sketch of everything, and a replay of an absorbed epoch
+    must stay a no-op (the watermark contract) — the merge-with-floor
+    path over a compacted store, end to end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    pdf = ev.toPandas()
+    first, second = pdf.iloc[0::2], pdf.iloc[1::2]
+    waves = _write_waves(tmp_path, [first.reset_index(drop=True)])
+
+    kw = dict(
+        schema="event_id BIGINT, event_type STRING, value DOUBLE",
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    run_qsketch_catchup(spark, landing_dir=str(waves), **kw)
+    compact_qsketch_store(spark, str(tmp_path / "sketch"))
+
+    # second half lands AFTER the compaction; catch-up continues
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    s2 = second.reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(s2), waves / "w1.parquet")
+    merged = run_qsketch_catchup(spark, landing_dir=str(waves), **kw)
+    want = _kept_set(qs_kept(_events_rows(spark, sf_dir)))
+    assert _kept_set(merged) == want
+
+    # replaying the ABSORBED epoch's handler is a no-op: the watermark
+    # keeps its survivors inside the folded partial only
+    handler = make_partial_handler(str(tmp_path / "sketch"), _batch_qsketch_partial)
+    handler(spark.createDataFrame(first.reset_index(drop=True)), 0)
+    assert _kept_set(merged_qsketch(spark, str(tmp_path / "sketch"))) == want
 
 
 def _py_qsketch(rows, cap=_QS_K):
