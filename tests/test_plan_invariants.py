@@ -141,18 +141,47 @@ def _walk(jnode):
 
 
 def _top_bench_names(n=30):
+    """Audit set = the UNION of the top-n most expensive queries in the
+    working-tree BENCH_DETAIL.json AND the committed (HEAD) version.
+    The driver re-records the working-tree artifact every round, and
+    memo-first-payer variance reshuffles which query lands in a timing
+    top-30 — auditing only one copy lets a re-recorded bench flip the
+    suite red without any code change (the round-11 hybrid_rank_rrf
+    incident). The union is monotone under churn: a query audited at
+    commit time stays audited after the driver overwrites the file."""
     import json
     import pathlib
+    import subprocess
 
-    detail = pathlib.Path(__file__).resolve().parents[1] / "BENCH_DETAIL.json"
-    if not detail.exists():
-        return []
-    timings = json.loads(detail.read_text()).get("queries", {})
-    return [
-        name
-        for name, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:n]
-        if name in QUERIES and name not in _SKIP
-    ]
+    root = pathlib.Path(__file__).resolve().parents[1]
+    versions = []
+    detail = root / "BENCH_DETAIL.json"
+    if detail.exists():
+        versions.append(detail.read_text())
+    try:
+        committed = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            cwd=root,
+            timeout=30,
+        )
+        if committed.returncode == 0 and committed.stdout.strip():
+            versions.append(committed.stdout)
+    except Exception:
+        pass  # not a git checkout: working-tree copy alone
+    names: set[str] = set()
+    for text in versions:
+        try:
+            timings = json.loads(text).get("queries", {})
+        except ValueError:
+            continue
+        names.update(
+            name
+            for name, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:n]
+            if name in QUERIES and name not in _SKIP
+        )
+    return sorted(names)
 
 
 # subtree markers proving a broadcast build side is BOUNDED (an
@@ -185,6 +214,11 @@ _BOUNDED_WINDOW_FEED_OK = {
     # equal-row file-cut map: cumsum over the curve-key histogram,
     # ≤ 4^_ZBITS (65,536) rows regardless of data size
     "hilbert_scan_savings",
+    # RRF fusion: both global row_number windows (ranking.py) sit on
+    # bounded inputs — bm25_rank over TakeOrderedAndProject(limit=20),
+    # fused_rank over the ≤30-row full-outer union of the two top-k
+    # tables — so the SinglePartition feed is ≤30 rows by construction
+    "hybrid_rank_rrf",
 }
 
 
