@@ -87,3 +87,32 @@ def test_online_journey_real_files(spark, tmp_path):
         spark, str(folder), files="*.edf*", nQ=5, qlims=(0.0, 0.2), poni=PONI
     )
     assert _curve_rows(p2.bank()) == _curve_rows(batch2)
+
+
+def test_restart_remembers_zero_curve_files(spark, tmp_path):
+    """A file whose every curve is filtered out (here: a mask covering
+    the whole detector) never appears as a ``file`` partition in the
+    store; the persisted manifest must still mark it processed, or a
+    restarted poller re-lists it as new on every poll and the retryMax
+    give-up never fires (the ADVICE r11 livelock)."""
+    folder = tmp_path / "run_zero"
+    folder.mkdir()
+    kw = dict(
+        store_dir=str(tmp_path / "bank_zero"),
+        files="*.edf*",
+        retry_max=2,
+        nQ=5,
+        mask="x>-1",  # masks every pixel: zero curves per file
+        poni=PONI,
+    )
+    p = compat.FolderPoller(spark, str(folder), **kw)
+    _write_wave(folder, 0)
+    assert p.poll() == 2  # files are NEW and get azav'd...
+    # ...but every curve is filtered away: no file= partition exists
+    store = tmp_path / "bank_zero"
+    assert not list(store.glob("file=*"))
+
+    # restart: the manifest alone carries the processed set
+    p2 = compat.FolderPoller(spark, str(folder), **kw)
+    assert p2.poll() == 0 and p2.empty_polls == 1
+    assert p2.poll() == 0 and p2.done  # give-up fires; no livelock

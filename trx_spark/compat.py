@@ -534,8 +534,14 @@ class FolderPoller:
     dynamic partition overwrite, so re-processing a file (crash between
     write and bookkeeping, or a restarted poller re-listing the folder)
     rewrites its own partition instead of duplicating curves; the
-    processed set is re-derived from the store's partition names on
-    construction.  Folder listing uses local-filesystem glob — the
+    processed set is persisted in ``_processed_manifest.json`` inside
+    the store (the ``_`` prefix keeps Spark's parquet reader from
+    touching it) and unioned with the store's partition names on
+    construction — the manifest covers files that produced ZERO curves
+    (e.g. every q-bin filtered by qlims), which never appear as a
+    ``file`` partition and would otherwise be re-listed as new on every
+    restarted poll, resetting the retry_max give-up counter forever.
+    Folder listing uses local-filesystem glob — the
     reference's own ``os.listdir`` semantics (its acquisition folder is
     beamline-local); the streaming-source variant above is the DFS
     path.  Detector basenames must not contain ``{},`` (the brace-glob
@@ -565,14 +571,34 @@ class FolderPoller:
         self._os = _os
         self.empty_polls = 0
         self.n_polls = 0
+        self._manifest = _os.path.join(store_dir, "_processed_manifest.json")
         self._processed: set[str] = set()
         try:
-            self._processed = {
+            import json as _json
+
+            with open(self._manifest, encoding="utf-8") as fh:
+                self._processed.update(_json.load(fh))
+        except Exception:
+            pass  # no manifest yet
+        try:
+            self._processed |= {
                 r["file"]
                 for r in spark.read.parquet(store_dir).select("file").distinct().collect()
             }
         except Exception:
             pass  # no store yet — fresh start
+
+    def _save_manifest(self) -> None:
+        # atomic local write (tmp + rename): a crash mid-write leaves
+        # the previous manifest intact, and the store partitions still
+        # back-fill any curve-bearing file on the next construction
+        import json as _json
+
+        self._os.makedirs(self._os.path.dirname(self._manifest), exist_ok=True)
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump(sorted(self._processed), fh)
+        self._os.replace(tmp, self._manifest)
 
     @property
     def done(self) -> bool:
@@ -604,6 +630,7 @@ class FolderPoller:
             .parquet(self._store)
         )
         self._processed.update(new)
+        self._save_manifest()
         return len(new)
 
     def bank(self) -> DataFrame:

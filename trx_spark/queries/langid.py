@@ -56,7 +56,17 @@ _LANGS = ("de", "en", "es", "fr", "zh")
 
 def _l2fix_spark(x: str) -> str:
     """Spark SQL text for the fixed-point log2 of positive integer
-    expression ``x``: e·2^F + TBL[⌊((x·2^F ≫ e) − 2^F)·Q ≫ F⌋]."""
+    expression ``x``: e·2^F + TBL[⌊((x·2^F ≫ e) − 2^F)·Q ≫ F⌋].
+
+    Capacity bound: the mantissa step shifts ``x`` left by F=16 bits
+    BEFORE normalizing, so the operand must satisfy ``x < 2^47`` or the
+    int64 shift silently wraps.  2^47 ≈ 1.4·10^14 — comfortably above
+    any per-class bigram count, corpus token total, or event count this
+    engine feeds it (a 100 TB corpus is ~2.5·10^13 tokens); at operands
+    beyond that, split the exponent off first (``x >> (e − 46)`` then
+    shift the remainder) instead of widening the table.  Callers:
+    lang_id_trained (per-class counts), hbos_outlier_scores (event
+    total), lm_surprisal_fix (corpus token counts)."""
     e = f"(length(bin({x})) - 1)"
     m = f"shiftright(shiftleft({x}, {_LG_FBITS}), CAST({e} AS INT))"
     idx = f"shiftright(({m} - {_LG_ONE}) * {_LG_Q}, {_LG_FBITS})"
@@ -67,6 +77,7 @@ def _l2fix_spark(x: str) -> str:
 
 
 def _l2fix_duck(x: str) -> str:
+    # same x < 2^47 operand bound as _l2fix_spark (int64 << 16 wraps)
     e = f"(length(bin({x})) - 1)"
     m = f"((({x}) << {_LG_FBITS}) >> {e})"
     idx = f"((({m} - {_LG_ONE}) * {_LG_Q}) >> {_LG_FBITS})"

@@ -99,15 +99,21 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    # zero-divisor guard (ADVICE r11): Spark's non-ANSI Divide yields
+    # NULL on /0 but DuckDB's IEEE division yields inf/nan — an explicit
+    # CASE (identical text in both dialects) pins NULL in both engines
+    # when a degenerate corpus has no pairs above τ (or no detected mass)
     return out.select(
         "*",
-        (
+        F.when(
+            F.col("pairs_above_tau") != 0,
             F.col("detected_above_est")
-            / F.col("pairs_above_tau").cast("double")
+            / F.col("pairs_above_tau").cast("double"),
         ).alias("recall_at_tau_est"),
-        (F.col("detected_below_est") / F.col("detected_est")).alias(
-            "fp_share_est"
-        ),
+        F.when(
+            F.col("detected_est") != 0.0,
+            F.col("detected_below_est") / F.col("detected_est"),
+        ).alias("fp_share_est"),
         # the histogram floor (J ≥ 0.2) truncates the r=1 curve's
         # below-floor candidate mass; r ≥ 2 curves are ≪ 1 % there
         (F.col("rows_per_band") == 1).alias("floor_truncated"),
@@ -147,8 +153,12 @@ hist AS (
 ),
 curves AS ({body})
 SELECT *,
-  detected_above_est / CAST(pairs_above_tau AS DOUBLE) AS recall_at_tau_est,
-  detected_below_est / detected_est AS fp_share_est,
+  CASE WHEN pairs_above_tau = 0 THEN NULL
+       ELSE detected_above_est / CAST(pairs_above_tau AS DOUBLE)
+  END AS recall_at_tau_est,
+  CASE WHEN detected_est = 0.0 THEN NULL
+       ELSE detected_below_est / detected_est
+  END AS fp_share_est,
   rows_per_band = 1 AS floor_truncated
 FROM curves
 """

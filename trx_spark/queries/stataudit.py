@@ -209,9 +209,14 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nh").cast("double") * F.col("s2").cast("double")
         - F.col("s1").cast("double") * F.col("s1").cast("double")
     ) / (F.col("nh").cast("double") * (F.col("nh") - 1).cast("double"))
-    st = per.withColumn("sd", F.sqrt(var)).withColumn(
-        "nhsh", F.col("nh").cast("double") * F.col("sd")
-    )
+    # nh=1 guard (ADVICE r11): the sample variance divides by nh·(nh−1);
+    # a singleton stratum hits /0 — NULL under Spark's non-ANSI Divide,
+    # inf/nan under DuckDB's IEEE ops.  An explicit CASE (same text in
+    # both dialects) pins NULL in both engines; SUM skips NULLs in both,
+    # so the Neyman total simply excludes undefined-spread strata.
+    st = per.withColumn(
+        "sd", F.when(F.col("nh") > 1, F.sqrt(var))
+    ).withColumn("nhsh", F.col("nh").cast("double") * F.col("sd"))
     from trx_spark.exact import dsum
 
     tot = st.agg(
@@ -258,9 +263,11 @@ per AS (
 ),
 st AS (
   SELECT *,
-    sqrt((CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
-          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-         / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) AS sd
+    CASE WHEN nh > 1 THEN
+      sqrt((CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)))
+    END AS sd
   FROM per
 ),
 st2 AS (SELECT *, CAST(nh AS DOUBLE) * sd AS nhsh FROM st),
