@@ -57,6 +57,7 @@ def _all_caches() -> list[dict]:
         similarity._SCORED_CACHE,
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
+        textdata._JACCARD_PAIRS_CACHE,
         textdata._PAIR_STATS_CACHE,
         textdata._ALLPAIRS_CACHE,
         similarity._KNN_CACHE,
@@ -132,6 +133,7 @@ def stage_cache_stats() -> dict[str, int]:
         "opq_rotation": len(similarity._OPQ_CACHE),
         "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),
         "lsh_pairs": len(textdata._LSH_PAIRS_CACHE),
+        "jaccard_pairs": len(textdata._JACCARD_PAIRS_CACHE),
         "pair_token_stats": len(textdata._PAIR_STATS_CACHE),
         "knn_edges": len(similarity._KNN_CACHE),
         "ivf_cells": len(similarity._CELLS_ASSIGN_CACHE),

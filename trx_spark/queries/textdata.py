@@ -357,11 +357,19 @@ SELECT doc_a, doc_b FROM pairs
 
 _JACCARD_MIN = 0.2
 
+# consumed by the gate query AND lsh_tuning_curve's similarity
+# histogram — memoize the verified pair table per (session, sf_dir) so
+# one bench session builds the shingle self-join once (r11 advice)
+_JACCARD_PAIRS_CACHE: dict = {}
+
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs: shingle sets per doc, pair
     candidates = docs sharing a shingle (the shingle join IS the
     blocking), J = |∩| / |∪| ≥ 0.2."""
+    key = (spark, sf_dir)
+    if key in _JACCARD_PAIRS_CACHE:
+        return _JACCARD_PAIRS_CACHE[key]
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "t"))
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -393,7 +401,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     )
-    return out
+    # the pair table is tiny (near-dups only) — checkpoint it so the
+    # second consumer in a session skips the shingle self-join entirely
+    _JACCARD_PAIRS_CACHE[key] = out.localCheckpoint()
+    return _JACCARD_PAIRS_CACHE[key]
 
 
 _JACCARD_SQL = f"""
