@@ -412,10 +412,31 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    def run_pass(cold: bool) -> dict[str, float]:
+    def jvm_gc_ms() -> int:
+        # cumulative stop-the-world GC time of THE one JVM (local mode:
+        # driver == executors, so this captures all executor GC too)
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total = 0
+        for i in range(beans.size()):
+            t = beans.get(i).getCollectionTime()
+            if t > 0:
+                total += t
+        return total
+
+    # per-pass maps of per-query GC milliseconds (r11 verdict task 4):
+    # a query whose wall time moved round-over-round while its GC delta
+    # ballooned is ambient/JVM-state drift, not a plan change — the
+    # cross-round analogue of the pass_loads stamps
+    pass_gc: dict[str, dict[str, int]] = {}
+
+    def run_pass(cold: bool, gc_label: str | None = None) -> dict[str, float]:
         from trx_spark.cache import clear_stage_caches
 
         timings: dict[str, float] = {}
+        gcs: dict[str, int] = {}
         for name in HEADLINE:
             fn = QUERIES[name]
             if cold:
@@ -423,9 +444,13 @@ def main() -> None:
                 # so cold numbers aren't distorted by orphaned-block
                 # memory pressure accumulating across 60+ rebuilds
                 clear_stage_caches(spark)
+            g0 = jvm_gc_ms()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            gcs[name] = jvm_gc_ms() - g0
+        if gc_label is not None:
+            pass_gc[gc_label] = gcs
         return timings
 
     # Per-PASS ambient-load stamps (r10 verdict task 6): a single
@@ -437,20 +462,30 @@ def main() -> None:
     # adjudication protocol reads these blocks.
     pass_loads: dict[str, dict] = {}
 
+    # the JVM this run's passes share — comparing artifacts whose
+    # passes ran in different JVMs (or after very different GC totals)
+    # is the cross-round contamination the r11 verdict flagged
+    rt = spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+    jvm_ident = {"name": rt.getName(), "start_ms": rt.getStartTime()}
+
     def stamped(label: str, fn):
         stamp = {
             "load_start": list(os.getloadavg()),
             "t_start": round(time.time(), 1),
+            "gc_ms_start": jvm_gc_ms(),
+            "jvm": jvm_ident,
         }
         result = fn()
         stamp["load_end"] = list(os.getloadavg())
         stamp["t_end"] = round(time.time(), 1)
         stamp["wall_sec"] = round(stamp["t_end"] - stamp["t_start"], 1)
+        stamp["gc_ms_end"] = jvm_gc_ms()
+        stamp["gc_ms"] = stamp["gc_ms_end"] - stamp["gc_ms_start"]
         pass_loads[label] = stamp
         return result
 
     load = {"start": list(os.getloadavg()), "t_start": round(time.time(), 1)}
-    timings = stamped("amortized", lambda: run_pass(cold=False))
+    timings = stamped("amortized", lambda: run_pass(cold=False, gc_label="amortized"))
     load["after_amortized"] = list(os.getloadavg())
     load["t_after_amortized"] = round(time.time(), 1)
     total = round(sum(timings.values()), 3)
@@ -473,12 +508,12 @@ def main() -> None:
         # iterative trainers).  The steady map is what separates plan
         # cost from per-session compile cost — the r6→r8
         # decontam/simhash/cms "regressions" were compile noise.
-        steady = stamped("steady", lambda: run_pass(cold=False))
+        steady = stamped("steady", lambda: run_pass(cold=False, gc_label="steady"))
         detail["queries_steady"] = steady
         out["steady_total"] = round(sum(steady.values()), 3)
         detail["steady_total"] = out["steady_total"]
     if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0":
-        cold_timings = stamped("cold", lambda: run_pass(cold=True))
+        cold_timings = stamped("cold", lambda: run_pass(cold=True, gc_label="cold"))
         out["cold_total"] = round(sum(cold_timings.values()), 3)
         detail["cold_total"] = out["cold_total"]
         detail["queries_cold"] = cold_timings
@@ -504,6 +539,7 @@ def main() -> None:
     detail["load_gate"] = gate
     detail["loadavg"] = load
     detail["pass_loads"] = pass_loads
+    detail["pass_gc_ms"] = pass_gc
     # registry-currency telemetry (r9 verdict task 8): window health is
     # observable from the committed artifact instead of rotation-note
     # comments — per-name newest driver row from the CORRECTNESS_r*.json
