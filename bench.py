@@ -338,6 +338,9 @@ HEADLINE = [
     # hash-checkable fixed-point surprisal twin of lm_perplexity
     "lsh_tuning_curve",
     "lm_surprisal_fix",
+    # round-12: the fifth mergeable summary family — Misra-Gries
+    # deterministic heavy hitters (per-batch canon + batch-order fold)
+    "heavy_hitters_mg",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch
@@ -367,6 +370,9 @@ STREAMING = [
     # r11: the fourth mergeable sketch family (quantiles via hash-level
     # sampling — the KLL sampler component), same harness
     "streaming_quantile_sketch",
+    # r12: the fifth family — MG heavy hitters, one batch file per
+    # micro-batch, partials folded in batch order at merge
+    "streaming_heavy_hitters",
 ]
 
 

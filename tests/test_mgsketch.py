@@ -1,0 +1,90 @@
+"""Misra–Gries heavy-hitters family: the classic guarantees measured
+on real data, a planted heavy hitter that MUST survive, purity of the
+fold under partitioning, and the canon/fold algebra."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from trx_spark.queries.mgsketch import (
+    _MG_B,
+    _MG_K,
+    heavy_hitters_mg,
+    mg_batch_partials,
+    mg_canon,
+    mg_fold,
+)
+
+
+def test_guarantee_bounds(spark, sf_dir):
+    rows = heavy_hitters_mg(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _MG_K
+    n_total = rows[0]["n_total"]
+    d_total = rows[0]["d_total"]
+    # Σ decrements ≤ n/(K+1): each decrement d is applied where ≥ K+1
+    # counters each lose ≥ d mass
+    assert 0 <= d_total <= n_total // (_MG_K + 1)
+    for r in rows:
+        assert r["mg_count"] > 0
+        # every kept count underestimates by at most the total decrement
+        assert 0 <= r["underestimate"] <= d_total
+        assert r["mg_count"] + r["underestimate"] == r["exact_count"]
+
+
+def test_planted_heavy_hitter_survives(spark):
+    # 40 docs: every doc carries the hot token 30×; the other tokens
+    # are doc-unique → hot count 1200 ≫ n/(K+1) = 1600/9 ≈ 177
+    rows = []
+    for d in range(40):
+        text = " ".join(["hot"] * 30 + [f"rare{d}w{i}" for i in range(10)])
+        rows.append((d, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ts = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "token"
+        ),
+    )
+    state, d_total = mg_fold(mg_batch_partials(ts))
+    n = 40 * 40
+    assert d_total <= n // (_MG_K + 1)
+    # true count > d_total ⇒ the residual cannot reach zero
+    assert state.get("hot", 0) >= 1200 - d_total > 0
+
+
+def test_fold_is_pure_function_of_multiset(spark, sf_dir):
+    from trx_spark.queries.curation import _token_stream
+
+    ts = _token_stream(spark, sf_dir)
+    a = mg_fold(mg_batch_partials(ts.repartition(1)))
+    b = mg_fold(mg_batch_partials(ts.repartition(7, "token")))
+    assert a == b
+    # ... and equals a plain-Python replay from the raw counts
+    raw = ts.select("doc_id", "token").collect()
+    per_batch: dict[int, Counter] = {i: Counter() for i in range(_MG_B)}
+    for r in raw:
+        per_batch[r["doc_id"] % _MG_B][r["token"]] += 1
+    parts = []
+    for i in range(_MG_B):
+        part, d_b = mg_canon(dict(per_batch[i]), _MG_K)
+        parts.append((i, part, d_b))
+    assert mg_fold(parts) == a
+
+
+def test_canon_and_fold_algebra():
+    # canon keeps ≤ K strictly-positive residuals and is idempotent
+    counts = {f"t{i}": 100 - i for i in range(20)}
+    part, d = mg_canon(counts, 8)
+    assert len(part) <= 8 and all(c > 0 for c in part.values())
+    assert d == sorted(counts.values(), reverse=True)[8]
+    again, d2 = mg_canon(part, 8)
+    assert (again, d2) == (part, 0)
+    # a single-batch fold is exactly that batch's canon
+    state, d_total = mg_fold([(0, part, d)], 8)
+    assert state == part and d_total == d
+    # ties at the boundary: all-equal counts decrement to nothing
+    flat = {f"x{i}": 5 for i in range(10)}
+    p2, d3 = mg_canon(flat, 8)
+    assert p2 == {} and d3 == 5

@@ -46,6 +46,7 @@ from trx_spark.queries import (
     contracts,
     driftstats,
     bucketing,
+    mgsketch,
     mlops,
     evolution,
     graphq,
@@ -102,6 +103,7 @@ for mod in (
     langid,
     stataudit,
     lshtune,
+    mgsketch,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,217 @@
+"""Misra–Gries heavy-hitters summary over the corpus token stream —
+the deterministic top-k counter sketch that completes the mergeable
+summary family (CMS = frequency estimates, HLL = cardinality, KMV =
+set algebra, hash-level sampler = quantiles; MG = guaranteed heavy
+hitters).  Reference parity: the reference engine has no sketch layer
+(its corpora fit one node); this family is the 100 TB extension
+surface the build brief names (corpus token/URL/domain monitoring).
+
+Construction (the FFD-packer replay discipline, packing.py): the
+token stream is split into B deterministic batches (``doc_id % B`` —
+membership is a pure function of the row, so the whole fold is a pure
+function of the input multiset).  Per batch, the exact counts are
+CANONICALIZED to capacity K: subtract the (K+1)-th largest count
+d_b (0 when ≤ K distinct), keep strictly-positive residuals — ≤ K
+counters by construction.  The partials are then folded in batch
+order: counter union (sum residuals) → canonicalize again with the
+step decrement d_s.  ``d_total = Σ (d_b + d_s)`` is the summary's
+total decrement.
+
+Guarantees (classic MG, Misra & Gries 1982 / Agarwal et al.
+"Mergeable Summaries" 2013): every decrement d is applied to ≥ K+1
+counters each losing ≥ d mass, so ``d_total ≤ n / (K+1)``; each kept
+count underestimates the true count by ≤ d_total; any token with true
+frequency > n/(K+1) CANNOT be fully decremented away at the end of
+the fold... the per-item guarantee exhibited by the gate is the
+measured one: ``underestimate = exact − mg ≤ d_total`` on every kept
+row (pinned by the bound test, with the exact side computed next to
+the sketch — the hll_distinct_tokens error-exhibit pattern).
+
+Scale shape: per-batch counts are one partial-aggregatable groupBy
+(map-side combine shrinks each partition to its distinct tokens);
+the per-batch top-(K+1) is a ``TakeOrderedAndProject`` — only K+1
+rows per partition cross to the driver merge, never a global sort.
+The fold itself is driver arithmetic on ≤ B·(K+1) collected rows
+(the bounded-collect pattern: epoch maxima, FFD shard loads).  The
+EXACT side joins the ≤ K kept tokens (broadcast) into the per-token
+counts — the one per-token shuffle, paid deliberately as the error
+exhibit.  B is a constant (4), so the fold is B chained bounded jobs
+regardless of corpus size; the streaming twin
+(streaming/sketch.py: ``run_mg_catchup``) stores one ≤ K+1-row
+partial per micro-batch and folds the store with the SAME
+:func:`mg_fold`, so streamed ≡ batch ≡ oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trx_spark.tables import load_table  # noqa: F401  (re-export convention)
+
+_MG_K = 8   # counter capacity: deterministic top-≤K summary
+_MG_B = 4   # deterministic batch count (doc_id % _MG_B)
+
+
+def mg_canon(counts: dict[str, int], k: int = _MG_K) -> tuple[dict[str, int], int]:
+    """Canonicalize a counter map to capacity ``k``: subtract the
+    (k+1)-th largest count (by VALUE, multiplicity included) and keep
+    strictly-positive residuals.  Returns (residuals, decrement).
+    A pure function of the counter multiset — ties need no tiebreak
+    because the decrement is a value, not a row pick."""
+    vals = sorted(counts.values(), reverse=True)
+    d = vals[k] if len(vals) > k else 0
+    if d == 0:
+        return dict(counts), 0
+    return {t: c - d for t, c in counts.items() if c > d}, d
+
+
+def mg_fold(
+    parts: list[tuple[int, dict[str, int], int]], k: int = _MG_K
+) -> tuple[dict[str, int], int]:
+    """Fold canonicalized per-batch partials ``(batch, residuals,
+    d_part)`` in batch order: counter union then re-canonicalization.
+    Returns (final residuals ≤ k entries, d_total).  THE single fold
+    definition — the batch gate, the streaming merge and the tests all
+    call this, so they cannot drift."""
+    state: dict[str, int] = {}
+    d_total = 0
+    for _b, part, d_part in sorted(parts, key=lambda p: p[0]):
+        d_total += d_part
+        comb = dict(state)
+        for t, c in part.items():
+            comb[t] = comb.get(t, 0) + c
+        state, d_s = mg_canon(comb, k)
+        d_total += d_s
+    return state, d_total
+
+
+def mg_batch_partials(
+    ts: DataFrame, b: int = _MG_B, k: int = _MG_K
+) -> list[tuple[int, dict[str, int], int]]:
+    """Per-batch canonicalized partials from a (doc_id, token) frame.
+    One TakeOrderedAndProject job per batch, each collecting ≤ k+1
+    rows — the canonical residuals are derivable from the collected
+    top-(k+1) alone (everything below the (k+1)-th largest dies)."""
+    parts = []
+    for i in range(b):
+        rows = (
+            ts.filter((F.col("doc_id") % b) == i)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("token"))
+            .limit(k + 1)
+            .collect()
+        )
+        d_b = rows[k]["c"] if len(rows) == k + 1 else 0
+        part = {r["token"]: r["c"] - d_b for r in rows if r["c"] > d_b}
+        parts.append((i, part, d_b))
+    return parts
+
+
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-token heavy hitters from the capacity-``_MG_K``
+    Misra–Gries fold, next to the exact counts (the error exhibit).
+
+    Output per kept token: (token, mg_count, exact_count,
+    underestimate = exact − mg, d_total, n_total) — ``underestimate ≤
+    d_total ≤ n_total / (K+1)`` by the MG guarantee, measured not
+    asserted."""
+    from trx_spark.queries.curation import _token_stream
+
+    ts = _token_stream(spark, sf_dir)  # (doc_id, source, token), memoized
+    state, d_total = mg_fold(mg_batch_partials(ts))
+    n_total = ts.count()
+    kept = spark.createDataFrame(
+        sorted(state.items()), "token string, mg_count long"
+    )
+    exact = ts.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        exact.join(F.broadcast(kept), "token")
+        .select(
+            "token",
+            "mg_count",
+            "exact_count",
+            (F.col("exact_count") - F.col("mg_count")).alias("underestimate"),
+            F.lit(int(d_total)).cast("long").alias("d_total"),
+            F.lit(int(n_total)).cast("long").alias("n_total"),
+        )
+    )
+
+
+def _mg_sql_core(k: int = _MG_K, b: int = _MG_B) -> str:
+    """Recursive-CTE replay of the identical fold (per-batch canon →
+    batch-order counter-union + re-canon), the packing.py oracle
+    discipline: every counter value and decrement is hash-checked."""
+    from trx_spark.queries.curation import _TOKEN_RE
+
+    return f"""toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS token
+  FROM documents
+),
+bcnt AS (
+  SELECT CAST(doc_id % {b} AS BIGINT) AS batch, token,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY batch ORDER BY c DESC, token)
+         AS rn
+  FROM bcnt
+),
+db AS (
+  SELECT batch, COALESCE(MAX(CASE WHEN rn = {k + 1} THEN c END), 0) AS d_b
+  FROM rk GROUP BY batch
+),
+plists AS (
+  SELECT d.batch,
+         COALESCE(list(r.token ORDER BY r.token)
+                  FILTER (r.token IS NOT NULL), []) AS ptoks,
+         COALESCE(list(r.c - d.d_b ORDER BY r.token)
+                  FILTER (r.token IS NOT NULL), []) AS pcnts,
+         d.d_b
+  FROM db d LEFT JOIN rk r ON r.batch = d.batch AND r.c > d.d_b
+  GROUP BY d.batch, d.d_b
+),
+fold AS (
+  SELECT CAST(-1 AS BIGINT) AS step, CAST([] AS VARCHAR[]) AS ktoks,
+         CAST([] AS BIGINT[]) AS kcnts, CAST(0 AS BIGINT) AS d_total
+  UNION ALL
+  SELECT f.step + 1, comb.kt2, comb.kc2, f.d_total + p.d_b + dd.d
+  FROM fold f
+  JOIN plists p ON p.batch = f.step + 1,
+  LATERAL (SELECT list_sort(list_distinct(f.ktoks || p.ptoks)) AS allt) a,
+  LATERAL (SELECT list_transform(a.allt,
+             t -> COALESCE(f.kcnts[list_position(f.ktoks, t)], 0)
+                + COALESCE(p.pcnts[list_position(p.ptoks, t)], 0)) AS allc) c,
+  LATERAL (SELECT COALESCE(list_sort(c.allc, 'DESC')[{k + 1}], 0) AS d) dd,
+  LATERAL (SELECT
+     list_transform(list_filter(range(1, len(a.allt) + 1),
+                                i -> c.allc[i] > dd.d), i -> a.allt[i]) AS kt2,
+     list_transform(list_filter(range(1, len(a.allt) + 1),
+                                i -> c.allc[i] > dd.d),
+                    i -> c.allc[i] - dd.d) AS kc2
+  ) comb
+),
+final AS (SELECT * FROM fold WHERE step = {b - 1}),
+kept AS (
+  SELECT unnest(ktoks) AS token, unnest(kcnts) AS mg_count, d_total
+  FROM final
+)"""
+
+
+_MG_SQL = f"""
+WITH RECURSIVE {_mg_sql_core()},
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+SELECT k.token, k.mg_count, e.exact_count,
+       e.exact_count - k.mg_count AS underestimate,
+       k.d_total, t.n_total
+FROM kept k JOIN exact e USING (token) CROSS JOIN tot t
+"""
+
+
+QUERIES = {"heavy_hitters_mg": heavy_hitters_mg}
+ORACLES = {"heavy_hitters_mg": _MG_SQL}

@@ -696,6 +696,59 @@ FROM documents d JOIN q ON q.doc_id = d.doc_id
 """
 
 
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters over the documents feed:
+    the corpus is landed as one file per deterministic ``doc_id % B``
+    batch, drained availableNow at one file per micro-batch; each
+    epoch stores a <= K+1-row canonicalized partial, and the merge
+    folds them in BATCH order with the same ``mg_fold`` the batch gate
+    uses -- streamed == batch == oracle bit-for-bit (the fold is a pure
+    function of the multiset because batch membership is).  Output:
+    (token, mg_count, d_total, n_total)."""
+    import glob as _glob
+
+    from trx_spark.queries.mgsketch import _MG_B
+    from trx_spark.streaming.sketch import run_mg_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="trx_mg_stream_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    for b in range(_MG_B):
+        tmp = os.path.join(work, f"w{b}")
+        (
+            docs.filter(F.col("doc_id") % _MG_B == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(landing, f"batch_{b}.parquet"))
+    return run_mg_catchup(
+        spark,
+        landing_dir=landing,
+        path_glob_filter="batch_*.parquet",
+        schema=docs.schema,
+        sketch_dir=os.path.join(work, "sketch"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+
+
+def _mg_stream_oracle_sql() -> str:
+    from trx_spark.queries.mgsketch import _mg_sql_core
+
+    return f"""
+WITH RECURSIVE {_mg_sql_core()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+SELECT token, mg_count, d_total, n_total FROM kept CROSS JOIN tot
+"""
+
+
+
 QUERIES = {
     "streaming_incremental_stats": streaming_incremental_stats,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -706,6 +759,7 @@ QUERIES = {
     "streaming_hll_registers": streaming_hll_registers,
     "streaming_kmv_sketch": streaming_kmv_sketch,
     "streaming_quantile_sketch": streaming_quantile_sketch,
+    "streaming_heavy_hitters": streaming_heavy_hitters,
     "streaming_pricing_summary": streaming_pricing_summary,
     "streaming_running_stats": streaming_running_stats,
     "streaming_lsh_pairs": streaming_lsh_pairs,
@@ -721,6 +775,7 @@ ORACLES: dict[str, str] = {
     "streaming_hll_registers": _hll_registers_oracle_sql(),
     "streaming_kmv_sketch": _kmv_sketch_oracle_sql(),
     "streaming_quantile_sketch": _qsketch_oracle_sql(),
+    "streaming_heavy_hitters": _mg_stream_oracle_sql(),
     # the SAME oracle as the batch query — the merged view is bit-equal
     "streaming_pricing_summary": _PRICING_SQL,
     "streaming_running_stats": _RUNNING_STATS_SQL,

@@ -357,3 +357,103 @@ def run_qsketch_catchup(spark: SparkSession, **kw) -> DataFrame:
     return _run_catchup(
         spark, partial_fn=_batch_qsketch_partial, merge_fn=merged_qsketch, **kw
     )
+
+
+# ---------------------------------------------------------------------
+# Misra–Gries heavy hitters (queries/mgsketch.py): unlike the
+# commutative sketches above, the MG fold is ORDER-dependent across
+# batches — but batch membership is ``doc_id % B`` (a pure function of
+# the row) and the merge folds partials in BATCH order, not epoch
+# order, so the streamed result is still a pure function of the input
+# multiset.  Each epoch must carry whole batches (one batch file per
+# micro-batch: maxFilesPerTrigger=1 in run_mg_catchup) — the partial
+# canonicalizes per batch id found in the epoch, so even a re-ordered
+# delivery folds identically.
+# ---------------------------------------------------------------------
+
+
+def _batch_mg_partial(batch: DataFrame) -> DataFrame:
+    """≤ (K+1)-row canonicalized MG partial per batch id in this
+    micro-batch: (batch, token, pc, d_part, n_part) residual rows plus
+    one token=NULL sentinel per batch so an all-decremented batch
+    still carries its decrement and token mass into the fold.  The
+    top-(K+1) is a bounded collect per epoch (micro-batch grain)."""
+    from pyspark.sql import Window
+
+    from trx_spark.queries.curation import _TOKEN_RE
+    from trx_spark.queries.mgsketch import _MG_B, _MG_K, mg_canon
+
+    spark = batch.sparkSession
+    toks = batch.select(
+        (F.col("doc_id") % _MG_B).alias("batch"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    cnt = toks.groupBy("batch", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("batch").orderBy(F.desc("c"), F.asc("token"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MG_K + 1)
+        .collect()
+    )
+    mass = {
+        r["batch"]: r["m"]
+        for r in cnt.groupBy("batch").agg(F.sum("c").alias("m")).collect()
+    }
+    by_batch: dict[int, dict[str, int]] = {}
+    for r in top:
+        by_batch.setdefault(int(r["batch"]), {})[r["token"]] = int(r["c"])
+    out = []
+    for bid, counts in sorted(by_batch.items()):
+        part, d_b = mg_canon(counts, _MG_K)
+        n_part = int(mass[bid])
+        for t, c in sorted(part.items()):
+            out.append((bid, t, c, d_b, n_part))
+        out.append((bid, None, None, d_b, n_part))  # sentinel
+    return spark.createDataFrame(
+        out, "batch long, token string, pc long, d_part long, n_part long"
+    )
+
+
+def merged_mg(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Fold the stored per-batch partials with the SAME
+    queries/mgsketch.mg_fold the batch gate uses: (token, mg_count,
+    d_total, n_total).  Bounded driver work — the store holds ≤ K+2
+    rows per batch by construction."""
+    from trx_spark.queries.mgsketch import mg_fold
+
+    rows = spark.read.parquet(sketch_dir).collect()
+    parts_map: dict[int, dict[str, int]] = {}
+    d_map: dict[int, int] = {}
+    n_map: dict[int, int] = {}
+    for r in rows:
+        bid = int(r["batch"])
+        d_map[bid] = int(r["d_part"])
+        n_map[bid] = int(r["n_part"])
+        if r["token"] is not None:
+            parts_map.setdefault(bid, {})[r["token"]] = int(r["pc"])
+    parts = [(b, parts_map.get(b, {}), d_map[b]) for b in sorted(d_map)]
+    state, d_total = mg_fold(parts)
+    n_total = sum(n_map.values())
+    return spark.createDataFrame(
+        [(t, c, d_total, n_total) for t, c in sorted(state.items())],
+        "token string, mg_count long, d_total long, n_total long",
+    )
+
+
+def compact_mg_store(spark: SparkSession, sketch_dir: str) -> None:
+    # NOT compactable to one partial: the fold is batch-ordered, so the
+    # store keeps its per-batch partials (≤ K+2 rows each — compaction
+    # would save nothing anyway)
+    raise NotImplementedError(
+        "MG partials are batch-ordered; keep the per-batch store"
+    )
+
+
+def run_mg_catchup(spark: SparkSession, **kw) -> DataFrame:
+    """Heavy-hitters catch-up: one batch file per micro-batch."""
+    kw.setdefault("max_files_per_trigger", 1)
+    return _run_catchup(
+        spark, partial_fn=_batch_mg_partial, merge_fn=merged_mg, **kw
+    )
