@@ -339,8 +339,10 @@ HEADLINE = [
     "lsh_tuning_curve",
     "lm_surprisal_fix",
     # round-12: the fifth mergeable summary family — Misra-Gries
-    # deterministic heavy hitters (per-batch canon + batch-order fold)
+    # deterministic heavy hitters (per-batch canon + batch-order fold);
+    # the surprisal-bucket easy-first curriculum riding lm_surprisal_fix
     "heavy_hitters_mg",
+    "surprisal_curriculum",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -88,3 +88,33 @@ def test_canon_and_fold_algebra():
     flat = {f"x{i}": 5 for i in range(10)}
     p2, d3 = mg_canon(flat, 8)
     assert p2 == {} and d3 == 5
+
+
+def test_surprisal_curriculum_easy_first(spark, sf_dir):
+    """Within every (epoch, shard), curriculum_pos orders buckets
+    non-decreasing (easy→hard), every doc appears once per epoch, and
+    the quartile buckets are roughly balanced."""
+    from trx_spark.queries.curriculum import surprisal_curriculum
+
+    rows = surprisal_curriculum(spark, sf_dir).collect()
+    per_es: dict[tuple, list] = {}
+    for r in rows:
+        per_es.setdefault((r["epoch"], r["shard"]), []).append(
+            (r["curriculum_pos"], r["bucket"])
+        )
+    for key, lst in per_es.items():
+        lst.sort()
+        poss = [p for p, _ in lst]
+        assert poss == list(range(1, len(lst) + 1)), key
+        bks = [b for _, b in lst]
+        assert bks == sorted(bks), key  # easy-first within the shard
+    n_docs = len({r["doc_id"] for r in rows})
+    epochs = {r["epoch"] for r in rows}
+    assert len(rows) == n_docs * len(epochs)
+    from collections import Counter
+
+    bc = Counter(r["bucket"] for r in rows if r["epoch"] == 0)
+    scored = sum(v for b, v in bc.items() if b < 4)
+    for b in range(4):
+        # quartiles of a continuous-ish score: each ~25 % of scored docs
+        assert bc.get(b, 0) >= scored * 0.15, bc

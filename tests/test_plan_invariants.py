@@ -32,6 +32,7 @@ _ONE_ROW_BUILD_OK = {
     "hybrid_rank_rrf",  # composes bm25_topk + ann_cosine_topk (1-row scalars)
     "knn_pagerank",  # the node-count scalar is a 1-row broadcast per round
     "curriculum_phases",  # the two percentile cuts are a 1-row broadcast
+    "surprisal_curriculum",  # the three quartile cuts are a 1-row broadcast
     "contrastive_triples",  # rides the trained-codebook scoring (1-row scalar joins)
     "bpe_merges",  # per-round best-pair is a 1-row broadcast into the rewrite
     "quality_classifier_scores",  # the bias and n_docs scalars are 1-row broadcasts

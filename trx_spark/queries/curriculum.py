@@ -176,12 +176,104 @@ WHERE pick_rank <= {_PRI_K}
 """
 
 
+# ---------------------------------------------------------------------
+# Surprisal-bucket curriculum (r11 verdict task 8): the fixed-point
+# surprisal twin (lm.lm_surprisal_fix) becomes an OPERATOR — per-doc
+# familiarity buckets feed the epoch shuffle, producing the
+# Gopher-style easy-first training order instead of a pure random one.
+# ---------------------------------------------------------------------
+
+
+def surprisal_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-first curriculum order: bucket every document by its
+    average bigram surprisal (quartiles of ``avg_surprisal_bits`` from
+    the hash-checkable fixed-point LM scoring), then re-rank each
+    epoch-shuffle shard easy→hard (random WITHIN a bucket — the
+    shuffle rank breaks ties), so a training job reads
+    ``curriculum_pos`` order to anneal from familiar to surprising
+    text.  Documents the LM could not score (fewer than two model
+    tokens) land in bucket 4, scheduled last.
+
+    Plan: the three quartile cuts are ONE exact-percentile aggregate
+    broadcast back (invariant 7 — the curriculum_phases pattern); the
+    bucket is a scan projection against the 1-row cut frame; the
+    re-rank window partitions by (epoch, shard) — the SAME key the
+    epoch shuffle itself ranks on, so shard sizing keeps both windows
+    bounded.  Output: (epoch, shard, doc_id, bucket, pos,
+    curriculum_pos)."""
+    from trx_spark.queries.lm import lm_surprisal_fix
+    from trx_spark.queries.packing import epoch_shuffle
+
+    sup = lm_surprisal_fix(spark, sf_dir).select(
+        "doc_id", "avg_surprisal_bits"
+    )
+    cuts = sup.agg(
+        *[
+            F.expr(f"percentile(avg_surprisal_bits, {q}D)").alias(f"q{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75), start=1)
+        ]
+    )
+    shuf = epoch_shuffle(spark, sf_dir)
+    bucket = F.when(F.col("avg_surprisal_bits").isNull(), F.lit(4)).otherwise(
+        (F.col("avg_surprisal_bits") > F.col("q1")).cast("int")
+        + (F.col("avg_surprisal_bits") > F.col("q2")).cast("int")
+        + (F.col("avg_surprisal_bits") > F.col("q3")).cast("int")
+    )
+    j = (
+        shuf.join(sup, "doc_id", "left")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket.cast("long"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("bucket", "pos")
+    return j.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        "bucket",
+        F.col("pos").cast("long").alias("pos"),
+        F.row_number().over(w).cast("long").alias("curriculum_pos"),
+    )
+
+
+def _surprisal_curriculum_sql() -> str:
+    from trx_spark.queries.lm import _surprisal_sql
+    from trx_spark.queries.packing import _SHUFFLE_SQL
+
+    return f"""
+WITH sup AS ({_surprisal_sql()}),
+shuf AS ({_SHUFFLE_SQL}),
+cuts AS (
+  SELECT quantile_cont(avg_surprisal_bits, 0.25) AS q1,
+         quantile_cont(avg_surprisal_bits, 0.5) AS q2,
+         quantile_cont(avg_surprisal_bits, 0.75) AS q3
+  FROM sup
+),
+j AS (
+  SELECT s.epoch, s.shard, s.doc_id,
+         CAST(CASE WHEN u.avg_surprisal_bits IS NULL THEN 4
+              ELSE CAST(u.avg_surprisal_bits > c.q1 AS INTEGER)
+                 + CAST(u.avg_surprisal_bits > c.q2 AS INTEGER)
+                 + CAST(u.avg_surprisal_bits > c.q3 AS INTEGER)
+              END AS BIGINT) AS bucket,
+         CAST(s.pos AS BIGINT) AS pos
+  FROM shuf s LEFT JOIN sup u ON u.doc_id = s.doc_id CROSS JOIN cuts c
+)
+SELECT epoch, shard, doc_id, bucket, pos,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY bucket, pos) AS BIGINT)
+         AS curriculum_pos
+FROM j
+"""
+
+
 QUERIES = {
     "curriculum_phases": curriculum_phases,
     "priority_sample": priority_sample,
+    "surprisal_curriculum": surprisal_curriculum,
 }
 
 ORACLES = {
     "curriculum_phases": _CURR_SQL,
     "priority_sample": _PRI_SQL,
+    "surprisal_curriculum": _surprisal_curriculum_sql(),
 }
