@@ -192,22 +192,51 @@ _R11_STALE_R06 = [
     "winnowing_fingerprints",
 ]
 _R11_NEW = ["quantile_sketch_events"]
-# Round-12 rotation note: (a) the r11 gate entries that missed this
-# window — streaming_quantile_sketch, ffd_pack_assignments,
-# ffd_pack_stats, lang_id_trained, t_closeness_audit,
-# training_dynamics_map, benford_first_digit_audit, hbos_outlier_scores,
-# neyman_allocation, lsh_tuning_curve, lm_surprisal_fix (each
-# verified vs its DuckDB
-# oracle at BOTH
-# sf0.001 and sf0.01 in-session before landing); (b)
-# code-currency: the 49 r07-era rows become the oldest cohort once
-# this window lands — they plus (a) exceed one window, so split r07 by
-# age-within-round/alphabet and queue the remainder for r13.
+# (The r11 window — wave3 + the 38 r06-era rows + the quantile gate —
+# is recorded in CORRECTNESS_r11.json: 50/50 green; kept as history.)
 _R11_WINDOW = _R11_WAVE3 + _R11_STALE_R06 + _R11_NEW
+# Round-12 window, executing the r11 verdict's rotation note exactly:
+# (a) the 11 r11 gate entries that landed AFTER the r11 window sealed
+# (each verified vs its DuckDB oracle at sf0.001 AND sf0.01 in-session
+# before landing; the r11 judge re-verified all 11 bit-exact — first
+# driver rows here); (b) the 3 new r12 gates (MG heavy hitters batch +
+# streaming, surprisal curriculum — same pre-landing verification);
+# (c) code-currency: the alphabetically-first 36 of the 49 names whose
+# newest driver row is r07-era.  The remaining 13 r07 names queue for
+# r13 (priority_sample, quality_stratified_sample, readability_stats,
+# semantic_dedup, shingle_minhash_recall, source_quality_rollup,
+# stratified_sample, streaming_attribution_join, streaming_cms_cells,
+# streaming_dedup_keys, streaming_hll_registers,
+# streaming_session_stats, streaming_windowed_counts) — after r13 no
+# oracle-bearing name's newest row predates r08.
+_R12_LATE_R11 = [
+    "streaming_quantile_sketch", "ffd_pack_assignments", "ffd_pack_stats",
+    "lang_id_trained", "t_closeness_audit", "training_dynamics_map",
+    "benford_first_digit_audit", "hbos_outlier_scores", "neyman_allocation",
+    "lsh_tuning_curve", "lm_surprisal_fix",
+]
+_R12_NEW = [
+    "heavy_hitters_mg", "streaming_heavy_hitters", "surprisal_curriculum",
+]
+_R12_STALE_R07 = [
+    "allpairs_jaccard_join", "ann_ivf_topk", "ann_ivf_trained_topk",
+    "ann_pq_topk", "bm25_topk", "bpe_encode", "bpe_merges",
+    "classifier_gd_round_stats", "cluster_balanced_sample",
+    "cms_heavy_hitters", "cohort_retention", "curriculum_phases",
+    "doc_chunks", "doclen_quantiles", "dsir_weights",
+    "duplicate_ngram_spans", "embedding_covariance",
+    "embedding_dim_quantiles", "embedding_moment_stats",
+    "embedding_neardup_pairs", "epoch_shuffle", "event_funnel",
+    "events_range_join", "hashed_tf_features", "hll_distinct_tokens",
+    "jl_projection", "kcenter_coreset", "kmeans_cells", "kn_bigram_stats",
+    "knn_graph", "knn_pagerank", "mixture_sample", "pack_sequences",
+    "pca_leading_component", "per_source_sample", "pii_scrub",
+]
+_R12_WINDOW = _R12_LATE_R11 + _R12_NEW + _R12_STALE_R07
 # the driver hashes this many leading registry entries per round; the
 # bench telemetry stamps it so committed artifacts track resizes
 GATE_WINDOW = 50
-assert len(_R11_WINDOW) == GATE_WINDOW, len(_R11_WINDOW)
-_order = _R11_WINDOW + [n for n in QUERIES if n not in set(_R11_WINDOW)]
+assert len(_R12_WINDOW) == GATE_WINDOW, len(_R12_WINDOW)
+_order = _R12_WINDOW + [n for n in QUERIES if n not in set(_R12_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
