@@ -529,12 +529,16 @@ def main() -> None:
         streaming_timings: dict[str, float] = {}
 
         def run_streaming() -> None:
+            gcs: dict[str, int] = {}
             for name in STREAMING:
+                g0 = jvm_gc_ms()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 streaming_timings[name] = round(time.perf_counter() - t0, 3)
+                gcs[name] = jvm_gc_ms() - g0
+            pass_gc["streaming"] = gcs
 
         stamped("streaming", run_streaming)
         detail["queries_streaming"] = streaming_timings
