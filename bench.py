@@ -342,6 +342,7 @@ HEADLINE = [
     # deterministic heavy hitters (per-batch canon + batch-order fold);
     # the surprisal-bucket easy-first curriculum riding lm_surprisal_fix
     "heavy_hitters_mg",
+    "heavy_hitters_by_source",
     "surprisal_curriculum",
 ]
 

@@ -118,3 +118,20 @@ def test_surprisal_curriculum_easy_first(spark, sf_dir):
     for b in range(4):
         # quartiles of a continuous-ish score: each ~25 % of scored docs
         assert bc.get(b, 0) >= scored * 0.15, bc
+
+
+def test_grouped_guarantee_bounds(spark, sf_dir):
+    from trx_spark.queries.mgsketch import heavy_hitters_by_source
+
+    rows = heavy_hitters_by_source(spark, sf_dir).collect()
+    assert rows
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, lst in per_src.items():
+        assert 0 < len(lst) <= _MG_K, src
+        d_total, n_total = lst[0]["d_total"], lst[0]["n_total"]
+        assert 0 <= d_total <= n_total // (_MG_K + 1), src
+        for r in lst:
+            assert r["mg_count"] > 0
+            assert 0 <= r["underestimate"] <= d_total

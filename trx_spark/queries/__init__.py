@@ -207,8 +207,11 @@ _R11_WINDOW = _R11_WAVE3 + _R11_STALE_R06 + _R11_NEW
 # semantic_dedup, shingle_minhash_recall, source_quality_rollup,
 # stratified_sample, streaming_attribution_join, streaming_cms_cells,
 # streaming_dedup_keys, streaming_hll_registers,
-# streaming_session_stats, streaming_windowed_counts) — after r13 no
-# oracle-bearing name's newest row predates r08.
+# streaming_session_stats, streaming_windowed_counts), PLUS
+# heavy_hitters_by_source (the grouped MG variant, landed after this
+# window sealed; verified vs its oracle at sf0.001 + sf0.01
+# in-session) — after r13 no oracle-bearing name's newest row
+# predates r08.
 _R12_LATE_R11 = [
     "streaming_quantile_sketch", "ffd_pack_assignments", "ffd_pack_stats",
     "lang_id_trained", "t_closeness_audit", "training_dynamics_map",

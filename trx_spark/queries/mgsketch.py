@@ -215,3 +215,174 @@ FROM kept k JOIN exact e USING (token) CROSS JOIN tot t
 
 QUERIES = {"heavy_hitters_mg": heavy_hitters_mg}
 ORACLES = {"heavy_hitters_mg": _MG_SQL}
+
+
+# ---------------------------------------------------------------------
+# Grouped variant: one MG summary PER SOURCE — the shape a per-domain
+# token monitor needs at 100 TB (bounded counters per group, never a
+# per-(group, token) result).  Same canon/fold as the global gate; the
+# per-(source, batch) top-(K+1) is ONE window pass partitioned by
+# (batch, source) — the engine's standard per-group top-k (the
+# topk_orders_per_customer shape: parallel across groups, each
+# partition sorting only its own distinct tokens — at corpus scale the
+# map-side combine has already shrunk that to distinct-per-partition).
+# The fold is driver arithmetic on ≤ |sources|·B·(K+1) collected rows.
+# ---------------------------------------------------------------------
+
+
+def heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Misra–Gries heavy hitters with per-source error
+    accounting.  Output: (source, token, mg_count, exact_count,
+    underestimate, d_total, n_total) — the guarantee
+    ``underestimate ≤ d_total ≤ n_total/(K+1)`` holds per source."""
+    from pyspark.sql import Window
+
+    from trx_spark.queries.curation import _token_stream
+
+    ts = _token_stream(spark, sf_dir)
+    cnt = ts.groupBy(
+        "source", (F.col("doc_id") % _MG_B).alias("batch"), "token"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("batch", "source").orderBy(
+        F.desc("c"), F.asc("token")
+    )
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MG_K + 1)
+        .collect()
+    )
+    by_sb: dict[tuple[str, int], dict[str, int]] = {}
+    for r in top:
+        by_sb.setdefault((r["source"], int(r["batch"])), {})[r["token"]] = int(
+            r["c"]
+        )
+    out_rows = []
+    d_totals: dict[str, int] = {}
+    for source in sorted({s for s, _ in by_sb}):
+        parts = []
+        for b in range(_MG_B):
+            counts = by_sb.get((source, b), {})
+            part, d_b = mg_canon(counts, _MG_K)
+            parts.append((b, part, d_b))
+        state, d_total = mg_fold(parts)
+        d_totals[source] = d_total
+        out_rows.extend(
+            (source, t, c) for t, c in sorted(state.items())
+        )
+    kept = spark.createDataFrame(
+        out_rows, "source string, token string, mg_count long"
+    )
+    dt = spark.createDataFrame(
+        sorted(d_totals.items()), "source string, d_total long"
+    )
+    exact = ts.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    totals = ts.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        exact.join(F.broadcast(kept), ["source", "token"])
+        .join(F.broadcast(dt), "source")
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "token",
+            "mg_count",
+            "exact_count",
+            (F.col("exact_count") - F.col("mg_count")).alias("underestimate"),
+            "d_total",
+            "n_total",
+        )
+    )
+
+
+def _mg_by_source_sql(k: int = _MG_K, b: int = _MG_B) -> str:
+    """Per-source recursive fold: the state rows carry ``source`` and
+    every step advances ALL sources at once (join on source AND
+    step+1), so one recursion replays every group's fold."""
+    from trx_spark.queries.curation import _TOKEN_RE
+
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS token
+  FROM documents
+),
+bcnt AS (
+  SELECT source, CAST(doc_id % {b} AS BIGINT) AS batch, token,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, batch
+                               ORDER BY c DESC, token) AS rn
+  FROM bcnt
+),
+grid AS (
+  SELECT s.source, g.batch
+  FROM (SELECT DISTINCT source FROM toks) s
+  CROSS JOIN (SELECT CAST(i AS BIGINT) AS batch FROM range(0, {b}) t(i)) g
+),
+db AS (
+  SELECT g.source, g.batch,
+         COALESCE(MAX(CASE WHEN r.rn = {k + 1} THEN r.c END), 0) AS d_b
+  FROM grid g
+  LEFT JOIN rk r ON r.source = g.source AND r.batch = g.batch
+  GROUP BY g.source, g.batch
+),
+plists AS (
+  SELECT d.source, d.batch,
+         COALESCE(list(r.token ORDER BY r.token)
+                  FILTER (r.token IS NOT NULL), []) AS ptoks,
+         COALESCE(list(r.c - d.d_b ORDER BY r.token)
+                  FILTER (r.token IS NOT NULL), []) AS pcnts,
+         d.d_b
+  FROM db d
+  LEFT JOIN rk r ON r.source = d.source AND r.batch = d.batch
+                AND r.c > d.d_b
+  GROUP BY d.source, d.batch, d.d_b
+),
+fold AS (
+  SELECT source, CAST(-1 AS BIGINT) AS step, CAST([] AS VARCHAR[]) AS ktoks,
+         CAST([] AS BIGINT[]) AS kcnts, CAST(0 AS BIGINT) AS d_total
+  FROM (SELECT DISTINCT source FROM toks)
+  UNION ALL
+  SELECT f.source, f.step + 1, comb.kt2, comb.kc2, f.d_total + p.d_b + dd.d
+  FROM fold f
+  JOIN plists p ON p.source = f.source AND p.batch = f.step + 1,
+  LATERAL (SELECT list_sort(list_distinct(f.ktoks || p.ptoks)) AS allt) a,
+  LATERAL (SELECT list_transform(a.allt,
+             t -> COALESCE(f.kcnts[list_position(f.ktoks, t)], 0)
+                + COALESCE(p.pcnts[list_position(p.ptoks, t)], 0)) AS allc) c,
+  LATERAL (SELECT COALESCE(list_sort(c.allc, 'DESC')[{k + 1}], 0) AS d) dd,
+  LATERAL (SELECT
+     list_transform(list_filter(range(1, len(a.allt) + 1),
+                                i -> c.allc[i] > dd.d), i -> a.allt[i]) AS kt2,
+     list_transform(list_filter(range(1, len(a.allt) + 1),
+                                i -> c.allc[i] > dd.d),
+                    i -> c.allc[i] - dd.d) AS kc2
+  ) comb
+),
+final AS (SELECT * FROM fold WHERE step = {b - 1}),
+kept AS (
+  SELECT source AS ksource, unnest(ktoks) AS token,
+         unnest(kcnts) AS mg_count, d_total
+  FROM final
+),
+exact AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM toks GROUP BY 1
+)
+SELECT k.ksource AS source, k.token, k.mg_count, e.exact_count,
+       e.exact_count - k.mg_count AS underestimate,
+       k.d_total, t.n_total
+FROM kept k
+JOIN exact e ON e.source = k.ksource AND e.token = k.token
+JOIN tot t ON t.source = k.ksource
+"""
+
+
+QUERIES["heavy_hitters_by_source"] = heavy_hitters_by_source
+ORACLES["heavy_hitters_by_source"] = _mg_by_source_sql()
