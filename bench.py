@@ -344,6 +344,8 @@ HEADLINE = [
     "heavy_hitters_mg",
     "heavy_hitters_by_source",
     "surprisal_curriculum",
+    # the DP count-release plumbing (fixed-point Laplace inverse-CDF)
+    "dp_noisy_counts",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

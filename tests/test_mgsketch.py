@@ -135,3 +135,33 @@ def test_grouped_guarantee_bounds(spark, sf_dir):
         for r in lst:
             assert r["mg_count"] > 0
             assert 0 <= r["underestimate"] <= d_total
+
+
+def test_dp_noisy_counts_transform(spark, sf_dir):
+    """The fixed-point Laplace release: noise_fp32/2^32 tracks the
+    exact inverse-CDF transform within the log2-table tolerance, and
+    noisy_n is the round-to-nearest of n + noise."""
+    import math
+
+    from trx_spark.queries.mlops import _DP_A, _DP_B, dp_noisy_counts
+    from trx_spark.queries.textdata import _P
+
+    def tok_hash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % _P
+        return acc
+
+    rows = dp_noisy_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        h = (tok_hash(r["event_type"]) * _DP_A + _DP_B) % _P
+        u = h / _P
+        exact = -math.copysign(1.0, 2 * u - 1) * math.log(
+            max(1 - 2 * abs(u - 0.5), 1 / _P)
+        )
+        got = r["noise_fp32"] / 2**32
+        # 0.02-bit table error * ln2 + fixed-point rounding headroom
+        assert abs(got - exact) < 0.03, (r["event_type"], got, exact)
+        assert r["noisy_n"] == r["n"] + math.floor(got + 0.5)
+        assert r["epsilon"] == 1.0 and r["sensitivity"] == 1

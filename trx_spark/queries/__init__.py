@@ -208,8 +208,8 @@ _R11_WINDOW = _R11_WAVE3 + _R11_STALE_R06 + _R11_NEW
 # stratified_sample, streaming_attribution_join, streaming_cms_cells,
 # streaming_dedup_keys, streaming_hll_registers,
 # streaming_session_stats, streaming_windowed_counts), PLUS
-# heavy_hitters_by_source (the grouped MG variant, landed after this
-# window sealed; verified vs its oracle at sf0.001 + sf0.01
+# heavy_hitters_by_source and dp_noisy_counts (landed after this
+# window sealed; each verified vs its oracle at sf0.001 + sf0.01
 # in-session) — after r13 no oracle-bearing name's newest row
 # predates r08.
 _R12_LATE_R11 = [

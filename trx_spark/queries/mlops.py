@@ -462,12 +462,111 @@ SELECT
 FROM emds
 """
 
+# ---------------------------------------------------------------------
+# Differential-privacy release plumbing: Laplace-noised counts with
+# epsilon accounting.  The noise is the exact inverse-CDF transform
+# X = -b*sgn(u-1/2)*ln(1 - 2|u-1/2|) evaluated in FIXED POINT via the
+# shared integer log2 (langid._l2fix_*, ln x = log2(x)*ln2), so the
+# whole release is hash-checkable.  HONESTY NOTE (the multimodal-stub
+# discipline): the uniform u here is a DETERMINISTIC public hash of
+# the group key — that makes the gate verifiable but provides NO
+# privacy; a production release swaps in a secret per-release seed
+# (one constant), keeping every other expression identical.  The
+# operator content is the transform, the integer plumbing and the
+# epsilon/sensitivity accounting, not the seed.
+# ---------------------------------------------------------------------
+
+_DP_A, _DP_B = 48271, 2029  # Lehmer spread of the group-key hash
+_DP_LN2_FIX = 45426         # round(ln 2 * 2^16)
+_DP_EPS = 1.0               # release budget (b = sensitivity/eps = 1)
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DP count release: exact count, the fixed-point
+    Laplace noise (scale b = 1/eps, eps = 1, count sensitivity 1), the
+    noised count, and the accounting columns.  |noise| is capped at
+    b*ln P (~21.5) by the u -> 1/P guard — the tail a 31-bit uniform
+    can express.  Output: (event_type, n, noise_fp32, noisy_n,
+    epsilon, sensitivity)."""
+    from trx_spark.queries.langid import _l2fix_spark
+    from trx_spark.queries.textdata import _P, _tok_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    h = (_tok_hash(F.col("event_type")) * F.lit(_DP_A) + F.lit(_DP_B)) % F.lit(_P)
+    per = per.withColumn("h", h)
+    # v in [-P, P-2]; t = P - |v| in [0, P] clamped to >= 1 (the cap)
+    per = per.withColumn("v", F.lit(2) * F.col("h") - F.lit(_P)).withColumn(
+        "t", F.greatest(F.lit(_P) - F.abs(F.col("v")), F.lit(1)).cast("long")
+    )
+    # the literal must be BIGINT before the <<16 mantissa shift
+    l2p = _l2fix_spark(f"CAST({_P} AS BIGINT)")
+    l2t = _l2fix_spark("t")
+    sgn = F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1))
+    # promote BEFORE the product: the l2fix expressions are INT-typed
+    # and Spark's non-ANSI int multiply wraps silently at 2^31
+    noise = (
+        sgn.cast("long")
+        * (F.expr(l2p) - F.expr(l2t)).cast("long")
+        * F.lit(_DP_LN2_FIX).cast("long")
+    )
+    per = per.withColumn("noise_fp32", noise)
+    # round-to-nearest via floor((x + 2^31) / 2^32) — double division of
+    # |x| <= 9.3e13 is exact (< 2^53), identical in both engines
+    noisy = F.col("n") + F.floor(
+        (F.col("noise_fp32") + F.lit(2147483648)).cast("double")
+        / F.lit(4294967296.0)
+    ).cast("long")
+    return per.select(
+        "event_type",
+        "n",
+        "noise_fp32",
+        noisy.alias("noisy_n"),
+        F.lit(_DP_EPS).cast("double").alias("epsilon"),
+        F.lit(1).cast("long").alias("sensitivity"),
+    )
+
+
+def _dp_sql() -> str:
+    from trx_spark.queries.langid import _l2fix_duck
+    from trx_spark.queries.textdata import _P, _tok_hash_sql
+
+    hh = f"(({_tok_hash_sql('event_type')}) * {_DP_A} + {_DP_B}) % {_P}"
+    l2p = _l2fix_duck(f"CAST({_P} AS BIGINT)")
+    l2t = _l2fix_duck("t")
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {hh} AS h
+  FROM events GROUP BY event_type
+),
+tv AS (
+  SELECT *, 2 * h - {_P} AS v,
+         CAST(GREATEST({_P} - ABS(2 * h - {_P}), 1) AS BIGINT) AS t
+  FROM per
+),
+nz AS (
+  SELECT *, CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                 * (({l2p}) - ({l2t})) * {_DP_LN2_FIX} AS BIGINT)
+            AS noise_fp32
+  FROM tv
+)
+SELECT event_type, n, noise_fp32,
+       n + CAST(FLOOR(CAST(noise_fp32 + 2147483648 AS DOUBLE)
+                      / 4294967296.0) AS BIGINT) AS noisy_n,
+       CAST({_DP_EPS!r} AS DOUBLE) AS epsilon,
+       CAST(1 AS BIGINT) AS sensitivity
+FROM nz
+"""
+
+
+
 QUERIES = {
     "stratified_kfold_assign": stratified_kfold_assign,
     "unimax_language_sampling": unimax_language_sampling,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
     "t_closeness_audit": t_closeness_audit,
+    "dp_noisy_counts": dp_noisy_counts,
 }
 
 ORACLES = {
@@ -476,4 +575,5 @@ ORACLES = {
     "k_anonymity_audit": _KANON_SQL,
     "l_diversity_audit": _LDIV_SQL,
     "t_closeness_audit": _TCLOSE_SQL,
+    "dp_noisy_counts": _dp_sql(),
 }
