@@ -442,13 +442,10 @@ def merged_mg(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
-def compact_mg_store(spark: SparkSession, sketch_dir: str) -> None:
-    # NOT compactable to one partial: the fold is batch-ordered, so the
-    # store keeps its per-batch partials (≤ K+2 rows each — compaction
-    # would save nothing anyway)
-    raise NotImplementedError(
-        "MG partials are batch-ordered; keep the per-batch store"
-    )
+# NOTE: there is deliberately no compact_mg_store — the MG fold is
+# batch-ordered, so the store must keep its per-batch partials (and at
+# ≤ K+2 rows per batch, folding history into one partial would save
+# nothing while destroying the replay order the merge depends on).
 
 
 def run_mg_catchup(spark: SparkSession, **kw) -> DataFrame:
