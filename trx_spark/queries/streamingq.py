@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trx_spark.queries.relational import _PRICING_SQL
-from trx_spark.streaming.incremental import run_catchup
+from trx_spark.streaming.incremental import release_state_stores, run_catchup
 
 
 def _make_ts_prepare(schema):
@@ -573,6 +573,7 @@ def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    release_state_stores(spark)
     upd = spark.read.parquet(out_dir)
     # update mode emits one row per (key, batch); the final state is
     # the row with the largest n per key

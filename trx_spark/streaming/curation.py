@@ -260,6 +260,9 @@ def run_curation_catchup(
         .start()
     )
     q.awaitTermination()
+    from trx_spark.streaming.incremental import release_state_stores
+
+    release_state_stores(spark)
     try:
         return spark.read.parquet(verdict_dir).select(
             "doc_id", "quality_keep", "exact_first", "near_dup", "keep"

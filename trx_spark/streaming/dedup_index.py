@@ -430,6 +430,9 @@ def run_lsh_dedup_catchup(
         .start()
     )
     q.awaitTermination()
+    from trx_spark.streaming.incremental import release_state_stores
+
+    release_state_stores(spark)
     try:
         return spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
     except AnalysisException as exc:

@@ -96,4 +96,7 @@ def run_interval_join_catchup(
         .start()
     )
     q.awaitTermination()
+    from trx_spark.streaming.incremental import release_state_stores
+
+    release_state_stores(spark)
     return spark.table(name)

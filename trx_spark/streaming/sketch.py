@@ -201,6 +201,9 @@ def _run_catchup(
         .start()
     )
     q.awaitTermination()
+    from trx_spark.streaming.incremental import release_state_stores
+
+    release_state_stores(spark)
     return merge_fn(spark, sketch_dir)
 
 
