@@ -165,3 +165,54 @@ def test_dp_noisy_counts_transform(spark, sf_dir):
         assert abs(got - exact) < 0.03, (r["event_type"], got, exact)
         assert r["noisy_n"] == r["n"] + math.floor(got + 0.5)
         assert r["epsilon"] == 1.0 and r["sensitivity"] == 1
+
+
+# ---------------------------------------------------------------------
+# Property tests (pure-Python fold algebra — no Spark session needed)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _multisets(draw):
+    n_items = draw(st.integers(1, 30))
+    return {
+        f"t{i}": draw(st.integers(1, 200)) for i in range(n_items)
+    }
+
+
+@given(st.lists(_multisets(), min_size=1, max_size=6), st.integers(2, 12))
+@settings(max_examples=200, deadline=None)
+def test_mg_fold_properties(batches, k):
+    from collections import Counter
+
+    parts = []
+    for i, counts in enumerate(batches):
+        part, d_b = mg_canon(counts, k)
+        parts.append((i, part, d_b))
+    state, d_total = mg_fold(parts, k)
+    exact = Counter()
+    for c in batches:
+        exact.update(c)
+    n = sum(exact.values())
+    # capacity and positivity
+    assert len(state) <= k and all(c > 0 for c in state.values())
+    # total-decrement bound: every decrement hits >= k+1 counters
+    assert 0 <= d_total <= n // (k + 1)
+    # per-item sandwich: mg <= exact, and exact - mg <= d_total for
+    # EVERY item (kept items via their residual; dropped items were
+    # fully decremented, so their exact count is <= d_total too)
+    for t, c in exact.items():
+        mg = state.get(t, 0)
+        assert mg <= c
+        assert c - mg <= d_total
+    # any item with exact count > d_total must survive
+    for t, c in exact.items():
+        if c > d_total:
+            assert t in state
+    # fold order is part of the definition, but batch RELABELING that
+    # preserves order is a no-op, and feeding the parts list shuffled
+    # re-sorts by batch id (purity of the fold input contract)
+    shuffled = list(reversed(parts))
+    assert mg_fold(shuffled, k) == (state, d_total)
