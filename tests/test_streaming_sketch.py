@@ -264,3 +264,68 @@ def test_empty_batch_wave(spark, sf_dir, tmp_path):
         max_files_per_trigger=1,
     )
     assert _sketch_dict(merged) == _sketch_dict(_batch_cells(docs))
+
+
+def test_mg_two_catchup_waves_equal_batch_fold(spark, sf_dir, tmp_path):
+    """MG heavy hitters across SEPARATE catch-up runs: the first wave
+    lands batches 0-1, a second catch-up (same checkpoint + store)
+    picks up batches 2-3 later — the merged summary equals the batch
+    gate's fold of the full corpus bit-for-bit (batch-keyed partials
+    make delivery timing irrelevant)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trx_spark.queries.mgsketch import (
+        _MG_B,
+        heavy_hitters_mg,
+        mg_batch_partials,
+        mg_fold,
+    )
+    from trx_spark.streaming.sketch import run_mg_catchup
+    from trx_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(b):
+        tmp = tmp_path / f"w{b}"
+        (
+            docs.filter(F.col("doc_id") % _MG_B == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        import glob as _glob
+
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        os.rename(part, str(landing / f"batch_{b}.parquet"))
+
+    kw = dict(
+        landing_dir=str(landing),
+        path_glob_filter="batch_*.parquet",
+        schema=docs.schema,
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    land(0), land(1)
+    run_mg_catchup(spark, **kw)  # wave 1: two epochs
+    land(2), land(3)
+    merged = run_mg_catchup(spark, **kw)  # wave 2: two more
+    got = {
+        (r["token"], r["mg_count"], r["d_total"], r["n_total"])
+        for r in merged.collect()
+    }
+    from trx_spark.queries.curation import _token_stream
+
+    state, d_total = mg_fold(mg_batch_partials(_token_stream(spark, sf_dir)))
+    n_total = _token_stream(spark, sf_dir).count()
+    want = {(t, c, d_total, n_total) for t, c in state.items()}
+    assert got == want
+    # ... and the registered gate agrees on the kept counters
+    gate = {
+        (r["token"], r["mg_count"])
+        for r in heavy_hitters_mg(spark, sf_dir).collect()
+    }
+    assert {(t, c) for t, c, _, _ in got} == gate
