@@ -99,4 +99,11 @@ def run_interval_join_catchup(
     from trx_spark.streaming.incremental import release_state_stores
 
     release_state_stores(spark)
-    return spark.table(name)
+    # materialize OFF the memory sink, then drop it: memory-sink tables
+    # pin their result rows on the driver for the session's lifetime, so
+    # a long-lived service leaks one table per replay (the state-store
+    # provider leak's sibling).  localCheckpoint is eager, so the rows
+    # move to executor blocks (freed by unpersist/GC) before the drop.
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
