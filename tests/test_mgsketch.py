@@ -120,6 +120,61 @@ def test_surprisal_curriculum_easy_first(spark, sf_dir):
         assert bc.get(b, 0) >= scored * 0.15, bc
 
 
+def test_oracle_batch_spine_on_empty_batch(spark):
+    """A corpus where one ``doc_id % B`` residue class has NO tokens:
+    the grid-spine CTE must carry the recursion through the empty
+    batch so the oracle still returns the full fold (the r12 ADVICE
+    false-mismatch: without the spine the recursion halted and the
+    oracle returned zero rows while Spark returned the summary)."""
+    import duckdb
+
+    from trx_spark.queries.mgsketch import _MG_SQL
+
+    # doc_ids 0,1,3 (mod 4) populated; residue class 2 absent entirely
+    rows = [(d, "alpha beta alpha") for d in (0, 1, 3, 4, 5, 7, 8)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = con.execute(_MG_SQL).fetchall()
+    assert got, "oracle returned zero rows on an empty-batch corpus"
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ts = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+    state, d_total = mg_fold(mg_batch_partials(ts))
+    want = {(t, c) for t, c in state.items()}
+    assert {(r[0], r[1]) for r in got} == want
+    assert all(r[4] == d_total for r in got)
+
+
+def test_windowed_guarantee_bounds(spark, sf_dir):
+    """The sliding-window gate: ≤ K kept tokens, bounds measured on
+    the WINDOW's mass, and every column consistent with the window-
+    restricted exact counts."""
+    from trx_spark.queries.curation import _token_stream
+    from trx_spark.queries.mgsketch import _MG_W, heavy_hitters_windowed
+
+    rows = heavy_hitters_windowed(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _MG_K
+    n_total = rows[0]["n_total"]
+    d_total = rows[0]["d_total"]
+    lo = _MG_B - _MG_W
+    n_window = (
+        _token_stream(spark, sf_dir)
+        .filter((F.col("doc_id") % _MG_B) >= lo)
+        .count()
+    )
+    assert n_total == n_window < _token_stream(spark, sf_dir).count()
+    assert 0 <= d_total <= n_total // (_MG_K + 1)
+    for r in rows:
+        assert r["mg_count"] > 0
+        assert 0 <= r["underestimate"] <= d_total
+        assert r["mg_count"] + r["underestimate"] == r["exact_count"]
+
+
 def test_grouped_guarantee_bounds(spark, sf_dir):
     from trx_spark.queries.mgsketch import heavy_hitters_by_source
 

@@ -329,3 +329,107 @@ def test_mg_two_catchup_waves_equal_batch_fold(spark, sf_dir, tmp_path):
         for r in heavy_hitters_mg(spark, sf_dir).collect()
     }
     assert {(t, c) for t, c, _, _ in got} == gate
+
+
+def test_mg_windowed_eviction_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """Sliding-window MG across two catch-up waves: after wave 1
+    (batches 0-1) the W=2 window folds exactly those two; after wave 2
+    (batches 2-3) the window SLIDES — batches 0-1 are evicted from the
+    fold and the merged summary equals the batch gate's recompute on
+    the window [B-W, B) bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trx_spark.queries.curation import _token_stream
+    from trx_spark.queries.mgsketch import (
+        _MG_B,
+        _MG_W,
+        heavy_hitters_windowed,
+        mg_batch_partials,
+        mg_fold,
+    )
+    from trx_spark.streaming.sketch import run_mg_catchup
+    from trx_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(b):
+        tmp = tmp_path / f"w{b}"
+        (
+            docs.filter(F.col("doc_id") % _MG_B == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        import glob as _glob
+
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        os.rename(part, str(landing / f"batch_{b}.parquet"))
+
+    kw = dict(
+        window=_MG_W,
+        landing_dir=str(landing),
+        path_glob_filter="batch_*.parquet",
+        schema=docs.schema,
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def window_fold(lo, hi):
+        ts = _token_stream(spark, sf_dir).filter(
+            ((F.col("doc_id") % _MG_B) >= lo) & ((F.col("doc_id") % _MG_B) < hi)
+        )
+        state, d_total = mg_fold(mg_batch_partials(ts, b=hi, lo=lo))
+        return {
+            (t, c, d_total, ts.count()) for t, c in state.items()
+        }
+
+    land(0), land(1)
+    wave1 = {
+        (r["token"], r["mg_count"], r["d_total"], r["n_total"])
+        for r in run_mg_catchup(spark, **kw).collect()
+    }
+    assert wave1 == window_fold(0, _MG_W)  # window = the 2 landed batches
+    land(2), land(3)
+    wave2 = {
+        (r["token"], r["mg_count"], r["d_total"], r["n_total"])
+        for r in run_mg_catchup(spark, **kw).collect()
+    }
+    # eviction: batches 0-1 left the fold; equals batch recompute on
+    # the window, which is exactly the registered windowed gate
+    assert wave2 == window_fold(_MG_B - _MG_W, _MG_B)
+    gate = {
+        (r["token"], r["mg_count"], r["d_total"], r["n_total"])
+        for r in heavy_hitters_windowed(spark, sf_dir).collect()
+    }
+    assert wave2 == gate
+
+
+def test_mg_duplicate_batch_partials_fail_loudly(spark, sf_dir, tmp_path):
+    """A batch id whose partials span MORE than one epoch violates the
+    one-batch-file-per-micro-batch contract; the merge must raise, not
+    silently drop one epoch's decrement and token mass (the r12
+    ADVICE item)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trx_spark.streaming.sketch import merged_mg
+
+    store = str(tmp_path / "sketch")
+    rows = [(0, "alpha", 3, 0, 10), (0, None, None, 0, 10)]
+    df = spark.createDataFrame(
+        rows, "batch long, token string, pc long, d_part long, n_part long"
+    )
+    for epoch in (0, 1):  # same batch id landing in two epochs
+        (
+            df.withColumn("_epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(store)
+        )
+    with pytest.raises(ValueError, match="multiple epochs"):
+        merged_mg(spark, store)

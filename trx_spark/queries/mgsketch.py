@@ -87,14 +87,16 @@ def mg_fold(
 
 
 def mg_batch_partials(
-    ts: DataFrame, b: int = _MG_B, k: int = _MG_K
+    ts: DataFrame, b: int = _MG_B, k: int = _MG_K, lo: int = 0
 ) -> list[tuple[int, dict[str, int], int]]:
     """Per-batch canonicalized partials from a (doc_id, token) frame.
     One TakeOrderedAndProject job per batch, each collecting ≤ k+1
     rows — the canonical residuals are derivable from the collected
-    top-(k+1) alone (everything below the (k+1)-th largest dies)."""
+    top-(k+1) alone (everything below the (k+1)-th largest dies).
+    ``lo`` restricts to the batch-id window [lo, b) — the sliding
+    window the windowed gate folds."""
     parts = []
-    for i in range(b):
+    for i in range(lo, b):
         rows = (
             ts.filter((F.col("doc_id") % b) == i)
             .groupBy("token")
@@ -139,29 +141,48 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mg_sql_core(k: int = _MG_K, b: int = _MG_B) -> str:
+def _mg_sql_core(k: int = _MG_K, b: int = _MG_B, lo: int = 0) -> str:
     """Recursive-CTE replay of the identical fold (per-batch canon →
     batch-order counter-union + re-canon), the packing.py oracle
-    discipline: every counter value and decrement is hash-checked."""
+    discipline: every counter value and decrement is hash-checked.
+
+    ``lo`` restricts the fold to the batch-id window [lo, b) — the
+    windowed gate's oracle.  The ``grid`` CTE is the batch SPINE: every
+    batch id in the window gets a (d_b = 0, empty-list) plists row even
+    when no token lands in it, so the recursion always reaches step
+    b-1 — without it a corpus with an empty ``doc_id % b`` residue
+    class halts the fold early and the oracle returns zero rows while
+    the Spark side (which handles empty batches) returns the correct
+    summary (the r12 ADVICE false-mismatch).  ``wtoks`` is the
+    window-restricted token stream, exposed for outer exact/total
+    CTEs."""
     from trx_spark.queries.curation import _TOKEN_RE
 
     return f"""toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS token
   FROM documents
 ),
+wtoks AS (
+  SELECT * FROM toks WHERE doc_id % {b} >= {lo}
+),
 bcnt AS (
   SELECT CAST(doc_id % {b} AS BIGINT) AS batch, token,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM toks GROUP BY 1, 2
+  FROM wtoks GROUP BY 1, 2
 ),
 rk AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY batch ORDER BY c DESC, token)
          AS rn
   FROM bcnt
 ),
+grid AS (
+  SELECT CAST(i AS BIGINT) AS batch FROM range({lo}, {b}) t(i)
+),
 db AS (
-  SELECT batch, COALESCE(MAX(CASE WHEN rn = {k + 1} THEN c END), 0) AS d_b
-  FROM rk GROUP BY batch
+  SELECT g.batch, COALESCE(MAX(CASE WHEN r.rn = {k + 1} THEN r.c END), 0)
+         AS d_b
+  FROM grid g LEFT JOIN rk r ON r.batch = g.batch
+  GROUP BY g.batch
 ),
 plists AS (
   SELECT d.batch,
@@ -174,7 +195,7 @@ plists AS (
   GROUP BY d.batch, d.d_b
 ),
 fold AS (
-  SELECT CAST(-1 AS BIGINT) AS step, CAST([] AS VARCHAR[]) AS ktoks,
+  SELECT CAST({lo - 1} AS BIGINT) AS step, CAST([] AS VARCHAR[]) AS ktoks,
          CAST([] AS BIGINT[]) AS kcnts, CAST(0 AS BIGINT) AS d_total
   UNION ALL
   SELECT f.step + 1, comb.kt2, comb.kc2, f.d_total + p.d_b + dd.d
@@ -386,3 +407,62 @@ JOIN tot t ON t.source = k.ksource
 
 QUERIES["heavy_hitters_by_source"] = heavy_hitters_by_source
 ORACLES["heavy_hitters_by_source"] = _mg_by_source_sql()
+
+
+# ---------------------------------------------------------------------
+# Sliding-window variant: heavy hitters over the LAST W deterministic
+# batches only — the "top domains in the last N batches" shape a
+# 100 TB ingest monitor needs (the full-stream summary never forgets;
+# the window does).  Same canon + fold, restricted to the batch-id
+# window [B-W, B): partials for evicted batches simply do not enter
+# the fold, so windowed fold ≡ batch recompute on the window by
+# construction (pinned against the streaming twin's eviction in
+# tests/test_streaming_sketch.py).  The guarantee holds with the
+# window's own mass: underestimate ≤ d_total ≤ n_window/(K+1).
+# ---------------------------------------------------------------------
+
+_MG_W = 2  # window: the last W of the B deterministic batches
+
+
+def heavy_hitters_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over the batch-id window
+    [B-W, B) next to the window-exact counts.  Output per kept token:
+    (token, mg_count, exact_count, underestimate, d_total, n_total),
+    every column computed on the window's token stream only."""
+    from trx_spark.queries.curation import _token_stream
+
+    lo = _MG_B - _MG_W
+    ts = _token_stream(spark, sf_dir).filter((F.col("doc_id") % _MG_B) >= lo)
+    state, d_total = mg_fold(mg_batch_partials(ts, lo=lo))
+    n_total = ts.count()
+    kept = spark.createDataFrame(
+        sorted(state.items()), "token string, mg_count long"
+    )
+    exact = ts.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        exact.join(F.broadcast(kept), "token")
+        .select(
+            "token",
+            "mg_count",
+            "exact_count",
+            (F.col("exact_count") - F.col("mg_count")).alias("underestimate"),
+            F.lit(int(d_total)).cast("long").alias("d_total"),
+            F.lit(int(n_total)).cast("long").alias("n_total"),
+        )
+    )
+
+
+_MG_WINDOWED_SQL = f"""
+WITH RECURSIVE {_mg_sql_core(lo=_MG_B - _MG_W)},
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM wtoks GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM wtoks)
+SELECT k.token, k.mg_count, e.exact_count,
+       e.exact_count - k.mg_count AS underestimate,
+       k.d_total, t.n_total
+FROM kept k JOIN exact e USING (token) CROSS JOIN tot t
+"""
+
+QUERIES["heavy_hitters_windowed"] = heavy_hitters_windowed
+ORACLES["heavy_hitters_windowed"] = _MG_WINDOWED_SQL

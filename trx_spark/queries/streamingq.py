@@ -697,19 +697,14 @@ FROM documents d JOIN q ON q.doc_id = d.doc_id
 """
 
 
-def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Misra-Gries heavy hitters over the documents feed:
-    the corpus is landed as one file per deterministic ``doc_id % B``
-    batch, drained availableNow at one file per micro-batch; each
-    epoch stores a <= K+1-row canonicalized partial, and the merge
-    folds them in BATCH order with the same ``mg_fold`` the batch gate
-    uses -- streamed == batch == oracle bit-for-bit (the fold is a pure
-    function of the multiset because batch membership is).  Output:
-    (token, mg_count, d_total, n_total)."""
+def _mg_landing(spark: SparkSession, sf_dir: str) -> tuple[str, str, object]:
+    """Land the documents corpus as one parquet file per deterministic
+    ``doc_id % B`` batch (the one-batch-file-per-micro-batch contract
+    the MG merge depends on); returns (work_dir, landing_dir,
+    schema)."""
     import glob as _glob
 
     from trx_spark.queries.mgsketch import _MG_B
-    from trx_spark.streaming.sketch import run_mg_catchup
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -729,24 +724,71 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         os.rename(part, os.path.join(landing, f"batch_{b}.parquet"))
+    return work, landing, docs.schema
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters over the documents feed:
+    the corpus is landed as one file per deterministic ``doc_id % B``
+    batch, drained availableNow at one file per micro-batch; each
+    epoch stores a <= K+1-row canonicalized partial, and the merge
+    folds them in BATCH order with the same ``mg_fold`` the batch gate
+    uses -- streamed == batch == oracle bit-for-bit (the fold is a pure
+    function of the multiset because batch membership is).  Output:
+    (token, mg_count, d_total, n_total)."""
+    from trx_spark.streaming.sketch import run_mg_catchup
+
+    work, landing, schema = _mg_landing(spark, sf_dir)
     return run_mg_catchup(
         spark,
         landing_dir=landing,
         path_glob_filter="batch_*.parquet",
-        schema=docs.schema,
+        schema=schema,
         sketch_dir=os.path.join(work, "sketch"),
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
 
 
-def _mg_stream_oracle_sql() -> str:
+def streaming_heavy_hitters_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window streaming MG: same landing + per-batch partial
+    store as ``streaming_heavy_hitters``, but the merge folds only the
+    last W batch ids present — partials older than the window are
+    EVICTED from the fold (not the store, so the window can keep
+    sliding).  After the full drain the window is batches [B-W, B),
+    exactly the batch gate ``heavy_hitters_windowed``'s fold, so the
+    gate shares its windowed recursive-CTE oracle.  Output: (token,
+    mg_count, d_total, n_total) over the window's token stream."""
+    from trx_spark.queries.mgsketch import _MG_W
+    from trx_spark.streaming.sketch import run_mg_catchup
+
+    work, landing, schema = _mg_landing(spark, sf_dir)
+    return run_mg_catchup(
+        spark,
+        window=_MG_W,
+        landing_dir=landing,
+        path_glob_filter="batch_*.parquet",
+        schema=schema,
+        sketch_dir=os.path.join(work, "sketch"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+
+
+def _mg_stream_oracle_sql(lo: int = 0) -> str:
     from trx_spark.queries.mgsketch import _mg_sql_core
 
     return f"""
-WITH RECURSIVE {_mg_sql_core()},
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+WITH RECURSIVE {_mg_sql_core(lo=lo)},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM wtoks)
 SELECT token, mg_count, d_total, n_total FROM kept CROSS JOIN tot
 """
+
+
+def _mg_windowed_stream_oracle_sql() -> str:
+    from trx_spark.queries.mgsketch import _MG_B, _MG_W
+
+    return _mg_stream_oracle_sql(lo=_MG_B - _MG_W)
 
 
 
@@ -761,6 +803,7 @@ QUERIES = {
     "streaming_kmv_sketch": streaming_kmv_sketch,
     "streaming_quantile_sketch": streaming_quantile_sketch,
     "streaming_heavy_hitters": streaming_heavy_hitters,
+    "streaming_heavy_hitters_windowed": streaming_heavy_hitters_windowed,
     "streaming_pricing_summary": streaming_pricing_summary,
     "streaming_running_stats": streaming_running_stats,
     "streaming_lsh_pairs": streaming_lsh_pairs,
@@ -777,6 +820,9 @@ ORACLES: dict[str, str] = {
     "streaming_kmv_sketch": _kmv_sketch_oracle_sql(),
     "streaming_quantile_sketch": _qsketch_oracle_sql(),
     "streaming_heavy_hitters": _mg_stream_oracle_sql(),
+    # the windowed fold over batches [B-W, B) — the batch windowed
+    # gate's recursive-CTE core restricted to the window
+    "streaming_heavy_hitters_windowed": _mg_windowed_stream_oracle_sql(),
     # the SAME oracle as the batch query — the merged view is bit-equal
     "streaming_pricing_summary": _PRICING_SQL,
     "streaming_running_stats": _RUNNING_STATS_SQL,

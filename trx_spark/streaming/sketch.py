@@ -419,26 +419,53 @@ def _batch_mg_partial(batch: DataFrame) -> DataFrame:
     )
 
 
-def merged_mg(spark: SparkSession, sketch_dir: str) -> DataFrame:
+def merged_mg(
+    spark: SparkSession, sketch_dir: str, window: int | None = None
+) -> DataFrame:
     """Fold the stored per-batch partials with the SAME
     queries/mgsketch.mg_fold the batch gate uses: (token, mg_count,
     d_total, n_total).  Bounded driver work — the store holds ≤ K+2
-    rows per batch by construction."""
+    rows per batch by construction.
+
+    A batch id appearing in MORE than one epoch means the
+    one-batch-file-per-micro-batch contract (``_batch_mg_partial``)
+    was violated: the old last-write-wins map would silently drop one
+    epoch's decrement and token mass, so this FAILS LOUDLY instead
+    (the r12 ADVICE item).
+
+    ``window`` keeps only the W highest batch ids present before the
+    fold — the sliding-window summary: evicted batches' partials never
+    enter the fold, so the result equals the batch gate's recompute on
+    the window (the pure-multiset discipline, batch membership being a
+    function of the row)."""
     from trx_spark.queries.mgsketch import mg_fold
 
     rows = spark.read.parquet(sketch_dir).collect()
     parts_map: dict[int, dict[str, int]] = {}
     d_map: dict[int, int] = {}
     n_map: dict[int, int] = {}
+    epochs: dict[int, set[int]] = {}
     for r in rows:
         bid = int(r["batch"])
+        epochs.setdefault(bid, set()).add(int(r["_epoch"]))
         d_map[bid] = int(r["d_part"])
         n_map[bid] = int(r["n_part"])
         if r["token"] is not None:
             parts_map.setdefault(bid, {})[r["token"]] = int(r["pc"])
-    parts = [(b, parts_map.get(b, {}), d_map[b]) for b in sorted(d_map)]
+    dups = sorted(b for b, es in epochs.items() if len(es) > 1)
+    if dups:
+        raise ValueError(
+            f"MG store {sketch_dir} holds partials for batch ids {dups} "
+            "in multiple epochs — a batch's docs spanned micro-batches, "
+            "violating the one-batch-file-per-micro-batch contract; "
+            "merging would silently drop decrement and token mass"
+        )
+    bids = sorted(d_map)
+    if window is not None:
+        bids = bids[-window:]
+    parts = [(b, parts_map.get(b, {}), d_map[b]) for b in bids]
     state, d_total = mg_fold(parts)
-    n_total = sum(n_map.values())
+    n_total = sum(n_map[b] for b in bids)
     return spark.createDataFrame(
         [(t, c, d_total, n_total) for t, c in sorted(state.items())],
         "token string, mg_count long, d_total long, n_total long",
@@ -451,9 +478,18 @@ def merged_mg(spark: SparkSession, sketch_dir: str) -> DataFrame:
 # nothing while destroying the replay order the merge depends on).
 
 
-def run_mg_catchup(spark: SparkSession, **kw) -> DataFrame:
-    """Heavy-hitters catch-up: one batch file per micro-batch."""
+def run_mg_catchup(
+    spark: SparkSession, window: int | None = None, **kw
+) -> DataFrame:
+    """Heavy-hitters catch-up: one batch file per micro-batch.
+    ``window`` = fold only the last W batch ids at merge (sliding
+    window); the store keeps every partial, so the window can slide
+    forward as later batches land without recomputing history."""
     kw.setdefault("max_files_per_trigger", 1)
+
+    def merge(s: SparkSession, d: str) -> DataFrame:
+        return merged_mg(s, d, window=window)
+
     return _run_catchup(
-        spark, partial_fn=_batch_mg_partial, merge_fn=merged_mg, **kw
+        spark, partial_fn=_batch_mg_partial, merge_fn=merge, **kw
     )
