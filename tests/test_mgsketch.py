@@ -271,3 +271,78 @@ def test_mg_fold_properties(batches, k):
     # re-sorts by batch id (purity of the fold input contract)
     shuffled = list(reversed(parts))
     assert mg_fold(shuffled, k) == (state, d_total)
+
+
+def test_dp_heavy_hitters_release(spark, sf_dir):
+    """The second DP mechanism: noise is the scale-2 (b = 1/eps = 2)
+    fixed-point Laplace transform on this release's OWN Lehmer spread,
+    the released flag is exactly the threshold rule, and the released
+    token set is the MG kept set (the sketch bounds the candidates)."""
+    import math
+
+    from trx_spark.queries.curation import _token_stream
+    from trx_spark.queries.mlops import (
+        _DP_A2,
+        _DP_B2,
+        _DP_HH_T,
+        dp_heavy_hitters,
+    )
+    from trx_spark.queries.textdata import _P
+
+    def tok_hash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % _P
+        return acc
+
+    rows = dp_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    state, _ = mg_fold(mg_batch_partials(_token_stream(spark, sf_dir)))
+    assert {r["token"] for r in rows} == set(state)
+    for r in rows:
+        assert r["mg_count"] == state[r["token"]]
+        h = (tok_hash(r["token"]) * _DP_A2 + _DP_B2) % _P
+        u = h / _P
+        exact = -2.0 * math.copysign(1.0, 2 * u - 1) * math.log(
+            max(1 - 2 * abs(u - 0.5), 1 / _P)
+        )
+        got = r["noise_fp32"] / 2**32
+        assert abs(got - exact) < 0.06, (r["token"], got, exact)
+        assert r["noisy_n"] == r["mg_count"] + math.floor(
+            r["noise_fp32"] / 2**32 + 0.5
+        )
+        assert r["released"] == (r["noisy_n"] > _DP_HH_T)
+        assert r["threshold"] == _DP_HH_T
+        assert r["epsilon"] == 0.5 and r["sensitivity"] == 1
+
+
+def test_dp_epsilon_ledger_composition(spark, sf_dir):
+    """Sequential composition: the ledger's running micro-epsilon is
+    the prefix sum of the per-release budgets, and each row's
+    n_released matches the release it accounts for."""
+    from pyspark.sql import functions as F
+
+    from trx_spark.queries.mlops import (
+        dp_epsilon_ledger,
+        dp_heavy_hitters,
+        dp_noisy_counts,
+    )
+
+    rows = sorted(
+        dp_epsilon_ledger(spark, sf_dir).collect(),
+        key=lambda r: r["release_ord"],
+    )
+    assert [r["release"] for r in rows] == [
+        "noisy_counts",
+        "noisy_heavy_hitters",
+    ]
+    cum = 0
+    for r in rows:
+        cum += r["epsilon_micro"]
+        assert r["cum_epsilon_micro"] == cum
+        assert r["cum_epsilon"] == cum / 1e6
+    assert rows[0]["n_released"] == dp_noisy_counts(spark, sf_dir).count()
+    assert (
+        rows[1]["n_released"]
+        == dp_heavy_hitters(spark, sf_dir).filter(F.col("released")).count()
+    )

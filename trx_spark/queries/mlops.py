@@ -560,6 +560,172 @@ FROM nz
 
 
 
+# ---------------------------------------------------------------------
+# Second DP mechanism + the composition ledger (r12 verdict task 3).
+#
+# dp_heavy_hitters: the "noisy top-k" release — Laplace noise (the same
+# exact fixed-point inverse-CDF transform as dp_noisy_counts, scale
+# b = 1/eps = 2) added to the Misra–Gries kept counters, released only
+# above a threshold (the stability-based release shape: the sketch
+# bounds WHICH items can appear, the threshold suppresses small noisy
+# counts).  A DIFFERENT Lehmer spread decorrelates this release's
+# noise from dp_noisy_counts' on any shared key.  Same honesty note as
+# dp_noisy_counts: the deterministic key-hash uniform makes the gate
+# verifiable and provides no privacy; production swaps one secret seed.
+#
+# dp_epsilon_ledger: sequential composition across the releases — the
+# running budget Σ eps_i, carried in MICRO-epsilon integers so the
+# ledger is hash-checkable, next to each release's row count (how much
+# left the building at what price).
+# ---------------------------------------------------------------------
+
+_DP_A2, _DP_B2 = 69621, 4787  # this release's own Lehmer spread
+_DP_EPS_HH = 0.5              # heavy-hitter release budget (b = 1/eps = 2)
+_DP_HH_SCALE = 2              # integer b: noise = b * sgn * ln(P/t)
+_DP_HH_T = 10                 # suppress noisy counts at or below this
+
+
+def dp_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP heavy-hitter release: fixed-point Laplace noise (scale
+    b = 1/eps = 2, count sensitivity 1) on the Misra–Gries kept
+    counters, with a suppression threshold.  Output per kept token:
+    (token, mg_count, noise_fp32, noisy_n, released, threshold,
+    epsilon, sensitivity)."""
+    from trx_spark.queries.curation import _token_stream
+    from trx_spark.queries.langid import _l2fix_spark
+    from trx_spark.queries.mgsketch import mg_batch_partials, mg_fold
+    from trx_spark.queries.textdata import _P, _tok_hash
+
+    ts = _token_stream(spark, sf_dir)
+    state, _d_total = mg_fold(mg_batch_partials(ts))
+    per = spark.createDataFrame(
+        sorted(state.items()), "token string, mg_count long"
+    )
+    h = (_tok_hash(F.col("token")) * F.lit(_DP_A2) + F.lit(_DP_B2)) % F.lit(_P)
+    per = per.withColumn("h", h)
+    per = per.withColumn("v", F.lit(2) * F.col("h") - F.lit(_P)).withColumn(
+        "t", F.greatest(F.lit(_P) - F.abs(F.col("v")), F.lit(1)).cast("long")
+    )
+    l2p = _l2fix_spark(f"CAST({_P} AS BIGINT)")
+    l2t = _l2fix_spark("t")
+    sgn = F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1))
+    noise = (
+        sgn.cast("long")
+        * (F.expr(l2p) - F.expr(l2t)).cast("long")
+        * F.lit(_DP_LN2_FIX).cast("long")
+        * F.lit(_DP_HH_SCALE).cast("long")
+    )
+    per = per.withColumn("noise_fp32", noise)
+    noisy = F.col("mg_count") + F.floor(
+        (F.col("noise_fp32") + F.lit(2147483648)).cast("double")
+        / F.lit(4294967296.0)
+    ).cast("long")
+    return per.select(
+        "token",
+        "mg_count",
+        "noise_fp32",
+        noisy.alias("noisy_n"),
+        (noisy > F.lit(_DP_HH_T)).alias("released"),
+        F.lit(_DP_HH_T).cast("long").alias("threshold"),
+        F.lit(_DP_EPS_HH).cast("double").alias("epsilon"),
+        F.lit(1).cast("long").alias("sensitivity"),
+    )
+
+
+def _dp_hh_core_sql() -> str:
+    """The WITH-body (recursive MG core → noised kept counters) shared
+    by the dp_heavy_hitters oracle and the ledger oracle."""
+    from trx_spark.queries.langid import _l2fix_duck
+    from trx_spark.queries.mgsketch import _mg_sql_core
+    from trx_spark.queries.textdata import _P, _tok_hash_sql
+
+    hh = f"(({_tok_hash_sql('token')}) * {_DP_A2} + {_DP_B2}) % {_P}"
+    l2p = _l2fix_duck(f"CAST({_P} AS BIGINT)")
+    l2t = _l2fix_duck("t")
+    return f"""{_mg_sql_core()},
+tv AS (
+  SELECT token, mg_count, {hh} AS h,
+         2 * ({hh}) - {_P} AS v,
+         CAST(GREATEST({_P} - ABS(2 * ({hh}) - {_P}), 1) AS BIGINT) AS t
+  FROM kept
+),
+nz AS (
+  SELECT *, CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                 * (({l2p}) - ({l2t})) * {_DP_LN2_FIX} * {_DP_HH_SCALE}
+                 AS BIGINT) AS noise_fp32
+  FROM tv
+),
+hhrel AS (
+  SELECT token, mg_count, noise_fp32,
+         mg_count + CAST(FLOOR(CAST(noise_fp32 + 2147483648 AS DOUBLE)
+                               / 4294967296.0) AS BIGINT) AS noisy_n
+  FROM nz
+)"""
+
+
+def _dp_hh_sql() -> str:
+    return f"""
+WITH RECURSIVE {_dp_hh_core_sql()}
+SELECT token, mg_count, noise_fp32, noisy_n,
+       noisy_n > {_DP_HH_T} AS released,
+       CAST({_DP_HH_T} AS BIGINT) AS threshold,
+       CAST({_DP_EPS_HH!r} AS DOUBLE) AS epsilon,
+       CAST(1 AS BIGINT) AS sensitivity
+FROM hhrel
+"""
+
+
+_DP_EPS_MICRO = int(round(_DP_EPS * 1e6))
+_DP_EPS_HH_MICRO = int(round(_DP_EPS_HH * 1e6))
+
+
+def dp_epsilon_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative privacy-budget ledger across the engine's DP
+    releases (sequential composition: budgets add).  One row per
+    release in release order: (release_ord, release, mechanism,
+    n_released, epsilon_micro, cum_epsilon_micro, cum_epsilon) — the
+    running budget is integer micro-epsilon, so the ledger itself is
+    hash-checkable; cum_epsilon is the same value as a double
+    (micro/1e6, exact in a double)."""
+    n1 = dp_noisy_counts(spark, sf_dir).count()
+    n2 = dp_heavy_hitters(spark, sf_dir).filter(F.col("released")).count()
+    releases = [
+        ("noisy_counts", "laplace", int(n1), _DP_EPS_MICRO),
+        ("noisy_heavy_hitters", "laplace_threshold", int(n2), _DP_EPS_HH_MICRO),
+    ]
+    out, cum = [], 0
+    for i, (name, mech, n, em) in enumerate(releases, start=1):
+        cum += em
+        out.append((i, name, mech, n, em, cum, cum / 1e6))
+    return spark.createDataFrame(
+        out,
+        "release_ord long, release string, mechanism string, "
+        "n_released long, epsilon_micro long, cum_epsilon_micro long, "
+        "cum_epsilon double",
+    )
+
+
+def _dp_ledger_sql() -> str:
+    c1, c2 = _DP_EPS_MICRO, _DP_EPS_MICRO + _DP_EPS_HH_MICRO
+    return f"""
+WITH RECURSIVE {_dp_hh_core_sql()}
+SELECT CAST(1 AS BIGINT) AS release_ord, 'noisy_counts' AS release,
+       'laplace' AS mechanism,
+       (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events)
+         AS n_released,
+       CAST({_DP_EPS_MICRO} AS BIGINT) AS epsilon_micro,
+       CAST({c1} AS BIGINT) AS cum_epsilon_micro,
+       CAST({c1} AS DOUBLE) / 1e6 AS cum_epsilon
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'noisy_heavy_hitters', 'laplace_threshold',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hhrel
+        WHERE noisy_n > {_DP_HH_T}),
+       CAST({_DP_EPS_HH_MICRO} AS BIGINT),
+       CAST({c2} AS BIGINT),
+       CAST({c2} AS DOUBLE) / 1e6
+"""
+
+
 QUERIES = {
     "stratified_kfold_assign": stratified_kfold_assign,
     "unimax_language_sampling": unimax_language_sampling,
@@ -567,6 +733,8 @@ QUERIES = {
     "l_diversity_audit": l_diversity_audit,
     "t_closeness_audit": t_closeness_audit,
     "dp_noisy_counts": dp_noisy_counts,
+    "dp_heavy_hitters": dp_heavy_hitters,
+    "dp_epsilon_ledger": dp_epsilon_ledger,
 }
 
 ORACLES = {
@@ -576,4 +744,6 @@ ORACLES = {
     "l_diversity_audit": _LDIV_SQL,
     "t_closeness_audit": _TCLOSE_SQL,
     "dp_noisy_counts": _dp_sql(),
+    "dp_heavy_hitters": _dp_hh_sql(),
+    "dp_epsilon_ledger": _dp_ledger_sql(),
 }
