@@ -727,6 +727,75 @@ def _mg_landing(spark: SparkSession, sf_dir: str) -> tuple[str, str, object]:
     return work, landing, docs.schema
 
 
+def streaming_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental training-set manifest (streaming/matview.py's
+    run_manifest_catchup) in the gate: drain the documents parquet
+    (availableNow) through the curation handler + per-epoch shard
+    rollup and return the finalized merged manifest.
+
+    Over a single replay the first-seen-wins keep rules are the SQL
+    rules of ``streaming_curation_keep``; the manifest is their rollup
+    to (shard, n_docs, n_tokens, n_seqs) — so the incremental view
+    carries a full DuckDB oracle.  Multi-wave ≡ accumulated-verdict
+    recompute is pinned in tests/test_streaming_manifest.py."""
+    from trx_spark.streaming.matview import run_manifest_catchup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    work = tempfile.mkdtemp(prefix="trx_manifest_")
+    return run_manifest_catchup(
+        spark,
+        landing_dir=sf_dir,
+        path_glob_filter="documents.parquet",
+        schema=schema,
+        hash_store=os.path.join(work, "hashes"),
+        band_store=os.path.join(work, "bands"),
+        verdict_dir=os.path.join(work, "verdicts"),
+        manifest_dir=os.path.join(work, "manifest"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+
+
+def _manifest_stream_oracle_sql() -> str:
+    from trx_spark.queries import textdata
+    from trx_spark.queries.corpus import _QUALITY_SQL
+    from trx_spark.queries.curation import _BPE_RE
+    from trx_spark.queries.packing import _N_PACK_SHARDS, _SEQ_BUDGET
+
+    quality = _QUALITY_SQL.strip().rstrip(";")
+    return f"""
+WITH {textdata._PAIRS_CTES},
+near AS (
+  SELECT DISTINCT a.doc_id
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy
+   AND b.doc_id < a.doc_id
+),
+ef AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+q AS ({quality}),
+keptdocs AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE q.keep AND d.doc_id IN (SELECT doc_id FROM ef)
+    AND NOT (d.doc_id IN (SELECT doc_id FROM near))
+),
+base AS (
+  SELECT CAST(doc_id % {_N_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM keptdocs
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(ceil(CAST(SUM(n_tokens) AS DOUBLE) / {float(_SEQ_BUDGET)})
+            AS BIGINT) AS n_seqs
+FROM base GROUP BY shard
+"""
+
+
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters over the documents feed:
     the corpus is landed as one file per deterministic ``doc_id % B``
@@ -808,6 +877,7 @@ QUERIES = {
     "streaming_running_stats": streaming_running_stats,
     "streaming_lsh_pairs": streaming_lsh_pairs,
     "streaming_curation_keep": streaming_curation_keep,
+    "streaming_manifest": streaming_manifest,
 }
 ORACLES: dict[str, str] = {
     "streaming_incremental_stats": _INCREMENTAL_STATS_SQL,
@@ -831,4 +901,7 @@ ORACLES: dict[str, str] = {
     # single-replay first-seen-wins rules, fully SQL (batch quality ∧
     # min-doc_id-per-hash ∧ capped band-key match to a smaller doc_id)
     "streaming_curation_keep": _curation_keep_oracle_sql(),
+    # single-replay first-seen-wins keep rules rolled up to shards —
+    # the incremental twin of batch training_set_manifest
+    "streaming_manifest": _manifest_stream_oracle_sql(),
 }

@@ -119,6 +119,194 @@ def compact_pricing_view(spark: SparkSession, view_dir: str) -> None:
     compact_store(spark, view_dir, _merge_partials)
 
 
+# ---------------------------------------------------------------------
+# Incremental TRAINING-SET MANIFEST: the streaming twin of the batch
+# curation capstone (queries/packing.training_set_manifest).
+#
+# The batch capstone rolls the keep-list survivors up into per-shard
+# (n_docs, n_tokens, n_seqs).  The online variant composes the two
+# streaming mechanisms this module family already has: the curation
+# handler (streaming/curation.py) assigns each arriving document its
+# FIRST-SEEN-WINS keep verdict (verdicts are final — first-seen-wins
+# never revises them), and the matview discipline above turns each
+# epoch's newly-kept docs into a mergeable ≤ n_shards-row partial
+# (per-shard doc + token sums).  The merge is a key-wise SUM and the
+# only non-associative column (n_seqs = ceil(tokens/budget)) is
+# computed at FINALIZE, exactly like the pricing view's averages — so
+# replayed/multi-wave ingest equals a recompute over the accumulated
+# verdicts (pinned in tests/test_streaming_manifest.py), and a single
+# full-corpus replay carries a complete DuckDB oracle (the
+# ``streaming_manifest`` gate: the SQL first-seen-wins keep rules
+# rolled up to shards).
+#
+# Scale shape: per-epoch work is the curation handler's (bounded store
+# probes on touched buckets) plus one O(batch) map-side aggregation;
+# the manifest store grows O(epochs · n_shards) rows and compaction
+# folds it back to O(n_shards).
+# ---------------------------------------------------------------------
+
+
+def _manifest_partial(batch: DataFrame, verdict_dir: str, epoch: int,
+                      n_shards: int) -> DataFrame:
+    """≤ n_shards-row partial from this epoch's newly-kept documents:
+    the epoch's verdict partition (just written — or already on disk
+    when a replayed leg skipped the verdict) gates the batch docs."""
+    from trx_spark.queries.curation import _BPE_RE
+
+    spark = batch.sparkSession
+    kept = (
+        spark.read.parquet(verdict_dir)
+        .filter((F.col("_epoch") == epoch) & F.col("keep"))
+        .select("doc_id")
+    )
+    n_tok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    ).cast("long")
+    return (
+        batch.join(F.broadcast(kept), "doc_id", "left_semi")
+        .select(
+            (F.col("doc_id") % n_shards).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def make_manifest_batch_handler(
+    hash_store: str,
+    band_store: str,
+    verdict_dir: str,
+    manifest_dir: str,
+    *,
+    n_shards: int | None = None,
+    key_cap: int | None = None,
+):
+    """foreachBatch handler: curation verdicts first (their own
+    replay/compaction gating lives in the curation handler), then this
+    epoch's manifest partial, idempotently into its ``_epoch``
+    partition and gated on the manifest store's OWN compaction
+    watermark."""
+    from trx_spark.queries.packing import _N_PACK_SHARDS
+    from trx_spark.sources.sinks import compacted_through
+    from trx_spark.streaming.curation import (
+        _STREAM_KEY_CAP,
+        make_curation_batch_handler,
+    )
+
+    shards = _N_PACK_SHARDS if n_shards is None else n_shards
+    cap = _STREAM_KEY_CAP if key_cap is None else key_cap
+    curate = make_curation_batch_handler(
+        hash_store, band_store, verdict_dir, key_cap=cap
+    )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        curate(batch, epoch_id)
+        if e <= compacted_through(manifest_dir):
+            return  # this epoch's rollup already lives in _epoch=-1
+        (
+            _manifest_partial(batch, verdict_dir, e, shards)
+            .withColumn("_epoch", F.lit(e))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(manifest_dir)
+        )
+
+    return handle
+
+
+def _merge_manifest_partials(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Key-wise sum of the epoch partials (shared by finalize and
+    compaction — partial columns only, never the finalized n_seqs)."""
+    return (
+        spark.read.parquet(manifest_dir)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def merged_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Merged partials finalized to the batch capstone's schema:
+    (shard, n_docs, n_tokens, n_seqs) — n_seqs is derived from the
+    MERGED token sum, the same expression the batch query evaluates."""
+    from pyspark.errors import AnalysisException
+
+    from trx_spark.queries.packing import _SEQ_BUDGET
+
+    try:
+        m = _merge_manifest_partials(spark, manifest_dir)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return spark.createDataFrame(
+                [], "shard BIGINT, n_docs BIGINT, n_tokens BIGINT, n_seqs BIGINT"
+            )
+        raise
+    return m.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.ceil(F.col("n_tokens").cast("double") / F.lit(float(_SEQ_BUDGET)))
+        .alias("n_seqs"),
+    )
+
+
+def compact_manifest_view(spark: SparkSession, manifest_dir: str) -> None:
+    """Fold the manifest's epoch history to one partial per shard
+    (watermarked, like every store in this family)."""
+    compact_store(spark, manifest_dir, _merge_manifest_partials)
+
+
+def run_manifest_catchup(
+    spark: SparkSession,
+    *,
+    landing_dir: str,
+    schema: StructType | str,
+    hash_store: str,
+    band_store: str,
+    verdict_dir: str,
+    manifest_dir: str,
+    checkpoint_dir: str,
+    path_glob_filter: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the landing dir (availableNow) through the curation +
+    manifest handler; return the finalized merged manifest."""
+    reader = spark.readStream.schema(schema)
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            make_manifest_batch_handler(
+                hash_store, band_store, verdict_dir, manifest_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from trx_spark.streaming.incremental import release_state_stores
+
+    release_state_stores(spark)
+    return merged_manifest(spark, manifest_dir)
+
+
 def run_pricing_matview_catchup(
     spark: SparkSession,
     *,
