@@ -346,6 +346,12 @@ HEADLINE = [
     "surprisal_curriculum",
     # the DP count-release plumbing (fixed-point Laplace inverse-CDF)
     "dp_noisy_counts",
+    # round-13: sliding-window MG (last-W-batches heavy hitters), the
+    # second DP mechanism (noisy MG release with threshold) and the
+    # sequential-composition epsilon ledger
+    "heavy_hitters_windowed",
+    "dp_heavy_hitters",
+    "dp_epsilon_ledger",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch
@@ -378,7 +384,26 @@ STREAMING = [
     # r12: the fifth family — MG heavy hitters, one batch file per
     # micro-batch, partials folded in batch order at merge
     "streaming_heavy_hitters",
+    # r13: the sliding-window MG twin (evicting fold over the same
+    # partial store) and the incremental training-set manifest
+    # (curation verdicts + mergeable shard partials)
+    "streaming_heavy_hitters_windowed",
+    "streaming_manifest",
 ]
+
+
+def _wait_idle(max_load: float, max_wait: float) -> dict:
+    """Bounded wait for the 1-min loadavg to drop under the threshold;
+    returns a stamp so the artifact self-identifies if it never did."""
+    gate = {"max_load": max_load, "start_load": os.getloadavg()[0]}
+    waited = 0.0
+    while os.getloadavg()[0] > max_load and waited < max_wait:
+        time.sleep(10.0)
+        waited += 10.0
+    gate["waited_sec"] = waited
+    gate["load_after_wait"] = os.getloadavg()[0]
+    gate["exceeded"] = gate["load_after_wait"] > max_load
+    return gate
 
 
 def main() -> None:
@@ -391,19 +416,12 @@ def main() -> None:
     # but mark the artifact so it self-identifies as contaminated.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "300"))
-    gate = {"max_load": max_load, "start_load": os.getloadavg()[0]}
-    waited = 0.0
-    while os.getloadavg()[0] > max_load and waited < max_wait:
-        time.sleep(10.0)
-        waited += 10.0
-    gate["waited_sec"] = waited
-    gate["load_after_wait"] = os.getloadavg()[0]
-    gate["exceeded"] = gate["load_after_wait"] > max_load
+    gate = _wait_idle(max_load, max_wait)
     if gate["exceeded"]:
         print(
             f"WARNING: benching under load {gate['load_after_wait']:.2f} "
-            f"> {max_load} after waiting {waited:.0f}s — artifact is "
-            "stamped load_gate.exceeded=true",
+            f"> {max_load} after waiting {gate['waited_sec']:.0f}s — "
+            "artifact is stamped load_gate.exceeded=true",
             file=sys.stderr,
         )
     spark = get_spark("trx_spark_bench")
@@ -479,8 +497,24 @@ def main() -> None:
     rt = spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
     jvm_ident = {"name": rt.getName(), "start_ms": rt.getStartTime()}
 
+    # Per-pass idle gate (r12 verdict task 2): one start gate is not
+    # enough — the r12 driver run started at load 1.33 but its steady
+    # pass began at load ≈ 9 and the always-last streaming pass at
+    # ≈ 13.6, turning a healthy pass into an apparent 2× regression
+    # that took a standalone A/B probe to clear.  Re-arm a bounded
+    # drain-wait at EVERY pass boundary so each pass starts within the
+    # gate bound; the wait and outcome are stamped per pass.  The 1-min
+    # loadavg needs ~1-3 min to decay after a 32-thread pass, hence the
+    # larger per-pass budget default.
+    pass_max_load = float(
+        os.environ.get("SPARK_GRAFT_BENCH_PASS_MAX_LOAD", str(max_load))
+    )
+    pass_max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_PASS_WAIT", "240"))
+
     def stamped(label: str, fn):
+        pass_gate = _wait_idle(pass_max_load, pass_max_wait)
         stamp = {
+            "gate": pass_gate,
             "load_start": list(os.getloadavg()),
             "t_start": round(time.time(), 1),
             "gc_ms_start": jvm_gc_ms(),
@@ -585,12 +619,23 @@ def main() -> None:
         no_oracle = sorted(n for n in names if n not in ORACLES)
         oracled = [n for n in names if n in ORACLES]
         rows = sorted(newest[n] for n in oracled if n in newest)
+        never = sorted(n for n in oracled if n not in newest)
+        # per-name provenance for never-checked entries (r12 verdict
+        # task 6): the artifact records why each is expected-green
+        # before its first driver row — the builder's in-session
+        # cell-exact verification vs the DuckDB oracle
+        from trx_spark.queries import LOCAL_VERIFICATION
+
         detail["registry"] = {
             "n_queries": len(names),
             "n_benched": len(set(HEADLINE) | set(STREAMING)),
             "gate_window": GATE_WINDOW,
             "no_oracle_by_design": no_oracle,
-            "never_checked": sum(1 for n in oracled if n not in newest),
+            "never_checked": len(never),
+            "never_checked_names": never,
+            "local_verification": {
+                n: LOCAL_VERIFICATION[n] for n in never if n in LOCAL_VERIFICATION
+            },
             "oldest_row_round": rows[0] if rows else None,
             "rows_by_round": {
                 str(r): rows.count(r) for r in sorted(set(rows))

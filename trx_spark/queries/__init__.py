@@ -236,10 +236,72 @@ _R12_STALE_R07 = [
     "pca_leading_component", "per_source_sample", "pii_scrub",
 ]
 _R12_WINDOW = _R12_LATE_R11 + _R12_NEW + _R12_STALE_R07
+# (The r12 window is recorded in CORRECTNESS_r12.json: 50/50 green;
+# kept as history.)
+# Round-13 window, executing the r12 verdict's rotation note exactly:
+# (a) the 13 names whose newest driver row is r07-era — the LAST of
+# the code-currency backlog; (b) the 2 r12 gates that landed after the
+# r12 window sealed (dp_noisy_counts, heavy_hitters_by_source — each
+# verified vs its oracle at sf0.001 + sf0.01 in-session AND re-verified
+# bit-exact by the r12 judge); (c) the 5 new r13 gates (windowed MG
+# batch + streaming, DP heavy hitters + epsilon ledger, incremental
+# manifest — same pre-landing verification, see LOCAL_VERIFICATION);
+# (d) code-currency: the alphabetically-first 30 of the 48 names whose
+# newest driver row is r08-era.  After r13 no oracle-bearing name's
+# newest row predates r08 and never_checked == 0 for the first time.
+# The remaining 18 r08-era names queue for r14 (pq_codes,
+# promo_revenue_share, record_linkage_pairs, simhash_neardup_pairs,
+# source_overlap_matrix, source_token_drift, split_leakage_audit,
+# streaming_curation_keep, streaming_lsh_pairs, table_profile,
+# tokenizer_fertility, training_set_manifest, trimmed_length_stats,
+# url_dedup_keep, volume_shipping, wordpiece_encode,
+# zorder_layout_keys, zorder_skipping_stats).
+_R13_STALE_R07 = [
+    "priority_sample", "quality_stratified_sample", "readability_stats",
+    "semantic_dedup", "shingle_minhash_recall", "source_quality_rollup",
+    "stratified_sample", "streaming_attribution_join", "streaming_cms_cells",
+    "streaming_dedup_keys", "streaming_hll_registers",
+    "streaming_session_stats", "streaming_windowed_counts",
+]
+_R13_LATE_R12 = ["dp_noisy_counts", "heavy_hitters_by_source"]
+_R13_NEW = [
+    "heavy_hitters_windowed", "streaming_heavy_hitters_windowed",
+    "dp_heavy_hitters", "dp_epsilon_ledger", "streaming_manifest",
+]
+_R13_STALE_R08 = [
+    "ann_cosine_topk", "ann_opq_topk", "ann_recall_audit",
+    "boilerplate_spans", "ccnet_quality_buckets", "cdc_chunk_dedup",
+    "cdc_chunks", "cheapest_supplier_per_part", "contrastive_triples",
+    "csv_ingest_stats", "curation_funnel_report", "decontam_bloom_flags",
+    "dedup_report", "dedup_savings_report", "dictionary_tag_spans",
+    "embedding_standardized", "event_type_correlation", "ewma_anomaly",
+    "hybrid_rank_rrf", "jsonl_ingest_stats", "knn_reciprocal_pairs",
+    "layout_scan_savings", "minhash_containment",
+    "minhash_estimate_calibration", "mmr_diverse_topk",
+    "national_market_share", "ngram_novelty", "opq_recall_audit",
+    "padding_waste_audit", "png_decode_stats",
+]
+_R13_WINDOW = _R13_STALE_R07 + _R13_LATE_R12 + _R13_NEW + _R13_STALE_R08
 # the driver hashes this many leading registry entries per round; the
 # bench telemetry stamps it so committed artifacts track resizes
 GATE_WINDOW = 50
-assert len(_R12_WINDOW) == GATE_WINDOW, len(_R12_WINDOW)
-_order = _R12_WINDOW + [n for n in QUERIES if n not in set(_R12_WINDOW)]
+assert len(_R13_WINDOW) == GATE_WINDOW, len(_R13_WINDOW)
+_order = _R13_WINDOW + [n for n in QUERIES if n not in set(_R13_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
+
+# Local-verification provenance for oracle-bearing names without a
+# driver CORRECTNESS row yet (r12 verdict task 6): where/when the
+# builder verified the gate vs its DuckDB oracle — cell-exact,
+# order-insensitive, column-name-sorted (stricter than the driver's
+# hash) — BEFORE landing it.  The bench stamps the relevant subset
+# into BENCH_DETAIL's registry block so the artifact explains why a
+# never-checked name is expected-green; entries are pruned once the
+# name has a driver row.
+LOCAL_VERIFICATION = {
+    "heavy_hitters_windowed": {"round": 13, "sfs": ["0.001", "0.01"]},
+    "streaming_heavy_hitters_windowed": {"round": 13, "sfs": ["0.001", "0.01"]},
+    "dp_heavy_hitters": {"round": 13, "sfs": ["0.001", "0.01"]},
+    "dp_epsilon_ledger": {"round": 13, "sfs": ["0.001", "0.01"]},
+    "streaming_manifest": {"round": 13, "sfs": ["0.001", "0.01"]},
+}
