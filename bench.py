@@ -352,6 +352,10 @@ HEADLINE = [
     "heavy_hitters_windowed",
     "dp_heavy_hitters",
     "dp_epsilon_ledger",
+    # the third DP mechanism: quantile via the base-2 exponential
+    # mechanism (landed after the r13 window sealed; see
+    # LOCAL_VERIFICATION)
+    "dp_quantile",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -335,6 +335,7 @@ def test_dp_epsilon_ledger_composition(spark, sf_dir):
     assert [r["release"] for r in rows] == [
         "noisy_counts",
         "noisy_heavy_hitters",
+        "dp_quantile",
     ]
     cum = 0
     for r in rows:
@@ -346,3 +347,47 @@ def test_dp_epsilon_ledger_composition(spark, sf_dir):
         rows[1]["n_released"]
         == dp_heavy_hitters(spark, sf_dir).filter(F.col("released")).count()
     )
+    assert rows[2]["n_released"] == 1  # one scalar per quantile release
+
+
+def test_dp_quantile_exponential_mechanism(spark, sf_dir):
+    """The base-2 exponential mechanism: the released cent reproduces
+    an independent pure-Python replay from the raw values, lands
+    within the 62-row weight window of the target rank (the
+    deterministic uniform never reaches the floor-weight tail on real
+    data), and the released value brackets the true median."""
+    import bisect
+
+    from trx_spark.queries.mlops import (
+        _DPQ_GRID,
+        _DPQ_SHIFT,
+        _dpq_uh,
+        dp_quantile,
+    )
+    from trx_spark.queries.textdata import _P
+    from trx_spark.tables import load_table
+
+    row = dp_quantile(spark, sf_dir).collect()[0]
+    vals = sorted(
+        int(v[0] * 100 // 1)
+        for v in load_table(spark, sf_dir, "events").select("value").collect()
+    )
+    # independent replay (bisect over the sorted raw cents directly)
+    n = len(vals)
+    tgt = n // 2
+    total, cw = 0, []
+    for g in range(_DPQ_GRID):
+        d = abs(bisect.bisect_left(vals, g) - tgt)
+        total += 1 << (_DPQ_SHIFT - min(d, _DPQ_SHIFT))
+        cw.append(total)
+    thresh = _dpq_uh() * total
+    sel = next(g for g in range(_DPQ_GRID) if cw[g] * _P > thresh)
+    assert row["released_cents"] == sel
+    assert row["n"] == n and row["q"] == 0.5
+    assert row["d_sel"] == abs(bisect.bisect_left(vals, sel) - tgt) <= 62
+    # rank-accuracy: the release sits between the order statistics 62
+    # rows either side of the target rank (the weight window)
+    assert vals[max(0, tgt - 63)] <= row["released_cents"] <= vals[
+        min(n - 1, tgt + 63)
+    ] + 1
+    assert row["released_value"] == row["released_cents"] / 100.0

@@ -255,7 +255,9 @@ _R12_WINDOW = _R12_LATE_R11 + _R12_NEW + _R12_STALE_R07
 # streaming_curation_keep, streaming_lsh_pairs, table_profile,
 # tokenizer_fertility, training_set_manifest, trimmed_length_stats,
 # url_dedup_keep, volume_shipping, wordpiece_encode,
-# zorder_layout_keys, zorder_skipping_stats).
+# zorder_layout_keys, zorder_skipping_stats) PLUS dp_quantile, which
+# landed after this window sealed (verified at sf0.001 + sf0.01
+# in-session; provenance in LOCAL_VERIFICATION below).
 _R13_STALE_R07 = [
     "priority_sample", "quality_stratified_sample", "readability_stats",
     "semantic_dedup", "shingle_minhash_recall", "source_quality_rollup",
@@ -304,4 +306,6 @@ LOCAL_VERIFICATION = {
     "dp_heavy_hitters": {"round": 13, "sfs": ["0.001", "0.01"]},
     "dp_epsilon_ledger": {"round": 13, "sfs": ["0.001", "0.01"]},
     "streaming_manifest": {"round": 13, "sfs": ["0.001", "0.01"]},
+    # landed after the r13 window sealed; queued for the r14 window
+    "dp_quantile": {"round": 13, "sfs": ["0.001", "0.01"]},
 }

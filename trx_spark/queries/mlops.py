@@ -675,6 +675,148 @@ FROM hhrel
 """
 
 
+# ---------------------------------------------------------------------
+# Third DP mechanism: quantile release via the EXPONENTIAL MECHANISM
+# over a fixed candidate grid, in exact integer arithmetic.  The trick
+# that makes the release hash-checkable: run the mechanism at
+# eps = 2·ln 2 per unit utility, so the un-normalized weight of a
+# candidate at rank-distance d from the target is exp(eps·(−d)/2)
+# = 2^(−d) — an EXACT power of two.  Scaled by 2^62 the weights are
+# integers (utility floored at −62: candidates further than 62 rows
+# from the target rank share the minimum weight 1, a bounded-utility
+# variant that keeps the total strictly positive), the cumulative-sum
+# inverse-CDF selection is exact integer comparison (Python bigints on
+# the Spark side, HUGEINT in DuckDB), and the released value is
+# bit-reproducible.  Same honesty note as the Laplace releases: the
+# selection uniform is a deterministic public label hash; production
+# swaps one secret seed.
+#
+# Scale shape: the only data-sized work is one partial-aggregatable
+# groupBy (value cents → counts); the per-cent table is bounded by the
+# VALUE DOMAIN's width in cents (a domain constant, ≤ the grid size
+# for in-grid data), so the driver-side selection walks a bounded
+# array — the bounded-collect discipline (epoch maxima, MG partials).
+# ---------------------------------------------------------------------
+
+_DPQ_GRID = 131072           # candidate grid: cents 0 .. 2^17-1
+_DPQ_SHIFT = 62              # weight = 2^(SHIFT - min(d, SHIFT))
+_DPQ_QN, _DPQ_QD = 1, 2      # released quantile: the median
+_DPQ_EPS_MICRO = 1386294     # eps = 2·ln 2 (micro), the base-2 mechanism
+
+
+def _py_tok_hash(s: str) -> int:
+    """The engine's 31-multiplier string hash (textdata._tok_hash),
+    evaluated in Python for module-scope constants."""
+    from trx_spark.queries.textdata import _P
+
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % _P
+    return acc
+
+
+def _dpq_uh() -> int:
+    """The release's deterministic selection uniform (numerator over
+    _P): the label hash through this family's own Lehmer spread."""
+    from trx_spark.queries.textdata import _P
+
+    return (
+        _py_tok_hash("dp_quantile:events.value:q=1/2") * _DP_A2 + _DP_B2
+    ) % _P
+
+
+def dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP median of ``events.value`` via the base-2 exponential
+    mechanism on the fixed cents grid [0, _DPQ_GRID).  Output (one
+    row): (q, n, released_cents, released_value, d_sel, epsilon_micro,
+    mechanism)."""
+    import bisect
+
+    from trx_spark.queries.textdata import _P
+
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    pairs = sorted((int(r["c"]), int(r["k"])) for r in per)
+    cents = [c for c, _ in pairs]
+    prefix = [0]
+    for _, k in pairs:
+        prefix.append(prefix[-1] + k)
+    n = prefix[-1]
+    tgt = (n * _DPQ_QN) // _DPQ_QD
+
+    def nb(g: int) -> int:  # rows strictly below candidate g
+        return prefix[bisect.bisect_left(cents, g)]
+
+    total = 0
+    cw = []
+    for g in range(_DPQ_GRID):
+        d = abs(nb(g) - tgt)
+        total += 1 << (_DPQ_SHIFT - min(d, _DPQ_SHIFT))
+        cw.append(total)
+    thresh = _dpq_uh() * total  # select min g with cw[g]·P > u·total·P/P
+    sel = next(g for g in range(_DPQ_GRID) if cw[g] * _P > thresh)
+    d_sel = abs(nb(sel) - tgt)
+    row = (
+        _DPQ_QN / _DPQ_QD,
+        n,
+        sel,
+        sel / 100.0,
+        d_sel,
+        _DPQ_EPS_MICRO,
+        "exponential_base2",
+    )
+    return spark.createDataFrame(
+        [row],
+        "q double, n long, released_cents long, released_value double, "
+        "d_sel long, epsilon_micro long, mechanism string",
+    )
+
+
+def _dpq_sql() -> str:
+    from trx_spark.queries.textdata import _P
+
+    return f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+tgt AS (SELECT (n * {_DPQ_QN}) // {_DPQ_QD} AS t, n FROM tot),
+per AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM cents GROUP BY c),
+cum AS (SELECT c, SUM(k) OVER (ORDER BY c) AS cl FROM per),
+grid AS (SELECT CAST(i AS BIGINT) AS g FROM range(0, {_DPQ_GRID}) t(i)),
+below AS (
+  SELECT grid.g, COALESCE(cum.cl, 0) AS nb
+  FROM grid ASOF LEFT JOIN cum ON grid.g > cum.c
+),
+wts AS (
+  SELECT g, nb,
+         CAST(1 AS HUGEINT)
+           << CAST({_DPQ_SHIFT} - LEAST(ABS(nb - (SELECT t FROM tgt)),
+                                        {_DPQ_SHIFT}) AS INTEGER) AS w
+  FROM below
+),
+cw AS (SELECT g, nb, w, SUM(w) OVER (ORDER BY g) AS cws FROM wts),
+tw AS (SELECT SUM(w) AS tws FROM wts),
+sel AS (
+  SELECT MIN(g) AS g FROM cw, tw WHERE cws * {_P} > {_dpq_uh()} * tws
+)
+SELECT CAST({_DPQ_QN} AS DOUBLE) / {_DPQ_QD} AS q,
+       (SELECT n FROM tot) AS n,
+       s.g AS released_cents,
+       CAST(s.g AS DOUBLE) / 100.0 AS released_value,
+       CAST(ABS((SELECT nb FROM below WHERE below.g = s.g)
+                - (SELECT t FROM tgt)) AS BIGINT) AS d_sel,
+       CAST({_DPQ_EPS_MICRO} AS BIGINT) AS epsilon_micro,
+       'exponential_base2' AS mechanism
+FROM sel s
+"""
+
+
 _DP_EPS_MICRO = int(round(_DP_EPS * 1e6))
 _DP_EPS_HH_MICRO = int(round(_DP_EPS_HH * 1e6))
 
@@ -692,6 +834,8 @@ def dp_epsilon_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     releases = [
         ("noisy_counts", "laplace", int(n1), _DP_EPS_MICRO),
         ("noisy_heavy_hitters", "laplace_threshold", int(n2), _DP_EPS_HH_MICRO),
+        # the quantile releases exactly one scalar by construction
+        ("dp_quantile", "exponential_base2", 1, _DPQ_EPS_MICRO),
     ]
     out, cum = [], 0
     for i, (name, mech, n, em) in enumerate(releases, start=1):
@@ -706,7 +850,9 @@ def dp_epsilon_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dp_ledger_sql() -> str:
-    c1, c2 = _DP_EPS_MICRO, _DP_EPS_MICRO + _DP_EPS_HH_MICRO
+    c1 = _DP_EPS_MICRO
+    c2 = c1 + _DP_EPS_HH_MICRO
+    c3 = c2 + _DPQ_EPS_MICRO
     return f"""
 WITH RECURSIVE {_dp_hh_core_sql()}
 SELECT CAST(1 AS BIGINT) AS release_ord, 'noisy_counts' AS release,
@@ -723,6 +869,12 @@ SELECT CAST(2 AS BIGINT), 'noisy_heavy_hitters', 'laplace_threshold',
        CAST({_DP_EPS_HH_MICRO} AS BIGINT),
        CAST({c2} AS BIGINT),
        CAST({c2} AS DOUBLE) / 1e6
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'dp_quantile', 'exponential_base2',
+       CAST(1 AS BIGINT),
+       CAST({_DPQ_EPS_MICRO} AS BIGINT),
+       CAST({c3} AS BIGINT),
+       CAST({c3} AS DOUBLE) / 1e6
 """
 
 
@@ -734,6 +886,7 @@ QUERIES = {
     "t_closeness_audit": t_closeness_audit,
     "dp_noisy_counts": dp_noisy_counts,
     "dp_heavy_hitters": dp_heavy_hitters,
+    "dp_quantile": dp_quantile,
     "dp_epsilon_ledger": dp_epsilon_ledger,
 }
 
@@ -745,5 +898,6 @@ ORACLES = {
     "t_closeness_audit": _TCLOSE_SQL,
     "dp_noisy_counts": _dp_sql(),
     "dp_heavy_hitters": _dp_hh_sql(),
+    "dp_quantile": _dpq_sql(),
     "dp_epsilon_ledger": _dp_ledger_sql(),
 }
