@@ -353,9 +353,10 @@ HEADLINE = [
     "dp_heavy_hitters",
     "dp_epsilon_ledger",
     # the third DP mechanism: quantile via the base-2 exponential
-    # mechanism (landed after the r13 window sealed; see
-    # LOCAL_VERIFICATION)
+    # mechanism, global + per-group (landed after the r13 window
+    # sealed; see LOCAL_VERIFICATION)
     "dp_quantile",
+    "dp_group_quantiles",
 ]
 
 # Streaming gate queries: excluded from HEADLINE (their foreachBatch

@@ -336,6 +336,7 @@ def test_dp_epsilon_ledger_composition(spark, sf_dir):
         "noisy_counts",
         "noisy_heavy_hitters",
         "dp_quantile",
+        "dp_group_quantiles",
     ]
     cum = 0
     for r in rows:
@@ -348,6 +349,9 @@ def test_dp_epsilon_ledger_composition(spark, sf_dir):
         == dp_heavy_hitters(spark, sf_dir).filter(F.col("released")).count()
     )
     assert rows[2]["n_released"] == 1  # one scalar per quantile release
+    # parallel composition: the grouped release charges eps ONCE
+    assert rows[3]["epsilon_micro"] == rows[2]["epsilon_micro"]
+    assert rows[3]["mechanism"] == "exponential_base2_parallel"
 
 
 def test_dp_quantile_exponential_mechanism(spark, sf_dir):
@@ -391,3 +395,44 @@ def test_dp_quantile_exponential_mechanism(spark, sf_dir):
         min(n - 1, tgt + 63)
     ] + 1
     assert row["released_value"] == row["released_cents"] / 100.0
+
+
+def test_dp_group_quantiles_per_group_mechanism(spark, sf_dir):
+    """The grouped release: every event_type gets its own mechanism
+    run on its own rows (an independent pure-Python replay per group),
+    group row counts partition the table (the disjointness that makes
+    parallel composition valid), and each group's uniform differs
+    (decorrelated selections)."""
+    import bisect
+
+    from trx_spark.queries.mlops import (
+        _DPQ_GRID,
+        _DPQ_SHIFT,
+        _dpq_grp_uh,
+        dp_group_quantiles,
+    )
+    from trx_spark.queries.textdata import _P
+    from trx_spark.tables import load_table
+
+    rows = {r["event_type"]: r for r in dp_group_quantiles(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[int]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(int(r["value"] * 100 // 1))
+    assert set(rows) == set(by_type)
+    assert sum(r["n"] for r in rows.values()) == len(ev)  # disjoint partition
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        tgt = n // 2
+        total, cw = 0, []
+        for g in range(_DPQ_GRID):
+            d = abs(bisect.bisect_left(vals, g) - tgt)
+            total += 1 << (_DPQ_SHIFT - min(d, _DPQ_SHIFT))
+            cw.append(total)
+        thresh = _dpq_grp_uh(et) * total
+        sel = next(g for g in range(_DPQ_GRID) if cw[g] * _P > thresh)
+        assert rows[et]["released_cents"] == sel, et
+        assert rows[et]["n"] == n
+        assert rows[et]["d_sel"] == abs(bisect.bisect_left(vals, sel) - tgt) <= 62
+    assert len({_dpq_grp_uh(et) for et in by_type}) == len(by_type)

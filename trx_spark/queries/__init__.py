@@ -308,4 +308,5 @@ LOCAL_VERIFICATION = {
     "streaming_manifest": {"round": 13, "sfs": ["0.001", "0.01"]},
     # landed after the r13 window sealed; queued for the r14 window
     "dp_quantile": {"round": 13, "sfs": ["0.001", "0.01"]},
+    "dp_group_quantiles": {"round": 13, "sfs": ["0.001", "0.01"]},
 }

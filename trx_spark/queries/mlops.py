@@ -725,15 +725,64 @@ def _dpq_uh() -> int:
     ) % _P
 
 
+def _dpq_runs(
+    pairs: list[tuple[int, int]], grid: int = _DPQ_GRID
+) -> list[tuple[int, int, int]]:
+    """Constant-cnt_below RUNS of grid cells [(g_start, g_end, nb)]
+    covering [0, grid) from sorted (cent, count) pairs: cnt_below is a
+    step function jumping only at observed cents, so the selection
+    never needs to walk the grid cell-by-cell — driver cost is
+    O(distinct cents), independent of the grid size."""
+    runs: list[tuple[int, int, int]] = []
+    start, cum = 0, 0
+    for c, k in pairs:
+        if c >= start and start <= grid - 1:
+            runs.append((start, min(c, grid - 1), cum))
+            start = c + 1
+        cum += k
+    if start <= grid - 1:
+        runs.append((start, grid - 1, cum))
+    return runs
+
+
+def _dpq_select(
+    pairs: list[tuple[int, int]],
+    tgt: int,
+    uh: int,
+    *,
+    grid: int = _DPQ_GRID,
+    shift: int = _DPQ_SHIFT,
+) -> tuple[int, int]:
+    """Exact inverse-CDF selection over the base-2 weights: the
+    smallest grid cell g with cumweight(g)·P > uh·totalweight —
+    identical to the per-cell scan (the test replays that naive form)
+    but resolved run-by-run in integer arithmetic."""
+    from trx_spark.queries.textdata import _P
+
+    runs = _dpq_runs(pairs, grid)
+
+    def w(nb: int) -> int:
+        return 1 << (shift - min(abs(nb - tgt), shift))
+
+    total = sum((e - s + 1) * w(nb) for s, e, nb in runs)
+    # cw·P > uh·total  ⇔  cw ≥ (uh·total)//P + 1   (integers, uh < P)
+    need = (uh * total) // _P + 1
+    base = 0
+    for s, e, nb in runs:
+        wt = w(nb)
+        span = (e - s + 1) * wt
+        if base + span >= need:
+            m = -(-(need - base) // wt)  # ceil division
+            return s + m - 1, abs(nb - tgt)
+        base += span
+    raise AssertionError("inverse-CDF crossing must exist (uh < P)")
+
+
 def dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP median of ``events.value`` via the base-2 exponential
     mechanism on the fixed cents grid [0, _DPQ_GRID).  Output (one
     row): (q, n, released_cents, released_value, d_sel, epsilon_micro,
     mechanism)."""
-    import bisect
-
-    from trx_spark.queries.textdata import _P
-
     ev = load_table(spark, sf_dir, "events")
     per = (
         ev.select(F.floor(F.col("value") * 100).cast("long").alias("c"))
@@ -742,25 +791,9 @@ def dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     pairs = sorted((int(r["c"]), int(r["k"])) for r in per)
-    cents = [c for c, _ in pairs]
-    prefix = [0]
-    for _, k in pairs:
-        prefix.append(prefix[-1] + k)
-    n = prefix[-1]
+    n = sum(k for _, k in pairs)
     tgt = (n * _DPQ_QN) // _DPQ_QD
-
-    def nb(g: int) -> int:  # rows strictly below candidate g
-        return prefix[bisect.bisect_left(cents, g)]
-
-    total = 0
-    cw = []
-    for g in range(_DPQ_GRID):
-        d = abs(nb(g) - tgt)
-        total += 1 << (_DPQ_SHIFT - min(d, _DPQ_SHIFT))
-        cw.append(total)
-    thresh = _dpq_uh() * total  # select min g with cw[g]·P > u·total·P/P
-    sel = next(g for g in range(_DPQ_GRID) if cw[g] * _P > thresh)
-    d_sel = abs(nb(sel) - tgt)
+    sel, d_sel = _dpq_select(pairs, tgt, _dpq_uh())
     row = (
         _DPQ_QN / _DPQ_QD,
         n,
@@ -817,6 +850,141 @@ FROM sel s
 """
 
 
+# Grouped variant: one DP median PER event_type — the per-domain
+# release shape, and the ledger's PARALLEL-composition teaching case:
+# the groups partition the rows (disjoint), so the family's total
+# budget is the per-group epsilon ONCE (max, not sum).  Each group
+# draws its own deterministic uniform from a label+group hash so the
+# selections are decorrelated across groups.
+
+_DPQ_GRP_LABEL = "dp_group_quantile:events.value:q=1/2:"
+
+
+def _dpq_grp_uh(event_type: str) -> int:
+    from trx_spark.queries.textdata import _P
+
+    return (
+        _py_tok_hash(_DPQ_GRP_LABEL + event_type) * _DP_A2 + _DP_B2
+    ) % _P
+
+
+def dp_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DP median (base-2 exponential mechanism, one
+    release per group over disjoint rows).  Output per group:
+    (event_type, q, n, released_cents, released_value, d_sel,
+    epsilon_micro, mechanism)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in per:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["c"]), int(r["k"]))
+        )
+    rows = []
+    for et in sorted(by_type):
+        pairs = sorted(by_type[et])
+        n = sum(k for _, k in pairs)
+        tgt = (n * _DPQ_QN) // _DPQ_QD
+        sel, d_sel = _dpq_select(pairs, tgt, _dpq_grp_uh(et))
+        rows.append(
+            (
+                et,
+                _DPQ_QN / _DPQ_QD,
+                n,
+                sel,
+                sel / 100.0,
+                d_sel,
+                _DPQ_EPS_MICRO,
+                "exponential_base2",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, q double, n long, released_cents long, "
+        "released_value double, d_sel long, epsilon_micro long, "
+        "mechanism string",
+    )
+
+
+def _dpq_grp_sql() -> str:
+    from trx_spark.queries.textdata import _P, _tok_hash_sql
+
+    uh = (
+        f"(({_tok_hash_sql(f'{_DPQ_GRP_LABEL!r} || event_type')})"
+        f" * {_DP_A2} + {_DP_B2}) % {_P}"
+    )
+    return f"""
+WITH cents AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+tgt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         (CAST(COUNT(*) AS BIGINT) * {_DPQ_QN}) // {_DPQ_QD} AS t
+  FROM cents GROUP BY 1
+),
+per AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM cents GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c,
+         SUM(k) OVER (PARTITION BY event_type ORDER BY c) AS cl
+  FROM per
+),
+grid AS (
+  SELECT ty.event_type, CAST(i AS BIGINT) AS g
+  FROM (SELECT DISTINCT event_type FROM cents) ty
+  CROSS JOIN range(0, {_DPQ_GRID}) r(i)
+),
+below AS (
+  SELECT grid.event_type, grid.g, COALESCE(cum.cl, 0) AS nb
+  FROM grid ASOF LEFT JOIN cum
+    ON grid.event_type = cum.event_type AND grid.g > cum.c
+),
+wts AS (
+  SELECT b.event_type, b.g, b.nb,
+         CAST(1 AS HUGEINT)
+           << CAST({_DPQ_SHIFT} - LEAST(ABS(b.nb - t.t), {_DPQ_SHIFT})
+                   AS INTEGER) AS w
+  FROM below b JOIN tgt t USING (event_type)
+),
+cw AS (
+  SELECT *, SUM(w) OVER (PARTITION BY event_type ORDER BY g) AS cws
+  FROM wts
+),
+tw AS (SELECT event_type, SUM(w) AS tws FROM wts GROUP BY 1),
+uhs AS (
+  SELECT event_type, {uh} AS u
+  FROM (SELECT DISTINCT event_type FROM cents)
+),
+sel AS (
+  SELECT c.event_type, MIN(c.g) AS g
+  FROM cw c JOIN tw USING (event_type) JOIN uhs USING (event_type)
+  WHERE c.cws * {_P} > uhs.u * tw.tws
+  GROUP BY 1
+)
+SELECT s.event_type,
+       CAST({_DPQ_QN} AS DOUBLE) / {_DPQ_QD} AS q,
+       t.n,
+       s.g AS released_cents,
+       CAST(s.g AS DOUBLE) / 100.0 AS released_value,
+       CAST(ABS(b.nb - t.t) AS BIGINT) AS d_sel,
+       CAST({_DPQ_EPS_MICRO} AS BIGINT) AS epsilon_micro,
+       'exponential_base2' AS mechanism
+FROM sel s
+JOIN tgt t USING (event_type)
+JOIN below b ON b.event_type = s.event_type AND b.g = s.g
+"""
+
+
 _DP_EPS_MICRO = int(round(_DP_EPS * 1e6))
 _DP_EPS_HH_MICRO = int(round(_DP_EPS_HH * 1e6))
 
@@ -836,6 +1004,14 @@ def dp_epsilon_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("noisy_heavy_hitters", "laplace_threshold", int(n2), _DP_EPS_HH_MICRO),
         # the quantile releases exactly one scalar by construction
         ("dp_quantile", "exponential_base2", 1, _DPQ_EPS_MICRO),
+        # disjoint groups: PARALLEL composition — the family charges
+        # the per-group epsilon once (max), not |groups|·eps
+        (
+            "dp_group_quantiles",
+            "exponential_base2_parallel",
+            int(dp_group_quantiles(spark, sf_dir).count()),
+            _DPQ_EPS_MICRO,
+        ),
     ]
     out, cum = [], 0
     for i, (name, mech, n, em) in enumerate(releases, start=1):
@@ -853,6 +1029,7 @@ def _dp_ledger_sql() -> str:
     c1 = _DP_EPS_MICRO
     c2 = c1 + _DP_EPS_HH_MICRO
     c3 = c2 + _DPQ_EPS_MICRO
+    c4 = c3 + _DPQ_EPS_MICRO
     return f"""
 WITH RECURSIVE {_dp_hh_core_sql()}
 SELECT CAST(1 AS BIGINT) AS release_ord, 'noisy_counts' AS release,
@@ -875,6 +1052,12 @@ SELECT CAST(3 AS BIGINT), 'dp_quantile', 'exponential_base2',
        CAST({_DPQ_EPS_MICRO} AS BIGINT),
        CAST({c3} AS BIGINT),
        CAST({c3} AS DOUBLE) / 1e6
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'dp_group_quantiles', 'exponential_base2_parallel',
+       (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events),
+       CAST({_DPQ_EPS_MICRO} AS BIGINT),
+       CAST({c4} AS BIGINT),
+       CAST({c4} AS DOUBLE) / 1e6
 """
 
 
@@ -887,6 +1070,7 @@ QUERIES = {
     "dp_noisy_counts": dp_noisy_counts,
     "dp_heavy_hitters": dp_heavy_hitters,
     "dp_quantile": dp_quantile,
+    "dp_group_quantiles": dp_group_quantiles,
     "dp_epsilon_ledger": dp_epsilon_ledger,
 }
 
@@ -899,5 +1083,6 @@ ORACLES = {
     "dp_noisy_counts": _dp_sql(),
     "dp_heavy_hitters": _dp_hh_sql(),
     "dp_quantile": _dpq_sql(),
+    "dp_group_quantiles": _dpq_grp_sql(),
     "dp_epsilon_ledger": _dp_ledger_sql(),
 }
