@@ -51,6 +51,8 @@ def _all_caches() -> list[dict]:
         curation._TOKEN_CACHE,
         curation._BLOOM_WORDS_CACHE,
         corpus._SIGNALS_CACHE,
+        corpus._CLUSTERS_CACHE,
+        corpus._KEEP_LIST_CACHE,
         similarity._CENTS_CACHE,
         similarity._PQ_CACHE,
         similarity._OPQ_CACHE,
@@ -127,6 +129,8 @@ def stage_cache_stats() -> dict[str, int]:
         "token_stream": len(curation._TOKEN_CACHE),
         "bloom_filter_words": len(curation._BLOOM_WORDS_CACHE),
         "quality_signals": len(corpus._SIGNALS_CACHE),
+        "dedup_cluster_labels": len(corpus._CLUSTERS_CACHE),
+        "corpus_keep_list": len(corpus._KEEP_LIST_CACHE),
         "coarse_codebook": len(similarity._CENTS_CACHE),
         "trained_scored": len(similarity._SCORED_CACHE),
         "pq_codebooks": len(similarity._PQ_CACHE),

@@ -37,6 +37,16 @@ from trx_spark.tables import fan_out_small_scan, load_table
 # ---------------------------------------------------------------------
 
 
+# cluster labels memoized per (session, sf_dir): the iterative
+# component search (multi-job label propagation) is consumed by FIVE
+# gates per session — dedup_clusters itself, corpus_keep_list,
+# dedup_report, curation_funnel_report and training_set_manifest — so
+# the propagation rounds run once and every consumer rides the
+# checkpointed verdict table (the _SIGNALS_CACHE discipline; cleared
+# by trx_spark.cache.clear_stage_caches so cold benches re-pay it)
+_CLUSTERS_CACHE: dict = {}
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group the MinHash-LSH near-dup pairs into connected components
     and assign every document a cluster id (= the smallest doc_id in
@@ -47,14 +57,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components` (min-label propagation + pointer jumping);
     docs that appear in no pair are joined back as singletons here.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = textdata.minhash_lsh_pairs(spark, sf_dir)  # memoized checkpoint
-    labels = graph.connected_components(pairs, src="doc_a", dst="doc_b")
-    return (
-        docs.join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .select("doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id"))
-        .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
-    )
+    key = (spark, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        pairs = textdata.minhash_lsh_pairs(spark, sf_dir)  # memoized checkpoint
+        labels = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+        _CLUSTERS_CACHE[key] = (
+            docs.join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id"))
+            .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
+            .localCheckpoint()
+        )
+    return _CLUSTERS_CACHE[key]
 
 
 # Oracle: transitive closure via a recursive CTE (UNION dedups per
@@ -533,9 +547,18 @@ FROM r
 # stage, so this costs three keyed joins over their checkpoints.
 
 
+# the composed verdict table is itself a shared stage (dedup_report,
+# curation_funnel_report and training_set_manifest all join it), so the
+# exact-dedup groupBy + three joins run once per (session, sf_dir)
+_KEEP_LIST_CACHE: dict = {}
+
+
 def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc final keep verdict: exact-keeper ∧ cluster-canonical ∧
     quality-keep."""
+    key = (spark, sf_dir)
+    if key in _KEEP_LIST_CACHE:
+        return _KEEP_LIST_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     exact_keep = (
         docs.withColumn("_h", F.md5(F.col("text").cast("binary")))
@@ -545,7 +568,7 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
     quality = quality_filter(spark, sf_dir).select("doc_id", "keep")
-    return (
+    _KEEP_LIST_CACHE[key] = (
         docs.select("doc_id")
         .join(exact_keep, "doc_id", "left")
         .join(clusters, "doc_id")
@@ -561,7 +584,9 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("keep")
             ).alias("keep"),
         )
+        .localCheckpoint()
     )
+    return _KEEP_LIST_CACHE[key]
 
 
 def _keep_list_sql() -> str:

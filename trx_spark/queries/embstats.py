@@ -35,6 +35,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -278,7 +280,18 @@ def _pca_round_exprs(d: int):
 def pca_leading_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (iters, eigenvalue, v_1..v_6) — the leading
     eigenvector of the _COV_DIMS covariance block after _PCA_ITERS
-    power-iteration rounds from e1, plus the Rayleigh quotient."""
+    power-iteration rounds from e1, plus the Rayleigh quotient.
+
+    Plan shape: the only data-proportional work is ONE
+    partial-aggregatable pass producing the 1-row moment block
+    (count + 6 + 21 fixed-point sums); that bounded row is collected
+    and the 6-dim iteration runs in driver Python doubles.  Python
+    floats ARE IEEE doubles and the arithmetic below walks the exact
+    term order of the oracle's unrolled CTEs (left-associated `+`
+    chains, same `/` and `sqrt`), so the result is bit-identical to
+    the previous all-in-Catalyst formulation — which built a 25-deep
+    Project tower whose optimization + codegen cost ~3.5 s PER CALL at
+    any data size (the expression tree, not the data, was the cost)."""
     d = _COV_DIMS
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     xs = {
@@ -292,40 +305,47 @@ def pca_leading_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, d + 1)
         for j in range(i, d + 1)
     ]
-    cur = emb.agg(*aggs)
-    ccols = [
-        F.expr(_pca_cov_expr(i, j, "spark")).alias(f"c_{i}_{j}")
+    row = emb.agg(*aggs).collect()[0].asDict()
+    n = row["n"]
+
+    def s(i: int, j: int) -> float:
+        a, b = min(i, j), max(i, j)
+        return row[f"s_{a}_{b}"]
+
+    # cov(i,j) = s_ij / n - (s_i/n)*(s_j/n) — the exact _pca_cov_expr tree
+    c = {
+        (i, j): s(i, j) / n - (row[f"s_{i}"] / n) * (row[f"s_{j}"] / n)
         for i in range(1, d + 1)
         for j in range(1, d + 1)
-    ]
-    vcols = [
-        F.lit(1.0 if i == 1 else 0.0).alias(f"v_{i}") for i in range(1, d + 1)
-    ]
-    cur = cur.select(*ccols, *vcols)
-    cnames = [f"c_{i}_{j}" for i in range(1, d + 1) for j in range(1, d + 1)]
-    ws, norm = _pca_round_exprs(d)
+    }
+    v = [1.0] + [0.0] * (d - 1)
+
+    def matvec(vec: list[float]) -> list[float]:
+        # left-associated term chain, identical to the SQL "+" parse
+        out = []
+        for i in range(1, d + 1):
+            acc = c[(i, 1)] * vec[0]
+            for j in range(2, d + 1):
+                acc = acc + c[(i, j)] * vec[j - 1]
+            out.append(acc)
+        return out
+
     for _ in range(_PCA_ITERS):
-        cur = cur.select(
-            *cnames, *[F.expr(ws[i]).alias(f"w_{i}") for i in range(1, d + 1)]
-        )
-        cur = cur.select(
-            *cnames,
-            *[
-                (F.col(f"w_{i}") / F.expr(norm)).alias(f"v_{i}")
-                for i in range(1, d + 1)
-            ],
-        )
+        w = matvec(v)
+        acc = w[0] * w[0]
+        for i in range(1, d):
+            acc = acc + w[i] * w[i]
+        norm = _math.sqrt(acc)
+        v = [wi / norm for wi in w]
     # Rayleigh quotient of the final (unit) vector: λ = v · (C v)
-    cur = cur.select(
-        *cnames,
-        *[F.col(f"v_{i}") for i in range(1, d + 1)],
-        *[F.expr(ws[i]).alias(f"w_{i}") for i in range(1, d + 1)],
-    )
-    lam = " + ".join(f"v_{i} * w_{i}" for i in range(1, d + 1))
-    return cur.select(
-        F.lit(_PCA_ITERS).alias("iters"),
-        F.expr(lam).alias("eigenvalue"),
-        *[F.col(f"v_{i}") for i in range(1, d + 1)],
+    w = matvec(v)
+    lam = v[0] * w[0]
+    for i in range(1, d):
+        lam = lam + v[i] * w[i]
+    return spark.createDataFrame(
+        [(int(_PCA_ITERS), float(lam), *[float(x) for x in v])],
+        "iters int, eigenvalue double, "
+        + ", ".join(f"v_{i} double" for i in range(1, d + 1)),
     )
 
 

@@ -90,20 +90,37 @@ def mg_batch_partials(
     ts: DataFrame, b: int = _MG_B, k: int = _MG_K, lo: int = 0
 ) -> list[tuple[int, dict[str, int], int]]:
     """Per-batch canonicalized partials from a (doc_id, token) frame.
-    One TakeOrderedAndProject job per batch, each collecting ≤ k+1
-    rows — the canonical residuals are derivable from the collected
-    top-(k+1) alone (everything below the (k+1)-th largest dies).
+    ONE job for all batches: groupBy (batch, token) + a per-batch
+    row_number window keeps each batch's top-(k+1), collecting
+    ≤ (b−lo)·(k+1) rows — the canonical residuals are derivable from
+    the top-(k+1) alone (everything below the (k+1)-th largest dies).
+    Previously this looped one filter+TakeOrderedAndProject job per
+    batch, i.e. ``b − lo`` full scans of the token stream; the window
+    form is a single scan + single shuffle and the collected rows (and
+    hence the fold) are identical because the window's
+    (c DESC, token ASC) order matches the old per-batch ORDER BY.
     ``lo`` restricts to the batch-id window [lo, b) — the sliding
     window the windowed gate folds."""
+    from pyspark.sql import Window
+
+    batch = (F.col("doc_id") % b).alias("batch")
+    base = ts.select(batch, "token")
+    if lo > 0:
+        base = base.filter(F.col("batch") >= lo)
+    cnt = base.groupBy("batch", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("batch").orderBy(F.desc("c"), F.asc("token"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k + 1)
+        .collect()
+    )
+    by_batch: dict[int, list] = {}
+    for r in top:
+        by_batch.setdefault(int(r["batch"]), []).append(r)
     parts = []
     for i in range(lo, b):
-        rows = (
-            ts.filter((F.col("doc_id") % b) == i)
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), F.asc("token"))
-            .limit(k + 1)
-            .collect()
+        rows = sorted(
+            by_batch.get(i, []), key=lambda r: (-r["c"], r["token"])
         )
         d_b = rows[k]["c"] if len(rows) == k + 1 else 0
         part = {r["token"]: r["c"] - d_b for r in rows if r["c"] > d_b}

@@ -485,8 +485,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out_small_scan(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
-    cents = _trained_cents(spark, sf_dir)
-    assign = argmax_cell(score_cells(emb, cents)).select("vec_id", "cid")
+    # identical computation to argmax_cell(score_cells(emb, cents)) —
+    # the scored table is the memoized corpus pass shared with
+    # kmeans_cells / ann_ivf_trained_topk / contrastive_triples, so a
+    # steady-state session skips the full corpus x centroid rescoring
+    assign = argmax_cell(_trained_scored(spark, sf_dir)).select("vec_id", "cid")
     # cell sizes: ≤ k rows BY CONSTRUCTION → aggregate + broadcast join
     # (a count window would sort the whole assignment table instead)
     small_cells = (
@@ -1635,26 +1638,23 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lam = F.lit(_MMR_L)
     picks = []
-    selected = None
     remaining = cand
+    # Incremental running-max fold (the kcenter_coreset discipline,
+    # applied to MMR's max-similarity): max over the selected set is
+    # foldable — maxsim_r(v) = greatest(maxsim_{r-1}(v), cos(v, newest
+    # pick)) — so each round joins ONLY the newest 1-row pick
+    # (broadcast) instead of re-scoring every candidate against the
+    # full selected set through a corpus-wide groupBy shuffle.  IEEE
+    # max over the identical per-pair doubles is order-independent
+    # (and Spark's greatest/max agg share NaN-greatest semantics), so
+    # the picks are bit-identical to the re-scoring formulation and
+    # the unrolled SQL oracle.  Per-round work drops from
+    # O(r·n·d) + 1 shuffle to O(n·d) map-side.
     for rank in range(1, _MMR_K + 1):
-        if selected is None:
+        if rank == 1:
             scored = remaining.withColumn("mmr", lam * F.col("rel"))
         else:
-            sims = (
-                remaining.alias("c")
-                .join(F.broadcast(selected.alias("s")), F.lit(True))
-                .select(
-                    F.col("c.vec_id").alias("vec_id"),
-                    (
-                        _dot(F.col("c.embedding"), F.col("s.embedding"))
-                        / F.sqrt(F.col("c.n1") * F.col("s.n1"))
-                    ).alias("sim"),
-                )
-                .groupBy("vec_id")
-                .agg(F.max("sim").alias("maxsim"))
-            )
-            scored = remaining.join(sims, "vec_id").withColumn(
+            scored = remaining.withColumn(
                 "mmr", lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("maxsim")
             )
         pick = (
@@ -1667,12 +1667,42 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(rank).alias("rank"), "vec_id", "rel", F.col("mmr")
             )
         )
-        sel_rows = pick.select("vec_id", "embedding", "n1")
-        selected = sel_rows if selected is None else selected.unionByName(sel_rows)
-        # picks are checkpointed, so the anti-join chain stays shallow
-        # (cand-checkpoint + <=K tiny anti-joins) — no per-round
-        # checkpoint job needed
-        remaining = remaining.join(pick.select("vec_id"), "vec_id", "left_anti")
+        sim_new = (
+            _dot(F.col("c.embedding"), F.col("s.embedding"))
+            / F.sqrt(F.col("c.n1") * F.col("s.n1"))
+        )
+        fold = (
+            sim_new
+            if rank == 1
+            else F.greatest(F.col("c.maxsim"), sim_new)
+        )
+        if rank == _MMR_K:
+            break  # the last round's fold would never be read
+        remaining = (
+            remaining.join(
+                F.broadcast(pick.select("vec_id")), "vec_id", "left_anti"
+            )
+            .alias("c")
+            .join(
+                F.broadcast(
+                    pick.select("vec_id", "embedding", "n1").alias("s")
+                ),
+                F.lit(True),
+            )
+            .select(
+                F.col("c.vec_id").alias("vec_id"),
+                F.col("c.embedding").alias("embedding"),
+                F.col("c.n1").alias("n1"),
+                F.col("c.rel").alias("rel"),
+                fold.alias("maxsim"),
+            )
+            # materialize the folded state per round: without this the
+            # round-r TakeOrdered re-executes every prior round's
+            # anti-join + broadcast fold from the cand checkpoint
+            # (O(K²) broadcast builds across the loop — the measured
+            # 70-job plan); with it each round is one narrow pass
+            .localCheckpoint()
+        )
     out = picks[0]
     for pk in picks[1:]:
         out = out.unionByName(pk)
@@ -1800,6 +1830,8 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks.append(
             pick.select(F.lit(rank).alias("rank"), "vec_id", "min_dist2")
         )
+        if rank == _KC_K:
+            break  # the last round's fold would never be read
         remaining = (
             remaining.join(
                 F.broadcast(pick.select("vec_id")), "vec_id", "left_anti"
@@ -1812,6 +1844,10 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c.n1").alias("n1"),
                 F.least(F.col("c.min_dist2"), d2).alias("min_dist2"),
             )
+            # materialize the folded running-min per round (see
+            # mmr_diverse_topk): otherwise each TakeOrdered re-executes
+            # every prior round's anti-join + 1-row broadcast fold
+            .localCheckpoint()
         )
     out = picks[0]
     for pk in picks[1:]:

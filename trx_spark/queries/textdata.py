@@ -697,6 +697,12 @@ def shingle_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("ids", ids)
         .filter(F.col("ids").isNotNull())
         .select("doc_id", *aggs)
+        # materialize ONCE: both join sides below read this frame, and
+        # without the checkpoint Catalyst plans two independent
+        # subtrees that each re-run the full shingle+8-permutation
+        # signature pass (the plan's two BroadcastExchanges each fed
+        # by their own scan) — the query's entire compute, paid twice
+        .localCheckpoint()
     )
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1397,7 +1403,11 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — never all-pairs; both engines implement the identical
     classic integer DP, so the distance (and the exact division
     similarity) is oracle-bit-exact."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    # the memoized pair table comes back AQE-coalesced to ~1 partition,
+    # so the O(len²) DP — the query's entire compute — ran serially on
+    # one core; fan it out so each task DPs a slice of the pairs
+    # (no-op at cluster scale where the pair table already has splits)
+    pairs = fan_out_small_scan(minhash_lsh_pairs(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
