@@ -249,17 +249,21 @@ def run_curation_catchup(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
-    q = (
-        stream.writeStream.foreachBatch(
-            make_curation_batch_handler(
-                hash_store, band_store, verdict_dir, key_cap=key_cap
+    from trx_spark.streaming.tuning import replay_state_width
+
+    # replay width: right-sizes the handlers' store writes (tuning.py)
+    with replay_state_width(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                make_curation_batch_handler(
+                    hash_store, band_store, verdict_dir, key_cap=key_cap
+                )
             )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     from trx_spark.streaming.incremental import release_state_stores
 
     release_state_stores(spark)

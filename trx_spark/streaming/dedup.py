@@ -53,14 +53,18 @@ def run_dedup_catchup(
         stream = prepare(stream)
     out = dedup_stream(stream, keys, ts, watermark)
     name = f"trx_dedup_{next(_MEM_NAMES)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from trx_spark.streaming.tuning import replay_state_width
+
+    # dedup state width sized to state volume (see tuning.py)
+    with replay_state_width(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from trx_spark.streaming.incremental import release_state_stores
 
     release_state_stores(spark)

@@ -112,8 +112,13 @@ def run_catchup(
 ) -> None:
     """One availableNow pass: process everything currently in the
     landing dir, then return (the ST1 'new files only' batch re-run)."""
-    q = incremental_pipeline(spark, poll_seconds=None, **kwargs)
-    q.awaitTermination()
+    from trx_spark.streaming.tuning import replay_state_width
+
+    # foreachBatch handlers inherit the replay width too: their tiny
+    # per-batch shuffles/writes stop fanning into 32 near-empty files
+    with replay_state_width(spark):
+        q = incremental_pipeline(spark, poll_seconds=None, **kwargs)
+        q.awaitTermination()
     release_state_stores(spark)
 
 

@@ -73,14 +73,18 @@ def run_session_catchup(
         stream = prepare(stream)
     agg = session_counts(stream, ts=ts, keys=keys, gap=gap, watermark=watermark)
     name = f"trx_sessions_{next(_MEM_NAMES)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from trx_spark.streaming.tuning import replay_state_width
+
+    # session-window state width sized to state volume (see tuning.py)
+    with replay_state_width(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from trx_spark.streaming.incremental import release_state_stores
 
     release_state_stores(spark)

@@ -194,13 +194,19 @@ def _run_catchup(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
-    q = (
-        stream.writeStream.foreachBatch(make_partial_handler(sketch_dir, partial_fn))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from trx_spark.streaming.tuning import replay_state_width
+
+    # replay width: right-sizes the handlers' partial writes (tuning.py)
+    with replay_state_width(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                make_partial_handler(sketch_dir, partial_fn)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from trx_spark.streaming.incremental import release_state_stores
 
     release_state_stores(spark)

@@ -1,0 +1,63 @@
+"""Replay-time sizing for the streaming runners (guide §2: make
+partitioning scale-adaptive, never a constant inherited by accident).
+
+Stateful streaming operators (stream-stream joins, watermarked
+aggregations/dedup, session windows) create ONE state store instance
+per shuffle partition per operator — a stream-stream join creates
+four. Every micro-batch (including the no-data watermark-flush batch)
+pays a fixed load + commit + delta-file write per store, so the state
+width multiplies a per-batch constant that has nothing to do with data
+volume: measured on the attribution interval join at sf0.1 (≈ 40 k
+state rows), the identical replay runs 15.7 s at width 32 vs 3.1 s at
+width 4 — same 2 171 output rows.
+
+In production the state width is a deliberate choice pinned by the
+stream's FIRST checkpoint, sized to state volume and ingest rate —
+never inherited from the batch shuffle default (which sizes CPU-bound
+batch stages, a different resource). These availableNow replays start
+from fresh checkpoints, so the width is chosen per replay here:
+
+- ``SPARK_GRAFT_STREAM_STATE_PARTS`` overrides explicitly (the knob a
+  100 TB deployment raises: width ≈ peak state bytes / ~64 MB per
+  store, or ingest cores, whichever is larger);
+- default ``min(8, cores)``: covers the bench replays' state (tens of
+  MB) with room, stays ≤ the driver's lower-core bench configs, and
+  keeps the per-batch fixed cost proportional to actual state, not to
+  the batch compute width.
+
+The same width is applied for the whole replay (set at query start,
+restored after): foreachBatch handlers inherit it too, which also
+right-sizes their per-batch partial writes (a 32-wide shuffle writing
+a ≤ 256-row partial produced 32 near-empty files per batch).
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+
+def stream_state_partitions() -> int:
+    """Replay state width: env override, else ``min(8, cores)``."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env and env.isdigit():
+        return max(1, int(env))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cores = int(cpus) if str(cpus).isdigit() else 32
+    return max(2, min(8, cores))
+
+
+@contextmanager
+def replay_state_width(spark):
+    """Set ``spark.sql.shuffle.partitions`` to the replay state width
+    for the span of one availableNow replay; always restore the
+    session's batch value afterwards (batch queries plan from session
+    conf at their own call time, so the narrowed value must not
+    outlive the replay)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(stream_state_partitions()))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

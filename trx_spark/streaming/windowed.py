@@ -77,14 +77,18 @@ def run_windowed_catchup(
         stream, ts=ts, keys=keys, window=window, watermark=watermark
     )
     name = f"trx_windowed_{next(_MEM_NAMES)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from trx_spark.streaming.tuning import replay_state_width
+
+    # windowed-agg state width sized to state volume (see tuning.py)
+    with replay_state_width(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from trx_spark.streaming.incremental import release_state_stores
 
     release_state_stores(spark)
