@@ -73,6 +73,8 @@ _ONE_ROW_BUILD_OK = {
     "benford_first_digit_audit",  # the digit-count total is a 1-row broadcast
     "hbos_outlier_scores",  # the event-count total is a 1-row broadcast
     "neyman_allocation",  # the (n_total, sum NhSh) pair is a 1-row broadcast
+    "table_profile",  # the string-min/max pair is a 1-row aggregate
+    # recombined with the hash-aggregated distinct-count pass (1x1 join)
 }
 
 # documented TINY-DIMENSION nested loops: the build side is a bounded
@@ -108,6 +110,8 @@ _CARTESIAN_OK = {
     "reflections_triclinic",
     "image_dedup_groups",
     "audio_dedup_groups",
+    "table_profile",  # 1-row x 1-row: the keyless string-min/max
+    # aggregate recombined with the keyless distinct-count aggregate
 }
 
 _SKIP = {"streaming_incremental_stats"}  # executes a stream, not a plan

@@ -62,6 +62,7 @@ def _all_caches() -> list[dict]:
         textdata._JACCARD_PAIRS_CACHE,
         textdata._PAIR_STATS_CACHE,
         textdata._ALLPAIRS_CACHE,
+        textdata._SHMH_SIGS_CACHE,
         similarity._KNN_CACHE,
         similarity._CELLS_ASSIGN_CACHE,
         bpe._BPE_CACHE,

@@ -229,15 +229,26 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profile of ``orders``: nulls, exact distinct
     count, min/max (numeric columns as DOUBLE, string columns as-is)."""
     o = load_table(spark, sf_dir, "orders")
+    # min/max over a STRING column makes the aggregation buffer
+    # variable-width, which forces the whole aggregate (including the
+    # countDistinct Expand, x6 rows here) off HashAggregate onto
+    # SortAggregate — a full sort of the expanded rows on all six
+    # grouping keys.  Splitting the two string min/max pairs into
+    # their own keyless pass keeps the big Expand hash-aggregated
+    # (no sort anywhere: a grand aggregate needs no ordering), and the
+    # two 1-row results recombine with a free 1x1 cross join.
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
             F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(c).alias(f"mn_{c}"),
-            F.max(c).alias(f"mx_{c}"),
         ]
-    row = o.agg(*aggs)
+    for c in _PROFILE_NUM_COLS:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    str_aggs = []
+    for c in _PROFILE_STR_COLS:
+        str_aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = o.agg(*aggs).crossJoin(o.agg(*str_aggs))
     stacks = []
     for c in _PROFILE_NUM_COLS:
         stacks.append(

@@ -65,17 +65,15 @@ _PR_TOPK = 20
 _GRAPH_CACHE: dict = {}
 
 
-def _copurchase_graph(spark: SparkSession, sf_dir: str):
-    """Symmetric co-purchase graph as (edges, deg): edges = (src, dst,
-    outdeg) distinct part pairs sharing an order (both directions, so
-    outdeg == indeg per node), basket-capped; deg = (src, outdeg).
-
-    Built once per (session, sf_dir) and localCheckpoint'd — the warm
-    memo the other trained/derived structures use — since every
-    PageRank round rescans it.  The deg join is left to AQE: at bench
-    SF it broadcasts the node-sized side; at 100 TB both sides are
-    large and it degrades to the co-partitioned shuffle join."""
-    key = (spark, sf_dir)
+def capped_basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) with baskets over
+    ``_PR_MAX_BASKET`` distinct parts dropped — the shared spine of
+    every co-purchase pair enumeration (this graph, `copurchase_lift`,
+    which asserts its own cap equals ours).  Memoized + checkpointed
+    per (session, sf_dir): the pair self-join, the per-part order
+    counts and the order total all read the materialized table instead
+    of re-running the distinct + basket-size chain."""
+    key = (spark, sf_dir, "items")
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     items = (
@@ -84,28 +82,64 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_bs"))
-    items = (
+    capped = (
         items.join(
             sized.filter(F.col("_bs") <= _PR_MAX_BASKET), "l_orderkey"
         )
         .drop("_bs")
+        .localCheckpoint()
     )
-    a, b = items.alias("a"), items.alias("b")
-    # dedup only the a<b half, then mirror: the symmetric closure is
-    # cheaper as a union of the deduped half than a distinct over both
-    # directions (half the rows cross the dedup shuffle)
-    half = (
+    _GRAPH_CACHE[key] = capped
+    return capped
+
+
+def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, n_ab): part pairs (src < dst) sharing at least one
+    capped basket, with their basket co-occurrence count.  Memoized +
+    checkpointed — the co-purchase graph consumes the (already
+    distinct) key set and `copurchase_lift` the counts, so the
+    quadratic-in-basket self-join materializes exactly once per
+    (session, sf_dir)."""
+    key = (spark, sf_dir, "pairs")
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    kept = capped_basket_items(spark, sf_dir)
+    a, b = kept.alias("a"), kept.alias("b")
+    counts = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint()
     )
+    _GRAPH_CACHE[key] = counts
+    return counts
+
+
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """Symmetric co-purchase graph as (edges, deg): edges = (src, dst,
+    outdeg) distinct part pairs sharing an order (both directions, so
+    outdeg == indeg per node), basket-capped; deg = (src, outdeg).
+
+    Built once per (session, sf_dir) and localCheckpoint'd — the warm
+    memo the other trained/derived structures use — since every
+    PageRank round rescans it.  The a<b half rides the shared
+    `copurchase_pair_counts` memo (its keys ARE the distinct pairs, and
+    `copurchase_lift` reads the same checkpoint), so the quadratic
+    self-join materializes once instead of once per downstream
+    consumer.  The deg join is left to AQE: at bench SF it broadcasts
+    the node-sized side; at 100 TB both sides are large and it
+    degrades to the co-partitioned shuffle join."""
+    key = (spark, sf_dir)
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    half = copurchase_pair_counts(spark, sf_dir).select("src", "dst")
     pairs = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -433,14 +433,29 @@ def hilbert_scan_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ONE pass over the keyed rows: aggregate to the bounded
+    # (hbucket, zbucket, tbucket) cube first (≤ grid-cell-count rows
+    # by construction), then derive each layout's per-file envelope by
+    # re-aggregating the cube — min/max/sum/count all re-aggregate
+    # exactly, so the three audit legs stop re-executing the
+    # broadcast-join chain once per layout (3 full scans → 1).
+    cube = base.groupBy("hbucket", "zbucket", "tbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xq").alias("x0"),
+        F.max("xq").alias("x1"),
+        F.min("yq").alias("y0"),
+        F.max("yq").alias("y1"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+    ).localCheckpoint()
+
     def _audit(bucket: str, layout: str) -> DataFrame:
-        per = base.groupBy(bucket).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("xq").alias("x0"),
-            F.max("xq").alias("x1"),
-            F.min("yq").alias("y0"),
-            F.max("yq").alias("y1"),
-            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+        per = cube.groupBy(bucket).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("x0").alias("x0"),
+            F.max("x1").alias("x1"),
+            F.min("y0").alias("y0"),
+            F.max("y1").alias("y1"),
+            F.sum("n_hits").alias("n_hits"),
         )
         scanned = (
             (F.col("x1") >= _QX0)

@@ -997,10 +997,23 @@ def dp_epsilon_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     running budget is integer micro-epsilon, so the ledger itself is
     hash-checkable; cum_epsilon is the same value as a double
     (micro/1e6, exact in a double)."""
-    n1 = dp_noisy_counts(spark, sf_dir).count()
+    # n_released is STRUCTURAL for the count and group-quantile
+    # releases — both emit exactly one row per distinct event_type (the
+    # noise perturbs values, never the row set), which is how the
+    # oracle states them (COUNT(DISTINCT event_type)).  Computing the
+    # distinct count once replaces two full child-release re-runs with
+    # one column-pruned scan; only the thresholded heavy-hitter release
+    # has a noise-dependent row count and still runs its pipeline
+    # (riding the memoized MG partials).
+    n_types = int(
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
     n2 = dp_heavy_hitters(spark, sf_dir).filter(F.col("released")).count()
     releases = [
-        ("noisy_counts", "laplace", int(n1), _DP_EPS_MICRO),
+        ("noisy_counts", "laplace", n_types, _DP_EPS_MICRO),
         ("noisy_heavy_hitters", "laplace_threshold", int(n2), _DP_EPS_HH_MICRO),
         # the quantile releases exactly one scalar by construction
         ("dp_quantile", "exponential_base2", 1, _DPQ_EPS_MICRO),
@@ -1009,7 +1022,7 @@ def dp_epsilon_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "dp_group_quantiles",
             "exponential_base2_parallel",
-            int(dp_group_quantiles(spark, sf_dir).count()),
+            n_types,
             _DPQ_EPS_MICRO,
         ),
     ]

@@ -33,12 +33,12 @@ Scale design (the 100 TB story):
   (order, part) quantity aggregation, the audited basket-capped pair
   self-join, and one (i, j) pair aggregation — all partial-
   aggregatable shuffles.
-- The MM rounds run entirely on BOUNDED frames: the ≤K-row strength
-  state broadcast into the ≤K²/2-row observed-pair table.  Round cost
-  is independent of corpus size; round count (``_BT_ROUNDS``) is the
-  knob.  This is the classifier_gd / kmeans harness shape: data-sized
-  work once up front, iteration over a tiny sufficient-statistics
-  frame.
+- The MM rounds run entirely on BOUNDED state: the ≤K²/2-row observed-
+  pair table is collected once and folded in driver integers (the
+  pca_leading_component discipline — a bounded sufficient-statistics
+  block, never data-proportional).  Round cost is independent of
+  corpus size; round count (``_BT_ROUNDS``) is the knob.  Data-sized
+  work happens once up front in the duel-generation stages.
 - Items are capped to the K most-compared (deterministic
   participation-count top-K) — the leaderboard framing; at 100 TB the
   same cap bounds the state no matter how many raw items exist.
@@ -90,90 +90,76 @@ def _duel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ij"),
         F.sum("a_won").alias("wins_a"),
     )
-    part = pairstat.select(
+    # checkpoint the pair table BEFORE deriving the top-K filter: the
+    # former two-broadcast-join shape executed the whole duel chain
+    # three times (once per broadcast build subtree + once for the
+    # probe side).  The top-K item list is bounded (≤ _BT_MAX_ITEMS)
+    # by construction, so it collects to a literal IN-list instead of
+    # two broadcast joins.
+    ps = pairstat.localCheckpoint()
+    part = ps.select(
         F.col("ia").alias("item"), F.col("n_ij").alias("n")
     ).unionAll(
-        pairstat.select(F.col("ib").alias("item"), F.col("n_ij").alias("n"))
+        ps.select(F.col("ib").alias("item"), F.col("n_ij").alias("n"))
     )
-    topk = (
-        part.groupBy("item")
+    keep = [
+        r.item
+        for r in part.groupBy("item")
         .agg(F.sum("n").alias("nd"))
         .orderBy(F.desc("nd"), F.asc("item"))
         .limit(_BT_MAX_ITEMS)
-        .select("item")
-    )
-    ka = topk.select(F.col("item").alias("ia"))
-    kb = topk.select(F.col("item").alias("ib"))
-    return pairstat.join(F.broadcast(ka), "ia").join(F.broadcast(kb), "ib")
+        .collect()
+    ]
+    return ps.filter(F.col("ia").isin(keep) & F.col("ib").isin(keep))
 
 
 def bt_fit(pk: DataFrame, rounds: int = _BT_ROUNDS) -> DataFrame:
     """Fixed-point Bradley–Terry MM fit over a (ia, ib, n_ij, wins_a)
     pair-outcome frame; returns (item, n_duels, wins, losses,
-    strength_fp) for every item appearing in a pair."""
-    sym = pk.select("ia", "ib", "n_ij").unionAll(
-        pk.select(
-            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "n_ij"
-        )
-    )
-    wins = (
-        pk.select(
-            F.col("ia").alias("item"),
-            F.col("wins_a").alias("w"),
-            F.col("n_ij").alias("n"),
-        )
-        .unionAll(
-            pk.select(
-                F.col("ib").alias("item"),
-                (F.col("n_ij") - F.col("wins_a")).alias("w"),
-                F.col("n_ij").alias("n"),
-            )
-        )
-        .groupBy("item")
-        .agg(F.sum("w").alias("wins"), F.sum("n").alias("n_duels"))
-        .localCheckpoint()
-    )
-    w = wins.select(
-        "item", F.lit(_BT_SCALE).cast("bigint").alias("w")
-    )
+    strength_fp) for every item appearing in a pair.
+
+    ``pk`` is BOUNDED by contract (≤ K²/2 rows for K = _BT_MAX_ITEMS —
+    the top-K item cap in :func:`_duel_pairs` certifies it at any
+    corpus size), so the MM rounds run as a driver-side integer fold
+    on the collected pair table: the same arithmetic the distributed
+    version ran, minus ~7 Spark jobs per round (broadcast builds,
+    per-round localCheckpoints, tiny shuffles) whose scheduling cost
+    dominated wall time at every data size.  `//` on the non-negative
+    BIGINTs here is exactly Spark's `div` and DuckDB's `//`, and
+    Python's unbounded ints agree with both because the K cap
+    certifies every intermediate inside int64 (module docstring)."""
+    pairs = [
+        (r[0], r[1], r[2], r[3])
+        for r in pk.select("ia", "ib", "n_ij", "wins_a").collect()
+    ]
+    wins: dict = {}
+    duels: dict = {}
+    for ia, ib, n, wa in pairs:
+        wins[ia] = wins.get(ia, 0) + wa
+        wins[ib] = wins.get(ib, 0) + (n - wa)
+        duels[ia] = duels.get(ia, 0) + n
+        duels[ib] = duels.get(ib, 0) + n
+    sym = [(ia, ib, n) for ia, ib, n, _ in pairs] + [
+        (ib, ia, n) for ia, ib, n, _ in pairs
+    ]
+    w = {i: _BT_SCALE for i in wins}
+    cap = _BT_MAX_ITEMS * _BT_SCALE
     for _ in range(rounds):
-        wi = w.select(F.col("item").alias("ia"), F.col("w").alias("w_i"))
-        wj = w.select(F.col("item").alias("ib"), F.col("w").alias("w_j"))
-        denom = (
-            sym.join(F.broadcast(wi), "ia")
-            .join(F.broadcast(wj), "ib")
-            .select(
-                F.col("ia").alias("item"),
-                F.expr(
-                    f"(n_ij * {_BT_SP}) div greatest(w_i + w_j, 1)"
-                ).alias("t"),
-            )
-            .groupBy("item")
-            .agg(F.sum("t").alias("denom"))
-        )
-        raw = denom.join(F.broadcast(wins), "item").select(
-            "item",
-            F.expr(f"(wins * {_BT_SP}) div greatest(denom, 1)").alias("raw"),
-        )
-        tot = raw.agg(F.sum("raw").alias("tot"))
-        w = (
-            raw.crossJoin(F.broadcast(tot))
-            .select(
-                "item",
-                F.expr(
-                    f"least((raw * {_BT_MAX_ITEMS}) div "
-                    f"greatest(tot div {_BT_SCALE}, 1), "
-                    f"{_BT_MAX_ITEMS * _BT_SCALE})"
-                ).alias("w"),
-            )
-            .localCheckpoint()  # bounded ≤K-row state per round
-        )
-    return w.join(F.broadcast(wins), "item").select(
-        "item",
-        "n_duels",
-        "wins",
-        (F.col("n_duels") - F.col("wins")).alias("losses"),
-        F.col("w").alias("strength_fp"),
+        denom: dict = {}
+        for i, j, n in sym:
+            denom[i] = denom.get(i, 0) + (n * _BT_SP) // max(w[i] + w[j], 1)
+        raw = {i: (wins[i] * _BT_SP) // max(denom[i], 1) for i in denom}
+        tot = sum(raw.values())
+        w = {
+            i: min((r * _BT_MAX_ITEMS) // max(tot // _BT_SCALE, 1), cap)
+            for i, r in raw.items()
+        }
+    out = [
+        (int(i), int(duels[i]), int(wins[i]), int(duels[i] - wins[i]), int(w[i]))
+        for i in sorted(wins)
+    ]
+    return pk.sparkSession.createDataFrame(
+        out, "item long, n_duels long, wins long, losses long, strength_fp long"
     )
 
 

@@ -439,37 +439,27 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     total are one keyed agg + one scalar, broadcast into the final
     annotation join. All ratios are IEEE double ops on exact integer
     counts — bit-identical in both engines."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_bs"))
-    items = (
-        items.join(
-            sized.filter(F.col("_bs") <= _BASKET_MAX_ITEMS), "l_orderkey"
-        )
-        .drop("_bs")
-        .localCheckpoint()  # feeds pair join (twice), part counts, N
-    )
+    from trx_spark.queries import graphq
+
+    # the capped-items spine and the pair self-join are the shared
+    # memoized stages in graphq (the co-purchase graph reads the same
+    # checkpoints); the cap constants must agree for that sharing to
+    # be sound, so pin it
+    assert _BASKET_MAX_ITEMS == graphq._PR_MAX_BASKET
+    items = graphq.capped_basket_items(spark, sf_dir)
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
     part_counts = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_part")
     )
-    a, b = items.alias("a"), items.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        graphq.copurchase_pair_counts(spark, sf_dir)
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            "n_ab",
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _BASKET_MIN_COOCCUR)
     )
     na = part_counts.select(

