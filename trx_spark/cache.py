@@ -56,7 +56,7 @@ def _all_caches() -> list[dict]:
         similarity._CENTS_CACHE,
         similarity._PQ_CACHE,
         similarity._OPQ_CACHE,
-        similarity._SCORED_CACHE,
+        similarity._ASSIGN_CACHE,
         textdata._LSH_BUCKET_TABLE_CACHE,
         textdata._LSH_PAIRS_CACHE,
         textdata._JACCARD_PAIRS_CACHE,
@@ -133,7 +133,7 @@ def stage_cache_stats() -> dict[str, int]:
         "dedup_cluster_labels": len(corpus._CLUSTERS_CACHE),
         "corpus_keep_list": len(corpus._KEEP_LIST_CACHE),
         "coarse_codebook": len(similarity._CENTS_CACHE),
-        "trained_scored": len(similarity._SCORED_CACHE),
+        "trained_assign": len(similarity._ASSIGN_CACHE),
         "pq_codebooks": len(similarity._PQ_CACHE),
         "opq_rotation": len(similarity._OPQ_CACHE),
         "lsh_buckets": len(textdata._LSH_BUCKET_TABLE_CACHE),

@@ -201,3 +201,173 @@ def lloyd_centroids_grouped(
         )
         cents = _update_centroids_grouped(emb, assign, group, id_col, vec_col)
     return cents
+
+
+# ---------------------------------------------------------------------
+# Literal-codebook scoring: the codebook is k x dim BY CONSTRUCTION
+# (bounded state, like the pca moment block), so instead of broadcast-
+# joining a centroid table into the corpus and shuffling n*k score rows
+# through a groupBy argmax, collect it once and inline the centroids as
+# LITERALS — every score/argmax becomes one map-side projection over
+# the corpus, with zero joins and zero shuffles.  The dot expression is
+# the identical `_fp_terms` zip_with fold (literal second operand), and
+# the argmax is `array_max` over struct(dot, -cid) — the same struct
+# ordering `max(struct(dot, ncid))` uses — so assignments, dots and
+# trained centroids stay bit-for-bit equal to the DataFrame path.
+# At cluster scale this is the textbook shape: k-means scoring is a
+# map-only pass against in-closure centroids; only the centroid UPDATE
+# aggregates (partial-aggregated, ~k*dim rows per input partition).
+# ---------------------------------------------------------------------
+
+
+def dot_fixed_py(a: list[float], b: list[float]) -> float:
+    """Driver-Python twin of `_dot`, bit-exact: per element
+    floor((x * y) * SCALE) in IEEE doubles (Python floats ARE IEEE
+    doubles and * / floor are the same operations the JVM runs), exact
+    integer sum, one double division by SCALE.  Used only on BOUNDED
+    operands (the 1-row query vector x the k x dim codebook)."""
+    import math
+
+    acc = 0
+    for x, y in zip(a, b):
+        acc += math.floor((float(x) * float(y)) * _SCALE)
+    return acc / _SCALE
+
+
+def _dlit_sql(v: float) -> str:
+    """A double literal as SQL text: string→double CAST, the same parse
+    Python's repr round-trips through, so the value is bit-exact."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def dot_literal_sql(vec_sql: str, cent: list[float]) -> str:
+    """The `_dot` fixed-point fold with a literal centroid, as SQL text.
+
+    Text, not Column ops, ON PURPOSE: a py4j Column call costs
+    milliseconds, so building k x dim literal trees through the
+    DataFrame API costs SECONDS of driver time per query construction
+    (measured: ~5 ms/F.lit, 51 s to construct one 16x64 scoring plan).
+    One `F.expr` parse of a generated string is a single round-trip and
+    resolves to the identical expression tree."""
+    arr = f"array({', '.join(_dlit_sql(c) for c in cent)})"
+    return (
+        f"(CAST(aggregate(zip_with({vec_sql}, {arr}, (x, y) -> "
+        f"CAST(FLOOR((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * {_dlit_sql(_SCALE)}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {_dlit_sql(_SCALE)})"
+    )
+
+
+def best_cell_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
+    """struct(dot, ncid) of the winning centroid as SQL text (ties ->
+    smallest cid; array_max's struct ordering == the groupBy max's)."""
+    entries = ", ".join(
+        f"named_struct('dot', {dot_literal_sql(vec_sql, c)}, "
+        f"'ncid', CAST({-int(cid)} AS BIGINT))"
+        for cid, c in cents
+    )
+    return f"array_max(array({entries}))"
+
+
+def assign_literal(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, dot) best-cell assignment, map-side (no join, no
+    shuffle) — same rows as argmax_cell(score_cells(emb, cents_df))."""
+    return (
+        emb.select(id_col, F.expr(best_cell_sql(vec_col, cents)).alias("_m"))
+        .select(
+            id_col,
+            (-F.col("_m.ncid")).alias("cid"),
+            F.col("_m.dot").alias("dot"),
+        )
+    )
+
+
+def scores_literal(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, dot) for every vector x centroid, map-side — same rows
+    as score_cells(emb, cents_df)."""
+    entries = ", ".join(
+        f"named_struct('cid', CAST({int(cid)} AS BIGINT), "
+        f"'dot', {dot_literal_sql(vec_col, c)})"
+        for cid, c in cents
+    )
+    return emb.select(
+        id_col, F.explode(F.expr(f"array({entries})")).alias("_p")
+    ).select(id_col, F.col("_p.cid").alias("cid"), F.col("_p.dot").alias("dot"))
+
+
+def update_centroids_literal(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd centroid update with the assignment computed IN the
+    same map pass (fused: no assign-join, one corpus scan, one tiny
+    partial-aggregated shuffle of <= k*dim rows per partition).  Same
+    fixed-point arithmetic as `_update_centroids`."""
+    # two selects on purpose: a generator (posexplode) in the same
+    # select as an inline-built struct strips the struct's field
+    # aliases before resolution (col1/col2), so the argmax struct is
+    # materialized as a named column first
+    ex = emb.select(
+        F.expr(best_cell_sql(vec_col, cents)).alias("_m"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        (-F.col("_m.ncid")).alias("cid"),
+        F.posexplode(F.col("_v")).alias("pos", "x"),
+    )
+    cent_val = (F.col("s").cast("double") / F.lit(_SCALE)) / F.col("n")
+    return (
+        ex.groupBy("cid", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(_SCALE)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("c", cent_val)
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cent")
+        )
+    )
+
+
+def collect_codebook(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """Bounded collect of a (cid, cent) codebook — <= k rows BY
+    CONSTRUCTION — sorted by cid for deterministic literal order."""
+    return sorted(
+        (int(r["cid"]), [float(v) for v in r["cent"]]) for r in cents.collect()
+    )
+
+
+def lloyd_centroids_collected(
+    emb: DataFrame,
+    k: int,
+    updates: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """`lloyd_centroids` driven through the literal path: the k x dim
+    codebook state lives on the driver (2 bounded collects per update
+    chain), every corpus pass is map-side.  Bit-identical centroids."""
+    cents = sorted(
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    )
+    for _ in range(updates):
+        cents = collect_codebook(
+            update_centroids_literal(emb, cents, id_col, vec_col)
+        )
+    return cents

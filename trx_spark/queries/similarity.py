@@ -18,12 +18,11 @@ from pyspark.sql import functions as F
 
 from trx_spark.exact import dlit
 from trx_spark.operators.kmeans import (
-    argmax_cell,
-    argmax_cell_grouped,
-    lloyd_centroids,
-    lloyd_centroids_grouped,
-    score_cells,
-    score_cells_grouped,
+    _SCALE as _KM_SCALE,
+    assign_literal,
+    dot_fixed_py,
+    dot_literal_sql,
+    lloyd_centroids_collected,
 )
 from trx_spark.queries.textdata import (
     _EMB_SCALE,
@@ -171,14 +170,34 @@ _N_PROBE = 2
 _CELLS_ASSIGN_CACHE: dict = {}
 
 
+def _init_cents_lit(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """The first _N_CELLS vectors as a collected literal codebook
+    (bounded: 16 x 64 doubles BY CONSTRUCTION).  Memoized alongside the
+    assignment so the probe ranking reuses the same collect."""
+    key = (spark, sf_dir, "init_cents")
+    if key not in _CELLS_ASSIGN_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        _CELLS_ASSIGN_CACHE[key] = sorted(
+            (int(r[0]), [float(v) for v in r[1]])
+            for r in emb.filter(F.col("vec_id") < _N_CELLS).collect()
+        )
+    return _CELLS_ASSIGN_CACHE[key]
+
+
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse quantizer assignment: centroids are the first _N_CELLS
     vectors (a deterministic stand-in for a trained k-means codebook —
     the assignment/probe PLUMBING is the operator under test), each
-    vector lands in the cell of its max-dot-product centroid. The
-    centroid table is 16 rows → broadcast; the argmax is a window
-    partitioned BY VECTOR, so assignment is embarrassingly parallel.
-    Memoized per (session, sf_dir) like the trained codebooks — the
+    vector lands in the cell of its max-dot-product centroid.  The
+    centroid table is 16 rows BY CONSTRUCTION → collected once and
+    inlined as literals, so the assignment is ONE map-side pass (no
+    broadcast join, no n x k argmax shuffle — `kmeans.assign_literal`;
+    the struct-max tie-break equals the former window's
+    ORDER BY dot DESC, cid).  Memoized per (session, sf_dir) — the
     assignment is consumed by ann_ivf_topk and the LSH/IVF composites."""
     key = (spark, sf_dir)
     if key in _CELLS_ASSIGN_CACHE:
@@ -186,16 +205,8 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out_small_scan(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "dot", _dot(F.col("embedding"), F.col("cent"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.col("cid"))
     _CELLS_ASSIGN_CACHE[key] = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        assign_literal(emb, _init_cents_lit(spark, sf_dir))
         .select("vec_id", "cid")
         .localCheckpoint()
     )
@@ -215,22 +226,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
 
 
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    """The query vector (vec_id 0) collected once per (session,
+    sf_dir) — ONE bounded row."""
+    key = (spark, sf_dir, "q0")
+    if key not in _CELLS_ASSIGN_CACHE:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()
+        )
+        _CELLS_ASSIGN_CACHE[key] = [float(v) for v in row[0][0]]
+    return _CELLS_ASSIGN_CACHE[key]
+
+
+def _probe_df(spark: SparkSession, q: list, cents: list) -> DataFrame:
+    """The query's _N_PROBE best cells as a tiny literal relation: the
+    k dots run in driver doubles (`dot_fixed_py` — bit-exact twin of
+    the former scored-table filter), sorted by (dot DESC, cid).  Big
+    literal expression trees made every consumer re-pay seconds of
+    Catalyst analysis per call; a 2-row local relation costs nothing
+    (measured: ~5 ms per py4j call, 2-4 s per big-tree analysis)."""
+    ranked = sorted(
+        ((dot_fixed_py(q, c), cid) for cid, c in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return spark.createDataFrame(
+        [(int(cid),) for _dot, cid in ranked[:_N_PROBE]], "cid long"
+    )
+
+
 def _query_cell_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The query's _N_PROBE nearest cells by centroid dot product."""
-    emb = fan_out_small_scan(
-        load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    scored = cents.crossJoin(F.broadcast(q)).withColumn(
-        "dot", _dot(F.col("qe"), F.col("cent"))
-    )
-    return (
-        scored.orderBy(F.desc("dot"), F.col("cid"))
-        .limit(_N_PROBE)
-        .select("cid")
+    """The query's _N_PROBE nearest cells by centroid dot product —
+    driver doubles over the bounded (query x codebook) pair (IEEE
+    multiply is commutative, so dot(q, c) == the former dot(c, q)
+    bit-for-bit)."""
+    return _probe_df(
+        spark,
+        _query_vec(spark, sf_dir),
+        _init_cents_lit(spark, sf_dir),
     )
 
 
@@ -291,47 +326,54 @@ _KM_ROUNDS = 2
 # is the training passes over the corpus.
 _CENTS_CACHE: dict = {}
 _PQ_CACHE: dict = {}
-_SCORED_CACHE: dict = {}
+_ASSIGN_CACHE: dict = {}
 
 
-def _trained_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trained_cents(spark: SparkSession, sf_dir: str) -> list:
+    """The Lloyd-trained coarse codebook as a collected literal list
+    (k x dim BY CONSTRUCTION — bounded driver state, the pca-moment
+    discipline).  Training runs through the literal path: 2 bounded
+    collects (init rows + updated centroids), every corpus pass
+    map-side.  Bit-identical centroids to the former DataFrame chain."""
     key = (spark, sf_dir)
     if key not in _CENTS_CACHE:
         emb = fan_out_small_scan(
             load_table(spark, sf_dir, "embeddings")
         ).select("vec_id", "embedding")
-        _CENTS_CACHE[key] = lloyd_centroids(
+        _CENTS_CACHE[key] = lloyd_centroids_collected(
             emb, k=_N_CELLS, updates=_KM_ROUNDS - 1
-        ).localCheckpoint()
+        )
     return _CENTS_CACHE[key]
 
 
-def _trained_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector scored against every trained centroid — shared by
-    ann_ivf_trained_topk and ann_ivfpq_topk (same memo discipline as
-    the codebooks; the score table is the costly corpus pass)."""
+def _trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's trained cell + dot (vec_id, cid, dot) — ONE
+    map-side pass against the literal trained codebook (was: broadcast
+    join into an n x k score table + groupBy argmax shuffle), shared by
+    kmeans_cells / ann_ivf_trained_topk / ann_ivfpq_topk /
+    semantic_dedup / cluster_balanced_sample / contrastive_triples."""
     key = (spark, sf_dir)
-    if key not in _SCORED_CACHE:
+    if key not in _ASSIGN_CACHE:
         emb = fan_out_small_scan(
             load_table(spark, sf_dir, "embeddings")
         ).select("vec_id", "embedding")
-        _SCORED_CACHE[key] = score_cells(
+        _ASSIGN_CACHE[key] = assign_literal(
             emb, _trained_cents(spark, sf_dir)
         ).localCheckpoint()
-    return _SCORED_CACHE[key]
+    return _ASSIGN_CACHE[key]
 
 
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF codebook assignment: 2 Lloyd rounds (init = first 16
     vectors, one centroid update between the two assignment steps) via
-    :func:`trx_spark.operators.kmeans.lloyd_assign`. Output: every
-    vector's final cell and its dot product with that cell's trained
-    centroid — the codebook the IVF scale path would partition the
-    corpus by. Fixed-point sums keep the trained centroids bit-exact
-    against the oracle despite float input."""
+    the literal-codebook path. Output: every vector's final cell and
+    its dot product with that cell's trained centroid — the codebook
+    the IVF scale path would partition the corpus by. Fixed-point sums
+    keep the trained centroids bit-exact against the oracle despite
+    float input."""
     # == lloyd_assign(emb, k, rounds=_KM_ROUNDS) with the trained
-    # codebook AND the scored table shared across the quantizer queries
-    return argmax_cell(_trained_scored(spark, sf_dir)).select(
+    # codebook AND the assignment shared across the quantizer queries
+    return _trained_assign(spark, sf_dir).select(
         "vec_id", F.col("cid").cast("long").alias("cid"), "dot"
     )
 
@@ -378,16 +420,21 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed so training executes once, then both the corpus
     assignment and the query's probe ranking read the same scored
     table."""
-    scored = _trained_scored(spark, sf_dir)
-    assign = argmax_cell(scored)
-    probe = (
-        scored.filter(F.col("vec_id") == 0)
-        .orderBy(F.desc("dot"), F.col("cid"))
-        .limit(_N_PROBE)
-        .select("cid")
-    )
+    assign = _trained_assign(spark, sf_dir)
+    probe = _trained_query_probe(spark, sf_dir)
     cand = assign.join(F.broadcast(probe), "cid", "left_semi").select("vec_id")
     return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+
+
+def _trained_query_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query's _N_PROBE best trained cells — driver doubles over
+    the bounded (query x trained codebook) pair (same doubles as the
+    former scored-table filter)."""
+    return _probe_df(
+        spark,
+        _query_vec(spark, sf_dir),
+        _trained_cents(spark, sf_dir),
+    )
 
 
 _IVF_TRAINED_SQL = f"""
@@ -485,11 +532,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out_small_scan(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
-    # identical computation to argmax_cell(score_cells(emb, cents)) —
-    # the scored table is the memoized corpus pass shared with
+    # identical computation to argmax over the trained codebook — the
+    # assignment is the memoized map-side corpus pass shared with
     # kmeans_cells / ann_ivf_trained_topk / contrastive_triples, so a
-    # steady-state session skips the full corpus x centroid rescoring
-    assign = argmax_cell(_trained_scored(spark, sf_dir)).select("vec_id", "cid")
+    # steady-state session skips the corpus x centroid rescoring
+    assign = _trained_assign(spark, sf_dir).select("vec_id", "cid")
     # cell sizes: ≤ k rows BY CONSTRUCTION → aggregate + broadcast join
     # (a count window would sort the whole assignment table instead)
     small_cells = (
@@ -608,48 +655,141 @@ _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 16
 _PQ_TSCALE = 1e6  # fixed-point scale for the ADC table sum
 
 
-def _pq_subspaces(emb: DataFrame) -> DataFrame:
-    """(vec_id, m, embedding): all _PQ_M sub-vectors in ONE projection."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(m).cast("long").alias("m"),
-                F.slice("embedding", m * _PQ_DIM + 1, _PQ_DIM).alias("sub"),
-            )
-            for m in range(_PQ_M)
-        ]
+def _pq_sub_sql(m: int, vec_sql: str = "embedding") -> str:
+    return f"slice({vec_sql}, {m * _PQ_DIM + 1}, {_PQ_DIM})"
+
+
+def _pq_group_best_sql(cents: list, m: int, vec_sql: str = "embedding") -> str:
+    """struct(dot, ncid) of subspace ``m``'s winning centroid as SQL
+    text (the py4j-cheap literal path — see `dot_literal_sql`) — the
+    dot runs over the same 1-indexed sub-vector slice, against the
+    group's literal centroids (k x dim bounded BY CONSTRUCTION)."""
+    sub = _pq_sub_sql(m, vec_sql)
+    entries = ", ".join(
+        f"named_struct('dot', {dot_literal_sql(sub, c)}, "
+        f"'ncid', CAST({-int(cid)} AS BIGINT))"
+        for g, cid, c in cents
+        if g == m
     )
-    return emb.select("vec_id", F.explode(pairs).alias("p")).select(
-        "vec_id", F.col("p.m").alias("m"), F.col("p.sub").alias("embedding")
+    return f"array_max(array({entries}))"
+
+
+def _pq_encode_literal(emb: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, m, cid, dot) best-code table, ONE map-side pass (no
+    subspace self-join, no n x M x K argmax shuffle)."""
+    entries = ", ".join(
+        f"named_struct('m', CAST({m} AS BIGINT), "
+        f"'b', {_pq_group_best_sql(cents, m)})"
+        for m in range(_PQ_M)
+    )
+    return emb.select(
+        "vec_id", F.explode(F.expr(f"array({entries})")).alias("p")
+    ).select(
+        "vec_id",
+        F.col("p.m").alias("m"),
+        (-F.col("p.b.ncid")).alias("cid"),
+        F.col("p.b.dot").alias("dot"),
+    )
+
+
+def _pq_update_collect(emb: DataFrame, cents: list) -> list:
+    """One grouped Lloyd update with the assignment fused into the same
+    map pass (one corpus scan, one partial-aggregated <= M*K*D-row
+    shuffle), collected to the literal list (bounded BY CONSTRUCTION).
+    Same fixed-point arithmetic as `_update_centroids_grouped`."""
+    per_m = ", ".join(
+        f"named_struct('m', CAST({m} AS BIGINT), "
+        f"'cid', -({_pq_group_best_sql(cents, m)}.ncid), "
+        f"'sub', {_pq_sub_sql(m)})"
+        for m in range(_PQ_M)
+    )
+    ex = emb.select(F.explode(F.expr(f"array({per_m})")).alias("p")).select(
+        F.col("p.m").alias("m"),
+        F.col("p.cid").alias("cid"),
+        F.posexplode(F.col("p.sub")).alias("pos", "x"),
+    )
+    upd = (
+        ex.groupBy("m", "cid", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(_KM_SCALE)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "m",
+            "cid",
+            "pos",
+            ((F.col("s").cast("double") / F.lit(_KM_SCALE)) / F.col("n")).alias(
+                "c"
+            ),
+        )
+    )
+    by: dict = {}
+    for r in upd.collect():
+        by.setdefault((int(r["m"]), int(r["cid"])), []).append(
+            (int(r["pos"]), float(r["c"]))
+        )
+    return sorted(
+        (m, cid, [c for _, c in sorted(v)]) for (m, cid), v in by.items()
     )
 
 
 def _pq_train_encode(spark: SparkSession, sf_dir: str):
-    """All subspace codebooks trained in ONE grouped-Lloyd pass
-    (O(rounds) jobs, not O(M x rounds) — `operators/kmeans` grouped
-    stages), codebooks + codes localCheckpoint'ed and memoized per
+    """All subspace codebooks trained through the literal-codebook path
+    (2 bounded collects: the k init vectors + the <= M*K*D updated
+    centroid coordinates; every corpus pass map-side), the code table
+    encoded in one fused pass, localCheckpoint'ed and memoized per
     (session, sf_dir) so pq_codes and ann_pq_topk share one training.
-    Returns (sub, cents, codes) with every frame keyed by m."""
+    Returns (cents, codes): the literal list [(m, cid, cent)] and the
+    (vec_id, m, cid, dot) frame."""
     key = (spark, sf_dir)
     if key not in _PQ_CACHE:
         emb = fan_out_small_scan(
             load_table(spark, sf_dir, "embeddings")
         ).select("vec_id", "embedding")
-        sub = _pq_subspaces(emb)
-        cents = lloyd_centroids_grouped(
-            sub, k=_PQ_K, updates=1, group=["m"]
-        ).localCheckpoint()
-        codes = argmax_cell_grouped(
-            score_cells_grouped(sub, cents, ["m"]), ["m"]
-        ).localCheckpoint()
-        _PQ_CACHE[key] = (sub, cents, codes)
+        rows = sorted(
+            (int(r[0]), [float(v) for v in r[1]])
+            for r in emb.filter(F.col("vec_id") < _PQ_K).collect()
+        )
+        init = [
+            (m, cid, vec[m * _PQ_DIM : (m + 1) * _PQ_DIM])
+            for cid, vec in rows
+            for m in range(_PQ_M)
+        ]
+        cents = _pq_update_collect(emb, init)
+        codes = _pq_encode_literal(emb, cents).localCheckpoint()
+        _PQ_CACHE[key] = (cents, codes)
     return _PQ_CACHE[key]
+
+
+def _pq_adc_df(spark: SparkSession, q: list, cents: list) -> DataFrame:
+    """(m, code, t_fp) ADC lookup table as a tiny literal relation:
+    M*K rows BY CONSTRUCTION, each t_fp = floor(dot * TSCALE) over the
+    1-row query's sub-vector in driver doubles (`dot_fixed_py` —
+    bit-exact twin of scoring the exploded sub-vector table)."""
+    import math
+
+    rows = [
+        (
+            int(m),
+            int(cid),
+            int(
+                math.floor(
+                    dot_fixed_py(q[m * _PQ_DIM : (m + 1) * _PQ_DIM], c)
+                    * _PQ_TSCALE
+                )
+            ),
+        )
+        for m, cid, c in cents
+    ]
+    return spark.createDataFrame(rows, "m long, code long, t_fp long")
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: every vector's code per subspace (vec_id, m, code,
     dot-with-trained-centroid)."""
-    _sub, _cents, codes = _pq_train_encode(spark, sf_dir)
+    _cents, codes = _pq_train_encode(spark, sf_dir)
     return codes.select(
         "vec_id", "m", F.col("cid").cast("long").alias("code"), "dot"
     )
@@ -662,14 +802,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist. Pure-ADC recall@10 on this isotropic corpus is 0.2;
     the re-rank stage recovers the survivors exactly — same
     honest-recall treatment as the LSH path."""
-    sub, cents, codes_df = _pq_train_encode(spark, sf_dir)
-    table = score_cells_grouped(
-        sub.filter(F.col("vec_id") == 0), cents, ["m"]
-    ).select(
-        "m",
-        F.col("cid").alias("code"),
-        F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
-    )
+    cents, codes_df = _pq_train_encode(spark, sf_dir)
+    table = _pq_adc_df(spark, _query_vec(spark, sf_dir), cents)
     codes = codes_df.select("vec_id", "m", F.col("cid").alias("code"))
     scored = (
         codes.join(F.broadcast(table), ["m", "code"])  # M*K rows: tiny by construction
@@ -785,24 +919,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_trained_topk and the memoized PQ codebooks with
     pq_codes/ann_pq_topk — at corpus scale the ADC scan reads ~1/32 of
     the embedding bytes and only 1/(cells/probes) of the rows."""
-    scored = _trained_scored(spark, sf_dir)
-    assign = argmax_cell(scored)
-    probe = (
-        scored.filter(F.col("vec_id") == 0)
-        .orderBy(F.desc("dot"), F.col("cid"))
-        .limit(_N_PROBE)
-        .select("cid")
-    )
+    assign = _trained_assign(spark, sf_dir)
+    probe = _trained_query_probe(spark, sf_dir)
     cell_cand = assign.join(F.broadcast(probe), "cid", "left_semi").select("vec_id")
 
-    sub, pcents, codes_df = _pq_train_encode(spark, sf_dir)
-    table = score_cells_grouped(
-        sub.filter(F.col("vec_id") == 0), pcents, ["m"]
-    ).select(
-        "m",
-        F.col("cid").alias("code"),
-        F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
-    )
+    pcents, codes_df = _pq_train_encode(spark, sf_dir)
+    table = _pq_adc_df(spark, _query_vec(spark, sf_dir), pcents)
     # candidate set ∝ corpus/cells — keyed semi-join, no broadcast hint
     codes = codes_df.select("vec_id", "m", F.col("cid").alias("code")).join(
         cell_cand, "vec_id", "left_semi"
@@ -986,19 +1108,40 @@ def _opq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _opq_train_encode(spark: SparkSession, sf_dir: str):
-    """OPQ twin of _pq_train_encode over the rotated vectors."""
+    """OPQ twin of _pq_train_encode over the rotated vectors (same
+    literal-codebook path: bounded collects of init rows + updated
+    centroids, map-side scoring/encode)."""
     key = (spark, sf_dir)
     if key not in _OPQ_CACHE or len(_OPQ_CACHE[key]) == 1:
         rot = _opq_rotated(spark, sf_dir)
-        sub = _pq_subspaces(rot)
-        cents = lloyd_centroids_grouped(
-            sub, k=_PQ_K, updates=1, group=["m"]
-        ).localCheckpoint()
-        codes = argmax_cell_grouped(
-            score_cells_grouped(sub, cents, ["m"]), ["m"]
-        ).localCheckpoint()
-        _OPQ_CACHE[key] = (rot, sub, cents, codes)
+        rows = sorted(
+            (int(r[0]), [float(v) for v in r[1]])
+            for r in rot.filter(F.col("vec_id") < _PQ_K).collect()
+        )
+        init = [
+            (m, cid, vec[m * _PQ_DIM : (m + 1) * _PQ_DIM])
+            for cid, vec in rows
+            for m in range(_PQ_M)
+        ]
+        cents = _pq_update_collect(rot, init)
+        codes = _pq_encode_literal(rot, cents).localCheckpoint()
+        _OPQ_CACHE[key] = (rot, cents, codes)
     return _OPQ_CACHE[key][1:]
+
+
+def _opq_query_vec(spark: SparkSession, sf_dir: str) -> list:
+    """The ROTATED query vector (vec_id 0) collected once per
+    (session, sf_dir) — ONE bounded row off the rotation checkpoint."""
+    key = (spark, sf_dir, "q0")
+    if key not in _OPQ_CACHE:
+        row = (
+            _opq_rotated(spark, sf_dir)
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()
+        )
+        _OPQ_CACHE[key] = [float(v) for v in row[0][0]]
+    return _OPQ_CACHE[key]
 
 
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,14 +1150,8 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shortlist over the original vectors — directly comparable with
     the unrotated PQ path, which is exactly what opq_recall_audit
     does."""
-    sub, cents, codes_df = _opq_train_encode(spark, sf_dir)
-    table = score_cells_grouped(
-        sub.filter(F.col("vec_id") == 0), cents, ["m"]
-    ).select(
-        "m",
-        F.col("cid").alias("code"),
-        F.floor(F.col("dot") * F.lit(_PQ_TSCALE)).cast("long").alias("t_fp"),
-    )
+    cents, codes_df = _opq_train_encode(spark, sf_dir)
+    table = _pq_adc_df(spark, _opq_query_vec(spark, sf_dir), cents)
     codes = codes_df.select("vec_id", "m", F.col("cid").alias("code"))
     scored = (
         codes.join(F.broadcast(table), ["m", "code"])
@@ -1284,7 +1421,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id).
 
     Output: (cid, vec_id, pick_rank), ≤ _CBS_PER_CELL rows per cell."""
-    assign = argmax_cell(_trained_scored(spark, sf_dir)).select(
+    assign = _trained_assign(spark, sf_dir).select(
         "vec_id", F.col("cid").cast("long").alias("cid")
     )
     rk = (F.lit(_CBS_A) * F.col("vec_id") + F.lit(_CBS_B)) % F.lit(2147483647)
@@ -1338,7 +1475,7 @@ def contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell (no negative exists anywhere).
 
     Output: (anchor_id, positive_id, negative_id, cid, neg_cid)."""
-    assign = argmax_cell(_trained_scored(spark, sf_dir)).select(
+    assign = _trained_assign(spark, sf_dir).select(
         "vec_id", F.col("cid").cast("long").alias("cid")
     )
     rk = (F.lit(_CBS_A) * F.col("vec_id") + F.lit(_CBS_B)) % F.lit(2147483647)

@@ -1184,25 +1184,40 @@ def _exact_topk_within(emb: DataFrame, cand: DataFrame | None) -> DataFrame:
     that to TakeOrderedAndProject (per-partition top-k, merged on the
     driver), NOT a global sort; the rank window then runs over only the
     k surviving rows."""
-    from trx_spark.exact import dsum
+    # The query vector is ONE bounded row — collect it and fold the
+    # fixed-point dot/norm sums map-side (zip_with/aggregate with
+    # literal q0, the same FLOOR((x*y)*S) addends in the same exact
+    # integer sum), instead of exploding n x dim (vec_id, pos, x) rows
+    # through a broadcast join and a corpus-wide groupBy shuffle.  The
+    # q0 literal is taken from the UNRESTRICTED frame; when vec 0 is
+    # not in ``cand`` the per-table still has no vec-0 row, so nq stays
+    # empty and the result is empty — exactly the former semantics.
+    from trx_spark.operators.kmeans import _dlit_sql
 
+    q0rows = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     if cand is not None:
         emb = emb.join(cand, "vec_id", "left_semi")
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    q0 = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(F.posexplode("embedding").alias("pos", "y"))
-        .withColumn("y", F.col("y").cast("double"))
-    )
-    per = (
-        ex.join(F.broadcast(q0), "pos")
-        .groupBy("vec_id")
-        .agg(
-            dsum(F.col("x") * F.col("y"), _EMB_SCALE).alias("dot"),
-            dsum(F.col("x") * F.col("x"), _EMB_SCALE).alias("n1"),
+    s = _dlit_sql(_EMB_SCALE)
+    if q0rows:
+        qarr = "array({})".format(
+            ", ".join(_dlit_sql(float(v)) for v in q0rows[0][0])
         )
+        dot_sql = (
+            f"CAST(aggregate(zip_with(embedding, {qarr}, (x, y) -> "
+            f"CAST(FLOOR((CAST(x AS DOUBLE) * y) * {s}) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {s}"
+        )
+    else:  # no query vector: dot is undefined -> every cos_sim NULL
+        dot_sql = "CAST(NULL AS DOUBLE)"
+    n1_sql = (
+        f"CAST(aggregate(transform(embedding, x -> "
+        f"CAST(FLOOR((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * {s}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {s}"
+    )
+    per = emb.select(
+        "vec_id",
+        F.expr(dot_sql).alias("dot"),
+        F.expr(n1_sql).alias("n1"),
     )
     nq = per.filter(F.col("vec_id") == 0).select(F.col("n1").alias("nq"))
     scored = (
