@@ -297,12 +297,46 @@ def _signdiv(s: str, n: str, op: str = "DIV") -> str:
     )
 
 
+def _signdiv_py(s: int, n: int) -> int:
+    """Driver-int twin of `_signdiv` (positive-magnitude division with
+    the sign re-applied; `//` on non-negative ints == Spark DIV ==
+    DuckDB //)."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def _margin_sql(w: dict) -> str:
+    """Per-doc margin Σ qx·w[dim] over the dense feature array ``fx``
+    as SQL text with the weight vector inlined (≤ dim+1 integer
+    literals BY CONSTRUCTION) — an exact integer fold, so the value is
+    order-independent and identical to the former broadcast-join sum."""
+    if not w:
+        return "CAST(0 AS BIGINT)"
+    whens = " ".join(
+        f"WHEN {int(d)} THEN CAST({int(v)} AS BIGINT)"
+        for d, v in sorted(w.items())
+    )
+    return (
+        "aggregate(fx, CAST(0 AS BIGINT), (acc, e) -> "
+        f"acc + e.qx * (CASE e.dim {whens} ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
 def perceptron_dynamics(base: DataFrame) -> DataFrame:
     """The cartography core over a quantized feature frame
     (doc_id, dim, qx, yy with yy ∈ {−1, +1}) — factored so tests can
     feed a separable fixture where the easy/hard extremes actually
     occur (the gate corpus's self-supervised labels are only weakly
-    separable, so its map sits in the oscillating band)."""
+    separable, so its map sits in the oscillating band).
+
+    Every quantity here is exact int64 arithmetic, so the rounds run
+    in the Bradley–Terry/pca discipline: the ≤ dim+1-row weight vector
+    folds in DRIVER integers (one bounded collect per round), margins
+    evaluate MAP-SIDE over a dense per-doc feature array with the
+    weights inlined as literals, and the only per-round shuffle is the
+    partially-aggregated ≤ dim+1-row gradient.  The former shape paid,
+    per round, a corpus-wide misclassified join + a broadcast-join
+    margin aggregation + a weight checkpoint — and then re-executed
+    every margin frame in the final union."""
     # class sizes for the BALANCED update (the target class is ~5 % of
     # the corpus; an unbalanced batch perceptron would let the majority
     # class swamp every update and the map degenerates to
@@ -318,64 +352,48 @@ def perceptron_dynamics(base: DataFrame) -> DataFrame:
     n_pos = max(int(cls.get(1, 0)), 1)
     n_neg = max(int(cls.get(-1, 0)), 1)
 
-    # margins[0] is the pre-update all-zero round: it seeds the first
-    # misclassified set (everything) but is EXCLUDED from the map —
-    # yy·0 ≤ 0 for every doc, so counting it would make the 'easy'
-    # category unreachable by construction
-    docs0 = base.select("doc_id", "yy").distinct()
-    margins = [docs0.withColumn("m", F.lit(0).cast("long"))]
-    w = None  # (dim, w) — absent means all-zero
+    # ONE dense pass: per (doc, yy) the sorted (dim, qx) entry array —
+    # checkpointed; every round and every margin frame reads it map-side
+    dense = (
+        base.groupBy("doc_id", "yy")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "qx"))).alias("fx"))
+        .localCheckpoint()
+    )
+
+    # round 0 (all-zero weights) seeds the first misclassified set
+    # (yy·0 ≤ 0 for every doc) but is EXCLUDED from the map — counting
+    # it would make the 'easy' category unreachable by construction
+    w: dict = {}
+    margin_sqls: list[str] = []
     for _ in range(_PCT_ROUNDS):
-        miscl = margins[-1].filter(F.col("yy") * F.col("m") <= 0).select("doc_id")
-        upd = (
-            base.join(miscl, "doc_id")
-            .groupBy("dim")
+        m_prev = _margin_sql(w)
+        upd_rows = (
+            dense.filter(F.expr(f"yy * ({m_prev}) <= 0"))
+            .select("yy", F.explode("fx").alias("e"))
+            .groupBy(F.col("e.dim").alias("dim"))
             .agg(
                 F.coalesce(
-                    F.sum(F.when(F.col("yy") == 1, F.col("qx"))),
+                    F.sum(F.when(F.col("yy") == 1, F.col("e.qx"))),
                     F.lit(0).cast("long"),
                 ).alias("sp"),
                 F.coalesce(
-                    F.sum(F.when(F.col("yy") == -1, F.col("qx"))),
+                    F.sum(F.when(F.col("yy") == -1, F.col("e.qx"))),
                     F.lit(0).cast("long"),
                 ).alias("sn"),
             )
-            .select(
-                "dim",
-                (
-                    F.expr(_signdiv("sp", str(n_pos)))
-                    - F.expr(_signdiv("sn", str(n_neg)))
-                ).alias("u"),
-            )
+            .collect()  # ≤ dim+1 rows BY CONSTRUCTION (hashed features)
         )
-        if w is None:
-            w = upd.select("dim", F.col("u").alias("w"))
-        else:
-            w = (
-                w.join(upd, "dim", "full")
-                .select(
-                    "dim",
-                    (
-                        F.coalesce(F.col("w"), F.lit(0).cast("long"))
-                        + F.coalesce(F.col("u"), F.lit(0).cast("long"))
-                    ).alias("w"),
-                )
+        for r_ in upd_rows:
+            u = _signdiv_py(int(r_["sp"]), n_pos) - _signdiv_py(
+                int(r_["sn"]), n_neg
             )
-        w = w.localCheckpoint()  # ≤ dim+1 rows; cuts per-round lineage
-        m = (
-            base.join(F.broadcast(w), "dim", "left")
-            .groupBy("doc_id", "yy")
-            .agg(
-                F.sum(
-                    F.col("qx") * F.coalesce(F.col("w"), F.lit(0).cast("long"))
-                ).alias("m")
-            )
-        )
-        margins.append(m)
+            w[int(r_["dim"])] = w.get(int(r_["dim"]), 0) + u
+        margin_sqls.append(_margin_sql(w))
 
-    allm = margins[1]
-    for m in margins[2:]:
-        allm = allm.unionByName(m)
+    allm = None
+    for ms in margin_sqls:
+        m = dense.select("doc_id", "yy", F.expr(ms).alias("m"))
+        allm = m if allm is None else allm.unionByName(m)
     cart = allm.groupBy("doc_id", "yy").agg(
         F.min("m").alias("margin_min"),
         F.max("m").alias("margin_max"),
