@@ -467,6 +467,7 @@ def main() -> None:
     pass_gc: dict[str, dict[str, int]] = {}
 
     def run_pass(cold: bool, gc_label: str | None = None) -> dict[str, float]:
+        from trx_spark import cache as cache_mod
         from trx_spark.cache import clear_stage_caches
 
         timings: dict[str, float] = {}
@@ -478,11 +479,16 @@ def main() -> None:
                 # so cold numbers aren't distorted by orphaned-block
                 # memory pressure accumulating across 60+ rebuilds
                 clear_stage_caches(spark)
+            # stamp which query pays for any memo built during this
+            # execution (memo_builds telemetry, r13 verdict task 3)
+            label = f"{gc_label or 'pass'}:{name}" if gc_label != "amortized" else name
+            cache_mod.CURRENT_CONSUMER = label
             g0 = jvm_gc_ms()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             gcs[name] = jvm_gc_ms() - g0
+        cache_mod.CURRENT_CONSUMER = None
         if gc_label is not None:
             pass_gc[gc_label] = gcs
         return timings
@@ -696,10 +702,33 @@ def main() -> None:
     out["slowest5"] = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # per-memo build stamps (name, seconds, payer query) so amortized
+    # numbers decompose into build vs ride from the artifact alone
+    # (r13 verdict task 3).  Builds can NEST (e.g. the shingle spine
+    # inside the AllPairs truth build) — each entry times its own span,
+    # so nested seconds overlap the parent's; consumers should not sum
+    # blindly across entries.
+    try:
+        from trx_spark import cache as cache_mod
+
+        detail["memo_builds"] = cache_mod.MEMO_BUILDS
+    except Exception:
+        pass
+    # cpus in the artifact + a cpus-tagged copy that is never
+    # overwritten by a different-core run, so the driver's
+    # scaling.per_query can join the 32-core and low-core details
+    # (r13 verdict task 1).  BENCH_DETAIL.json stays the canonical
+    # latest-run artifact for backward compatibility.
+    n_cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail["cpus"] = int(n_cpus) if str(n_cpus).isdigit() else None
+    out["cpus"] = detail["cpus"]
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    with open(
+        os.path.join(repo_dir, f"BENCH_DETAIL_c{detail['cpus']}.json"), "w"
+    ) as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(out))
     spark.stop()

@@ -83,6 +83,31 @@ def test_update_centroids_literal_matches_python_fold(spark, sf_dir):
     assert upd == want
 
 
+def test_literal_size_guard_falls_back_to_dataframe_path(
+    spark, sf_dir, monkeypatch
+):
+    """Above _LITERAL_SQL_MAX_BYTES the literal builders must switch to
+    the broadcast-join path and still return identical rows — so a
+    future k/dim bump can't silently hand Catalyst a multi-MB plan."""
+    from trx_spark.operators import kmeans
+
+    emb = _emb(spark, sf_dir)
+    cents = collect_codebook(_codebook_df(emb, 8))
+    want = {
+        r["vec_id"]: (r["cid"], r["dot"])
+        for r in assign_literal(emb, cents).collect()
+    }
+    upd_want = collect_codebook(update_centroids_literal(emb, cents))
+    monkeypatch.setattr(kmeans, "_LITERAL_SQL_MAX_BYTES", 64)
+    fb = assign_literal(emb, cents)
+    # the guard really fired: the fallback is the broadcast-JOIN path
+    # (the literal path is a pure map-side projection, no join at all)
+    assert "Join" in fb._jdf.queryExecution().optimizedPlan().toString()
+    got = {r["vec_id"]: (r["cid"], r["dot"]) for r in fb.collect()}
+    assert got == want
+    assert collect_codebook(update_centroids_literal(emb, cents)) == upd_want
+
+
 def test_dot_fixed_py_matches_jvm_fold(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     cents = collect_codebook(_codebook_df(emb, 3))

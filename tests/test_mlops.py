@@ -60,3 +60,24 @@ def test_k_anonymity_totals(spark, sf_dir):
     assert 0 <= row.rows_at_risk <= n
     assert row.at_risk_share == row.rows_at_risk / float(n)
     assert row.anonymity_k >= 1
+
+
+def test_dp_ledger_structural_release_counts(spark, sf_dir):
+    """dp_epsilon_ledger derives n_released for the noisy_counts and
+    group-quantile releases STRUCTURALLY (one row per distinct
+    event_type) instead of re-running the children; this pins the
+    assumption so a future filter/threshold added to either child
+    breaks loudly here instead of silently skewing the ledger."""
+    from pyspark.sql import functions as F
+
+    from trx_spark.queries.mlops import dp_group_quantiles, dp_noisy_counts
+    from trx_spark.tables import load_table
+
+    n_types = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert dp_noisy_counts(spark, sf_dir).count() == n_types
+    assert dp_group_quantiles(spark, sf_dir).count() == n_types

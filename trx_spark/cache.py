@@ -13,6 +13,46 @@ datasets in a long-running service.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
+# Build-time telemetry for the shared-stage memos (r12/r13 verdict
+# task: "per-memo build-time stamps in BENCH_DETAIL").  Each memoized
+# build site wraps its construction in ``timed_build(name)``; the
+# bench sets ``CURRENT_CONSUMER`` to the query paying for the build,
+# so amortized numbers decompose into build vs ride from the artifact
+# alone.  Zero overhead outside the build branch (two perf_counter
+# calls per memo construction).
+MEMO_BUILDS: list[dict] = []
+CURRENT_CONSUMER: str | None = None
+
+
+@contextmanager
+def timed_build(name: str):
+    """Record how long a shared-stage memo took to build and which
+    query paid for it (the bench stamps the payer)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        build_done(name, t0)
+
+
+def build_start() -> float:
+    """Start-of-build stamp (pairs with :func:`build_done`; the two-call
+    form avoids re-indenting existing build branches)."""
+    return time.perf_counter()
+
+
+def build_done(name: str, t0: float) -> None:
+    MEMO_BUILDS.append(
+        {
+            "name": name,
+            "sec": round(time.perf_counter() - t0, 3),
+            "payer": CURRENT_CONSUMER,
+        }
+    )
+
 
 def _all_caches() -> list[dict]:
     from trx_spark import tables
@@ -62,9 +102,12 @@ def _all_caches() -> list[dict]:
         textdata._JACCARD_PAIRS_CACHE,
         textdata._PAIR_STATS_CACHE,
         textdata._ALLPAIRS_CACHE,
+        textdata._SHINGLE_TABLE_CACHE,
         textdata._SHMH_SIGS_CACHE,
+        textdata._Q0_CACHE,
         similarity._KNN_CACHE,
         similarity._CELLS_ASSIGN_CACHE,
+        similarity._SEMDEDUP_CACHE,
         bpe._BPE_CACHE,
         lm._LM_CACHE,
         classifier._CLF_CACHE,

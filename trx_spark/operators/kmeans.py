@@ -268,6 +268,25 @@ def best_cell_sql(vec_sql: str, cents: list[tuple[int, list[float]]]) -> str:
     return f"array_max(array({entries}))"
 
 
+# Guard on the generated-SQL growth path: the literal codebook text
+# grows linearly with k x dim (~30 bytes per double literal; 16x64 is
+# ~44 kB).  Above this threshold the literal builders fall back to the
+# broadcast-join DataFrame path, which computes bit-identical rows
+# (same fixed-point ops — tests/test_kmeans_literal.py pins both the
+# equivalence and the fallback), instead of silently handing Catalyst
+# a multi-MB expression tree to parse per query.
+_LITERAL_SQL_MAX_BYTES = 1 << 20
+
+
+def _cents_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """The collected codebook back as a (cid, cent) LocalRelation —
+    build side of the fallback broadcast join."""
+    return spark.createDataFrame(
+        [(int(cid), [float(v) for v in c]) for cid, c in cents],
+        "cid long, cent array<double>",
+    )
+
+
 def assign_literal(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -276,8 +295,16 @@ def assign_literal(
 ) -> DataFrame:
     """(id, cid, dot) best-cell assignment, map-side (no join, no
     shuffle) — same rows as argmax_cell(score_cells(emb, cents_df))."""
+    sql = best_cell_sql(vec_col, cents)
+    if len(sql) > _LITERAL_SQL_MAX_BYTES:
+        return argmax_cell(
+            score_cells(
+                emb, _cents_df(emb.sparkSession, cents), id_col, vec_col
+            ),
+            id_col,
+        )
     return (
-        emb.select(id_col, F.expr(best_cell_sql(vec_col, cents)).alias("_m"))
+        emb.select(id_col, F.expr(sql).alias("_m"))
         .select(
             id_col,
             (-F.col("_m.ncid")).alias("cid"),
@@ -299,6 +326,10 @@ def scores_literal(
         f"'dot', {dot_literal_sql(vec_col, c)})"
         for cid, c in cents
     )
+    if len(entries) > _LITERAL_SQL_MAX_BYTES:
+        return score_cells(
+            emb, _cents_df(emb.sparkSession, cents), id_col, vec_col
+        )
     return emb.select(
         id_col, F.explode(F.expr(f"array({entries})")).alias("_p")
     ).select(id_col, F.col("_p.cid").alias("cid"), F.col("_p.dot").alias("dot"))
@@ -314,12 +345,17 @@ def update_centroids_literal(
     same map pass (fused: no assign-join, one corpus scan, one tiny
     partial-aggregated shuffle of <= k*dim rows per partition).  Same
     fixed-point arithmetic as `_update_centroids`."""
+    sql = best_cell_sql(vec_col, cents)
+    if len(sql) > _LITERAL_SQL_MAX_BYTES:
+        cdf = _cents_df(emb.sparkSession, cents)
+        assign = argmax_cell(score_cells(emb, cdf, id_col, vec_col), id_col)
+        return _update_centroids(emb, assign, id_col, vec_col)
     # two selects on purpose: a generator (posexplode) in the same
     # select as an inline-built struct strips the struct's field
     # aliases before resolution (col1/col2), so the argmax struct is
     # materialized as a named column first
     ex = emb.select(
-        F.expr(best_cell_sql(vec_col, cents)).alias("_m"),
+        F.expr(sql).alias("_m"),
         F.col(vec_col).alias("_v"),
     ).select(
         (-F.col("_m.ncid")).alias("cid"),

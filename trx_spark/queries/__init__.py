@@ -284,11 +284,46 @@ _R13_STALE_R08 = [
     "padding_waste_audit", "png_decode_stats",
 ]
 _R13_WINDOW = _R13_STALE_R07 + _R13_LATE_R12 + _R13_NEW + _R13_STALE_R08
+# (The r13 window is recorded in CORRECTNESS_r13.json: 50/50 green;
+# kept as history.)
+# Round-14 window, executing the r13 verdict's rotation note exactly:
+# (a) dp_quantile + dp_group_quantiles — the LAST two names with no
+# driver row ever (landed after the r13 window sealed; verified vs
+# their DuckDB oracles at sf0.001 + sf0.01 in-session, provenance in
+# LOCAL_VERIFICATION) — after this window never_checked == 0 again;
+# (b) the 18 names whose newest driver row is r08-era (the queue the
+# r13 rotation note names explicitly); (c) code-currency fillers: the
+# alphabetically-first 30 of the 49 names whose newest driver row is
+# r09-era.  The remaining 19 r09-era names queue next
+# (parts_supplier_relationship … xml_ingest_stats).
+_R14_NEVER = ["dp_quantile", "dp_group_quantiles"]
+_R14_STALE_R08 = [
+    "pq_codes", "promo_revenue_share", "record_linkage_pairs",
+    "simhash_neardup_pairs", "source_overlap_matrix", "source_token_drift",
+    "split_leakage_audit", "streaming_curation_keep", "streaming_lsh_pairs",
+    "table_profile", "tokenizer_fertility", "training_set_manifest",
+    "trimmed_length_stats", "url_dedup_keep", "volume_shipping",
+    "wordpiece_encode", "zorder_layout_keys", "zorder_skipping_stats",
+]
+_R14_STALE_R09 = [
+    "ab_test_zscore", "bootstrap_replica_means", "bucketed_join_stats",
+    "cdc_apply_changes", "conversion_latency_quantiles", "cuped_adjusted_ab",
+    "customer_order_distribution", "disjunctive_discount_revenue",
+    "embedding_int8_quantization", "event_path_trigrams",
+    "event_trend_robust", "forecast_revenue_change", "image_augment_stats",
+    "image_hist_equalization", "image_patch_stats", "inverted_index_stats",
+    "k_anonymity_audit", "knn_label_agreement", "knn_label_propagation",
+    "ks_two_sample", "large_volume_customers", "linestatus_priority",
+    "lm_next_token_accuracy", "mannwhitney_u", "modality_alignment_audit",
+    "moving_median_counts", "ols_trend_stats", "ops_health_report",
+    "orc_roundtrip_stats", "order_priority_check",
+]
+_R14_WINDOW = _R14_NEVER + _R14_STALE_R08 + _R14_STALE_R09
 # the driver hashes this many leading registry entries per round; the
 # bench telemetry stamps it so committed artifacts track resizes
 GATE_WINDOW = 50
-assert len(_R13_WINDOW) == GATE_WINDOW, len(_R13_WINDOW)
-_order = _R13_WINDOW + [n for n in QUERIES if n not in set(_R13_WINDOW)]
+assert len(_R14_WINDOW) == GATE_WINDOW, len(_R14_WINDOW)
+_order = _R14_WINDOW + [n for n in QUERIES if n not in set(_R14_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
 

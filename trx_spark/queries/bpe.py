@@ -107,6 +107,9 @@ def _train(spark: SparkSession, sf_dir: str):
     key = (spark, sf_dir)
     if key in _BPE_CACHE:
         return _BPE_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     # initial symbol sequence: chars joined by the separator
     words = _word_freq(spark, sf_dir).select(
         "word",
@@ -150,6 +153,7 @@ def _train(spark: SparkSession, sf_dir: str):
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)
     _BPE_CACHE[key] = (merges.localCheckpoint(), words)
+    build_done("bpe_trained", _t0)
     return _BPE_CACHE[key]
 
 

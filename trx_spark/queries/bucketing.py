@@ -62,6 +62,9 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark, sf_dir)
     if key in _BUCKETED_CACHE:
         return _BUCKETED_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     run = uuid.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix="trx_bucketed_")
@@ -79,6 +82,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         names.append(name)
     _BUCKETED_CACHE[key] = (names[0], names[1])
+    build_done("bucketed_tables", _t0)
     return _BUCKETED_CACHE[key]
 
 

@@ -49,9 +49,12 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _FEATS_CACHE:
         return _FEATS_CACHE[key]
+    from trx_spark.cache import build_done, build_start
     from trx_spark.queries.curation import _DSIR_TARGET_SOURCE
     from trx_spark.queries.ranking import hashed_tf_features
     from trx_spark.tables import load_table
+
+    _t0 = build_start()
 
     tf = hashed_tf_features(spark, sf_dir)
     norms = tf.groupBy("doc_id").agg(F.sum(F.abs("value")).alias("n1"))
@@ -79,34 +82,57 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("x"), "y",
     )
     _FEATS_CACHE[key] = feats.unionByName(bias_rows).localCheckpoint()
+    build_done("classifier_features", _t0)
     return _FEATS_CACHE[key]
+
+
+def _w_df(spark: SparkSession, w: dict) -> DataFrame:
+    """The ≤(dim+1)-row weight vector as a local relation (dim, w) —
+    broadcasting a LocalRelation costs no Spark job, unlike the former
+    checkpointed frame whose broadcast build was a job per round."""
+    return spark.createDataFrame(
+        [(int(d), float(v)) for d, v in sorted(w.items())], "dim long, w double"
+    )
 
 
 def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-batch GD for _CLF_ITERS rounds; returns (dim, w) with the
-    bias at dim=_BIAS_DIM."""
+    bias at dim=_BIAS_DIM.
+
+    The weight state is ≤ dim+1 doubles BY CONSTRUCTION (hashed
+    features), so the rounds run in the Bradley–Terry/pca discipline:
+    one bounded (≤ dim+1-row) gradient collect per round and the
+    update arithmetic w − (lr·g)/n_docs in DRIVER doubles — the same
+    IEEE ops the former per-round Spark update evaluated, on the same
+    values.  Every corpus-facing aggregation subtree (the margin
+    groupBy, the doc-keyed gradient join, the dim groupBy) is
+    UNCHANGED, and the weights re-enter each round through the same
+    broadcast-join shape (now a LocalRelation build side), so the
+    per-doc and per-dim double-sum orders — the declared-output
+    constraint — are preserved; scores verified bit-identical to the
+    former chain at three SFs (OPTIMIZATION_r14.md).  What the old
+    shape paid per round and this one does not: the weight-frame
+    localCheckpoint job, the checkpointed-broadcast build job, the
+    n_docs crossJoin re-aggregation, and the w⋈grad update subtree."""
     key = (spark, sf_dir)
     if key in _CLF_CACHE:
         return _CLF_CACHE[key]
+    from trx_spark.cache import build_done, build_start
     from trx_spark.queries.ranking import _FH_DIM
 
     feats = _features(spark, sf_dir)
-    docs = feats.select("doc_id", "y").distinct().localCheckpoint()
-    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    _t0 = build_start()
+    # bounded scalar (one count job, was re-broadcast every round)
+    nd = float(feats.select("doc_id", "y").distinct().count())
 
-    w = spark.range(_FH_DIM).select(
-        F.col("id").cast("long").alias("dim"), F.lit(0.0).alias("w")
-    ).unionByName(
-        spark.range(1).select(
-            F.lit(_BIAS_DIM).cast("long").alias("dim"), F.lit(0.0).alias("w")
-        )
-    ).localCheckpoint()
+    w = {d: 0.0 for d in range(_FH_DIM)}
+    w[_BIAS_DIM] = 0.0
 
     for _ in range(_CLF_ITERS):
         # every doc has the bias row, so margin covers xw + b in one
         # aggregation and the sigmoid error needs no left-join fallback
         err = (
-            feats.join(F.broadcast(w), "dim")
+            feats.join(F.broadcast(_w_df(spark, w)), "dim")
             .groupBy("doc_id", "y")
             .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
             .select(
@@ -116,27 +142,21 @@ def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("e"),
             )
         )
-        grad = (
+        grad_rows = (
             feats.join(err, "doc_id")
             .groupBy("dim")
             .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
+            .collect()  # ≤ dim+1 rows BY CONSTRUCTION (hashed features)
         )
-        w = (
-            w.join(grad, "dim", "left")
-            .crossJoin(F.broadcast(n_docs))
-            .select(
-                "dim",
-                (
-                    F.col("w")
-                    - F.lit(_CLF_LR)
-                    * F.coalesce("g", F.lit(0.0))
-                    / F.col("nd").cast("double")
-                ).alias("w"),
-            )
-            .localCheckpoint()
-        )
-    _CLF_CACHE[key] = w
-    return w
+        for r in grad_rows:
+            g = r["g"]
+            if g is None:  # the former coalesce(g, 0.0): w unchanged
+                continue
+            # same op order as the former Spark column: w − (lr·g)/nd
+            w[int(r["dim"])] = w[int(r["dim"])] - (_CLF_LR * float(g)) / nd
+    _CLF_CACHE[key] = _w_df(spark, w)
+    build_done("quality_classifier", _t0)
+    return _CLF_CACHE[key]
 
 
 def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,8 +59,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (spark, sf_dir)
     if key not in _CLUSTERS_CACHE:
+        from trx_spark.cache import build_done, build_start
+
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
         pairs = textdata.minhash_lsh_pairs(spark, sf_dir)  # memoized checkpoint
+        _t0 = build_start()
         labels = graph.connected_components(pairs, src="doc_a", dst="doc_b")
         _CLUSTERS_CACHE[key] = (
             docs.join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
@@ -68,6 +71,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
             .localCheckpoint()
         )
+        build_done("dedup_cluster_labels", _t0)
     return _CLUSTERS_CACHE[key]
 
 
@@ -465,11 +469,14 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: :func:`quality_signals` over the documents table."""
     key = (spark, sf_dir)
     if key not in _SIGNALS_CACHE:
+        from trx_spark.cache import build_done, build_start
         from trx_spark.tables import fan_out_small_scan
 
+        _t0 = build_start()
         _SIGNALS_CACHE[key] = quality_signals(
             fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         ).localCheckpoint()
+        build_done("quality_signals", _t0)
     return _SIGNALS_CACHE[key]
 
 
@@ -568,6 +575,9 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
     quality = quality_filter(spark, sf_dir).select("doc_id", "keep")
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     _KEEP_LIST_CACHE[key] = (
         docs.select("doc_id")
         .join(exact_keep, "doc_id", "left")
@@ -586,6 +596,7 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    build_done("corpus_keep_list", _t0)
     return _KEEP_LIST_CACHE[key]
 
 

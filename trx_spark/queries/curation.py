@@ -65,15 +65,17 @@ _SHINGLED_CACHE: dict = {}
 def _toks_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _TOKS_CACHE:
+        from trx_spark.cache import timed_build
         from trx_spark.tables import fan_out_small_scan
 
         # regex tokenize is map-only — fan the small scan out so it
         # parallelizes (no-op at cluster scale; tables.py docstring)
         docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
-        _TOKS_CACHE[key] = docs.select(
-            "doc_id", "source", toks.alias("toks")
-        ).localCheckpoint()
+        with timed_build("tokenized_base"):
+            _TOKS_CACHE[key] = docs.select(
+                "doc_id", "source", toks.alias("toks")
+            ).localCheckpoint()
     return _TOKS_CACHE[key]
 
 
@@ -97,9 +99,12 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        _SHINGLED_CACHE[key] = base.select(
-            "doc_id", F.explode(shingles).alias("shingle")
-        ).localCheckpoint()
+        from trx_spark.cache import timed_build
+
+        with timed_build("shingle_stream"):
+            _SHINGLED_CACHE[key] = base.select(
+                "doc_id", F.explode(shingles).alias("shingle")
+            ).localCheckpoint()
     return _SHINGLED_CACHE[key]
 
 
@@ -159,53 +164,55 @@ def _bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BLOOM_WORDS_CACHE[key]
 
 
+def _bloom_masks_lit(spark: SparkSession, sf_dir: str) -> str:
+    """The packed filter as a DENSE _BLOOM_WORDS-long SQL literal array
+    (missing words = 0, the former left-join coalesce(mask, 0)) —
+    bounded at 4096 longs BY CONSTRUCTION, collected once per (session,
+    sf_dir) beside the words checkpoint and constant-folded into one
+    Literal ArrayData, so every probe is a map-side element_at instead
+    of two broadcast hash joins per call (the codebook-literal
+    discipline, operators/kmeans.py)."""
+    key = (spark, sf_dir, "masks_lit")
+    if key not in _BLOOM_WORDS_CACHE:
+        dense = [0] * _BLOOM_WORDS
+        for r in _bloom_words(spark, sf_dir).collect():
+            dense[int(r["word"])] = int(r["mask"])
+        _BLOOM_WORDS_CACHE[key] = "array({})".format(
+            ", ".join(f"{v}L" for v in dense)
+        )
+    return _BLOOM_WORDS_CACHE[key]
+
+
 def decontam_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-corpus-doc Bloom membership stats vs the benchmark filter:
     (doc_id, n_shingles, n_bloom_hits, flagged). ``flagged`` is a
     superset of true contamination (Bloom has no false negatives —
-    pinned by test_bloom_superset)."""
+    pinned by test_bloom_superset).  Both bit probes are map-side
+    element_at lookups into the literal packed filter (same integers
+    as the former broadcast-join + coalesce form — exact bitwise ops
+    either way), so the whole query is one scan + one aggregation."""
     from trx_spark.queries.textdata import _tok_hash
 
     sh = _shingled(spark, sf_dir)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     h1 = _tok_hash(F.col("shingle"))
     h2 = (h1 * _BLOOM_A2 + _BLOOM_B2) % _P
-    words = _bloom_words(spark, sf_dir)
-    probes = (
-        sh.where(~is_bench)
-        .select(
-            "doc_id",
-            (h1 % _BLOOM_BITS).alias("b1"),
-            (h2 % _BLOOM_BITS).alias("b2"),
+    masks = _bloom_masks_lit(spark, sf_dir)
+    probes = sh.where(~is_bench).select(
+        "doc_id",
+        (h1 % _BLOOM_BITS).alias("b1"),
+        (h2 % _BLOOM_BITS).alias("b2"),
+    )
+
+    def _probe(b: str) -> F.Column:
+        m = f"element_at({masks}, CAST({b} / 32 AS INT) + 1)"
+        return F.expr(
+            f"({m} & shiftleft(CAST(1 AS BIGINT), CAST({b} % 32 AS INT))) != 0"
         )
-        .withColumn("w1", (F.col("b1") / 32).cast("long"))
-        .withColumn("w2", (F.col("b2") / 32).cast("long"))
-    )
-    # the filter is ≤4096 rows (_BLOOM_WORDS) BY CONSTRUCTION, a fixed
-    # ~32 KiB bit array whatever the corpus size → broadcast both lookups
-    j1 = probes.join(
-        F.broadcast(words.withColumnRenamed("word", "w1").withColumnRenamed("mask", "m1")),
-        "w1",
-        "left",
-    )
-    j2 = j1.join(
-        F.broadcast(words.withColumnRenamed("word", "w2").withColumnRenamed("mask", "m2")),
-        "w2",
-        "left",
-    )
-    hit = (
-        F.coalesce(F.col("m1"), F.lit(0)).bitwiseAND(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b1 % 32 AS INT))")
-        )
-        != 0
-    ) & (
-        F.coalesce(F.col("m2"), F.lit(0)).bitwiseAND(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b2 % 32 AS INT))")
-        )
-        != 0
-    )
+
+    hit = _probe("b1") & _probe("b2")
     return (
-        j2.groupBy("doc_id")
+        probes.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(hit.cast("long")).alias("n_bloom_hits"),
@@ -473,19 +480,25 @@ def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
             ),
         )
-        _BIGRAM_CACHE[key] = base.select(
-            "doc_id", F.explode(bigrams).alias("ngram")
-        ).localCheckpoint()
+        from trx_spark.cache import timed_build
+
+        with timed_build("bigram_stream"):
+            _BIGRAM_CACHE[key] = base.select(
+                "doc_id", F.explode(bigrams).alias("ngram")
+            ).localCheckpoint()
     return _BIGRAM_CACHE[key]
 
 
 def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _TOKEN_CACHE:
+        from trx_spark.cache import timed_build
+
         base = _toks_base(spark, sf_dir)
-        _TOKEN_CACHE[key] = base.select(
-            "doc_id", "source", F.explode(F.col("toks")).alias("token")
-        ).localCheckpoint()
+        with timed_build("token_stream"):
+            _TOKEN_CACHE[key] = base.select(
+                "doc_id", "source", F.explode(F.col("toks")).alias("token")
+            ).localCheckpoint()
     return _TOKEN_CACHE[key]
 
 

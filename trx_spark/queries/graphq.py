@@ -76,6 +76,9 @@ def capped_basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, "items")
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -90,6 +93,7 @@ def capped_basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _GRAPH_CACHE[key] = capped
+    build_done("capped_basket_items", _t0)
     return capped
 
 
@@ -103,7 +107,10 @@ def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, "pairs")
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
     kept = capped_basket_items(spark, sf_dir)
+    _t0 = build_start()
     a, b = kept.alias("a"), kept.alias("b")
     counts = (
         a.join(
@@ -119,6 +126,7 @@ def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _GRAPH_CACHE[key] = counts
+    build_done("copurchase_pair_counts", _t0)
     return counts
 
 

@@ -146,6 +146,9 @@ def nb_lang_scores(docs: DataFrame, langs: tuple = _LANGS) -> DataFrame:
     if key in _NB_CACHE:
         ml, lden, docbg = _NB_CACHE[key]
     else:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         docbg = (
             bg.groupBy("doc_id", "bg")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -176,6 +179,7 @@ def nb_lang_scores(docs: DataFrame, langs: tuple = _LANGS) -> DataFrame:
             .localCheckpoint()
         )
         _NB_CACHE[key] = (ml, lden, docbg)
+        build_done("nb_langid_model", _t0)
     mdoc = docbg.groupBy("doc_id").agg(F.sum("cnt").alias("m_doc"))
     obs = (
         docbg.join(F.broadcast(ml), "bg")

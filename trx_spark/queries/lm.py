@@ -43,6 +43,9 @@ def _train_lm(spark: SparkSession, sf_dir: str):
     key = (spark, sf_dir)
     if key in _LM_CACHE:
         return _LM_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     toks = _token_stream(spark, sf_dir)
     vocab = (
         toks.groupBy("token")
@@ -84,6 +87,7 @@ def _train_lm(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     _LM_CACHE[key] = (doc_bi, uni, bi)
+    build_done("lm_model", _t0)
     return _LM_CACHE[key]
 
 

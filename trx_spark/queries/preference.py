@@ -176,7 +176,11 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the other derived structures; the MM rounds re-run."""
     key = (spark, sf_dir)
     if key not in _PK_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         _PK_CACHE[key] = _duel_pairs(spark, sf_dir).localCheckpoint()
+        build_done("bt_duel_pairs", _t0)
     return (
         bt_fit(_PK_CACHE[key])
         .orderBy(F.desc("strength_fp"), F.asc("item"))

@@ -444,8 +444,13 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the capped-items spine and the pair self-join are the shared
     # memoized stages in graphq (the co-purchase graph reads the same
     # checkpoints); the cap constants must agree for that sharing to
-    # be sound, so pin it
-    assert _BASKET_MAX_ITEMS == graphq._PR_MAX_BASKET
+    # be sound — checked with a real exception, not assert, so a
+    # future divergence fails loudly even under `python -O`
+    if _BASKET_MAX_ITEMS != graphq._PR_MAX_BASKET:
+        raise ValueError(
+            "copurchase_lift basket cap diverged from the shared "
+            f"graphq spine: {_BASKET_MAX_ITEMS} != {graphq._PR_MAX_BASKET}"
+        )
     items = graphq.capped_basket_items(spark, sf_dir)
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")

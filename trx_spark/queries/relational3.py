@@ -332,42 +332,46 @@ _Q21_K = 10
 
 def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier in a
-    multi-supplier order — the double-correlated EXISTS / NOT EXISTS,
-    re-expressed as one left-semi (another supplier participated) and
-    one left-anti (no other supplier was late) over the distinct
-    (order, supplier) frames. "Late" is the Q4 shipdate-lag predicate
-    (the schema has no commit/receipt dates). Top-k suppliers by
-    blocked-order count, tie-broken on name."""
+    multi-supplier order.  The double-correlated EXISTS / NOT EXISTS is
+    algebraically a pair of per-order COUNTS: a late (order, supplier)
+    row survives iff the order has ≥ 2 distinct participating suppliers
+    (EXISTS another participant) and exactly 1 distinct late supplier
+    (NOT EXISTS another late one) — in which case that sole supplier is
+    min(l_suppkey) over the order's late rows.  So two partial-
+    aggregatable countDistincts replace the former distinct + left-semi
+    + left-anti chain (guide §2.4): both aggregates hash-partition by
+    l_orderkey, the sole⋈n_supp join reuses that partitioning with no
+    further Exchange, and the non-equi (suppkey != suppkey) join
+    conditions disappear entirely.  Same (order, supplier) multiset —
+    the DuckDB oracle keeps the original EXISTS form.  "Late" is the
+    Q4 shipdate-lag predicate (the schema has no commit/receipt
+    dates).  Top-k suppliers by blocked-order count, tie-broken on
+    name."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    late = (
+    sole_late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.min("l_suppkey").alias("sk"),
+        )
+        .filter(F.col("n_late") == 1)
     )
-    participants = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
     )
-    blocked = l1.join(
-        participants,
-        (participants.l_orderkey == l1.ok) & (participants.l_suppkey != l1.sk),
-        "left_semi",
-    ).join(
-        late.select(
-            F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-        ),
-        (F.col("ok2") == F.col("ok")) & (F.col("sk2") != F.col("sk")),
-        "left_anti",
-    )
+    blocked = sole_late.join(multi_supp, "l_orderkey", "left_semi")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         blocked.join(supp, F.col("sk") == F.col("s_suppkey"))

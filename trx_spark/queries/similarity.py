@@ -30,6 +30,7 @@ from trx_spark.queries.textdata import (
     _PLANE_COEF,
     _exact_topk_within,
     _plane_sql,
+    _query_vec0,
     ann_lsh_buckets,
 )
 from trx_spark.tables import fan_out_small_scan, load_table
@@ -202,14 +203,19 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _CELLS_ASSIGN_CACHE:
         return _CELLS_ASSIGN_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    cents = _init_cents_lit(spark, sf_dir)
+    _t0 = build_start()
     emb = fan_out_small_scan(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
     _CELLS_ASSIGN_CACHE[key] = (
-        assign_literal(emb, _init_cents_lit(spark, sf_dir))
+        assign_literal(emb, cents)
         .select("vec_id", "cid")
         .localCheckpoint()
     )
+    build_done("ivf_cells_assign", _t0)
     return _CELLS_ASSIGN_CACHE[key]
 
 
@@ -223,22 +229,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells(spark, sf_dir)
     probe_cids = _query_cell_ranks(spark, sf_dir)
     cand = cells.join(F.broadcast(probe_cids), "cid", "left_semi").select("vec_id")
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        cand,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
     """The query vector (vec_id 0) collected once per (session,
-    sf_dir) — ONE bounded row."""
-    key = (spark, sf_dir, "q0")
-    if key not in _CELLS_ASSIGN_CACHE:
-        row = (
-            load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") == 0)
-            .select("embedding")
-            .collect()
-        )
-        _CELLS_ASSIGN_CACHE[key] = [float(v) for v in row[0][0]]
-    return _CELLS_ASSIGN_CACHE[key]
+    sf_dir) — ONE bounded row, shared with the exact re-rank's memo
+    (textdata._Q0_CACHE) so the two never collect it twice."""
+    v = _query_vec0(spark, sf_dir)
+    if v is None:
+        raise IndexError("embeddings table has no vec_id 0 row")
+    return v
 
 
 def _probe_df(spark: SparkSession, q: list, cents: list) -> DataFrame:
@@ -337,12 +342,16 @@ def _trained_cents(spark: SparkSession, sf_dir: str) -> list:
     map-side.  Bit-identical centroids to the former DataFrame chain."""
     key = (spark, sf_dir)
     if key not in _CENTS_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         emb = fan_out_small_scan(
             load_table(spark, sf_dir, "embeddings")
         ).select("vec_id", "embedding")
         _CENTS_CACHE[key] = lloyd_centroids_collected(
             emb, k=_N_CELLS, updates=_KM_ROUNDS - 1
         )
+        build_done("coarse_codebook", _t0)
     return _CENTS_CACHE[key]
 
 
@@ -354,12 +363,15 @@ def _trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup / cluster_balanced_sample / contrastive_triples."""
     key = (spark, sf_dir)
     if key not in _ASSIGN_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        cents = _trained_cents(spark, sf_dir)
+        _t0 = build_start()
         emb = fan_out_small_scan(
             load_table(spark, sf_dir, "embeddings")
         ).select("vec_id", "embedding")
-        _ASSIGN_CACHE[key] = assign_literal(
-            emb, _trained_cents(spark, sf_dir)
-        ).localCheckpoint()
+        _ASSIGN_CACHE[key] = assign_literal(emb, cents).localCheckpoint()
+        build_done("trained_assign", _t0)
     return _ASSIGN_CACHE[key]
 
 
@@ -423,7 +435,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _trained_assign(spark, sf_dir)
     probe = _trained_query_probe(spark, sf_dir)
     cand = assign.join(F.broadcast(probe), "cid", "left_semi").select("vec_id")
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        cand,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 def _trained_query_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,9 +542,21 @@ _SEMDEDUP_COS = 0.30
 # oracle SQL, so the gate checks the capped semantics bit-exactly.
 _SEMDEDUP_CELL_CAP = 256
 
+# the verdict table is a derived structure like the keep-list chain's
+# (cell-bounded pair join + distinct — rebuildable, cleared cold):
+# steady-state consumers read the checkpoint instead of re-running the
+# within-cell quadratic join per call (guide §2.1)
+_SEMDEDUP_CACHE: dict = {}
+
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector SemDeDup verdict: trained cell + keep/drop flag."""
+    """Per-vector SemDeDup verdict: trained cell + keep/drop flag.
+    Memoized + checkpointed per (session, sf_dir)."""
+    key = (spark, sf_dir)
+    if key in _SEMDEDUP_CACHE:
+        return _SEMDEDUP_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
     emb = fan_out_small_scan(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
@@ -537,6 +565,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kmeans_cells / ann_ivf_trained_topk / contrastive_triples, so a
     # steady-state session skips the corpus x centroid rescoring
     assign = _trained_assign(spark, sf_dir).select("vec_id", "cid")
+    _t0 = build_start()
     # cell sizes: ≤ k rows BY CONSTRUCTION → aggregate + broadcast join
     # (a count window would sort the whole assignment table instead)
     small_cells = (
@@ -567,11 +596,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
-    return assign.join(dropped, "vec_id", "left").select(
-        "vec_id",
-        F.col("cid").cast("long").alias("cid"),
-        F.col("_dup").isNull().alias("keep"),
+    _SEMDEDUP_CACHE[key] = (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("_dup").isNull().alias("keep"),
+        )
+        .localCheckpoint()
     )
+    build_done("semdedup_verdicts", _t0)
+    return _SEMDEDUP_CACHE[key]
 
 
 _SEMDEDUP_SQL = f"""
@@ -745,6 +780,9 @@ def _pq_train_encode(spark: SparkSession, sf_dir: str):
     (vec_id, m, cid, dot) frame."""
     key = (spark, sf_dir)
     if key not in _PQ_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         emb = fan_out_small_scan(
             load_table(spark, sf_dir, "embeddings")
         ).select("vec_id", "embedding")
@@ -760,6 +798,7 @@ def _pq_train_encode(spark: SparkSession, sf_dir: str):
         cents = _pq_update_collect(emb, init)
         codes = _pq_encode_literal(emb, cents).localCheckpoint()
         _PQ_CACHE[key] = (cents, codes)
+        build_done("pq_train_encode", _t0)
     return _PQ_CACHE[key]
 
 
@@ -813,7 +852,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = scored.orderBy(F.desc("adc_score"), F.asc("vec_id")).limit(
         _PQ_SHORTLIST
     ).select("vec_id")
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        cand,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 _TOP_K_PQ = 10
@@ -939,7 +982,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_SHORTLIST)
         .select("vec_id")
     )
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        cand,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 _IVFPQ_SQL = f"""
@@ -1077,6 +1124,9 @@ def _opq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _OPQ_CACHE:
         return _OPQ_CACHE[key][0]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     v = pca_leading_component(spark, sf_dir).select(
         *[F.col(f"v_{i}") for i in range(1, _OPQ_D + 1)]
     )
@@ -1104,6 +1154,7 @@ def _opq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.concat(rot_head, tail).alias("embedding")
     ).localCheckpoint()
     _OPQ_CACHE[key] = (rot,)
+    build_done("opq_rotation", _t0)
     return rot
 
 
@@ -1113,7 +1164,10 @@ def _opq_train_encode(spark: SparkSession, sf_dir: str):
     centroids, map-side scoring/encode)."""
     key = (spark, sf_dir)
     if key not in _OPQ_CACHE or len(_OPQ_CACHE[key]) == 1:
+        from trx_spark.cache import build_done, build_start
+
         rot = _opq_rotated(spark, sf_dir)
+        _t0 = build_start()
         rows = sorted(
             (int(r[0]), [float(v) for v in r[1]])
             for r in rot.filter(F.col("vec_id") < _PQ_K).collect()
@@ -1126,6 +1180,7 @@ def _opq_train_encode(spark: SparkSession, sf_dir: str):
         cents = _pq_update_collect(rot, init)
         codes = _pq_encode_literal(rot, cents).localCheckpoint()
         _OPQ_CACHE[key] = (rot, cents, codes)
+        build_done("opq_train_encode", _t0)
     return _OPQ_CACHE[key][1:]
 
 
@@ -1163,7 +1218,11 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_SHORTLIST)
         .select("vec_id")
     )
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        cand,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 def _opq_rot_ctes() -> str:
@@ -1315,6 +1374,9 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _KNN_CACHE:
         return _KNN_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     emb = fan_out_small_scan(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
@@ -1357,6 +1419,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _KNN_CACHE[key] = out.localCheckpoint()
+    build_done("knn_edges", _t0)
     return _KNN_CACHE[key]
 
 
@@ -2294,6 +2357,9 @@ def _ranked_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _RANKED_EVAL_CACHE:
         return _RANKED_EVAL_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     emb = (
         fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", "embedding", "label")
@@ -2318,6 +2384,7 @@ def _ranked_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "qlabel", "label", F.row_number().over(w).alias("rank")
         ).localCheckpoint()
     )
+    build_done("ranked_eval", _t0)
     return _RANKED_EVAL_CACHE[key]
 
 

@@ -378,11 +378,14 @@ def _source_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
             ),
         )
-        _BIGRAM_SRC_CACHE[key] = (
-            base.select("source", F.explode(bigrams).alias("token"))
-            .distinct()
-            .localCheckpoint()
-        )
+        from trx_spark.cache import timed_build
+
+        with timed_build("source_bigrams"):
+            _BIGRAM_SRC_CACHE[key] = (
+                base.select("source", F.explode(bigrams).alias("token"))
+                .distinct()
+                .localCheckpoint()
+            )
     return _BIGRAM_SRC_CACHE[key]
 
 

@@ -290,6 +290,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _LSH_PAIRS_CACHE:
         return _LSH_PAIRS_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     # the self-join would recompute the signature lineage on both sides
     # — a local checkpoint materializes the tiny signature table once
     sig = minhash_signatures(spark, sf_dir).localCheckpoint()
@@ -317,6 +320,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     _LSH_PAIRS_CACHE[key] = pairs.localCheckpoint()
+    build_done("lsh_pairs", _t0)
     return _LSH_PAIRS_CACHE[key]
 
 
@@ -370,18 +374,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _JACCARD_PAIRS_CACHE:
         return _JACCARD_PAIRS_CACHE[key]
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        toks.withColumn("t1", F.lead("t", 1).over(w))
-        .withColumn("t2", F.lead("t", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("shingle"))
-        .distinct()
-        # used three times below (sizes + both join sides) — materialize once
-        .localCheckpoint()
-    )
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
+    # identical construction to the AllPairs/MinHash shingle spine —
+    # ride the shared checkpointed memo instead of rebuilding it
+    sh = _shingle_table(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -404,6 +402,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair table is tiny (near-dups only) — checkpoint it so the
     # second consumer in a session skips the shingle self-join entirely
     _JACCARD_PAIRS_CACHE[key] = out.localCheckpoint()
+    build_done("jaccard_pairs", _t0)
     return _JACCARD_PAIRS_CACHE[key]
 
 
@@ -459,6 +458,39 @@ _ALLPAIRS_KEY_CAP = 4096  # docs per prefix blocking key before the key
 # bench sibling of edit-distance style verifies — build it once
 _ALLPAIRS_CACHE: dict = {}
 
+# the distinct (doc_id, shingle) spine both the AllPairs truth build
+# and the MinHash signature table derive from — the tokenize + 3-gram
+# shingle pass is the dominant shared compute, materialized once per
+# (session, sf_dir) (guide §2.1; cleared by cache.py like every memo)
+_SHINGLE_TABLE_CACHE: dict = {}
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (doc_id, shingle),
+    checkpointed + memoized."""
+    key = (spark, sf_dir)
+    if key not in _SHINGLE_TABLE_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
+        docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+        toks = docs.select(
+            "doc_id", F.posexplode(_tokens_col()).alias("pos", "t")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        _SHINGLE_TABLE_CACHE[key] = (
+            toks.withColumn("t1", F.lead("t", 1).over(w))
+            .withColumn("t2", F.lead("t", 2).over(w))
+            .filter(F.col("t2").isNotNull())
+            .select(
+                "doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("shingle")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        build_done("shingle_table", _t0)
+    return _SHINGLE_TABLE_CACHE[key]
+
 
 def allpairs_jaccard_join(
     spark: SparkSession, sf_dir: str, *, key_cap: int = _ALLPAIRS_KEY_CAP
@@ -467,9 +499,13 @@ def allpairs_jaccard_join(
     (the algorithm and its guarantees are documented there)."""
     key = (spark, sf_dir, key_cap)
     if key not in _ALLPAIRS_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         _ALLPAIRS_CACHE[key] = _allpairs_jaccard_join_build(
             spark, sf_dir, key_cap
         ).localCheckpoint()
+        build_done("allpairs_truth", _t0)
     return _ALLPAIRS_CACHE[key]
 
 
@@ -507,17 +543,9 @@ def _allpairs_jaccard_join_build(
     exactness guarantee holds wherever the cost model does.
 
     Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard), J ≥ t."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        toks.withColumn("t1", F.lead("t", 1).over(w))
-        .withColumn("t2", F.lead("t", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("shingle"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # the tokenize + shingle pass is the memoized spine shared with the
+    # MinHash signature table (shingle_minhash_recall)
+    sh = _shingle_table(spark, sf_dir)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
         sh.join(dfreq, "shingle")
@@ -535,8 +563,12 @@ def _allpairs_jaccard_join_build(
     plen = (
         F.col("n") - F.ceil(F.lit(_ALLPAIRS_T) * F.col("n")) + F.lit(1)
     ).cast("int")
+    # positions ride along for the POSITIONAL filter below (PPJoin,
+    # Xiao et al.): pp is 0-based within the canonically-sorted array
     prefix = ordered.select(
-        "doc_id", "n", F.explode(F.slice("arr", 1, plen)).alias("shingle")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("arr", 1, plen)).alias("pp", "shingle"),
     )
     # saturated-key guard (drop_saturated_keys semantics, one-shot
     # form): a blocking key carried by > key_cap docs would fan out
@@ -565,6 +597,24 @@ def _allpairs_jaccard_join_build(
     a = prefix.alias("a")
     b = prefix.alias("b")
     t = F.lit(_ALLPAIRS_T)
+    # positional filter (PPJoin): a shared prefix element at 0-based
+    # positions (pa, pb) bounds the overlap by min(n_a−pa, n_b−pb)
+    # (every shared element sits at/after the FIRST shared one, which
+    # — prefixes being order-consistent — both sides reach).  J ≥ t
+    # needs overlap·(1+t) ≥ t·(n_a+n_b); with t = TN/TD exactly, the
+    # integer form TD·(TN+TD)-scaled below never misprunes, and the
+    # extra −(TN+TD) slack absorbs the verify stage's double-rounding
+    # of J at the threshold (≤ 1 ulp ≪ one overlap unit).  The FIRST
+    # shared element always satisfies the bound (see proof shape in
+    # PLANS.md / Xiao et al. §3.2), so no true pair is lost — the
+    # naive-formulation oracle checks exactly that.
+    from fractions import Fraction
+
+    _fr = Fraction(str(_ALLPAIRS_T))
+    _tn, _td = _fr.numerator, _fr.denominator
+    ub = F.least(
+        F.col("a.n") - F.col("a.pp"), F.col("b.n") - F.col("b.pp")
+    )
     cand = (
         a.join(
             b,
@@ -572,7 +622,13 @@ def _allpairs_jaccard_join_build(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: t·max(|a|,|b|) ≤ min(|a|,|b|)
             & (F.col("a.n") * t <= F.col("b.n"))
-            & (F.col("b.n") * t <= F.col("a.n")),
+            & (F.col("b.n") * t <= F.col("a.n"))
+            # positional filter (exact integers, slack −(TN+TD))
+            & (
+                ub * F.lit(int(_tn + _td))
+                >= F.lit(int(_tn)) * (F.col("a.n") + F.col("b.n"))
+                - F.lit(int(_tn + _td))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -694,28 +750,36 @@ def shingle_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = (spark, sf_dir)
     if key not in _SHMH_SIGS_CACHE:
-        docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-        ids = _shingle_ids_col()
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
 
         def _affine(a, b):
             return lambda x: (F.lit(a) * x + F.lit(b)) % _P
 
+        # derive the signatures from the SAME checkpointed (doc_id,
+        # shingle) table the AllPairs truth build materializes (the
+        # shared shingle spine): MinHash is a min over the shingle-id
+        # SET, so 8 partial-aggregatable MIN aggregates over the
+        # exploded rows equal the former per-doc array fold — without
+        # re-paying the tokenize + 3-gram shingle pass this query's
+        # truth side just built (guide §2.1 shared derived structure)
+        sh = _shingle_table(spark, sf_dir)
+        hid = _tok_hash(F.col("shingle"))
         aggs = [
-            F.array_min(F.transform(F.col("ids"), _affine(a, b))).alias(f"mh{j}")
+            F.min(_affine(a, b)(hid)).alias(f"mh{j}")
             for j, (a, b) in enumerate(_MINHASH_COEF)
         ]
         _SHMH_SIGS_CACHE[key] = (
-            docs.withColumn("ids", ids)
-            .filter(F.col("ids").isNotNull())
-            .select("doc_id", *aggs)
+            sh.groupBy("doc_id")
+            .agg(*aggs)
             # materialize ONCE: both join sides below read this frame,
             # and without the checkpoint Catalyst plans two independent
-            # subtrees that each re-run the full shingle+8-permutation
-            # signature pass (the plan's two BroadcastExchanges each
-            # fed by their own scan) — the query's entire compute,
-            # paid twice
+            # subtrees that each re-run the signature pass (the plan's
+            # two BroadcastExchanges each fed by their own scan)
             .localCheckpoint()
         )
+        build_done("shmh_signatures", _t0)
     sigs = _SHMH_SIGS_CACHE[key]
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -808,47 +872,57 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching (pos, hash) fingerprints localize WHERE two documents
     overlap, the plagiarism/provenance primitive.
 
-    Relational shape: one per-doc ordered window builds the k-grams
-    (lead), a second bounded frame (``ROWS BETWEEN CURRENT AND w-1
-    FOLLOWING``) collects each window's (hash, pos) pairs as a w-length
-    array, and the rightmost-min pick is pure array math per row — two
-    keyed window passes, no self-join, linear in corpus size. Docs with
-    fewer than k + w − 1 tokens emit no fingerprint (no full window),
-    per the original definition.
+    Relational shape: everything up to the final dedup is MAP-SIDE
+    array math per document (higher-order functions over the token
+    array: k-gram hashes as one array, each window a slice of it, the
+    rightmost-min pick pure array ops) — zero shuffles until the
+    distinct on the selected fingerprints, which are ~2/(w+1) of the
+    token count.  The former shape exploded every token and ran TWO
+    keyed window passes (a lead chain + a w-row frame collect) over
+    the exploded rows — one exchange plus two per-doc sorts of the
+    full token stream that this formulation never pays (guide §2.4);
+    rows are identical (pinned in tests/test_winnowing.py against a
+    pure-Python reference of the published algorithm).
+    Docs with fewer than k + w − 1 tokens emit no fingerprint (no
+    full window), per the original definition.
 
     Output: distinct (doc_id, pos, fp_hash) selected fingerprints.
     """
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("p", "t"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    kg = toks
-    for j in range(1, _WINNOW_K):
-        kg = kg.withColumn(f"t{j}", F.lead("t", j).over(w))
-    gram = F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, _WINNOW_K)])
-    kg = (
-        kg.filter(F.col(f"t{_WINNOW_K - 1}").isNotNull())
-        .select(
-            "doc_id",
-            F.col("p").cast("long").alias("p"),
-            _tok_hash(gram).alias("h"),
-        )
-    )
-    frame = (
-        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WINNOW_W - 1)
-    )
-    arr = F.collect_list(F.struct(F.col("h"), F.col("p"))).over(frame)
-    starts = (
-        kg.select("doc_id", arr.alias("arr"))
-        .filter(F.size("arr") == _WINNOW_W)
-        .withColumn("fp_hash", F.array_min(F.transform(F.col("arr"), lambda e: e["h"])))
-    )
-    winner = F.array_max(
+    toks = _tokens_col()
+    # hs[j] (0-based j) = hash of the k-gram starting at token pos j
+    m = F.size(toks) - F.lit(_WINNOW_K - 1)
+    hs = F.when(
+        m >= 1,
         F.transform(
-            F.filter(F.col("arr"), lambda e: e["h"] == F.col("fp_hash")),
-            lambda e: e["p"],
-        )
+            F.sequence(F.lit(1), m),
+            lambda i: _tok_hash(F.array_join(F.slice(toks, i, _WINNOW_K), " ")),
+        ),
     )
-    return starts.select("doc_id", winner.alias("pos"), "fp_hash").distinct()
+    base = docs.select("doc_id", hs.alias("hs")).filter(
+        F.size("hs") >= _WINNOW_W
+    )
+
+    def _pick(s):
+        # window starting at 0-based k-gram position s: fingerprint =
+        # min hash, position = RIGHTMOST in-window index carrying it
+        sub = F.slice(F.col("hs"), s + 1, _WINNOW_W)
+        fp = F.array_min(sub)
+        rel = F.array_max(
+            F.transform(
+                sub, lambda x, j: F.when(x == fp, j).otherwise(F.lit(-1))
+            )
+        )
+        return F.struct(
+            (s + rel).cast("long").alias("pos"), fp.alias("fp_hash")
+        )
+
+    wins = F.transform(F.sequence(F.lit(0), F.size("hs") - _WINNOW_W), _pick)
+    return (
+        base.select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp_hash").alias("fp_hash"))
+        .distinct()
+    )
 
 
 _WINNOW_SQL = f"""
@@ -929,7 +1003,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the query side is a broadcast and the scan is columnar.
     Ranking is TakeOrderedAndProject (see :func:`_exact_topk_within`),
     never a global-sort window."""
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), None)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        None,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 _ANN_SQL = f"""
@@ -1031,7 +1109,10 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _LSH_BUCKET_TABLE_CACHE:
         return _LSH_BUCKET_TABLE_CACHE[key]
+    from trx_spark.cache import build_done, build_start
     from trx_spark.exact import dsum
+
+    _t0 = build_start()
 
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     ex = (
@@ -1063,6 +1144,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", sum(bits[1:], bits[0]).alias("bucket")
     )
     _LSH_BUCKET_TABLE_CACHE[key] = bucket.localCheckpoint()
+    build_done("lsh_bucket_table", _t0)
     return _LSH_BUCKET_TABLE_CACHE[key]
 
 
@@ -1120,7 +1202,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = buckets.crossJoin(F.broadcast(q_bucket)).filter(
         F.col("bucket") == F.col("qb")
     ).select("vec_id")
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        cand,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 _ANN_TOPK_LSH_SQL = f"""
@@ -1175,7 +1261,34 @@ _PROBE_MASKS = (
 )
 
 
-def _exact_topk_within(emb: DataFrame, cand: DataFrame | None) -> DataFrame:
+# the query vector (vec_id 0) collected once per (session, sf_dir):
+# every ANN consumer re-ranks against the same ONE bounded row, so the
+# collect is a shared derived value like the codebooks (None = the
+# table has no vec 0; rebuilt cold like every memo — cache.py)
+_Q0_CACHE: dict = {}
+
+
+def _query_vec0(spark: SparkSession, sf_dir: str) -> list | None:
+    key = (spark, sf_dir)
+    if key not in _Q0_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()
+        )
+        _Q0_CACHE[key] = [float(v) for v in rows[0][0]] if rows else None
+    return _Q0_CACHE[key]
+
+
+# sentinel: distinguishes "caller did not pass q0" (collect it here)
+# from "caller knows there is no query vector" (None)
+_Q0_UNSET = object()
+
+
+def _exact_topk_within(
+    emb: DataFrame, cand: DataFrame | None, q0=_Q0_UNSET
+) -> DataFrame:
     """Exact cosine top-k of query vec_id 0, restricted to ``cand`` (one
     vec_id column) when given — the re-rank stage shared by the brute
     baseline and the LSH probe paths.
@@ -1194,13 +1307,15 @@ def _exact_topk_within(emb: DataFrame, cand: DataFrame | None) -> DataFrame:
     # empty and the result is empty — exactly the former semantics.
     from trx_spark.operators.kmeans import _dlit_sql
 
-    q0rows = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if q0 is _Q0_UNSET:
+        rows = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+        q0 = [float(v) for v in rows[0][0]] if rows else None
     if cand is not None:
         emb = emb.join(cand, "vec_id", "left_semi")
     s = _dlit_sql(_EMB_SCALE)
-    if q0rows:
+    if q0 is not None:
         qarr = "array({})".format(
-            ", ".join(_dlit_sql(float(v)) for v in q0rows[0][0])
+            ", ".join(_dlit_sql(float(v)) for v in q0)
         )
         dot_sql = (
             f"CAST(aggregate(zip_with(embedding, {qarr}, (x, y) -> "
@@ -1271,7 +1386,11 @@ def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand = buckets.join(F.broadcast(probes), "bucket", "left_semi").select("vec_id")
-    return _exact_topk_within(load_table(spark, sf_dir, "embeddings"), cand)
+    return _exact_topk_within(
+        load_table(spark, sf_dir, "embeddings"),
+        cand,
+        q0=_query_vec0(spark, sf_dir),
+    )
 
 
 _ANN_TOPK_MULTIPROBE_SQL = f"""
@@ -1345,7 +1464,10 @@ def _pair_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _PAIR_STATS_CACHE:
         return _PAIR_STATS_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
     pairs = minhash_lsh_pairs(spark, sf_dir)
+    _t0 = build_start()
     tok = (
         fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("t"))
@@ -1368,6 +1490,7 @@ def _pair_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("doc_id")
     )
     _PAIR_STATS_CACHE[key] = out.localCheckpoint()
+    build_done("pair_token_stats", _t0)
     return _PAIR_STATS_CACHE[key]
 
 

@@ -126,10 +126,14 @@ _DIFFS_CACHE: dict = {}
 def _diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _DIFFS_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         _DIFFS_CACHE[key] = reduction.time_resolved_diff(
             _events_shots(spark, sf_dir), group=["run"], idx="idx",
             is_ref="is_ref", value="i",
         ).localCheckpoint()
+        build_done("events_diff_bank", _t0)
     return _DIFFS_CACHE[key]
 
 

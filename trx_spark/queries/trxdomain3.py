@@ -178,10 +178,14 @@ _DIFFS_CACHE: dict = {}
 def _diffs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _DIFFS_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         _DIFFS_CACHE[key] = reduction.time_resolved_diff(
             _curves(spark, sf_dir), group=["run", "q_idx"], idx="idx",
             is_ref="is_ref", value="i",
         ).localCheckpoint()
+        build_done("curve_diff_bank", _t0)
     return _DIFFS_CACHE[key]
 
 

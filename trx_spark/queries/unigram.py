@@ -180,6 +180,9 @@ def _ug_train(spark: SparkSession, sf_dir: str):
     key = (spark, sf_dir)
     if key in _UG_CACHE:
         return _UG_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     words = _ug_words(spark, sf_dir).localCheckpoint()
     v0 = _seed_vocab(spark, sf_dir).localCheckpoint()
     vocab = v0
@@ -222,6 +225,7 @@ def _ug_train(spark: SparkSession, sf_dir: str):
     for s in stats_rows[1:]:
         stats = stats.unionByName(s)
     _UG_CACHE[key] = (stats.localCheckpoint(), vocab)
+    build_done("unigram_trained", _t0)
     return _UG_CACHE[key]
 
 

@@ -79,6 +79,9 @@ def _wp_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
 
     key = (spark, sf_dir)
     if key not in _WP_CACHE:
+        from trx_spark.cache import build_done, build_start
+
+        _t0 = build_start()
         top = (
             _token_stream(spark, sf_dir)
             .groupBy("token")
@@ -94,6 +97,7 @@ def _wp_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
         # the vocab construction ever changes
         assert set(string.ascii_lowercase) <= set(vocab), "vocab must cover [a-z]"
         _WP_CACHE[key] = vocab
+        build_done("wordpiece_vocab", _t0)
     return _WP_CACHE[key]
 
 
@@ -219,6 +223,9 @@ def _wpt_train(spark: SparkSession, sf_dir: str):
     key = (spark, sf_dir)
     if key in _WPT_CACHE:
         return _WPT_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     words = _word_freq(spark, sf_dir).select(
         "word",
         "freq",
@@ -277,6 +284,7 @@ def _wpt_train(spark: SparkSession, sf_dir: str):
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)
     _WPT_CACHE[key] = (merges.localCheckpoint(), words)
+    build_done("wordpiece_trained", _t0)
     return _WPT_CACHE[key]
 
 

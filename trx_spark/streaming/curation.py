@@ -102,12 +102,26 @@ def make_curation_batch_handler(
         docs = batch.localCheckpoint()
 
         # ---- exact-dup leg (first occurrence of the text hash wins)
-        first_new = None
-        if do_hash:
-            hashes = docs.select(
-                "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
-            ).withColumn("_hb", hb).localCheckpoint()
-            touched_hb = [r["_hb"] for r in hashes.select("_hb").distinct().collect()]
+        def _hash_leg():
+            # ONE pass fuses the former hash-materialize +
+            # first-in-batch jobs: groupBy(h) keeps exactly the distinct
+            # hash set, so the touched-bucket probe (= buckets of the
+            # batch's distinct hashes) and the anti-join candidates both
+            # read this one checkpoint (guide §2.1 — same rows, same
+            # store gating, one fewer full-batch materialization).
+            cand = (
+                docs.select(
+                    "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+                )
+                .groupBy("h")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id", "h")
+                .withColumn("_hb", hb)
+                .localCheckpoint()
+            )
+            touched_hb = [
+                r["_hb"] for r in cand.select("_hb").distinct().collect()
+            ]
             hstore = _read_band_store(spark, hash_store)
             prev_h = (
                 hstore.filter(
@@ -116,17 +130,13 @@ def make_curation_batch_handler(
                 if hstore is not None
                 else None
             )
-            first_in_batch = hashes.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-            first_new = first_in_batch.select("doc_id", "h")
-            if prev_h is not None:
-                first_new = first_new.join(prev_h, "h", "left_anti")
+            if prev_h is None:
+                return cand
             # checkpointed: feeds BOTH the verdict flag and the store append
-            first_new = first_new.withColumn("_hb", hb).localCheckpoint()
+            return cand.join(prev_h, "h", "left_anti").localCheckpoint()
 
         # ---- near-dup leg (same band scheme + key cap as dedup_index)
-        ok = None
-        seen = None
-        if do_band:
+        def _band_leg():
             new = (
                 band_keys(docs)
                 .withColumn("_kb", kb)
@@ -151,6 +161,28 @@ def make_curation_batch_handler(
                 new, seen, on=on, key_cap=key_cap, epoch_id=epoch_id,
                 what="curation",
             )
+            return ok, seen
+
+        # The two legs are independent until the verdict joins their
+        # results, so overlap them (guide §2.6): each leg's jobs
+        # back-fill executor slots the other leg's tail leaves idle.
+        # Frames, gating and writes are exactly the sequential ones —
+        # only the submission order changed.
+        first_new = None
+        ok = None
+        seen = None
+        if do_hash and do_band:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_hash = pool.submit(_hash_leg)
+                f_band = pool.submit(_band_leg)
+                first_new = f_hash.result()
+                ok, seen = f_band.result()
+        elif do_hash:
+            first_new = _hash_leg()
+        elif do_band:
+            ok, seen = _band_leg()
 
         if do_verdict:
             q = quality_signals(docs).select(
@@ -207,8 +239,11 @@ def make_curation_batch_handler(
         # and bounds the store by distinct-hash count — appending every
         # doc's hash would grow per-hash state linearly with duplicate
         # volume, the exact flood the band-key cap guards against);
-        # every non-saturated band row
-        if do_hash:
+        # every non-saturated band row.  The two appends target
+        # DIFFERENT stores with independent watermarks, so they too
+        # overlap (§2.6) — the verdict write above stays strictly
+        # first, preserving the crash-replay ordering invariant.
+        def _append_hashes():
             (
                 first_new.withColumn("_epoch", F.lit(e))
                 .write.mode("overwrite")
@@ -216,7 +251,8 @@ def make_curation_batch_handler(
                 .partitionBy("_epoch", "_hb")
                 .parquet(hash_store)
             )
-        if do_band:
+
+        def _append_bands():
             (
                 ok.withColumn("_epoch", F.lit(e))
                 .write.mode("overwrite")
@@ -224,6 +260,19 @@ def make_curation_batch_handler(
                 .partitionBy("_epoch", "_kb")
                 .parquet(band_store)
             )
+
+        if do_hash and do_band:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fh = pool.submit(_append_hashes)
+                fb = pool.submit(_append_bands)
+                fh.result()
+                fb.result()
+        elif do_hash:
+            _append_hashes()
+        elif do_band:
+            _append_bands()
 
     return handle
 

@@ -42,8 +42,13 @@ def stream_state_partitions() -> int:
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
     if env and env.isdigit():
         return max(1, int(env))
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    cores = int(cpus) if str(cpus).isdigit() else 32
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and str(cpus).isdigit():
+        cores = int(cpus)
+    else:
+        # no env set: honor the documented min(8, cores) intent on the
+        # actual host instead of assuming the bench's 32
+        cores = os.cpu_count() or 32
     return max(2, min(8, cores))
 
 
