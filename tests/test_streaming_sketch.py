@@ -433,3 +433,41 @@ def test_mg_duplicate_batch_partials_fail_loudly(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="multiple epochs"):
         merged_mg(spark, store)
+
+
+def test_mg_landing_memoized_and_cold_rebuilt(spark, sf_dir):
+    """The landed batch files are a per-(session, sf_dir) input fixture
+    shared by both MG gates: repeated calls return the SAME landing dir
+    (no rebuild), the partitioned write produced exactly one file per
+    batch id, and the cold sweep (clear_stage_caches) forces a fresh
+    landing — so bench cold passes re-pay the build honestly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trx_spark.cache import clear_stage_caches
+    from trx_spark.queries.mgsketch import _MG_B
+    from trx_spark.queries.streamingq import _MG_LANDING_CACHE, _mg_landing
+
+    clear_stage_caches()
+    landing1, schema1 = _mg_landing(spark, sf_dir)
+    files = sorted(os.listdir(landing1))
+    assert files == [f"batch_{b}.parquet" for b in range(_MG_B)]
+    landing2, _ = _mg_landing(spark, sf_dir)
+    assert landing2 == landing1  # memo hit, no second build
+    # batch files hold the full split: union equals the corpus
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+    n_landed = sum(
+        spark.read.parquet(os.path.join(landing1, f)).count() for f in files
+    )
+    assert n_landed == n_docs
+    # every doc landed in its residue file
+    for b in range(_MG_B):
+        got = spark.read.parquet(os.path.join(landing1, f"batch_{b}.parquet"))
+        assert got.filter(F.col("doc_id") % _MG_B != b).count() == 0
+    clear_stage_caches()
+    assert (spark, sf_dir) not in _MG_LANDING_CACHE
+    landing3, _ = _mg_landing(spark, sf_dir)
+    assert landing3 != landing1  # cold pass rebuilds a fresh fixture

@@ -70,6 +70,7 @@ def _all_caches() -> list[dict]:
         preference,
         similarity,
         sketches,
+        streamingq,
         textdata,
         trxdomain,
         trxdomain3,
@@ -78,6 +79,7 @@ def _all_caches() -> list[dict]:
     )
 
     return [
+        streamingq._MG_LANDING_CACHE,
         wordpiece._WP_CACHE,
         wordpiece._WPT_CACHE,
         unigram._UG_CACHE,

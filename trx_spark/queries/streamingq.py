@@ -697,15 +697,36 @@ FROM documents d JOIN q ON q.doc_id = d.doc_id
 """
 
 
-def _mg_landing(spark: SparkSession, sf_dir: str) -> tuple[str, str, object]:
+# the landed batch files are an INPUT FIXTURE (the same corpus split
+# both MG gates drain), not part of either gate's streaming compute —
+# built once per (session, sf_dir) like the bucketed-table fixture and
+# cleared by cache.py's cold sweep; each gate call still creates its
+# OWN fresh sketch/checkpoint dirs, so the replay itself is never
+# skipped or shared
+_MG_LANDING_CACHE: dict = {}
+
+
+def _mg_landing(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     """Land the documents corpus as one parquet file per deterministic
-    ``doc_id % B`` batch (the one-batch-file-per-micro-batch contract
-    the MG merge depends on); returns (work_dir, landing_dir,
-    schema)."""
+    ``doc_id % B`` batch (one file per batch id keeps the MG merge's
+    no-batch-spans-epochs invariant whatever micro-batch grouping the
+    file source picks); returns (landing_dir, schema).
+
+    ONE partitioned write replaces the former per-batch filter +
+    coalesce loop — B full corpus scans and B sequential write jobs
+    down to a single scan (guide §2.1): repartitioning by the batch
+    residue puts each residue in exactly one task, so the dynamic
+    writer emits exactly one file per batch, renamed into place."""
     import glob as _glob
 
     from trx_spark.queries.mgsketch import _MG_B
 
+    key = (spark, sf_dir)
+    if key in _MG_LANDING_CACHE:
+        return _MG_LANDING_CACHE[key]
+    from trx_spark.cache import build_done, build_start
+
+    _t0 = build_start()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -714,17 +735,30 @@ def _mg_landing(spark: SparkSession, sf_dir: str) -> tuple[str, str, object]:
     work = tempfile.mkdtemp(prefix="trx_mg_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
+    staged = os.path.join(work, "staged")
+    (
+        docs.withColumn("_b", F.col("doc_id") % _MG_B)
+        .repartition(_MG_B, F.col("_b"))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(staged)
+    )
     for b in range(_MG_B):
-        tmp = os.path.join(work, f"w{b}")
-        (
-            docs.filter(F.col("doc_id") % _MG_B == b)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.rename(part, os.path.join(landing, f"batch_{b}.parquet"))
-    return work, landing, docs.schema
+        parts = _glob.glob(os.path.join(staged, f"_b={b}", "part-*.parquet"))
+        if parts:
+            os.rename(parts[0], os.path.join(landing, f"batch_{b}.parquet"))
+        else:
+            # residue with no docs (never at the bench SFs): land an
+            # empty batch file, as the former per-batch write did
+            tmp = os.path.join(work, f"w{b}")
+            docs.filter(F.lit(False)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(landing, f"batch_{b}.parquet"))
+    _MG_LANDING_CACHE[key] = (landing, docs.schema)
+    build_done("mg_landing", _t0)
+    return _MG_LANDING_CACHE[key]
 
 
 def streaming_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,7 +841,8 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token, mg_count, d_total, n_total)."""
     from trx_spark.streaming.sketch import run_mg_catchup
 
-    work, landing, schema = _mg_landing(spark, sf_dir)
+    landing, schema = _mg_landing(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="trx_mg_run_")
     return run_mg_catchup(
         spark,
         landing_dir=landing,
@@ -832,7 +867,8 @@ def streaming_heavy_hitters_windowed(
     from trx_spark.queries.mgsketch import _MG_W
     from trx_spark.streaming.sketch import run_mg_catchup
 
-    work, landing, schema = _mg_landing(spark, sf_dir)
+    landing, schema = _mg_landing(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="trx_mg_run_")
     return run_mg_catchup(
         spark,
         window=_MG_W,

@@ -872,57 +872,55 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching (pos, hash) fingerprints localize WHERE two documents
     overlap, the plagiarism/provenance primitive.
 
-    Relational shape: everything up to the final dedup is MAP-SIDE
-    array math per document (higher-order functions over the token
-    array: k-gram hashes as one array, each window a slice of it, the
-    rightmost-min pick pure array ops) — zero shuffles until the
-    distinct on the selected fingerprints, which are ~2/(w+1) of the
-    token count.  The former shape exploded every token and ran TWO
-    keyed window passes (a lead chain + a w-row frame collect) over
-    the exploded rows — one exchange plus two per-doc sorts of the
-    full token stream that this formulation never pays (guide §2.4);
-    rows are identical (pinned in tests/test_winnowing.py against a
-    pure-Python reference of the published algorithm).
-    Docs with fewer than k + w − 1 tokens emit no fingerprint (no
-    full window), per the original definition.
+    Relational shape: one per-doc ordered window builds the k-grams
+    (lead), a second bounded frame (``ROWS BETWEEN CURRENT AND w-1
+    FOLLOWING``) collects each window's (hash, pos) pairs as a w-length
+    array, and the rightmost-min pick is pure array math per row — two
+    keyed window passes, no self-join, linear in corpus size. Docs with
+    fewer than k + w − 1 tokens emit no fingerprint (no full window),
+    per the original definition.
+
+    A fully MAP-SIDE formulation (k-gram hashes + windows as nested
+    higher-order functions over the token array, shuffling only the
+    selected fingerprints) was tried in r14 and MEASURED 3.5x SLOWER
+    (1.42 s → 4.89 s median warm at sf0.1): Spark evaluates nested
+    higher-order functions interpreted, while this exploded shape runs
+    the per-row k-gram hash under whole-stage codegen — the §2
+    shuffle saving lost to §1.2 per-task work.  Keep the window form.
 
     Output: distinct (doc_id, pos, fp_hash) selected fingerprints.
     """
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = _tokens_col()
-    # hs[j] (0-based j) = hash of the k-gram starting at token pos j
-    m = F.size(toks) - F.lit(_WINNOW_K - 1)
-    hs = F.when(
-        m >= 1,
+    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("p", "t"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    kg = toks
+    for j in range(1, _WINNOW_K):
+        kg = kg.withColumn(f"t{j}", F.lead("t", j).over(w))
+    gram = F.concat_ws(" ", "t", *[f"t{j}" for j in range(1, _WINNOW_K)])
+    kg = (
+        kg.filter(F.col(f"t{_WINNOW_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            _tok_hash(gram).alias("h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WINNOW_W - 1)
+    )
+    arr = F.collect_list(F.struct(F.col("h"), F.col("p"))).over(frame)
+    starts = (
+        kg.select("doc_id", arr.alias("arr"))
+        .filter(F.size("arr") == _WINNOW_W)
+        .withColumn("fp_hash", F.array_min(F.transform(F.col("arr"), lambda e: e["h"])))
+    )
+    winner = F.array_max(
         F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: _tok_hash(F.array_join(F.slice(toks, i, _WINNOW_K), " ")),
-        ),
-    )
-    base = docs.select("doc_id", hs.alias("hs")).filter(
-        F.size("hs") >= _WINNOW_W
-    )
-
-    def _pick(s):
-        # window starting at 0-based k-gram position s: fingerprint =
-        # min hash, position = RIGHTMOST in-window index carrying it
-        sub = F.slice(F.col("hs"), s + 1, _WINNOW_W)
-        fp = F.array_min(sub)
-        rel = F.array_max(
-            F.transform(
-                sub, lambda x, j: F.when(x == fp, j).otherwise(F.lit(-1))
-            )
+            F.filter(F.col("arr"), lambda e: e["h"] == F.col("fp_hash")),
+            lambda e: e["p"],
         )
-        return F.struct(
-            (s + rel).cast("long").alias("pos"), fp.alias("fp_hash")
-        )
-
-    wins = F.transform(F.sequence(F.lit(0), F.size("hs") - _WINNOW_W), _pick)
-    return (
-        base.select("doc_id", F.explode(wins).alias("w"))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp_hash").alias("fp_hash"))
-        .distinct()
     )
+    return starts.select("doc_id", winner.alias("pos"), "fp_hash").distinct()
 
 
 _WINNOW_SQL = f"""

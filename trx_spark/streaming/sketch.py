@@ -400,16 +400,19 @@ def _batch_mg_partial(batch: DataFrame) -> DataFrame:
         ).alias("token"),
     )
     cnt = toks.groupBy("batch", "token").agg(F.count(F.lit(1)).alias("c"))
+    # the per-batch token mass rides the SAME batch-keyed exchange as
+    # the rank window (a second window function, no extra shuffle), so
+    # ONE collect replaces the former top + mass pair — whose second
+    # job re-ran the whole tokenize+count lineage (guide §2.1)
     w = Window.partitionBy("batch").orderBy(F.desc("c"), F.asc("token"))
+    wm = Window.partitionBy("batch")
     top = (
         cnt.withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.sum("c").over(wm))
         .filter(F.col("rn") <= _MG_K + 1)
         .collect()
     )
-    mass = {
-        r["batch"]: r["m"]
-        for r in cnt.groupBy("batch").agg(F.sum("c").alias("m")).collect()
-    }
+    mass = {int(r["batch"]): int(r["m"]) for r in top}
     by_batch: dict[int, dict[str, int]] = {}
     for r in top:
         by_batch.setdefault(int(r["batch"]), {})[r["token"]] = int(r["c"])
