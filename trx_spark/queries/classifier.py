@@ -87,12 +87,21 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _w_df(spark: SparkSession, w: dict) -> DataFrame:
-    """The ≤(dim+1)-row weight vector as a local relation (dim, w) —
-    broadcasting a LocalRelation costs no Spark job, unlike the former
-    checkpointed frame whose broadcast build was a job per round."""
-    return spark.createDataFrame(
-        [(int(d), float(v)) for d, v in sorted(w.items())], "dim long, w double"
+    """The ≤(dim+1)-row weight vector as a TRUE LocalRelation (dim, w)
+    via VALUES — ``createDataFrame`` on a Python list builds an
+    RDD-backed frame whose per-round broadcast build is a scan JOB; a
+    VALUES relation broadcasts with no job at all.  Weight literals go
+    through the repr round-trip (bit-exact, kmeans._dlit_sql), and the
+    broadcast hash join on the probe side preserves feats row order
+    either way, so the margin sums are unchanged bit-for-bit (verified
+    at three SFs, OPTIMIZATION_r14.md)."""
+    from trx_spark.operators.kmeans import _dlit_sql
+
+    rows = ", ".join(
+        f"(CAST({int(d)} AS BIGINT), {_dlit_sql(float(v))})"
+        for d, v in sorted(w.items())
     )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(dim, w)")
 
 
 def _train(spark: SparkSession, sf_dir: str) -> DataFrame:
